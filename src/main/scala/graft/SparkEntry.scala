@@ -1,13 +1,45 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.cluster.ClusterSql
+import graft.operators.CompactionOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the public operator surface: one entry per implemented
+  * operator from SURVEY.md §2, each paired (where SQL-expressible) with a
+  * DuckDB oracle over the same parquet tables in `oracleSql`.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (SURVEY.md §7 slice 0): the compaction-candidate plan.
+    * Driver smoke-checks rows > 0 on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    CompactionOps.planFromSf(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "compaction_plan" -> ((s, dir) => CompactionOps.planFromSf(s, dir))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "compaction_plan" ->
+      s"""WITH ${ClusterSql.regionMetrics},
+         |weighted AS (
+         |  SELECT server, region_id, table_name, size_mb,
+         |         CASE WHEN size_mb < 10 THEN 0.0
+         |              ELSE (1.0 - locality) * 115.0
+         |                   + ((size_mb - max_file_mb) / 1024.0) * (file_count * 1.33)
+         |         END AS weight
+         |  FROM region_metrics
+         |),
+         |ranked AS (
+         |  SELECT server, region_id, table_name, weight,
+         |         ROW_NUMBER() OVER (PARTITION BY server ORDER BY weight DESC, region_id) AS rnk
+         |  FROM weighted
+         |  WHERE weight > 15.0 AND size_mb > 100
+         |)
+         |SELECT server, region_id, table_name,
+         |       CAST(FLOOR(weight * 10000 + 0.5) AS BIGINT) AS weight_e4, rnk
+         |FROM ranked WHERE rnk <= 15""".stripMargin
+  )
 }
