@@ -17,19 +17,34 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     CompactionOps.planFromSf(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** All query packs; names must be globally unique across packs. */
+  private def packs: Seq[QueryPack] = Seq(
+    CompactionPack,
+    graft.operators.AnalyzerPack,
+    graft.operators.DistributionPack,
+    graft.operators.ReportPack,
+    graft.operators.MergerPack,
+    graft.operators.TopologyPack
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    packs.flatMap(_.queries).toMap
+
+  def oracleSql: Map[String, String] =
+    packs.flatMap(_.oracles).toMap
+}
+
+object CompactionPack extends QueryPack {
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "compaction_plan" -> ((s, dir) => CompactionOps.planFromSf(s, dir))
   )
 
-  def oracleSql: Map[String, String] = Map(
+  override def oracles: Map[String, String] = Map(
     "compaction_plan" ->
       s"""WITH ${ClusterSql.regionMetrics},
          |weighted AS (
          |  SELECT server, region_id, table_name, size_mb,
-         |         CASE WHEN size_mb < 10 THEN 0.0
-         |              ELSE (1.0 - locality) * 115.0
-         |                   + ((size_mb - max_file_mb) / 1024.0) * (file_count * 1.33)
-         |         END AS weight
+         |         ${ClusterSql.weightExpr} AS weight
          |  FROM region_metrics
          |),
          |ranked AS (

@@ -45,8 +45,10 @@ object ClusterViews {
         min(col("l_quantity")).as("qty_min"))
       .select(
         col("region_id"),
-        concat(lit("t"), (col("region_id") % 16).cast("string")).as("table_name"),
-        concat(lit("s"), ((col("region_id") * 7 + 3) % 24).cast("string")).as("server"),
+        // tables own contiguous 128-key blocks so a table's regions tile a
+        // contiguous key space (adjacency semantics for merge ops)
+        concat(lit("t"), floor(col("region_id") / 128.0).cast("long").cast("string")).as("table_name"),
+        concat(lit("s"), ((col("region_id") * col("region_id") + col("region_id") * 5) % 24).cast("string")).as("server"),
         (col("qty_sum") * 10).cast("long").as("size_mb"),
         col("cnt").cast("int").as("file_count"),
         (col("qty_max") * 10).cast("long").as("max_file_mb"),
@@ -62,11 +64,11 @@ object ClusterViews {
     Tables.part(spark, sfDir)
       .select(
         col("p_partkey").as("region_id"),
-        concat(lit("t"), (col("p_partkey") % 16).cast("string")).as("table_name"),
+        concat(lit("t"), floor(col("p_partkey") / 128.0).cast("long").cast("string")).as("table_name"),
         concat(lit("ns"), (col("p_partkey") % 4).cast("string")).as("namespace"),
         (col("p_partkey") * 1000).as("start_key"),
         ((col("p_partkey") + 1) * 1000).as("end_key"),
-        concat(lit("s"), ((col("p_partkey") * 7 + 3) % 24).cast("string")).as("server"),
+        concat(lit("s"), ((col("p_partkey") * col("p_partkey") + col("p_partkey") * 5) % 24).cast("string")).as("server"),
         (col("p_partkey") % 97 === 0).as("offline"))
 
   /** D3 cluster_topology — timestamped region→server snapshots
@@ -79,8 +81,11 @@ object ClusterViews {
     Tables.orders(spark, sfDir)
       .select(
         (col("o_orderkey") % 2048).as("region_id"),
-        col("o_orderdate").as("snapshot_ts"),
-        concat(lit("s"), ((col("o_orderkey") * 11 + col("o_custkey")) % 24).cast("string")).as("server"))
+        // parquet yields TIMESTAMP_NTZ; cast to session-UTC TimestampType
+        // so epoch extraction matches DuckDB's naive-as-UTC semantics
+        col("o_orderdate").cast("timestamp").as("snapshot_ts"),
+        concat(lit("s"), ((col("o_orderkey") * 11 + col("o_custkey")) % 24).cast("string")).as("server"),
+        col("o_orderkey").as("obs_id"))
 
   /** The live-server dimension (24 servers), for zero-fill joins
     * (reference zero-fills empty servers at `api/rstask/RSTaskControllerHelper.java:155-176`). */
@@ -96,8 +101,8 @@ object ClusterSql {
   val regionMetrics: String =
     """region_metrics AS (
       |  SELECT l_partkey AS region_id,
-      |         't' || CAST(l_partkey % 16 AS VARCHAR) AS table_name,
-      |         's' || CAST((l_partkey * 7 + 3) % 24 AS VARCHAR) AS server,
+      |         't' || CAST(CAST(FLOOR(l_partkey / 128.0) AS BIGINT) AS VARCHAR) AS table_name,
+      |         's' || CAST((l_partkey * l_partkey + l_partkey * 5) % 24 AS VARCHAR) AS server,
       |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 10 AS BIGINT) AS size_mb,
       |         CAST(COUNT(*) AS INT) AS file_count,
       |         CAST(MAX(l_quantity) * 10 AS BIGINT) AS max_file_mb,
@@ -110,11 +115,11 @@ object ClusterSql {
   val regionInfo: String =
     """region_info AS (
       |  SELECT p_partkey AS region_id,
-      |         't' || CAST(p_partkey % 16 AS VARCHAR) AS table_name,
+      |         't' || CAST(CAST(FLOOR(p_partkey / 128.0) AS BIGINT) AS VARCHAR) AS table_name,
       |         'ns' || CAST(p_partkey % 4 AS VARCHAR) AS namespace,
       |         p_partkey * 1000 AS start_key,
       |         (p_partkey + 1) * 1000 AS end_key,
-      |         's' || CAST((p_partkey * 7 + 3) % 24 AS VARCHAR) AS server,
+      |         's' || CAST((p_partkey * p_partkey + p_partkey * 5) % 24 AS VARCHAR) AS server,
       |         (p_partkey % 97 = 0) AS offline
       |  FROM part
       |)""".stripMargin
@@ -123,9 +128,22 @@ object ClusterSql {
     """topology AS (
       |  SELECT o_orderkey % 2048 AS region_id,
       |         o_orderdate AS snapshot_ts,
-      |         's' || CAST((o_orderkey * 11 + o_custkey) % 24 AS VARCHAR) AS server
+      |         's' || CAST((o_orderkey * 11 + o_custkey) % 24 AS VARCHAR) AS server,
+      |         o_orderkey AS obs_id
       |  FROM orders
       |)""".stripMargin
+
+  /** Compaction weight in SQL. FP literals are cast to DOUBLE explicitly:
+    * DuckDB parses `1024.0` as DECIMAL, and an all-integer/decimal chain
+    * like `(size_mb - max_file_mb) / 1024.0` would run in decimal
+    * arithmetic — diverging from Spark's IEEE-double evaluation by 1 ulp,
+    * enough to flip a floor() at scaled-output boundaries. */
+  val weightExpr: String =
+    """CASE WHEN size_mb < 10 THEN 0.0
+      |     ELSE (1.0 - locality) * 115.0
+      |          + ((size_mb - max_file_mb) / CAST(1024.0 AS DOUBLE))
+      |            * (file_count * CAST(1.33 AS DOUBLE))
+      |END""".stripMargin
 
   val servers: String =
     """servers AS (

@@ -25,7 +25,14 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "region")
-  def events(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "events")
+  /** events.ts is nanosecond-precision parquet, readable only as a long
+    * (spark.sql.legacy.parquet.nanosAsLong, set by GraftSession/Verify/
+    * Bench); convert to a proper TimestampType column (micros, UTC). */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    read(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")
 }
