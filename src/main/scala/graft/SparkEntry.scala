@@ -24,7 +24,11 @@ object SparkEntry {
     graft.operators.DistributionPack,
     graft.operators.ReportPack,
     graft.operators.MergerPack,
-    graft.operators.TopologyPack
+    graft.operators.TopologyPack,
+    graft.operators.TextPack,
+    graft.operators.DedupPack,
+    graft.operators.AnnPack,
+    graft.operators.MultimodalPack
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

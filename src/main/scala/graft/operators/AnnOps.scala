@@ -1,0 +1,173 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  * brute-force cosine top-k as the exactness baseline, and a random-
+  * hyperplane LSH-bucketed variant as the scale path, plus LSH-blocked
+  * embedding near-dup detection.
+  *
+  * FP-parity rules: vectors are cast float→double once; every dot product
+  * and norm is a sequential left fold (index order), so any engine
+  * evaluating the same fold gets bit-identical doubles; scores leave the
+  * operator as scaled ints and ALL ranking happens on those ints.
+  *
+  * Scale design: norms and buckets are computed once per vector (linear
+  * scan); brute-force pairs only ever form query×corpus (bounded query
+  * set) or bucket-blocked joins — never unblocked N².
+  */
+object AnnOps {
+
+  val Dim = 64
+  val NumPlanes = 8
+
+  private def vec(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Sequential left fold sum of an array of doubles. */
+  private def foldSum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  private def dot(a: Column, b: Column): Column = foldSum(zip_with(a, b, (x, y) => x * y))
+
+  /** vec_id, v (double[]), norm. */
+  def normalized(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), vec(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(foldSum(transform(col("v"), x => x * x))))
+
+  /** Deterministic integer hyperplane weight w(j, d) = ((j*67 + d*31) % 19) - 9. */
+  private def planeDot(v: Column, j: Column): Column =
+    foldSum(transform(sequence(lit(1), lit(Dim)),
+      d => element_at(v, d) * (((j * 67 + d * 31) % 19) - 9).cast("double")))
+
+  /** Per-vector LSH bucket: sign bits of 8 hyperplane projections. */
+  def buckets(normalized: DataFrame, spark: SparkSession): DataFrame = {
+    val planes = spark.range(NumPlanes).withColumnRenamed("id", "j")
+    normalized
+      .crossJoin(planes)
+      .select(col("vec_id"),
+        when(planeDot(col("v"), col("j")) > 0, expr("cast(pow(2, j) as bigint)"))
+          .otherwise(lit(0L)).as("bit"))
+      .groupBy("vec_id")
+      .agg(sum(col("bit")).as("bucket"))
+  }
+
+  private def cosineE4(va: Column, vb: Column, na: Column, nb: Column): Column =
+    floor(dot(va, vb) / (na * nb) * 10000 + 0.5).cast("long")
+
+  /** Brute-force cosine top-k: query set × corpus, ranked per query on the
+    * scaled-int score. */
+  def bruteTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val n = normalized(embeddings)
+    val queries = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = queries
+      .join(n.filter(col("vec_id") >= lit(0)), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosineE4(col("qv"), col("v"), col("qn"), col("nrm")).as("cosine_e4"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine_e4").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** LSH-bucketed ANN: candidates share the query's hyperplane bucket. */
+  def lshTopK(embeddings: DataFrame, spark: SparkSession, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val n = normalized(embeddings)
+    val b = buckets(n, spark)
+    val nb = n.join(b, "vec_id")
+    val queries = nb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
+    val scored = queries
+      .join(nb, Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosineE4(col("qv"), col("v"), col("qn"), col("nrm")).as("cosine_e4"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine_e4").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** Embedding near-dup pairs, blocked by LSH bucket (the 100-TB path:
+    * pairs only form inside buckets). */
+  def nearDupPairs(embeddings: DataFrame, spark: SparkSession, thresholdE4: Long = 4000L): DataFrame = {
+    val n = normalized(embeddings)
+    val nb = n.join(buckets(n, spark), "vec_id")
+    nb.as("a")
+      .join(nb.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        cosineE4(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")).as("cosine_e4"))
+      .filter(col("cosine_e4") >= thresholdE4)
+  }
+}
+
+object AnnPack extends QueryPack {
+  private def e(s: SparkSession, dir: String): DataFrame = Tables.embeddings(s, dir)
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_brute_topk" -> ((s, dir) => AnnOps.bruteTopK(e(s, dir))),
+    "ann_lsh_topk" -> ((s, dir) => AnnOps.lshTopK(e(s, dir), s)),
+    "embedding_near_dups" -> ((s, dir) => AnnOps.nearDupPairs(e(s, dir), s))
+  )
+
+  private val normSql =
+    """n AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |         sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, b) -> a + b)) AS nrm
+      |  FROM embeddings
+      |)""".stripMargin
+
+  private val bucketSql =
+    """bk AS (
+      |  SELECT vec_id,
+      |         CAST(SUM(CASE WHEN list_reduce(list_transform(range(1, 65),
+      |                        d -> v[d] * CAST(((j.j * 67 + d * 31) % 19) - 9 AS DOUBLE)),
+      |                        (a, b) -> a + b) > 0
+      |                  THEN CAST(POW(2, j.j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM n, range(0, 8) j(j)
+      |  GROUP BY vec_id
+      |)""".stripMargin
+
+  private val cosSql =
+    "FLOOR(list_reduce(list_transform(range(1, 65), d -> qa.v[d] * ca.v[d]), (x, y) -> x + y) / (qa.nrm * ca.nrm) * 10000 + 0.5)"
+
+  override def oracles: Map[String, String] = Map(
+    "ann_brute_topk" ->
+      s"""WITH $normSql,
+         |scored AS (
+         |  SELECT qa.vec_id AS qid, ca.vec_id AS vec_id,
+         |         CAST($cosSql AS BIGINT) AS cosine_e4
+         |  FROM n qa JOIN n ca ON ca.vec_id <> qa.vec_id
+         |  WHERE qa.vec_id < 10
+         |),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine_e4 DESC, vec_id) AS rnk
+         |  FROM scored
+         |)
+         |SELECT qid, vec_id, cosine_e4, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
+    "ann_lsh_topk" ->
+      s"""WITH $normSql, $bucketSql,
+         |nb AS (SELECT n.vec_id, n.v, n.nrm, bk.bucket FROM n JOIN bk ON n.vec_id = bk.vec_id),
+         |scored AS (
+         |  SELECT qa.vec_id AS qid, ca.vec_id AS vec_id,
+         |         CAST($cosSql AS BIGINT) AS cosine_e4
+         |  FROM nb qa JOIN nb ca ON qa.bucket = ca.bucket AND ca.vec_id <> qa.vec_id
+         |  WHERE qa.vec_id < 10
+         |),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine_e4 DESC, vec_id) AS rnk
+         |  FROM scored
+         |)
+         |SELECT qid, vec_id, cosine_e4, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
+    "embedding_near_dups" ->
+      s"""WITH $normSql, $bucketSql,
+         |nb AS (SELECT n.vec_id, n.v, n.nrm, bk.bucket FROM n JOIN bk ON n.vec_id = bk.vec_id)
+         |SELECT qa.vec_id AS va, ca.vec_id AS vb,
+         |       CAST($cosSql AS BIGINT) AS cosine_e4
+         |FROM nb qa JOIN nb ca ON qa.bucket = ca.bucket AND qa.vec_id < ca.vec_id
+         |WHERE $cosSql >= 4000""".stripMargin
+  )
+}

@@ -1,0 +1,244 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for a training-data pipeline over `documents`:
+  * exact, MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale design: nothing here is O(N²). Exact dedup is one hash
+  * aggregate. MinHash pairs meet only through band-signature buckets
+  * (shuffle keyed on (band, signature)); SimHash pairs only through
+  * 8-bit band buckets (pigeonhole-lossless for hamming <= 3); Jaccard
+  * pairs only through shared-shingle postings. Hot shingles/buckets are
+  * the classic skew source — AQE skew-join handles it, and the shingle
+  * join drops top-frequency shingles like a stop-list would at 100 TB.
+  */
+object DedupOps {
+
+  /** Exact dedup on a head fingerprint (first 5 tokens): duplicate groups
+    * with a canonical (min) doc per group. One groupBy — the pattern that
+    * dedups 100 TB in a single shuffle of 16-byte keys. */
+  def exact(docs: DataFrame): DataFrame = {
+    val keyed = docs.select(
+      col("doc_id"),
+      md5(array_join(slice(tokens(col("text")), 1, 5), " ")).as("dup_key"))
+    val w = Window.partitionBy("dup_key")
+    keyed
+      .withColumn("group_sz", count(lit(1)).over(w))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .filter(col("group_sz") > 1)
+      .select(col("doc_id"), col("canonical_id"), col("group_sz"),
+        (col("doc_id") === col("canonical_id")).as("is_canonical"))
+  }
+
+  /** Distinct (doc_id, shingle-hash) postings — shared by minhash /
+    * simhash / jaccard. */
+  private def shinglePostings(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("shingle"))
+      .select(col("doc_id"), stableHash31(col("shingle")).as("x31"))
+      .distinct()
+
+  private def shingleSizes(postings: DataFrame): DataFrame =
+    postings.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+
+  /** Exact Jaccard for given candidate pairs (da < db). */
+  private def verifyJaccard(postings: DataFrame, pairs: DataFrame): DataFrame = {
+    val sizes = shingleSizes(postings)
+    val inter = postings.as("pa")
+      .join(pairs, col("pa.doc_id") === col("da"))
+      .join(postings.as("pb"), col("pb.doc_id") === col("db") && col("pa.x31") === col("pb.x31"))
+      .groupBy("da", "db")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("n_shingles").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n_shingles").as("nb")), "db")
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .select(col("da"), col("db"),
+        floor(col("jaccard") * 10000 + 0.5).cast("long").as("jaccard_e4"))
+  }
+
+  /** n-gram Jaccard dedup: candidate pairs via shared-shingle postings,
+    * exact Jaccard >= threshold. */
+  def ngramJaccard(docs: DataFrame, thresholdE4: Long = 8000L): DataFrame = {
+    val postings = shinglePostings(docs)
+    val pairs = postings.as("a")
+      .join(postings.as("b"), col("a.x31") === col("b.x31") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    verifyJaccard(postings, pairs).filter(col("jaccard_e4") >= thresholdE4)
+  }
+
+  val MinhashK = 12
+  val BandSize = 3
+
+  /** Per-doc banded minhash signatures: (doc_id, band, sig). */
+  def minhashSignatures(postings: DataFrame, spark: SparkSession): DataFrame = {
+    val ks = spark.range(MinhashK).withColumnRenamed("id", "k")
+    postings
+      .crossJoin(ks)
+      .select(col("doc_id"), col("k"), minhashPerm(col("x31"), col("k")).as("h"))
+      .groupBy("doc_id", "k")
+      .agg(min(col("h")).as("mh"))
+      .withColumn("band", (col("k") - col("k") % BandSize) / BandSize)
+      .groupBy(col("doc_id"), col("band").cast("long").as("band"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("k"), col("mh")))), s => s.getField("mh").cast("string")),
+        ",").as("sig"))
+  }
+
+  /** MinHash+LSH dedup: shingles → K=12 minhashes → 4 bands of 3 →
+    * band-bucket join → exact-Jaccard verification >= threshold. */
+  def minhashLsh(docs: DataFrame, spark: SparkSession, thresholdE4: Long = 5000L): DataFrame = {
+    val postings = shinglePostings(docs)
+    val sigs = minhashSignatures(postings, spark)
+    val pairs = sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    verifyJaccard(postings, pairs).filter(col("jaccard_e4") >= thresholdE4)
+  }
+
+  /** Per-doc 32-bit simhash over shingle hashes. */
+  def simhashes(postings: DataFrame, spark: SparkSession): DataFrame = {
+    val bits = spark.range(32).withColumnRenamed("id", "i")
+    postings
+      .crossJoin(bits)
+      .select(
+        col("doc_id"), col("i"),
+        when(expr("shiftright(x31, cast(i as int)) % 2") === 1, lit(1L)).otherwise(lit(-1L)).as("contrib"))
+      .groupBy("doc_id", "i")
+      .agg(sum(col("contrib")).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("cast(pow(2, i) as bigint)")).otherwise(lit(0L))).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= 3, found via 4
+    * 8-bit band buckets (pigeonhole: hamming<=3 over 4 bands ⇒ at least
+    * one identical band, so the banded join loses nothing). */
+  def simhashDedup(docs: DataFrame, spark: SparkSession, maxHamming: Int = 3): DataFrame = {
+    val postings = shinglePostings(docs)
+    val sh = simhashes(postings, spark)
+    val bands = spark.range(4).withColumnRenamed("id", "b")
+    val banded = sh.crossJoin(bands)
+      .withColumn("band_val", expr("shiftright(simhash, cast(b * 8 as int)) % 256"))
+    val pairs = banded.as("a")
+      .join(banded.as("b2"),
+        col("a.b") === col("b2.b") && col("a.band_val") === col("b2.band_val") &&
+          col("a.doc_id") < col("b2.doc_id"))
+      .select(
+        col("a.doc_id").as("da"), col("b2.doc_id").as("db"),
+        col("a.simhash").as("sa"), col("b2.simhash").as("sb"))
+      .distinct()
+    pairs
+      .withColumn("hamming", bit_count(expr("sa ^ sb")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("da"), col("db"), col("hamming").cast("int").as("hamming"))
+  }
+}
+
+object DedupPack extends QueryPack {
+  private def d(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) => DedupOps.exact(d(s, dir))),
+    "dedup_ngram_jaccard" -> ((s, dir) => DedupOps.ngramJaccard(d(s, dir))),
+    "dedup_minhash" -> ((s, dir) => DedupOps.minhashLsh(d(s, dir), s)),
+    "dedup_simhash" -> ((s, dir) => DedupOps.simhashDedup(d(s, dir), s))
+  )
+
+  /** Shared SQL: distinct (doc_id, 31-bit shingle hash) postings. */
+  private val postingsSql =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         CAST(CAST(('0x' || substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 18, 15)) AS UBIGINT)
+      |              % 2147483647 AS BIGINT) AS x31
+      |  FROM toks, range(1, 1000) r(i)
+      |  WHERE i + 2 <= len(t)
+      |),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id)""".stripMargin
+
+  private def jaccardSql(pairsCte: String, threshold: Long): String =
+    s"""inter AS (
+       |  SELECT p.da, p.db, COUNT(*) AS inter
+       |  FROM $pairsCte p
+       |  JOIN sh a ON a.doc_id = p.da
+       |  JOIN sh b ON b.doc_id = p.db AND a.x31 = b.x31
+       |  GROUP BY p.da, p.db
+       |)
+       |SELECT i.da, i.db,
+       |       CAST(FLOOR((i.inter / CAST(sa.n_shingles + sb.n_shingles - i.inter AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS jaccard_e4
+       |FROM inter i
+       |JOIN sizes sa ON i.da = sa.doc_id
+       |JOIN sizes sb ON i.db = sb.doc_id
+       |WHERE (i.inter / CAST(sa.n_shingles + sb.n_shingles - i.inter AS DOUBLE)) * 10000 + 0.5 >= $threshold + 0.5""".stripMargin
+
+  override def oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH keyed AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string((string_split(text, ' '))[1:5], ' ')) AS dup_key
+        |  FROM documents
+        |),
+        |g AS (
+        |  SELECT doc_id, dup_key,
+        |         COUNT(*) OVER (PARTITION BY dup_key) AS group_sz,
+        |         MIN(doc_id) OVER (PARTITION BY dup_key) AS canonical_id
+        |  FROM keyed
+        |)
+        |SELECT doc_id, canonical_id, group_sz, doc_id = canonical_id AS is_canonical
+        |FROM g WHERE group_sz > 1""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $postingsSql,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM sh a JOIN sh b ON a.x31 = b.x31 AND a.doc_id < b.doc_id
+         |),
+         |${jaccardSql("pairs", 8000L)}""".stripMargin,
+    "dedup_minhash" ->
+      s"""WITH $postingsSql,
+         |mins AS (
+         |  SELECT doc_id, k.k,
+         |         MIN((((k.k * 2 + 1) * 12582917) % 2147483647 * x31
+         |              + ((k.k + 1) * 2654435761) % 2147483647) % 2147483647) AS mh
+         |  FROM sh, range(0, 12) k(k)
+         |  GROUP BY doc_id, k.k
+         |),
+         |sigs AS (
+         |  SELECT doc_id, (k - k % 3) // 3 AS band,
+         |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k) AS sig
+         |  FROM mins GROUP BY doc_id, (k - k % 3) // 3
+         |),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM sigs a JOIN sigs b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |),
+         |${jaccardSql("pairs", 5000L)}""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH $postingsSql,
+         |bits AS (
+         |  SELECT doc_id, i.i,
+         |         SUM(CASE WHEN (x31 >> CAST(i.i AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM sh, range(0, 32) i(i)
+         |  GROUP BY doc_id, i.i
+         |),
+         |hashes AS (
+         |  SELECT doc_id,
+         |         CAST(SUM(CASE WHEN s > 0 THEN CAST(POW(2, i) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id
+         |)
+         |SELECT a.doc_id AS da, b.doc_id AS db,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+  )
+}

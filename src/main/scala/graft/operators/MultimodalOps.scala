@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads as opaque `binary` columns
+  * with typed metadata, plus decode / feature-extract / frame-sample
+  * operators.
+  *
+  * The decode step is a clearly-marked STUB (no image/audio codecs in
+  * this environment): it computes deterministic fake features from the
+  * raw bytes. Everything around it — schema, batch iteration via
+  * mapPartitions, partition-parallel execution, frame explosion — is the
+  * real Spark plumbing a codec-backed implementation would drop into.
+  * (A PySpark deployment would use mapInPandas with an Arrow batch of
+  * binary + metadata; mapPartitions is the Scala-native equivalent with
+  * identical batch shape.)
+  */
+object MultimodalOps {
+
+  /** Media table derived from documents: payload = utf-8 bytes of text
+    * (opaque binary as far as the operators are concerned) + typed
+    * metadata columns. */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      struct(
+        (length(encode(col("text"), "UTF-8")) % 640).as("width"),
+        (length(encode(col("text"), "UTF-8")) % 480).as("height"),
+        when(col("doc_id") % 3 === 0, "jpeg")
+          .when(col("doc_id") % 3 === 1, "png")
+          .otherwise("webp").as("format")).as("meta"))
+
+  /** Byte-level stats + frame-sampling plan: how many 256-byte "frames"
+    * each payload yields. Pure column ops (oracled). */
+  def mediaStats(docs: DataFrame): DataFrame =
+    mediaTable(docs).select(
+      col("doc_id"),
+      length(col("media")).as("n_bytes"),
+      ceil(length(col("media")) / 256.0).cast("long").as("n_frames"),
+      col("meta.format").as("format"),
+      col("meta.width").as("width"))
+
+  /** Frame sampling: explode each payload into 256-byte frame slices with
+    * a frame index — the shape a video/audio chunker produces. `substring`
+    * on binary is byte-addressed. */
+  def frameSample(docs: DataFrame): DataFrame =
+    mediaTable(docs)
+      .withColumn("n_frames", ceil(length(col("media")) / 256.0).cast("int"))
+      .withColumn("frame_idx", explode(sequence(lit(0), col("n_frames") - 1)))
+      .select(
+        col("doc_id"),
+        col("frame_idx"),
+        expr("substring(media, frame_idx * 256 + 1, 256)").as("frame"))
+      .withColumn("frame_bytes", length(col("frame")))
+
+  /** STUB decode + feature extraction over batches. The per-partition
+    * iterator is where a real codec (JNI/FFI) would run once per executor
+    * task; features here are a deterministic fake (header bytes + additive
+    * checksum) so the pipeline is testable end-to-end. */
+  def decodeFeatures(docs: DataFrame): DataFrame = {
+    val media = mediaTable(docs).select(col("doc_id"), col("media"))
+    import media.sparkSession.implicits._
+    media
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        // STUB: real impl = codec init once here, then per-record decode
+        batch.map { case (id, bytes) =>
+          val head = bytes.take(4).map(_.toInt & 0xff)
+          var checksum = 0L
+          var i = 0
+          while (i < bytes.length) { checksum = (checksum * 31 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
+          (id, bytes.length, head, checksum)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "header", "checksum")
+  }
+}
+
+object MultimodalPack extends QueryPack {
+  private def d(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_stats" -> ((s, dir) => MultimodalOps.mediaStats(d(s, dir))),
+    "media_frames" -> ((s, dir) => MultimodalOps.frameSample(d(s, dir))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_frames"), sum(col("frame_bytes")).as("total_bytes"))),
+    // rows-only check: binary feature output is not SQL-expressible
+    "media_features" -> ((s, dir) => MultimodalOps.decodeFeatures(d(s, dir)))
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "media_stats" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |       CAST(CEIL(octet_length(encode(text)) / CAST(256.0 AS DOUBLE)) AS BIGINT) AS n_frames,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'jpeg'
+        |            WHEN doc_id % 3 = 1 THEN 'png'
+        |            ELSE 'webp' END AS format,
+        |       CAST(octet_length(encode(text)) % 640 AS INT) AS width
+        |FROM documents""".stripMargin,
+    "media_frames" ->
+      """SELECT doc_id,
+        |       CAST(CEIL(octet_length(encode(text)) / CAST(256.0 AS DOUBLE)) AS BIGINT) AS n_frames,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS total_bytes
+        |FROM documents""".stripMargin
+  )
+}

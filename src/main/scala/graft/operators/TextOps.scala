@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for a training-data pipeline over the `documents` table:
+  * token counting, quality scoring, n-gram language ID, fingerprinting.
+  *
+  * All four are per-row projections — embarrassingly parallel, no shuffle
+  * at any scale; the only cost is the scan, so column pruning matters
+  * (each op selects only text + id).
+  */
+object TextOps {
+
+  val Stop = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+
+  /** Whitespace token count + char count. */
+  def tokenCount(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("n_tokens"),
+      length(col("text")).as("n_chars"))
+
+  /** Quality scoring: stopword ratio, mean token length, composite score
+    * (length/punct/stopword heuristics à la C4/Gopher quality filters). */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val stopHits = size(filter(toks, t => t.isInCollection(Stop)))
+    val meanLen = (length(col("text")) - (n - 1)) / n
+    val stopRatio = stopHits / n
+    docs.select(
+      col("doc_id"),
+      n.as("n_tokens"),
+      floor(stopRatio * 10000 + 0.5).cast("long").as("stop_ratio_e4"),
+      floor(meanLen * 10000 + 0.5).cast("long").as("mean_tok_len_e4"),
+      floor((stopRatio * 100.0 + meanLen) * 10000 + 0.5).cast("long").as("quality_e4"))
+  }
+
+  private val Profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to"),
+    "de" -> Seq("der", "und", "die", "das"),
+    "fr" -> Seq("le", "et", "les", "une"),
+    "es" -> Seq("el", "los", "las", "que"))
+
+  /** n-gram-profile language ID: count stopword hits per language profile,
+    * argmax with a fixed precedence ladder. */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = docs.select(
+      col("doc_id") +: col("lang").as("labeled_lang") +:
+        Profiles.map { case (l, ws) =>
+          size(filter(toks, t => t.isInCollection(ws))).as(s"s_$l")
+        }: _*)
+    scored
+      .withColumn(
+        "predicted_lang",
+        when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es")), "en")
+          .when(col("s_de") >= greatest(col("s_fr"), col("s_es")), "de")
+          .when(col("s_fr") >= col("s_es"), "fr")
+          .otherwise("es"))
+      .select(
+        col("doc_id"),
+        col("predicted_lang"),
+        col("labeled_lang"),
+        (col("predicted_lang") === col("labeled_lang")).as("agree"))
+  }
+
+  /** Document fingerprints: full-text md5, head-shingle md5 (first 5
+    * tokens), and a short prefix for bucketing. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(col("text")).as("fp"),
+      md5(array_join(slice(tokens(col("text")), 1, 5), " ")).as("head_fp"),
+      substring(md5(col("text")), 1, 8).as("fp_prefix"))
+}
+
+object TextPack extends QueryPack {
+  private def d(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "token_count" -> ((s, dir) => TextOps.tokenCount(d(s, dir))),
+    "text_quality" -> ((s, dir) => TextOps.quality(d(s, dir))),
+    "lang_id" -> ((s, dir) => TextOps.langId(d(s, dir))),
+    "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(d(s, dir)))
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |       CAST(length(text) AS INT) AS n_chars
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS toks
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |         CAST(len(toks) AS INT) AS n_tokens,
+        |         CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on'))) AS INT) AS stop_hits,
+        |         n_chars
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tokens,
+        |       CAST(FLOOR((stop_hits / CAST(n_tokens AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS stop_ratio_e4,
+        |       CAST(FLOOR(((n_chars - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS mean_tok_len_e4,
+        |       CAST(FLOOR(((stop_hits / CAST(n_tokens AS DOUBLE)) * 100.0
+        |                   + (n_chars - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS quality_e4
+        |FROM m""".stripMargin,
+    "lang_id" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |         CAST(len(list_filter(toks, x -> x IN ('the','and','of','to'))) AS INT) AS s_en,
+        |         CAST(len(list_filter(toks, x -> x IN ('der','und','die','das'))) AS INT) AS s_de,
+        |         CAST(len(list_filter(toks, x -> x IN ('le','et','les','une'))) AS INT) AS s_fr,
+        |         CAST(len(list_filter(toks, x -> x IN ('el','los','las','que'))) AS INT) AS s_es
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |       CASE WHEN s_en >= GREATEST(s_de, s_fr, s_es) THEN 'en'
+        |            WHEN s_de >= GREATEST(s_fr, s_es) THEN 'de'
+        |            WHEN s_fr >= s_es THEN 'fr'
+        |            ELSE 'es' END AS predicted_lang,
+        |       labeled_lang,
+        |       (CASE WHEN s_en >= GREATEST(s_de, s_fr, s_es) THEN 'en'
+        |             WHEN s_de >= GREATEST(s_fr, s_es) THEN 'de'
+        |             WHEN s_fr >= s_es THEN 'fr'
+        |             ELSE 'es' END) = labeled_lang AS agree
+        |FROM s""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp,
+        |       md5(array_to_string((string_split(text, ' '))[1:5], ' ')) AS head_fp,
+        |       substring(md5(text), 1, 8) AS fp_prefix
+        |FROM documents""".stripMargin
+  )
+}
