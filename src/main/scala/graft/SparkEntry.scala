@@ -28,7 +28,9 @@ object SparkEntry {
     graft.operators.TextPack,
     graft.operators.DedupPack,
     graft.operators.AnnPack,
-    graft.operators.MultimodalPack
+    graft.operators.MultimodalPack,
+    graft.operators.SplitterPack,
+    graft.operators.EventsPack
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-stream analytics over the `events` table: tumbling / sliding /
+  * session windows, JSON property extraction, and the string-parsing
+  * operators (O-51/O-53). These are the batch shapes of the Structured
+  * Streaming layer (graft.streaming) — identical logical plans run under
+  * readStream with watermarks.
+  *
+  * Exactness: value sums go through DECIMAL(18,2); windows are emitted as
+  * epoch-micro longs (never raw timestamps) so engine timestamp precision
+  * differences can't bite.
+  */
+object EventsOps {
+
+  private def valDec = col("value").cast(DecimalType(18, 2))
+
+  /** Tumbling 10-minute windows per event type (Spark `window()`). */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(valDec).as("val_sum"))
+      .select(
+        unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"),
+        col("n"),
+        col("val_sum").cast("double").as("val_sum"))
+
+  /** Sliding windows: 10-minute length, 5-minute slide. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("window_start_us"), col("event_type"), col("n"))
+
+  /** Session windows with a 5-minute inactivity gap, per user
+    * (`session_window` — the batch twin of the streaming sessionizer). */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(valDec).as("val_sum"))
+      .select(
+        col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        col("n_events"),
+        col("val_sum").cast("double").as("val_sum"))
+
+  /** JSON property extraction + rollup (events.props is a JSON string). */
+  def jsonProps(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"), max(col("k")).as("k_max"))
+
+  /** O-53: parse `server_<ts>` qualifiers back into (region, ts) — the
+    * technical-meta cell decoding (`api/meta/TechnicalMeta.java:142-147`). */
+  def parseQualifiers(topology: DataFrame): DataFrame =
+    topology
+      .select(
+        col("region_id"),
+        concat(lit("server_"), unix_micros(col("snapshot_ts")).cast("string")).as("qualifier"),
+        col("server"))
+      .select(
+        col("region_id"),
+        col("qualifier"),
+        element_at(split(col("qualifier"), "_"), 2).cast("long").as("parsed_ts_us"),
+        col("server"))
+
+  /** O-51: snapshot name mangling `snp_<table>_<yyyyMMdd_HHmmss>`
+    * (`api/common/HBaseStaticHelper.java:16,21`). */
+  def snapshotNames(orders: DataFrame): DataFrame =
+    orders
+      .select(
+        col("o_orderkey").as("snapshot_id"),
+        concat(lit("t"), (col("o_orderkey") % 16).cast("string")).as("table_name"),
+        col("o_orderdate").cast("timestamp").as("created"))
+      .select(
+        col("snapshot_id"),
+        concat(lit("snp_"), col("table_name"), lit("_"),
+          date_format(col("created"), "yyyyMMdd_HHmmss")).as("snapshot_name"))
+}
+
+object EventsPack extends QueryPack {
+  private def ev(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_tumbling" -> ((s, d) => EventsOps.tumbling(ev(s, d))),
+    "events_sliding" -> ((s, d) => EventsOps.sliding(ev(s, d))),
+    "events_sessions" -> ((s, d) => EventsOps.sessions(ev(s, d))),
+    "events_json" -> ((s, d) => EventsOps.jsonProps(ev(s, d))),
+    "parse_qualifiers" -> ((s, d) =>
+      EventsOps.parseQualifiers(graft.cluster.ClusterViews.topology(s, d))),
+    "snapshot_names" -> ((s, d) => EventsOps.snapshotNames(Tables.orders(s, d)))
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "events_tumbling" ->
+      """SELECT (epoch_us(ts) // 600000000) * 600000000 AS window_start_us,
+        |       event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_sliding" ->
+      """WITH expanded AS (
+        |  SELECT event_type,
+        |         ((epoch_us(ts) // 300000000) - s.i) * 300000000 AS window_start_us,
+        |         epoch_us(ts) AS t
+        |  FROM events, range(0, 2) s(i)
+        |)
+        |SELECT window_start_us, event_type, COUNT(*) AS n
+        |FROM expanded
+        |WHERE t >= window_start_us AND t < window_start_us + 600000000
+        |GROUP BY 1, 2""".stripMargin,
+    "events_sessions" ->
+      """WITH ordered AS (
+        |  SELECT user_id, epoch_us(ts) AS t, CAST(value AS DECIMAL(18,2)) AS v,
+        |         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t
+        |  FROM events
+        |),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev_t IS NULL OR t - prev_t >= 300000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM ordered
+        |),
+        |numbered AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM flagged
+        |)
+        |SELECT user_id, MIN(t) AS session_start_us, COUNT(*) AS n_events,
+        |       CAST(SUM(v) AS DOUBLE) AS val_sum
+        |FROM numbered GROUP BY user_id, session_no""".stripMargin,
+    "events_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+        |FROM events GROUP BY event_type""".stripMargin,
+    "parse_qualifiers" ->
+      """WITH topology AS (
+        |  SELECT o_orderkey % 2048 AS region_id,
+        |         o_orderdate AS snapshot_ts,
+        |         's' || CAST((o_orderkey * 11 + o_custkey) % 24 AS VARCHAR) AS server
+        |  FROM orders
+        |),
+        |q AS (
+        |  SELECT region_id,
+        |         'server_' || CAST(epoch_us(snapshot_ts) AS VARCHAR) AS qualifier, server
+        |  FROM topology
+        |)
+        |SELECT region_id, qualifier,
+        |       CAST(string_split(qualifier, '_')[2] AS BIGINT) AS parsed_ts_us,
+        |       server
+        |FROM q""".stripMargin,
+    "snapshot_names" ->
+      """SELECT o_orderkey AS snapshot_id,
+        |       'snp_t' || CAST(o_orderkey % 16 AS VARCHAR) || '_'
+        |         || strftime(o_orderdate, '%Y%m%d_%H%M%S') AS snapshot_name
+        |FROM orders""".stripMargin
+  )
+}

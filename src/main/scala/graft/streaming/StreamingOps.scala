@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.operators.CompactionOps
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming re-expression of the reference's continuous loops
+  * (SURVEY.md §2.9). Each transform takes a (possibly streaming)
+  * DataFrame, so the logic is testable in batch and runs unchanged under
+  * readStream → writeStream.
+  *
+  * The reference's TTL caches become watermark + dropDuplicatesWithin-
+  * Watermark: bounded state with event-time expiry — the streaming
+  * equivalent of "don't recompact the same region within a day"
+  * (`api/compactor/CompactorServer.java:47-57`, 350-entry 1-day cache),
+  * except it scales past 350 entries because state lives in the state
+  * store, not an LRU map.
+  */
+object StreamingOps {
+
+  /** O-54 infinite compactor: metric snapshots → weighted candidates →
+    * per-region dedup within the no-recompact window. Input needs
+    * (region_id, snapshot_ts, size_mb, max_file_mb, file_count, locality).
+    */
+  def compactionStream(snapshots: DataFrame, noRecompactWindow: String = "1 day"): DataFrame =
+    snapshots
+      .withColumn(
+        "weight",
+        CompactionOps.weight(col("size_mb"), col("max_file_mb"), col("file_count"), col("locality")))
+      .filter(col("weight") > CompactionOps.DefaultBorderWeight &&
+        col("size_mb") > CompactionOps.DefaultMinSizeMb)
+      .withWatermark("snapshot_ts", noRecompactWindow)
+      .dropDuplicatesWithinWatermark("region_id")
+      .select(col("region_id"), col("snapshot_ts"), col("weight"))
+
+  /** O-55 distributor suppression: processed-table set cleared every 6 h
+    * (`api/distributor/DistributorService.java:34-87`) — per-table dedup
+    * within a 6-hour watermark. */
+  def distributorStream(tableWeights: DataFrame, suppression: String = "6 hours"): DataFrame =
+    tableWeights
+      .withWatermark("snapshot_ts", suppression)
+      .dropDuplicatesWithinWatermark("table_name")
+
+  /** O-56 health checker: probe results folded to per-interval
+    * availability (AND over probe booleans, `api/analyze/
+    * ClusterAvailabilityObject.java:18-32`) on a processing cadence of
+    * check.interval (900 s → 15-minute windows). */
+  def canaryFold(probes: DataFrame, interval: String = "15 minutes"): DataFrame =
+    probes
+      .withWatermark("probe_ts", interval)
+      .groupBy(window(col("probe_ts"), interval), col("op_type"))
+      .agg(min(col("ok")).as("available"), count(lit(1)).as("n_probes"))
+      .select(col("window.start").as("interval_start"), col("op_type"),
+        col("available"), col("n_probes"))
+
+  case class ServerSeen(server: String)
+  case class NewServer(server: String, firstSeen: java.sql.Timestamp)
+
+  /** O-58 new-server watcher: emit each server the first time it appears
+    * (`api/compactor/CompactorManager.java:147-164`). Custom keyed state
+    * via flatMapGroupsWithState — the general tool for reference loops
+    * whose state isn't a dedup window. */
+  def newServers(observations: Dataset[(String, java.sql.Timestamp)]): Dataset[NewServer] = {
+    import observations.sparkSession.implicits._
+    observations
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (server: String, rows: Iterator[(String, java.sql.Timestamp)], state: GroupState[Boolean]) => {
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val first = rows.map(_._2).minBy(_.getTime)
+            Iterator(NewServer(server, first))
+          }
+        })
+  }
+}
