@@ -24,6 +24,7 @@ object GraftSession {
       // test fixtures carry nanosecond parquet timestamps, which Spark 4
       // otherwise refuses to read; Tables.events converts back to micros
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

@@ -30,7 +30,9 @@ object SparkEntry {
     graft.operators.AnnPack,
     graft.operators.MultimodalPack,
     graft.operators.SplitterPack,
-    graft.operators.EventsPack
+    graft.operators.EventsPack,
+    graft.operators.CoveragePack,
+    graft.operators.JoinsPack
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

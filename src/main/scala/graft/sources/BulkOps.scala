@@ -1,0 +1,84 @@
+package graft.sources
+
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bulk table lifecycle ops re-expressed as Spark bulk jobs (SURVEY.md
+  * north star: bulk fits Spark; live admin RPCs become emitted plans).
+  *
+  * O-6 snapshot-based copy (`api/common/HBaseStaticHelper.java:18-39`),
+  * O-7 replace-with-backup (`:41-78`), O-8 buffered batch writer →
+  * partitioned append (`api/meta/TechnicalMeta.java:167-186`), O-57
+  * snapshot retention (`api/configuration/HBaseToolsOptions.java:114-119`).
+  *
+  * Tables here are parquet directories; on an HBase deployment the same
+  * calls route through a connector `DataFrame` write (bulkload) — the
+  * orchestration (names, backups, retention) is identical.
+  */
+object BulkOps {
+
+  private val TsFmt = DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss").withZone(ZoneOffset.UTC)
+
+  def snapshotName(table: String, epochMillis: Long): String =
+    s"snp_${table}_${TsFmt.format(Instant.ofEpochMilli(epochMillis))}"
+
+  def backupName(table: String, epochMillis: Long): String =
+    s"origin_${table}_${TsFmt.format(Instant.ofEpochMilli(epochMillis))}"
+
+  /** O-6: copy a table via an intermediate snapshot name. */
+  def copyTable(spark: SparkSession, srcPath: String, destPath: String): Long = {
+    val df = spark.read.parquet(srcPath)
+    df.write.mode(SaveMode.ErrorIfExists).parquet(destPath)
+    spark.read.parquet(destPath).count()
+  }
+
+  /** O-7: replace `to` with `from`: optional backup copy of `to`
+    * (origin_<table>_<ts>), overwrite `to` from `from`, drop `from`.
+    * Returns the backup path if one was made. */
+  def replaceTable(
+      spark: SparkSession,
+      fromPath: String,
+      toPath: String,
+      makeBackup: Boolean,
+      epochMillis: Long): Option[String] = {
+    val backup = if (makeBackup && fileExists(spark, toPath)) {
+      val b = s"${parent(toPath)}/${backupName(name(toPath), epochMillis)}"
+      spark.read.parquet(toPath).write.parquet(b)
+      Some(b)
+    } else None
+    spark.read.parquet(fromPath).write.mode(SaveMode.Overwrite).parquet(toPath)
+    deletePath(spark, fromPath)
+    backup
+  }
+
+  /** O-8: partitioned snapshot append — the batch writer with TTL
+    * semantics handled by partition retention instead of per-record TTL. */
+  def writeTopologySnapshot(topology: DataFrame, destPath: String): Unit =
+    topology
+      .withColumn("snapshot_date", to_date(col("snapshot_ts")))
+      .repartition(col("snapshot_date"))
+      .write.mode(SaveMode.Append).partitionBy("snapshot_date").parquet(destPath)
+
+  /** O-57: retention — drop partitions older than maxAgeDays relative to
+    * `nowEpochDay` (partition prune; no full scan at 100 TB). */
+  def retainedTopology(spark: SparkSession, path: String, nowEpochDay: Int, maxAgeDays: Int): DataFrame =
+    spark.read.parquet(path)
+      .filter(datediff(lit(java.time.LocalDate.ofEpochDay(nowEpochDay.toLong).toString).cast("date"),
+        col("snapshot_date")) <= maxAgeDays)
+
+  private def fileExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def deletePath(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  private def parent(path: String): String = path.reverse.dropWhile(_ != '/').drop(1).reverse
+  private def name(path: String): String = path.reverse.takeWhile(_ != '/').reverse
+}

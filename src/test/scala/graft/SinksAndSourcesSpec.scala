@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.cluster.ClusterViews
+import graft.model.{Finding, Severity}
+import graft.reporters.{ClusterState, Reporters}
+import graft.sinks.ReportSinks
+import graft.sources.{AuxSources, BulkOps, GraftSettings}
+import org.apache.spark.sql.functions._
+
+class SinksAndSourcesSpec extends SparkSpec {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft_test").toString
+
+  test("reporter registry: all reporters produce typed findings over shared state") {
+    val state = ClusterState.fromSf(spark, sf).cached()
+    try {
+      val findings = Reporters.runAll(state).cache()
+      assert(findings.count() > 0)
+      val sevs = findings.select("severity").distinct().collect().map(_.getString(0)).toSet
+      assert(sevs.subsetOf(Set("CRITICAL", "NORMAL", "LOW", "NONE")))
+      // each reporter contributes a distinct problem string
+      assert(findings.select("problem").distinct().count() >= 3)
+      findings.unpersist()
+    } finally state.uncache()
+  }
+
+  test("severity rollup ladder matches reference ComplexReport thresholds") {
+    assert(Severity.rollup(2, 0, 0) == Severity.Critical) // 18 > 10
+    assert(Severity.rollup(1, 0, 0) == Severity.Normal)   // 9 in (7, 10]
+    assert(Severity.rollup(0, 1, 0) == Severity.Low)      // 3 in (2, 7]
+    assert(Severity.rollup(0, 0, 1) == Severity.None)     // 1 <= 2
+  }
+
+  test("report sinks: html, fix script, resolution log (O-10)") {
+    val s = spark
+    import s.implicits._
+    val findings = Seq(
+      Finding("REGION", "r1", "too big", "CRITICAL", "HBASE_SHELL", "major_compact r1"),
+      Finding("TABLE", "t1", "small regions", "LOW", "SHELL", "merge-tool t1"),
+      Finding("REGION_SERVER", "s1", "low locality", "NORMAL", "ADVICE", "rebalance s1")).toDS()
+    val out = tmpDir()
+    val paths = ReportSinks.writeAll(findings, out, 1700000000000L)
+    assert(paths.forall(p => Files.exists(Paths.get(p))))
+    val sh = Files.readString(Paths.get(paths(1)))
+    assert(sh.contains("""echo "major_compact r1" | hbase shell"""))
+    assert(sh.contains("merge-tool t1"))
+    assert(sh.contains("# advice: rebalance s1"))
+    val html = Files.readString(Paths.get(paths.head))
+    assert(html.contains("<td>CRITICAL</td>") && html.contains("too big"))
+  }
+
+  test("bulk copy + replace with backup (O-6/O-7)") {
+    val base = tmpDir()
+    val src = s"$base/src_table"
+    ClusterViews.regionMetrics(spark, sf).write.parquet(src)
+    val n = BulkOps.copyTable(spark, src, s"$base/copy_table")
+    assert(n == spark.read.parquet(src).count())
+
+    val backup = BulkOps.replaceTable(spark, s"$base/copy_table", src, makeBackup = true, 1700000000000L)
+    assert(backup.isDefined && backup.get.contains("origin_src_table_"))
+    assert(Files.exists(Paths.get(backup.get)))
+    assert(!Files.exists(Paths.get(s"$base/copy_table"))) // from dropped
+    assert(spark.read.parquet(src).count() == n)          // to replaced
+  }
+
+  test("topology snapshot writer + partition retention (O-8/O-57)") {
+    val out = s"${tmpDir()}/topo"
+    val topo = ClusterViews.topology(spark, sf)
+    BulkOps.writeTopologySnapshot(topo, out)
+    val all = spark.read.parquet(out)
+    assert(all.count() == topo.count())
+    // retention keeps only recent partitions
+    val maxDay = all.agg(max(col("snapshot_date"))).collect()(0).getDate(0)
+      .toLocalDate.toEpochDay.toInt
+    val kept = BulkOps.retainedTopology(spark, out, maxDay, 30)
+    val cutoff = java.time.LocalDate.ofEpochDay(maxDay.toLong).minusDays(30)
+    assert(kept.filter(col("snapshot_date") < lit(cutoff.toString).cast("date")).count() == 0)
+    assert(kept.count() > 0 && kept.count() < all.count())
+  }
+
+  test("settings registry: defaults, overrides, unknown-key warnings (O-11)") {
+    val s = GraftSettings.parse(
+      """compactor.border.weight=20
+        |some.unknown.key=x
+        |""".stripMargin)
+    assert(s.double("compactor.border.weight") == 20.0)
+    assert(s.long("compactor.parallel.compactions") == 2L) // default
+    assert(s.unknownKeys == Seq("some.unknown.key"))
+  }
+
+  test("aux sources: metrics feed and table list file (O-12/O-13)") {
+    val feed = AuxSources.serverMetricsFeed(spark, Seq(("s1", 5, 2, 99.5), ("s2", 0, 0, 100.0)))
+    assert(feed.count() == 2 && feed.columns.contains("compaction_queue"))
+    val f = Files.createTempFile("tables", ".txt")
+    Files.writeString(f, "t1\n# comment\n\nt2\n")
+    val tables = AuxSources.tablesFromFile(spark, f.toString)
+    assert(tables.collect().map(_.getString(0)).sorted.toSeq == Seq("t1", "t2"))
+  }
+}
