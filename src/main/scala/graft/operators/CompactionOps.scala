@@ -28,13 +28,13 @@ object CompactionOps {
 
   /** Compaction weight (reference `api/compactor/CompactionWeight.java:39-44`):
     * `(1-locality)*115 + ((sizeMB-maxStoreFile)/1024)*(files*1.33)`, 0 when
-    * sizeMB < 10. Pure column arithmetic — whole-stage-codegen'd.
+    * sizeMB < 10. Backed by the native [[graft.functions.CompactionWeightExpr]]
+    * (codegen'd straight-line arithmetic), which also lets the
+    * [[graft.plans.PushCompactionWeightBounds]] optimizer rule derive
+    * scan-pushable bounds from weight-threshold filters.
     */
   def weight(sizeMb: Column, maxFileMb: Column, fileCount: Column, locality: Column): Column =
-    when(sizeMb < 10, lit(0.0))
-      .otherwise(
-        (lit(1.0) - locality) * 115.0 +
-          ((sizeMb - maxFileMb) / 1024.0) * (fileCount * 1.33))
+    graft.functions.CompactionWeightExpr.compaction_weight(sizeMb, maxFileMb, fileCount, locality)
 
   /** Weighted candidates above the (border, minSize) thresholds
     * (reference filter `api/compactor/CompactorServer.java:240-242`). */

@@ -113,6 +113,26 @@ object CoverageOps {
       .agg(min(col("ok")).as("available"), count(lit(1)).as("n_probes"),
         sum(when(col("ok"), 0L).otherwise(1L)).as("n_failures"))
 
+  /** O-2: the metrics-snapshot flatten — `ClusterMetrics` arrives as one
+    * row per server carrying a map<region, metrics>; explode(map_entries)
+    * turns it into per-region rows (reference
+    * `api/analyze/TableAnalyzer.java:174-203`). Inverse of the nested
+    * grouping in `api/meta/MetaTableHolder.java:32-74`. */
+  def flattenServerMap(nested: DataFrame): DataFrame =
+    nested
+      .select(col("server"), explode(map_entries(col("region_metrics"))).as("e"))
+      .select(col("server"), col("e.key").as("region_id"), col("e.value.size_mb"),
+        col("e.value.file_count"))
+
+  /** Builds the nested shape (one row per server, map of region metrics)
+    * from flat metrics — used to round-trip-test O-2. */
+  def nestServerMap(metrics: DataFrame): DataFrame =
+    metrics
+      .groupBy("server")
+      .agg(map_from_entries(collect_list(struct(
+        col("region_id").as("key"),
+        struct(col("size_mb"), col("file_count")).as("value")))).as("region_metrics"))
+
   /** D4 wide view: EAV cells (rowkey, qualifier, value) pivoted to
     * columns — `groupBy(rowkey).pivot(qualifier)` with explicit qualifier
     * values so no extra distinct-scan job runs. */

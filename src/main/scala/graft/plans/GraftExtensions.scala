@@ -1,0 +1,57 @@
+package graft.plans
+
+import graft.functions.CompactionWeightExpr
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.{And, Expression, GreaterThan, GreaterThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.LongType
+
+/** Derived-bound pushdown for compaction-weight filters (SURVEY.md §4,
+  * custom rule #2).
+  *
+  * `weight > c` with `c >= 0` implies `size_mb >= 10` (the formula pins
+  * weight to 0 below 10 MB — reference
+  * `api/compactor/CompactionWeight.java:40-41`). The weight itself is a
+  * nonlinear expression of (size, files, locality) that no generic
+  * optimizer can push through; this rule injects the implied linear bound
+  * as an extra conjunct, which Catalyst's own PushDownPredicates then
+  * drives into the scan (visible as parquet PushedFilters when the
+  * metrics come from storage rather than a derived aggregate).
+  */
+object PushCompactionWeightBounds extends Rule[LogicalPlan] {
+
+  private def derive(cond: Expression): Seq[Expression] = {
+    val conjuncts = splitConjuncts(cond)
+    conjuncts.collect {
+      case GreaterThan(CompactionWeightExpr(size, _, _, _), Literal(c: Double, _)) if c >= 0.0 =>
+        GreaterThanOrEqual(size, Literal(10L, LongType))
+    }.filterNot(d => conjuncts.exists(_.semanticEquals(d)))
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      val extra = derive(cond)
+      if (extra.isEmpty) f
+      else Filter(extra.foldLeft(cond)(And(_, _)), child)
+  }
+}
+
+/** Session extension entry point:
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => PushCompactionWeightBounds)
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("salted_key"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.functions.SaltedKey", "salted_key"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.SaltedKey(exprs.head)))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.functions.CompactionWeightExpr
+import graft.operators.CompactionOps
+import org.apache.spark.sql.functions._
+
+class CatalystExtensionsSpec extends SparkSpec {
+
+  test("native compaction_weight matches the CASE-expression formula on real data") {
+    val m = graft.cluster.ClusterViews.regionMetrics(spark, sf)
+    val caseExpr = when(col("size_mb") < 10, lit(0.0))
+      .otherwise((lit(1.0) - col("locality")) * 115.0 +
+        ((col("size_mb") - col("max_file_mb")) / 1024.0) * (col("file_count") * 1.33))
+    val native = CompactionOps.weight(col("size_mb"), col("max_file_mb"), col("file_count"), col("locality"))
+    val diff = m.select(caseExpr.as("a"), native.as("b")).filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+  }
+
+  test("interpreted eval matches codegen (compute) on edge values") {
+    assert(CompactionWeightExpr.compute(5L, 1L, 3, 0.5) == 0.0)
+    assert(CompactionWeightExpr.compute(1024L, 0L, 1, 0.0) == 115.0 + 1.33)
+  }
+
+  test("optimizer rule derives size_mb >= 10 bound and pushes it to the parquet scan") {
+    val dir = Files.createTempDirectory("graft_weight_push").toString
+    graft.cluster.ClusterViews.regionMetrics(spark, sf).write.parquet(s"$dir/metrics")
+    val scan = spark.read.parquet(s"$dir/metrics")
+    val filtered = scan.filter(
+      CompactionOps.weight(col("size_mb"), col("max_file_mb"), col("file_count"), col("locality")) > 15.0)
+    val optimized = filtered.queryExecution.optimizedPlan.toString
+    assert(optimized.contains(">= 10"), s"derived bound missing in:\n$optimized")
+    val physical = filtered.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters") && physical.contains("GreaterThanOrEqual(size_mb,10)"),
+      s"pushed filter missing in:\n$physical")
+    // and the rule must not change results: compare to a session-less CASE filter
+    val expected = scan.filter(
+      when(col("size_mb") < 10, lit(0.0))
+        .otherwise((lit(1.0) - col("locality")) * 115.0 +
+          ((col("size_mb") - col("max_file_mb")) / 1024.0) * (col("file_count") * 1.33)) > 15.0).count()
+    assert(filtered.count() == expected)
+  }
+
+  test("O-2 flatten round-trips the nested server map") {
+    val m = graft.cluster.ClusterViews.regionMetrics(spark, sf)
+      .select("server", "region_id", "size_mb", "file_count")
+    val nested = graft.operators.CoverageOps.nestServerMap(
+      graft.cluster.ClusterViews.regionMetrics(spark, sf))
+    val flat = graft.operators.CoverageOps.flattenServerMap(nested)
+    assert(flat.count() == m.count())
+    assert(flat.join(m, Seq("server", "region_id", "size_mb", "file_count")).count() == m.count())
+  }
+
+  test("wait-until helper is retry-bounded (O-59)") {
+    var calls = 0
+    val ok = graft.tools.Waits.until(retries = 3, delayMs = 1) { () => calls += 1; calls >= 2 }
+    assert(ok && calls == 2)
+    var calls2 = 0
+    val fail = graft.tools.Waits.until(retries = 2, delayMs = 1) { () => calls2 += 1; false }
+    assert(!fail && calls2 == 3)
+  }
+}
