@@ -1,7 +1,7 @@
 package graft.cluster
 
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -86,6 +86,22 @@ object ClusterViews {
         col("o_orderdate").cast("timestamp").as("snapshot_ts"),
         concat(lit("s"), ((col("o_orderkey") * 11 + col("o_custkey")) % 24).cast("string")).as("server"),
         col("o_orderkey").as("obs_id"))
+
+  /** Typed views (model case classes mirror the column names). */
+  def regionMetricsDs(spark: SparkSession, sfDir: String): Dataset[graft.model.RegionMetric] = {
+    import spark.implicits._
+    regionMetrics(spark, sfDir).as[graft.model.RegionMetric]
+  }
+
+  def regionInfoDs(spark: SparkSession, sfDir: String): Dataset[graft.model.RegionInfo] = {
+    import spark.implicits._
+    regionInfo(spark, sfDir).as[graft.model.RegionInfo]
+  }
+
+  def topologyDs(spark: SparkSession, sfDir: String): Dataset[graft.model.TopologyObs] = {
+    import spark.implicits._
+    topology(spark, sfDir).as[graft.model.TopologyObs]
+  }
 
   /** The live-server dimension (24 servers), for zero-fill joins
     * (reference zero-fills empty servers at `api/rstask/RSTaskControllerHelper.java:155-176`). */

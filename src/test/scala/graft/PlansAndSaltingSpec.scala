@@ -1,0 +1,57 @@
+package graft
+
+import graft.cluster.ClusterViews
+import graft.plans.ActionPlans
+import graft.operators.Salting
+import graft.sinks.ReportSinks
+import org.apache.spark.sql.functions._
+
+class PlansAndSaltingSpec extends SparkSpec {
+
+  test("typed action plans mirror their query counterparts") {
+    assert(ActionPlans.compactionActions(spark, sf).count() ==
+      SparkEntry.queries("compaction_plan")(spark, sf).count())
+    assert(ActionPlans.moveActions(spark, sf).count() ==
+      SparkEntry.queries("move_plan")(spark, sf).count())
+    assert(ActionPlans.splitActions(spark, sf).count() ==
+      SparkEntry.queries("split_plan")(spark, sf).count())
+  }
+
+  test("plans route into the fix-script sink with hbase shell commands") {
+    val moves = ActionPlans.moveActions(spark, sf)
+    val findings = ActionPlans.toFindings(moves.toDF(), "move")
+    val script = ReportSinks.renderFixScript(findings.collect().toSeq.take(3))
+    assert(script.contains("| hbase shell"))
+    assert(script.contains("move '"))
+  }
+
+  test("typed cluster views expose case-class rows") {
+    val m = ClusterViews.regionMetricsDs(spark, sf)
+    val first = m.head()
+    assert(first.server.startsWith("s") && first.size_mb > 0)
+    val t = ClusterViews.topologyDs(spark, sf)
+    assert(t.head().snapshot_ts != null)
+  }
+
+  test("salted inner join equals plain join on a skewed fixture") {
+    val s = spark
+    import s.implicits._
+    // hot key: 90% of big rows share key 1
+    val big = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong else 1L, i)).toDF("k", "v")
+    val small = Seq((1L, "hot"), (20L, "a"), (30L, "b")).toDF("k", "name")
+    val plain = big.join(small, Seq("k"), "inner")
+    val salted = Salting.saltedInnerJoin(big, small, "k", 8)
+    assert(salted.count() == plain.count())
+    val diff = salted.select("k", "v", "name").exceptAll(plain.select("k", "v", "name")).count()
+    assert(diff == 0)
+  }
+
+  test("salted two-phase count equals direct count") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 5000).map(i => (if (i % 100 == 0) i.toLong else 7L)).toDF("k")
+    val direct = df.groupBy("k").count().withColumnRenamed("count", "cnt")
+    val salted = Salting.saltedCount(df, "k", 16)
+    assert(salted.exceptAll(direct).count() == 0 && direct.exceptAll(salted).count() == 0)
+  }
+}
