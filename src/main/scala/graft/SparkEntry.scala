@@ -32,7 +32,9 @@ object SparkEntry {
     graft.operators.SplitterPack,
     graft.operators.EventsPack,
     graft.operators.CoveragePack,
-    graft.operators.JoinsPack
+    graft.operators.JoinsPack,
+    graft.operators.EmbeddingStatsPack,
+    graft.operators.TextRankPack
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-class embedding statistics: label centroids and distance-to-
+  * centroid outlier margins — the screening pass a training pipeline
+  * runs before contrastive sampling or label-noise filtering.
+  *
+  * Exactness: vectors are quantized to e6 integers first; centroids are
+  * integer sums / counts and margins are exact integer squared distances
+  * (max |diff|² × 64 dims stays far below 2^63), so every value is
+  * engine-exact with zero FP-ordering exposure. At 100 TB: one explode →
+  * two hash aggregates (label,dim) and (vec), both map-side combinable.
+  */
+object EmbeddingStatsOps {
+
+  /** (vec_id, label, dim, xq): e6-quantized elements. */
+  private def quantized(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), col("label"),
+        posexplode(transform(col("embedding"), x => x.cast("double"))).as(Seq("dim0", "x")))
+      .select(col("vec_id"), col("label"), (col("dim0") + 1).as("dim"),
+        floor(col("x") * 1000000 + 0.5).cast("long").as("xq"))
+
+  /** Centroid per (label, dim), in quantized units. */
+  def centroids(embeddings: DataFrame): DataFrame =
+    quantized(embeddings)
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), sum(col("xq")).as("sum_q"))
+      .select(col("label"), col("dim"), col("n"),
+        floor(col("sum_q") / col("n") + 0.5).cast("long").as("centroid_q"))
+
+  /** Exact squared distance of each vector to its label centroid;
+    * the k farthest vectors per label are the outlier candidates. */
+  def outliers(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val c = centroids(embeddings).select("label", "dim", "centroid_q")
+    val dist = quantized(embeddings)
+      .join(c, Seq("label", "dim"))
+      .withColumn("d", col("xq") - col("centroid_q"))
+      .groupBy("vec_id", "label")
+      .agg(sum(col("d") * col("d")).as("dist2_q"))
+    val w = Window.partitionBy("label").orderBy(col("dist2_q").desc, col("vec_id"))
+    dist.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+}
+
+object EmbeddingStatsPack extends QueryPack {
+  private def e(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_centroids" -> ((s, d) => EmbeddingStatsOps.centroids(e(s, d))),
+    "embedding_outliers" -> ((s, d) => EmbeddingStatsOps.outliers(e(s, d)))
+  )
+
+  private val quantSql =
+    """q AS (
+      |  SELECT vec_id, label, d.i AS dim,
+      |         CAST(FLOOR(CAST(embedding[d.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xq
+      |  FROM embeddings, range(1, 65) d(i)
+      |)""".stripMargin
+
+  private val centroidSql =
+    s"""$quantSql,
+       |c AS (
+       |  SELECT label, dim, COUNT(*) AS n, CAST(SUM(xq) AS BIGINT) AS sum_q
+       |  FROM q GROUP BY label, dim
+       |)""".stripMargin
+
+  override def oracles: Map[String, String] = Map(
+    "embedding_centroids" ->
+      s"""WITH $centroidSql
+         |SELECT label, dim, n,
+         |       CAST(FLOOR(CAST(sum_q AS DOUBLE) / n + 0.5) AS BIGINT) AS centroid_q
+         |FROM c""".stripMargin,
+    "embedding_outliers" ->
+      s"""WITH $centroidSql,
+         |cq AS (SELECT label, dim,
+         |              CAST(FLOOR(CAST(sum_q AS DOUBLE) / n + 0.5) AS BIGINT) AS centroid_q
+         |       FROM c),
+         |dist AS (
+         |  SELECT q.vec_id, q.label,
+         |         CAST(SUM((q.xq - cq.centroid_q) * (q.xq - cq.centroid_q)) AS BIGINT) AS dist2_q
+         |  FROM q JOIN cq ON q.label = cq.label AND q.dim = cq.dim
+         |  GROUP BY q.vec_id, q.label
+         |),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY dist2_q DESC, vec_id) AS rnk
+         |  FROM dist
+         |)
+         |SELECT vec_id, label, dist2_q, rnk FROM ranked WHERE rnk <= 5""".stripMargin
+  )
+}

@@ -53,9 +53,11 @@ object ReportOps {
     val snaps = orders.select(
       concat(lit("t"), (col("o_orderkey") % 16).cast("string")).as("table_name"),
       col("o_orderdate").as("created"))
-    val now = Window.partitionBy()
+    // scalar "now" via broadcast cross join — NOT a whole-table window,
+    // which would force every row into one partition at scale
+    val now = snaps.agg(max(col("created")).as("now_ts"))
     snaps
-      .withColumn("now_ts", max(col("created")).over(now))
+      .crossJoin(broadcast(now))
       .groupBy("table_name")
       .agg(
         count(lit(1)).as("n_snapshots"),
@@ -79,9 +81,9 @@ object ReportOps {
     * (`api/report/reports/RegionInTransitionReporter.java:26-37`: age > 1
     * minute). Events play the RIT log; "now" = newest event. */
   def staleTransitions(events: DataFrame): DataFrame = {
-    val now = Window.partitionBy()
+    val now = events.agg(max(unix_micros(col("ts"))).as("now_us"))
     events
-      .withColumn("now_us", max(unix_micros(col("ts"))).over(now))
+      .crossJoin(broadcast(now))
       .withColumn("age_us", col("now_us") - unix_micros(col("ts")))
       .filter(col("age_us") > 60L * 1000000L && col("event_type") === "error")
       .select(col("event_id"), col("user_id"), col("age_us"))

@@ -54,6 +54,33 @@ object StreamingOps {
       .select(col("window.start").as("interval_start"), col("op_type"),
         col("available"), col("n_probes"))
 
+  /** O-57 topology snapshotter as a stream: each micro-batch of placement
+    * observations appends to the date-partitioned history via the O-8
+    * writer; retention stays a partition-prune read (BulkOps). Replaces
+    * the reference's hourly loop + HBase row lease
+    * (`api/meta/TechnicalMetaUpdater.java:29-54` — lock dropped: a single
+    * streaming query owns the sink). */
+  def topologySnapshotStream(
+      observations: DataFrame,
+      destPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    observations.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.BulkOps.writeTopologySnapshot(batch.toDF(), destPath)
+      }
+      .start()
+
+  /** Streaming sessionization: the events_sessions batch query under a
+    * watermark — session_window state is bounded by event time. */
+  def sessionStream(events: DataFrame, gap: String = "5 minutes", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+
   case class ServerSeen(server: String)
   case class NewServer(server: String, firstSeen: java.sql.Timestamp)
 

@@ -67,6 +67,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("topology snapshot stream appends date-partitioned parquet (O-57)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_topo_stream")
+    val input = MemoryStream[(Long, Timestamp, String, Long)]
+    val df = input.toDF().toDF("region_id", "snapshot_ts", "server", "obs_id")
+    val q = StreamingOps.topologySnapshotStream(df, s"$dir/topo", s"$dir/ckpt")
+    try {
+      input.addData((1L, ts(0), "s1", 100L), (2L, ts(1), "s2", 101L))
+      q.processAllAvailable()
+      val written = s.read.parquet(s"$dir/topo")
+      assert(written.count() == 2)
+      assert(written.columns.contains("snapshot_date"))
+    } finally q.stop()
+  }
+
+  test("streaming sessionization emits closed sessions (session_window + watermark)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "user_id")
+    val q = StreamingOps.sessionStream(df)
+      .writeStream.format("memory").queryName("sessions_out").outputMode("append").start()
+    try {
+      // user 7: two events 1 min apart (one session); then a far-future
+      // event advances the watermark so the session closes
+      input.addData((ts(0), 7L), (ts(1), 7L))
+      q.processAllAvailable()
+      input.addData((ts(59), 8L))
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-01-01 12:00:00"), 9L))
+      q.processAllAvailable()
+      val out = s.sql("SELECT user_id, n_events FROM sessions_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(out.contains((7L, 2L)))
+    } finally q.stop()
+  }
+
   test("new-server watcher emits each server exactly once (O-58)") {
     val s = spark
     import s.implicits._
