@@ -30,9 +30,11 @@ object DistributionOps {
     * reporter's band ladder (`MetaRSDistributionReporter.java:39-43`). */
   def loadVsAverage(metrics: DataFrame, servers: DataFrame): DataFrame = {
     val counts = regionsPerServer(metrics, servers)
-    val total = Window.partitionBy()
+    // scalar average via broadcast cross join (the counts input is the
+    // server dimension — tiny — but the pattern stays single-partition-free)
+    val avg = counts.agg((sum(col("n_regions")) / count(lit(1))).as("avg_load"))
     counts
-      .withColumn("avg_load", sum(col("n_regions")).over(total) / count(lit(1)).over(total))
+      .crossJoin(broadcast(avg))
       .select(
         col("server"),
         col("n_regions"),
