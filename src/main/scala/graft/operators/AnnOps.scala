@@ -89,6 +89,40 @@ object AnnOps {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** IVF (inverted-file) ANN, probe-1: the coarse quantizer is the set of
+    * per-label centroids (a k-means stand-in — centers are integer-exact,
+    * see EmbeddingStatsOps); every vector is assigned to its nearest
+    * center by exact integer squared distance; a query probes only its
+    * own center's posting list. At 100 TB the centers table is broadcast
+    * (k×dim, tiny) and posting lists are the shuffle partitioning. */
+  def ivfAssignments(embeddings: DataFrame): DataFrame = {
+    val q = EmbeddingStatsOps.quantized(embeddings).select("vec_id", "dim", "xq")
+    val centers = EmbeddingStatsOps.centroids(embeddings)
+      .select(col("label").as("center"), col("dim"), col("centroid_q"))
+    val dist = q
+      .join(broadcast(centers), Seq("dim"))
+      .withColumn("d", col("xq") - col("centroid_q"))
+      .groupBy("vec_id", "center")
+      .agg(sum(col("d") * col("d")).as("dist2_q"))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist2_q"), col("center"))
+    dist.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("center"))
+  }
+
+  def ivfTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val n = normalized(embeddings)
+    val assigned = n.join(ivfAssignments(embeddings), "vec_id")
+    val queries = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("center"))
+    val scored = queries
+      .join(assigned, Seq("center"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosineE4(col("qv"), col("v"), col("qn"), col("nrm")).as("cosine_e4"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine_e4").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** Embedding near-dup pairs, blocked by LSH bucket (the 100-TB path:
     * pairs only form inside buckets). */
   def nearDupPairs(embeddings: DataFrame, spark: SparkSession, thresholdE4: Long = 4000L): DataFrame = {
@@ -110,6 +144,7 @@ object AnnPack extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> ((s, dir) => AnnOps.bruteTopK(e(s, dir))),
     "ann_lsh_topk" -> ((s, dir) => AnnOps.lshTopK(e(s, dir), s)),
+    "ann_ivf_topk" -> ((s, dir) => AnnOps.ivfTopK(e(s, dir))),
     "embedding_near_dups" -> ((s, dir) => AnnOps.nearDupPairs(e(s, dir), s))
   )
 
@@ -155,6 +190,43 @@ object AnnPack extends QueryPack {
          |  SELECT qa.vec_id AS qid, ca.vec_id AS vec_id,
          |         CAST($cosSql AS BIGINT) AS cosine_e4
          |  FROM nb qa JOIN nb ca ON qa.bucket = ca.bucket AND ca.vec_id <> qa.vec_id
+         |  WHERE qa.vec_id < 10
+         |),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine_e4 DESC, vec_id) AS rnk
+         |  FROM scored
+         |)
+         |SELECT qid, vec_id, cosine_e4, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
+    "ann_ivf_topk" ->
+      s"""WITH $normSql,
+         |q AS (
+         |  SELECT vec_id, label, d.i AS dim,
+         |         CAST(FLOOR(CAST(embedding[d.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xq
+         |  FROM embeddings, range(1, 65) d(i)
+         |),
+         |c AS (
+         |  SELECT label AS center, dim,
+         |         CAST(FLOOR(CAST(SUM(xq) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS centroid_q
+         |  FROM q GROUP BY label, dim
+         |),
+         |dist AS (
+         |  SELECT q.vec_id, c.center,
+         |         CAST(SUM((q.xq - c.centroid_q) * (q.xq - c.centroid_q)) AS BIGINT) AS dist2_q
+         |  FROM q JOIN c ON q.dim = c.dim
+         |  GROUP BY q.vec_id, c.center
+         |),
+         |assigned AS (
+         |  SELECT vec_id, center FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2_q, center) AS rn
+         |    FROM dist
+         |  ) WHERE rn = 1
+         |),
+         |na AS (SELECT n.vec_id, n.v, n.nrm, asg.center
+         |       FROM n JOIN assigned asg ON n.vec_id = asg.vec_id),
+         |scored AS (
+         |  SELECT qa.vec_id AS qid, ca.vec_id AS vec_id,
+         |         CAST($cosSql AS BIGINT) AS cosine_e4
+         |  FROM na qa JOIN na ca ON qa.center = ca.center AND ca.vec_id <> qa.vec_id
          |  WHERE qa.vec_id < 10
          |),
          |ranked AS (

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
 object EmbeddingStatsOps {
 
   /** (vec_id, label, dim, xq): e6-quantized elements. */
-  private def quantized(embeddings: DataFrame): DataFrame =
+  private[operators] def quantized(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("vec_id"), col("label"),
         posexplode(transform(col("embedding"), x => x.cast("double"))).as(Seq("dim0", "x")))

@@ -27,6 +27,26 @@ class SinksAndSourcesSpec extends SparkSpec {
     } finally state.uncache()
   }
 
+  test("typed SeverityAggregator rolls up findings per report group") {
+    val s = spark
+    import s.implicits._
+    val findings = Reporters.runAll(ClusterState.fromSf(spark, sf))
+    val rolled = findings
+      .groupByKey(_.problem)
+      .agg(graft.functions.SeverityAggregator.toColumn.name("severity"))
+      .collect()
+      .toMap
+    assert(rolled.nonEmpty)
+    assert(rolled.values.forall(Set("CRITICAL", "NORMAL", "LOW", "NONE")))
+    // cross-check one group against the untyped path
+    val biggest = findings.filter(_.problem.contains("compaction weight"))
+    val c = biggest.filter(_.severity == "CRITICAL").count()
+    val n = biggest.filter(_.severity == "NORMAL").count()
+    val l = biggest.filter(_.severity == "LOW").count()
+    assert(rolled("region exceeds compaction weight threshold") ==
+      graft.model.Severity.rollup(c, n, l))
+  }
+
   test("severity rollup ladder matches reference ComplexReport thresholds") {
     assert(Severity.rollup(2, 0, 0) == Severity.Critical) // 18 > 10
     assert(Severity.rollup(1, 0, 0) == Severity.Normal)   // 9 in (7, 10]
