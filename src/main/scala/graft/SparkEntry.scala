@@ -34,7 +34,8 @@ object SparkEntry {
     graft.operators.CoveragePack,
     graft.operators.JoinsPack,
     graft.operators.EmbeddingStatsPack,
-    graft.operators.TextRankPack
+    graft.operators.TextRankPack,
+    graft.operators.GraphPack
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Iterative / graph-shaped analytics:
+  *
+  * - near-dup clustering: connected components over the verified
+  *   n-gram-Jaccard pair graph via min-label propagation — the
+  *   fixed-point pattern from SURVEY.md §3.3 (driver loop re-evaluating a
+  *   DataFrame until no change, iteration-bounded like the reference's
+  *   MAX_RETRIES). Each doc ends up labeled with the smallest doc_id in
+  *   its component; the canonical-keep decision for a dedup pipeline.
+  * - session funnel: per-session stage flags folded into funnel
+  *   conversion counts.
+  *
+  * Scale notes: label propagation converges in O(component diameter)
+  * rounds; each round is one join + aggregate on the (tiny relative to
+  * corpus) pair graph. For very deep graphs, checkpoint every few rounds
+  * to cut lineage — noted inline.
+  */
+object GraphOps {
+
+  val MaxIterations = 20
+
+  /** (doc_id, cluster_id) for every document participating in at least
+    * one near-dup pair; cluster_id = min doc_id of the component. */
+  def dedupClusters(docs: DataFrame, thresholdE4: Long = 8000L): DataFrame = {
+    val pairs = DedupOps.ngramJaccard(docs, thresholdE4).select("da", "db")
+    val edges = pairs
+      .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
+      .cache()
+    var labels = edges.select(col("da").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .cache()
+    var iter = 0
+    var changed = true
+    while (changed && iter < MaxIterations) {
+      val neighborMin = edges
+        .join(labels, edges("db") === labels("doc_id"))
+        .groupBy(edges("da").as("nid"))
+        .agg(min(col("label")).as("nlabel"))
+      val updated = labels
+        .join(neighborMin, labels("doc_id") === col("nid"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .cache()
+      // at 100 TB: localCheckpoint here every few rounds to truncate lineage
+      changed = updated
+        .join(labels.withColumnRenamed("label", "prev"), "doc_id")
+        .filter(col("label") =!= col("prev"))
+        .limit(1).count() > 0
+      labels.unpersist()
+      labels = updated
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Per-session funnel: stage flags (view → click → purchase) per
+    * user-session, rolled into conversion counts per flag combination. */
+  def sessionFunnel(events: DataFrame, gapUs: Long = 300000000L): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+    val flagged = events
+      .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+      .withColumn("prev_t", lag(col("t"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_t").isNull || col("t") - col("prev_t") >= gapUs, 1L).otherwise(0L))
+      .withColumn("session_no",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged
+      .groupBy("user_id", "session_no")
+      .agg(
+        max(when(col("event_type") === "view", 1L).otherwise(0L)).as("has_view"),
+        max(when(col("event_type") === "click", 1L).otherwise(0L)).as("has_click"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("has_purchase"))
+      .groupBy("has_view", "has_click", "has_purchase")
+      .agg(count(lit(1)).as("n_sessions"))
+  }
+}
+
+object GraphPack extends QueryPack {
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> ((s, d) => GraphOps.dedupClusters(Tables.documents(s, d))),
+    "session_funnel" -> ((s, d) => GraphOps.sessionFunnel(Tables.events(s, d)))
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         CAST(CAST(('0x' || substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 18, 15)) AS UBIGINT)
+        |              % 2147483647 AS BIGINT) AS x31
+        |  FROM toks, range(1, 1000) r(i) WHERE i + 2 <= len(t)
+        |),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT pa.doc_id AS da, pb.doc_id AS db, COUNT(*) AS inter
+        |  FROM sh pa JOIN sh pb ON pa.x31 = pb.x31 AND pa.doc_id < pb.doc_id
+        |  GROUP BY 1, 2
+        |),
+        |pairs AS (
+        |  SELECT i.da, i.db FROM inter i
+        |  JOIN sizes sa ON i.da = sa.doc_id
+        |  JOIN sizes sb ON i.db = sb.doc_id
+        |  WHERE (i.inter / CAST(sa.n_shingles + sb.n_shingles - i.inter AS DOUBLE)) * 10000 + 0.5 >= 8000.5
+        |),
+        |edges AS (SELECT da, db FROM pairs UNION ALL SELECT db AS da, da AS db FROM pairs),
+        |nodes AS (SELECT DISTINCT da AS doc FROM edges),
+        |reach(doc, lab) AS (
+        |  SELECT doc, doc FROM nodes
+        |  UNION
+        |  SELECT e.db, r.lab FROM reach r JOIN edges e ON e.da = r.doc
+        |)
+        |SELECT doc AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY doc""".stripMargin,
+    "session_funnel" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+        |         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_t
+        |  FROM events
+        |),
+        |numbered AS (
+        |  SELECT *,
+        |         SUM(CASE WHEN prev_t IS NULL OR t - prev_t >= 300000000 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM flagged
+        |),
+        |per_session AS (
+        |  SELECT user_id, session_no,
+        |         CAST(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS has_view,
+        |         CAST(MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS has_click,
+        |         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS has_purchase
+        |  FROM numbered GROUP BY user_id, session_no
+        |)
+        |SELECT has_view, has_click, has_purchase, COUNT(*) AS n_sessions
+        |FROM per_session GROUP BY 1, 2, 3""".stripMargin
+  )
+}
