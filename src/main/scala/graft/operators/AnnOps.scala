@@ -48,7 +48,7 @@ object AnnOps {
   def buckets(normalized: DataFrame, spark: SparkSession): DataFrame = {
     val planes = spark.range(NumPlanes).withColumnRenamed("id", "j")
     normalized
-      .crossJoin(planes)
+      .crossJoin(broadcast(planes))
       .select(col("vec_id"),
         when(planeDot(col("v"), col("j")) > 0, expr("cast(pow(2, j) as bigint)"))
           .otherwise(lit(0L)).as("bit"))
@@ -65,8 +65,8 @@ object AnnOps {
     val n = normalized(embeddings)
     val queries = n.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-    val scored = queries
-      .join(n.filter(col("vec_id") >= lit(0)), col("vec_id") =!= col("qid"))
+    val scored = n
+      .join(broadcast(queries), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         cosineE4(col("qv"), col("v"), col("qn"), col("nrm")).as("cosine_e4"))
     val w = Window.partitionBy("qid").orderBy(col("cosine_e4").desc, col("vec_id"))

@@ -101,7 +101,7 @@ object DedupOps {
   def minhashSignatures(postings: DataFrame, spark: SparkSession): DataFrame = {
     val ks = spark.range(MinhashK).withColumnRenamed("id", "k")
     postings
-      .crossJoin(ks)
+      .crossJoin(broadcast(ks))
       .select(col("doc_id"), col("k"), minhashPerm(col("x31"), col("k")).as("h"))
       .groupBy("doc_id", "k")
       .agg(min(col("h")).as("mh"))
@@ -149,7 +149,7 @@ object DedupOps {
     val postings = shinglePostings(docs)
     val sh = simhashes(postings, spark)
     val bands = spark.range(4).withColumnRenamed("id", "b")
-    val banded = sh.crossJoin(bands)
+    val banded = sh.crossJoin(broadcast(bands))
       .withColumn("band_val", expr("shiftright(simhash, cast(b * 8 as int)) % 256"))
     val pairs = banded.as("a")
       .join(banded.as("b2"),

@@ -62,7 +62,7 @@ object DistributionOps {
     * moves = max( Σ over-ceil surplus, Σ under-floor deficit ). */
   def balanceMoves(metrics: DataFrame, servers: DataFrame): DataFrame = {
     val tables = metrics.select("table_name").distinct()
-    val slots = tables.crossJoin(servers)
+    val slots = tables.crossJoin(broadcast(servers))
     val counts = slots
       .join(metrics.groupBy("table_name", "server").agg(count(lit(1)).as("cnt")),
         Seq("table_name", "server"), "left")
@@ -87,7 +87,7 @@ object DistributionOps {
   def movePlan(metrics: DataFrame, servers: DataFrame): DataFrame = {
     val tables = metrics.select("table_name").distinct()
     val counts = tables
-      .crossJoin(servers)
+      .crossJoin(broadcast(servers))
       .join(metrics.groupBy("table_name", "server").agg(count(lit(1)).as("cnt")),
         Seq("table_name", "server"), "left")
       .select(col("table_name"), col("server"), coalesce(col("cnt"), lit(0L)).as("cnt"))

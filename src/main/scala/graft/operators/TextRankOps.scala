@@ -27,7 +27,7 @@ object TextRankOps {
     val scored = tf
       .join(docLen, "doc_id")
       .join(df, "token")
-      .crossJoin(n)
+      .crossJoin(broadcast(n))
       .withColumn(
         "score_e4",
         floor((col("tf") * lit(1.0) / col("len")) * (col("n_docs") * lit(1.0) / col("df")) * 10000 + 0.5)
