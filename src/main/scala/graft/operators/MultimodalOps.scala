@@ -57,6 +57,20 @@ object MultimodalOps {
         expr("substring(media, frame_idx * 256 + 1, 256)").as("frame"))
       .withColumn("frame_bytes", length(col("frame")))
 
+  /** Media → pseudo-embedding bridge: turns the stub features into a
+    * small fixed-dim double vector (deterministic fake of an image/audio
+    * encoder) shaped exactly like the `embeddings` table, so the ANN /
+    * near-dup operators run unchanged on media-derived vectors. */
+  def mediaEmbeddings(docs: DataFrame, dim: Int = 8): DataFrame =
+    decodeFeatures(docs)
+      .select(
+        col("doc_id").as("vec_id"),
+        transform(
+          sequence(lit(1), lit(dim)),
+          i => (pmod(col("checksum") * i + col("n_bytes"), lit(1000L)).cast("double") - 500.0) / 500.0)
+          .as("embedding"),
+        (col("doc_id") % 5).cast("int").as("label"))
+
   /** STUB decode + feature extraction over batches. The per-partition
     * iterator is where a real codec (JNI/FFI) would run once per executor
     * task; features here are a deterministic fake (header bytes + additive

@@ -54,6 +54,35 @@ object StreamingOps {
       .select(col("window.start").as("interval_start"), col("op_type"),
         col("available"), col("n_probes"))
 
+  /** O-54 backpressure / admission control: per micro-batch, emit at most
+    * `maxPerBatch` highest-weight actions, and none at all for servers
+    * whose queue depths exceed the reference borders
+    * (`api/compactor/CompactorServer.java:244-267`: pause while
+    * compactionQueue > 11 or flushQueue > 31). `queueDepths` is the
+    * external metrics feed (O-12); trigger pacing bounds batch size, this
+    * bounds emission. */
+  def pacedActionSink(
+      candidates: DataFrame,
+      queueDepths: DataFrame,
+      emit: DataFrame => Unit,
+      maxPerBatch: Int = 15,
+      maxCompactionQueue: Int = 11,
+      maxFlushQueue: Int = 31): org.apache.spark.sql.streaming.StreamingQuery =
+    candidates.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val admitted = batch
+          .join(queueDepths, Seq("server"), "left")
+          .filter(
+            coalesce(col("compaction_queue"), lit(0)) <= maxCompactionQueue &&
+              coalesce(col("flush_queue"), lit(0)) <= maxFlushQueue)
+          .orderBy(col("weight").desc)
+          .limit(maxPerBatch)
+          .drop("compaction_queue", "flush_queue", "percent_files_local")
+        emit(admitted)
+      }
+      .start()
+
   /** O-57 topology snapshotter as a stream: each micro-batch of placement
     * observations appends to the date-partitioned history via the O-8
     * writer; retention stays a partition-prune read (BulkOps). Replaces

@@ -67,6 +67,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("paced action sink applies queue-depth backpressure and top-k admission (O-54)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(String, Long, Double)]
+    val candidates = input.toDF().toDF("server", "region_id", "weight")
+    val depths = graft.sources.AuxSources.serverMetricsFeed(s,
+      Seq(("s1", 5, 2, 99.0), ("s2", 50, 2, 99.0))) // s2 paused: queue 50 > 11
+    val emitted = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    val q = StreamingOps.pacedActionSink(
+      candidates, depths,
+      b => emitted.synchronized {
+        emitted ++= b.collect().map(r => (r.getString(0), r.getLong(1)))
+      },
+      maxPerBatch = 2)
+    try {
+      input.addData(("s1", 1L, 100.0), ("s1", 2L, 90.0), ("s1", 3L, 80.0), ("s2", 4L, 999.0))
+      q.processAllAvailable()
+      val got = emitted.synchronized(emitted.toList)
+      assert(got.toSet == Set(("s1", 1L), ("s1", 2L))) // top-2, s2 suppressed
+    } finally q.stop()
+  }
+
   test("topology snapshot stream appends date-partitioned parquet (O-57)") {
     val s = spark
     import s.implicits._

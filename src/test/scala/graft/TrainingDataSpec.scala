@@ -68,6 +68,14 @@ class TrainingDataSpec extends SparkSpec {
     assert(f1.forall(r => r.getSeq[Int](2).length == 4))
   }
 
+  test("media embeddings feed the ANN operators unchanged") {
+    val me = MultimodalOps.mediaEmbeddings(docs)
+      .withColumn("embedding", org.apache.spark.sql.functions.transform(
+        col("embedding"), (x: org.apache.spark.sql.Column) => x.cast("float")))
+    val topk = AnnOps.bruteTopK(me, nQueries = 3, k = 2)
+    assert(topk.groupBy("qid").count().filter(col("count") =!= 2).count() == 0)
+  }
+
   test("frame sampling reconstructs total byte counts") {
     val frames = MultimodalOps.frameSample(docs)
       .groupBy("doc_id").agg(sum("frame_bytes").as("total"))
