@@ -35,7 +35,8 @@ object SparkEntry {
     graft.operators.JoinsPack,
     graft.operators.EmbeddingStatsPack,
     graft.operators.TextRankPack,
-    graft.operators.GraphPack
+    graft.operators.GraphPack,
+    graft.operators.CohortPack
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
