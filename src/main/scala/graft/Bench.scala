@@ -14,20 +14,43 @@ object Bench {
       // one partition and local parallelism is wasted (real deployments
       // have many files — this only matters for the local fixture)
       .config("spark.sql.files.maxPartitionBytes", "4m")
+      // shuffle/spill on tmpfs: the host disk is burst-throttled and MB-scale
+      // shuffle writes were intermittently stalling scan-heavy queries 10-50x
+      .config("spark.local.dir", "/dev/shm/spark-local")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // the host hands out CPU unevenly in multi-minute bursts (observed
+    // 10-50x slowdowns on random queries with ~zero steal); two passes and
+    // a per-query minimum keep the measurement about the engine, not the
+    // hypervisor weather. cpuProbe calibrates the window we ran in.
+    def cpuProbe(): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench-trace] $name%-24s $dt%8.1f s")
-      name -> dt
+      var s = 0L; var j = 0
+      while (j < 20000000) { s += j; j += 1 }
+      if (s == Long.MinValue) println(s)
+      (System.nanoTime() - t0) / 1e9
     }
+    val probeBefore = cpuProbe()
+
+    def onePass(pass: Int): Map[String, Double] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench-trace] pass$pass $name%-24s $dt%8.1f s")
+        name -> dt
+      }
+    val p1 = onePass(1)
+    val p2 = onePass(2)
+    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    val probeAfter = cpuProbe()
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min","cpu_probe_sec":[$probeBefore,$probeAfter]}""")
     spark.stop()
   }
 }

@@ -26,6 +26,9 @@ object GraftSession {
       // otherwise refuses to read; Tables.events converts back to micros
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.files.maxPartitionBytes", "4m")
+      // shuffle/spill on tmpfs: the host disk is burst-throttled and MB-scale
+      // shuffle writes were intermittently stalling scan-heavy queries 10-50x
+      .config("spark.local.dir", "/dev/shm/spark-local")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

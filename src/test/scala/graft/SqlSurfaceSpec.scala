@@ -1,0 +1,25 @@
+package graft
+
+import graft.cluster.GraftCatalog
+
+class SqlSurfaceSpec extends SparkSpec {
+
+  test("catalog views expose the whole model to pure SQL") {
+    GraftCatalog.registerViews(spark, sf)
+    val top = spark.sql(
+      """SELECT server, COUNT(*) AS n
+        |FROM region_metrics GROUP BY server ORDER BY n DESC, server LIMIT 3""".stripMargin)
+    assert(top.count() == 3)
+    val joined = spark.sql(
+      """SELECT COUNT(*) FROM region_info i
+        |JOIN region_metrics m ON i.region_id = m.region_id
+        |WHERE NOT i.offline""".stripMargin).collect()(0).getLong(0)
+    assert(joined > 0)
+  }
+
+  test("salted_key resolves in SQL via session extensions (no manual registration)") {
+    val r = spark.sql("SELECT salted_key('abcd') AS k").collect()(0).getAs[Array[Byte]](0)
+    assert(r.length == 12)
+    assert(r.toSeq == graft.functions.SaltedKeyImpl.compute("abcd".getBytes("UTF-8")).toSeq)
+  }
+}
