@@ -51,6 +51,18 @@ object AnalyzerOps {
       .groupBy("file_count")
       .agg(count(lit(1)).as("n_regions"))
 
+  /** Exact size percentiles per table (median / p95) — the distribution
+    * summary the analyzer prints alongside its histograms. Exact
+    * interpolated percentiles over integer sizes are engine-portable
+    * (approx sketches are not). */
+  def sizePercentiles(metrics: DataFrame): DataFrame =
+    metrics
+      .groupBy("table_name")
+      .agg(
+        percentile(col("size_mb"), lit(0.5)).as("p50_size_mb"),
+        percentile(col("size_mb"), lit(0.95)).as("p95_size_mb"),
+        count(lit(1)).as("n_regions"))
+
   /** O-34: per-server stats over positive compaction weights
     * (`CompactorServer.java:298-315`: max-by, mean, exact median).
     * Stats run in the scaled-integer (e4) domain so both engines compute
@@ -86,7 +98,8 @@ object AnalyzerPack extends QueryPack {
     "distribution_histogram" -> ((s, d) => AnalyzerOps.distributionHistogram(m(s, d))),
     "locality_histogram" -> ((s, d) => AnalyzerOps.localityHistogram(m(s, d))),
     "file_count_histogram" -> ((s, d) => AnalyzerOps.fileCountHistogram(m(s, d))),
-    "weight_stats" -> ((s, d) => AnalyzerOps.weightStats(m(s, d)))
+    "weight_stats" -> ((s, d) => AnalyzerOps.weightStats(m(s, d))),
+    "size_percentiles" -> ((s, d) => AnalyzerOps.sizePercentiles(m(s, d)))
   )
 
   override def oracles: Map[String, String] = Map(
@@ -113,6 +126,13 @@ object AnalyzerPack extends QueryPack {
     "file_count_histogram" ->
       s"""WITH ${ClusterSql.regionMetrics}
          |SELECT file_count, COUNT(*) AS n_regions FROM region_metrics GROUP BY file_count""".stripMargin,
+    "size_percentiles" ->
+      s"""WITH ${ClusterSql.regionMetrics}
+         |SELECT table_name,
+         |       quantile_cont(size_mb, 0.5) AS p50_size_mb,
+         |       quantile_cont(size_mb, 0.95) AS p95_size_mb,
+         |       COUNT(*) AS n_regions
+         |FROM region_metrics GROUP BY table_name""".stripMargin,
     "weight_stats" ->
       s"""WITH ${ClusterSql.regionMetrics},
          |weighted AS (

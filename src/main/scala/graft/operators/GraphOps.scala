@@ -43,18 +43,17 @@ object GraphOps {
         .join(labels, edges("db") === labels("doc_id"))
         .groupBy(edges("da").as("nid"))
         .agg(min(col("label")).as("nlabel"))
-      val updated = labels
+      // carry the previous label through so convergence is a filter on
+      // the same frame — one action per round, no extra self-join
+      val stepped = labels
         .join(neighborMin, labels("doc_id") === col("nid"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .cache()
       // at 100 TB: localCheckpoint here every few rounds to truncate lineage
-      changed = updated
-        .join(labels.withColumnRenamed("label", "prev"), "doc_id")
-        .filter(col("label") =!= col("prev"))
-        .limit(1).count() > 0
+      changed = stepped.filter(col("label") =!= col("prev")).limit(1).count() > 0
       labels.unpersist()
-      labels = updated
+      labels = stepped.select("doc_id", "label")
       iter += 1
     }
     edges.unpersist()
