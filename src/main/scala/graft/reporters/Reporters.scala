@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
 case class ClusterState(
     metrics: DataFrame,
     regionInfo: DataFrame,
-    servers: DataFrame) {
+    servers: DataFrame,
+    snapshots: DataFrame,
+    transitions: DataFrame,
+    serverFeed: DataFrame) {
   def cached(): ClusterState = {
     metrics.cache(); regionInfo.cache(); servers.cache(); this
   }
@@ -21,10 +24,21 @@ case class ClusterState(
 }
 
 object ClusterState {
-  def fromSf(spark: SparkSession, sfDir: String): ClusterState = ClusterState(
-    ClusterViews.regionMetrics(spark, sfDir),
-    ClusterViews.regionInfo(spark, sfDir),
-    ClusterViews.servers(spark))
+  def fromSf(spark: SparkSession, sfDir: String): ClusterState = {
+    val metrics = ClusterViews.regionMetrics(spark, sfDir)
+    ClusterState(
+      metrics,
+      ClusterViews.regionInfo(spark, sfDir),
+      ClusterViews.servers(spark),
+      graft.sources.Tables.orders(spark, sfDir),
+      graft.sources.Tables.events(spark, sfDir),
+      // deterministic stand-in for the live JMX feed (O-12): queue depths
+      // derived from per-server load so thresholds are exercised
+      metrics.groupBy("server").agg(
+        (sum(col("file_count")) % 200).cast("int").as("compaction_queue"),
+        (sum(col("mem_store_mb")) % 40).cast("int").as("flush_queue"),
+        lit(99.0).as("percent_files_local")))
+  }
 }
 
 /** Pluggable finding producer (reference `api/report/Reporter.java:7-20`).
@@ -132,7 +146,73 @@ object Reporters {
     }
   }
 
-  val all: Seq[Reporter] = Seq(biggestRegions, rsLocality, distribution, heap, smallRegions)
+  /** Snapshots reporter (`api/report/reports/SnapshotsReport.java:26-55,
+    * 127-133`): tables hoarding snapshots, severity by old-snapshot count. */
+  val snapshots: Reporter = new Reporter {
+    val name = "snapshots"
+    def report(state: ClusterState): Dataset[Finding] = {
+      val stats = ReportOps.snapshotStats(state.snapshots)
+        .withColumn(
+          "sev",
+          when(col("n_old") > 500, Severity.Critical)
+            .when(col("n_old") > 0, Severity.Normal))
+        .filter(col("sev").isNotNull)
+      toFindings(stats, EventType.Snapshot, "table_name",
+        "table has stale snapshots", "sev", FixDestination.HBaseShell, "delete_snapshot")
+    }
+  }
+
+  /** Regions-in-transition reporter
+    * (`api/report/reports/RegionInTransitionReporter.java:26-37,76-83`). */
+  val regionsInTransition: Reporter = new Reporter {
+    val name = "regions_in_transition"
+    def report(state: ClusterState): Dataset[Finding] = {
+      val stale = ReportOps.staleTransitions(state.transitions)
+        .withColumn(
+          "sev",
+          when(col("age_us") > 3600L * 1000000L, Severity.Critical).otherwise(Severity.Normal))
+      toFindings(stale, EventType.Region, "event_id",
+        "region stuck in transition", "sev", FixDestination.Advice, "check_rit")
+    }
+  }
+
+  /** Meta-distribution reporter (`api/report/reports/MetaRSDistributionReporter.java:26-43`):
+    * same band ladder as runtime distribution, but over the meta view of
+    * placement (region_info) instead of live metrics. */
+  val metaDistribution: Reporter = new Reporter {
+    val name = "meta_distribution"
+    def report(state: ClusterState): Dataset[Finding] = {
+      val loaded = DistributionOps.loadVsAverage(state.regionInfo, state.servers)
+        .filter(col("severity") =!= Severity.None)
+      toFindings(loaded, EventType.RegionServer, "server",
+        "meta placement far from cluster average", "severity",
+        FixDestination.Shell, "rebalance_meta")
+    }
+  }
+
+  /** Compactions-queue reporter (`api/report/reports/CompactionsReporter.java:66-68`:
+    * queue >150 CRITICAL, >50 NORMAL, >15 LOW) over the metrics feed. */
+  val compactionsQueue: Reporter = new Reporter {
+    val name = "compactions_queue"
+    def report(state: ClusterState): Dataset[Finding] = {
+      val q = state.serverFeed
+        .withColumn(
+          "sev",
+          when(col("compaction_queue") > 150, Severity.Critical)
+            .when(col("compaction_queue") > 50, Severity.Normal)
+            .when(col("compaction_queue") > 15, Severity.Low))
+        .filter(col("sev").isNotNull)
+      toFindings(q, EventType.RegionServer, "server",
+        "compaction queue depth above threshold", "sev",
+        FixDestination.Advice, "throttle_compactions")
+    }
+  }
+
+  /** The full registry — 9 reporters, mirroring
+    * `runner/report/ReportRunner.java:42-50`. */
+  val all: Seq[Reporter] = Seq(
+    biggestRegions, rsLocality, distribution, heap, smallRegions,
+    snapshots, regionsInTransition, metaDistribution, compactionsQueue)
 
   /** Run every registered reporter over one shared (cached) state —
     * the FullReport path (`api/report/ReportBuilder.java:97-100`), except

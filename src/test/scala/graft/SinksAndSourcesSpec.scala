@@ -14,15 +14,16 @@ class SinksAndSourcesSpec extends SparkSpec {
   private def tmpDir(): String =
     Files.createTempDirectory("graft_test").toString
 
-  test("reporter registry: all reporters produce typed findings over shared state") {
+  test("reporter registry: all 9 reporters produce typed findings over shared state") {
+    assert(Reporters.all.size == 9) // parity with ReportRunner.java:42-50
     val state = ClusterState.fromSf(spark, sf).cached()
     try {
       val findings = Reporters.runAll(state).cache()
       assert(findings.count() > 0)
       val sevs = findings.select("severity").distinct().collect().map(_.getString(0)).toSet
       assert(sevs.subsetOf(Set("CRITICAL", "NORMAL", "LOW", "NONE")))
-      // each reporter contributes a distinct problem string
-      assert(findings.select("problem").distinct().count() >= 3)
+      // distinct reporters contribute distinct problem strings
+      assert(findings.select("problem").distinct().count() >= 5)
       findings.unpersist()
     } finally state.uncache()
   }
