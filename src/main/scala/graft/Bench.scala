@@ -47,10 +47,15 @@ object Bench {
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     val probeAfter = cpuProbe()
 
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // keep this line SHORT (3-decimal values): the driver captures only the
+    // tail of the build output, and a full-precision 71-query line overflowed
+    // that window in round 1 ("parsed": null)
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min","cpu_probe_sec":[$probeBefore,$probeAfter]}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min","cpu_probe_sec":[${f3(probeBefore)},${f3(probeAfter)}]}""")
     spark.stop()
   }
 }

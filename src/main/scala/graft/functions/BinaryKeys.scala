@@ -27,11 +27,18 @@ object BinaryKeys {
   }
 
   /** Byte-string midpoint of [start, end): the key halfway between the two
-    * unsigned big-endian values, at the padded width. Empty end = 0xFF*8. */
+    * unsigned big-endian values, at the padded width.
+    *
+    * Padding is asymmetric on purpose: the start key (inclusive bound) pads
+    * with 0x00 — `"ab"` admits everything from `"ab\x00..."` up — while the
+    * end key (exclusive bound) pads with 0xFF, because every key with prefix
+    * `"ab"` sorts above the bare 2-byte `"ab"`; 0x00-padding the end would
+    * underestimate it and skew split points low for variable-length keys.
+    * Empty end = +infinity = 0xFF*width. */
   def midpoint(start: Array[Byte], end: Array[Byte]): Array[Byte] = {
     val width = math.max(PadWidth, math.max(start.length, end.length))
     val s = pad(start, width, 0x00)
-    val e = pad(if (end.isEmpty) Array.fill(PadWidth)(0xff.toByte) else end, width, 0x00)
+    val e = if (end.isEmpty) Array.fill(width)(0xff.toByte) else pad(end, width, 0xff.toByte)
     val a = new BigInteger(1, s)
     val b = new BigInteger(1, e)
     val mid = a.add(b).shiftRight(1)

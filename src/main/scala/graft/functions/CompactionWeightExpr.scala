@@ -74,7 +74,14 @@ case class CompactionWeightExpr(
 
 object CompactionWeightExpr {
   /** Shared by interpreted eval and generated code — one definition of the
-    * IEEE operation order. */
+    * IEEE operation order.
+    *
+    * Deliberate deviation from the reference: `CompactionWeight.java:43`
+    * computes in `float` (`115f`, `1024f`, `1.33f`, float locality); this
+    * computes in `double` so the result is bit-identical to the SQL oracle
+    * (DuckDB evaluates the same formula in doubles). Near `floor(x*1e4+0.5)`
+    * boundaries the Java tool's float rounding can therefore differ from
+    * weight_e4 by 1; the double value is the more precise of the two. */
   def compute(size: Long, maxFile: Long, files: Int, locality: Double): Double =
     if (size < 10) 0.0
     else (1.0 - locality) * 115.0 + ((size - maxFile) / 1024.0) * (files * 1.33)

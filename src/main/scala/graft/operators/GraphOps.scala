@@ -43,19 +43,29 @@ object GraphOps {
         .join(labels, edges("db") === labels("doc_id"))
         .groupBy(edges("da").as("nid"))
         .agg(min(col("label")).as("nlabel"))
-      // carry the previous label through so convergence is a filter on
-      // the same frame — one action per round, no extra self-join
+      // pointer doubling: every label is itself a node id, so label(label(u))
+      // is defined; shortcutting it each round makes the min label hop
+      // 2^iter-length paths — O(log diameter) rounds instead of O(diameter)
+      val parents = labels.select(col("doc_id").as("p_id"), col("label").as("p_label"))
       val stepped = labels
         .join(neighborMin, labels("doc_id") === col("nid"), "left")
+        .join(parents, labels("label") === col("p_id"), "left")
         .select(col("doc_id"), col("label").as("prev"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          least(col("label"),
+            coalesce(col("nlabel"), col("label")),
+            coalesce(col("p_label"), col("label"))).as("label"))
         .cache()
+      // carry the previous label through so convergence is a filter on
+      // the same frame — one action per round, no extra self-join.
       // at 100 TB: localCheckpoint here every few rounds to truncate lineage
       changed = stepped.filter(col("label") =!= col("prev")).limit(1).count() > 0
       labels.unpersist()
       labels = stepped.select("doc_id", "label")
       iter += 1
     }
+    if (changed)
+      System.err.println(
+        s"[graft] WARN dedupClusters: not converged after $MaxIterations rounds — labels may span partial components")
     edges.unpersist()
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }

@@ -83,14 +83,16 @@ object MultimodalOps {
       .mapPartitions { batch =>
         // STUB: real impl = codec init once here, then per-record decode
         batch.map { case (id, bytes) =>
-          val head = bytes.take(4).map(_.toInt & 0xff)
+          // header as a hex string (not array<int>): scalar columns keep the
+          // output sortable/hashable by generic row-comparison harnesses
+          val head = bytes.take(4).map(b => f"${b & 0xff}%02x").mkString
           var checksum = 0L
           var i = 0
           while (i < bytes.length) { checksum = (checksum * 31 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
           (id, bytes.length, head, checksum)
         }
       }
-      .toDF("doc_id", "n_bytes", "header", "checksum")
+      .toDF("doc_id", "n_bytes", "header_hex", "checksum")
   }
 }
 

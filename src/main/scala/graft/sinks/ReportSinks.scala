@@ -23,6 +23,23 @@ object ReportSinks {
 
   def timestampName(epochMillis: Long): String = TsFmt.format(Instant.ofEpochMilli(epochMillis))
 
+  /** HTML-escape a cell value: object names / problems / commands are
+    * cluster-derived strings and must not inject markup. */
+  private[sinks] def escHtml(s: String): String =
+    s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case '"' => "&quot;"
+      case '\'' => "&#39;"
+      case c => c.toString
+    }
+
+  /** Single-quote shell quoting (`'` → `'\''`): safe against `"`, `$`,
+    * backticks, and every other metacharacter in cluster-derived names. */
+  private[sinks] def shQuote(s: String): String =
+    "'" + s.replace("'", "'\\''") + "'"
+
   /** Console rendering (severity-grouped, aligned columns). */
   def renderConsole(findings: Seq[Finding]): String = {
     val bySev = findings.groupBy(_.severity)
@@ -36,8 +53,8 @@ object ReportSinks {
   /** HTML table rendering (reference emits `report-<ts>.html`). */
   def renderHtml(findings: Seq[Finding]): String = {
     val rows = findings.map { f =>
-      s"<tr><td>${f.severity}</td><td>${f.eventType}</td><td>${f.objectName}</td>" +
-        s"<td>${f.problem}</td><td>${f.command}</td></tr>"
+      s"<tr><td>${escHtml(f.severity)}</td><td>${escHtml(f.eventType)}</td><td>${escHtml(f.objectName)}</td>" +
+        s"<td>${escHtml(f.problem)}</td><td>${escHtml(f.command)}</td></tr>"
     }.mkString("\n")
     s"""<html><body><table border="1">
        |<tr><th>severity</th><th>type</th><th>object</th><th>problem</th><th>fix</th></tr>
@@ -51,9 +68,13 @@ object ReportSinks {
   def renderFixScript(findings: Seq[Finding]): String = {
     val lines = findings.flatMap { f =>
       f.fixDestination match {
-        case FixDestination.HBaseShell => Some(s"""echo "${f.command}" | hbase shell""")
+        // single-quote the piped command: region/table names may contain
+        // ", $, backticks — double quotes would break or inject
+        case FixDestination.HBaseShell => Some(s"""echo ${shQuote(f.command)} | hbase shell""")
+        // Shell fixes are themselves shell commands (run verbatim is the
+        // semantics); reporters must construct them from quoted fragments
         case FixDestination.Shell => Some(f.command)
-        case FixDestination.Advice => Some(s"# advice: ${f.command}")
+        case FixDestination.Advice => Some(s"# advice: ${f.command.replace("\n", "\n# ")}")
         case _ => None
       }
     }

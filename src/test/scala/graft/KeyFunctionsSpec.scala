@@ -71,6 +71,21 @@ class KeyFunctionsSpec extends SparkSpec {
     assert(asNum == expected)
   }
 
+  test("midpoint: short end key pads 0xFF (exclusive bound covers all 'ab'-prefixed keys)") {
+    // region ["a", "ab"): end is an exclusive bound, so keys "ab\x01..."
+    // belong to the NEXT region; the midpoint must treat "ab" as the top of
+    // its prefix range, not as "ab\x00*" (which sorts below "ab\x01")
+    val start = "a".getBytes("UTF-8")
+    val end = "ab".getBytes("UTF-8")
+    val mid = BinaryKeys.midpoint(start, end)
+    val a = new java.math.BigInteger(1, start ++ Array.fill(7)(0x00.toByte))
+    val b = new java.math.BigInteger(1, end ++ Array.fill(6)(0xff.toByte))
+    assert(new java.math.BigInteger(1, mid) == a.add(b).shiftRight(1))
+    // and the midpoint sits strictly inside the padded bounds
+    assert(a.compareTo(new java.math.BigInteger(1, mid)) < 0)
+    assert(b.compareTo(new java.math.BigInteger(1, mid)) > 0)
+  }
+
   test("toStringBinary escapes non-printables") {
     assert(BinaryKeys.toStringBinary("ab".getBytes) == "ab")
     assert(BinaryKeys.toStringBinary(Array(0x00.toByte, 0x41.toByte, 0xff.toByte)) == "\\x00A\\xFF")

@@ -66,11 +66,30 @@ class SinksAndSourcesSpec extends SparkSpec {
     val paths = ReportSinks.writeAll(findings, out, 1700000000000L)
     assert(paths.forall(p => Files.exists(Paths.get(p))))
     val sh = Files.readString(Paths.get(paths(1)))
-    assert(sh.contains("""echo "major_compact r1" | hbase shell"""))
+    assert(sh.contains("""echo 'major_compact r1' | hbase shell"""))
     assert(sh.contains("merge-tool t1"))
     assert(sh.contains("# advice: rebalance s1"))
     val html = Files.readString(Paths.get(paths.head))
     assert(html.contains("<td>CRITICAL</td>") && html.contains("too big"))
+  }
+
+  test("report sinks escape hostile cluster-derived names (shell + html)") {
+    val s = spark
+    import s.implicits._
+    val evil = """t"x`$HOME'y<b>&z"""
+    val findings = Seq(
+      Finding("REGION", evil, "too big", "CRITICAL", "HBASE_SHELL", s"major_compact $evil"),
+      Finding("TABLE", evil, "p<i>q", "LOW", "ADVICE", "line1\nline2")).toDS()
+    val out = tmpDir()
+    val paths = ReportSinks.writeAll(findings, out, 1700000000000L)
+    val sh = Files.readString(Paths.get(paths(1)))
+    // the piped command is single-quoted with '\'' escaping: no live ", $, `
+    assert(sh.contains("echo 'major_compact t\"x`$HOME'\\''y<b>&z' | hbase shell"))
+    // multi-line advice stays fully commented
+    assert(sh.contains("# advice: line1\n# line2"))
+    val html = Files.readString(Paths.get(paths.head))
+    assert(!html.contains("<b>") && html.contains("&lt;b&gt;&amp;z"))
+    assert(html.contains("p&lt;i&gt;q"))
   }
 
   test("bulk copy + replace with backup (O-6/O-7)") {

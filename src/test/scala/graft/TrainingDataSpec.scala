@@ -65,7 +65,7 @@ class TrainingDataSpec extends SparkSpec {
     val f2 = MultimodalOps.decodeFeatures(docs).orderBy("doc_id").collect()
     assert(f1.length == docs.count())
     assert(f1.map(_.getLong(3)).toSeq == f2.map(_.getLong(3)).toSeq)
-    assert(f1.forall(r => r.getSeq[Int](2).length == 4))
+    assert(f1.forall(r => r.getString(2).length == 8))
   }
 
   test("media embeddings feed the ANN operators unchanged") {
