@@ -77,8 +77,18 @@ object DedupOps {
     * permissive). */
   private def verifyJaccard(postings: DataFrame, pairs: Option[DataFrame]): DataFrame = {
     val sizes = shingleSizes(postings)
-    val inter = pairs.fold(sharedCounts(postings))(p =>
-      sharedCounts(postings).join(p, Seq("da", "db"), "left_semi"))
+    val inter = pairs.fold(sharedCounts(postings)) { p =>
+      // candidates are sparse after banding: restrict the postings to docs
+      // that appear in some candidate pair BEFORE the df² self-join, so its
+      // cost tracks the candidate set, not the corpus. Restriction keeps
+      // every shingle of a kept doc, so intersection counts stay exact;
+      // the final semi-join drops incidental non-candidate co-occurrences.
+      val candDocs = p.select(col("da").as("doc_id"))
+        .unionByName(p.select(col("db").as("doc_id")))
+        .distinct()
+      val restricted = postings.join(candDocs, Seq("doc_id"), "left_semi")
+      sharedCounts(restricted).join(p, Seq("da", "db"), "left_semi")
+    }
     inter
       .join(sizes.select(col("doc_id").as("da"), col("n_shingles").as("na")), "da")
       .join(sizes.select(col("doc_id").as("db"), col("n_shingles").as("nb")), "db")
@@ -97,19 +107,25 @@ object DedupOps {
   val MinhashK = 12
   val BandSize = 3
 
-  /** Per-doc banded minhash signatures: (doc_id, band, sig). */
+  /** Per-doc banded minhash signatures: (doc_id, band, sig).
+    *
+    * All K permutations are min-aggregated as K columns in ONE groupBy
+    * (map-side partial min, single |postings| shuffle) — not a K× row
+    * blowup with two aggregation shuffles. The 4-rows-per-doc band layout
+    * is then a cheap per-doc explode of an inline array. */
   def minhashSignatures(postings: DataFrame, spark: SparkSession): DataFrame = {
-    val ks = spark.range(MinhashK).withColumnRenamed("id", "k")
-    postings
-      .crossJoin(broadcast(ks))
-      .select(col("doc_id"), col("k"), minhashPerm(col("x31"), col("k")).as("h"))
-      .groupBy("doc_id", "k")
-      .agg(min(col("h")).as("mh"))
-      .withColumn("band", (col("k") - col("k") % BandSize) / BandSize)
-      .groupBy(col("doc_id"), col("band").cast("long").as("band"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("k"), col("mh")))), s => s.getField("mh").cast("string")),
-        ",").as("sig"))
+    val mins = (0 until MinhashK).map(k =>
+      min(minhashPerm(col("x31"), lit(k.toLong))).as(s"mh$k"))
+    val wide = postings.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val bandStructs = (0 until MinhashK / BandSize).map { b =>
+      struct(
+        lit(b.toLong).as("band"),
+        concat_ws(",",
+          (0 until BandSize).map(i => col(s"mh${b * BandSize + i}").cast("string")): _*).as("sig"))
+    }
+    wide
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
   /** MinHash+LSH dedup: shingles → K=12 minhashes → 4 bands of 3 →

@@ -27,29 +27,21 @@ object ProfileMinhash {
     }
 
     import org.apache.spark.sql.functions._
-    import graft.functions.TextFunctions._
-    import org.apache.spark.sql.expressions.Window
 
-    val hofShingles = docs.select(col("doc_id"),
-      explode(shingles3(tokens(col("text")))).as("shingle"))
-    time("a: HOF shingles only")(println(hofShingles.count()))
-    time("a2: HOF shingles again")(println(hofShingles.count()))
-    time("b: HOF + md5conv")(println(
-      hofShingles.select(col("doc_id"), stableHash31(col("shingle")).as("x31")).distinct().count()))
-    time("c: HOF + xxhash64")(println(
-      hofShingles.select(col("doc_id"), xxhash64(col("shingle")).as("x31")).distinct().count()))
-    time("d: HOF string distinct")(println(
-      hofShingles.distinct().count()))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val winShingles = docs
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-      .withColumn("t1", lead("tok", 1).over(w))
-      .withColumn("t2", lead("tok", 2).over(w))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
-    time("e: window shingles")(println(winShingles.count()))
-    time("f: window + md5conv distinct")(println(
-      winShingles.select(col("doc_id"), stableHash31(col("shingle")).as("x31")).distinct().count()))
+    val postings = DedupOps.postingsForProfile(docs)
+    for (p <- 1 to 2) {
+      time(s"pass$p postings")(println(postings.count()))
+      val sigs = DedupOps.minhashSignatures(postings, spark)
+      time(s"pass$p signatures")(println(sigs.count()))
+      val pairs = sigs.as("a")
+        .join(sigs.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      time(s"pass$p bucket-join pairs")(println(pairs.count()))
+      time(s"pass$p full minhashLsh")(println(DedupOps.minhashLsh(docs, spark).count()))
+    }
     spark.stop()
   }
 }
