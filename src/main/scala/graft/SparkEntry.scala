@@ -36,7 +36,8 @@ object SparkEntry {
     graft.operators.EmbeddingStatsPack,
     graft.operators.TextRankPack,
     graft.operators.GraphPack,
-    graft.operators.CohortPack
+    graft.operators.CohortPack,
+    graft.operators.CurationPack
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

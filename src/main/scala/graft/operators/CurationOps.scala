@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators for a training-data pipeline over
+  * `documents`: benchmark-contamination detection, deterministic
+  * stratified sampling, and two repetition-quality signals (top-token
+  * ratio, duplicate-bigram fraction — the Gopher-style repetition
+  * filters).
+  *
+  * Scale design: contamination joins the corpus postings against a
+  * benchmark posting set that is orders of magnitude smaller (a benchmark
+  * suite, not a corpus) — broadcast the benchmark side, one shuffle-free
+  * pass over the corpus postings. Sampling and the repetition signals are
+  * per-row / per-doc single-aggregation patterns with map-side partials.
+  */
+object CurationOps {
+
+  /** Deterministic "benchmark" membership for the fixtures: doc_id % 97
+    * == 13 (~1% of docs). A real deployment passes its own benchmark doc
+    * set; everything downstream only sees a (doc_id, shingle) relation. */
+  val BenchMod = 97L
+  val BenchRem = 13L
+
+  /** Benchmark contamination: for every non-benchmark doc, how many
+    * distinct 3-gram shingles it shares with the benchmark set and how
+    * many benchmark docs it touches; flagged above `minShared`.
+    * The n-gram-overlap decontamination check run before training. */
+  def contamination(docs: DataFrame, minShared: Long = 2L): DataFrame = {
+    val postings = DedupOps.shinglePostings(docs)
+    val isBench = col("doc_id") % BenchMod === BenchRem
+    val bench = postings.filter(isBench)
+      .select(col("x31"), col("doc_id").as("bench_id"))
+    val candidates = postings.filter(!isBench)
+    candidates
+      .join(broadcast(bench), "x31")
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("x31")).as("n_shared_shingles"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .filter(col("n_shared_shingles") >= minShared)
+  }
+
+  /** Per-stratum sampling rates (percent kept), keyed on `lang`. */
+  val SampleRates: Seq[(String, Int)] =
+    Seq("en" -> 5, "zh" -> 10, "de" -> 25, "fr" -> 50, "es" -> 75)
+
+  /** Deterministic stratified sampling: an md5-derived bucket in [0,100)
+    * per doc, kept iff bucket < rate(lang). Reproducible across runs and
+    * engines (no RNG state), embarrassingly parallel, and the bucket
+    * column doubles as the holdout split key. */
+  def stratifiedSample(docs: DataFrame): DataFrame = {
+    val bucket =
+      (conv(substring(md5(col("doc_id").cast("string")), 18, 15), 16, 10)
+        .cast("long") % 100L).as("bucket")
+    val rate = SampleRates
+      .foldRight(lit(100): org.apache.spark.sql.Column) { case ((l, r), acc) =>
+        when(col("lang") === l, lit(r)).otherwise(acc)
+      }
+    docs
+      .select(col("doc_id"), col("lang"), bucket, rate.as("rate"))
+      .filter(col("bucket") < col("rate"))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+  }
+
+  /** Top-token repetition: the most frequent token per doc and its share
+    * of all tokens (ties broken by token asc). One explode + one
+    * aggregation; the window partitions by doc_id, so parallelism is
+    * per-document, never global. */
+  def repTopToken(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("cnt"))
+    val byDoc = Window.partitionBy("doc_id")
+    counts
+      .withColumn("n_tokens", sum(col("cnt")).over(byDoc))
+      .withColumn("rn",
+        row_number().over(byDoc.orderBy(col("cnt").desc, col("tok"))))
+      .filter(col("rn") === 1)
+      .select(
+        col("doc_id"),
+        col("tok").as("top_token"),
+        col("cnt").as("top_cnt"),
+        floor(col("cnt") / col("n_tokens").cast("double") * 10000 + 0.5)
+          .cast("long").as("rep_ratio_e4"))
+  }
+
+  /** Duplicate-bigram fraction: 1 - distinct(bigrams)/total(bigrams) per
+    * doc — high values mean boilerplate/repetition (the Gopher
+    * "duplicate n-gram fraction" filter). Same posexplode + lead shape as
+    * the shingle builder (fully codegen'd). */
+  def repBigramFrac(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("t1", lead("tok", 1).over(w))
+      .filter(col("t1").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1")).as("bg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), countDistinct(col("bg")).as("n_distinct"))
+      .select(
+        col("doc_id"), col("n_bigrams"), col("n_distinct"),
+        floor((lit(1.0) - col("n_distinct") / col("n_bigrams").cast("double")) * 10000 + 0.5)
+          .cast("long").as("dup_frac_e4"))
+  }
+}
+
+object CurationPack extends QueryPack {
+  private def d(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "contamination" -> ((s, dir) => CurationOps.contamination(d(s, dir))),
+    "stratified_sample" -> ((s, dir) => CurationOps.stratifiedSample(d(s, dir))),
+    "rep_top_token" -> ((s, dir) => CurationOps.repTopToken(d(s, dir))),
+    "rep_bigram_frac" -> ((s, dir) => CurationOps.repBigramFrac(d(s, dir)))
+  )
+
+  // Shared shingle CTE: identical to the dedup oracles' 3-gram pipeline
+  // (md5-folded 31-bit hashes, 1-based token indexing).
+  private val ShingleCte =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         CAST(CAST(('0x' || substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 18, 15)) AS UBIGINT)
+      |              % 2147483647 AS BIGINT) AS x31
+      |  FROM toks, range(1, 1000) r(i) WHERE i + 2 <= len(t)
+      |)""".stripMargin
+
+  override def oracles: Map[String, String] = Map(
+    "contamination" ->
+      s"""WITH $ShingleCte,
+         |bench AS (SELECT doc_id AS bench_id, x31 FROM sh WHERE doc_id % 97 = 13),
+         |cand AS (SELECT doc_id, x31 FROM sh WHERE doc_id % 97 <> 13)
+         |SELECT c.doc_id,
+         |       CAST(COUNT(DISTINCT c.x31) AS BIGINT) AS n_shared_shingles,
+         |       CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+         |FROM cand c JOIN bench b ON c.x31 = b.x31
+         |GROUP BY c.doc_id
+         |HAVING COUNT(DISTINCT c.x31) >= 2""".stripMargin,
+    "stratified_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 18, 15)) AS UBIGINT) % 100 AS BIGINT) AS bucket,
+        |         CASE lang WHEN 'en' THEN 5 WHEN 'zh' THEN 10 WHEN 'de' THEN 25
+        |                   WHEN 'fr' THEN 50 WHEN 'es' THEN 75 ELSE 100 END AS rate
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, bucket FROM b WHERE bucket < rate""".stripMargin,
+    "rep_top_token" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |),
+        |counts AS (
+        |  SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY doc_id, tok
+        |),
+        |ranked AS (
+        |  SELECT doc_id, tok, cnt,
+        |         SUM(cnt) OVER (PARTITION BY doc_id) AS n_tokens,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok) AS rn
+        |  FROM counts
+        |)
+        |SELECT doc_id, tok AS top_token, cnt AS top_cnt,
+        |       CAST(FLOOR(cnt / CAST(n_tokens AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS rep_ratio_e4
+        |FROM ranked WHERE rn = 1""".stripMargin,
+    "rep_bigram_frac" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+        |  FROM toks, range(1, 1000) r(i) WHERE i + 1 <= len(t)
+        |)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |       CAST(COUNT(DISTINCT bg) AS BIGINT) AS n_distinct,
+        |       CAST(FLOOR((1.0 - COUNT(DISTINCT bg) / CAST(COUNT(*) AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS dup_frac_e4
+        |FROM bg GROUP BY doc_id""".stripMargin
+  )
+}

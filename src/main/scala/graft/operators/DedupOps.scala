@@ -45,7 +45,7 @@ object DedupOps {
     * fully codegen'd (3-5× faster locally), and its doc_id shuffle is
     * reused by the very next distinct/groupBy stages, so no extra
     * exchange survives at scale. */
-  private def shinglePostings(docs: DataFrame): DataFrame = {
+  private[operators] def shinglePostings(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     docs
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))

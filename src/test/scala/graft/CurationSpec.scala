@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.CurationOps
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf).cache()
+
+  test("contamination: benchmark docs are never flagged, counts are sane") {
+    val out = CurationOps.contamination(docs, minShared = 1L).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("doc_id") % CurationOps.BenchMod === CurationOps.BenchRem).count() == 0)
+    assert(out.filter(col("n_bench_docs") < 1 || col("n_shared_shingles") < 1).count() == 0)
+    // a doc can't touch more benchmark docs than shingles it shares... no —
+    // one shared shingle can hit many bench docs; instead: both bounded by
+    // the benchmark set size
+    val nBench = docs.filter(col("doc_id") % CurationOps.BenchMod === CurationOps.BenchRem).count()
+    assert(out.filter(col("n_bench_docs") > nBench).count() == 0)
+    out.unpersist()
+  }
+
+  test("contamination: a planted benchmark copy is flagged with max overlap") {
+    val s = spark
+    import s.implicits._
+    // doc 9997: verbatim copy of benchmark doc 13's text (same shingles)
+    val benchText = docs.filter(col("doc_id") === 13).select("text").as[String].head()
+    val planted = docs.select("doc_id", "text", "lang", "source", "n_chars")
+      .unionByName(Seq((9997L, benchText, "en", "srcX", benchText.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val hit = CurationOps.contamination(planted, minShared = 2L)
+      .filter(col("doc_id") === 9997L)
+      .collect()
+    assert(hit.length == 1 && hit(0).getAs[Long]("n_shared_shingles") >= 2L)
+  }
+
+  test("stratified sampling: kept fraction per lang tracks the configured rate") {
+    val out = CurationOps.stratifiedSample(docs)
+    val kept = out.groupBy("lang").agg(count(lit(1)).as("kept"))
+    val total = docs.groupBy("lang").agg(count(lit(1)).as("total"))
+    val rates = CurationOps.SampleRates.toMap
+    kept.join(total, "lang").collect().foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val frac = r.getAs[Long]("kept").toDouble / r.getAs[Long]("total")
+      val rate = rates.getOrElse(lang, 100) / 100.0
+      // md5 buckets are uniform; generous tolerance for small fixtures
+      assert(math.abs(frac - rate) < 0.25, s"$lang kept=$frac rate=$rate")
+    }
+    // determinism: same input -> identical sample
+    assert(CurationOps.stratifiedSample(docs).exceptAll(out).count() == 0)
+  }
+
+  test("rep_top_token: ratio bounds and the top token really is the mode") {
+    val out = CurationOps.repTopToken(docs).cache()
+    assert(out.count() == docs.count())
+    assert(out.filter(col("rep_ratio_e4") <= 0 || col("rep_ratio_e4") > 10000).count() == 0)
+    // spot-check one doc against a direct count
+    val one = out.filter(col("doc_id") === 0).collect()(0)
+    val direct = docs.filter(col("doc_id") === 0)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").count().orderBy(col("count").desc, col("tok")).collect()(0)
+    assert(one.getAs[String]("top_token") == direct.getAs[String]("tok"))
+    assert(one.getAs[Long]("top_cnt") == direct.getAs[Long]("count"))
+    out.unpersist()
+  }
+
+  test("rep_bigram_frac: n_bigrams = n_tokens - 1 and dup fraction in [0, 10000]") {
+    val out = CurationOps.repBigramFrac(docs)
+    val joined = out.join(
+      docs.select(col("doc_id"), (size(split(col("text"), " ")) - 1).cast("long").as("expected")),
+      "doc_id")
+    assert(joined.filter(col("n_bigrams") =!= col("expected")).count() == 0)
+    assert(out.filter(col("dup_frac_e4") < 0 || col("dup_frac_e4") > 10000).count() == 0)
+    assert(out.filter(col("n_distinct") > col("n_bigrams")).count() == 0)
+  }
+}
