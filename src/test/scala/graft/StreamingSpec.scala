@@ -130,6 +130,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingest dedup stream keeps first doc per content fingerprint") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val df = input.toDF().toDF("doc_id", "text", "ingest_ts")
+    val q = StreamingOps.ingestDedupStream(df)
+      .writeStream.format("memory").queryName("ingest_out").outputMode("append").start()
+    try {
+      // doc 2 is a verbatim dup of doc 1 in the same window; doc 3 differs
+      input.addData(
+        (1L, "alpha beta gamma", ts(0)),
+        (2L, "alpha beta gamma", ts(1)),
+        (3L, "delta epsilon", ts(1)))
+      q.processAllAvailable()
+      val out = s.sql("SELECT doc_id FROM ingest_out").collect().map(_.getLong(0)).sorted
+      assert(out.toSeq == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
   test("new-server watcher emits each server exactly once (O-58)") {
     val s = spark
     import s.implicits._
