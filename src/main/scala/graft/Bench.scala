@@ -18,6 +18,13 @@ object Bench {
       // shuffle writes were intermittently stalling scan-heavy queries 10-50x
       .config("spark.local.dir", "/dev/shm/spark-local")
       .config("spark.ui.enabled", "false")
+      // the host stalls CPU in multi-minute bursts; with the default
+      // 10s heartbeat x 60 maxFailures a ~10-min stall kills the executor
+      // (exit 56, lost the whole round-2 bench run). Tolerate ~100 min.
+      .config("spark.executor.heartbeatInterval", "30s")
+      .config("spark.executor.heartbeat.maxFailures", "200")
+      .config("spark.network.timeout", "600s")
+      .config("spark.sql.broadcastTimeout", "1200")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -30,6 +30,12 @@ object GraftSession {
       // shuffle writes were intermittently stalling scan-heavy queries 10-50x
       .config("spark.local.dir", "/dev/shm/spark-local")
       .config("spark.ui.enabled", "false")
+      // survive host CPU-stall bursts (see Bench.scala): default heartbeat
+      // limits kill the JVM after ~10 min of stall
+      .config("spark.executor.heartbeatInterval", "30s")
+      .config("spark.executor.heartbeat.maxFailures", "200")
+      .config("spark.network.timeout", "600s")
+      .config("spark.sql.broadcastTimeout", "1200")
 
   def get(): SparkSession = {
     val spark = builder().getOrCreate()

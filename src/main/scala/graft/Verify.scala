@@ -14,6 +14,12 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.local.dir", "/dev/shm/spark-local")
       .config("spark.ui.enabled", "false")
+      // survive host CPU-stall bursts (see Bench.scala): default heartbeat
+      // limits kill the JVM after ~10 min of stall
+      .config("spark.executor.heartbeatInterval", "30s")
+      .config("spark.executor.heartbeat.maxFailures", "200")
+      .config("spark.network.timeout", "600s")
+      .config("spark.sql.broadcastTimeout", "1200")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -103,7 +103,6 @@ object MultimodalPack extends QueryPack {
     "media_stats" -> ((s, dir) => MultimodalOps.mediaStats(d(s, dir))),
     "media_frames" -> ((s, dir) => MultimodalOps.frameSample(d(s, dir))
       .groupBy("doc_id").agg(count(lit(1)).as("n_frames"), sum(col("frame_bytes")).as("total_bytes"))),
-    // rows-only check: binary feature output is not SQL-expressible
     "media_features" -> ((s, dir) => MultimodalOps.decodeFeatures(d(s, dir)))
   )
 
@@ -121,6 +120,17 @@ object MultimodalPack extends QueryPack {
       """SELECT doc_id,
         |       CAST(CEIL(octet_length(encode(text)) / CAST(256.0 AS DOUBLE)) AS BIGINT) AS n_frames,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS total_bytes
+        |FROM documents""".stripMargin,
+    // the stub checksum is a byte-wise polynomial fold; DuckDB has no blob
+    // indexing, so the oracle folds over the hex string two chars at a time
+    "media_features" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |       lower(substring(hex(encode(text)), 1, 8)) AS header_hex,
+        |       list_reduce(list_prepend(0, list_transform(
+        |           range(1, octet_length(encode(text)) + 1),
+        |           i -> CAST(('0x' || substring(hex(encode(text)), 2*i-1, 2)) AS BIGINT))),
+        |         (a, b) -> (a*31 + b) % 1000000007) AS checksum
         |FROM documents""".stripMargin
   )
 }
