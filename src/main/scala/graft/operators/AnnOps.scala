@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   * hyperplane LSH-bucketed variant as the scale path, plus LSH-blocked
   * embedding near-dup detection.
   *
-  * FP-parity rules: vectors are cast float→double once; every dot product
-  * and norm is a sequential left fold (index order), so any engine
-  * evaluating the same fold gets bit-identical doubles; scores leave the
-  * operator as scaled ints and ALL ranking happens on those ints.
+  * FP-parity rules: every dot product and norm is a sequential left fold
+  * (index order) with per-element float→double widening — native codegen
+  * kernels in `functions/VectorExprs` (bit-identical to a cast-then-HOF
+  * fold, ~4x faster, and the stage stays in whole-stage codegen); scores
+  * leave the operator as scaled ints and ALL ranking happens on those ints.
   *
   * Scale design: norms and buckets are computed once per vector (linear
   * scan); brute-force pairs only ever form query×corpus (bounded query
@@ -25,24 +26,20 @@ object AnnOps {
   val Dim = 64
   val NumPlanes = 8
 
-  private def vec(c: Column): Column = transform(c, x => x.cast("double"))
+  import graft.functions.VectorExprs.{plane_dot, vec_dot, vec_sumsq}
 
-  /** Sequential left fold sum of an array of doubles. */
-  private def foldSum(arr: Column): Column =
-    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+  private def dot(a: Column, b: Column): Column = vec_dot(a, b)
 
-  private def dot(a: Column, b: Column): Column = foldSum(zip_with(a, b, (x, y) => x * y))
-
-  /** vec_id, v (double[]), norm. */
+  /** vec_id, v (raw float[] — vec_dot widens per element, identical
+    * doubles to a cast-then-fold), norm. Keeping the float array halves
+    * the bytes every downstream join shuffles/broadcasts. */
   def normalized(embeddings: DataFrame): DataFrame =
     embeddings
-      .select(col("vec_id"), vec(col("embedding")).as("v"))
-      .withColumn("nrm", sqrt(foldSum(transform(col("v"), x => x * x))))
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(vec_sumsq(col("v"))))
 
   /** Deterministic integer hyperplane weight w(j, d) = ((j*67 + d*31) % 19) - 9. */
-  private def planeDot(v: Column, j: Column): Column =
-    foldSum(transform(sequence(lit(1), lit(Dim)),
-      d => element_at(v, d) * (((j * 67 + d * 31) % 19) - 9).cast("double")))
+  private def planeDot(v: Column, j: Column): Column = plane_dot(v, j)
 
   /** Per-vector LSH bucket: sign bits of 8 hyperplane projections. */
   def buckets(normalized: DataFrame, spark: SparkSession): DataFrame = {

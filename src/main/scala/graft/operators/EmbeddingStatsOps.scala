@@ -22,9 +22,9 @@ object EmbeddingStatsOps {
   private[operators] def quantized(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("vec_id"), col("label"),
-        posexplode(transform(col("embedding"), x => x.cast("double"))).as(Seq("dim0", "x")))
+        posexplode(col("embedding")).as(Seq("dim0", "x")))
       .select(col("vec_id"), col("label"), (col("dim0") + 1).as("dim"),
-        floor(col("x") * 1000000 + 0.5).cast("long").as("xq"))
+        floor(col("x").cast("double") * 1000000 + 0.5).cast("long").as("xq"))
 
   /** Centroid per (label, dim), in quantized units. */
   def centroids(embeddings: DataFrame): DataFrame =

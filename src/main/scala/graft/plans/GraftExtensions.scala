@@ -53,5 +53,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft.functions.SaltedKey", "salted_key"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.SaltedKey(exprs.head)))
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.functions.VectorDot", "vec_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.VectorDot(exprs(0), exprs(1))))
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("vec_sumsq"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.functions.VectorSumSq", "vec_sumsq"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.VectorSumSq(exprs.head)))
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("plane_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.functions.PlaneDot", "plane_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.PlaneDot(exprs(0), exprs(1))))
   }
 }
