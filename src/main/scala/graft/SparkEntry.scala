@@ -37,7 +37,8 @@ object SparkEntry {
     graft.operators.TextRankPack,
     graft.operators.GraphPack,
     graft.operators.CohortPack,
-    graft.operators.CurationPack
+    graft.operators.CurationPack,
+    graft.operators.PrivacyPack
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

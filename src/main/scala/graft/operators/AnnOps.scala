@@ -92,7 +92,9 @@ object AnnOps {
     * center by exact integer squared distance; a query probes only its
     * own center's posting list. At 100 TB the centers table is broadcast
     * (k×dim, tiny) and posting lists are the shuffle partitioning. */
-  def ivfAssignments(embeddings: DataFrame): DataFrame = {
+  /** (vec_id, center, rn): each vector's nprobe nearest coarse centers by
+    * exact integer squared distance, rn = 1 is the assignment. */
+  def ivfAssignmentsRanked(embeddings: DataFrame, nprobe: Int): DataFrame = {
     val q = EmbeddingStatsOps.quantized(embeddings).select("vec_id", "dim", "xq")
     val centers = EmbeddingStatsOps.centroids(embeddings)
       .select(col("label").as("center"), col("dim"), col("centroid_q"))
@@ -102,14 +104,24 @@ object AnnOps {
       .groupBy("vec_id", "center")
       .agg(sum(col("d") * col("d")).as("dist2_q"))
     val w = Window.partitionBy("vec_id").orderBy(col("dist2_q"), col("center"))
-    dist.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("center"))
+    dist.withColumn("rn", row_number().over(w)).filter(col("rn") <= nprobe)
+      .select(col("vec_id"), col("center"), col("rn"))
   }
 
-  def ivfTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+  def ivfAssignments(embeddings: DataFrame): DataFrame =
+    ivfAssignmentsRanked(embeddings, 1).select("vec_id", "center")
+
+  /** IVF top-k with probe-N: the corpus side stays partitioned by its
+    * rn=1 assignment (the posting lists); only the bounded query set
+    * fans out to its nprobe nearest centers, so recall rises with no
+    * change to the big side's layout — the standard IVF recall knob. */
+  def ivfTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5, nprobe: Int = 1): DataFrame = {
     val n = normalized(embeddings)
-    val assigned = n.join(ivfAssignments(embeddings), "vec_id")
-    val queries = assigned.filter(col("vec_id") < nQueries)
+    val ranked = ivfAssignmentsRanked(embeddings, nprobe)
+    val assigned = n.join(ranked.filter(col("rn") === 1).select("vec_id", "center"), "vec_id")
+    val queries = n
+      .join(ranked.select("vec_id", "center"), "vec_id")
+      .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("center"))
     val scored = queries
       .join(assigned, Seq("center"))
@@ -142,6 +154,7 @@ object AnnPack extends QueryPack {
     "ann_brute_topk" -> ((s, dir) => AnnOps.bruteTopK(e(s, dir))),
     "ann_lsh_topk" -> ((s, dir) => AnnOps.lshTopK(e(s, dir), s)),
     "ann_ivf_topk" -> ((s, dir) => AnnOps.ivfTopK(e(s, dir))),
+    "ann_ivf_probe2" -> ((s, dir) => AnnOps.ivfTopK(e(s, dir), nprobe = 2)),
     "embedding_near_dups" -> ((s, dir) => AnnOps.nearDupPairs(e(s, dir), s))
   )
 
@@ -165,6 +178,47 @@ object AnnPack extends QueryPack {
 
   private val cosSql =
     "FLOOR(list_reduce(list_transform(range(1, 65), d -> qa.v[d] * ca.v[d]), (x, y) -> x + y) / (qa.nrm * ca.nrm) * 10000 + 0.5)"
+
+  /** IVF oracle: corpus side uses rn=1 assignments; query side probes the
+    * `nprobe` nearest centers. nprobe=1 degenerates to the plain IVF plan. */
+  private def ivfSql(nprobe: Int): String =
+    s"""WITH $normSql,
+       |q AS (
+       |  SELECT vec_id, label, d.i AS dim,
+       |         CAST(FLOOR(CAST(embedding[d.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xq
+       |  FROM embeddings, range(1, 65) d(i)
+       |),
+       |c AS (
+       |  SELECT label AS center, dim,
+       |         CAST(FLOOR(CAST(SUM(xq) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS centroid_q
+       |  FROM q GROUP BY label, dim
+       |),
+       |dist AS (
+       |  SELECT q.vec_id, c.center,
+       |         CAST(SUM((q.xq - c.centroid_q) * (q.xq - c.centroid_q)) AS BIGINT) AS dist2_q
+       |  FROM q JOIN c ON q.dim = c.dim
+       |  GROUP BY q.vec_id, c.center
+       |),
+       |cranked AS (
+       |  SELECT vec_id, center,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2_q, center) AS rn
+       |  FROM dist
+       |),
+       |na AS (SELECT n.vec_id, n.v, n.nrm, asg.center
+       |       FROM n JOIN cranked asg ON n.vec_id = asg.vec_id AND asg.rn = 1),
+       |nq AS (SELECT n.vec_id, n.v, n.nrm, p.center
+       |       FROM n JOIN cranked p ON n.vec_id = p.vec_id AND p.rn <= $nprobe
+       |       WHERE n.vec_id < 10),
+       |scored AS (
+       |  SELECT qa.vec_id AS qid, ca.vec_id AS vec_id,
+       |         CAST($cosSql AS BIGINT) AS cosine_e4
+       |  FROM nq qa JOIN na ca ON qa.center = ca.center AND ca.vec_id <> qa.vec_id
+       |),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine_e4 DESC, vec_id) AS rnk
+       |  FROM scored
+       |)
+       |SELECT qid, vec_id, cosine_e4, rnk FROM ranked WHERE rnk <= 5""".stripMargin
 
   override def oracles: Map[String, String] = Map(
     "ann_brute_topk" ->
@@ -194,43 +248,8 @@ object AnnPack extends QueryPack {
          |  FROM scored
          |)
          |SELECT qid, vec_id, cosine_e4, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
-    "ann_ivf_topk" ->
-      s"""WITH $normSql,
-         |q AS (
-         |  SELECT vec_id, label, d.i AS dim,
-         |         CAST(FLOOR(CAST(embedding[d.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xq
-         |  FROM embeddings, range(1, 65) d(i)
-         |),
-         |c AS (
-         |  SELECT label AS center, dim,
-         |         CAST(FLOOR(CAST(SUM(xq) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS centroid_q
-         |  FROM q GROUP BY label, dim
-         |),
-         |dist AS (
-         |  SELECT q.vec_id, c.center,
-         |         CAST(SUM((q.xq - c.centroid_q) * (q.xq - c.centroid_q)) AS BIGINT) AS dist2_q
-         |  FROM q JOIN c ON q.dim = c.dim
-         |  GROUP BY q.vec_id, c.center
-         |),
-         |assigned AS (
-         |  SELECT vec_id, center FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2_q, center) AS rn
-         |    FROM dist
-         |  ) WHERE rn = 1
-         |),
-         |na AS (SELECT n.vec_id, n.v, n.nrm, asg.center
-         |       FROM n JOIN assigned asg ON n.vec_id = asg.vec_id),
-         |scored AS (
-         |  SELECT qa.vec_id AS qid, ca.vec_id AS vec_id,
-         |         CAST($cosSql AS BIGINT) AS cosine_e4
-         |  FROM na qa JOIN na ca ON qa.center = ca.center AND ca.vec_id <> qa.vec_id
-         |  WHERE qa.vec_id < 10
-         |),
-         |ranked AS (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine_e4 DESC, vec_id) AS rnk
-         |  FROM scored
-         |)
-         |SELECT qid, vec_id, cosine_e4, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
+    "ann_ivf_topk" -> ivfSql(1),
+    "ann_ivf_probe2" -> ivfSql(2),
     "embedding_near_dups" ->
       s"""WITH $normSql, $bucketSql,
          |nb AS (SELECT n.vec_id, n.v, n.nrm, bk.bucket FROM n JOIN bk ON n.vec_id = bk.vec_id)

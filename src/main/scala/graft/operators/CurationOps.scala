@@ -91,6 +91,51 @@ object CurationOps {
           .cast("long").as("rep_ratio_e4"))
   }
 
+  /** Cross-document shingle sharing: for each doc, what fraction of its
+    * distinct 3-gram shingles occurs in at least one OTHER document —
+    * corpus-level boilerplate pressure, as opposed to the within-doc
+    * repetition signals. One postings aggregation (document frequency)
+    * joined back to the postings on the same shuffle key, then a per-doc
+    * rollup; the df table is vocab-sized, never |corpus|². */
+  def crossDocShared(docs: DataFrame): DataFrame = {
+    val p = DedupOps.shinglePostings(docs)
+    val df = p.groupBy("x31").agg(count(lit(1)).as("df"))
+    p.join(df, "x31")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(
+        col("doc_id"), col("n_shingles"), col("n_shared"),
+        floor(col("n_shared").cast("double") * 10000.0 / col("n_shingles").cast("double") + 0.5)
+          .cast("long").as("shared_e4"))
+  }
+
+  /** Corpus vocabulary statistics: top-k unigrams and bigrams by count
+    * (tokenizer-training prep). Exact two-phase top-k: rank inside each
+    * shuffle partition first and keep k per partition, so the global
+    * window only ever sees k×partitions rows — no single-reducer
+    * bottleneck at 100 TB vocab sizes. */
+  def vocabTopGrams(docs: DataFrame, k: Int = 25): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = docs.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val uni = toks.select(lit(1).as("n"), col("tok").as("gram"))
+    val bi = toks
+      .withColumn("t1", lead("tok", 1).over(w))
+      .filter(col("t1").isNotNull)
+      .select(lit(2).as("n"), concat_ws(" ", col("tok"), col("t1")).as("gram"))
+    val counts = uni.unionByName(bi).groupBy("n", "gram").agg(count(lit(1)).as("cnt"))
+    val perPart = Window.partitionBy(col("n"), spark_partition_id())
+      .orderBy(col("cnt").desc, col("gram"))
+    val pruned = counts
+      .withColumn("prnk", row_number().over(perPart))
+      .filter(col("prnk") <= k)
+      .drop("prnk")
+    pruned
+      .withColumn("rnk", row_number().over(Window.partitionBy("n").orderBy(col("cnt").desc, col("gram"))))
+      .filter(col("rnk") <= k)
+  }
+
   /** Duplicate-bigram fraction: 1 - distinct(bigrams)/total(bigrams) per
     * doc — high values mean boilerplate/repetition (the Gopher
     * "duplicate n-gram fraction" filter). Same posexplode + lead shape as
@@ -118,7 +163,9 @@ object CurationPack extends QueryPack {
     "contamination" -> ((s, dir) => CurationOps.contamination(d(s, dir))),
     "stratified_sample" -> ((s, dir) => CurationOps.stratifiedSample(d(s, dir))),
     "rep_top_token" -> ((s, dir) => CurationOps.repTopToken(d(s, dir))),
-    "rep_bigram_frac" -> ((s, dir) => CurationOps.repBigramFrac(d(s, dir)))
+    "rep_bigram_frac" -> ((s, dir) => CurationOps.repBigramFrac(d(s, dir))),
+    "cross_doc_shared" -> ((s, dir) => CurationOps.crossDocShared(d(s, dir))),
+    "vocab_top_grams" -> ((s, dir) => CurationOps.vocabTopGrams(d(s, dir)))
   )
 
   // Shared shingle CTE: identical to the dedup oracles' 3-gram pipeline
@@ -178,6 +225,33 @@ object CurationPack extends QueryPack {
         |       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
         |       CAST(COUNT(DISTINCT bg) AS BIGINT) AS n_distinct,
         |       CAST(FLOOR((1.0 - COUNT(DISTINCT bg) / CAST(COUNT(*) AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS dup_frac_e4
-        |FROM bg GROUP BY doc_id""".stripMargin
+        |FROM bg GROUP BY doc_id""".stripMargin,
+    "cross_doc_shared" ->
+      s"""WITH $ShingleCte,
+         |df AS (SELECT x31, COUNT(*) AS df FROM sh GROUP BY x31)
+         |SELECT sh.doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |       CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |       CAST(FLOOR(CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) * CAST(10000 AS DOUBLE)
+         |                  / CAST(COUNT(*) AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS shared_e4
+         |FROM sh JOIN df ON sh.x31 = df.x31
+         |GROUP BY sh.doc_id""".stripMargin,
+    "vocab_top_grams" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |uni AS (SELECT 1 AS n, u.tok AS gram FROM toks, unnest(t) AS u(tok)),
+        |bi AS (
+        |  SELECT 2 AS n, t[i] || ' ' || t[i+1] AS gram
+        |  FROM toks, range(1, 1000) r(i) WHERE i + 1 <= len(t)
+        |),
+        |counts AS (
+        |  SELECT n, gram, COUNT(*) AS cnt
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+        |  GROUP BY n, gram
+        |),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY n ORDER BY cnt DESC, gram) AS rnk
+        |  FROM counts
+        |)
+        |SELECT n, gram, cnt, rnk FROM ranked WHERE rnk <= 25""".stripMargin
   )
 }

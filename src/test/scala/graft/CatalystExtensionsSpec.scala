@@ -23,6 +23,32 @@ class CatalystExtensionsSpec extends SparkSpec {
     assert(CompactionWeightExpr.compute(1024L, 0L, 1, 0.0) == 115.0 + 1.33)
   }
 
+  test("vector kernels match the interpreted HOF folds bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.VectorExprs._
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(64) {
+      (rnd.nextInt(8).toLong,
+        Array.fill(64)(rnd.nextFloat() * 2f - 1f),
+        Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    }
+    val df = rows.toDF("j", "a", "b").cache()
+    def dbl(c: org.apache.spark.sql.Column) = transform(c, x => x.cast("double"))
+    def foldSum(c: org.apache.spark.sql.Column) = aggregate(c, lit(0.0), (acc, x) => acc + x)
+    val hofDot = foldSum(zip_with(dbl(col("a")), dbl(col("b")), (x, y) => x * y))
+    val hofSq = foldSum(transform(dbl(col("a")), x => x * x))
+    val hofPlane = foldSum(transform(sequence(lit(1), lit(64)),
+      d => element_at(dbl(col("a")), d) * (((col("j") * 67 + d * 31) % 19) - 9).cast("double")))
+    assert(df.filter(vec_dot(col("a"), col("b")) =!= hofDot).count() == 0)
+    assert(df.filter(vec_sumsq(col("a")) =!= hofSq).count() == 0)
+    assert(df.filter(plane_dot(col("a"), col("j")) =!= hofPlane).count() == 0)
+    // mismatched lengths yield null, not garbage
+    val bad = Seq((Array(1f, 2f), Array(1f, 2f, 3f))).toDF("a", "b")
+    assert(bad.select(vec_dot(col("a"), col("b")).as("d")).filter(col("d").isNull).count() == 1)
+    df.unpersist()
+  }
+
   test("optimizer rule derives size_mb >= 10 bound and pushes it to the parquet scan") {
     val dir = Files.createTempDirectory("graft_weight_push").toString
     graft.cluster.ClusterViews.regionMetrics(spark, sf).write.parquet(s"$dir/metrics")
