@@ -55,6 +55,15 @@ object DedupOps {
       .select(col("doc_id"),
         stableHash31(concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("x31"))
       .distinct()
+      // Materialize once, share everywhere: the dedup/curation family
+      // references the postings 5+ times per query (signatures, the df²
+      // self-join, sizes, candidate restriction) and Spark re-derives the
+      // whole explode+window subtree per reference (28 parquet scans in
+      // the minhash plan before this). CacheManager keys on the canonical
+      // plan, so every operator over the same docs converges to ONE
+      // shared entry; MEMORY_AND_DISK spills instead of OOMing at scale —
+      // the classic "build the posting list once" pattern.
+      .cache()
   }
 
   private def shingleSizes(postings: DataFrame): DataFrame =
@@ -132,7 +141,8 @@ object DedupOps {
     * band-bucket join → exact-Jaccard verification >= threshold. */
   def minhashLsh(docs: DataFrame, spark: SparkSession, thresholdE4: Long = 5000L): DataFrame = {
     val postings = shinglePostings(docs)
-    val sigs = minhashSignatures(postings, spark)
+    // the band self-join reads the signatures twice; they are 4 rows/doc
+    val sigs = minhashSignatures(postings, spark).cache()
     val pairs = sigs.as("a")
       .join(sigs.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -140,6 +150,45 @@ object DedupOps {
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
     verifyJaccard(postings, Some(pairs)).filter(col("jaccard_e4") >= thresholdE4)
+  }
+
+  /** Token-level longest shared span per near-dup candidate pair — the
+    * substring-dedup signal (à la "Deduplicating Training Data Makes
+    * Language Models Better": long verbatim overlaps matter even when
+    * whole-doc similarity is moderate). A shared run of T tokens yields
+    * exactly T-2 consecutive trigram matches on one (pos_a - pos_b)
+    * diagonal, so longest span = longest diagonal run + 2 — found with
+    * one gaps-and-islands window over matched trigram positions. No LCS
+    * dynamic programming, no blowup beyond the shared-trigram matches,
+    * and matches only form for candidate docs (semi-filtered first). */
+  def pairLongestSpan(docs: DataFrame, thresholdE4: Long = 5000L): DataFrame = {
+    val pairs = ngramJaccard(docs, thresholdE4).select("da", "db")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val posPostings = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("t1", lead("tok", 1).over(w))
+      .withColumn("t2", lead("tok", 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        stableHash31(concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("x31"))
+    val candDocs = pairs.select(col("da").as("doc_id"))
+      .unionByName(pairs.select(col("db").as("doc_id")))
+      .distinct()
+    val rp = posPostings.join(candDocs, Seq("doc_id"), "left_semi")
+    val matches = rp.as("a")
+      .join(rp.as("b"), col("a.x31") === col("b.x31") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+      .join(pairs, Seq("da", "db"), "left_semi")
+      .distinct()
+    val w2 = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    matches
+      .withColumn("diag", col("pa") - col("pb"))
+      .withColumn("grp", col("pa") - row_number().over(w2))
+      .groupBy("da", "db", "diag", "grp")
+      .agg(count(lit(1)).as("runlen"))
+      .groupBy("da", "db")
+      .agg((max(col("runlen")) + lit(2)).as("longest_tokens"))
   }
 
   /** Per-doc 32-bit simhash over shingle hashes: 32 conditional sums in a
@@ -163,7 +212,9 @@ object DedupOps {
     * one identical band, so the banded join loses nothing). */
   def simhashDedup(docs: DataFrame, spark: SparkSession, maxHamming: Int = 3): DataFrame = {
     val postings = shinglePostings(docs)
-    val sh = simhashes(postings, spark)
+    // one row per doc; the banded self-join would otherwise run the
+    // 32-column aggregation twice
+    val sh = simhashes(postings, spark).cache()
     val bands = spark.range(4).withColumnRenamed("id", "b")
     val banded = sh.crossJoin(broadcast(bands))
       .withColumn("band_val", expr("shiftright(simhash, cast(b * 8 as int)) % 256"))
@@ -189,7 +240,8 @@ object DedupPack extends QueryPack {
     "dedup_exact" -> ((s, dir) => DedupOps.exact(d(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) => DedupOps.ngramJaccard(d(s, dir))),
     "dedup_minhash" -> ((s, dir) => DedupOps.minhashLsh(d(s, dir), s)),
-    "dedup_simhash" -> ((s, dir) => DedupOps.simhashDedup(d(s, dir), s))
+    "dedup_simhash" -> ((s, dir) => DedupOps.simhashDedup(d(s, dir), s)),
+    "pair_longest_span" -> ((s, dir) => DedupOps.pairLongestSpan(d(s, dir)))
   )
 
   /** Shared SQL: distinct (doc_id, 31-bit shingle hash) postings. */
@@ -277,6 +329,50 @@ object DedupPack extends QueryPack {
          |SELECT a.doc_id AS da, b.doc_id AS db,
          |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
          |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    // longest shared token span: 1-based positions vs Spark's 0-based is
+    // irrelevant — diagonals and run lengths are shift-invariant
+    "pair_longest_span" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |shp AS (
+        |  SELECT doc_id, i AS pa,
+        |         CAST(CAST(('0x' || substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 18, 15)) AS UBIGINT)
+        |              % 2147483647 AS BIGINT) AS x31
+        |  FROM toks, range(1, 1000) r(i)
+        |  WHERE i + 2 <= len(t)
+        |),
+        |sh AS (SELECT DISTINCT doc_id, x31 FROM shp),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM sh a JOIN sh b ON a.x31 = b.x31 AND a.doc_id < b.doc_id
+        |),
+        |inter AS (
+        |  SELECT c.da, c.db, COUNT(*) AS inter
+        |  FROM cand c
+        |  JOIN sh a ON a.doc_id = c.da
+        |  JOIN sh b ON b.doc_id = c.db AND a.x31 = b.x31
+        |  GROUP BY c.da, c.db
+        |),
+        |keep AS (
+        |  SELECT i.da, i.db FROM inter i
+        |  JOIN sizes sa ON i.da = sa.doc_id
+        |  JOIN sizes sb ON i.db = sb.doc_id
+        |  WHERE (i.inter / CAST(sa.n_shingles + sb.n_shingles - i.inter AS DOUBLE)) * 10000 + 0.5 >= 5000
+        |),
+        |m AS (
+        |  SELECT DISTINCT k.da, k.db, a.pa, b.pa AS pb
+        |  FROM keep k
+        |  JOIN shp a ON a.doc_id = k.da
+        |  JOIN shp b ON b.doc_id = k.db AND b.x31 = a.x31
+        |),
+        |r AS (
+        |  SELECT da, db, pa - pb AS diag, pa,
+        |         pa - ROW_NUMBER() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) AS grp
+        |  FROM m
+        |),
+        |runs AS (SELECT da, db, COUNT(*) AS runlen FROM r GROUP BY da, db, diag, grp)
+        |SELECT da, db, CAST(MAX(runlen) + 2 AS BIGINT) AS longest_tokens
+        |FROM runs GROUP BY da, db""".stripMargin
   )
 }

@@ -24,6 +24,22 @@ object TextOps {
       size(tokens(col("text"))).as("n_tokens"),
       length(col("text")).as("n_chars"))
 
+  /** Per-language token-length distribution (exact percentiles): the
+    * corpus-audit view behind length-based quality cuts — pick the cut
+    * per language, not globally, since languages tokenize differently.
+    * One map-side-combinable aggregation; percentile state is per
+    * (lang) group, never a global sort. */
+  def langLengthStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), size(tokens(col("text"))).as("n_tokens"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        percentile(col("n_tokens"), lit(0.25)).as("p25_tokens"),
+        percentile(col("n_tokens"), lit(0.5)).as("p50_tokens"),
+        percentile(col("n_tokens"), lit(0.95)).as("p95_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+
   /** Quality scoring: stopword ratio, mean token length, composite score
     * (length/punct/stopword heuristics à la C4/Gopher quality filters). */
   def quality(docs: DataFrame): DataFrame = {
@@ -86,7 +102,8 @@ object TextPack extends QueryPack {
     "token_count" -> ((s, dir) => TextOps.tokenCount(d(s, dir))),
     "text_quality" -> ((s, dir) => TextOps.quality(d(s, dir))),
     "lang_id" -> ((s, dir) => TextOps.langId(d(s, dir))),
-    "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(d(s, dir)))
+    "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(d(s, dir))),
+    "lang_length_stats" -> ((s, dir) => TextOps.langLengthStats(d(s, dir)))
   )
 
   override def oracles: Map[String, String] = Map(
@@ -137,6 +154,13 @@ object TextPack extends QueryPack {
       """SELECT doc_id, md5(text) AS fp,
         |       md5(array_to_string((string_split(text, ' '))[1:5], ' ')) AS head_fp,
         |       substring(md5(text), 1, 8) AS fp_prefix
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "lang_length_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |       quantile_cont(len(string_split(text, ' ')), 0.25) AS p25_tokens,
+        |       quantile_cont(len(string_split(text, ' ')), 0.5) AS p50_tokens,
+        |       quantile_cont(len(string_split(text, ' ')), 0.95) AS p95_tokens,
+        |       CAST(MAX(len(string_split(text, ' '))) AS INT) AS max_tokens
+        |FROM documents GROUP BY lang""".stripMargin
   )
 }

@@ -40,6 +40,16 @@ class PrivacyVocabSpec extends SparkSpec {
     }
   }
 
+  test("longest shared span: a planted verbatim copy spans the whole document") {
+    val base = docs.filter(col("doc_id") === 13)
+    val nTok = base.select(size(split(col("text"), " ")).as("n")).collect()(0).getAs[Int]("n")
+    val planted = docs.unionByName(base.withColumn("doc_id", lit(99913L)))
+    val hit = graft.operators.DedupOps.pairLongestSpan(planted)
+      .filter(col("da") === 13 && col("db") === 99913L)
+      .collect()
+    assert(hit.length == 1 && hit(0).getAs[Long]("longest_tokens") == nTok.toLong)
+  }
+
   test("ivf probe-2: per-rank score dominates probe-1 (recall knob only adds candidates)") {
     val emb = Tables.embeddings(spark, sf)
     val p1 = AnnOps.ivfTopK(emb)
