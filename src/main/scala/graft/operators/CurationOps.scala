@@ -46,6 +46,33 @@ object CurationOps {
       .filter(col("n_shared_shingles") >= minShared)
   }
 
+  /** Bloom-prefiltered contamination: identical output to
+    * [[contamination]], different 100-TB shape. A Bloom sketch of the
+    * benchmark shingle set (KB-MB for millions of shingles) is built
+    * once and broadcast; the corpus postings drop non-matching rows
+    * map-side BEFORE any join, so the exact verification join only ever
+    * sees probable hits (~fpp of the corpus instead of all of it).
+    * False positives are eliminated by the exact join — the sketch only
+    * prunes, it never decides — which is why the DuckDB oracle is the
+    * same as the exact operator's. */
+  def contaminationBloom(docs: DataFrame, minShared: Long = 2L, fpp: Double = 0.01): DataFrame = {
+    val postings = DedupOps.shinglePostings(docs)
+    val isBench = col("doc_id") % BenchMod === BenchRem
+    val bench = postings.filter(isBench)
+      .select(col("x31"), col("doc_id").as("bench_id"))
+    val bloom = bench.stat.bloomFilter("x31", math.max(bench.count(), 1L), fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((x: Long) => bc.value.mightContainLong(x))
+    postings.filter(!isBench)
+      .filter(mightContain(col("x31")))
+      .join(broadcast(bench), "x31")
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("x31")).as("n_shared_shingles"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .filter(col("n_shared_shingles") >= minShared)
+  }
+
   /** Per-stratum sampling rates (percent kept), keyed on `lang`. */
   val SampleRates: Seq[(String, Int)] =
     Seq("en" -> 5, "zh" -> 10, "de" -> 25, "fr" -> 50, "es" -> 75)
@@ -161,6 +188,7 @@ object CurationPack extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "contamination" -> ((s, dir) => CurationOps.contamination(d(s, dir))),
+    "contamination_bloom" -> ((s, dir) => CurationOps.contaminationBloom(d(s, dir))),
     "stratified_sample" -> ((s, dir) => CurationOps.stratifiedSample(d(s, dir))),
     "rep_top_token" -> ((s, dir) => CurationOps.repTopToken(d(s, dir))),
     "rep_bigram_frac" -> ((s, dir) => CurationOps.repBigramFrac(d(s, dir))),
@@ -179,17 +207,21 @@ object CurationPack extends QueryPack {
       |  FROM toks, range(1, 1000) r(i) WHERE i + 2 <= len(t)
       |)""".stripMargin
 
+  private val ContaminationSql =
+    s"""WITH $ShingleCte,
+       |bench AS (SELECT doc_id AS bench_id, x31 FROM sh WHERE doc_id % 97 = 13),
+       |cand AS (SELECT doc_id, x31 FROM sh WHERE doc_id % 97 <> 13)
+       |SELECT c.doc_id,
+       |       CAST(COUNT(DISTINCT c.x31) AS BIGINT) AS n_shared_shingles,
+       |       CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+       |FROM cand c JOIN bench b ON c.x31 = b.x31
+       |GROUP BY c.doc_id
+       |HAVING COUNT(DISTINCT c.x31) >= 2""".stripMargin
+
   override def oracles: Map[String, String] = Map(
-    "contamination" ->
-      s"""WITH $ShingleCte,
-         |bench AS (SELECT doc_id AS bench_id, x31 FROM sh WHERE doc_id % 97 = 13),
-         |cand AS (SELECT doc_id, x31 FROM sh WHERE doc_id % 97 <> 13)
-         |SELECT c.doc_id,
-         |       CAST(COUNT(DISTINCT c.x31) AS BIGINT) AS n_shared_shingles,
-         |       CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
-         |FROM cand c JOIN bench b ON c.x31 = b.x31
-         |GROUP BY c.doc_id
-         |HAVING COUNT(DISTINCT c.x31) >= 2""".stripMargin,
+    "contamination" -> ContaminationSql,
+    // the Bloom sketch only prunes; the exact join decides — same oracle
+    "contamination_bloom" -> ContaminationSql,
     "stratified_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

@@ -163,23 +163,30 @@ object DedupOps {
     * and matches only form for candidate docs (semi-filtered first). */
   def pairLongestSpan(docs: DataFrame, thresholdE4: Long = 5000L): DataFrame = {
     val pairs = ngramJaccard(docs, thresholdE4).select("da", "db")
+    val candDocs = pairs.select(col("da").as("doc_id"))
+      .unionByName(pairs.select(col("db").as("doc_id")))
+      .distinct()
+    // positions are only needed for candidate docs — filter BEFORE the
+    // explode+window, so the position build is |candidates|-sized, not
+    // |corpus|-sized
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val posPostings = docs
+    val rp = docs
+      .join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
       .withColumn("t1", lead("tok", 1).over(w))
       .withColumn("t2", lead("tok", 2).over(w))
       .filter(col("t2").isNotNull)
       .select(col("doc_id"), col("pos"),
         stableHash31(concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("x31"))
-    val candDocs = pairs.select(col("da").as("doc_id"))
-      .unionByName(pairs.select(col("db").as("doc_id")))
-      .distinct()
-    val rp = posPostings.join(candDocs, Seq("doc_id"), "left_semi")
-    val matches = rp.as("a")
-      .join(rp.as("b"), col("a.x31") === col("b.x31") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        col("a.pos").as("pa"), col("b.pos").as("pb"))
-      .join(pairs, Seq("da", "db"), "left_semi")
+    // Join positions THROUGH the pair list, never a global x31 self-join:
+    // a hot trigram shared by hundreds of candidate docs would square in
+    // a global join, while per-pair matching is bounded by |pairs| x
+    // (matches within one pair). The pair list is broadcast-sized by
+    // construction (it passed a similarity threshold).
+    val matches = broadcast(pairs)
+      .join(rp.as("a"), col("da") === col("a.doc_id"))
+      .join(rp.as("b"), col("db") === col("b.doc_id") && col("a.x31") === col("b.x31"))
+      .select(col("da"), col("db"), col("a.pos").as("pa"), col("b.pos").as("pb"))
       .distinct()
     val w2 = Window.partitionBy("da", "db", "diag").orderBy("pa")
     matches

@@ -40,6 +40,12 @@ class PrivacyVocabSpec extends SparkSpec {
     }
   }
 
+  test("bloom-prefiltered contamination is row-identical to the exact operator") {
+    val exact = CurationOps.contamination(docs, minShared = 1L).collect().toSet
+    val bloom = CurationOps.contaminationBloom(docs, minShared = 1L).collect().toSet
+    assert(exact.nonEmpty && bloom == exact)
+  }
+
   test("longest shared span: a planted verbatim copy spans the whole document") {
     val base = docs.filter(col("doc_id") === 13)
     val nTok = base.select(size(split(col("text"), " ")).as("n")).collect()(0).getAs[Int]("n")
