@@ -25,6 +25,10 @@ object Bench {
       .config("spark.executor.heartbeat.maxFailures", "200")
       .config("spark.network.timeout", "600s")
       .config("spark.sql.broadcastTimeout", "1200")
+      // local-mode JVMs accumulate shuffle files until a driver GC fires
+      // the ContextCleaner (default periodic GC: 30 min) — with /dev/shm
+      // shuffle dirs that litter is RAM; clean on a tight cadence
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -50,16 +54,21 @@ object Bench {
         name -> dt
       }
     val p1 = onePass(1)
+    // nudge the ContextCleaner between passes: drops pass-1 shuffle files
+    // from /dev/shm before pass 2 re-measures
+    System.gc()
     val p2 = onePass(2)
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     val probeAfter = cpuProbe()
 
-    // keep this line SHORT (3-decimal values): the driver captures only the
-    // tail of the build output, and a full-precision 71-query line overflowed
-    // that window in round 1 ("parsed": null)
+    // keep this line SHORT (2-decimal per-query values): the driver captures
+    // only the tail of the build output, and a full-precision 71-query line
+    // overflowed that window in round 1 ("parsed": null); 82 queries at 3
+    // decimals brushed 2 kchars
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min","cpu_probe_sec":[${f3(probeBefore)},${f3(probeAfter)}]}""")

@@ -36,6 +36,10 @@ object GraftSession {
       .config("spark.executor.heartbeat.maxFailures", "200")
       .config("spark.network.timeout", "600s")
       .config("spark.sql.broadcastTimeout", "1200")
+      // local-mode JVMs accumulate shuffle files until a driver GC fires
+      // the ContextCleaner (default periodic GC: 30 min) — with /dev/shm
+      // shuffle dirs that litter is RAM; clean on a tight cadence
+      .config("spark.cleaner.periodicGC.interval", "2min")
 
   def get(): SparkSession = {
     val spark = builder().getOrCreate()

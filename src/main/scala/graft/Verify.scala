@@ -20,6 +20,10 @@ object Verify {
       .config("spark.executor.heartbeat.maxFailures", "200")
       .config("spark.network.timeout", "600s")
       .config("spark.sql.broadcastTimeout", "1200")
+      // local-mode JVMs accumulate shuffle files until a driver GC fires
+      // the ContextCleaner (default periodic GC: 30 min) — with /dev/shm
+      // shuffle dirs that litter is RAM; clean on a tight cadence
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -110,7 +110,11 @@ object DedupOps {
     * threshold. */
   def ngramJaccard(docs: DataFrame, thresholdE4: Long = 8000L): DataFrame = {
     val postings = shinglePostings(docs)
-    verifyJaccard(postings, None).filter(col("jaccard_e4") >= thresholdE4)
+    // cache BELOW the threshold filter: the unfiltered pair-Jaccard table
+    // is identical across thresholds, so the jaccard/clusters/span
+    // operators (8000 vs 5000) share one materialization of the df²
+    // self-join instead of re-running it per query
+    verifyJaccard(postings, None).cache().filter(col("jaccard_e4") >= thresholdE4)
   }
 
   val MinhashK = 12

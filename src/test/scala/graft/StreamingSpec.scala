@@ -31,6 +31,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pii redaction runs unchanged on a stream (stateless narrow transform)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, String, Long, String)]
+    val df = input.toDF().toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    val q = graft.operators.PrivacyOps.piiRedact(df)
+      .writeStream.format("memory").queryName("pii_out").outputMode("append").start()
+    try {
+      input.addData((7L, "Customer#000000007", 3L, "BUILDING"))
+      q.processAllAvailable()
+      val out = s.sql("SELECT * FROM pii_out").collect()
+      assert(out.length == 1)
+      val r = out(0)
+      assert(r.getAs[Int]("n_phone") == 1 && r.getAs[Int]("n_email") == 1)
+      assert(r.getAs[String]("redacted").contains("<tel>") &&
+        r.getAs[String]("redacted").contains("<email>"))
+    } finally q.stop()
+  }
+
   test("distributor stream suppresses repeated tables within 6h (O-55)") {
     val s = spark
     import s.implicits._
