@@ -61,17 +61,29 @@ object Bench {
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     val probeAfter = cpuProbe()
 
-    // keep this line SHORT (2-decimal per-query values): the driver captures
-    // only the tail of the build output, and a full-precision 71-query line
-    // overflowed that window in round 1 ("parsed": null); 82 queries at 3
-    // decimals brushed 2 kchars
+    // keep this line SHORT: the driver tail-captures exactly 2000 chars of
+    // build output and sbt appends a ~76-char "[success] Total time" line,
+    // so the whole JSON must fit in ~1900 chars or "parsed" comes back null
+    // (it did in rounds 1-2). 82+ queries only fit at 1-decimal per-query
+    // precision (trailing ".0" stripped); the gate is the 2x-of-baseline
+    // TOTAL, which keeps 2 decimals. Full 3-decimal per-query values go to
+    // stderr for local analysis.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + f2(v) }
+    def f1(v: Double): String =
+      "%.1f".formatLocal(java.util.Locale.ROOT, v).stripSuffix(".0") match {
+        case "" => "0"
+        case s => s
+      }
+    val sorted = results.toSeq.sortBy(_._1)
+    System.err.println(sorted.map { case (k, v) => s"$k=${f3(v)}" }.mkString("[bench-full] ", ",", ""))
+    val qs = sorted
+      .map { case (k, v) => "\"" + k + "\":" + f1(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min","cpu_probe_sec":[${f3(probeBefore)},${f3(probeAfter)}]}""")
+    val sfName = sfDir.split('/').last
+    System.err.println(s"[bench-probe] cpu_probe_sec=[${f3(probeBefore)},${f3(probeAfter)}]")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfName","runs":2,"agg":"min"}""")
     spark.stop()
   }
 }

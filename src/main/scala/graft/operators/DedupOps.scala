@@ -39,13 +39,17 @@ object DedupOps {
   /** Dev-tool hook (ProfileMinhash). */
   private[graft] def postingsForProfile(docs: DataFrame): DataFrame = shinglePostings(docs)
 
+  /** Dev-tool hook (TimeSeq cache probe): the postings plan WITHOUT the
+    * .cache() registration, so a CacheManager lookup reflects reality. */
+  private[graft] def postingsPlanForProbe(docs: DataFrame): DataFrame = postingsPlan(docs)
+
   /** Distinct (doc_id, shingle-hash) postings — shared by minhash /
     * simhash / jaccard. Shingles come from posexplode + two window leads
     * rather than a higher-order `transform` lambda: the window variant is
     * fully codegen'd (3-5× faster locally), and its doc_id shuffle is
     * reused by the very next distinct/groupBy stages, so no extra
     * exchange survives at scale. */
-  private[operators] def shinglePostings(docs: DataFrame): DataFrame = {
+  private def postingsPlan(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     docs
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
@@ -55,16 +59,18 @@ object DedupOps {
       .select(col("doc_id"),
         stableHash31(concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("x31"))
       .distinct()
-      // Materialize once, share everywhere: the dedup/curation family
-      // references the postings 5+ times per query (signatures, the df²
-      // self-join, sizes, candidate restriction) and Spark re-derives the
-      // whole explode+window subtree per reference (28 parquet scans in
-      // the minhash plan before this). CacheManager keys on the canonical
-      // plan, so every operator over the same docs converges to ONE
-      // shared entry; MEMORY_AND_DISK spills instead of OOMing at scale —
-      // the classic "build the posting list once" pattern.
-      .cache()
   }
+
+  private[operators] def shinglePostings(docs: DataFrame): DataFrame =
+    // Materialize once, share everywhere: the dedup/curation family
+    // references the postings 5+ times per query (signatures, the df²
+    // self-join, sizes, candidate restriction) and Spark re-derives the
+    // whole explode+window subtree per reference (28 parquet scans in
+    // the minhash plan before this). CacheManager keys on the canonical
+    // plan, so every operator over the same docs converges to ONE
+    // shared entry; MEMORY_AND_DISK spills instead of OOMing at scale —
+    // the classic "build the posting list once" pattern.
+    postingsPlan(docs).cache()
 
   private def shingleSizes(postings: DataFrame): DataFrame =
     postings.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
@@ -280,7 +286,7 @@ object DedupPack extends QueryPack {
        |FROM inter i
        |JOIN sizes sa ON i.da = sa.doc_id
        |JOIN sizes sb ON i.db = sb.doc_id
-       |WHERE (i.inter / CAST(sa.n_shingles + sb.n_shingles - i.inter AS DOUBLE)) * 10000 + 0.5 >= $threshold + 0.5""".stripMargin
+       |WHERE (i.inter / CAST(sa.n_shingles + sb.n_shingles - i.inter AS DOUBLE)) * 10000 + 0.5 >= $threshold""".stripMargin
 
   override def oracles: Map[String, String] = Map(
     "dedup_exact" ->

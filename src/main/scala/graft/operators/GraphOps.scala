@@ -117,7 +117,7 @@ object GraphPack extends QueryPack {
         |  SELECT i.da, i.db FROM inter i
         |  JOIN sizes sa ON i.da = sa.doc_id
         |  JOIN sizes sb ON i.db = sb.doc_id
-        |  WHERE (i.inter / CAST(sa.n_shingles + sb.n_shingles - i.inter AS DOUBLE)) * 10000 + 0.5 >= 8000.5
+        |  WHERE (i.inter / CAST(sa.n_shingles + sb.n_shingles - i.inter AS DOUBLE)) * 10000 + 0.5 >= 8000
         |),
         |edges AS (SELECT da, db FROM pairs UNION ALL SELECT db AS da, da AS db FROM pairs),
         |nodes AS (SELECT DISTINCT da AS doc FROM edges),
