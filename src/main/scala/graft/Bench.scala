@@ -83,7 +83,9 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfName = sfDir.split('/').last
     System.err.println(s"[bench-probe] cpu_probe_sec=[${f3(probeBefore)},${f3(probeAfter)}]")
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfName","runs":2,"agg":"min"}""")
+    // methodology (2 passes, per-query min — see header comment) lives in
+    // stderr + docs, not the JSON line: every byte here is budget
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -132,6 +132,45 @@ object AnnOps {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** Int8 scalar quantization: per-vector scale = max|v_d|, codes
+    * q_d = floor(v_d / scale * 127 + 0.5) in [-127, 127]. Quartering the
+    * bytes is the point at 100 TB — the corpus side of every ANN join
+    * shuffles/broadcasts int8-sized codes instead of floats, and the
+    * integer dot products are exact (no FP-order concerns at all). */
+  def quantizedSq8(embeddings: DataFrame): DataFrame = {
+    val vd = transform(col("embedding"), x => x.cast("double"))
+    val scale = array_max(transform(col("v"), x => abs(x)))
+    embeddings
+      .select(col("vec_id"), vd.as("v"))
+      .withColumn("scale", scale)
+      .select(
+        col("vec_id"), col("scale"),
+        when(col("scale") === 0.0, transform(col("v"), _ => lit(0L)))
+          .otherwise(transform(col("v"),
+            x => floor(x / col("scale") * 127.0 + 0.5).cast("long")))
+          .as("q"))
+      .withColumn("qn", sqrt(aggregate(col("q"), lit(0L), (a, x) => a + x * x).cast("double")))
+  }
+
+  /** Brute-force top-k over the int8 codes: the approximate twin of
+    * [[bruteTopK]] — integer dot product, ranked on the quantized cosine.
+    * Exact integer arithmetic end-to-end until the final divide, so the
+    * oracle agrees bit-for-bit. */
+  def sq8TopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val q = quantizedSq8(embeddings)
+    val queries = q.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("qn").as("qqn"))
+    val scored = q
+      .join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        floor(
+          aggregate(zip_with(col("qq"), col("q"), (a, b) => a * b), lit(0L), (a, x) => a + x)
+            .cast("double") / (col("qqn") * col("qn")) * 10000 + 0.5)
+          .cast("long").as("cos8_e4"))
+    val w = Window.partitionBy("qid").orderBy(col("cos8_e4").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** Embedding near-dup pairs, blocked by LSH bucket (the 100-TB path:
     * pairs only form inside buckets). */
   def nearDupPairs(embeddings: DataFrame, spark: SparkSession, thresholdE4: Long = 4000L): DataFrame = {
@@ -155,6 +194,7 @@ object AnnPack extends QueryPack {
     "ann_lsh_topk" -> ((s, dir) => AnnOps.lshTopK(e(s, dir), s)),
     "ann_ivf_topk" -> ((s, dir) => AnnOps.ivfTopK(e(s, dir))),
     "ann_ivf_probe2" -> ((s, dir) => AnnOps.ivfTopK(e(s, dir), nprobe = 2)),
+    "ann_sq8" -> ((s, dir) => AnnOps.sq8TopK(e(s, dir))),
     "embedding_near_dups" -> ((s, dir) => AnnOps.nearDupPairs(e(s, dir), s))
   )
 
@@ -250,6 +290,34 @@ object AnnPack extends QueryPack {
          |SELECT qid, vec_id, cosine_e4, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
     "ann_ivf_topk" -> ivfSql(1),
     "ann_ivf_probe2" -> ivfSql(2),
+    "ann_sq8" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS s,
+        |         CASE WHEN list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) = 0
+        |              THEN list_transform(embedding::DOUBLE[], x -> CAST(0 AS BIGINT))
+        |              ELSE list_transform(embedding::DOUBLE[],
+        |                     x -> CAST(FLOOR(x / list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) * 127 + 0.5) AS BIGINT))
+        |         END AS q
+        |  FROM embeddings
+        |),
+        |qn AS (
+        |  SELECT vec_id, q,
+        |         sqrt(CAST(list_reduce(list_transform(q, x -> x * x), (a, b) -> a + b) AS DOUBLE)) AS qn
+        |  FROM q
+        |),
+        |scored AS (
+        |  SELECT qa.vec_id AS qid, ca.vec_id AS vec_id,
+        |         CAST(FLOOR(CAST(list_reduce(list_transform(range(1, 65), d -> qa.q[d] * ca.q[d]), (x, y) -> x + y) AS DOUBLE)
+        |                    / (qa.qn * ca.qn) * 10000 + 0.5) AS BIGINT) AS cos8_e4
+        |  FROM qn qa JOIN qn ca ON ca.vec_id <> qa.vec_id
+        |  WHERE qa.vec_id < 10
+        |),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos8_e4 DESC, vec_id) AS rnk
+        |  FROM scored
+        |)
+        |SELECT qid, vec_id, cos8_e4, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
     "embedding_near_dups" ->
       s"""WITH $normSql, $bucketSql,
          |nb AS (SELECT n.vec_id, n.v, n.nrm, bk.bucket FROM n JOIN bk ON n.vec_id = bk.vec_id)

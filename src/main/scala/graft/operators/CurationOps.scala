@@ -163,6 +163,100 @@ object CurationOps {
       .filter(col("rnk") <= k)
   }
 
+  /** Deterministic train/val/test assignment: an md5-derived bucket in
+    * [0,1000) per doc — <980 train, <990 val, else test — rolled up to
+    * per-(split, lang) doc and token counts. The md5 key makes the split
+    * reproducible across runs, engines, and re-shards (no RNG state to
+    * seed, no sampling drift when the corpus grows); the rollup is one
+    * map-side-combined aggregation. */
+  def splitAssign(docs: DataFrame): DataFrame = {
+    val bucket =
+      (conv(substring(md5(col("doc_id").cast("string")), 18, 15), 16, 10)
+        .cast("long") % 1000L)
+    docs
+      .select(
+        col("lang"),
+        when(bucket < 980, "train").when(bucket < 990, "val").otherwise("test").as("split"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+  }
+
+  /** Per-source document cap (the Common-Crawl-style domain cap): at most
+    * `cap` docs kept per source, chosen by a deterministic md5 priority so
+    * the survivors are a stable pseudo-random sample, not "first by id".
+    * One window over the source partitioning — at 100 TB this is the
+    * hot-domain skew pattern, and the md5 priority keeps any one reducer
+    * from seeing more than a domain's docs (AQE splits the rest). */
+  def sourceCaps(docs: DataFrame, cap: Int = 15): DataFrame = {
+    val prio = conv(substring(md5(col("doc_id").cast("string")), 18, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy("source").orderBy(col("prio"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("source"), prio.as("prio"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .select(col("doc_id"), col("source"), col("rk"))
+  }
+
+  /** Tokens that count as stopwords for the quality rules. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is", "that")
+
+  /** Gopher-style per-doc quality rules: word-count bounds, mean-word-
+    * length bounds, minimum stopword fraction, minimum alphabetic-token
+    * fraction — each emitted as a scaled-int signal plus the combined
+    * pass flag. Single explode + one per-doc aggregation, no shuffle
+    * beyond the doc_id rollup. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val isStop = Stopwords
+      .foldRight(lit(false)) { case (s, acc) => (col("tok") === s) || acc }
+    docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("tok")).cast("long")).as("n_chars"),
+        sum(when(isStop, 1L).otherwise(0L)).as("n_stop"),
+        sum(when(col("tok").rlike("[a-zA-Z]"), 1L).otherwise(0L)).as("n_alpha"))
+      .select(
+        col("doc_id"), col("n_words"),
+        floor(col("n_chars").cast("double") / col("n_words").cast("double") * 10000 + 0.5)
+          .cast("long").as("mwl_e4"),
+        floor(col("n_stop").cast("double") / col("n_words").cast("double") * 10000 + 0.5)
+          .cast("long").as("stop_e4"),
+        floor(col("n_alpha").cast("double") / col("n_words").cast("double") * 10000 + 0.5)
+          .cast("long").as("alpha_e4"))
+      .withColumn("pass",
+        col("n_words").between(50, 100000) &&
+          col("mwl_e4").between(30000L, 100000L) &&
+          col("stop_e4") >= 600L && col("alpha_e4") >= 8000L)
+  }
+
+  /** Context-length bucket boundaries for the packing plan. */
+  val PackBuckets: Seq[Int] = Seq(16, 32, 48, 64, 96, 128)
+
+  /** Sequence-packing plan: each doc lands in the smallest context bucket
+    * that fits its token count; per bucket, the doc count, token total,
+    * and padding waste (bucket width minus tokens) — the numbers a batch
+    * packer needs to size its bins. Pure per-row math + one tiny
+    * aggregation. */
+  def lenBuckets(docs: DataFrame): DataFrame = {
+    val n = size(tokens(col("text"))).cast("long")
+    // ctx = smallest bucket that fits; 0 = overflow (doc needs chunking,
+    // no padding waste attributed)
+    val bucket = PackBuckets
+      .foldRight(lit(0L): org.apache.spark.sql.Column) { case (b, acc) =>
+        when(n <= b, lit(b.toLong)).otherwise(acc)
+      }
+    docs
+      .select(bucket.as("ctx"), n.as("n_toks"))
+      .groupBy("ctx")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(when(col("ctx") > 0, col("ctx") - col("n_toks")).otherwise(0L)).as("waste"))
+  }
+
   /** Duplicate-bigram fraction: 1 - distinct(bigrams)/total(bigrams) per
     * doc — high values mean boilerplate/repetition (the Gopher
     * "duplicate n-gram fraction" filter). Same posexplode + lead shape as
@@ -193,7 +287,11 @@ object CurationPack extends QueryPack {
     "rep_top_token" -> ((s, dir) => CurationOps.repTopToken(d(s, dir))),
     "rep_bigram_frac" -> ((s, dir) => CurationOps.repBigramFrac(d(s, dir))),
     "cross_doc_shared" -> ((s, dir) => CurationOps.crossDocShared(d(s, dir))),
-    "vocab_top_grams" -> ((s, dir) => CurationOps.vocabTopGrams(d(s, dir)))
+    "vocab_top_grams" -> ((s, dir) => CurationOps.vocabTopGrams(d(s, dir))),
+    "splits" -> ((s, dir) => CurationOps.splitAssign(d(s, dir))),
+    "src_caps" -> ((s, dir) => CurationOps.sourceCaps(d(s, dir))),
+    "gopher" -> ((s, dir) => CurationOps.gopherRules(d(s, dir))),
+    "packing" -> ((s, dir) => CurationOps.lenBuckets(d(s, dir)))
   )
 
   // Shared shingle CTE: identical to the dedup oracles' 3-gram pipeline
@@ -268,6 +366,66 @@ object CurationPack extends QueryPack {
          |                  / CAST(COUNT(*) AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS shared_e4
          |FROM sh JOIN df ON sh.x31 = df.x31
          |GROUP BY sh.doc_id""".stripMargin,
+    "splits" ->
+      """WITH b AS (
+        |  SELECT lang,
+        |         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 18, 15)) AS UBIGINT) % 1000 AS BIGINT) AS bucket,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents
+        |)
+        |SELECT CASE WHEN bucket < 980 THEN 'train' WHEN bucket < 990 THEN 'val' ELSE 'test' END AS split,
+        |       lang, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+        |FROM b GROUP BY 1, 2""".stripMargin,
+    "src_caps" ->
+      """WITH p AS (
+        |  SELECT doc_id, source,
+        |         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 18, 15)) AS UBIGINT) AS BIGINT) AS prio
+        |  FROM documents
+        |),
+        |r AS (
+        |  SELECT doc_id, source,
+        |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY prio, doc_id) AS rk
+        |  FROM p
+        |)
+        |SELECT doc_id, source, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 15""".stripMargin,
+    "gopher" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |),
+        |agg AS (
+        |  SELECT doc_id,
+        |         CAST(COUNT(*) AS BIGINT) AS n_words,
+        |         CAST(SUM(len(tok)) AS BIGINT) AS n_chars,
+        |         CAST(SUM(CASE WHEN tok IN ('the','a','of','to','and','in','is','that') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+        |         CAST(SUM(CASE WHEN regexp_matches(tok, '[a-zA-Z]') THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha
+        |  FROM toks GROUP BY doc_id
+        |),
+        |sig AS (
+        |  SELECT doc_id, n_words,
+        |         CAST(FLOOR(CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS mwl_e4,
+        |         CAST(FLOOR(CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS stop_e4,
+        |         CAST(FLOOR(CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS alpha_e4
+        |  FROM agg
+        |)
+        |SELECT *, (n_words BETWEEN 50 AND 100000) AND (mwl_e4 BETWEEN 30000 AND 100000)
+        |          AND stop_e4 >= 600 AND alpha_e4 >= 8000 AS pass
+        |FROM sig""".stripMargin,
+    "packing" ->
+      """WITH n AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks FROM documents
+        |),
+        |b AS (
+        |  SELECT n_toks,
+        |         CASE WHEN n_toks <= 16 THEN 16 WHEN n_toks <= 32 THEN 32
+        |              WHEN n_toks <= 48 THEN 48 WHEN n_toks <= 64 THEN 64
+        |              WHEN n_toks <= 96 THEN 96 WHEN n_toks <= 128 THEN 128
+        |              ELSE 0 END AS ctx
+        |  FROM n
+        |)
+        |SELECT CAST(ctx AS BIGINT) AS ctx, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(CASE WHEN ctx > 0 THEN ctx - n_toks ELSE 0 END) AS BIGINT) AS waste
+        |FROM b GROUP BY ctx""".stripMargin,
     "vocab_top_grams" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |uni AS (SELECT 1 AS n, u.tok AS gram FROM toks, unnest(t) AS u(tok)),

@@ -70,6 +70,20 @@ object GraphOps {
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** The kept corpus after near-dup removal: every document except
+    * non-canonical cluster members (cluster_id = min doc_id wins). The
+    * end-to-end dedup pipeline output — clustering restricted the pair
+    * graph, so this is one broadcast-sized anti-join against the cluster
+    * labels, never a corpus-sized shuffle. */
+  def dedupKeep(docs: DataFrame, thresholdE4: Long = 8000L): DataFrame = {
+    val dupes = dedupClusters(docs, thresholdE4)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    docs
+      .join(broadcast(dupes), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
   /** Per-session funnel: stage flags (view → click → purchase) per
     * user-session, rolled into conversion counts per flag combination. */
   def sessionFunnel(events: DataFrame, gapUs: Long = 300000000L): DataFrame = {
@@ -95,39 +109,54 @@ object GraphOps {
 object GraphPack extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> ((s, d) => GraphOps.dedupClusters(Tables.documents(s, d))),
+    "dedup_keep" -> ((s, d) => GraphOps.dedupKeep(Tables.documents(s, d))),
     "session_funnel" -> ((s, d) => GraphOps.sessionFunnel(Tables.events(s, d)))
   )
 
+  /** Connected components over the verified >= 0.8-Jaccard pair graph as
+    * recursive CTEs: `labels(doc_id, cluster_id)`. */
+  private val ClustersCte =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         CAST(CAST(('0x' || substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 18, 15)) AS UBIGINT)
+      |              % 2147483647 AS BIGINT) AS x31
+      |  FROM toks, range(1, 1000) r(i) WHERE i + 2 <= len(t)
+      |),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT pa.doc_id AS da, pb.doc_id AS db, COUNT(*) AS inter
+      |  FROM sh pa JOIN sh pb ON pa.x31 = pb.x31 AND pa.doc_id < pb.doc_id
+      |  GROUP BY 1, 2
+      |),
+      |pairs AS (
+      |  SELECT i.da, i.db FROM inter i
+      |  JOIN sizes sa ON i.da = sa.doc_id
+      |  JOIN sizes sb ON i.db = sb.doc_id
+      |  WHERE (i.inter / CAST(sa.n_shingles + sb.n_shingles - i.inter AS DOUBLE)) * 10000 + 0.5 >= 8000
+      |),
+      |edges AS (SELECT da, db FROM pairs UNION ALL SELECT db AS da, da AS db FROM pairs),
+      |nodes AS (SELECT DISTINCT da AS doc FROM edges),
+      |reach(doc, lab) AS (
+      |  SELECT doc, doc FROM nodes
+      |  UNION
+      |  SELECT e.db, r.lab FROM reach r JOIN edges e ON e.da = r.doc
+      |),
+      |labels AS (
+      |  SELECT doc AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
+      |  FROM reach GROUP BY doc
+      |)""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     "dedup_clusters" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |         CAST(CAST(('0x' || substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 18, 15)) AS UBIGINT)
-        |              % 2147483647 AS BIGINT) AS x31
-        |  FROM toks, range(1, 1000) r(i) WHERE i + 2 <= len(t)
-        |),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT pa.doc_id AS da, pb.doc_id AS db, COUNT(*) AS inter
-        |  FROM sh pa JOIN sh pb ON pa.x31 = pb.x31 AND pa.doc_id < pb.doc_id
-        |  GROUP BY 1, 2
-        |),
-        |pairs AS (
-        |  SELECT i.da, i.db FROM inter i
-        |  JOIN sizes sa ON i.da = sa.doc_id
-        |  JOIN sizes sb ON i.db = sb.doc_id
-        |  WHERE (i.inter / CAST(sa.n_shingles + sb.n_shingles - i.inter AS DOUBLE)) * 10000 + 0.5 >= 8000
-        |),
-        |edges AS (SELECT da, db FROM pairs UNION ALL SELECT db AS da, da AS db FROM pairs),
-        |nodes AS (SELECT DISTINCT da AS doc FROM edges),
-        |reach(doc, lab) AS (
-        |  SELECT doc, doc FROM nodes
-        |  UNION
-        |  SELECT e.db, r.lab FROM reach r JOIN edges e ON e.da = r.doc
-        |)
-        |SELECT doc AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
-        |FROM reach GROUP BY doc""".stripMargin,
+      s"""WITH RECURSIVE $ClustersCte
+         |SELECT doc_id, cluster_id FROM labels""".stripMargin,
+    "dedup_keep" ->
+      s"""WITH RECURSIVE $ClustersCte
+         |SELECT d.doc_id, d.lang, d.source
+         |FROM documents d
+         |LEFT JOIN labels l ON d.doc_id = l.doc_id AND l.doc_id <> l.cluster_id
+         |WHERE l.doc_id IS NULL""".stripMargin,
     "session_funnel" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t,

@@ -74,4 +74,51 @@ class CurationSpec extends SparkSpec {
     assert(out.filter(col("dup_frac_e4") < 0 || col("dup_frac_e4") > 10000).count() == 0)
     assert(out.filter(col("n_distinct") > col("n_bigrams")).count() == 0)
   }
+
+  test("split assignment: partitions the corpus, train dominates, deterministic") {
+    val out = CurationOps.splitAssign(docs).cache()
+    val byCol = out.groupBy("split").agg(sum("n_docs").as("n")).collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("n")).toMap
+    assert(byCol.values.sum == docs.count())
+    // 98/1/1 buckets: train must dominate even on a small fixture
+    assert(byCol("train") > byCol.getOrElse("val", 0L) * 10)
+    assert(out.exceptAll(CurationOps.splitAssign(docs)).count() == 0)
+    out.unpersist()
+  }
+
+  test("source caps: at most `cap` docs per source, survivors deterministic") {
+    val out = CurationOps.sourceCaps(docs, cap = 7).cache()
+    val per = out.groupBy("source").agg(count(lit(1)).as("n"), max("rk").as("mr"))
+    assert(per.filter(col("n") > 7 || col("mr") > 7).count() == 0)
+    // every source with >= 7 docs keeps exactly 7
+    val eligible = docs.groupBy("source").agg(count(lit(1)).as("total"))
+      .filter(col("total") >= 7).count()
+    assert(per.filter(col("n") === 7).count() == eligible)
+    assert(out.exceptAll(CurationOps.sourceCaps(docs, cap = 7)).count() == 0)
+    out.unpersist()
+  }
+
+  test("gopher rules: signals bounded, pass iff every rule holds") {
+    val out = CurationOps.gopherRules(docs).cache()
+    assert(out.count() == docs.count())
+    assert(out.filter(col("stop_e4") < 0 || col("stop_e4") > 10000).count() == 0)
+    assert(out.filter(col("alpha_e4") < 0 || col("alpha_e4") > 10000).count() == 0)
+    val manual = out.filter(
+      col("n_words").between(50, 100000) &&
+        col("mwl_e4").between(30000L, 100000L) &&
+        col("stop_e4") >= 600L && col("alpha_e4") >= 8000L)
+    assert(out.filter(col("pass")).count() == manual.count())
+    out.unpersist()
+  }
+
+  test("packing buckets: docs conserved, waste consistent with totals") {
+    val out = CurationOps.lenBuckets(docs).cache()
+    assert(out.agg(sum("n_docs")).collect()(0).getLong(0) == docs.count())
+    // waste = sum(ctx)*n_docs - n_tokens for real buckets
+    assert(out.filter(col("ctx") > 0)
+      .filter(col("waste") =!= col("ctx") * col("n_docs") - col("n_tokens"))
+      .count() == 0)
+    assert(out.filter(col("ctx") === 0 && col("waste") =!= 0).count() == 0)
+    out.unpersist()
+  }
 }

@@ -22,14 +22,15 @@ class PlanQualitySpec extends SparkSpec {
     try {
       val li = graft.sources.Tables.lineitem(s, sf).select("l_orderkey", "l_quantity")
       val o = graft.sources.Tables.orders(s, sf).select("o_orderkey", "o_totalprice")
-      li.write.mode("overwrite").bucketBy(8, "l_orderkey").saveAsTable("li_b")
-      o.write.mode("overwrite").bucketBy(8, "o_orderkey").saveAsTable("o_b")
+      graft.sources.Bucketing.writeBucketed(li, "li_b", "l_orderkey", 8)
+      graft.sources.Bucketing.writeBucketed(o, "o_b", "o_orderkey", 8)
       val joined = s.table("li_b").join(s.table("o_b"),
         col("l_orderkey") === col("o_orderkey"))
       joined.count() // materialize with AQE final plan
       val plan = physical(joined)
       assert(!plan.contains("Exchange hashpartitioning"),
         s"bucketed join still shuffles:\n$plan")
+      assert(graft.sources.Bucketing.exchangeCount(joined) == 0)
     } finally {
       s.sql("DROP TABLE IF EXISTS li_b"); s.sql("DROP TABLE IF EXISTS o_b")
     }

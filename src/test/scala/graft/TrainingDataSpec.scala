@@ -51,6 +51,28 @@ class TrainingDataSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("sq8 ANN: codes bounded to int8 range, top-k close to float brute force") {
+    val q = AnnOps.quantizedSq8(embs)
+    assert(q.filter(exists(col("q"), x => abs(x) > 127)).count() == 0)
+    // recall@5 of the quantized ranking vs the exact one: int8 on 64 dims
+    // loses little — expect strong overlap
+    val exact = AnnOps.bruteTopK(embs, nQueries = 5, k = 5).select("qid", "vec_id")
+    val sq8 = AnnOps.sq8TopK(embs, nQueries = 5, k = 5).select("qid", "vec_id")
+    val overlap = exact.intersect(sq8).count()
+    assert(overlap >= 15, s"recall@5 too low: $overlap/25")
+  }
+
+  test("dedup keep: drops exactly the non-canonical cluster members") {
+    val keep = graft.operators.GraphOps.dedupKeep(docs).cache()
+    val clusters = graft.operators.GraphOps.dedupClusters(docs).cache()
+    val dropped = clusters.filter(col("doc_id") =!= col("cluster_id")).count()
+    assert(keep.count() == docs.count() - dropped)
+    // every cluster's canonical doc survives
+    val canon = clusters.select(col("cluster_id").as("doc_id")).distinct()
+    assert(canon.join(keep, "doc_id").count() == canon.count())
+    keep.unpersist(); clusters.unpersist()
+  }
+
   test("LSH ANN scores never beat the brute-force best for the same query") {
     val brute = AnnOps.bruteTopK(embs, nQueries = 5, k = 1)
       .select(col("qid"), col("cosine_e4").as("best"))
