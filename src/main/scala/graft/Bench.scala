@@ -77,15 +77,28 @@ object Bench {
       }
     val sorted = results.toSeq.sortBy(_._1)
     System.err.println(sorted.map { case (k, v) => s"$k=${f3(v)}" }.mkString("[bench-full] ", ",", ""))
-    val qs = sorted
-      .map { case (k, v) => "\"" + k + "\":" + f1(v) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfName = sfDir.split('/').last
     System.err.println(s"[bench-probe] cpu_probe_sec=[${f3(probeBefore)},${f3(probeAfter)}]")
     // methodology (2 passes, per-query min — see header comment) lives in
-    // stderr + docs, not the JSON line: every byte here is budget
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
+    // stderr + docs, not the JSON line: every byte here is budget.
+    // Self-protecting length: if weather inflates values (more digits) or
+    // queries are added, degrade per-query precision stepwise rather than
+    // ever letting the line overflow the 2000-char tail capture.
+    def render(coarse: Boolean): String = {
+      val qs = sorted
+        .map { case (k, v) =>
+          val s = if (coarse && v >= 10) f1(math.floor(v + 0.5)) else f1(v)
+          "\"" + k + "\":" + s
+        }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+    }
+    val line = {
+      val fine = render(coarse = false)
+      if (fine.length <= 1900) fine else render(coarse = true)
+    }
+    println(line)
     spark.stop()
   }
 }

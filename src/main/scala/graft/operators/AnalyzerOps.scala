@@ -94,10 +94,10 @@ object AnalyzerPack extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "table_totals" -> ((s, d) => AnalyzerOps.tableTotals(m(s, d))),
-    "size_histogram" -> ((s, d) => AnalyzerOps.sizeHistogram(m(s, d))),
-    "distribution_histogram" -> ((s, d) => AnalyzerOps.distributionHistogram(m(s, d))),
-    "locality_histogram" -> ((s, d) => AnalyzerOps.localityHistogram(m(s, d))),
-    "file_count_histogram" -> ((s, d) => AnalyzerOps.fileCountHistogram(m(s, d))),
+    "size_hist" -> ((s, d) => AnalyzerOps.sizeHistogram(m(s, d))),
+    "dist_hist" -> ((s, d) => AnalyzerOps.distributionHistogram(m(s, d))),
+    "loc_hist" -> ((s, d) => AnalyzerOps.localityHistogram(m(s, d))),
+    "files_hist" -> ((s, d) => AnalyzerOps.fileCountHistogram(m(s, d))),
     "weight_stats" -> ((s, d) => AnalyzerOps.weightStats(m(s, d))),
     "size_percentiles" -> ((s, d) => AnalyzerOps.sizePercentiles(m(s, d)))
   )
@@ -108,22 +108,22 @@ object AnalyzerPack extends QueryPack {
          |SELECT table_name, COUNT(*) AS n_regions,
          |       CAST(SUM(size_mb) AS BIGINT) AS total_size_mb
          |FROM region_metrics GROUP BY table_name""".stripMargin,
-    "size_histogram" ->
+    "size_hist" ->
       s"""WITH ${ClusterSql.regionMetrics}
          |SELECT CAST(FLOOR(size_mb / 1024.0) AS BIGINT) AS gb_bucket, COUNT(*) AS n_regions
          |FROM region_metrics GROUP BY 1""".stripMargin,
-    "distribution_histogram" ->
+    "dist_hist" ->
       s"""WITH ${ClusterSql.regionMetrics},
          |per_server AS (
          |  SELECT server, COUNT(*) AS regions_on_server FROM region_metrics GROUP BY server
          |)
          |SELECT regions_on_server, COUNT(*) AS n_servers FROM per_server GROUP BY 1""".stripMargin,
-    "locality_histogram" ->
+    "loc_hist" ->
       s"""WITH ${ClusterSql.regionMetrics}
          |SELECT CAST(FLOOR(locality * 10) * 10 AS BIGINT) AS locality_pct_bucket,
          |       COUNT(*) AS n_regions
          |FROM region_metrics GROUP BY 1""".stripMargin,
-    "file_count_histogram" ->
+    "files_hist" ->
       s"""WITH ${ClusterSql.regionMetrics}
          |SELECT file_count, COUNT(*) AS n_regions FROM region_metrics GROUP BY file_count""".stripMargin,
     "size_percentiles" ->

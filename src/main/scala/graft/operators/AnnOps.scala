@@ -171,6 +171,22 @@ object AnnOps {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** Recall@k of the LSH index against the exact brute-force ranking —
+    * the self-evaluation loop an ANN deployment runs on a sampled query
+    * set before trusting the index at full scale. recall_e4 is exact
+    * integer arithmetic (n_common × 10000 / k with k | 10000). */
+  def annRecall(embeddings: DataFrame, spark: SparkSession, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val brute = bruteTopK(embeddings, nQueries, k).select("qid", "vec_id")
+    val lsh = lshTopK(embeddings, spark, nQueries, k).select("qid", "vec_id")
+    val common = brute.join(lsh, Seq("qid", "vec_id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_common"))
+    brute.groupBy("qid").agg(count(lit(1)).as("n_brute"))
+      .join(common, Seq("qid"), "left")
+      .select(col("qid"), col("n_brute"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        (coalesce(col("n_common"), lit(0L)) * (10000L / k)).as("recall_e4"))
+  }
+
   /** Embedding near-dup pairs, blocked by LSH bucket (the 100-TB path:
     * pairs only form inside buckets). */
   def nearDupPairs(embeddings: DataFrame, spark: SparkSession, thresholdE4: Long = 4000L): DataFrame = {
@@ -195,7 +211,8 @@ object AnnPack extends QueryPack {
     "ann_ivf_topk" -> ((s, dir) => AnnOps.ivfTopK(e(s, dir))),
     "ann_ivf_probe2" -> ((s, dir) => AnnOps.ivfTopK(e(s, dir), nprobe = 2)),
     "ann_sq8" -> ((s, dir) => AnnOps.sq8TopK(e(s, dir))),
-    "embedding_near_dups" -> ((s, dir) => AnnOps.nearDupPairs(e(s, dir), s))
+    "ann_recall" -> ((s, dir) => AnnOps.annRecall(e(s, dir), s)),
+    "emb_near_dups" -> ((s, dir) => AnnOps.nearDupPairs(e(s, dir), s))
   )
 
   private val normSql =
@@ -318,7 +335,44 @@ object AnnPack extends QueryPack {
         |  FROM scored
         |)
         |SELECT qid, vec_id, cos8_e4, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
-    "embedding_near_dups" ->
+    "ann_recall" ->
+      s"""WITH $normSql, $bucketSql,
+         |nb AS (SELECT n.vec_id, n.v, n.nrm, bk.bucket FROM n JOIN bk ON n.vec_id = bk.vec_id),
+         |bscored AS (
+         |  SELECT qa.vec_id AS qid, ca.vec_id AS vec_id,
+         |         CAST($cosSql AS BIGINT) AS cosine_e4
+         |  FROM n qa JOIN n ca ON ca.vec_id <> qa.vec_id
+         |  WHERE qa.vec_id < 10
+         |),
+         |brute AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine_e4 DESC, vec_id) AS rnk
+         |    FROM bscored
+         |  ) WHERE rnk <= 5
+         |),
+         |lscored AS (
+         |  SELECT qa.vec_id AS qid, ca.vec_id AS vec_id,
+         |         CAST($cosSql AS BIGINT) AS cosine_e4
+         |  FROM nb qa JOIN nb ca ON qa.bucket = ca.bucket AND ca.vec_id <> qa.vec_id
+         |  WHERE qa.vec_id < 10
+         |),
+         |lsh AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine_e4 DESC, vec_id) AS rnk
+         |    FROM lscored
+         |  ) WHERE rnk <= 5
+         |),
+         |common AS (
+         |  SELECT b.qid, COUNT(*) AS n_common
+         |  FROM brute b JOIN lsh l ON b.qid = l.qid AND b.vec_id = l.vec_id
+         |  GROUP BY b.qid
+         |)
+         |SELECT b.qid, CAST(COUNT(*) AS BIGINT) AS n_brute,
+         |       CAST(COALESCE(ANY_VALUE(c.n_common), 0) AS BIGINT) AS n_common,
+         |       CAST(COALESCE(ANY_VALUE(c.n_common), 0) * 2000 AS BIGINT) AS recall_e4
+         |FROM brute b LEFT JOIN common c ON b.qid = c.qid
+         |GROUP BY b.qid""".stripMargin,
+    "emb_near_dups" ->
       s"""WITH $normSql, $bucketSql,
          |nb AS (SELECT n.vec_id, n.v, n.nrm, bk.bucket FROM n JOIN bk ON n.vec_id = bk.vec_id)
          |SELECT qa.vec_id AS va, ca.vec_id AS vb,

@@ -281,12 +281,12 @@ object CurationPack extends QueryPack {
   private def d(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "contamination" -> ((s, dir) => CurationOps.contamination(d(s, dir))),
-    "contamination_bloom" -> ((s, dir) => CurationOps.contaminationBloom(d(s, dir))),
-    "stratified_sample" -> ((s, dir) => CurationOps.stratifiedSample(d(s, dir))),
+    "contam" -> ((s, dir) => CurationOps.contamination(d(s, dir))),
+    "contam_bloom" -> ((s, dir) => CurationOps.contaminationBloom(d(s, dir))),
+    "strat_sample" -> ((s, dir) => CurationOps.stratifiedSample(d(s, dir))),
     "rep_top_token" -> ((s, dir) => CurationOps.repTopToken(d(s, dir))),
     "rep_bigram_frac" -> ((s, dir) => CurationOps.repBigramFrac(d(s, dir))),
-    "cross_doc_shared" -> ((s, dir) => CurationOps.crossDocShared(d(s, dir))),
+    "cross_doc" -> ((s, dir) => CurationOps.crossDocShared(d(s, dir))),
     "vocab_top_grams" -> ((s, dir) => CurationOps.vocabTopGrams(d(s, dir))),
     "splits" -> ((s, dir) => CurationOps.splitAssign(d(s, dir))),
     "src_caps" -> ((s, dir) => CurationOps.sourceCaps(d(s, dir))),
@@ -317,10 +317,10 @@ object CurationPack extends QueryPack {
        |HAVING COUNT(DISTINCT c.x31) >= 2""".stripMargin
 
   override def oracles: Map[String, String] = Map(
-    "contamination" -> ContaminationSql,
+    "contam" -> ContaminationSql,
     // the Bloom sketch only prunes; the exact join decides — same oracle
-    "contamination_bloom" -> ContaminationSql,
-    "stratified_sample" ->
+    "contam_bloom" -> ContaminationSql,
+    "strat_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang,
         |         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 18, 15)) AS UBIGINT) % 100 AS BIGINT) AS bucket,
@@ -356,7 +356,7 @@ object CurationPack extends QueryPack {
         |       CAST(COUNT(DISTINCT bg) AS BIGINT) AS n_distinct,
         |       CAST(FLOOR((1.0 - COUNT(DISTINCT bg) / CAST(COUNT(*) AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS dup_frac_e4
         |FROM bg GROUP BY doc_id""".stripMargin,
-    "cross_doc_shared" ->
+    "cross_doc" ->
       s"""WITH $ShingleCte,
          |df AS (SELECT x31, COUNT(*) AS df FROM sh GROUP BY x31)
          |SELECT sh.doc_id,

@@ -123,6 +123,30 @@ object DedupOps {
     verifyJaccard(postings, None).cache().filter(col("jaccard_e4") >= thresholdE4)
   }
 
+  /** Incremental ingest dedup: admit docs from a new batch (doc_id >=
+    * `watermarkId` in the fixture; a date/partition predicate in
+    * production) only if their content fingerprint is absent from the
+    * existing corpus AND first within the batch. The growing-corpus
+    * pattern: the old side reduces to a fingerprint set (16-byte keys,
+    * not documents), the within-batch tie falls to min doc_id, and both
+    * checks ride one shuffle on the fingerprint — the batch twin of
+    * streaming/StreamingOps.ingestDedupStream's watermark state. The
+    * fingerprint is the same head key exact() uses (first 5 tokens);
+    * production swaps in whatever canonicalized content hash it trusts. */
+  def incrDedup(docs: DataFrame, watermarkId: Long): DataFrame = {
+    val keyed = docs.select(
+      col("doc_id"),
+      md5(array_join(slice(tokens(col("text")), 1, 5), " ")).as("fp"))
+    val existing = keyed.filter(col("doc_id") < watermarkId).select("fp").distinct()
+    val batch = keyed.filter(col("doc_id") >= watermarkId)
+    val w = Window.partitionBy("fp").orderBy("doc_id")
+    batch
+      .join(existing, Seq("fp"), "left_anti")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("fp"))
+  }
+
   val MinhashK = 12
   val BandSize = 3
 
@@ -255,10 +279,11 @@ object DedupPack extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) => DedupOps.exact(d(s, dir))),
-    "dedup_ngram_jaccard" -> ((s, dir) => DedupOps.ngramJaccard(d(s, dir))),
+    "dedup_jaccard" -> ((s, dir) => DedupOps.ngramJaccard(d(s, dir))),
     "dedup_minhash" -> ((s, dir) => DedupOps.minhashLsh(d(s, dir), s)),
     "dedup_simhash" -> ((s, dir) => DedupOps.simhashDedup(d(s, dir), s)),
-    "pair_longest_span" -> ((s, dir) => DedupOps.pairLongestSpan(d(s, dir)))
+    "longest_span" -> ((s, dir) => DedupOps.pairLongestSpan(d(s, dir))),
+    "incr_dedup" -> ((s, dir) => DedupOps.incrDedup(d(s, dir), 25L))
   )
 
   /** Shared SQL: distinct (doc_id, 31-bit shingle hash) postings. */
@@ -303,7 +328,23 @@ object DedupPack extends QueryPack {
         |)
         |SELECT doc_id, canonical_id, group_sz, doc_id = canonical_id AS is_canonical
         |FROM g WHERE group_sz > 1""".stripMargin,
-    "dedup_ngram_jaccard" ->
+    "incr_dedup" ->
+      """WITH keyed AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string((string_split(text, ' '))[1:5], ' ')) AS fp
+        |  FROM documents
+        |),
+        |batch AS (
+        |  SELECT doc_id, fp FROM keyed
+        |  WHERE doc_id >= 25
+        |    AND fp NOT IN (SELECT fp FROM keyed WHERE doc_id < 25)
+        |),
+        |r AS (
+        |  SELECT doc_id, fp, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM batch
+        |)
+        |SELECT doc_id, fp FROM r WHERE rn = 1""".stripMargin,
+    "dedup_jaccard" ->
       s"""WITH $postingsSql,
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
@@ -349,7 +390,7 @@ object DedupPack extends QueryPack {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     // longest shared token span: 1-based positions vs Spark's 0-based is
     // irrelevant — diagonals and run lengths are shift-invariant
-    "pair_longest_span" ->
+    "longest_span" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |shp AS (
         |  SELECT doc_id, i AS pa,

@@ -34,6 +34,41 @@ object EmbeddingStatsOps {
       .select(col("label"), col("dim"), col("n"),
         floor(col("sum_q") / col("n") + 0.5).cast("long").as("centroid_q"))
 
+  /** Two deterministic Lloyd iterations of k-means over the quantized
+    * vectors, seeded from the label centroids — the real trainer for the
+    * IVF coarse quantizer (AnnOps uses label centroids as a stand-in;
+    * this shows the quantizer converging). All-integer distances and
+    * floor-rounded integer centroids keep every iteration engine-exact;
+    * an empty cluster simply drops out (the standard Lloyd edge case).
+    * At 100 TB each iteration is one broadcast join (centers are k×dim,
+    * tiny) plus two map-side-combinable aggregates — the canonical
+    * distributed k-means shape, unrolled rather than driver-looped. */
+  def kmeans2(embeddings: DataFrame): DataFrame = {
+    val q = quantized(embeddings).select("vec_id", "dim", "xq")
+    val c0 = centroids(embeddings)
+      .select(col("label").cast("long").as("center"), col("dim"), col("centroid_q"))
+
+    def assign(c: DataFrame): DataFrame = {
+      val dist = q.join(broadcast(c), Seq("dim"))
+        .withColumn("d", col("xq") - col("centroid_q"))
+        .groupBy("vec_id", "center")
+        .agg(sum(col("d") * col("d")).as("dist2_q"))
+      val w = Window.partitionBy("vec_id").orderBy(col("dist2_q"), col("center"))
+      dist.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("vec_id", "center")
+    }
+
+    def recompute(asg: DataFrame): DataFrame =
+      q.join(asg, Seq("vec_id"))
+        .groupBy("center", "dim")
+        .agg(count(lit(1)).as("n"), sum(col("xq")).as("sum_q"))
+        .select(col("center"), col("dim"), col("n"),
+          floor(col("sum_q") / col("n") + 0.5).cast("long").as("centroid_q"))
+
+    val c1 = recompute(assign(c0)).select("center", "dim", "centroid_q")
+    recompute(assign(c1))
+  }
+
   /** Exact squared distance of each vector to its label centroid;
     * the k farthest vectors per label are the outlier candidates. */
   def outliers(embeddings: DataFrame, k: Int = 5): DataFrame = {
@@ -52,8 +87,9 @@ object EmbeddingStatsPack extends QueryPack {
   private def e(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "embedding_centroids" -> ((s, d) => EmbeddingStatsOps.centroids(e(s, d))),
-    "embedding_outliers" -> ((s, d) => EmbeddingStatsOps.outliers(e(s, d)))
+    "emb_centroids" -> ((s, d) => EmbeddingStatsOps.centroids(e(s, d))),
+    "emb_outliers" -> ((s, d) => EmbeddingStatsOps.outliers(e(s, d))),
+    "kmeans2" -> ((s, d) => EmbeddingStatsOps.kmeans2(e(s, d)))
   )
 
   private val quantSql =
@@ -71,12 +107,12 @@ object EmbeddingStatsPack extends QueryPack {
        |)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
-    "embedding_centroids" ->
+    "emb_centroids" ->
       s"""WITH $centroidSql
          |SELECT label, dim, n,
          |       CAST(FLOOR(CAST(sum_q AS DOUBLE) / n + 0.5) AS BIGINT) AS centroid_q
          |FROM c""".stripMargin,
-    "embedding_outliers" ->
+    "emb_outliers" ->
       s"""WITH $centroidSql,
          |cq AS (SELECT label, dim,
          |              CAST(FLOOR(CAST(sum_q AS DOUBLE) / n + 0.5) AS BIGINT) AS centroid_q
@@ -91,6 +127,43 @@ object EmbeddingStatsPack extends QueryPack {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY dist2_q DESC, vec_id) AS rnk
          |  FROM dist
          |)
-         |SELECT vec_id, label, dist2_q, rnk FROM ranked WHERE rnk <= 5""".stripMargin
+         |SELECT vec_id, label, dist2_q, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
+    "kmeans2" ->
+      s"""WITH $centroidSql,
+         |c0 AS (SELECT CAST(label AS BIGINT) AS center, dim,
+         |              CAST(FLOOR(CAST(sum_q AS DOUBLE) / n + 0.5) AS BIGINT) AS centroid_q FROM c),
+         |d1 AS (
+         |  SELECT q.vec_id, c0.center,
+         |         CAST(SUM((q.xq - c0.centroid_q) * (q.xq - c0.centroid_q)) AS BIGINT) AS dist2_q
+         |  FROM q JOIN c0 ON q.dim = c0.dim GROUP BY q.vec_id, c0.center
+         |),
+         |a1 AS (
+         |  SELECT vec_id, center FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2_q, center) AS rn FROM d1
+         |  ) WHERE rn = 1
+         |),
+         |c1 AS (
+         |  SELECT a1.center, q.dim, COUNT(*) AS n, CAST(SUM(q.xq) AS BIGINT) AS sum_q
+         |  FROM q JOIN a1 ON q.vec_id = a1.vec_id GROUP BY a1.center, q.dim
+         |),
+         |c1q AS (SELECT center, dim,
+         |               CAST(FLOOR(CAST(sum_q AS DOUBLE) / n + 0.5) AS BIGINT) AS centroid_q FROM c1),
+         |d2 AS (
+         |  SELECT q.vec_id, c1q.center,
+         |         CAST(SUM((q.xq - c1q.centroid_q) * (q.xq - c1q.centroid_q)) AS BIGINT) AS dist2_q
+         |  FROM q JOIN c1q ON q.dim = c1q.dim GROUP BY q.vec_id, c1q.center
+         |),
+         |a2 AS (
+         |  SELECT vec_id, center FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2_q, center) AS rn FROM d2
+         |  ) WHERE rn = 1
+         |),
+         |c2 AS (
+         |  SELECT a2.center, q.dim, COUNT(*) AS n, CAST(SUM(q.xq) AS BIGINT) AS sum_q
+         |  FROM q JOIN a2 ON q.vec_id = a2.vec_id GROUP BY a2.center, q.dim
+         |)
+         |SELECT center, dim, CAST(n AS BIGINT) AS n,
+         |       CAST(FLOOR(CAST(sum_q AS DOUBLE) / n + 0.5) AS BIGINT) AS centroid_q
+         |FROM c2""".stripMargin
   )
 }

@@ -114,7 +114,7 @@ object ReportPack extends QueryPack {
     "severity_rollup" -> ((s, d) => ReportOps.severityRollup(m(s, d))),
     "snapshot_stats" -> ((s, d) => ReportOps.snapshotStats(Tables.orders(s, d))),
     "heap_pressure" -> ((s, d) => ReportOps.heapPressure(m(s, d))),
-    "stale_transitions" -> ((s, d) => ReportOps.staleTransitions(Tables.events(s, d))),
+    "stale_rit" -> ((s, d) => ReportOps.staleTransitions(Tables.events(s, d))),
     "partial_report" -> ((s, d) => ReportOps.partialReport(m(s, d)))
   )
 
@@ -160,7 +160,7 @@ object ReportPack extends QueryPack {
          |       CAST(FLOOR(((size_mb % 1024) / CAST(1024.0 AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS heap_ratio_e4
          |FROM region_metrics
          |WHERE (size_mb % 1024) / CAST(1024.0 AS DOUBLE) > 0.8""".stripMargin,
-    "stale_transitions" ->
+    "stale_rit" ->
       """WITH aged AS (
         |  SELECT event_id, user_id, event_type,
         |         MAX(epoch_us(ts)) OVER () - epoch_us(ts) AS age_us

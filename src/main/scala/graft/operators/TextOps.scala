@@ -103,7 +103,7 @@ object TextPack extends QueryPack {
     "text_quality" -> ((s, dir) => TextOps.quality(d(s, dir))),
     "lang_id" -> ((s, dir) => TextOps.langId(d(s, dir))),
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(d(s, dir))),
-    "lang_length_stats" -> ((s, dir) => TextOps.langLengthStats(d(s, dir)))
+    "lang_lengths" -> ((s, dir) => TextOps.langLengthStats(d(s, dir)))
   )
 
   override def oracles: Map[String, String] = Map(
@@ -155,7 +155,7 @@ object TextPack extends QueryPack {
         |       md5(array_to_string((string_split(text, ' '))[1:5], ' ')) AS head_fp,
         |       substring(md5(text), 1, 8) AS fp_prefix
         |FROM documents""".stripMargin,
-    "lang_length_stats" ->
+    "lang_lengths" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |       quantile_cont(len(string_split(text, ' ')), 0.25) AS p25_tokens,
         |       quantile_cont(len(string_split(text, ' ')), 0.5) AS p50_tokens,

@@ -79,7 +79,7 @@ object TextRankPack extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "term_relevance" -> ((s, d) => TextRankOps.termRelevance(Tables.documents(s, d))),
     "clean_corpus" -> ((s, d) => TextRankOps.cleanCorpus(Tables.documents(s, d))),
-    "events_first_touch" -> ((s, d) => TextRankOps.firstTouch(Tables.events(s, d)))
+    "first_touch" -> ((s, d) => TextRankOps.firstTouch(Tables.events(s, d)))
   )
 
   override def oracles: Map[String, String] = Map(
@@ -135,7 +135,7 @@ object TextRankPack extends QueryPack {
         |SELECT c.doc_id, c.n_tokens, p.predicted_lang
         |FROM canon c JOIN pred p ON c.doc_id = p.doc_id
         |WHERE c.n_tokens >= 20 AND p.predicted_lang = p.labeled_lang""".stripMargin,
-    "events_first_touch" ->
+    "first_touch" ->
       """WITH ranked AS (
         |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
         |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type

@@ -77,7 +77,7 @@ object TopologyPack extends QueryPack {
     "topology_asof" -> ((s, d) => TopologyOps.asOf(topo(s, d), TopologyOps.T2)),
     "topology_diff" -> ((s, d) => TopologyOps.diff(topo(s, d))),
     "current_vs_asof" -> ((s, d) => TopologyOps.currentVsAsOf(ri(s, d), topo(s, d))),
-    "key_range_lookup" -> { (s, d) =>
+    "key_lookup" -> { (s, d) =>
       val keys = graft.sources.Tables.customer(s, d)
         .select(((col("c_custkey") * 7919) % 2100000).as("probe_key"))
       TopologyOps.keyRangeLookup(keys, ri(s, d))
@@ -112,7 +112,7 @@ object TopologyPack extends QueryPack {
          |       (n.server_now IS NOT NULL AND t.server_then IS NOT NULL
          |        AND n.server_now = t.server_then) AS unchanged
          |FROM now_t n FULL OUTER JOIN then_t t ON n.region_id = t.region_id""".stripMargin,
-    "key_range_lookup" ->
+    "key_lookup" ->
       s"""WITH ${ClusterSql.regionInfo},
          |keys AS (SELECT (c_custkey * 7919) % 2100000 AS probe_key FROM customer)
          |SELECT k.probe_key, r.region_id

@@ -68,5 +68,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft.functions.PlaneDot", "plane_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.PlaneDot(exprs(0), exprs(1))))
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("compaction_weight"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.functions.CompactionWeightExpr", "compaction_weight"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.CompactionWeightExpr(exprs(0), exprs(1), exprs(2), exprs(3))))
   }
 }

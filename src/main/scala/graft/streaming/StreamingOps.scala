@@ -121,6 +121,30 @@ object StreamingOps {
       .withWatermark("ingest_ts", window)
       .dropDuplicatesWithinWatermark("fp")
 
+  case class CappedDoc(doc_id: Long, source: String, rk: Int)
+
+  /** Streaming per-source document cap: admit at most `cap` docs per
+    * source across the stream's lifetime — CurationOps.sourceCaps as an
+    * ingest-time gate. Keyed counter state (one Int per source, NOT per
+    * doc), so state size tracks |sources|, never corpus size; the batch
+    * twin re-ranks retrospectively while this admits greedily in arrival
+    * order — the two agree on counts, not necessarily on survivors. */
+  def sourceCapStream(docs: Dataset[(Long, String)], cap: Int = 15): Dataset[CappedDoc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (source: String, rows: Iterator[(Long, String)], state: GroupState[Int]) => {
+          val already = state.getOption.getOrElse(0)
+          // deterministic within a batch: admit in doc_id order
+          val admitted = rows.map(_._1).toSeq.sorted.take(math.max(cap - already, 0))
+          state.update(already + admitted.size)
+          admitted.iterator.zipWithIndex.map { case (id, i) =>
+            CappedDoc(id, source, already + i + 1)
+          }
+        })
+  }
+
   case class ServerSeen(server: String)
   case class NewServer(server: String, firstSeen: java.sql.Timestamp)
 

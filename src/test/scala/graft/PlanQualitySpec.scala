@@ -53,7 +53,7 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("key-range lookup broadcasts the region boundary table (non-equi join)") {
-    val plan = physical(SparkEntry.queries("key_range_lookup")(spark, sf))
+    val plan = physical(SparkEntry.queries("key_lookup")(spark, sf))
     assert(plan.contains("BroadcastNestedLoopJoin"), s"range join not broadcast:\n$plan")
   }
 

@@ -17,6 +17,14 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(joined > 0)
   }
 
+  test("compaction_weight resolves in SQL via session extensions") {
+    val r = spark.sql(
+      "SELECT compaction_weight(5000L, 50L, 40, CAST(0.1 AS DOUBLE)) AS w")
+      .collect()(0).getAs[Double]("w")
+    val expected = graft.functions.CompactionWeightExpr.compute(5000L, 50L, 40, 0.1)
+    assert(r == expected)
+  }
+
   test("salted_key resolves in SQL via session extensions (no manual registration)") {
     val r = spark.sql("SELECT salted_key('abcd') AS k").collect()(0).getAs[Array[Byte]](0)
     assert(r.length == 12)

@@ -51,6 +51,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("source-cap stream admits at most cap docs per source across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.sourceCapStream(input.toDS(), cap = 3)
+      .writeStream.format("memory").queryName("cap_out").outputMode("append").start()
+    try {
+      input.addData((1L, "srcA"), (2L, "srcA"), (10L, "srcB"))
+      q.processAllAvailable()
+      // second batch: srcA only has 1 admission slot left
+      input.addData((3L, "srcA"), (4L, "srcA"), (5L, "srcA"), (11L, "srcB"))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT doc_id, source, rk FROM cap_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      val srcA = rows.filter(_._2 == "srcA")
+      assert(srcA.map(_._1) == Set(1L, 2L, 3L), s"got $srcA")
+      assert(srcA.map(_._3) == Set(1, 2, 3))
+      assert(rows.filter(_._2 == "srcB").map(_._1) == Set(10L, 11L))
+    } finally q.stop()
+  }
+
   test("distributor stream suppresses repeated tables within 6h (O-55)") {
     val s = spark
     import s.implicits._

@@ -62,6 +62,50 @@ class TrainingDataSpec extends SparkSpec {
     assert(overlap >= 15, s"recall@5 too low: $overlap/25")
   }
 
+  test("kmeans2: Lloyd iterations do not increase total within-cluster distance") {
+    import graft.operators.EmbeddingStatsOps
+    def cost(centers: org.apache.spark.sql.DataFrame): Long = {
+      val quant = embs
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim0", "x")))
+        .select(col("vec_id"), (col("dim0") + 1).as("dim"),
+          floor(col("x").cast("double") * 1000000 + 0.5).cast("long").as("xq"))
+      quant.join(centers.select(col("center"), col("dim"), col("centroid_q")), Seq("dim"))
+        .withColumn("d", col("xq") - col("centroid_q"))
+        .groupBy("vec_id", "center").agg(sum(col("d") * col("d")).as("d2"))
+        .groupBy("vec_id").agg(min("d2").as("best"))
+        .agg(sum("best")).collect()(0).getLong(0)
+    }
+    val init = EmbeddingStatsOps.centroids(embs)
+      .select(col("label").cast("long").as("center"), col("dim"), col("centroid_q"))
+    val fin = EmbeddingStatsOps.kmeans2(embs)
+    assert(cost(fin) <= cost(init), "k-means cost went up after 2 Lloyd iterations")
+    // every surviving center keeps all 64 dims
+    val dims = fin.groupBy("center").agg(countDistinct("dim").as("nd"))
+    assert(dims.filter(col("nd") =!= 64).count() == 0)
+  }
+
+  test("ann recall: bounded by [0,10000], and LSH hits are genuine brute-force hits") {
+    val out = AnnOps.annRecall(embs, spark, nQueries = 5, k = 5).cache()
+    assert(out.count() == 5)
+    assert(out.filter(col("recall_e4") < 0 || col("recall_e4") > 10000).count() == 0)
+    assert(out.filter(col("n_common") > col("n_brute")).count() == 0)
+    assert(out.filter(col("recall_e4") =!= col("n_common") * 2000).count() == 0)
+    out.unpersist()
+  }
+
+  test("incremental dedup: no admitted fingerprint exists in the old corpus or twice in batch") {
+    val out = DedupOps.incrDedup(docs, 25L).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("doc_id") < 25).count() == 0)
+    // no admitted fp collides with the old corpus
+    val oldFps = docs.filter(col("doc_id") < 25)
+      .select(md5(array_join(slice(split(col("text"), " "), 1, 5), " ")).as("fp"))
+    assert(out.join(oldFps, "fp").count() == 0)
+    // admitted fingerprints are unique
+    assert(out.groupBy("fp").count().filter(col("count") > 1).count() == 0)
+    out.unpersist()
+  }
+
   test("dedup keep: drops exactly the non-canonical cluster members") {
     val keep = graft.operators.GraphOps.dedupKeep(docs).cache()
     val clusters = graft.operators.GraphOps.dedupClusters(docs).cache()
