@@ -58,7 +58,19 @@ object Bench {
     // from /dev/shm before pass 2 re-measures
     System.gc()
     val p2 = onePass(2)
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    val min2 = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    // the host stalls CPU in multi-minute bursts; when the two passes
+    // disagree badly, one of them ran through a burst — a third pass makes
+    // the per-query min robust to a single burst window
+    val disagreement = p1.keys.map(k => math.abs(p1(k) - p2(k))).sum
+    val results =
+      if (disagreement <= 0.25 * math.max(min2.values.sum, 1e-9)) min2
+      else {
+        System.err.println(f"[bench-trace] pass disagreement ${disagreement}%.1f s -> running pass 3")
+        System.gc()
+        val p3 = onePass(3)
+        min2.map { case (k, v) => k -> math.min(v, p3(k)) }
+      }
     val probeAfter = cpuProbe()
 
     // keep this line SHORT: the driver tail-captures exactly 2000 chars of

@@ -257,6 +257,24 @@ object CurationOps {
         sum(when(col("ctx") > 0, col("ctx") - col("n_toks")).otherwise(0L)).as("waste"))
   }
 
+  /** The end-to-end curated corpus: the intersection of three independent
+    * keep-filters — Gopher quality pass, near-dup removal (canonical doc
+    * wins), and the per-source cap. Each filter is computed over the full
+    * corpus and the survivors intersected, so the result is order-
+    * independent and each stage stays a single shuffle; the dup list is
+    * broadcast-sized by construction (it passed a similarity threshold). */
+  def curated(docs: DataFrame): DataFrame = {
+    val quality = gopherRules(docs).filter(col("pass")).select("doc_id")
+    val dupes = GraphOps.dedupClusters(docs)
+      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    val capped = sourceCaps(docs).select("doc_id")
+    docs
+      .join(quality, Seq("doc_id"), "left_semi")
+      .join(capped, Seq("doc_id"), "left_semi")
+      .join(broadcast(dupes), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
   /** Duplicate-bigram fraction: 1 - distinct(bigrams)/total(bigrams) per
     * doc — high values mean boilerplate/repetition (the Gopher
     * "duplicate n-gram fraction" filter). Same posexplode + lead shape as
@@ -291,7 +309,8 @@ object CurationPack extends QueryPack {
     "splits" -> ((s, dir) => CurationOps.splitAssign(d(s, dir))),
     "src_caps" -> ((s, dir) => CurationOps.sourceCaps(d(s, dir))),
     "gopher" -> ((s, dir) => CurationOps.gopherRules(d(s, dir))),
-    "packing" -> ((s, dir) => CurationOps.lenBuckets(d(s, dir)))
+    "packing" -> ((s, dir) => CurationOps.lenBuckets(d(s, dir))),
+    "curated" -> ((s, dir) => CurationOps.curated(d(s, dir)))
   )
 
   // Shared shingle CTE: identical to the dedup oracles' 3-gram pipeline
@@ -426,6 +445,37 @@ object CurationPack extends QueryPack {
         |       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
         |       CAST(SUM(CASE WHEN ctx > 0 THEN ctx - n_toks ELSE 0 END) AS BIGINT) AS waste
         |FROM b GROUP BY ctx""".stripMargin,
+    "curated" ->
+      s"""WITH RECURSIVE ${GraphPack.ClustersCte},
+         |toks2 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |gag AS (
+         |  SELECT doc_id, COUNT(*) AS n_words, SUM(len(tok)) AS n_chars,
+         |         SUM(CASE WHEN tok IN ('the','a','of','to','and','in','is','that') THEN 1 ELSE 0 END) AS n_stop,
+         |         SUM(CASE WHEN regexp_matches(tok, '[a-zA-Z]') THEN 1 ELSE 0 END) AS n_alpha
+         |  FROM toks2 GROUP BY doc_id
+         |),
+         |quality AS (
+         |  SELECT doc_id FROM gag
+         |  WHERE (n_words BETWEEN 50 AND 100000)
+         |    AND (CAST(FLOOR(CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE) * 10000 + 0.5) AS BIGINT) BETWEEN 30000 AND 100000)
+         |    AND CAST(FLOOR(CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) * 10000 + 0.5) AS BIGINT) >= 600
+         |    AND CAST(FLOOR(CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) * 10000 + 0.5) AS BIGINT) >= 8000
+         |),
+         |prio AS (
+         |  SELECT doc_id, source,
+         |         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 18, 15)) AS UBIGINT) AS BIGINT) AS prio
+         |  FROM documents
+         |),
+         |caps AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY source ORDER BY prio, doc_id) AS rk FROM prio
+         |  ) WHERE rk <= 15
+         |),
+         |dupes AS (SELECT doc_id FROM labels WHERE doc_id <> cluster_id)
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |WHERE d.doc_id IN (SELECT doc_id FROM quality)
+         |  AND d.doc_id IN (SELECT doc_id FROM caps)
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM dupes)""".stripMargin,
     "vocab_top_grams" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |uni AS (SELECT 1 AS n, u.tok AS gram FROM toks, unnest(t) AS u(tok)),

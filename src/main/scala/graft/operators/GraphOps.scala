@@ -115,7 +115,7 @@ object GraphPack extends QueryPack {
 
   /** Connected components over the verified >= 0.8-Jaccard pair graph as
     * recursive CTEs: `labels(doc_id, cluster_id)`. */
-  private val ClustersCte =
+  private[operators] val ClustersCte =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id,

@@ -111,6 +111,19 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("curated corpus: every survivor passes quality, cap, and dedup independently") {
+    val out = CurationOps.curated(docs).cache()
+    assert(out.count() > 0 && out.count() < docs.count())
+    val quality = CurationOps.gopherRules(docs).filter(col("pass")).select("doc_id")
+    val caps = CurationOps.sourceCaps(docs).select("doc_id")
+    val dupes = graft.operators.GraphOps.dedupClusters(docs)
+      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    assert(out.join(quality, Seq("doc_id"), "left_anti").count() == 0)
+    assert(out.join(caps, Seq("doc_id"), "left_anti").count() == 0)
+    assert(out.join(dupes, Seq("doc_id")).count() == 0)
+    out.unpersist()
+  }
+
   test("packing buckets: docs conserved, waste consistent with totals") {
     val out = CurationOps.lenBuckets(docs).cache()
     assert(out.agg(sum("n_docs")).collect()(0).getLong(0) == docs.count())
