@@ -32,11 +32,15 @@ object AnnOps {
 
   /** vec_id, v (raw float[] — vec_dot widens per element, identical
     * doubles to a cast-then-fold), norm. Keeping the float array halves
-    * the bytes every downstream join shuffles/broadcasts. */
+    * the bytes every downstream join shuffles/broadcasts. Cached: this IS
+    * the vector index every ANN query starts from (brute/LSH/IVF/recall
+    * all join it, some twice per plan) — materializing it once is what a
+    * vector store does; MEMORY_AND_DISK spills past storage capacity. */
   def normalized(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(vec_sumsq(col("v"))))
+      .cache()
 
   /** Deterministic integer hyperplane weight w(j, d) = ((j*67 + d*31) % 19) - 9. */
   private def planeDot(v: Column, j: Column): Column = plane_dot(v, j)

@@ -18,13 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object EmbeddingStatsOps {
 
-  /** (vec_id, label, dim, xq): e6-quantized elements. */
+  /** (vec_id, label, dim, xq): e6-quantized elements. Cached and shared:
+    * centroids / outliers / IVF / kmeans2 all re-derive this explode (a
+    * single kmeans2 plan references it 4×), and CacheManager converges
+    * every reference to one entry — the embedding-side twin of the
+    * shingle-postings cache. MEMORY_AND_DISK spills instead of OOMing
+    * when the corpus outgrows executor storage. */
   private[operators] def quantized(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("dim0", "x")))
       .select(col("vec_id"), col("label"), (col("dim0") + 1).as("dim"),
         floor(col("x").cast("double") * 1000000 + 0.5).cast("long").as("xq"))
+      .cache()
 
   /** Centroid per (label, dim), in quantized units. */
   def centroids(embeddings: DataFrame): DataFrame =

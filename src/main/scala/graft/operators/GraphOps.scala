@@ -26,9 +26,23 @@ object GraphOps {
 
   val MaxIterations = 20
 
+  /** Driver-side memo for cluster labels: the propagation loop runs
+    * actions at CONSTRUCTION time, so plan-level caching alone cannot
+    * dedup it — three consumers (clusters / keep / curated) would each
+    * re-execute every round. Keyed on (session, canonical docs plan,
+    * threshold); the memoized frame's final `stepped` stage is cached, so
+    * reuse is a cache read. */
+  private val labelMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long), DataFrame]()
+
   /** (doc_id, cluster_id) for every document participating in at least
     * one near-dup pair; cluster_id = min doc_id of the component. */
   def dedupClusters(docs: DataFrame, thresholdE4: Long = 8000L): DataFrame = {
+    val key = (docs.sparkSession, docs.queryExecution.analyzed.canonicalized, thresholdE4)
+    labelMemo.computeIfAbsent(key, _ => computeClusters(docs, thresholdE4))
+  }
+
+  private def computeClusters(docs: DataFrame, thresholdE4: Long): DataFrame = {
     val pairs = DedupOps.ngramJaccard(docs, thresholdE4).select("da", "db")
     val edges = pairs
       .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))

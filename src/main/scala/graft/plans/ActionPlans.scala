@@ -75,4 +75,26 @@ object ActionPlans {
       lit(FixDestination.HBaseShell).as("fixDestination"),
       cmd.as("command")).as[Finding]
   }
+
+  /** Per-server task fan-out (reference `api/rstask/RSTask.java:18-23` +
+    * `RSTaskController.java:14-50`: one jittered task per RegionServer).
+    * Spark-native: repartition on the server key places each server's
+    * rows on one executor partition; the action runs there, jittered by a
+    * hash of the server name — deterministic, unlike the reference's
+    * Random, so runs are reproducible. Several servers may share a
+    * partition (hash partitioning), so the action still fires once per
+    * server, grouped inside the partition. */
+  def perServerFanout(
+      plan: DataFrame,
+      serverCol: String,
+      maxJitterMs: Long = 0L)(
+      action: (String, Seq[org.apache.spark.sql.Row]) => Unit): Unit =
+    plan.repartition(col(serverCol)).foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      it.toSeq.groupBy(_.getAs[String](serverCol)).toSeq.sortBy(_._1).foreach {
+        case (server, rows) =>
+          if (maxJitterMs > 0)
+            Thread.sleep((math.abs(server.hashCode.toLong) % maxJitterMs))
+          action(server, rows)
+      }
+    }
 }

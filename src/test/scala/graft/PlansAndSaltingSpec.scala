@@ -25,6 +25,22 @@ class PlansAndSaltingSpec extends SparkSpec {
     assert(script.contains("move '"))
   }
 
+  test("per-server fan-out fires once per server with all its rows (RSTask shape)") {
+    val plan = ActionPlans.compactionActions(spark, sf).toDF()
+    val expected = plan.groupBy("server").count().collect()
+      .map(r => r.getAs[String]("server") -> r.getAs[Long]("count")).toMap
+    // the closure is serialized even in local mode — an accumulator is the
+    // only executor→driver channel that survives the round-trip
+    val acc = spark.sparkContext.collectionAccumulator[(String, Int)]("fanout")
+    ActionPlans.perServerFanout(plan, "server") { (server, rows) =>
+      acc.add(server -> rows.size)
+    }
+    import scala.jdk.CollectionConverters._
+    val seen = acc.value.asScala
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2.toLong).sum }
+    assert(seen == expected)
+  }
+
   test("typed cluster views expose case-class rows") {
     val m = ClusterViews.regionMetricsDs(spark, sf)
     val first = m.head()
