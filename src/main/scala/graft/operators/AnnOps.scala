@@ -191,6 +191,29 @@ object AnnOps {
         (coalesce(col("n_common"), lit(0L)) * (10000L / k)).as("recall_e4"))
   }
 
+  /** SemDeDup-style cross-modal dedup: embedding near-dup pairs (LSH-
+    * blocked cosine) verified against lexical n-gram Jaccard over the
+    * paired documents. High-cosine/low-Jaccard pairs are the semantically
+    * redundant rephrasings embedding-only OR text-only dedup each miss —
+    * the whole point of running both modalities. The fixture keys line up
+    * (vec_id = doc_id); the candidate pair set already passed the cosine
+    * threshold, so the lexical verification joins a bounded pair list,
+    * never corpus². */
+  def semDedup(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      spark: SparkSession,
+      cosThresholdE4: Long = 4000L): DataFrame = {
+    val epairs = nearDupPairs(embeddings, spark, cosThresholdE4)
+      .select(col("va").as("da"), col("vb").as("db"), col("cosine_e4"))
+    val jac = DedupOps.verifyJaccard(
+      DedupOps.shinglePostings(docs), Some(epairs.select("da", "db")))
+    epairs
+      .join(jac, Seq("da", "db"), "left")
+      .select(col("da"), col("db"), col("cosine_e4"),
+        coalesce(col("jaccard_e4"), lit(0L)).as("jaccard_e4"))
+  }
+
   /** Embedding near-dup pairs, blocked by LSH bucket (the 100-TB path:
     * pairs only form inside buckets). */
   def nearDupPairs(embeddings: DataFrame, spark: SparkSession, thresholdE4: Long = 4000L): DataFrame = {
@@ -216,17 +239,18 @@ object AnnPack extends QueryPack {
     "ann_ivf_probe2" -> ((s, dir) => AnnOps.ivfTopK(e(s, dir), nprobe = 2)),
     "ann_sq8" -> ((s, dir) => AnnOps.sq8TopK(e(s, dir))),
     "ann_recall" -> ((s, dir) => AnnOps.annRecall(e(s, dir), s)),
+    "sem_dedup" -> ((s, dir) => AnnOps.semDedup(Tables.documents(s, dir), e(s, dir), s)),
     "emb_near_dups" -> ((s, dir) => AnnOps.nearDupPairs(e(s, dir), s))
   )
 
-  private val normSql =
+  private[operators] val normSql =
     """n AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v,
       |         sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, b) -> a + b)) AS nrm
       |  FROM embeddings
       |)""".stripMargin
 
-  private val bucketSql =
+  private[operators] val bucketSql =
     """bk AS (
       |  SELECT vec_id,
       |         CAST(SUM(CASE WHEN list_reduce(list_transform(range(1, 65),
@@ -237,7 +261,7 @@ object AnnPack extends QueryPack {
       |  GROUP BY vec_id
       |)""".stripMargin
 
-  private val cosSql =
+  private[operators] val cosSql =
     "FLOOR(list_reduce(list_transform(range(1, 65), d -> qa.v[d] * ca.v[d]), (x, y) -> x + y) / (qa.nrm * ca.nrm) * 10000 + 0.5)"
 
   /** IVF oracle: corpus side uses rn=1 assignments; query side probes the
@@ -382,6 +406,32 @@ object AnnPack extends QueryPack {
          |SELECT qa.vec_id AS va, ca.vec_id AS vb,
          |       CAST($cosSql AS BIGINT) AS cosine_e4
          |FROM nb qa JOIN nb ca ON qa.bucket = ca.bucket AND qa.vec_id < ca.vec_id
-         |WHERE $cosSql >= 4000""".stripMargin
+         |WHERE $cosSql >= 4000""".stripMargin,
+    "sem_dedup" ->
+      s"""WITH $normSql, $bucketSql,
+         |nb AS (SELECT n.vec_id, n.v, n.nrm, bk.bucket FROM n JOIN bk ON n.vec_id = bk.vec_id),
+         |epairs AS (
+         |  SELECT qa.vec_id AS da, ca.vec_id AS db,
+         |         CAST($cosSql AS BIGINT) AS cosine_e4
+         |  FROM nb qa JOIN nb ca ON qa.bucket = ca.bucket AND qa.vec_id < ca.vec_id
+         |  WHERE $cosSql >= 4000
+         |),
+         |${graft.operators.DedupPack.postingsSql},
+         |inter AS (
+         |  SELECT p.da, p.db, COUNT(*) AS inter
+         |  FROM epairs p
+         |  JOIN sh a ON a.doc_id = p.da
+         |  JOIN sh b ON b.doc_id = p.db AND a.x31 = b.x31
+         |  GROUP BY p.da, p.db
+         |),
+         |jac AS (
+         |  SELECT i.da, i.db,
+         |         CAST(FLOOR((i.inter / CAST(sa.n_shingles + sb.n_shingles - i.inter AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS jaccard_e4
+         |  FROM inter i
+         |  JOIN sizes sa ON i.da = sa.doc_id
+         |  JOIN sizes sb ON i.db = sb.doc_id
+         |)
+         |SELECT e.da, e.db, e.cosine_e4, CAST(COALESCE(j.jaccard_e4, 0) AS BIGINT) AS jaccard_e4
+         |FROM epairs e LEFT JOIN jac j ON e.da = j.da AND e.db = j.db""".stripMargin
   )
 }

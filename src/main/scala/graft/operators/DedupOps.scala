@@ -90,7 +90,7 @@ object DedupOps {
     * the shingle-keyed self-join, then a semi-filter on the candidates —
     * NOT a pairs×shingles expansion (which explodes when banding is
     * permissive). */
-  private def verifyJaccard(postings: DataFrame, pairs: Option[DataFrame]): DataFrame = {
+  private[operators] def verifyJaccard(postings: DataFrame, pairs: Option[DataFrame]): DataFrame = {
     val sizes = shingleSizes(postings)
     val inter = pairs.fold(sharedCounts(postings)) { p =>
       // candidates are sparse after banding: restrict the postings to docs
@@ -287,7 +287,7 @@ object DedupPack extends QueryPack {
   )
 
   /** Shared SQL: distinct (doc_id, 31-bit shingle hash) postings. */
-  private val postingsSql =
+  private[operators] val postingsSql =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id,

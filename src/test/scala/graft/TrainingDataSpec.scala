@@ -93,6 +93,15 @@ class TrainingDataSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("sem_dedup: one row per embedding near-dup pair, Jaccard attached") {
+    val pairs = AnnOps.nearDupPairs(embs, spark)
+    val out = AnnOps.semDedup(docs, embs, spark).cache()
+    assert(out.count() == pairs.count())
+    assert(out.filter(col("jaccard_e4") < 0 || col("jaccard_e4") > 10000).count() == 0)
+    assert(out.filter(col("cosine_e4") < 4000).count() == 0)
+    out.unpersist()
+  }
+
   test("incremental dedup: no admitted fingerprint exists in the old corpus or twice in batch") {
     val out = DedupOps.incrDedup(docs, 25L).cache()
     assert(out.count() > 0)
