@@ -19,6 +19,7 @@ case class MergeAction(table_name: String, left_region: Long, right_region: Long
 case class MoveAction(table_name: String, region_id: Long, from_server: String, to_server: String)
 case class SplitAction(table_name: String, region_id: Long, size_mb: Long, rnk: Int, split_point: Long)
 case class FlushAction(server: String, region_id: Long, mem_store_mb: Long, rnk: Int)
+case class ClearQueueAction(server: String, queues: String)
 
 object ActionPlans {
 
@@ -52,6 +53,16 @@ object ActionPlans {
     CoverageOps.flushQueue(ClusterViews.regionMetrics(spark, sfDir)).as[FlushAction]
   }
 
+  /** COMPACTION_CLEANER (reference
+    * `common/HBaseCompactionQueueCleaner.java:19-31`: clear the long+short
+    * compaction queues on every RegionServer): one action per live server,
+    * routed through the fix-script sink or [[perServerFanout]]. */
+  def clearQueueActions(spark: SparkSession): Dataset[ClearQueueAction] = {
+    import spark.implicits._
+    ClusterViews.servers(spark)
+      .select(col("server"), lit("long,short").as("queues")).as[ClearQueueAction]
+  }
+
   /** Route any plan into findings → ReportSinks.renderFixScript emits the
     * runnable `fix-cluster-<ts>.sh` (O-10). */
   def toFindings(plan: DataFrame, kind: String): Dataset[Finding] = {
@@ -65,6 +76,9 @@ object ActionPlans {
       case "split" => (col("region_id"),
         concat(lit("split '"), col("region_id"), lit("', '"), col("split_point"), lit("'")))
       case "flush" => (col("region_id"), concat(lit("flush '"), col("region_id"), lit("'")))
+      case "clear_queues" => (col("server"),
+        concat(lit("clear_compaction_queues '"), col("server"), lit("', ['"),
+          regexp_replace(col("queues"), ",", "','"), lit("']")))
       case other => throw new IllegalArgumentException(s"unknown plan kind: $other")
     }
     plan.select(

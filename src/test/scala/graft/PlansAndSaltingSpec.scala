@@ -25,6 +25,17 @@ class PlansAndSaltingSpec extends SparkSpec {
     assert(script.contains("move '"))
   }
 
+  test("compaction-queue cleaner: one clear action per server, shell-routable") {
+    val actions = ActionPlans.clearQueueActions(spark)
+    assert(actions.count() == 24 && actions.select("server").distinct().count() == 24)
+    val findings = ActionPlans.toFindings(actions.toDF(), "clear_queues").collect().toSeq
+    assert(findings.head.command.contains("clear_compaction_queues '") &&
+      findings.head.command.contains("['long','short']"))
+    // the script shell-quotes the command, so assert structure, not raw text
+    val script = ReportSinks.renderFixScript(findings.take(2))
+    assert(script.contains("clear_compaction_queues") && script.contains("| hbase shell"))
+  }
+
   test("per-server fan-out fires once per server with all its rows (RSTask shape)") {
     val plan = ActionPlans.compactionActions(spark, sf).toDF()
     val expected = plan.groupBy("server").count().collect()
