@@ -57,6 +57,18 @@ object MultimodalOps {
         expr("substring(media, frame_idx * 256 + 1, 256)").as("frame"))
       .withColumn("frame_bytes", length(col("frame")))
 
+  /** Frame-level exact dedup: identical 256-byte frames across the whole
+    * media corpus, keyed on the frame's md5 — the binary-payload twin of
+    * text exact dedup (duplicate stills in video, repeated intro audio,
+    * shared image assets). One hash aggregate over the exploded frames;
+    * at 100 TB the 16-byte digests shuffle, never the frames themselves. */
+  def frameDedup(docs: DataFrame): DataFrame =
+    frameSample(docs)
+      .select(md5(col("frame")).as("fp"), col("doc_id"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"))
+      .filter(col("n") > 1)
+
   /** Media → pseudo-embedding bridge: turns the stub features into a
     * small fixed-dim double vector (deterministic fake of an image/audio
     * encoder) shaped exactly like the `embeddings` table, so the ANN /
@@ -103,7 +115,8 @@ object MultimodalPack extends QueryPack {
     "media_stats" -> ((s, dir) => MultimodalOps.mediaStats(d(s, dir))),
     "media_frames" -> ((s, dir) => MultimodalOps.frameSample(d(s, dir))
       .groupBy("doc_id").agg(count(lit(1)).as("n_frames"), sum(col("frame_bytes")).as("total_bytes"))),
-    "media_features" -> ((s, dir) => MultimodalOps.decodeFeatures(d(s, dir)))
+    "media_features" -> ((s, dir) => MultimodalOps.decodeFeatures(d(s, dir))),
+    "frame_dedup" -> ((s, dir) => MultimodalOps.frameDedup(d(s, dir)))
   )
 
   override def oracles: Map[String, String] = Map(
@@ -131,6 +144,20 @@ object MultimodalPack extends QueryPack {
         |           range(1, octet_length(encode(text)) + 1),
         |           i -> CAST(('0x' || substring(hex(encode(text)), 2*i-1, 2)) AS BIGINT))),
         |         (a, b) -> (a*31 + b) % 1000000007) AS checksum
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // the fixture's media bytes are UTF-8 of ASCII text, so md5 over the
+    // text substring equals Spark's md5 over the binary frame slice
+    "frame_dedup" ->
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |         CAST(CEIL(octet_length(encode(text)) / CAST(256.0 AS DOUBLE)) AS INT) AS nf
+        |  FROM documents
+        |),
+        |f AS (
+        |  SELECT doc_id, md5(substring(text, i * 256 + 1, 256)) AS fp
+        |  FROM n, range(0, 1000) r(i) WHERE i < nf
+        |)
+        |SELECT fp, CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(doc_id) AS BIGINT) AS min_doc
+        |FROM f GROUP BY fp HAVING COUNT(*) > 1""".stripMargin
   )
 }

@@ -151,6 +151,19 @@ class TrainingDataSpec extends SparkSpec {
     assert(topk.groupBy("qid").count().filter(col("count") =!= 2).count() == 0)
   }
 
+  test("frame dedup groups only identical frames (hash spot-check)") {
+    import graft.operators.MultimodalOps
+    val out = MultimodalOps.frameDedup(docs).cache()
+    assert(out.filter(col("n") < 2).count() == 0)
+    // every reported fingerprint really has n matching frames
+    val direct = MultimodalOps.frameSample(docs)
+      .select(md5(col("frame")).as("fp"))
+      .groupBy("fp").count()
+    val joined = out.join(direct, "fp")
+    assert(joined.filter(col("n") =!= col("count")).count() == 0)
+    out.unpersist()
+  }
+
   test("frame sampling reconstructs total byte counts") {
     val frames = MultimodalOps.frameSample(docs)
       .groupBy("doc_id").agg(sum("frame_bytes").as("total"))
