@@ -257,6 +257,23 @@ object CurationOps {
         sum(when(col("ctx") > 0, col("ctx") - col("n_toks")).otherwise(0L)).as("waste"))
   }
 
+  /** Corpus-mixture report: per (lang, source) document and token counts
+    * plus each cell's share of ALL tokens — the table a data-mixing plan
+    * starts from. The global total comes from a scalar aggregate
+    * broadcast-crossed back in, NOT a whole-table window (an empty
+    * partitionBy funnels 100 TB through one reducer). */
+  def langMix(docs: DataFrame): DataFrame = {
+    val cells = docs
+      .select(col("lang"), col("source"), size(tokens(col("text"))).cast("long").as("n"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+    val total = cells.agg(sum(col("n_tokens")).as("total"))
+    cells.crossJoin(broadcast(total))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        floor(col("n_tokens").cast("double") * 10000 / col("total").cast("double") + 0.5)
+          .cast("long").as("share_e4"))
+  }
+
   /** The end-to-end curated corpus: the intersection of three independent
     * keep-filters — Gopher quality pass, near-dup removal (canonical doc
     * wins), and the per-source cap. Each filter is computed over the full
@@ -310,7 +327,8 @@ object CurationPack extends QueryPack {
     "src_caps" -> ((s, dir) => CurationOps.sourceCaps(d(s, dir))),
     "gopher" -> ((s, dir) => CurationOps.gopherRules(d(s, dir))),
     "packing" -> ((s, dir) => CurationOps.lenBuckets(d(s, dir))),
-    "curated" -> ((s, dir) => CurationOps.curated(d(s, dir)))
+    "curated" -> ((s, dir) => CurationOps.curated(d(s, dir))),
+    "lang_mix" -> ((s, dir) => CurationOps.langMix(d(s, dir)))
   )
 
   // Shared shingle CTE: identical to the dedup oracles' 3-gram pipeline
@@ -445,6 +463,17 @@ object CurationPack extends QueryPack {
         |       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
         |       CAST(SUM(CASE WHEN ctx > 0 THEN ctx - n_toks ELSE 0 END) AS BIGINT) AS waste
         |FROM b GROUP BY ctx""".stripMargin,
+    "lang_mix" ->
+      """WITH cells AS (
+        |  SELECT lang, source,
+        |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang, source
+        |),
+        |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM cells)
+        |SELECT c.lang, c.source, c.n_docs, c.n_tokens,
+        |       CAST(FLOOR(CAST(c.n_tokens AS DOUBLE) * 10000 / CAST(t.total AS DOUBLE) + 0.5) AS BIGINT) AS share_e4
+        |FROM cells c CROSS JOIN t""".stripMargin,
     "curated" ->
       s"""WITH RECURSIVE ${GraphPack.ClustersCte},
          |toks2 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

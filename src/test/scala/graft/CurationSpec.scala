@@ -111,6 +111,15 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("lang mix: shares sum to ~10000 and counts conserve the corpus") {
+    val out = CurationOps.langMix(docs).cache()
+    assert(out.agg(sum("n_docs")).collect()(0).getLong(0) == docs.count())
+    val shareSum = out.agg(sum("share_e4")).collect()(0).getLong(0)
+    // each cell rounds independently; the sum can drift by < #cells/2
+    assert(math.abs(shareSum - 10000L) <= out.count() / 2 + 1)
+    out.unpersist()
+  }
+
   test("curated corpus: every survivor passes quality, cap, and dedup independently") {
     val out = CurationOps.curated(docs).cache()
     assert(out.count() > 0 && out.count() < docs.count())
