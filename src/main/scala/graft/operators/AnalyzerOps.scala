@@ -99,7 +99,7 @@ object AnalyzerPack extends QueryPack {
     "loc_hist" -> ((s, d) => AnalyzerOps.localityHistogram(m(s, d))),
     "files_hist" -> ((s, d) => AnalyzerOps.fileCountHistogram(m(s, d))),
     "weight_stats" -> ((s, d) => AnalyzerOps.weightStats(m(s, d))),
-    "size_percentiles" -> ((s, d) => AnalyzerOps.sizePercentiles(m(s, d)))
+    "size_pctl" -> ((s, d) => AnalyzerOps.sizePercentiles(m(s, d)))
   )
 
   override def oracles: Map[String, String] = Map(
@@ -126,7 +126,7 @@ object AnalyzerPack extends QueryPack {
     "files_hist" ->
       s"""WITH ${ClusterSql.regionMetrics}
          |SELECT file_count, COUNT(*) AS n_regions FROM region_metrics GROUP BY file_count""".stripMargin,
-    "size_percentiles" ->
+    "size_pctl" ->
       s"""WITH ${ClusterSql.regionMetrics}
          |SELECT table_name,
          |       quantile_cont(size_mb, 0.5) AS p50_size_mb,

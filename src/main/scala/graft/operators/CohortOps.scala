@@ -53,12 +53,12 @@ object CohortOps {
 
 object CohortPack extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "cohort_retention" -> ((s, d) => CohortOps.cohortRetention(Tables.events(s, d))),
+    "cohort_ret" -> ((s, d) => CohortOps.cohortRetention(Tables.events(s, d))),
     "region_flapping" -> ((s, d) => CohortOps.regionFlapping(ClusterViews.topology(s, d)))
   )
 
   override def oracles: Map[String, String] = Map(
-    "cohort_retention" ->
+    "cohort_ret" ->
       """WITH m AS (
         |  SELECT user_id,
         |         CAST((year(ts) * 100 + month(ts)) * 100 + dayofmonth(ts) AS INT) AS activity_day,

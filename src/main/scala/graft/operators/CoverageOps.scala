@@ -161,7 +161,7 @@ object CoveragePack extends QueryPack {
     "namespace_filter" -> ((s, d) => CoverageOps.namespaceFilter(ri(s, d), "ns1", "^t1.*")),
     "merge_guard" -> ((s, d) =>
       CoverageOps.mergeGuard(m(s, d), graft.sources.Tables.orders(s, d))),
-    "health_candidates" -> ((s, d) => CoverageOps.healthCandidates(m(s, d))),
+    "health_cand" -> ((s, d) => CoverageOps.healthCandidates(m(s, d))),
     "missing_meta" -> ((s, d) => CoverageOps.missingMeta(m(s, d), ri(s, d))),
     "availability" -> ((s, d) => CoverageOps.availability(graft.sources.Tables.events(s, d))),
     "kv_pivot" -> ((s, d) => CoverageOps.kvPivot(graft.sources.Tables.lineitem(s, d)))
@@ -208,7 +208,7 @@ object CoveragePack extends QueryPack {
          |)
          |SELECT DISTINCT m.table_name FROM region_metrics m
          |WHERE NOT EXISTS (SELECT 1 FROM snapshotted s WHERE s.table_name = m.table_name)""".stripMargin,
-    "health_candidates" ->
+    "health_cand" ->
       s"""WITH ${ClusterSql.regionMetrics},
          |counts AS (
          |  SELECT table_name, COUNT(*) AS n_regions FROM region_metrics GROUP BY table_name

@@ -322,7 +322,7 @@ object CurationPack extends QueryPack {
     "rep_top_token" -> ((s, dir) => CurationOps.repTopToken(d(s, dir))),
     "rep_bigram_frac" -> ((s, dir) => CurationOps.repBigramFrac(d(s, dir))),
     "cross_doc" -> ((s, dir) => CurationOps.crossDocShared(d(s, dir))),
-    "vocab_top_grams" -> ((s, dir) => CurationOps.vocabTopGrams(d(s, dir))),
+    "vocab_top" -> ((s, dir) => CurationOps.vocabTopGrams(d(s, dir))),
     "splits" -> ((s, dir) => CurationOps.splitAssign(d(s, dir))),
     "src_caps" -> ((s, dir) => CurationOps.sourceCaps(d(s, dir))),
     "gopher" -> ((s, dir) => CurationOps.gopherRules(d(s, dir))),
@@ -505,7 +505,7 @@ object CurationPack extends QueryPack {
          |WHERE d.doc_id IN (SELECT doc_id FROM quality)
          |  AND d.doc_id IN (SELECT doc_id FROM caps)
          |  AND d.doc_id NOT IN (SELECT doc_id FROM dupes)""".stripMargin,
-    "vocab_top_grams" ->
+    "vocab_top" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |uni AS (SELECT 1 AS n, u.tok AS gram FROM toks, unnest(t) AS u(tok)),
         |bi AS (

@@ -149,12 +149,12 @@ object DistributionPack extends QueryPack {
   private def srv(s: SparkSession): DataFrame = ClusterViews.servers(s)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "regions_per_server" -> ((s, d) => DistributionOps.regionsPerServer(m(s, d), srv(s))),
-    "load_vs_average" -> ((s, d) => DistributionOps.loadVsAverage(m(s, d), srv(s))),
-    "extreme_servers" -> ((s, d) => DistributionOps.extremeServers(m(s, d), srv(s))),
+    "regions_srv" -> ((s, d) => DistributionOps.regionsPerServer(m(s, d), srv(s))),
+    "load_vs_avg" -> ((s, d) => DistributionOps.loadVsAverage(m(s, d), srv(s))),
+    "extremes" -> ((s, d) => DistributionOps.extremeServers(m(s, d), srv(s))),
     "balance_moves" -> ((s, d) => DistributionOps.balanceMoves(m(s, d), srv(s))),
     "move_plan" -> ((s, d) => DistributionOps.movePlan(m(s, d), srv(s))),
-    "resolve_prefixes" -> { (s, d) =>
+    "prefixes" -> { (s, d) =>
       val prefixes = m(s, d).select(substring(col("server"), 1, 2).as("prefix")).distinct()
       DistributionOps.resolvePrefixes(prefixes, srv(s))
     }
@@ -171,13 +171,13 @@ object DistributionPack extends QueryPack {
       |)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
-    "regions_per_server" ->
+    "regions_srv" ->
       s"""WITH ${ClusterSql.regionMetrics}, ${ClusterSql.servers}
          |SELECT s.server, COALESCE(c.cnt, 0) AS n_regions
          |FROM servers s
          |LEFT JOIN (SELECT server, COUNT(*) AS cnt FROM region_metrics GROUP BY server) c
          |  ON s.server = c.server""".stripMargin,
-    "load_vs_average" ->
+    "load_vs_avg" ->
       s"""WITH ${ClusterSql.regionMetrics}, ${ClusterSql.servers},
          |counts AS (
          |  SELECT s.server, COALESCE(c.cnt, 0) AS n_regions
@@ -197,7 +197,7 @@ object DistributionPack extends QueryPack {
          |            WHEN n_regions < avg_load * 0.3 THEN 'LOW'
          |            ELSE 'NONE' END AS severity
          |FROM with_avg""".stripMargin,
-    "extreme_servers" ->
+    "extremes" ->
       s"""WITH ${ClusterSql.regionMetrics}, ${ClusterSql.servers},
          |counts AS (
          |  SELECT s.server, COALESCE(c.cnt, 0) AS n_regions
@@ -256,7 +256,7 @@ object DistributionPack extends QueryPack {
          |SELECT s.table_name, s.region_id, s.server AS from_server, d.to_server
          |FROM surplus_k s JOIN deficit_k d
          |  ON s.table_name = d.table_name AND s.k = d.k""".stripMargin,
-    "resolve_prefixes" ->
+    "prefixes" ->
       s"""WITH ${ClusterSql.regionMetrics}, ${ClusterSql.servers},
          |prefixes AS (SELECT DISTINCT SUBSTRING(server, 1, 2) AS prefix FROM region_metrics),
          |matched AS (

@@ -90,22 +90,22 @@ object EventsPack extends QueryPack {
   private def ev(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "events_tumbling" -> ((s, d) => EventsOps.tumbling(ev(s, d))),
-    "events_sliding" -> ((s, d) => EventsOps.sliding(ev(s, d))),
-    "events_sessions" -> ((s, d) => EventsOps.sessions(ev(s, d))),
-    "events_json" -> ((s, d) => EventsOps.jsonProps(ev(s, d))),
+    "ev_tumbling" -> ((s, d) => EventsOps.tumbling(ev(s, d))),
+    "ev_sliding" -> ((s, d) => EventsOps.sliding(ev(s, d))),
+    "ev_sessions" -> ((s, d) => EventsOps.sessions(ev(s, d))),
+    "ev_json" -> ((s, d) => EventsOps.jsonProps(ev(s, d))),
     "parse_qualifiers" -> ((s, d) =>
       EventsOps.parseQualifiers(graft.cluster.ClusterViews.topology(s, d))),
-    "snapshot_names" -> ((s, d) => EventsOps.snapshotNames(Tables.orders(s, d)))
+    "snap_names" -> ((s, d) => EventsOps.snapshotNames(Tables.orders(s, d)))
   )
 
   override def oracles: Map[String, String] = Map(
-    "events_tumbling" ->
+    "ev_tumbling" ->
       """SELECT (epoch_us(ts) // 600000000) * 600000000 AS window_start_us,
         |       event_type, COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
-    "events_sliding" ->
+    "ev_sliding" ->
       """WITH expanded AS (
         |  SELECT event_type,
         |         ((epoch_us(ts) // 300000000) - s.i) * 300000000 AS window_start_us,
@@ -116,7 +116,7 @@ object EventsPack extends QueryPack {
         |FROM expanded
         |WHERE t >= window_start_us AND t < window_start_us + 600000000
         |GROUP BY 1, 2""".stripMargin,
-    "events_sessions" ->
+    "ev_sessions" ->
       """WITH ordered AS (
         |  SELECT user_id, epoch_us(ts) AS t, CAST(value AS DECIMAL(18,2)) AS v,
         |         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t
@@ -134,7 +134,7 @@ object EventsPack extends QueryPack {
         |SELECT user_id, MIN(t) AS session_start_us, COUNT(*) AS n_events,
         |       CAST(SUM(v) AS DOUBLE) AS val_sum
         |FROM numbered GROUP BY user_id, session_no""".stripMargin,
-    "events_json" ->
+    "ev_json" ->
       """SELECT event_type, COUNT(*) AS n,
         |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
         |       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
@@ -155,7 +155,7 @@ object EventsPack extends QueryPack {
         |       CAST(string_split(qualifier, '_')[2] AS BIGINT) AS parsed_ts_us,
         |       server
         |FROM q""".stripMargin,
-    "snapshot_names" ->
+    "snap_names" ->
       """SELECT o_orderkey AS snapshot_id,
         |       'snp_t' || CAST(o_orderkey % 16 AS VARCHAR) || '_'
         |         || strftime(o_orderdate, '%Y%m%d_%H%M%S') AS snapshot_name

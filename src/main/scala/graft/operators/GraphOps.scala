@@ -124,7 +124,7 @@ object GraphPack extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> ((s, d) => GraphOps.dedupClusters(Tables.documents(s, d))),
     "dedup_keep" -> ((s, d) => GraphOps.dedupKeep(Tables.documents(s, d))),
-    "session_funnel" -> ((s, d) => GraphOps.sessionFunnel(Tables.events(s, d)))
+    "funnel" -> ((s, d) => GraphOps.sessionFunnel(Tables.events(s, d)))
   )
 
   /** Connected components over the verified >= 0.8-Jaccard pair graph as
@@ -171,7 +171,7 @@ object GraphPack extends QueryPack {
          |FROM documents d
          |LEFT JOIN labels l ON d.doc_id = l.doc_id AND l.doc_id <> l.cluster_id
          |WHERE l.doc_id IS NULL""".stripMargin,
-    "session_funnel" ->
+    "funnel" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
         |         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_t

@@ -53,14 +53,14 @@ object JoinsOps {
 
 object JoinsPack extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "revenue_by_nation" -> ((s, d) => JoinsOps.revenueByNation(
+    "revenue_nat" -> ((s, d) => JoinsOps.revenueByNation(
       Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
       Tables.nation(s, d), Tables.region(s, d))),
     "top_customers" -> ((s, d) => JoinsOps.topCustomers(Tables.orders(s, d), Tables.customer(s, d)))
   )
 
   override def oracles: Map[String, String] = Map(
-    "revenue_by_nation" ->
+    "revenue_nat" ->
       """SELECT r_name AS region_name, n_name AS nation_name,
         |       COUNT(*) AS n_items,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))

@@ -123,9 +123,9 @@ object MergerPack extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_plan" -> ((s, d) =>
       MergerOps.mergePlan(ri(s, d), m(s, d), FixtureSmallMb, FixtureMaxMergedMb)),
-    "mergeable_count" -> ((s, d) => MergerOps.mergeableCount(m(s, d), FixtureSmallMb)),
+    "mergeables" -> ((s, d) => MergerOps.mergeableCount(m(s, d), FixtureSmallMb)),
     "border_rows" -> ((s, d) => MergerOps.borderRows(graft.sources.Tables.lineitem(s, d))),
-    "rediscover_merged" -> ((s, d) =>
+    "remerged" -> ((s, d) =>
       MergerOps.rediscoverMerged(ri(s, d), m(s, d), FixtureSmallMb, FixtureMaxMergedMb))
   )
 
@@ -169,7 +169,7 @@ object MergerPack extends QueryPack {
          |SELECT table_name, region_id AS left_region, next_region AS right_region,
          |       CAST(size_mb + next_size AS BIGINT) AS merged_size_mb
          |FROM picked WHERE pos_in_island % 2 = 1""".stripMargin,
-    "mergeable_count" ->
+    "mergeables" ->
       s"""WITH ${ClusterSql.regionMetrics}
          |SELECT table_name, COUNT(*) AS n_regions,
          |       CAST(SUM(CASE WHEN size_mb <= 7000 THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
@@ -182,7 +182,7 @@ object MergerPack extends QueryPack {
         |       MIN(l_orderkey * 10 + l_linenumber) AS first_rowkey,
         |       MAX(l_orderkey * 10 + l_linenumber) AS last_rowkey
         |FROM lineitem GROUP BY l_partkey""".stripMargin,
-    "rediscover_merged" ->
+    "remerged" ->
       s"""WITH ${ClusterSql.regionMetrics}, ${ClusterSql.regionInfo},
          |$pairedSql,
          |plan AS (

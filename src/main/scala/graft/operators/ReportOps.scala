@@ -111,15 +111,15 @@ object ReportPack extends QueryPack {
   private def m(s: SparkSession, d: String): DataFrame = ClusterViews.regionMetrics(s, d)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "severity_rollup" -> ((s, d) => ReportOps.severityRollup(m(s, d))),
-    "snapshot_stats" -> ((s, d) => ReportOps.snapshotStats(Tables.orders(s, d))),
+    "sev_rollup" -> ((s, d) => ReportOps.severityRollup(m(s, d))),
+    "snap_stats" -> ((s, d) => ReportOps.snapshotStats(Tables.orders(s, d))),
     "heap_pressure" -> ((s, d) => ReportOps.heapPressure(m(s, d))),
     "stale_rit" -> ((s, d) => ReportOps.staleTransitions(Tables.events(s, d))),
-    "partial_report" -> ((s, d) => ReportOps.partialReport(m(s, d)))
+    "partial_rep" -> ((s, d) => ReportOps.partialReport(m(s, d)))
   )
 
   override def oracles: Map[String, String] = Map(
-    "severity_rollup" ->
+    "sev_rollup" ->
       s"""WITH ${ClusterSql.regionMetrics},
          |sev AS (
          |  SELECT table_name,
@@ -143,7 +143,7 @@ object ReportPack extends QueryPack {
          |            WHEN n_critical * 10 + n_normal > 20 THEN 'LOW'
          |            ELSE 'NONE' END AS report_severity
          |FROM rolled""".stripMargin,
-    "snapshot_stats" ->
+    "snap_stats" ->
       """WITH snaps AS (
         |  SELECT 't' || CAST(o_orderkey % 16 AS VARCHAR) AS table_name,
         |         o_orderdate AS created,
@@ -168,7 +168,7 @@ object ReportPack extends QueryPack {
         |)
         |SELECT event_id, user_id, age_us
         |FROM aged WHERE age_us > 60 * 1000000 AND event_type = 'error'""".stripMargin,
-    "partial_report" ->
+    "partial_rep" ->
       s"""WITH ${ClusterSql.regionMetrics},
          |weighted AS (
          |  SELECT table_name, region_id,

@@ -76,7 +76,7 @@ object TopologyPack extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "topology_asof" -> ((s, d) => TopologyOps.asOf(topo(s, d), TopologyOps.T2)),
     "topology_diff" -> ((s, d) => TopologyOps.diff(topo(s, d))),
-    "current_vs_asof" -> ((s, d) => TopologyOps.currentVsAsOf(ri(s, d), topo(s, d))),
+    "cur_asof" -> ((s, d) => TopologyOps.currentVsAsOf(ri(s, d), topo(s, d))),
     "key_lookup" -> { (s, d) =>
       val keys = graft.sources.Tables.customer(s, d)
         .select(((col("c_custkey") * 7919) % 2100000).as("probe_key"))
@@ -103,7 +103,7 @@ object TopologyPack extends QueryPack {
          |SELECT region_id, server, 'IN' AS change FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
          |UNION ALL
          |SELECT region_id, server, 'OUT' AS change FROM (SELECT * FROM a EXCEPT SELECT * FROM b)""".stripMargin,
-    "current_vs_asof" ->
+    "cur_asof" ->
       s"""WITH ${ClusterSql.topology}, ${ClusterSql.regionInfo},
          |then_t AS (SELECT region_id, server AS server_then FROM (${asOfSql(TopologyOps.T2)})),
          |now_t AS (SELECT region_id, server AS server_now FROM region_info)

@@ -11,7 +11,7 @@ object ExplainAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq else Seq(
-      "compaction_plan", "revenue_by_nation", "key_lookup",
+      "compaction_plan", "revenue_nat", "key_lookup",
       "topology_asof", "dedup_minhash", "ann_lsh_topk", "merge_plan", "kv_pivot")
     val spark = GraftSession.builder(master = "local[8]", shufflePartitions = 8).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

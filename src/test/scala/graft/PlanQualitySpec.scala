@@ -58,7 +58,7 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("star join broadcasts the dimension tables") {
-    val plan = physical(SparkEntry.queries("revenue_by_nation")(spark, sf))
+    val plan = physical(SparkEntry.queries("revenue_nat")(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast joins in:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
