@@ -278,8 +278,9 @@ object CurationOps {
     * keep-filters — Gopher quality pass, near-dup removal (canonical doc
     * wins), and the per-source cap. Each filter is computed over the full
     * corpus and the survivors intersected, so the result is order-
-    * independent and each stage stays a single shuffle; the dup list is
-    * broadcast-sized by construction (it passed a similarity threshold). */
+    * independent and each stage stays a single shuffle; the dup list can
+    * be O(corpus), so it is anti-joined unhinted (one exchange of longs —
+    * AQE broadcasts at runtime iff it actually fits). */
   def curated(docs: DataFrame): DataFrame = {
     val quality = gopherRules(docs).filter(col("pass")).select("doc_id")
     val dupes = GraphOps.dedupClusters(docs)
@@ -288,7 +289,7 @@ object CurationOps {
     docs
       .join(quality, Seq("doc_id"), "left_semi")
       .join(capped, Seq("doc_id"), "left_semi")
-      .join(broadcast(dupes), Seq("doc_id"), "left_anti")
+      .join(dupes, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"))
   }
 

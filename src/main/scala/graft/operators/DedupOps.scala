@@ -215,9 +215,11 @@ object DedupOps {
     // Join positions THROUGH the pair list, never a global x31 self-join:
     // a hot trigram shared by hundreds of candidate docs would square in
     // a global join, while per-pair matching is bounded by |pairs| x
-    // (matches within one pair). The pair list is broadcast-sized by
-    // construction (it passed a similarity threshold).
-    val matches = broadcast(pairs)
+    // (matches within one pair). No broadcast hint: at corpus scale the
+    // near-dup pair list is routinely billions of rows (the substring-
+    // dedup paper's normal case) — a shuffled join on da scales, and AQE
+    // still broadcasts at runtime when the pair list actually fits.
+    val matches = pairs
       .join(rp.as("a"), col("da") === col("a.doc_id"))
       .join(rp.as("b"), col("db") === col("b.doc_id") && col("a.x31") === col("b.x31"))
       .select(col("da"), col("db"), col("a.pos").as("pa"), col("b.pos").as("pb"))

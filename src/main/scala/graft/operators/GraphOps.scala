@@ -86,15 +86,16 @@ object GraphOps {
 
   /** The kept corpus after near-dup removal: every document except
     * non-canonical cluster members (cluster_id = min doc_id wins). The
-    * end-to-end dedup pipeline output — clustering restricted the pair
-    * graph, so this is one broadcast-sized anti-join against the cluster
-    * labels, never a corpus-sized shuffle. */
+    * end-to-end dedup pipeline output. The duplicate set is O(corpus) in
+    * the worst case (web-scale near-dup removal drops 30-50% of docs), so
+    * no broadcast hint: the anti-join shuffles one exchange of longs and
+    * AQE still picks broadcast at runtime whenever the set actually fits. */
   def dedupKeep(docs: DataFrame, thresholdE4: Long = 8000L): DataFrame = {
     val dupes = dedupClusters(docs, thresholdE4)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
     docs
-      .join(broadcast(dupes), Seq("doc_id"), "left_anti")
+      .join(dupes, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"))
   }
 

@@ -71,6 +71,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  test("corpus-derived dup/pair sets carry no forced broadcast hint") {
+    // dedup_keep / curated anti-join the duplicate doc_id set; longest_span
+    // joins the near-dup pair list. All three sets are O(corpus) at scale
+    // (web dedup drops 30-50% of docs; pair lists hit billions), so a
+    // broadcast *hint* is a scale-killer — AQE may still choose broadcast
+    // at runtime when the set fits, which this gate deliberately allows.
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, ResolvedHint, UnresolvedHint}
+    val offenders = Seq("dedup_keep", "curated", "longest_span").flatMap { name =>
+      val analyzed: LogicalPlan = SparkEntry.queries(name)(spark, sf).queryExecution.analyzed
+      val hints = analyzed.collect {
+        case h: ResolvedHint => h.toString
+        case h: UnresolvedHint => h.toString
+      }
+      if (hints.nonEmpty) Some(s"$name: ${hints.mkString("; ")}") else None
+    }
+    assert(offenders.isEmpty, s"forced join hints on corpus-derived sets:\n${offenders.mkString("\n")}")
+  }
+
   test("compaction plan keeps the candidate filter below the per-server window shuffle") {
     val df = SparkEntry.queries("compaction_plan")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
