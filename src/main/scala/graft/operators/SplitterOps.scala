@@ -44,8 +44,9 @@ object SplitterOps {
 
   /** O-47 surface: salted keys for a batch of input strings (KEY_GENERATOR
     * tool; `api/common/KeyGenerator.java:27-49`). Emitted as hex for
-    * display; rows-only check (CRC32 byte surgery is not SQL-expressible
-    * in the oracle engine). */
+    * display; hash-checked against a recursive-CTE CRC32 oracle (8-step
+    * reflected-polynomial 0xEDB88320 per byte — bit-exact with
+    * java.util.zip.CRC32). */
   def saltedKeys(spark: SparkSession, sfDir: String): DataFrame = {
     val src = graft.sources.Tables.customer(spark, sfDir)
       .select(col("c_custkey").as("id"), col("c_name").as("key_str"))
@@ -80,7 +81,38 @@ object SplitterPack extends QueryPack {
          |SELECT table_name, region_id, size_mb, rnk,
          |       (start_key + end_key) // 2 AS split_point
          |FROM ranked
-         |WHERE size_mb * CAST(2.2 AS DOUBLE) > max_size AND rnk <= 20""".stripMargin
-    // salted_keys: rows-only (no CRC32 in the oracle engine)
+         |WHERE size_mb * CAST(2.2 AS DOUBLE) > max_size AND rnk <= 20""".stripMargin,
+    // CRC32 as a recursive CTE: state machine over (pos, bit) — at a byte
+    // boundary (bit=8) XOR in the next byte, then 8 reflected-polynomial
+    // shift steps; bit-exact with java.util.zip.CRC32 used by SaltedKey.
+    "salted_keys" ->
+      """WITH RECURSIVE keys AS (
+        |  SELECT c_custkey AS id, c_name AS key_str FROM customer
+        |),
+        |st(id, key_str, pos, bit, c) AS (
+        |  SELECT id, key_str, 0, 8, CAST(4294967295 AS BIGINT) FROM keys
+        |  UNION ALL
+        |  SELECT id, key_str,
+        |    CASE WHEN bit = 8 THEN pos + 1 ELSE pos END,
+        |    CASE WHEN bit = 8 THEN 0 ELSE bit + 1 END,
+        |    CASE WHEN bit = 8
+        |         THEN xor(c, ascii(substring(key_str, pos + 1, 1)))
+        |         ELSE xor(c >> 1, CASE WHEN c % 2 = 1 THEN CAST(3988292384 AS BIGINT) ELSE 0 END)
+        |    END
+        |  FROM st
+        |  WHERE bit < 8 OR pos < len(key_str)
+        |),
+        |fin AS (
+        |  SELECT id, key_str, xor(c, 4294967295) AS crc
+        |  FROM st WHERE bit = 8 AND pos = len(key_str)
+        |)
+        |SELECT id, key_str,
+        |  CASE WHEN len(key_str) >= 4
+        |       THEN lpad(hex(crc), 8, '0') || hex(substring(key_str, len(key_str)-1, 2))
+        |            || hex(substring(key_str, len(key_str)-3, 2)) || hex(key_str)
+        |       ELSE lpad(hex(crc), 8, '0') || hex(key_str)
+        |  END AS salted_hex,
+        |  CAST(CASE WHEN len(key_str) >= 4 THEN 8 + len(key_str) ELSE 4 + len(key_str) END AS INTEGER) AS salted_len
+        |FROM fin""".stripMargin
   )
 }
