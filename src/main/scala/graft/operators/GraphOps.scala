@@ -26,33 +26,84 @@ object GraphOps {
 
   val MaxIterations = 20
 
+  /** Lineage is truncated every this many propagation rounds: each round
+    * nests the previous round's plan, and dozens of stacked join/agg
+    * trees slow re-planning (and can overflow the optimizer stack) long
+    * before the data is the problem. */
+  val CheckpointEvery = 5
+
+  /** Upper bound on memoized cluster-label results; the eldest entry is
+    * unpersisted and evicted beyond this, so a long-lived session cannot
+    * pin an unbounded set of cached frames or analyzed plan trees. */
+  val MemoMaxEntries = 8
+
   /** Driver-side memo for cluster labels: the propagation loop runs
     * actions at CONSTRUCTION time, so plan-level caching alone cannot
     * dedup it — three consumers (clusters / keep / curated) would each
     * re-execute every round. Keyed on (session, canonical docs plan,
-    * threshold); the memoized frame's final `stepped` stage is cached, so
-    * reuse is a cache read. */
-  private val labelMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long), DataFrame]()
-
-  /** (doc_id, cluster_id) for every document participating in at least
-    * one near-dup pair; cluster_id = min doc_id of the component. */
-  def dedupClusters(docs: DataFrame, thresholdE4: Long = 8000L): DataFrame = {
-    val key = (docs.sparkSession, docs.queryExecution.analyzed.canonicalized, thresholdE4)
-    labelMemo.computeIfAbsent(key, _ => computeClusters(docs, thresholdE4))
+    * threshold); the memoized result frame is cached, so reuse is a
+    * cache read. Access-ordered LRU bounded at [[MemoMaxEntries]].
+    *
+    * Memoized results are SNAPSHOTS: plan canonicalization does not see
+    * file contents, so if the underlying files are rewritten in place,
+    * call [[clearClusterMemo]] to drop stale labels. */
+  private val labelMemo = new java.util.LinkedHashMap[
+    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long), DataFrame](
+    16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[
+          (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long),
+          DataFrame]): Boolean =
+      if (size() > MemoMaxEntries) { e.getValue.unpersist(); true } else false
   }
 
-  private def computeClusters(docs: DataFrame, thresholdE4: Long): DataFrame = {
-    val pairs = DedupOps.ngramJaccard(docs, thresholdE4).select("da", "db")
+  /** Drop every memoized clustering (unpersisting its cached frame) —
+    * the invalidate hook for callers that rewrite input files in place. */
+  def clearClusterMemo(): Unit = labelMemo.synchronized {
+    labelMemo.values.forEach(_.unpersist())
+    labelMemo.clear()
+  }
+
+  private[graft] def memoSize: Int = labelMemo.synchronized(labelMemo.size())
+
+  /** (doc_id, cluster_id) for every document participating in at least
+    * one near-dup pair; cluster_id = min doc_id of the component.
+    * Throws IllegalStateException if propagation does not converge within
+    * [[MaxIterations]] rounds — partial components silently feeding
+    * dedup_keep/curated would be a correctness bug, not a warning. */
+  def dedupClusters(docs: DataFrame, thresholdE4: Long = 8000L): DataFrame =
+    labelMemo.synchronized {
+      val key = (docs.sparkSession, docs.queryExecution.analyzed.canonicalized, thresholdE4)
+      val hit = labelMemo.get(key)
+      if (hit != null) hit
+      else {
+        val computed = connectedComponents(
+          DedupOps.ngramJaccard(docs, thresholdE4).select("da", "db"))
+        labelMemo.put(key, computed)
+        computed
+      }
+    }
+
+  /** Min-label propagation with pointer doubling over an undirected pair
+    * graph `(da, db)`: every node ends labeled with its component's
+    * minimum id in O(log diameter) rounds. The returned (doc_id,
+    * cluster_id) frame is cached and materialized; loop-stage caches are
+    * released before returning. */
+  private[graft] def connectedComponents(
+      pairs: DataFrame,
+      maxIters: Int = MaxIterations): DataFrame = {
     val edges = pairs
       .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
       .cache()
     var labels = edges.select(col("da").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .cache()
+    // the frame whose storage this round actually holds (labels is a
+    // projection over it from round 1 on, so unpersist must target it)
+    var prevStored = labels
     var iter = 0
     var changed = true
-    while (changed && iter < MaxIterations) {
+    while (changed && iter < maxIters) {
       val neighborMin = edges
         .join(labels, edges("db") === labels("doc_id"))
         .groupBy(edges("da").as("nid"))
@@ -61,27 +112,38 @@ object GraphOps {
       // is defined; shortcutting it each round makes the min label hop
       // 2^iter-length paths — O(log diameter) rounds instead of O(diameter)
       val parents = labels.select(col("doc_id").as("p_id"), col("label").as("p_label"))
-      val stepped = labels
+      val steppedPlan = labels
         .join(neighborMin, labels("doc_id") === col("nid"), "left")
         .join(parents, labels("label") === col("p_id"), "left")
         .select(col("doc_id"), col("label").as("prev"),
           least(col("label"),
             coalesce(col("nlabel"), col("label")),
             coalesce(col("p_label"), col("label"))).as("label"))
-        .cache()
+      // every CheckpointEvery rounds, cut lineage: localCheckpoint is
+      // eager, so it doubles as this round's cache; other rounds cache
+      val stepped =
+        if (iter % CheckpointEvery == CheckpointEvery - 1) steppedPlan.localCheckpoint()
+        else steppedPlan.cache()
       // carry the previous label through so convergence is a filter on
-      // the same frame — one action per round, no extra self-join.
-      // at 100 TB: localCheckpoint here every few rounds to truncate lineage
+      // the same frame — one action per round, no extra self-join
       changed = stepped.filter(col("label") =!= col("prev")).limit(1).count() > 0
-      labels.unpersist()
+      prevStored.unpersist()
+      prevStored = stepped
       labels = stepped.select("doc_id", "label")
       iter += 1
     }
-    if (changed)
-      System.err.println(
-        s"[graft] WARN dedupClusters: not converged after $MaxIterations rounds — labels may span partial components")
+    if (changed) {
+      edges.unpersist()
+      prevStored.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIters rounds — " +
+          "refusing to emit partial components (raise maxIters, or investigate pathological graph depth)")
+    }
+    val out = labels.select(col("doc_id"), col("label").as("cluster_id")).cache()
+    out.count() // materialize before releasing the loop-stage storage
     edges.unpersist()
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
+    prevStored.unpersist()
+    out
   }
 
   /** The kept corpus after near-dup removal: every document except

@@ -27,6 +27,41 @@ class GraphOpsSpec extends SparkSpec {
     clusters.unpersist()
   }
 
+  test("connected components converge across the lineage-checkpoint boundary") {
+    // a 101-node path needs ~log2(100) ≈ 7 pointer-doubling rounds, so the
+    // loop crosses the CheckpointEvery=5 localCheckpoint at least once
+    val pairs = spark.range(100).select(col("id").as("da"), (col("id") + 1).as("db"))
+    val labels = GraphOps.connectedComponents(pairs)
+    assert(labels.count() == 101)
+    assert(labels.filter(col("cluster_id") =!= 0L).count() == 0)
+  }
+
+  test("non-convergence is a hard failure, not a warning") {
+    val pairs = spark.range(100).select(col("id").as("da"), (col("id") + 1).as("db"))
+    val ex = intercept[IllegalStateException] {
+      GraphOps.connectedComponents(pairs, maxIters = 2)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("cluster-label memo stays bounded across distinct input plans") {
+    val s = spark
+    import s.implicits._
+    GraphOps.clearClusterMemo()
+    (0 until GraphOps.MemoMaxEntries + 2).foreach { i =>
+      val docs = Seq(
+        (0L, s"tok$i a b c d e f g h", "en", "s"),
+        (1L, s"tok$i a b c d e f g h", "en", "s")
+      ).toDF("doc_id", "text", "lang", "source")
+      val labels = GraphOps.dedupClusters(docs)
+      assert(labels.count() == 2) // both docs share one component
+    }
+    assert(GraphOps.memoSize <= GraphOps.MemoMaxEntries,
+      s"memo grew to ${GraphOps.memoSize} entries")
+    GraphOps.clearClusterMemo()
+    assert(GraphOps.memoSize == 0)
+  }
+
   test("session funnel counts partition all sessions") {
     val events = Tables.events(spark, sf)
     val funnel = GraphOps.sessionFunnel(events)
