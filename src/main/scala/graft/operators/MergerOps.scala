@@ -2,9 +2,62 @@ package graft.operators
 
 import graft.QueryPack
 import graft.cluster.{ClusterSql, ClusterViews}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+/** Merge thresholds (reference `api/merger/MergeParams.java:3-26`):
+  * min/max single-region store sizes plus the max merged size. */
+case class MergeParams(minMb: Long, maxMb: Long, maxMergedMb: Long)
+
+/** Quality modes for the merger (reference `api/merger/QualityMerge.java:6-68`):
+  * each mode is a distinct pair-eligibility rule plus a stop bound for the
+  * multi-round driver loop (`Merger.java:133-150` keeps merging rounds
+  * while the region count exceeds `borderRegionsCount`).
+  */
+sealed abstract class MergeQuality(val name: String) {
+  /** Pair eligibility on (left size, right size) — `canMergeRegions`. */
+  def canMerge(a: Column, b: Column, p: MergeParams): Column
+
+  /** Stop bound for the outer merge loop — `setBorderRegionsCount`:
+    * SMALL ignores it (-1, single pass), MEDIUM honors the configured
+    * value, LARGE always merges down to one region. */
+  def borderRegionsCount(configured: Int): Int
+}
+
+object MergeQuality {
+  /** `canMergeTwoRegions` (`QualityMerge.java:75-90`): any sub-minimum
+    * region may merge unconditionally; otherwise both must fit under the
+    * single-region cap and their sum under the merged cap. */
+  private def canMergeTwo(a: Column, b: Column, p: MergeParams): Column =
+    (a < p.minMb || b < p.minMb) ||
+      (a <= p.maxMb && b <= p.maxMb && (a + b) <= p.maxMergedMb)
+
+  case object Small extends MergeQuality("small") {
+    override def canMerge(a: Column, b: Column, p: MergeParams): Column =
+      (a < p.minMb && b < p.maxMb) || (b < p.minMb && a < p.maxMb)
+    override def borderRegionsCount(configured: Int): Int = -1
+  }
+
+  case object Medium extends MergeQuality("medium") {
+    override def canMerge(a: Column, b: Column, p: MergeParams): Column = canMergeTwo(a, b, p)
+    override def borderRegionsCount(configured: Int): Int = configured
+  }
+
+  case object Large extends MergeQuality("large") {
+    override def canMerge(a: Column, b: Column, p: MergeParams): Column = canMergeTwo(a, b, p)
+    override def borderRegionsCount(configured: Int): Int = 1
+  }
+
+  /** `parseQuality` (`QualityMerge.java:52-68`), including the reference's
+    * colloquial Russian aliases. */
+  def parse(quality: String): MergeQuality = quality.toLowerCase match {
+    case "на-пол-шишечки" | "small"  => Small
+    case "ну-сожми-чуток" | "medium" => Medium
+    case "по-взрослому" | "large"    => Large
+    case other => throw new IllegalArgumentException(s"Incorrect merge parameters: $other")
+  }
+}
 
 /** MERGER analytics (reference `api/merger/...`).
   *
@@ -31,7 +84,26 @@ object MergerOps {
       regionInfo: DataFrame,
       metrics: DataFrame,
       smallMb: Long = SmallRegionMb,
-      maxMergedMb: Long = MaxMergedMb): DataFrame = {
+      maxMergedMb: Long = MaxMergedMb): DataFrame =
+    greedyAdjacentPlan(regionInfo, metrics,
+      (a, b) => a <= smallMb && b <= smallMb && (a + b) <= maxMergedMb)
+
+  /** [[mergePlan]] under a reference quality mode: same greedy adjacent
+    * walk, pair eligibility swapped for the mode's ladder
+    * (`api/merger/QualityMerge.java:6-40`). */
+  def mergePlanQuality(
+      regionInfo: DataFrame,
+      metrics: DataFrame,
+      quality: MergeQuality,
+      params: MergeParams): DataFrame =
+    greedyAdjacentPlan(regionInfo, metrics, (a, b) => quality.canMerge(a, b, params))
+
+  /** Shared O-40 walk: adjacency pairing, size eligibility, islands of
+    * consecutive eligible pairs, greedy odd positions. */
+  private def greedyAdjacentPlan(
+      regionInfo: DataFrame,
+      metrics: DataFrame,
+      sizeEligible: (Column, Column) => Column): DataFrame = {
     val joined = regionInfo
       .select("region_id", "table_name", "start_key", "end_key")
       .join(metrics.select(col("region_id"), col("size_mb")), Seq("region_id"), "inner")
@@ -44,8 +116,7 @@ object MergerOps {
         "eligible",
         col("next_region").isNotNull &&
           col("end_key") === col("next_start") &&
-          col("size_mb") <= smallMb && col("next_size") <= smallMb &&
-          (col("size_mb") + col("next_size")) <= maxMergedMb)
+          sizeEligible(col("size_mb"), col("next_size")))
     // islands of consecutive eligible pairs; greedy picks odd positions
     val island = sum(when(col("eligible"), 0).otherwise(1))
       .over(byTable.rowsBetween(Window.unboundedPreceding, 0))
@@ -119,17 +190,20 @@ object MergerPack extends QueryPack {
   // a user would tune merger.regions.min/max-storefile-size-mb
   private val FixtureSmallMb = 7000L
   private val FixtureMaxMergedMb = 15000L
+  private val FixtureMedParams = MergeParams(minMb = 5000L, maxMb = 12000L, maxMergedMb = 15000L)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_plan" -> ((s, d) =>
       MergerOps.mergePlan(ri(s, d), m(s, d), FixtureSmallMb, FixtureMaxMergedMb)),
+    "merge_plan_med" -> ((s, d) =>
+      MergerOps.mergePlanQuality(ri(s, d), m(s, d), MergeQuality.parse("medium"), FixtureMedParams)),
     "mergeables" -> ((s, d) => MergerOps.mergeableCount(m(s, d), FixtureSmallMb)),
     "border_rows" -> ((s, d) => MergerOps.borderRows(graft.sources.Tables.lineitem(s, d))),
     "remerged" -> ((s, d) =>
       MergerOps.rediscoverMerged(ri(s, d), m(s, d), FixtureSmallMb, FixtureMaxMergedMb))
   )
 
-  private val pairedSql =
+  private def pairedSqlFor(sizePred: String): String =
     s"""joined AS (
        |  SELECT i.region_id, i.table_name, i.start_key, i.end_key, m.size_mb
        |  FROM region_info i JOIN region_metrics m ON i.region_id = m.region_id
@@ -145,8 +219,7 @@ object MergerPack extends QueryPack {
        |flagged AS (
        |  SELECT *,
        |         (next_region IS NOT NULL AND end_key = next_start
-       |          AND size_mb <= 7000 AND next_size <= 7000
-       |          AND size_mb + next_size <= 15000) AS eligible
+       |          AND ($sizePred)) AS eligible
        |  FROM paired
        |),
        |islands AS (
@@ -162,10 +235,25 @@ object MergerPack extends QueryPack {
        |  FROM islands WHERE eligible
        |)""".stripMargin
 
+  private val pairedSql = pairedSqlFor(
+    "size_mb <= 7000 AND next_size <= 7000 AND size_mb + next_size <= 15000")
+
+  // MEDIUM ladder (QualityMerge.canMergeTwoRegions): sub-minimum regions
+  // merge unconditionally; otherwise both under the cap and the sum fits
+  private val pairedSqlMed = pairedSqlFor(
+    "(size_mb < 5000 OR next_size < 5000) OR " +
+      "(size_mb <= 12000 AND next_size <= 12000 AND size_mb + next_size <= 15000)")
+
   override def oracles: Map[String, String] = Map(
     "merge_plan" ->
       s"""WITH ${ClusterSql.regionMetrics}, ${ClusterSql.regionInfo},
          |$pairedSql
+         |SELECT table_name, region_id AS left_region, next_region AS right_region,
+         |       CAST(size_mb + next_size AS BIGINT) AS merged_size_mb
+         |FROM picked WHERE pos_in_island % 2 = 1""".stripMargin,
+    "merge_plan_med" ->
+      s"""WITH ${ClusterSql.regionMetrics}, ${ClusterSql.regionInfo},
+         |$pairedSqlMed
          |SELECT table_name, region_id AS left_region, next_region AS right_region,
          |       CAST(size_mb + next_size AS BIGINT) AS merged_size_mb
          |FROM picked WHERE pos_in_island % 2 = 1""".stripMargin,
