@@ -86,6 +86,32 @@ class KeyFunctionsSpec extends SparkSpec {
     assert(b.compareTo(new java.math.BigInteger(1, mid)) > 0)
   }
 
+  test("midpoint: property over random variable-length key pairs") {
+    // property: for any start/end of any lengths with padded-start <
+    // padded-end, the midpoint sits inside [start-bound, end-bound] at the
+    // common width, where the inclusive start pads 0x00 and the exclusive
+    // end pads 0xFF (prefix-range semantics) — i.e. variable-length keys
+    // never skew the split point below the start or above the end bound
+    val rnd = new scala.util.Random(13)
+    var checked = 0
+    while (checked < 300) {
+      val start = Array.fill(rnd.nextInt(10))(rnd.nextInt(256).toByte)
+      val end = Array.fill(rnd.nextInt(10))(rnd.nextInt(256).toByte)
+      val width = math.max(BinaryKeys.PadWidth, math.max(start.length, end.length))
+      val a = new java.math.BigInteger(1, start ++ Array.fill(width - start.length)(0x00.toByte))
+      val b =
+        if (end.isEmpty) new java.math.BigInteger(1, Array.fill(width)(0xff.toByte))
+        else new java.math.BigInteger(1, end ++ Array.fill(width - end.length)(0xff.toByte))
+      if (a.compareTo(b) < 0) {
+        val mid = new java.math.BigInteger(1, BinaryKeys.midpoint(start, end))
+        assert(mid == a.add(b).shiftRight(1),
+          s"start=${start.map("%02x".format(_)).mkString} end=${end.map("%02x".format(_)).mkString}")
+        assert(a.compareTo(mid) <= 0 && mid.compareTo(b) <= 0)
+        checked += 1
+      }
+    }
+  }
+
   test("toStringBinary escapes non-printables") {
     assert(BinaryKeys.toStringBinary("ab".getBytes) == "ab")
     assert(BinaryKeys.toStringBinary(Array(0x00.toByte, 0x41.toByte, 0xff.toByte)) == "\\x00A\\xFF")
