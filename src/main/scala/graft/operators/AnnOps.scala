@@ -177,8 +177,9 @@ object AnnOps {
 
   /** Recall@k of the LSH index against the exact brute-force ranking —
     * the self-evaluation loop an ANN deployment runs on a sampled query
-    * set before trusting the index at full scale. recall_e4 is exact
-    * integer arithmetic (n_common × 10000 / k with k | 10000). */
+    * set before trusting the index at full scale. recall_e4 =
+    * round(n_common / k * 1e4), exact for any k (not just divisors of
+    * 10000). */
   def annRecall(embeddings: DataFrame, spark: SparkSession, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val brute = bruteTopK(embeddings, nQueries, k).select("qid", "vec_id")
     val lsh = lshTopK(embeddings, spark, nQueries, k).select("qid", "vec_id")
@@ -188,7 +189,8 @@ object AnnOps {
       .join(common, Seq("qid"), "left")
       .select(col("qid"), col("n_brute"),
         coalesce(col("n_common"), lit(0L)).as("n_common"),
-        (coalesce(col("n_common"), lit(0L)) * (10000L / k)).as("recall_e4"))
+        floor(coalesce(col("n_common"), lit(0L)).cast("double") * 10000.0 / k + 0.5)
+          .cast("long").as("recall_e4"))
   }
 
   /** SemDeDup-style cross-modal dedup: embedding near-dup pairs (LSH-

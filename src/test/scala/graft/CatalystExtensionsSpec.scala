@@ -23,6 +23,24 @@ class CatalystExtensionsSpec extends SparkSpec {
     assert(CompactionWeightExpr.compute(1024L, 0L, 1, 0.0) == 115.0 + 1.33)
   }
 
+  test("double weight tracks the reference float path within float epsilon (documented deviation)") {
+    // CompactionWeight.java:43 computes in float; our compute() uses double
+    // (documented in the scaladoc so the SQL oracle matches bit-for-bit).
+    // Characterize the deviation: relative error stays at float-epsilon
+    // scale across the realistic input space, so rankings are unaffected.
+    val rnd = new scala.util.Random(99)
+    for (_ <- 1 to 2000) {
+      val size = 10L + rnd.nextInt(1 << 20)
+      val maxFile = (rnd.nextDouble() * size).toLong
+      val files = 1 + rnd.nextInt(60)
+      val loc = rnd.nextFloat().toDouble
+      val d = CompactionWeightExpr.compute(size, maxFile, files, loc)
+      val f = ((1.0f - loc.toFloat) * 115f + ((size - maxFile) / 1024f) * (files * 1.33f)).toDouble
+      assert(math.abs(d - f) <= math.max(1e-2, math.abs(d) * 1e-5),
+        s"size=$size maxFile=$maxFile files=$files loc=$loc d=$d f=$f")
+    }
+  }
+
   test("vector kernels match the interpreted HOF folds bit-for-bit") {
     val s = spark
     import s.implicits._
