@@ -72,6 +72,46 @@ object EventsOps {
         element_at(split(col("qualifier"), "_"), 2).cast("long").as("parsed_ts_us"),
         col("server"))
 
+  /** The compactor's RS-port → JMX-port map in its configuration shape
+    * ("rsPort:jmxPort,..." — reference `api/configuration/
+    * CompactorSettings.java:51-59` `ports()`). */
+  val DefaultJmxPortMap: String =
+    (0 until 24).map(i => s"${16000 + i}:${10100 + i}").mkString(",")
+
+  /** O-53 tail: server-name parsing for both shapes the reference accepts
+    * — `host,port,startcode` (ServerName.toString) and `host:port` — the
+    * host:port identity used for server matching, and the JMX-port lookup
+    * (reference `api/compactor/SingleServerCompactorManager.java:53-58`,
+    * `api/configuration/CompactorSettings.java:51-59`). Fixture server
+    * strings derive deterministically from `supplier`; the JMX map is a
+    * configuration constant parsed driver-side exactly as the reference
+    * does (a handful of entries — broadcast by construction). */
+  def serverPorts(suppliers: DataFrame, jmxPortMap: String = DefaultJmxPortMap): DataFrame = {
+    val hostN = col("s_suppkey") % 24
+    val host = concat(lit("host-"), hostN.cast("string"), lit(".dc.local"))
+    val rsPort = (hostN + 16000L).cast("string")
+    val named = suppliers.select(
+      col("s_suppkey").as("id"),
+      when(col("s_suppkey") % 2 === 0,
+        concat(host, lit(","), rsPort, lit(","), (col("s_suppkey") + 1700000000L).cast("string")))
+        .otherwise(concat(host, lit(":"), rsPort)).as("server_name"))
+    val parsed = named
+      .select(
+        col("id"), col("server_name"),
+        regexp_extract(col("server_name"), "^([^,:]+)", 1).as("host"),
+        regexp_extract(col("server_name"), "^[^,:]+[,:](\\d+)", 1).cast("int").as("rs_port"))
+      .withColumn("host_port", concat(col("host"), lit(":"), col("rs_port").cast("string")))
+    val entries = jmxPortMap.split(",").toSeq.map { p =>
+      val i = p.indexOf(":")
+      (p.substring(0, i).toInt, p.substring(i + 1).toInt)
+    }
+    val jmx = suppliers.sparkSession.createDataFrame(entries).toDF("rs_port_key", "jmx_port")
+    parsed
+      .join(broadcast(jmx), parsed("rs_port") === jmx("rs_port_key"), "left")
+      .select(col("id"), col("server_name"), col("host"), col("rs_port"),
+        col("host_port"), col("jmx_port"))
+  }
+
   /** O-51: snapshot name mangling `snp_<table>_<yyyyMMdd_HHmmss>`
     * (`api/common/HBaseStaticHelper.java:16,21`). */
   def snapshotNames(orders: DataFrame): DataFrame =
@@ -96,7 +136,8 @@ object EventsPack extends QueryPack {
     "ev_json" -> ((s, d) => EventsOps.jsonProps(ev(s, d))),
     "parse_qualifiers" -> ((s, d) =>
       EventsOps.parseQualifiers(graft.cluster.ClusterViews.topology(s, d))),
-    "snap_names" -> ((s, d) => EventsOps.snapshotNames(Tables.orders(s, d)))
+    "snap_names" -> ((s, d) => EventsOps.snapshotNames(Tables.orders(s, d))),
+    "server_ports" -> ((s, d) => EventsOps.serverPorts(Tables.supplier(s, d)))
   )
 
   override def oracles: Map[String, String] = Map(
@@ -159,6 +200,31 @@ object EventsPack extends QueryPack {
       """SELECT o_orderkey AS snapshot_id,
         |       'snp_t' || CAST(o_orderkey % 16 AS VARCHAR) || '_'
         |         || strftime(o_orderdate, '%Y%m%d_%H%M%S') AS snapshot_name
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+    "server_ports" ->
+      """WITH named AS (
+        |  SELECT s_suppkey AS id,
+        |         CASE WHEN s_suppkey % 2 = 0
+        |              THEN 'host-' || CAST(s_suppkey % 24 AS VARCHAR) || '.dc.local,'
+        |                   || CAST(16000 + s_suppkey % 24 AS VARCHAR) || ','
+        |                   || CAST(1700000000 + s_suppkey AS VARCHAR)
+        |              ELSE 'host-' || CAST(s_suppkey % 24 AS VARCHAR) || '.dc.local:'
+        |                   || CAST(16000 + s_suppkey % 24 AS VARCHAR)
+        |         END AS server_name
+        |  FROM supplier
+        |),
+        |parsed AS (
+        |  SELECT id, server_name,
+        |         regexp_extract(server_name, '^([^,:]+)', 1) AS host,
+        |         CAST(regexp_extract(server_name, '^[^,:]+[,:]([0-9]+)', 1) AS INTEGER) AS rs_port
+        |  FROM named
+        |),
+        |jmx AS (SELECT CAST(16000 + i AS INTEGER) AS rs_port_key,
+        |               CAST(10100 + i AS INTEGER) AS jmx_port
+        |        FROM range(0, 24) t(i))
+        |SELECT p.id, p.server_name, p.host, p.rs_port,
+        |       p.host || ':' || CAST(p.rs_port AS VARCHAR) AS host_port,
+        |       j.jmx_port
+        |FROM parsed p LEFT JOIN jmx j ON p.rs_port = j.rs_port_key""".stripMargin
   )
 }
