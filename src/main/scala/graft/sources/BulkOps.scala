@@ -14,11 +14,31 @@ import org.apache.spark.sql.functions._
   * partitioned append (`api/meta/TechnicalMeta.java:167-186`), O-57
   * snapshot retention (`api/configuration/HBaseToolsOptions.java:114-119`).
   *
-  * Tables here are parquet directories; on an HBase deployment the same
-  * calls route through a connector `DataFrame` write (bulkload) — the
-  * orchestration (names, backups, retention) is identical.
+  * Tables here are file directories (parquet by default); the storage
+  * format rides the same connector seam as [[Tables]] — set
+  * `graft.source.format` / `graft.source.option.<k>` and these calls
+  * route through that connector's `DataFrame` read/write (bulkload)
+  * instead, with identical orchestration (names, backups, retention).
   */
 object BulkOps {
+
+  private def fmt(spark: SparkSession): String =
+    spark.conf.get(Tables.FormatKey, "parquet")
+
+  private def readPath(spark: SparkSession, path: String): DataFrame = {
+    val opts = spark.conf.getAll.collect {
+      case (k, v) if k.startsWith(Tables.OptionPrefix) => k.stripPrefix(Tables.OptionPrefix) -> v
+    }
+    spark.read.format(fmt(spark)).options(opts).load(path)
+  }
+
+  private def writePath(df: DataFrame, mode: SaveMode): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
+    val spark = df.sparkSession
+    val opts = spark.conf.getAll.collect {
+      case (k, v) if k.startsWith(Tables.OptionPrefix) => k.stripPrefix(Tables.OptionPrefix) -> v
+    }
+    df.write.format(fmt(spark)).options(opts).mode(mode)
+  }
 
   private val TsFmt = DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss").withZone(ZoneOffset.UTC)
 
@@ -30,9 +50,9 @@ object BulkOps {
 
   /** O-6: copy a table via an intermediate snapshot name. */
   def copyTable(spark: SparkSession, srcPath: String, destPath: String): Long = {
-    val df = spark.read.parquet(srcPath)
-    df.write.mode(SaveMode.ErrorIfExists).parquet(destPath)
-    spark.read.parquet(destPath).count()
+    val df = readPath(spark, srcPath)
+    writePath(df, SaveMode.ErrorIfExists).save(destPath)
+    readPath(spark, destPath).count()
   }
 
   /** O-7: replace `to` with `from`: optional backup copy of `to`
@@ -46,10 +66,10 @@ object BulkOps {
       epochMillis: Long): Option[String] = {
     val backup = if (makeBackup && fileExists(spark, toPath)) {
       val b = s"${parent(toPath)}/${backupName(name(toPath), epochMillis)}"
-      spark.read.parquet(toPath).write.parquet(b)
+      writePath(readPath(spark, toPath), SaveMode.ErrorIfExists).save(b)
       Some(b)
     } else None
-    spark.read.parquet(fromPath).write.mode(SaveMode.Overwrite).parquet(toPath)
+    writePath(readPath(spark, fromPath), SaveMode.Overwrite).save(toPath)
     deletePath(spark, fromPath)
     backup
   }
@@ -57,15 +77,16 @@ object BulkOps {
   /** O-8: partitioned snapshot append — the batch writer with TTL
     * semantics handled by partition retention instead of per-record TTL. */
   def writeTopologySnapshot(topology: DataFrame, destPath: String): Unit =
-    topology
-      .withColumn("snapshot_date", to_date(col("snapshot_ts")))
-      .repartition(col("snapshot_date"))
-      .write.mode(SaveMode.Append).partitionBy("snapshot_date").parquet(destPath)
+    writePath(
+      topology
+        .withColumn("snapshot_date", to_date(col("snapshot_ts")))
+        .repartition(col("snapshot_date")),
+      SaveMode.Append).partitionBy("snapshot_date").save(destPath)
 
   /** O-57: retention — drop partitions older than maxAgeDays relative to
     * `nowEpochDay` (partition prune; no full scan at 100 TB). */
   def retainedTopology(spark: SparkSession, path: String, nowEpochDay: Int, maxAgeDays: Int): DataFrame =
-    spark.read.parquet(path)
+    readPath(spark, path)
       .filter(datediff(lit(java.time.LocalDate.ofEpochDay(nowEpochDay.toLong).toString).cast("date"),
         col("snapshot_date")) <= maxAgeDays)
 

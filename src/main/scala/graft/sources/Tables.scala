@@ -1,22 +1,56 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
 
-/** Parquet readers for the driver-generated test tables (TESTDATA.md).
+/** Table readers for the driver-generated test tables (TESTDATA.md),
+  * behind a connector seam.
   *
   * Reads stay lazy/declarative so Catalyst pushes filters and prunes
-  * columns into the parquet scan — callers should `select` only what they
-  * need and let the optimizer do the rest. On a real deployment these
-  * would be swapped for an HBase-connector (or any DSv2) scan behind the
-  * same `DataFrame` surface; nothing downstream cares.
+  * columns into the scan — callers should `select` only what they need
+  * and let the optimizer do the rest.
+  *
+  * Connector seam: the source format is CONFIGURATION, not code. By
+  * default a table name resolves to `<dir>/<name>.parquet`; a deployment
+  * swaps in any DSv2 connector (e.g. an HBase-connector catalog read) by
+  * setting session confs — no operator changes:
+  *
+  *   - `graft.source.format`        DSv2 short name (default "parquet")
+  *   - `graft.source.suffix`        path suffix for path-addressed formats
+  *                                  (default ".parquet")
+  *   - `graft.source.nameAddressed` "true" for connectors that address
+  *                                  tables by name/catalog option instead
+  *                                  of a filesystem path (hbase-spark
+  *                                  style); the table name is passed as
+  *                                  the `graft.table` reader option
+  *   - `graft.source.option.<k>`    forwarded to the reader as option k
+  *                                  (connection, catalog, etc.)
   */
 object Tables {
+  val FormatKey = "graft.source.format"
+  val SuffixKey = "graft.source.suffix"
+  val NameAddressedKey = "graft.source.nameAddressed"
+  val OptionPrefix = "graft.source.option."
+  val TableNameOption = "graft.table"
+
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  private def configuredReader(spark: SparkSession): (DataFrameReader, String, Boolean) = {
+    val fmt = spark.conf.get(FormatKey, "parquet")
+    val suffix = spark.conf.get(SuffixKey, ".parquet")
+    val nameAddressed = spark.conf.get(NameAddressedKey, "false").toBoolean
+    val opts = spark.conf.getAll.collect {
+      case (k, v) if k.startsWith(OptionPrefix) => k.stripPrefix(OptionPrefix) -> v
+    }
+    (spark.read.format(fmt).options(opts), suffix, nameAddressed)
+  }
+
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val (reader, suffix, nameAddressed) = configuredReader(spark)
+    if (nameAddressed) reader.option(TableNameOption, name).load()
+    else reader.load(s"$sfDir/$name$suffix")
+  }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "orders")

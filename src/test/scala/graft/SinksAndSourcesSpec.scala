@@ -139,4 +139,28 @@ class SinksAndSourcesSpec extends SparkSpec {
     val tables = AuxSources.tablesFromFile(spark, f.toString)
     assert(tables.collect().map(_.getString(0)).sorted.toSeq == Seq("t1", "t2"))
   }
+
+  test("connector seam: a second source format is pure configuration, no operator changes") {
+    val dir = tmpDir()
+    // stage the documents table as JSON under the seam's naming scheme
+    val viaParquet = graft.sources.Tables.documents(spark, sf)
+    viaParquet.write.json(s"$dir/documents.json")
+    try {
+      spark.conf.set(graft.sources.Tables.FormatKey, "json")
+      spark.conf.set(graft.sources.Tables.SuffixKey, ".json")
+      val viaJson = graft.sources.Tables.documents(spark, dir)
+      assert(viaJson.count() == viaParquet.count())
+      // a real operator runs unchanged over the swapped format
+      val tok = graft.operators.TextOps.tokenCount(viaJson)
+      assert(tok.count() == viaParquet.count())
+      // BulkOps rides the same seam: copy the json table as json
+      val n = BulkOps.copyTable(spark, s"$dir/documents.json", s"$dir/documents_copy.json")
+      assert(n == viaParquet.count())
+    } finally {
+      spark.conf.unset(graft.sources.Tables.FormatKey)
+      spark.conf.unset(graft.sources.Tables.SuffixKey)
+    }
+    // seam off: parquet behavior restored
+    assert(graft.sources.Tables.documents(spark, sf).count() == viaParquet.count())
+  }
 }
