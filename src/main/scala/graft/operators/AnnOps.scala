@@ -40,7 +40,7 @@ object AnnOps {
     embeddings
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(vec_sumsq(col("v"))))
-      .cache()
+      .transform(graft.Caching.maybeCache)
 
   /** Deterministic integer hyperplane weight w(j, d) = ((j*67 + d*31) % 19) - 9. */
   private def planeDot(v: Column, j: Column): Column = plane_dot(v, j)

@@ -54,13 +54,24 @@ object CurationOps {
     * sees probable hits (~fpp of the corpus instead of all of it).
     * False positives are eliminated by the exact join — the sketch only
     * prunes, it never decides — which is why the DuckDB oracle is the
-    * same as the exact operator's. */
-  def contaminationBloom(docs: DataFrame, minShared: Long = 2L, fpp: Double = 0.01): DataFrame = {
+    * same as the exact operator's.
+    *
+    * EAGER: building the sketch runs one Spark job over the benchmark
+    * postings at call time (a Bloom filter is an aggregation result, not
+    * a plan node) — unlike the rest of the API, this is not fully lazy.
+    * The sketch is sized from `expectedItems` (a capacity estimate the
+    * caller owns, like any Bloom deployment) rather than a separate
+    * count() job; oversizing only costs sketch bytes, never correctness. */
+  def contaminationBloom(
+      docs: DataFrame,
+      minShared: Long = 2L,
+      fpp: Double = 0.01,
+      expectedItems: Long = 1L << 20): DataFrame = {
     val postings = DedupOps.shinglePostings(docs)
     val isBench = col("doc_id") % BenchMod === BenchRem
     val bench = postings.filter(isBench)
       .select(col("x31"), col("doc_id").as("bench_id"))
-    val bloom = bench.stat.bloomFilter("x31", math.max(bench.count(), 1L), fpp)
+    val bloom = bench.stat.bloomFilter("x31", expectedItems, fpp)
     val bc = docs.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((x: Long) => bc.value.mightContainLong(x))
     postings.filter(!isBench)
@@ -335,12 +346,12 @@ object CurationPack extends QueryPack {
   // Shared shingle CTE: identical to the dedup oracles' 3-gram pipeline
   // (md5-folded 31-bit hashes, 1-based token indexing).
   private val ShingleCte =
-    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id,
       |         CAST(CAST(('0x' || substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 18, 15)) AS UBIGINT)
       |              % 2147483647 AS BIGINT) AS x31
-      |  FROM toks, range(1, 1000) r(i) WHERE i + 2 <= len(t)
+      |  FROM toks, range(1, ${OracleLimits.MaxDocTokens}) r(i) WHERE i + 2 <= len(t)
       |)""".stripMargin
 
   private val ContaminationSql =
@@ -384,10 +395,10 @@ object CurationPack extends QueryPack {
         |       CAST(FLOOR(cnt / CAST(n_tokens AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS rep_ratio_e4
         |FROM ranked WHERE rn = 1""".stripMargin,
     "rep_bigram_frac" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |bg AS (
         |  SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
-        |  FROM toks, range(1, 1000) r(i) WHERE i + 1 <= len(t)
+        |  FROM toks, range(1, ${OracleLimits.MaxDocTokens}) r(i) WHERE i + 1 <= len(t)
         |)
         |SELECT doc_id,
         |       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
@@ -507,11 +518,11 @@ object CurationPack extends QueryPack {
          |  AND d.doc_id IN (SELECT doc_id FROM caps)
          |  AND d.doc_id NOT IN (SELECT doc_id FROM dupes)""".stripMargin,
     "vocab_top" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |uni AS (SELECT 1 AS n, u.tok AS gram FROM toks, unnest(t) AS u(tok)),
         |bi AS (
         |  SELECT 2 AS n, t[i] || ' ' || t[i+1] AS gram
-        |  FROM toks, range(1, 1000) r(i) WHERE i + 1 <= len(t)
+        |  FROM toks, range(1, ${OracleLimits.MaxDocTokens}) r(i) WHERE i + 1 <= len(t)
         |),
         |counts AS (
         |  SELECT n, gram, COUNT(*) AS cnt

@@ -69,8 +69,9 @@ object DedupOps {
     // the minhash plan before this). CacheManager keys on the canonical
     // plan, so every operator over the same docs converges to ONE
     // shared entry; MEMORY_AND_DISK spills instead of OOMing at scale —
-    // the classic "build the posting list once" pattern.
-    postingsPlan(docs).cache()
+    // the classic "build the posting list once" pattern. Lifecycle and
+    // staleness controls live in graft.Caching (opt-out conf + release).
+    graft.Caching.maybeCache(postingsPlan(docs))
 
   private def shingleSizes(postings: DataFrame): DataFrame =
     postings.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
@@ -120,7 +121,8 @@ object DedupOps {
     // is identical across thresholds, so the jaccard/clusters/span
     // operators (8000 vs 5000) share one materialization of the df²
     // self-join instead of re-running it per query
-    verifyJaccard(postings, None).cache().filter(col("jaccard_e4") >= thresholdE4)
+    graft.Caching.maybeCache(verifyJaccard(postings, None))
+      .filter(col("jaccard_e4") >= thresholdE4)
   }
 
   /** Incremental ingest dedup: admit docs from a new batch (doc_id >=
@@ -176,7 +178,7 @@ object DedupOps {
   def minhashLsh(docs: DataFrame, spark: SparkSession, thresholdE4: Long = 5000L): DataFrame = {
     val postings = shinglePostings(docs)
     // the band self-join reads the signatures twice; they are 4 rows/doc
-    val sigs = minhashSignatures(postings, spark).cache()
+    val sigs = graft.Caching.maybeCache(minhashSignatures(postings, spark))
     val pairs = sigs.as("a")
       .join(sigs.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -257,7 +259,7 @@ object DedupOps {
     val postings = shinglePostings(docs)
     // one row per doc; the banded self-join would otherwise run the
     // 32-column aggregation twice
-    val sh = simhashes(postings, spark).cache()
+    val sh = graft.Caching.maybeCache(simhashes(postings, spark))
     val bands = spark.range(4).withColumnRenamed("id", "b")
     val banded = sh.crossJoin(broadcast(bands))
       .withColumn("band_val", expr("shiftright(simhash, cast(b * 8 as int)) % 256"))
@@ -290,12 +292,12 @@ object DedupPack extends QueryPack {
 
   /** Shared SQL: distinct (doc_id, 31-bit shingle hash) postings. */
   private[operators] val postingsSql =
-    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id,
       |         CAST(CAST(('0x' || substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 18, 15)) AS UBIGINT)
       |              % 2147483647 AS BIGINT) AS x31
-      |  FROM toks, range(1, 1000) r(i)
+      |  FROM toks, range(1, ${OracleLimits.MaxDocTokens}) r(i)
       |  WHERE i + 2 <= len(t)
       |),
       |sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id)""".stripMargin
@@ -393,12 +395,12 @@ object DedupPack extends QueryPack {
     // longest shared token span: 1-based positions vs Spark's 0-based is
     // irrelevant — diagonals and run lengths are shift-invariant
     "longest_span" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |shp AS (
         |  SELECT doc_id, i AS pa,
         |         CAST(CAST(('0x' || substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 18, 15)) AS UBIGINT)
         |              % 2147483647 AS BIGINT) AS x31
-        |  FROM toks, range(1, 1000) r(i)
+        |  FROM toks, range(1, ${OracleLimits.MaxDocTokens}) r(i)
         |  WHERE i + 2 <= len(t)
         |),
         |sh AS (SELECT DISTINCT doc_id, x31 FROM shp),

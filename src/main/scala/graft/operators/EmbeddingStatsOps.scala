@@ -30,7 +30,7 @@ object EmbeddingStatsOps {
         posexplode(col("embedding")).as(Seq("dim0", "x")))
       .select(col("vec_id"), col("label"), (col("dim0") + 1).as("dim"),
         floor(col("x").cast("double") * 1000000 + 0.5).cast("long").as("xq"))
-      .cache()
+      .transform(graft.Caching.maybeCache)
 
   /** Centroid per (label, dim), in quantized units. */
   def centroids(embeddings: DataFrame): DataFrame =

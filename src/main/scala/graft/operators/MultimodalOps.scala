@@ -148,14 +148,14 @@ object MultimodalPack extends QueryPack {
     // the fixture's media bytes are UTF-8 of ASCII text, so md5 over the
     // text substring equals Spark's md5 over the binary frame slice
     "frame_dedup" ->
-      """WITH n AS (
+      s"""WITH n AS (
         |  SELECT doc_id, text,
         |         CAST(CEIL(octet_length(encode(text)) / CAST(256.0 AS DOUBLE)) AS INT) AS nf
         |  FROM documents
         |),
         |f AS (
         |  SELECT doc_id, md5(substring(text, i * 256 + 1, 256)) AS fp
-        |  FROM n, range(0, 1000) r(i) WHERE i < nf
+        |  FROM n, range(0, ${OracleLimits.MaxMediaFrames}) r(i) WHERE i < nf
         |)
         |SELECT fp, CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(doc_id) AS BIGINT) AS min_doc
         |FROM f GROUP BY fp HAVING COUNT(*) > 1""".stripMargin

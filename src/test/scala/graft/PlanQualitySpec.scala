@@ -89,6 +89,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(offenders.isEmpty, s"forced join hints on corpus-derived sets:\n${offenders.mkString("\n")}")
   }
 
+  test("operator cache registration honors the graft.cache.enabled opt-out") {
+    import org.apache.spark.sql.graftbridge.CacheProbe
+    // CacheManager matches by canonical plan, so earlier suites' entries
+    // would mask the disabled path — start from a clean cache
+    spark.catalog.clearCache()
+    try {
+      spark.conf.set(graft.Caching.EnabledKey, "false")
+      val postings = graft.operators.DedupOps.postingsForProfile(
+        graft.sources.Tables.documents(spark, sf))
+      assert(!CacheProbe.isCached(postings), "cache registered despite opt-out")
+    } finally spark.conf.unset(graft.Caching.EnabledKey)
+    val postings = graft.operators.DedupOps.postingsForProfile(
+      graft.sources.Tables.documents(spark, sf))
+    assert(CacheProbe.isCached(postings), "default caching no longer registers")
+    graft.Caching.release(spark)
+    assert(!CacheProbe.isCached(postings), "release() left cached entries behind")
+  }
+
   test("compaction plan keeps the candidate filter below the per-server window shuffle") {
     val df = SparkEntry.queries("compaction_plan")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
