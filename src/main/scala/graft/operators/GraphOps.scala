@@ -33,16 +33,19 @@ object GraphOps {
   val CheckpointEvery = 5
 
   /** Upper bound on memoized cluster-label results; the eldest entry is
-    * unpersisted and evicted beyond this, so a long-lived session cannot
-    * pin an unbounded set of cached frames or analyzed plan trees. */
+    * evicted beyond this, so a long-lived session cannot pin an unbounded
+    * set of materialized frames or analyzed plan trees (a dropped entry's
+    * checkpoint blocks are reclaimed by the ContextCleaner once
+    * unreachable). */
   val MemoMaxEntries = 8
 
   /** Driver-side memo for cluster labels: the propagation loop runs
     * actions at CONSTRUCTION time, so plan-level caching alone cannot
     * dedup it — three consumers (clusters / keep / curated) would each
     * re-execute every round. Keyed on (session, canonical docs plan,
-    * threshold); the memoized result frame is cached, so reuse is a
-    * cache read. Access-ordered LRU bounded at [[MemoMaxEntries]].
+    * threshold); the memoized result frame is checkpoint-materialized, so
+    * reuse is a block read. Access-ordered LRU bounded at
+    * [[MemoMaxEntries]].
     *
     * Memoized results are SNAPSHOTS: plan canonicalization does not see
     * file contents, so if the underlying files are rewritten in place,
@@ -86,9 +89,17 @@ object GraphOps {
 
   /** Min-label propagation with pointer doubling over an undirected pair
     * graph `(da, db)`: every node ends labeled with its component's
-    * minimum id in O(log diameter) rounds. The returned (doc_id,
-    * cluster_id) frame is cached and materialized; loop-stage caches are
-    * released before returning. */
+    * minimum id in O(log diameter) rounds.
+    *
+    * The result is materialized via an eager localCheckpoint, NOT a
+    * cache over the loop's plan: unpersisting a cache entry makes the
+    * CacheManager rebuild (clear) every dependent entry, so a cached
+    * result sitting on top of the loop-stage caches would lose its
+    * materialization the moment the loop caches are released below and
+    * every consumer would silently re-run the whole propagation. The
+    * checkpoint truncates lineage to the materialized RDD, making the
+    * result independent of the loop's storage lifecycle (its blocks are
+    * reclaimed by the ContextCleaner once the frame is unreachable). */
   private[graft] def connectedComponents(
       pairs: DataFrame,
       maxIters: Int = MaxIterations): DataFrame = {
@@ -139,8 +150,7 @@ object GraphOps {
         s"connectedComponents did not converge after $maxIters rounds — " +
           "refusing to emit partial components (raise maxIters, or investigate pathological graph depth)")
     }
-    val out = labels.select(col("doc_id"), col("label").as("cluster_id")).cache()
-    out.count() // materialize before releasing the loop-stage storage
+    val out = labels.select(col("doc_id"), col("label").as("cluster_id")).localCheckpoint()
     edges.unpersist()
     prevStored.unpersist()
     out

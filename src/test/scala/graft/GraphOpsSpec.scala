@@ -44,6 +44,17 @@ class GraphOpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("cluster memo hits across separately-constructed identical inputs") {
+    GraphOps.clearClusterMemo()
+    GraphOps.dedupClusters(Tables.documents(spark, sf)).count()
+    assert(GraphOps.memoSize == 1)
+    val t0 = System.nanoTime()
+    GraphOps.dedupClusters(Tables.documents(spark, sf)).count()
+    val dt = (System.nanoTime() - t0) / 1e9
+    assert(GraphOps.memoSize == 1, "memo missed for an identical input plan")
+    assert(dt < 2.0, f"memo hit should skip the propagation loop (took $dt%.1f s)")
+  }
+
   test("cluster-label memo stays bounded across distinct input plans") {
     val s = spark
     import s.implicits._
