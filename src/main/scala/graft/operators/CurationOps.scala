@@ -304,6 +304,64 @@ object CurationOps {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  /** Context-window chunking with overlap: split each document into
+    * fixed-token windows advancing by `stride` (< `chunkTokens` ⇒
+    * overlapping chunks — the standard pretraining/RAG chunker). Emits
+    * (doc_id, chunk_no, start_tok, n_toks); the final window is clipped,
+    * never padded. Pure per-row arithmetic + one explode of a bounded
+    * sequence — embarrassingly parallel, no shuffle at all at 100 TB. */
+  def chunked(docs: DataFrame, chunkTokens: Int = 32, stride: Int = 24): DataFrame = {
+    require(chunkTokens > 0 && stride > 0, "chunkTokens and stride must be positive")
+    val n = size(tokens(col("text"))).cast("long")
+    // number of stride steps: 1 window when n <= chunk, else enough that
+    // the last window's start covers the tail: ceil((n - chunk) / stride)
+    val extra = ceil((n - chunkTokens).cast("double") / stride).cast("long")
+    val nChunks = when(n <= chunkTokens, 1L).otherwise(extra + 1L)
+    docs
+      .select(col("doc_id"), n.as("n"), nChunks.as("nc"))
+      .select(col("doc_id"), col("n"),
+        explode(sequence(lit(0L), col("nc") - 1L)).as("chunk_no"))
+      .select(
+        col("doc_id"), col("chunk_no"),
+        (col("chunk_no") * stride).as("start_tok"),
+        least(lit(chunkTokens.toLong), col("n") - col("chunk_no") * stride).as("n_toks"))
+  }
+
+  /** Mixture-rebalance planner: given target token shares per language,
+    * the per-language keep rate that moves the corpus toward the target —
+    * keep = min(1, target_share / actual_share). Languages over their
+    * target are down-sampled, under-target ones keep everything (up-
+    * sampling is an epoch-repeat decision, not a filter). One tiny
+    * aggregate + a scalar-total cross join, same shape as [[langMix]];
+    * rates come out e4-scaled and feed [[stratifiedSample]]-style
+    * deterministic bucket filters. */
+  def mixPlan(docs: DataFrame, targetsE4: Seq[(String, Long)] = MixTargetsE4): DataFrame = {
+    val perLang = docs
+      .select(col("lang"), size(tokens(col("text"))).cast("long").as("n"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+    val total = perLang.agg(sum(col("n_tokens")).as("total"))
+    val target = targetsE4
+      .foldRight(lit(0L): org.apache.spark.sql.Column) { case ((l, t), acc) =>
+        when(col("lang") === l, lit(t)).otherwise(acc)
+      }
+    perLang.crossJoin(broadcast(total))
+      .select(
+        col("lang"), col("n_docs"), col("n_tokens"),
+        floor(col("n_tokens").cast("double") * 10000 / col("total").cast("double") + 0.5)
+          .cast("long").as("actual_e4"),
+        target.as("target_e4"),
+        least(lit(10000L),
+          floor(target.cast("double") * col("total").cast("double")
+            / (col("n_tokens").cast("double") * 10000.0) * 10000 + 0.5).cast("long"))
+          .as("keep_e4"))
+  }
+
+  /** Target token shares (e4) for [[mixPlan]]'s fixture run: an even
+    * 2000 per language — unlisted languages get 0 (drop). */
+  val MixTargetsE4: Seq[(String, Long)] =
+    Seq("en" -> 2000L, "zh" -> 2000L, "de" -> 2000L, "fr" -> 2000L, "es" -> 2000L)
+
   /** Duplicate-bigram fraction: 1 - distinct(bigrams)/total(bigrams) per
     * doc — high values mean boilerplate/repetition (the Gopher
     * "duplicate n-gram fraction" filter). Same posexplode + lead shape as
@@ -340,7 +398,9 @@ object CurationPack extends QueryPack {
     "gopher" -> ((s, dir) => CurationOps.gopherRules(d(s, dir))),
     "packing" -> ((s, dir) => CurationOps.lenBuckets(d(s, dir))),
     "curated" -> ((s, dir) => CurationOps.curated(d(s, dir))),
-    "lang_mix" -> ((s, dir) => CurationOps.langMix(d(s, dir)))
+    "lang_mix" -> ((s, dir) => CurationOps.langMix(d(s, dir))),
+    "chunks" -> ((s, dir) => CurationOps.chunked(d(s, dir))),
+    "mix_plan" -> ((s, dir) => CurationOps.mixPlan(d(s, dir)))
   )
 
   // Shared shingle CTE: identical to the dedup oracles' 3-gram pipeline
@@ -517,6 +577,37 @@ object CurationPack extends QueryPack {
          |WHERE d.doc_id IN (SELECT doc_id FROM quality)
          |  AND d.doc_id IN (SELECT doc_id FROM caps)
          |  AND d.doc_id NOT IN (SELECT doc_id FROM dupes)""".stripMargin,
+    "chunks" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents
+         |),
+         |c AS (
+         |  SELECT doc_id, n,
+         |         CASE WHEN n <= 32 THEN 1
+         |              ELSE CAST(CEIL((n - 32) / CAST(24 AS DOUBLE)) AS BIGINT) + 1 END AS nc
+         |  FROM n
+         |)
+         |SELECT doc_id, CAST(r.i AS BIGINT) AS chunk_no,
+         |       CAST(r.i * 24 AS BIGINT) AS start_tok,
+         |       CAST(LEAST(32, n - r.i * 24) AS BIGINT) AS n_toks
+         |FROM c, range(0, ${OracleLimits.MaxDocTokens}) r(i)
+         |WHERE r.i < nc""".stripMargin,
+    "mix_plan" ->
+      """WITH per AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang
+        |),
+        |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per)
+        |SELECT p.lang, p.n_docs, p.n_tokens,
+        |       CAST(FLOOR(CAST(p.n_tokens AS DOUBLE) * 10000 / CAST(t.total AS DOUBLE) + 0.5) AS BIGINT) AS actual_e4,
+        |       CAST(CASE p.lang WHEN 'en' THEN 2000 WHEN 'zh' THEN 2000 WHEN 'de' THEN 2000
+        |                        WHEN 'fr' THEN 2000 WHEN 'es' THEN 2000 ELSE 0 END AS BIGINT) AS target_e4,
+        |       LEAST(10000, CAST(FLOOR(
+        |         CAST(CASE p.lang WHEN 'en' THEN 2000 WHEN 'zh' THEN 2000 WHEN 'de' THEN 2000
+        |                          WHEN 'fr' THEN 2000 WHEN 'es' THEN 2000 ELSE 0 END AS DOUBLE)
+        |         * CAST(t.total AS DOUBLE) / (CAST(p.n_tokens AS DOUBLE) * 10000.0) * 10000 + 0.5) AS BIGINT)) AS keep_e4
+        |FROM per p CROSS JOIN t""".stripMargin,
     "vocab_top" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |uni AS (SELECT 1 AS n, u.tok AS gram FROM toks, unnest(t) AS u(tok)),

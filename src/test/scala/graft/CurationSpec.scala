@@ -143,4 +143,35 @@ class CurationSpec extends SparkSpec {
     assert(out.filter(col("ctx") === 0 && col("waste") =!= 0).count() == 0)
     out.unpersist()
   }
+
+  test("chunking: windows tile each doc — start at 0, stride apart, clipped tail covers n") {
+    import graft.functions.TextFunctions.tokens
+    val docs = Tables.documents(spark, sf)
+    val per = CurationOps.chunked(docs, chunkTokens = 32, stride = 24)
+      .groupBy("doc_id")
+      .agg(
+        min(col("start_tok")).as("s0"),
+        max(col("start_tok") + col("n_toks")).as("cover"),
+        max(col("n_toks")).as("mx"),
+        min(col("n_toks")).as("mn"),
+        count(lit(1)).as("nc"),
+        (max(col("chunk_no")) + 1).as("maxno"))
+    val n = docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n"))
+    val joined = per.join(n, "doc_id").cache()
+    assert(joined.filter(col("s0") =!= 0).count() == 0)
+    assert(joined.filter(col("cover") =!= col("n")).count() == 0, "tail not covered")
+    assert(joined.filter(col("mx") > 32 || col("mn") <= 0).count() == 0)
+    assert(joined.filter(col("nc") =!= col("maxno")).count() == 0, "chunk_no not dense")
+    // docs at or under one window get exactly one chunk
+    assert(joined.filter(col("n") <= 32 && col("nc") =!= 1).count() == 0)
+    joined.unpersist()
+  }
+
+  test("mix plan: over-target languages down-sampled, under-target keep everything") {
+    val plan = CurationOps.mixPlan(Tables.documents(spark, sf)).cache()
+    assert(plan.filter(col("keep_e4") > 10000 || col("keep_e4") < 0).count() == 0)
+    assert(plan.filter(col("actual_e4") <= col("target_e4") && col("keep_e4") =!= 10000).count() == 0)
+    assert(plan.filter(col("target_e4") === 0 && col("keep_e4") =!= 0).count() == 0)
+    plan.unpersist()
+  }
 }
