@@ -60,13 +60,45 @@ object TopologyOps {
 
   /** O-26: key → region range lookup (`api/common/KeyFinder.java:38-46`):
     * locate the region whose [start_key, end_key) contains each probe key.
-    * Non-equi join; region boundaries broadcast. */
+    * Non-equi join; region boundaries broadcast. Right call while the
+    * boundary table is broadcast-small, but the nested-loop probe is
+    * O(#regions) comparisons PER KEY — at billions of keys × 10^5+
+    * regions use [[keyRangeLookupBinned]] instead. */
   def keyRangeLookup(keys: DataFrame, regionInfo: DataFrame): DataFrame =
     keys.join(
       broadcast(regionInfo.select(col("region_id"), col("start_key"), col("end_key"))),
       col("probe_key") >= col("start_key") && col("probe_key") < col("end_key"),
       "left")
       .select(col("probe_key"), col("region_id"))
+
+  /** O-26 at scale: the binned range join. Each range replicates to the
+    * fixed-width bins it overlaps; each probe key hashes to exactly one
+    * bin; the lookup becomes an EQUI-join on bin + a residual range
+    * predicate — a shuffled hash join that scales to billions of keys ×
+    * millions of ranges with no nested loop and no global sort (the same
+    * binning trick production range-join optimizers apply). A probe meets
+    * each overlapping range in exactly one bin copy, so no dedup step is
+    * needed. Bin width trades replication (wide ranges split into
+    * width/bin copies) against residual work (ranges sharing a bin);
+    * pick it near the median range width. */
+  def keyRangeLookupBinned(keys: DataFrame, regionInfo: DataFrame, binWidth: Long = 4096L): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val ranges = regionInfo
+      .select(col("region_id"), col("start_key"), col("end_key"))
+      .filter(col("end_key") > col("start_key"))
+      .withColumn("bin", explode(sequence(
+        expr(s"start_key div $binWidth"), expr(s"(end_key - 1) div $binWidth"))))
+    // range predicate stays INSIDE the join condition so left semantics
+    // hold: a probe whose bin has ranges but none containing it still
+    // emits (probe, null), exactly like the broadcast variant
+    keys
+      .withColumn("kbin", expr(s"probe_key div $binWidth"))
+      .join(ranges,
+        col("kbin") === col("bin") &&
+          col("probe_key") >= col("start_key") && col("probe_key") < col("end_key"),
+        "left")
+      .select(col("probe_key"), col("region_id"))
+  }
 }
 
 object TopologyPack extends QueryPack {
@@ -81,6 +113,11 @@ object TopologyPack extends QueryPack {
       val keys = graft.sources.Tables.customer(s, d)
         .select(((col("c_custkey") * 7919) % 2100000).as("probe_key"))
       TopologyOps.keyRangeLookup(keys, ri(s, d))
+    },
+    "key_lookup_bin" -> { (s, d) =>
+      val keys = graft.sources.Tables.customer(s, d)
+        .select(((col("c_custkey") * 7919) % 2100000).as("probe_key"))
+      TopologyOps.keyRangeLookupBinned(keys, ri(s, d))
     }
   )
 
@@ -113,6 +150,14 @@ object TopologyPack extends QueryPack {
          |        AND n.server_now = t.server_then) AS unchanged
          |FROM now_t n FULL OUTER JOIN then_t t ON n.region_id = t.region_id""".stripMargin,
     "key_lookup" ->
+      s"""WITH ${ClusterSql.regionInfo},
+         |keys AS (SELECT (c_custkey * 7919) % 2100000 AS probe_key FROM customer)
+         |SELECT k.probe_key, r.region_id
+         |FROM keys k LEFT JOIN region_info r
+         |  ON k.probe_key >= r.start_key AND k.probe_key < r.end_key""".stripMargin
+  ,
+    // same answer, different physical shape — the binning is internal
+    "key_lookup_bin" ->
       s"""WITH ${ClusterSql.regionInfo},
          |keys AS (SELECT (c_custkey * 7919) % 2100000 AS probe_key FROM customer)
          |SELECT k.probe_key, r.region_id

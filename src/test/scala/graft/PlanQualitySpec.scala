@@ -57,6 +57,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), s"range join not broadcast:\n$plan")
   }
 
+  test("binned key-range lookup is an equi-join on the bin — no nested loop") {
+    val plan = physical(SparkEntry.queries("key_lookup_bin")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"binned range join degenerated:\n$plan")
+    assert(plan.contains("Join") && plan.contains("bin"), s"no bin equi-join in:\n$plan")
+  }
+
   test("star join broadcasts the dimension tables") {
     val plan = physical(SparkEntry.queries("revenue_nat")(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast joins in:\n$plan")
