@@ -74,18 +74,25 @@ object GraphOps {
     * Throws IllegalStateException if propagation does not converge within
     * [[MaxIterations]] rounds — partial components silently feeding
     * dedup_keep/curated would be a correctness bug, not a warning. */
-  def dedupClusters(docs: DataFrame, thresholdE4: Long = 8000L): DataFrame =
-    labelMemo.synchronized {
-      val key = (docs.sparkSession, docs.queryExecution.analyzed.canonicalized, thresholdE4)
-      val hit = labelMemo.get(key)
-      if (hit != null) hit
-      else {
-        val computed = connectedComponents(
-          DedupOps.ngramJaccard(docs, thresholdE4).select("da", "db"))
-        labelMemo.put(key, computed)
-        computed
+  def dedupClusters(docs: DataFrame, thresholdE4: Long = 8000L): DataFrame = {
+    val key = (docs.sparkSession, docs.queryExecution.analyzed.canonicalized, thresholdE4)
+    val hit = labelMemo.synchronized(labelMemo.get(key))
+    if (hit != null) hit
+    else {
+      // compute OUTSIDE the lock: the loop runs multi-second Spark jobs,
+      // and holding a global lock across them would serialize unrelated
+      // callers. Concurrent misses on the same key may duplicate the
+      // computation; the race loser's result is simply dropped (its
+      // checkpoint blocks are GC-reclaimed) and the first insert wins.
+      val computed = connectedComponents(
+        DedupOps.ngramJaccard(docs, thresholdE4).select("da", "db"))
+      labelMemo.synchronized {
+        val raced = labelMemo.get(key)
+        if (raced != null) raced
+        else { labelMemo.put(key, computed); computed }
       }
     }
+  }
 
   /** Min-label propagation with pointer doubling over an undirected pair
     * graph `(da, db)`: every node ends labeled with its component's
