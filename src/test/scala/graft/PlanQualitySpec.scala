@@ -96,6 +96,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(offenders.isEmpty, s"forced join hints on corpus-derived sets:\n${offenders.mkString("\n")}")
   }
 
+  test("text ops prune the documents scan to referenced columns") {
+    // a scan that reads lang/source for a (doc_id, text) operator ships
+    // unneeded bytes from every parquet row group at 100 TB
+    val plan = physical(SparkEntry.queries("token_count")(spark, sf))
+    val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(plan).toList
+    assert(readSchemas.nonEmpty, s"no ReadSchema in:\n$plan")
+    readSchemas.foreach { rs =>
+      assert(!rs.contains("lang") && !rs.contains("source"),
+        s"documents scan not pruned: $rs")
+    }
+  }
+
+  test("chunker is shuffle-free — pure per-row windows") {
+    val plan = physical(SparkEntry.queries("chunks")(spark, sf))
+    assert(!plan.contains("Exchange"), s"chunking shuffles:\n$plan")
+  }
+
   test("operator cache registration honors the graft.cache.enabled opt-out") {
     import org.apache.spark.sql.graftbridge.CacheProbe
     // CacheManager matches by canonical plan, so earlier suites' entries
