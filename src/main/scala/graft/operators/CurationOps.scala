@@ -61,7 +61,11 @@ object CurationOps {
     * a plan node) — unlike the rest of the API, this is not fully lazy.
     * The sketch is sized from `expectedItems` (a capacity estimate the
     * caller owns, like any Bloom deployment) rather than a separate
-    * count() job; oversizing only costs sketch bytes, never correctness. */
+    * count() job. Sizing moves pruning power only, never correctness:
+    * oversizing costs sketch bytes; UNDERsizing saturates the filter
+    * (false-positive rate → 1) and silently degrades this operator to
+    * the unfiltered exact join plus probe overhead — size for the real
+    * benchmark shingle cardinality, not the default. */
   def contaminationBloom(
       docs: DataFrame,
       minShared: Long = 2L,
@@ -312,6 +316,10 @@ object CurationOps {
     * sequence — embarrassingly parallel, no shuffle at all at 100 TB. */
   def chunked(docs: DataFrame, chunkTokens: Int = 32, stride: Int = 24): DataFrame = {
     require(chunkTokens > 0 && stride > 0, "chunkTokens and stride must be positive")
+    // stride > chunkTokens would leave inter-window gaps AND break the
+    // window-count formula (phantom tail chunks with non-positive
+    // n_toks); gap-sampling is a different operator, not a chunker
+    require(stride <= chunkTokens, s"stride ($stride) must not exceed chunkTokens ($chunkTokens)")
     val n = size(tokens(col("text"))).cast("long")
     // number of stride steps: 1 window when n <= chunk, else enough that
     // the last window's start covers the tail: ceil((n - chunk) / stride)

@@ -36,7 +36,15 @@ object GraphOps {
     * evicted beyond this, so a long-lived session cannot pin an unbounded
     * set of materialized frames or analyzed plan trees (a dropped entry's
     * checkpoint blocks are reclaimed by the ContextCleaner once
-    * unreachable). */
+    * unreachable).
+    *
+    * Storage caveat shared with everything localCheckpoint-backed: the
+    * blocks live on executors WITHOUT lineage, so losing an executor
+    * (decommission, dynamic allocation scale-in) makes the affected memo
+    * entries unrecoverable — the next action fails rather than silently
+    * recomputing. On clusters with dynamic allocation, either disable
+    * scale-in for sessions using dedupClusters or call
+    * [[clearClusterMemo]] on executor loss and let the labels recompute. */
   val MemoMaxEntries = 8
 
   /** Driver-side memo for cluster labels: the propagation loop runs
@@ -57,13 +65,17 @@ object GraphOps {
         e: java.util.Map.Entry[
           (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long),
           DataFrame]): Boolean =
-      if (size() > MemoMaxEntries) { e.getValue.unpersist(); true } else false
+      // checkpoint-backed values have no CacheManager entry to unpersist;
+      // dropping the reference is the release (ContextCleaner reclaims)
+      size() > MemoMaxEntries
   }
 
-  /** Drop every memoized clustering (unpersisting its cached frame) —
-    * the invalidate hook for callers that rewrite input files in place. */
+  /** Drop every memoized clustering — the invalidate hook for callers
+    * that rewrite input files in place. Memo values are checkpoint-backed
+    * (no CacheManager entry), so their storage is reclaimed by the
+    * ContextCleaner once the dropped frames are garbage-collected, not
+    * synchronously here. */
   def clearClusterMemo(): Unit = labelMemo.synchronized {
-    labelMemo.values.forEach(_.unpersist())
     labelMemo.clear()
   }
 
@@ -143,8 +155,12 @@ object GraphOps {
         if (iter % CheckpointEvery == CheckpointEvery - 1) steppedPlan.localCheckpoint()
         else steppedPlan.cache()
       // carry the previous label through so convergence is a filter on
-      // the same frame — one action per round, no extra self-join
-      changed = stepped.filter(col("label") =!= col("prev")).limit(1).count() > 0
+      // the same frame — one action per round, no extra self-join. A full
+      // count (no limit-1 short circuit) on purpose: the probe is also
+      // what materializes this round's storage, and a partial probe would
+      // leave uncached partitions that recompute through the just-dropped
+      // previous round's lineage on every later scan
+      changed = stepped.filter(col("label") =!= col("prev")).count() > 0
       prevStored.unpersist()
       prevStored = stepped
       labels = stepped.select("doc_id", "label")

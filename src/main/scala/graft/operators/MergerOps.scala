@@ -51,7 +51,7 @@ object MergeQuality {
 
   /** `parseQuality` (`QualityMerge.java:52-68`), including the reference's
     * colloquial Russian aliases. */
-  def parse(quality: String): MergeQuality = quality.toLowerCase match {
+  def parse(quality: String): MergeQuality = quality.toLowerCase(java.util.Locale.ROOT) match {
     case "на-пол-шишечки" | "small"  => Small
     case "ну-сожми-чуток" | "medium" => Medium
     case "по-взрослому" | "large"    => Large

@@ -22,22 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object BulkOps {
 
-  private def fmt(spark: SparkSession): String =
-    spark.conf.get(Tables.FormatKey, "parquet")
-
-  private def readPath(spark: SparkSession, path: String): DataFrame = {
-    val opts = spark.conf.getAll.collect {
-      case (k, v) if k.startsWith(Tables.OptionPrefix) => k.stripPrefix(Tables.OptionPrefix) -> v
-    }
-    spark.read.format(fmt(spark)).options(opts).load(path)
-  }
+  private def readPath(spark: SparkSession, path: String): DataFrame =
+    spark.read.format(Tables.sourceFormat(spark)).options(Tables.sourceOptions(spark)).load(path)
 
   private def writePath(df: DataFrame, mode: SaveMode): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
     val spark = df.sparkSession
-    val opts = spark.conf.getAll.collect {
-      case (k, v) if k.startsWith(Tables.OptionPrefix) => k.stripPrefix(Tables.OptionPrefix) -> v
-    }
-    df.write.format(fmt(spark)).options(opts).mode(mode)
+    df.write.format(Tables.sourceFormat(spark)).options(Tables.sourceOptions(spark)).mode(mode)
   }
 
   private val TsFmt = DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss").withZone(ZoneOffset.UTC)

@@ -36,14 +36,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  private def configuredReader(spark: SparkSession): (DataFrameReader, String, Boolean) = {
-    val fmt = spark.conf.get(FormatKey, "parquet")
-    val suffix = spark.conf.get(SuffixKey, ".parquet")
-    val nameAddressed = spark.conf.get(NameAddressedKey, "false").toBoolean
-    val opts = spark.conf.getAll.collect {
+  /** Configured source format (the connector seam's one format knob). */
+  private[sources] def sourceFormat(spark: SparkSession): String =
+    spark.conf.get(FormatKey, "parquet")
+
+  /** All `graft.source.option.<k>` confs, stripped of the prefix —
+    * forwarded verbatim to every seam reader AND writer. */
+  private[sources] def sourceOptions(spark: SparkSession): Map[String, String] =
+    spark.conf.getAll.collect {
       case (k, v) if k.startsWith(OptionPrefix) => k.stripPrefix(OptionPrefix) -> v
     }
-    (spark.read.format(fmt).options(opts), suffix, nameAddressed)
+
+  private def configuredReader(spark: SparkSession): (DataFrameReader, String, Boolean) = {
+    val suffix = spark.conf.get(SuffixKey, ".parquet")
+    val nameAddressed = spark.conf.get(NameAddressedKey, "false").toBoolean
+    (spark.read.format(sourceFormat(spark)).options(sourceOptions(spark)), suffix, nameAddressed)
   }
 
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {

@@ -46,13 +46,14 @@ class GraphOpsSpec extends SparkSpec {
 
   test("cluster memo hits across separately-constructed identical inputs") {
     GraphOps.clearClusterMemo()
-    GraphOps.dedupClusters(Tables.documents(spark, sf)).count()
+    val r1 = GraphOps.dedupClusters(Tables.documents(spark, sf))
+    r1.count()
     assert(GraphOps.memoSize == 1)
-    val t0 = System.nanoTime()
-    GraphOps.dedupClusters(Tables.documents(spark, sf)).count()
-    val dt = (System.nanoTime() - t0) / 1e9
+    val r2 = GraphOps.dedupClusters(Tables.documents(spark, sf))
     assert(GraphOps.memoSize == 1, "memo missed for an identical input plan")
-    assert(dt < 2.0, f"memo hit should skip the propagation loop (took $dt%.1f s)")
+    // identity, not timing: a hit returns the SAME materialized frame, so
+    // the propagation loop provably did not re-run
+    assert(r1 eq r2, "memo returned a different frame for an identical input plan")
   }
 
   test("cluster-label memo stays bounded across distinct input plans") {
