@@ -118,7 +118,17 @@ object GraphOps {
     * every consumer would silently re-run the whole propagation. The
     * checkpoint truncates lineage to the materialized RDD, making the
     * result independent of the loop's storage lifecycle (its blocks are
-    * reclaimed by the ContextCleaner once the frame is unreachable). */
+    * reclaimed by the ContextCleaner once the frame is unreachable).
+    *
+    * Checkpoint flavor: when the session has a checkpoint directory
+    * configured (`sc.setCheckpointDir`), RELIABLE checkpoints are used —
+    * they live on the checkpoint filesystem and survive executor loss,
+    * the right choice under dynamic allocation. Otherwise localCheckpoint
+    * (executor blocks, faster, lost with the executor). */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
   private[graft] def connectedComponents(
       pairs: DataFrame,
       maxIters: Int = MaxIterations): DataFrame = {
@@ -152,7 +162,7 @@ object GraphOps {
       // every CheckpointEvery rounds, cut lineage: localCheckpoint is
       // eager, so it doubles as this round's cache; other rounds cache
       val stepped =
-        if (iter % CheckpointEvery == CheckpointEvery - 1) steppedPlan.localCheckpoint()
+        if (iter % CheckpointEvery == CheckpointEvery - 1) materialize(steppedPlan)
         else steppedPlan.cache()
       // carry the previous label through so convergence is a filter on
       // the same frame — one action per round, no extra self-join. A full
@@ -173,7 +183,7 @@ object GraphOps {
         s"connectedComponents did not converge after $maxIters rounds — " +
           "refusing to emit partial components (raise maxIters, or investigate pathological graph depth)")
     }
-    val out = labels.select(col("doc_id"), col("label").as("cluster_id")).localCheckpoint()
+    val out = materialize(labels.select(col("doc_id"), col("label").as("cluster_id")))
     edges.unpersist()
     prevStored.unpersist()
     out

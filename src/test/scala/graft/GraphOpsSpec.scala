@@ -74,6 +74,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.memoSize == 0)
   }
 
+  // keep after the other CC tests: setCheckpointDir is SparkContext-global
+  // and has no unset — later CC computations in this JVM use reliable
+  // checkpoints (correct, marginally slower)
+  test("reliable checkpoints are used when the session has a checkpoint dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val pairs = spark.range(100).select(col("id").as("da"), (col("id") + 1).as("db"))
+    val labels = GraphOps.connectedComponents(pairs)
+    assert(labels.count() == 101)
+    assert(labels.filter(col("cluster_id") =!= 0L).count() == 0)
+    // the materialization actually landed on the checkpoint filesystem
+    val written = new java.io.File(dir).listFiles()
+    assert(written != null && written.nonEmpty, s"no reliable checkpoint under $dir")
+  }
+
   test("session funnel counts partition all sessions") {
     val events = Tables.events(spark, sf)
     val funnel = GraphOps.sessionFunnel(events)
