@@ -73,6 +73,19 @@ object BulkOps {
         .repartition(col("snapshot_date")),
       SaveMode.Append).partitionBy("snapshot_date").save(destPath)
 
+  /** O-8 streaming variant, IDEMPOTENT under micro-batch replay: batch N
+    * overwrites its own `batch_id=N/` subtree under `destPath` (date
+    * partitioning preserved inside it), so a foreachBatch retry rewrites
+    * identical data instead of appending duplicates. Readers discover
+    * batch_id as an extra partition column; snapshot_date pruning is
+    * unaffected. */
+  def writeTopologySnapshotBatch(topology: DataFrame, destPath: String, batchId: Long): Unit =
+    writePath(
+      topology
+        .withColumn("snapshot_date", to_date(col("snapshot_ts")))
+        .repartition(col("snapshot_date")),
+      SaveMode.Overwrite).partitionBy("snapshot_date").save(s"$destPath/batch_id=$batchId")
+
   /** O-57: retention — drop partitions older than maxAgeDays relative to
     * `nowEpochDay` (partition prune; no full scan at 100 TB). */
   def retainedTopology(spark: SparkSession, path: String, nowEpochDay: Int, maxAgeDays: Int): DataFrame =

@@ -21,18 +21,23 @@ object StreamingOps {
 
   /** O-54 infinite compactor: metric snapshots → weighted candidates →
     * per-region dedup within the no-recompact window. Input needs
-    * (region_id, snapshot_ts, size_mb, max_file_mb, file_count, locality).
-    */
-  def compactionStream(snapshots: DataFrame, noRecompactWindow: String = "1 day"): DataFrame =
-    snapshots
-      .withColumn(
-        "weight",
-        CompactionOps.weight(col("size_mb"), col("max_file_mb"), col("file_count"), col("locality")))
-      .filter(col("weight") > CompactionOps.DefaultBorderWeight &&
-        col("size_mb") > CompactionOps.DefaultMinSizeMb)
+    * (region_id, snapshot_ts, size_mb, max_file_mb, file_count, locality);
+    * a `server` column, when present, is carried through so the output
+    * composes directly with [[pacedActionSink]]. Candidate selection is
+    * CompactionOps.candidates — ONE definition of the weight/threshold
+    * logic for the batch and streaming paths. */
+  def compactionStream(
+      snapshots: DataFrame,
+      noRecompactWindow: String = "1 day",
+      borderWeight: Double = CompactionOps.DefaultBorderWeight,
+      minSizeMb: Long = CompactionOps.DefaultMinSizeMb): DataFrame = {
+    val keep = Seq("region_id", "snapshot_ts", "weight") ++
+      (if (snapshots.columns.contains("server")) Seq("server") else Nil)
+    CompactionOps.candidates(snapshots, borderWeight, minSizeMb)
       .withWatermark("snapshot_ts", noRecompactWindow)
       .dropDuplicatesWithinWatermark("region_id")
-      .select(col("region_id"), col("snapshot_ts"), col("weight"))
+      .select(keep.map(col): _*)
+  }
 
   /** O-55 distributor suppression: processed-table set cleared every 6 h
     * (`api/distributor/DistributorService.java:34-87`) — per-table dedup
@@ -55,40 +60,60 @@ object StreamingOps {
         col("available"), col("n_probes"))
 
   /** O-54 backpressure / admission control: per micro-batch, emit at most
-    * `maxPerBatch` highest-weight actions, and none at all for servers
-    * whose queue depths exceed the reference borders
+    * `maxPerServer` highest-weight actions PER SERVER (the reference
+    * budget is per-queue — `compactor.recalculate.region.count`, mirrored
+    * by the batch twin CompactionOps.plan's per-server window), and none
+    * at all for servers whose queue depths exceed the reference borders
     * (`api/compactor/CompactorServer.java:244-267`: pause while
     * compactionQueue > 11 or flushQueue > 31). `queueDepths` is the
-    * external metrics feed (O-12); trigger pacing bounds batch size, this
-    * bounds emission. */
+    * external metrics feed (O-12) and may carry several snapshots per
+    * server — it is reduced to the worst (max) depth per server before
+    * the join, so stale lower readings can't defeat the backpressure and
+    * the join never fans out. `emit` receives the micro-batch id so the
+    * caller can make its action emission idempotent under foreachBatch
+    * replay; `checkpoint` makes the query itself restartable (an
+    * action-emitting sink without a durable checkpoint either replays or
+    * drops actions after a driver restart). */
   def pacedActionSink(
       candidates: DataFrame,
       queueDepths: DataFrame,
-      emit: DataFrame => Unit,
-      maxPerBatch: Int = 15,
+      emit: (DataFrame, Long) => Unit,
+      checkpoint: String,
+      maxPerServer: Int = 15,
       maxCompactionQueue: Int = 11,
-      maxFlushQueue: Int = 31): org.apache.spark.sql.streaming.StreamingQuery =
+      maxFlushQueue: Int = 31): org.apache.spark.sql.streaming.StreamingQuery = {
+    val worst = queueDepths
+      .groupBy("server")
+      .agg(
+        max(col("compaction_queue")).as("compaction_queue"),
+        max(col("flush_queue")).as("flush_queue"))
     candidates.writeStream
+      .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val byServer = org.apache.spark.sql.expressions.Window
+          .partitionBy("server").orderBy(col("weight").desc, col("region_id"))
         val admitted = batch
-          .join(queueDepths, Seq("server"), "left")
+          .join(worst, Seq("server"), "left")
           .filter(
             coalesce(col("compaction_queue"), lit(0)) <= maxCompactionQueue &&
               coalesce(col("flush_queue"), lit(0)) <= maxFlushQueue)
-          .orderBy(col("weight").desc)
-          .limit(maxPerBatch)
-          .drop("compaction_queue", "flush_queue", "percent_files_local")
-        emit(admitted)
+          .withColumn("__rk", row_number().over(byServer))
+          .filter(col("__rk") <= maxPerServer)
+          .drop("__rk", "compaction_queue", "flush_queue")
+        emit(admitted, batchId)
       }
       .start()
+  }
 
   /** O-57 topology snapshotter as a stream: each micro-batch of placement
-    * observations appends to the date-partitioned history via the O-8
-    * writer; retention stays a partition-prune read (BulkOps). Replaces
-    * the reference's hourly loop + HBase row lease
-    * (`api/meta/TechnicalMetaUpdater.java:29-54` — lock dropped: a single
-    * streaming query owns the sink). */
+    * observations lands in the date-partitioned history via the O-8
+    * writer's IDEMPOTENT per-batch variant — batch N overwrites its own
+    * `batch_id=N/` subtree, so a foreachBatch replay after a crash
+    * rewrites identical data instead of appending duplicates. Retention
+    * stays a partition-prune read (BulkOps). Replaces the reference's
+    * hourly loop + HBase row lease (`api/meta/TechnicalMetaUpdater.java:
+    * 29-54` — lock dropped: a single streaming query owns the sink). */
   def topologySnapshotStream(
       observations: DataFrame,
       destPath: String,
@@ -96,8 +121,8 @@ object StreamingOps {
     observations.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.sources.BulkOps.writeTopologySnapshot(batch.toDF(), destPath)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sources.BulkOps.writeTopologySnapshotBatch(batch.toDF(), destPath, batchId)
       }
       .start()
 
@@ -112,14 +137,19 @@ object StreamingOps {
 
   /** Streaming ingest dedup for a document feed: keep the first document
     * per content fingerprint within the dedup window. The streaming face
-    * of DedupOps.exact — state is bounded by the watermark (unlike a
-    * driver-side seen-set, which would grow with the corpus), so the same
-    * query ingests 100 TB/day with per-key state eviction. */
-  def ingestDedupStream(docs: DataFrame, window: String = "1 day"): DataFrame =
+    * of DedupOps.exact / incrDedup — the fingerprint is the SAME head key
+    * (md5 of the first 5 tokens) the batch twins use, so a corpus
+    * ingested through this gate and one deduped retrospectively agree on
+    * what counts as a duplicate. State is bounded by the watermark
+    * (unlike a driver-side seen-set, which would grow with the corpus),
+    * so the same query ingests 100 TB/day with per-key state eviction. */
+  def ingestDedupStream(docs: DataFrame, window: String = "1 day"): DataFrame = {
+    import graft.functions.TextFunctions.tokens
     docs
-      .withColumn("fp", md5(col("text")))
+      .withColumn("fp", md5(array_join(slice(tokens(col("text")), 1, 5), " ")))
       .withWatermark("ingest_ts", window)
       .dropDuplicatesWithinWatermark("fp")
+  }
 
   case class CappedDoc(doc_id: Long, source: String, rk: Int)
 
@@ -136,11 +166,23 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (source: String, rows: Iterator[(Long, String)], state: GroupState[Int]) => {
           val already = state.getOption.getOrElse(0)
-          // deterministic within a batch: admit in doc_id order
-          val admitted = rows.map(_._1).toSeq.sorted.take(math.max(cap - already, 0))
-          state.update(already + admitted.size)
-          admitted.iterator.zipWithIndex.map { case (id, i) =>
-            CappedDoc(id, source, already + i + 1)
+          val k = cap - already
+          if (k <= 0) Iterator.empty // capped source: drain nothing, state unchanged
+          else {
+            // deterministic within a batch (admit in doc_id order) via a
+            // bounded k-smallest heap: a hot source near its cap costs
+            // O(n log k) and O(k) memory, never a full-group sort/buffer
+            val heap = scala.collection.mutable.PriorityQueue.empty[Long] // max-heap
+            rows.foreach { r =>
+              val id = r._1
+              if (heap.size < k) heap.enqueue(id)
+              else if (id < heap.head) { heap.dequeue(); heap.enqueue(id) }
+            }
+            val admitted = heap.toSeq.sorted
+            state.update(already + admitted.size)
+            admitted.iterator.zipWithIndex.map { case (id, i) =>
+              CappedDoc(id, source, already + i + 1)
+            }
           }
         })
   }

@@ -109,27 +109,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("paced action sink applies queue-depth backpressure and top-k admission (O-54)") {
+  test("paced action sink applies queue-depth backpressure and per-server top-k (O-54)") {
     val s = spark
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     val input = MemoryStream[(String, Long, Double)]
     val candidates = input.toDF().toDF("server", "region_id", "weight")
+    // multi-row feed on purpose: s1 has a stale low reading AND a fresh
+    // high one below the border; s2's worst reading pauses it (50 > 11);
+    // s3 verifies the budget is per-server, not global
     val depths = graft.sources.AuxSources.serverMetricsFeed(s,
-      Seq(("s1", 5, 2, 99.0), ("s2", 50, 2, 99.0))) // s2 paused: queue 50 > 11
+      Seq(("s1", 1, 0, 99.0), ("s1", 5, 2, 99.0), ("s2", 50, 2, 99.0), ("s2", 3, 1, 99.0)))
     val emitted = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    val batchIds = scala.collection.mutable.ArrayBuffer[Long]()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_paced_ckpt").toString
     val q = StreamingOps.pacedActionSink(
       candidates, depths,
-      b => emitted.synchronized {
+      (b, id) => emitted.synchronized {
         emitted ++= b.collect().map(r => (r.getString(0), r.getLong(1)))
+        batchIds += id
       },
-      maxPerBatch = 2)
+      checkpoint = ckpt,
+      maxPerServer = 2)
     try {
-      input.addData(("s1", 1L, 100.0), ("s1", 2L, 90.0), ("s1", 3L, 80.0), ("s2", 4L, 999.0))
+      input.addData(
+        ("s1", 1L, 100.0), ("s1", 2L, 90.0), ("s1", 3L, 80.0),
+        ("s2", 4L, 999.0),
+        ("s3", 5L, 70.0), ("s3", 6L, 60.0), ("s3", 7L, 50.0))
       q.processAllAvailable()
       val got = emitted.synchronized(emitted.toList)
-      assert(got.toSet == Set(("s1", 1L), ("s1", 2L))) // top-2, s2 suppressed
+      // per-server top-2; s2 suppressed by its WORST queue reading; the
+      // duplicate s1 feed rows do not duplicate candidates
+      assert(got.toSet == Set(("s1", 1L), ("s1", 2L), ("s3", 5L), ("s3", 6L)), s"got $got")
+      assert(got.size == 4)
+      assert(batchIds.synchronized(batchIds.nonEmpty)) // emit sees the batch id
     } finally q.stop()
+  }
+
+  test("topology snapshot batches are replay-idempotent (per-batch overwrite)") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_topo_idem")
+    val batch = Seq((1L, ts(0), "s1", 100L), (2L, ts(1), "s2", 101L))
+      .toDF("region_id", "snapshot_ts", "server", "obs_id")
+    graft.sources.BulkOps.writeTopologySnapshotBatch(batch, s"$dir/topo", 7L)
+    // a foreachBatch replay of the SAME batch id rewrites, never appends
+    graft.sources.BulkOps.writeTopologySnapshotBatch(batch, s"$dir/topo", 7L)
+    assert(s.read.parquet(s"$dir/topo").count() == 2)
   }
 
   test("topology snapshot stream appends date-partitioned parquet (O-57)") {
