@@ -81,8 +81,11 @@ object ActionPlans {
           regexp_replace(col("queues"), ",", "','"), lit("']")))
       case other => throw new IllegalArgumentException(s"unknown plan kind: $other")
     }
+    // server-scoped plans are REGION_SERVER findings; everything else
+    // operates on a region
+    val eventType = if (kind == "clear_queues") EventType.RegionServer else EventType.Region
     plan.select(
-      lit(EventType.Region).as("eventType"),
+      lit(eventType).as("eventType"),
       obj.cast("string").as("objectName"),
       lit(s"$kind plan entry").as("problem"),
       lit(Severity.Normal).as("severity"),
@@ -94,21 +97,37 @@ object ActionPlans {
     * `RSTaskController.java:14-50`: one jittered task per RegionServer).
     * Spark-native: repartition on the server key places each server's
     * rows on one executor partition; the action runs there, jittered by a
-    * hash of the server name — deterministic, unlike the reference's
-    * Random, so runs are reproducible. Several servers may share a
-    * partition (hash partitioning), so the action still fires once per
-    * server, grouped inside the partition. */
+    * hash of the partition's first server name — deterministic, unlike
+    * the reference's Random, so runs are reproducible. Several servers
+    * may share a partition (hash partitioning); they are processed
+    * consecutively off a sorted iterator, buffering ONE server's rows at
+    * a time (never the whole partition), and the jitter fires once per
+    * partition — per-server sleeps inside a sequential partition would
+    * stack into a sum, not a stagger. */
   def perServerFanout(
       plan: DataFrame,
       serverCol: String,
       maxJitterMs: Long = 0L)(
       action: (String, Seq[org.apache.spark.sql.Row]) => Unit): Unit =
-    plan.repartition(col(serverCol)).foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-      it.toSeq.groupBy(_.getAs[String](serverCol)).toSeq.sortBy(_._1).foreach {
-        case (server, rows) =>
-          if (maxJitterMs > 0)
-            Thread.sleep((math.abs(server.hashCode.toLong) % maxJitterMs))
-          action(server, rows)
+    plan.repartition(col(serverCol)).sortWithinPartitions(col(serverCol))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val buf = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+        var current: String = null
+        var jittered = false
+        def flush(): Unit = if (buf.nonEmpty) {
+          if (maxJitterMs > 0 && !jittered) {
+            Thread.sleep(math.abs(Option(current).getOrElse("").hashCode.toLong) % maxJitterMs)
+            jittered = true
+          }
+          action(current, buf.toSeq)
+          buf.clear()
+        }
+        it.foreach { r =>
+          val srv = r.getAs[String](serverCol)
+          if (buf.nonEmpty && !java.util.Objects.equals(srv, current)) flush()
+          current = srv
+          buf += r
+        }
+        flush()
       }
-    }
 }

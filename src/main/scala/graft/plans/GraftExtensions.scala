@@ -23,10 +23,14 @@ object PushCompactionWeightBounds extends Rule[LogicalPlan] {
 
   private def derive(cond: Expression): Seq[Expression] = {
     val conjuncts = splitConjuncts(cond)
-    conjuncts.collect {
+    val derived = conjuncts.collect {
       case GreaterThan(CompactionWeightExpr(size, _, _, _), Literal(c: Double, _)) if c >= 0.0 =>
         GreaterThanOrEqual(size, Literal(10L, LongType))
     }.filterNot(d => conjuncts.exists(_.semanticEquals(d)))
+    // several thresholds over one weight derive the same bound — add it once
+    derived.foldLeft(Seq.empty[Expression]) { (acc, d) =>
+      if (acc.exists(_.semanticEquals(d))) acc else acc :+ d
+    }
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
@@ -46,32 +50,42 @@ object PushCompactionWeightBounds extends Rule[LogicalPlan] {
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  /** Wrong-arity SQL calls get a real error message instead of an
+    * IndexOutOfBoundsException escaping the function builder. */
+  private def arity(name: String, n: Int)(
+      build: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression =
+    exprs => {
+      if (exprs.length != n)
+        throw new IllegalArgumentException(
+          s"$name requires $n argument(s), got " + exprs.length)
+      build(exprs)
+    }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => PushCompactionWeightBounds)
     e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("salted_key"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         "graft.functions.SaltedKey", "salted_key"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.SaltedKey(exprs.head)))
+      arity("salted_key", 1)(exprs => graft.functions.SaltedKey(exprs.head))))
     e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         "graft.functions.VectorDot", "vec_dot"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.VectorDot(exprs(0), exprs(1))))
+      arity("vec_dot", 2)(exprs => graft.functions.VectorDot(exprs(0), exprs(1)))))
     e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("vec_sumsq"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         "graft.functions.VectorSumSq", "vec_sumsq"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.VectorSumSq(exprs.head)))
+      arity("vec_sumsq", 1)(exprs => graft.functions.VectorSumSq(exprs.head))))
     e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("plane_dot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         "graft.functions.PlaneDot", "plane_dot"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.PlaneDot(exprs(0), exprs(1))))
+      arity("plane_dot", 2)(exprs => graft.functions.PlaneDot(exprs(0), exprs(1)))))
     e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("compaction_weight"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         "graft.functions.CompactionWeightExpr", "compaction_weight"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.CompactionWeightExpr(exprs(0), exprs(1), exprs(2), exprs(3))))
+      arity("compaction_weight", 4)(exprs =>
+        graft.functions.CompactionWeightExpr(exprs(0), exprs(1), exprs(2), exprs(3)))))
   }
 }

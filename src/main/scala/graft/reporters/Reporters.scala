@@ -2,7 +2,7 @@ package graft.reporters
 
 import graft.cluster.ClusterViews
 import graft.model.{EventType, Finding, FixDestination, Severity}
-import graft.operators.{AnalyzerOps, CompactionOps, DistributionOps, ReportOps}
+import graft.operators.{CompactionOps, DistributionOps, ReportOps}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -62,7 +62,10 @@ object Reporters {
       lit(problem).as("problem"),
       col(sevCol).cast("string").as("severity"),
       lit(dest).as("fixDestination"),
-      concat(lit(cmd + " "), col(objCol).cast("string")).as("command")).as[Finding]
+      // single-quote the argument exactly like ActionPlans.toFindings:
+      // these lines are piped verbatim into `hbase shell`, where a bare
+      // name is an undefined Ruby identifier, not a string
+      concat(lit(cmd + " '"), col(objCol).cast("string"), lit("'")).as("command")).as[Finding]
   }
 
   /** Biggest-regions reporter (`api/report/reports/BiggestRegionsReporter.java`):

@@ -15,15 +15,26 @@ import org.apache.spark.sql.functions._
   * snapshot retention (`api/configuration/HBaseToolsOptions.java:114-119`).
   *
   * Tables here are file directories (parquet by default); the storage
-  * format rides the same connector seam as [[Tables]] — set
-  * `graft.source.format` / `graft.source.option.<k>` and these calls
-  * route through that connector's `DataFrame` read/write (bulkload)
-  * instead, with identical orchestration (names, backups, retention).
+  * FORMAT rides the same connector seam as [[Tables]]
+  * (`graft.source.format` / `graft.source.option.<k>`). These ops are
+  * inherently PATH-addressed (backup names, partition retention, file
+  * existence checks), so a name-addressed connector
+  * (`graft.source.nameAddressed=true`) is rejected up front rather than
+  * silently mis-backing-up — a connector deployment does its bulk
+  * lifecycle through the connector's own table admin surface.
   */
 object BulkOps {
 
-  private def readPath(spark: SparkSession, path: String): DataFrame =
+  private def requirePathAddressed(spark: SparkSession): Unit =
+    if (spark.conf.get(Tables.NameAddressedKey, "false").toBoolean)
+      throw new IllegalStateException(
+        "BulkOps is path-addressed (backups, retention, existence checks); " +
+          s"unset ${Tables.NameAddressedKey} or use the connector's own bulk admin surface")
+
+  private def readPath(spark: SparkSession, path: String): DataFrame = {
+    requirePathAddressed(spark)
     spark.read.format(Tables.sourceFormat(spark)).options(Tables.sourceOptions(spark)).load(path)
+  }
 
   private def writePath(df: DataFrame, mode: SaveMode): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
     val spark = df.sparkSession
@@ -38,11 +49,14 @@ object BulkOps {
   def backupName(table: String, epochMillis: Long): String =
     s"origin_${table}_${TsFmt.format(Instant.ofEpochMilli(epochMillis))}"
 
-  /** O-6: copy a table via an intermediate snapshot name. */
+  /** O-6: copy a table via an intermediate snapshot name. Returns the
+    * copied row count — counted from the source after the write commits
+    * (ErrorIfExists throws on failure), avoiding a second full parse of
+    * the just-written destination. */
   def copyTable(spark: SparkSession, srcPath: String, destPath: String): Long = {
     val df = readPath(spark, srcPath)
     writePath(df, SaveMode.ErrorIfExists).save(destPath)
-    readPath(spark, destPath).count()
+    df.count()
   }
 
   /** O-7: replace `to` with `from`: optional backup copy of `to`
@@ -67,11 +81,16 @@ object BulkOps {
   /** O-8: partitioned snapshot append — the batch writer with TTL
     * semantics handled by partition retention instead of per-record TTL. */
   def writeTopologySnapshot(topology: DataFrame, destPath: String): Unit =
-    writePath(
-      topology
-        .withColumn("snapshot_date", to_date(col("snapshot_ts")))
-        .repartition(col("snapshot_date")),
-      SaveMode.Append).partitionBy("snapshot_date").save(destPath)
+    writePath(snapshotLayout(topology), SaveMode.Append)
+      .partitionBy("snapshot_date").save(destPath)
+
+  /** Cluster rows by date for the partitioned write WITHOUT collapsing a
+    * single-date snapshot onto one task: an 8-way salt keeps write
+    * parallelism while bounding files-per-date. */
+  private def snapshotLayout(topology: DataFrame): DataFrame =
+    topology
+      .withColumn("snapshot_date", to_date(col("snapshot_ts")))
+      .repartition(col("snapshot_date"), pmod(hash(col("region_id")), lit(8)))
 
   /** O-8 streaming variant, IDEMPOTENT under micro-batch replay: batch N
     * overwrites its own `batch_id=N/` subtree under `destPath` (date
@@ -80,11 +99,8 @@ object BulkOps {
     * batch_id as an extra partition column; snapshot_date pruning is
     * unaffected. */
   def writeTopologySnapshotBatch(topology: DataFrame, destPath: String, batchId: Long): Unit =
-    writePath(
-      topology
-        .withColumn("snapshot_date", to_date(col("snapshot_ts")))
-        .repartition(col("snapshot_date")),
-      SaveMode.Overwrite).partitionBy("snapshot_date").save(s"$destPath/batch_id=$batchId")
+    writePath(snapshotLayout(topology), SaveMode.Overwrite)
+      .partitionBy("snapshot_date").save(s"$destPath/batch_id=$batchId")
 
   /** O-57: retention — drop partitions older than maxAgeDays relative to
     * `nowEpochDay` (partition prune; no full scan at 100 TB). */
@@ -103,6 +119,8 @@ object BulkOps {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
-  private def parent(path: String): String = path.reverse.dropWhile(_ != '/').drop(1).reverse
-  private def name(path: String): String = path.reverse.takeWhile(_ != '/').reverse
+  private def parent(path: String): String =
+    new org.apache.hadoop.fs.Path(path).getParent.toString
+  private def name(path: String): String =
+    new org.apache.hadoop.fs.Path(path).getName
 }
