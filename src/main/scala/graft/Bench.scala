@@ -1,36 +1,9 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      // test parquet files are single-digit-MB; without this the scan is
-      // one partition and local parallelism is wasted (real deployments
-      // have many files — this only matters for the local fixture)
-      .config("spark.sql.files.maxPartitionBytes", "4m")
-      // shuffle/spill on tmpfs: the host disk is burst-throttled and MB-scale
-      // shuffle writes were intermittently stalling scan-heavy queries 10-50x
-      .config("spark.local.dir", "/dev/shm/spark-local")
-      .config("spark.ui.enabled", "false")
-      // the host stalls CPU in multi-minute bursts; with the default
-      // 10s heartbeat x 60 maxFailures a ~10-min stall kills the executor
-      // (exit 56, lost the whole round-2 bench run). Tolerate ~100 min.
-      .config("spark.executor.heartbeatInterval", "30s")
-      .config("spark.executor.heartbeat.maxFailures", "200")
-      .config("spark.network.timeout", "600s")
-      .config("spark.sql.broadcastTimeout", "1200")
-      // local-mode JVMs accumulate shuffle files until a driver GC fires
-      // the ContextCleaner (default periodic GC: 30 min) — with /dev/shm
-      // shuffle dirs that litter is RAM; clean on a tight cadence
-      .config("spark.cleaner.periodicGC.interval", "2min")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.tools.TimingSession.create(cpus)
 
     // the host hands out CPU unevenly in multi-minute bursts (observed
     // 10-50x slowdowns on random queries with ~zero steal); two passes and

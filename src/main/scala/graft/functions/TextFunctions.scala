@@ -15,12 +15,6 @@ object TextFunctions {
   /** Tokenize on single spaces (fixture texts are single-spaced). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** 3-gram word shingles: shingle i = tokens[i..i+2] joined by spaces. */
-  def shingles3(toks: Column): Column =
-    transform(
-      sequence(lit(1), greatest(size(toks) - 2, lit(0))),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
-
   /** Stable 60-bit hash: low 15 hex chars of md5. Engine-portable (md5 is
     * specified byte-exact everywhere) unlike murmur/xxhash builtins which
     * differ per engine. */

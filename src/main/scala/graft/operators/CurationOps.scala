@@ -97,9 +97,7 @@ object CurationOps {
     * engines (no RNG state), embarrassingly parallel, and the bucket
     * column doubles as the holdout split key. */
   def stratifiedSample(docs: DataFrame): DataFrame = {
-    val bucket =
-      (conv(substring(md5(col("doc_id").cast("string")), 18, 15), 16, 10)
-        .cast("long") % 100L).as("bucket")
+    val bucket = (stableHash60(col("doc_id").cast("string")) % 100L).as("bucket")
     val rate = SampleRates
       .foldRight(lit(100): org.apache.spark.sql.Column) { case ((l, r), acc) =>
         when(col("lang") === l, lit(r)).otherwise(acc)
@@ -185,9 +183,7 @@ object CurationOps {
     * seed, no sampling drift when the corpus grows); the rollup is one
     * map-side-combined aggregation. */
   def splitAssign(docs: DataFrame): DataFrame = {
-    val bucket =
-      (conv(substring(md5(col("doc_id").cast("string")), 18, 15), 16, 10)
-        .cast("long") % 1000L)
+    val bucket = stableHash60(col("doc_id").cast("string")) % 1000L
     docs
       .select(
         col("lang"),
@@ -204,8 +200,7 @@ object CurationOps {
     * hot-domain skew pattern, and the md5 priority keeps any one reducer
     * from seeing more than a domain's docs (AQE splits the rest). */
   def sourceCaps(docs: DataFrame, cap: Int = 15): DataFrame = {
-    val prio = conv(substring(md5(col("doc_id").cast("string")), 18, 15), 16, 10)
-      .cast("long")
+    val prio = stableHash60(col("doc_id").cast("string"))
     val w = Window.partitionBy("source").orderBy(col("prio"), col("doc_id"))
     docs
       .select(col("doc_id"), col("source"), prio.as("prio"))

@@ -159,7 +159,7 @@ object EventsPack extends QueryPack {
         |GROUP BY 1, 2""".stripMargin,
     "ev_sessions" ->
       """WITH ordered AS (
-        |  SELECT user_id, epoch_us(ts) AS t, CAST(value AS DECIMAL(18,2)) AS v,
+        |  SELECT user_id, event_id, epoch_us(ts) AS t, CAST(value AS DECIMAL(18,2)) AS v,
         |         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t
         |  FROM events
         |),
@@ -168,7 +168,7 @@ object EventsPack extends QueryPack {
         |  FROM ordered
         |),
         |numbered AS (
-        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY t, event_id
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
         |  FROM flagged
         |)

@@ -50,6 +50,9 @@ object MultimodalOps {
   def frameSample(docs: DataFrame): DataFrame =
     mediaTable(docs)
       .withColumn("n_frames", ceil(length(col("media")) / 256.0).cast("int"))
+      // zero-byte payloads emit NO frames: sequence(0, -1) would
+      // auto-step DOWN and fabricate frame_idx [0, -1] phantom rows
+      .filter(col("n_frames") >= 1)
       .withColumn("frame_idx", explode(sequence(lit(0), col("n_frames") - 1)))
       .select(
         col("doc_id"),

@@ -29,7 +29,7 @@ object SplitterOps {
     val byTable = Window.partitionBy("table_name")
     val ranked = joined
       .withColumn("max_size", max(col("size_mb")).over(byTable))
-      .filter(col("size_mb") * 2.2 > col("max_size"))
+      .filter(col("size_mb") * (2 * DivideMultiplier) > col("max_size"))
       .withColumn(
         "rnk",
         row_number().over(Window.partitionBy("table_name").orderBy(col("size_mb").desc, col("region_id"))))

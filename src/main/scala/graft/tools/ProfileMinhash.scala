@@ -2,21 +2,12 @@ package graft.tools
 
 import graft.operators.DedupOps
 import graft.sources.Tables
-import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc stage profiler for the minhash pipeline (dev tool). */
 object ProfileMinhash {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.files.maxPartitionBytes", "4m")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = TimingSession.create()
     val docs = Tables.documents(spark, sfDir)
 
     def time[T](label: String)(f: => T): T = {

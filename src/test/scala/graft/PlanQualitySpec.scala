@@ -98,7 +98,12 @@ class PlanQualitySpec extends SparkSpec {
 
   test("text ops prune the documents scan to referenced columns") {
     // a scan that reads lang/source for a (doc_id, text) operator ships
-    // unneeded bytes from every parquet row group at 100 TB
+    // unneeded bytes from every parquet row group at 100 TB. Clear the
+    // cache first: with a full-width documents subtree cached by another
+    // suite, CacheManager substitution (intended shared-materialization
+    // behavior) would put that build-side scan in this plan and mask the
+    // pure-plan pruning property under test.
+    spark.catalog.clearCache()
     val plan = physical(SparkEntry.queries("token_count")(spark, sf))
     val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(plan).toList
     assert(readSchemas.nonEmpty, s"no ReadSchema in:\n$plan")
