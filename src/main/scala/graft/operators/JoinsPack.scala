@@ -1,8 +1,10 @@
 package graft.operators
 
 import graft.QueryPack
+import graft.cluster.{ClusterSql, ClusterViews}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -38,6 +40,53 @@ object JoinsOps {
         col("revenue").cast("double").as("revenue"))
   }
 
+  /** Generic as-of join: for each left row, the LATEST right row with
+    * right-ts <= left-ts on the same key — the temporal-join operator
+    * Spark SQL lacks natively.
+    *
+    * Shape: tag both sides, union, ONE window per key ordered by
+    * (ts, side) carrying the right values forward with
+    * last(ignoreNulls) — a single shuffle on the key. Never a range
+    * join (O(L×R) comparisons) and never a per-row lookup; this is the
+    * formulation that survives billions of left rows against millions
+    * of right rows. Ties (right-ts == left-ts) count as already
+    * effective — floorEntry semantics, the right row sorts first.
+    *
+    * Contract: right rows must be unique per (key, ts) — pre-aggregate
+    * if not, or "latest" is ill-defined in any engine; a NULL in a right
+    * value column is treated as "no update" (the previous value carries
+    * forward), a consequence of the ignoreNulls fill. */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String): DataFrame = {
+    val rightVals = right.columns.filterNot(c => c == key || c == rightTs).toSeq
+    require(rightVals.nonEmpty, "right side carries no value columns")
+    val clash = rightVals.toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty, s"left/right value column collision: ${clash.mkString(", ")}")
+    val lTagged = rightVals.foldLeft(
+      left.withColumn("__ats", col(leftTs)).withColumn("__side", lit(1))) { (df, c) =>
+      df.withColumn(c, lit(null).cast(right.schema(c).dataType))
+    }
+    val rTagged = {
+      val base = right
+        .select(col(key) +: col(rightTs).as("__ats") +: rightVals.map(col): _*)
+        .withColumn("__side", lit(0))
+      left.columns.filterNot(_ == key).foldLeft(base) { (df, c) =>
+        df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }
+    }
+    val w = Window.partitionBy(key).orderBy(col("__ats"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    lTagged.unionByName(rTagged)
+      .select(left.columns.map(col) ++ (col("__side") +:
+        rightVals.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+      .filter(col("__side") === 1)
+      .drop("__side")
+  }
+
   def topCustomers(orders: DataFrame, customer: DataFrame, k: Int = 10): DataFrame =
     orders
       .groupBy("o_custkey")
@@ -56,7 +105,21 @@ object JoinsPack extends QueryPack {
     "revenue_nat" -> ((s, d) => JoinsOps.revenueByNation(
       Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
       Tables.nation(s, d), Tables.region(s, d))),
-    "top_customers" -> ((s, d) => JoinsOps.topCustomers(Tables.orders(s, d), Tables.customer(s, d)))
+    "top_customers" -> ((s, d) => JoinsOps.topCustomers(Tables.orders(s, d), Tables.customer(s, d))),
+    // which server hosted each order's (customer-keyed) region at order
+    // time: orders as-of joined against the deduped topology history
+    "asof_join" -> { (s, d) =>
+      val topo = ClusterViews.topology(s, d)
+      val perTs = Window.partitionBy("region_id", "snapshot_ts").orderBy(col("obs_id").desc)
+      val right = topo.withColumn("rn", row_number().over(perTs)).filter(col("rn") === 1)
+        .select(col("region_id"), col("snapshot_ts"), col("server"))
+      val left = Tables.orders(s, d).select(
+        col("o_orderkey").as("evt_id"),
+        (col("o_custkey") % 2048).as("region_id"),
+        col("o_orderdate").cast("timestamp").as("ts"))
+      JoinsOps.asofJoin(left, right, "region_id", "ts", "snapshot_ts")
+        .select(col("evt_id"), col("region_id"), unix_micros(col("ts")).as("ts_us"), col("server"))
+    }
   )
 
   override def oracles: Map[String, String] = Map(
@@ -82,6 +145,24 @@ object JoinsPack extends QueryPack {
         |)
         |SELECT a.o_custkey AS custkey, c.c_name AS name,
         |       CAST(a.total AS DOUBLE) AS total_spend, a.n_orders
-        |FROM agg a JOIN customer c ON a.o_custkey = c.c_custkey""".stripMargin
+        |FROM agg a JOIN customer c ON a.o_custkey = c.c_custkey""".stripMargin,
+    // the oracle engine HAS a native ASOF JOIN — ideal independent check
+    // of the union+window formulation
+    "asof_join" ->
+      s"""WITH ${ClusterSql.topology},
+         |dedup AS (
+         |  SELECT region_id, snapshot_ts, server FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY region_id, snapshot_ts ORDER BY obs_id DESC) AS rn
+         |    FROM topology
+         |  ) WHERE rn = 1
+         |),
+         |l AS (
+         |  SELECT o_orderkey AS evt_id, o_custkey % 2048 AS region_id,
+         |         CAST(o_orderdate AS TIMESTAMP) AS ts
+         |  FROM orders
+         |)
+         |SELECT l.evt_id, l.region_id, epoch_us(l.ts) AS ts_us, d.server
+         |FROM l ASOF LEFT JOIN dedup d
+         |  ON l.region_id = d.region_id AND l.ts >= d.snapshot_ts""".stripMargin
   )
 }

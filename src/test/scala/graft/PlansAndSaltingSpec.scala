@@ -81,4 +81,23 @@ class PlansAndSaltingSpec extends SparkSpec {
     val salted = Salting.saltedCount(df, "k", 16)
     assert(salted.exceptAll(direct).count() == 0 && direct.exceptAll(salted).count() == 0)
   }
+
+  test("asof join: floorEntry tie semantics, carry-forward, and no-earlier-row nulls") {
+    val s = spark
+    import s.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val left = Seq(
+      (1L, "k1", t(0)),  // before any right row -> null
+      (2L, "k1", t(5)),  // exactly at a right ts -> that row (tie counts)
+      (3L, "k1", t(7)),  // between right rows -> carry t(5)'s value
+      (4L, "k1", t(20)), // after the last -> latest value
+      (5L, "k2", t(30))  // key with no right rows at all -> null
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      ("k1", t(5), "v5"), ("k1", t(10), "v10")
+    ).toDF("k", "rts", "v")
+    val out = graft.operators.JoinsOps.asofJoin(left, right, "k", "ts", "rts")
+      .select("id", "v").collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out == Map(1L -> None, 2L -> Some("v5"), 3L -> Some("v5"), 4L -> Some("v10"), 5L -> None))
+  }
 }
