@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+
+/** Empty-input behavior: every operator family must return an empty
+  * result — not throw — on an empty (but well-typed) input. The cases
+  * that historically break: windows over empty partitions, sequence()
+  * explodes with degenerate bounds, iterative loops with no first round,
+  * and aggregations feeding scalar cross joins.
+  */
+class EmptyInputSpec extends SparkSpec {
+
+  private def emptyDocs: DataFrame = {
+    val s = spark
+    import s.implicits._
+    Seq.empty[(Long, String, String, String)].toDF("doc_id", "text", "lang", "source")
+  }
+
+  private def emptyEmb: DataFrame = {
+    val s = spark
+    import s.implicits._
+    Seq.empty[(Long, String, Array[Float])].toDF("vec_id", "label", "embedding")
+  }
+
+  test("dedup family returns empty on an empty corpus") {
+    assert(DedupOps.exact(emptyDocs).count() == 0)
+    assert(DedupOps.ngramJaccard(emptyDocs).count() == 0)
+    assert(DedupOps.minhashLsh(emptyDocs, spark).count() == 0)
+    assert(DedupOps.simhashDedup(emptyDocs, spark).count() == 0)
+    assert(DedupOps.incrDedup(emptyDocs, 0L).count() == 0)
+    assert(DedupOps.pairLongestSpan(emptyDocs).count() == 0)
+  }
+
+  test("clustering and keep-set return empty on an empty corpus") {
+    GraphOps.clearClusterMemo()
+    assert(GraphOps.dedupClusters(emptyDocs).count() == 0)
+    assert(GraphOps.dedupKeep(emptyDocs).count() == 0)
+  }
+
+  test("curation family returns empty on an empty corpus") {
+    assert(CurationOps.gopherRules(emptyDocs).count() == 0)
+    assert(CurationOps.chunked(emptyDocs).count() == 0)
+    assert(CurationOps.mixPlan(emptyDocs).count() == 0)
+    assert(CurationOps.langMix(emptyDocs).count() == 0)
+    assert(CurationOps.sourceCaps(emptyDocs).count() == 0)
+    assert(CurationOps.stratifiedSample(emptyDocs).count() == 0)
+    assert(CurationOps.vocabTopGrams(emptyDocs).count() == 0)
+    assert(CurationOps.contamination(emptyDocs).count() == 0)
+    assert(CurationOps.curated(emptyDocs).count() == 0)
+  }
+
+  test("text and multimodal families return empty on an empty corpus") {
+    assert(TextOps.tokenCount(emptyDocs).count() == 0)
+    assert(TextOps.langId(emptyDocs).count() == 0)
+    assert(MultimodalOps.frameSample(emptyDocs).count() == 0)
+    assert(MultimodalOps.frameDedup(emptyDocs).count() == 0)
+  }
+
+  test("ANN family returns empty on an empty vector table") {
+    assert(AnnOps.bruteTopK(emptyEmb).count() == 0)
+    assert(AnnOps.lshTopK(emptyEmb, spark).count() == 0)
+  }
+
+  test("as-of join with an empty right side left-joins nulls, empty left is empty") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, "k", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("id", "k", "ts")
+    val emptyRight = Seq.empty[(String, java.sql.Timestamp, String)].toDF("k", "rts", "v")
+    val out = JoinsOps.asofJoin(left, emptyRight, "k", "ts", "rts")
+    assert(out.count() == 1 && out.filter(out("v").isNull).count() == 1)
+    val emptyLeft = Seq.empty[(Long, String, java.sql.Timestamp)].toDF("id", "k", "ts")
+    val right = Seq(("k", java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), "v"))
+      .toDF("k", "rts", "v")
+    assert(JoinsOps.asofJoin(emptyLeft, right, "k", "ts", "rts").count() == 0)
+  }
+}
