@@ -11,10 +11,12 @@ import org.apache.spark.sql.SparkSession
   * oracle-comparable.
   */
 object GraftSession {
-  def builder(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession.Builder =
-    SparkSession
-      .builder()
-      .withExtensions(new graft.plans.GraftExtensions)
+  def builder(
+      master: String = "local[32]",
+      shufflePartitions: Int = 32,
+      extensions: Boolean = true): SparkSession.Builder = {
+    val base = SparkSession.builder()
+    (if (extensions) base.withExtensions(new graft.plans.GraftExtensions) else base)
       .master(master)
       .appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
@@ -40,6 +42,7 @@ object GraftSession {
       // the ContextCleaner (default periodic GC: 30 min) — with /dev/shm
       // shuffle dirs that litter is RAM; clean on a tight cadence
       .config("spark.cleaner.periodicGC.interval", "2min")
+  }
 
   def get(): SparkSession = {
     val spark = builder().getOrCreate()

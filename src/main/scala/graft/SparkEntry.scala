@@ -41,11 +41,20 @@ object SparkEntry {
     graft.operators.PrivacyPack
   )
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    packs.flatMap(_.queries).toMap
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = packs.flatMap(_.queries)
+    val dups = all.groupBy(_._1).collect { case (n, vs) if vs.size > 1 => n }
+    require(dups.isEmpty,
+      s"duplicate query names across packs (toMap would silently drop one): ${dups.mkString(", ")}")
+    all.toMap
+  }
 
-  def oracleSql: Map[String, String] =
-    packs.flatMap(_.oracles).toMap
+  def oracleSql: Map[String, String] = {
+    val oracles = packs.flatMap(_.oracles).toMap
+    val orphans = oracles.keySet -- queries.keySet
+    require(orphans.isEmpty, s"oracles without a matching query: ${orphans.mkString(", ")}")
+    oracles
+  }
 }
 
 object CompactionPack extends QueryPack {

@@ -1,31 +1,12 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.local.dir", "/dev/shm/spark-local")
-      .config("spark.ui.enabled", "false")
-      // survive host CPU-stall bursts (see Bench.scala): default heartbeat
-      // limits kill the JVM after ~10 min of stall
-      .config("spark.executor.heartbeatInterval", "30s")
-      .config("spark.executor.heartbeat.maxFailures", "200")
-      .config("spark.network.timeout", "600s")
-      .config("spark.sql.broadcastTimeout", "1200")
-      // local-mode JVMs accumulate shuffle files until a driver GC fires
-      // the ContextCleaner (default periodic GC: 30 min) — with /dev/shm
-      // shuffle dirs that litter is RAM; clean on a tight cadence
-      .config("spark.cleaner.periodicGC.interval", "2min")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.tools.TimingSession.create(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
