@@ -100,4 +100,45 @@ class PlansAndSaltingSpec extends SparkSpec {
       .select("id", "v").collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
     assert(out == Map(1L -> None, 2L -> Some("v5"), 3L -> Some("v5"), 4L -> Some("v10"), 5L -> None))
   }
+
+  test("asof join matches a brute-force reference on random data") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    def t(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val leftRows = (1 to 300).map(i => (i.toLong, s"k${rnd.nextInt(6)}", t(rnd.nextInt(200))))
+    // unique (key, ts) on the right, as the operator contract requires
+    val rightRows = rnd.shuffle(
+      (for (k <- 0 until 6; m <- 0 until 200) yield (s"k$k", t(m))).toList)
+      .take(60).zipWithIndex.map { case ((k, ts), i) => (k, ts, s"v$i") }
+    val out = graft.operators.JoinsOps.asofJoin(
+      leftRows.toDF("id", "k", "ts"), rightRows.toDF("k", "rts", "v"), "k", "ts", "rts")
+      .select("id", "v").collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val expected = leftRows.map { case (id, k, ts) =>
+      id -> rightRows.filter(r => r._1 == k && !r._2.after(ts))
+        .sortBy(_._2.getTime).lastOption.map(_._3)
+    }.toMap
+    assert(out == expected)
+  }
+
+  test("binned range lookup agrees with the broadcast variant on random ranges") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    // non-contiguous ranges with gaps; probes inside, in gaps, and beyond
+    var cursor = 0L
+    val ranges = (1 to 80).map { i =>
+      val start = cursor + rnd.nextInt(500)
+      val end = start + 1 + rnd.nextInt(9000) // spans multiple 4096-bins sometimes
+      cursor = end + (if (rnd.nextBoolean()) 0L else rnd.nextInt(3000).toLong) // gap or adjacency
+      (s"r$i", "t0", start, end)
+    }
+    val info = ranges.toDF("region_id", "table_name", "start_key", "end_key")
+    val probes = (1 to 500).map(_ => rnd.nextLong().abs % (cursor + 5000)).toDF("probe_key")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.toString))).sorted.toSeq
+    val broadcasted = norm(graft.operators.TopologyOps.keyRangeLookup(probes, info))
+    val binned = norm(graft.operators.TopologyOps.keyRangeLookupBinned(probes, info))
+    assert(binned == broadcasted)
+  }
 }
