@@ -55,7 +55,14 @@ object JoinsOps {
     * Contract: right rows must be unique per (key, ts) — pre-aggregate
     * if not, or "latest" is ill-defined in any engine; a NULL in a right
     * value column is treated as "no update" (the previous value carries
-    * forward), a consequence of the ignoreNulls fill. */
+    * forward), a consequence of the ignoreNulls fill.
+    *
+    * Skew caveat: parallelism is per key — a single dominant key
+    * serializes through one window partition, as ANY per-key temporal
+    * ordering must (AQE cannot split a window). If one key carries a
+    * disproportionate share of left rows, shard it upstream (e.g. by
+    * time range, as-of joining each shard against the full right side
+    * for that key) before calling this. */
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
