@@ -231,6 +231,63 @@ object AnnOps {
   }
 }
 
+object PqOps {
+
+  /** Product quantization over the e6-quantized vectors: M=8 subspaces of
+    * 8 dims; the codebook is the per-label centroid table restricted to
+    * each subspace (deterministic and integer-exact — same trick as the
+    * IVF coarse quantizer). At rest a vector is M small codes instead of
+    * 64 floats — the memory-bound ANN scale path (PQ à la Jégou et al.);
+    * distances are exact integer arithmetic end-to-end, so ranking has
+    * zero FP-ordering exposure and the whole pipeline is oracle-able. */
+  val SubDims = 8
+
+  /** Exact integer squared distance from every vector's subvector to
+    * every codebook entry: (vec_id, sub, code, dist2_q). Serves both
+    * encoding (argmin per (vec, sub)) and, filtered to the query set,
+    * the ADC lookup table — one computation, two roles. */
+  private[operators] def subDistances(embeddings: DataFrame): DataFrame = {
+    val q = EmbeddingStatsOps.quantized(embeddings)
+      .select(col("vec_id"), col("dim"), col("xq"))
+      .withColumn("sub", expr(s"(dim - 1) div $SubDims"))
+    val cb = EmbeddingStatsOps.centroids(embeddings)
+      .select(col("label").cast("long").as("code"), col("dim"), col("centroid_q"))
+    q.join(broadcast(cb), Seq("dim"))
+      .withColumn("d", col("xq") - col("centroid_q"))
+      .groupBy("vec_id", "sub", "code")
+      .agg(sum(col("d") * col("d")).as("dist2_q"))
+  }
+
+  /** PQ encoding: each vector's nearest codebook entry per subspace
+    * (ties to the smallest code). */
+  def pqCodes(embeddings: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id", "sub").orderBy(col("dist2_q"), col("code"))
+    subDistances(embeddings)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("vec_id", "sub", "code")
+  }
+
+  /** PQ top-k by asymmetric distance (ADC): queries keep their exact
+    * quantized subvectors, candidates are represented only by their M
+    * codes, and the approximate distance is the sum over subspaces of
+    * the query-to-codeword distances — read from a broadcast LUT of
+    * |queries| × M × k integer entries. The candidate side joins the
+    * LUT on (sub, code): M small rows per vector shuffle, never the
+    * vectors themselves. */
+  def pqTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val dists = subDistances(embeddings)
+    val lut = dists.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("sub"), col("code"), col("dist2_q").as("lut_q"))
+    val scored = pqCodes(embeddings)
+      .join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("lut_q")).as("adist_q"))
+    val w = Window.partitionBy("qid").orderBy(col("adist_q"), col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+}
+
 object AnnPack extends QueryPack {
   private def e(s: SparkSession, dir: String): DataFrame = Tables.embeddings(s, dir)
 
@@ -242,7 +299,8 @@ object AnnPack extends QueryPack {
     "ann_sq8" -> ((s, dir) => AnnOps.sq8TopK(e(s, dir))),
     "ann_recall" -> ((s, dir) => AnnOps.annRecall(e(s, dir), s)),
     "sem_dedup" -> ((s, dir) => AnnOps.semDedup(Tables.documents(s, dir), e(s, dir), s)),
-    "emb_near_dups" -> ((s, dir) => AnnOps.nearDupPairs(e(s, dir), s))
+    "emb_near_dups" -> ((s, dir) => AnnOps.nearDupPairs(e(s, dir), s)),
+    "pq_knn" -> ((s, dir) => PqOps.pqTopK(e(s, dir)))
   )
 
   private[operators] val normSql =
@@ -402,6 +460,33 @@ object AnnPack extends QueryPack {
          |       CAST(COALESCE(ANY_VALUE(c.n_common), 0) * 2000 AS BIGINT) AS recall_e4
          |FROM brute b LEFT JOIN common c ON b.qid = c.qid
          |GROUP BY b.qid""".stripMargin,
+    "pq_knn" ->
+      s"""WITH ${EmbeddingStatsPack.centroidSql},
+         |cq AS (SELECT CAST(label AS BIGINT) AS code, dim,
+         |              CAST(FLOOR(CAST(sum_q AS DOUBLE) / n + 0.5) AS BIGINT) AS centroid_q FROM c),
+         |qs AS (SELECT vec_id, (dim - 1) // 8 AS sub, dim, xq FROM q),
+         |cdist AS (
+         |  SELECT qs.vec_id, qs.sub, cq.code,
+         |         CAST(SUM((qs.xq - cq.centroid_q) * (qs.xq - cq.centroid_q)) AS BIGINT) AS dist2_q
+         |  FROM qs JOIN cq ON qs.dim = cq.dim
+         |  GROUP BY qs.vec_id, qs.sub, cq.code
+         |),
+         |codes AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist2_q, code) AS rn
+         |    FROM cdist
+         |  ) WHERE rn = 1
+         |),
+         |scored AS (
+         |  SELECT l.vec_id AS qid, c.vec_id, CAST(SUM(l.dist2_q) AS BIGINT) AS adist_q
+         |  FROM codes c JOIN cdist l ON c.sub = l.sub AND c.code = l.code
+         |  WHERE l.vec_id < 10 AND c.vec_id <> l.vec_id
+         |  GROUP BY l.vec_id, c.vec_id
+         |)
+         |SELECT qid, vec_id, adist_q, CAST(rnk AS INTEGER) AS rnk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist_q, vec_id) AS rnk
+         |  FROM scored
+         |) WHERE rnk <= 5""".stripMargin,
     "emb_near_dups" ->
       s"""WITH $normSql, $bucketSql,
          |nb AS (SELECT n.vec_id, n.v, n.nrm, bk.bucket FROM n JOIN bk ON n.vec_id = bk.vec_id)

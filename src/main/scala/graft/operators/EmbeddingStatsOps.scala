@@ -98,14 +98,14 @@ object EmbeddingStatsPack extends QueryPack {
     "kmeans2" -> ((s, d) => EmbeddingStatsOps.kmeans2(e(s, d)))
   )
 
-  private val quantSql =
+  private[operators] val quantSql =
     """q AS (
       |  SELECT vec_id, label, d.i AS dim,
       |         CAST(FLOOR(CAST(embedding[d.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xq
       |  FROM embeddings, range(1, 65) d(i)
       |)""".stripMargin
 
-  private val centroidSql =
+  private[operators] val centroidSql =
     s"""$quantSql,
        |c AS (
        |  SELECT label, dim, COUNT(*) AS n, CAST(SUM(xq) AS BIGINT) AS sum_q
