@@ -245,17 +245,20 @@ object PqOps {
   /** Exact integer squared distance from every vector's subvector to
     * every codebook entry: (vec_id, sub, code, dist2_q). Serves both
     * encoding (argmin per (vec, sub)) and, filtered to the query set,
-    * the ADC lookup table — one computation, two roles. */
+    * the ADC lookup table — one computation, two roles, so the frame is
+    * cached (CacheManager converges both references to one entry;
+    * lifecycle via graft.Caching like every shared subtree). */
   private[operators] def subDistances(embeddings: DataFrame): DataFrame = {
     val q = EmbeddingStatsOps.quantized(embeddings)
       .select(col("vec_id"), col("dim"), col("xq"))
       .withColumn("sub", expr(s"(dim - 1) div $SubDims"))
     val cb = EmbeddingStatsOps.centroids(embeddings)
       .select(col("label").cast("long").as("code"), col("dim"), col("centroid_q"))
-    q.join(broadcast(cb), Seq("dim"))
-      .withColumn("d", col("xq") - col("centroid_q"))
-      .groupBy("vec_id", "sub", "code")
-      .agg(sum(col("d") * col("d")).as("dist2_q"))
+    graft.Caching.maybeCache(
+      q.join(broadcast(cb), Seq("dim"))
+        .withColumn("d", col("xq") - col("centroid_q"))
+        .groupBy("vec_id", "sub", "code")
+        .agg(sum(col("d") * col("d")).as("dist2_q")))
   }
 
   /** PQ encoding: each vector's nearest codebook entry per subspace
