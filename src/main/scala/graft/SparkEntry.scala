@@ -50,7 +50,11 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = {
-    val oracles = packs.flatMap(_.oracles).toMap
+    val all = packs.flatMap(_.oracles)
+    val dups = all.groupBy(_._1).collect { case (n, vs) if vs.size > 1 => n }
+    require(dups.isEmpty,
+      s"duplicate oracle names across packs (toMap would silently drop one): ${dups.mkString(", ")}")
+    val oracles = all.toMap
     val orphans = oracles.keySet -- queries.keySet
     require(orphans.isEmpty, s"oracles without a matching query: ${orphans.mkString(", ")}")
     oracles

@@ -274,7 +274,8 @@ object PqOps {
     * quantized subvectors, candidates are represented only by their M
     * codes, and the approximate distance is the sum over subspaces of
     * the query-to-codeword distances — read from a broadcast LUT of
-    * |queries| × M × k integer entries. The candidate side joins the
+    * |queries| × M × |codebook| integer entries (tiny: the codebook is
+    * label-count sized). The candidate side joins the
     * LUT on (sub, code): M small rows per vector shuffle, never the
     * vectors themselves. */
   def pqTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {

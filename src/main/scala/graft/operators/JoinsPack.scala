@@ -53,9 +53,13 @@ object JoinsOps {
     * effective — floorEntry semantics, the right row sorts first.
     *
     * Contract: right rows must be unique per (key, ts) — pre-aggregate
-    * if not, or "latest" is ill-defined in any engine; a NULL in a right
-    * value column is treated as "no update" (the previous value carries
-    * forward), a consequence of the ignoreNulls fill.
+    * if not, or "latest" is ill-defined in any engine. Right rows with a
+    * NULL timestamp are dropped (a NULL never satisfies ts <= t in SQL
+    * ASOF semantics; unfiltered they would sort first and leak into
+    * every match), and a left row with a NULL timestamp gets NULL right
+    * values for the same reason. A NULL in a right VALUE column is
+    * treated as "no update" (the previous value carries forward), a
+    * consequence of the ignoreNulls fill.
     *
     * Skew caveat: parallelism is per key — a single dominant key
     * serializes through one window partition, as ANY per-key temporal
@@ -71,7 +75,14 @@ object JoinsOps {
       rightTs: String): DataFrame = {
     val rightVals = right.columns.filterNot(c => c == key || c == rightTs).toSeq
     require(rightVals.nonEmpty, "right side carries no value columns")
-    val clash = rightVals.toSet.intersect(left.columns.toSet)
+    val reserved = Set("__ats", "__side")
+    require((left.columns ++ right.columns).forall(c => !reserved(c)),
+      "column names __ats/__side are reserved by asofJoin")
+    // Spark resolves column names case-insensitively by default, so the
+    // collision check must too — a case-only clash would silently null
+    // out the left column instead of erroring
+    val clash = rightVals.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      .intersect(left.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet)
     require(clash.isEmpty, s"left/right value column collision: ${clash.mkString(", ")}")
     val lTagged = rightVals.foldLeft(
       left.withColumn("__ats", col(leftTs)).withColumn("__side", lit(1))) { (df, c) =>
@@ -79,6 +90,7 @@ object JoinsOps {
     }
     val rTagged = {
       val base = right
+        .filter(col(rightTs).isNotNull)
         .select(col(key) +: col(rightTs).as("__ats") +: rightVals.map(col): _*)
         .withColumn("__side", lit(0))
       left.columns.filterNot(_ == key).foldLeft(base) { (df, c) =>

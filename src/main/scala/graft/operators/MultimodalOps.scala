@@ -116,8 +116,17 @@ object MultimodalPack extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_stats" -> ((s, dir) => MultimodalOps.mediaStats(d(s, dir))),
-    "media_frames" -> ((s, dir) => MultimodalOps.frameSample(d(s, dir))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_frames"), sum(col("frame_bytes")).as("total_bytes"))),
+    // left join from the media table so zero-byte payloads report
+    // (0, 0) like the oracle, instead of vanishing with their frames
+    "media_frames" -> { (s, dir) =>
+      val frames = MultimodalOps.frameSample(d(s, dir))
+        .groupBy("doc_id").agg(count(lit(1)).as("nf"), sum(col("frame_bytes")).as("tb"))
+      MultimodalOps.mediaTable(d(s, dir)).select(col("doc_id"))
+        .join(frames, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("nf"), lit(0L)).as("n_frames"),
+          coalesce(col("tb"), lit(0L)).as("total_bytes"))
+    },
     "media_features" -> ((s, dir) => MultimodalOps.decodeFeatures(d(s, dir))),
     "frame_dedup" -> ((s, dir) => MultimodalOps.frameDedup(d(s, dir)))
   )

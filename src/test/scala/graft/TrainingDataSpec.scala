@@ -180,9 +180,9 @@ class TrainingDataSpec extends SparkSpec {
     assert(codes.count() == nVecs * 8)
     assert(codes.groupBy("vec_id").count().filter(col("count") =!= 8).count() == 0)
     assert(codes.groupBy("vec_id", "sub").count().filter(col("count") =!= 1).count() == 0)
-    // approximate distance is a true lower-ish bound surrogate: the ADC
-    // distance of a vector to ITS OWN codes through the LUT equals the sum
-    // of its per-subspace quantization errors — non-negative everywhere
+    // ADC distances are sums of integer squared errors — non-negative
+    val knn = operators.PqOps.pqTopK(emb)
+    assert(knn.filter(col("adist_q") < 0).count() == 0)
     codes.unpersist()
   }
 }
