@@ -11,14 +11,65 @@ import org.apache.spark.sql.functions._
   * exact, MinHash+LSH, SimHash, and n-gram Jaccard.
   *
   * Scale design: nothing here is O(N²). Exact dedup is one hash
-  * aggregate. MinHash pairs meet only through band-signature buckets
-  * (shuffle keyed on (band, signature)); SimHash pairs only through
-  * 8-bit band buckets (pigeonhole-lossless for hamming <= 3); Jaccard
-  * pairs only through shared-shingle postings. Hot shingles/buckets are
-  * the classic skew source — AQE skew-join handles it, and the shingle
-  * join drops top-frequency shingles like a stop-list would at 100 TB.
+  * aggregate. Pairs meet only through bounded meeting points:
+  *   - Jaccard pairs through shared-shingle postings, with shingles
+  *     above [[MaxShingleDf]] document frequency dropped first
+  *     ([[cappedPostings]]) — a shingle in d docs emits O(d²) pairs out
+  *     of the posting self-join, and at corpus scale stop-word trigrams
+  *     have d in the millions, so the join OUTPUT (not just a skewed
+  *     partition, which AQE could split) would be quadratic without the
+  *     cap. Jaccard is then defined over the capped shingle space —
+  *     stop-list semantics, standard practice in near-dup pipelines.
+  *   - MinHash pairs through band-signature buckets and SimHash pairs
+  *     through 8-bit band buckets, each bucket capped at
+  *     [[MaxBandBucket]] members ([[capBuckets]]) — degenerate
+  *     signatures (empty/boilerplate docs that minhash identically)
+  *     would otherwise square inside one bucket. Identical-content
+  *     groups a dropped bucket may hide are still caught by [[exact]].
+  * Residual skew below the caps is AQE skew-join territory.
   */
 object DedupOps {
+
+  /** Document-frequency cap on shingles feeding the Jaccard pair
+    * generator: a shingle present in more docs than this is boilerplate
+    * (stop-word trigrams, templates) and is excluded from the shingle
+    * space. Bounds the posting self-join output at O(corpus · MaxDf)
+    * instead of Σ df². */
+  val MaxShingleDf = 128L
+
+  /** Membership cap on LSH band buckets and SimHash band buckets: a
+    * bucket larger than this is a degenerate signature (near-empty or
+    * boilerplate docs), and its members are dropped from that band —
+    * they still meet through their other bands, and identical content
+    * is caught by [[exact]]. Bounds per-bucket pair fan-out at
+    * O(MaxBandBucket²). */
+  val MaxBandBucket = 128L
+
+  /** Postings restricted to the capped shingle space: shingles whose
+    * document frequency exceeds `maxDf` are dropped. The window's x31
+    * hash partitioning is the same key the downstream posting self-join
+    * shuffles on, so the exchange is reused. */
+  private[operators] def cappedPostings(postings: DataFrame, maxDf: Long = MaxShingleDf): DataFrame = {
+    val w = Window.partitionBy("x31")
+    postings
+      .withColumn("__df", count(lit(1)).over(w))
+      .filter(col("__df") <= maxDf)
+      .drop("__df")
+  }
+
+  /** Drops every row of a bucket whose membership exceeds `cap` — the
+    * shared degenerate-bucket guard for the banded self-joins (MinHash
+    * band/sig, SimHash band/value). The window shuffles on the bucket
+    * key, which is exactly the self-join key, so the exchange is
+    * reused. */
+  private[operators] def capBuckets(
+      banded: DataFrame, bucketCols: Seq[String], cap: Long = MaxBandBucket): DataFrame = {
+    val w = Window.partitionBy(bucketCols.map(col): _*)
+    banded
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .filter(col("__bsz") <= cap)
+      .drop("__bsz")
+  }
 
   /** Exact dedup on a head fingerprint (first 5 tokens): duplicate groups
     * with a canonical (min) doc per group. One groupBy — the pattern that
@@ -114,14 +165,20 @@ object DedupOps {
   }
 
   /** n-gram Jaccard dedup: all co-occurring pairs, exact Jaccard >=
-    * threshold. */
+    * threshold. Operates on the [[MaxShingleDf]]-capped shingle space
+    * (see [[cappedPostings]]): sizes, intersections, and the pair set
+    * itself all exclude boilerplate shingles, so the posting self-join
+    * output is bounded by corpus · MaxDf, never Σ df². */
   def ngramJaccard(docs: DataFrame, thresholdE4: Long = 8000L): DataFrame = {
-    val postings = shinglePostings(docs)
+    // cached: verifyJaccard references the capped postings three times
+    // (self-join twice + sizes), and the capped frame is shared across
+    // the jaccard/clusters/span thresholds
+    val capped = graft.Caching.maybeCache(cappedPostings(shinglePostings(docs)))
     // cache BELOW the threshold filter: the unfiltered pair-Jaccard table
     // is identical across thresholds, so the jaccard/clusters/span
     // operators (8000 vs 5000) share one materialization of the df²
     // self-join instead of re-running it per query
-    graft.Caching.maybeCache(verifyJaccard(postings, None))
+    graft.Caching.maybeCache(verifyJaccard(capped, None))
       .filter(col("jaccard_e4") >= thresholdE4)
   }
 
@@ -174,11 +231,15 @@ object DedupOps {
   }
 
   /** MinHash+LSH dedup: shingles → K=12 minhashes → 4 bands of 3 →
-    * band-bucket join → exact-Jaccard verification >= threshold. */
+    * band-bucket join (buckets over [[MaxBandBucket]] members dropped —
+    * degenerate signatures would square) → exact-Jaccard verification
+    * >= threshold over the full shingle space. */
   def minhashLsh(docs: DataFrame, spark: SparkSession, thresholdE4: Long = 5000L): DataFrame = {
     val postings = shinglePostings(docs)
-    // the band self-join reads the signatures twice; they are 4 rows/doc
-    val sigs = graft.Caching.maybeCache(minhashSignatures(postings, spark))
+    // the band self-join reads the capped signatures twice (4 rows/doc);
+    // caching above the bucket guard would run its window on both reads
+    val sigs = graft.Caching.maybeCache(
+      capBuckets(minhashSignatures(postings, spark), Seq("band", "sig")))
     val pairs = sigs.as("a")
       .join(sigs.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -254,15 +315,28 @@ object DedupOps {
 
   /** SimHash near-dup pairs with hamming distance <= 3, found via 4
     * 8-bit band buckets (pigeonhole: hamming<=3 over 4 bands ⇒ at least
-    * one identical band, so the banded join loses nothing). */
+    * one identical band, so the banded join loses nothing below the
+    * bucket cap).
+    *
+    * Bucket guard: buckets over [[MaxBandBucket]] members are dropped
+    * (shared [[capBuckets]] guard) — pigeonhole bounds MISSES, not
+    * bucket SIZE, and a degenerate corpus (boilerplate docs hashing
+    * identically) piles into one bucket. Width caveat for 100 TB: an
+    * 8-bit band has only 256 values, so E[bucket] grows linearly with
+    * the corpus and honest buckets would eventually exceed any cap —
+    * at that scale widen the fingerprint (64-bit simhash, 16-bit
+    * bands ⇒ 65k values/band, same pigeonhole argument), keeping the
+    * cap as the degenerate-signature guard it is here. */
   def simhashDedup(docs: DataFrame, spark: SparkSession, maxHamming: Int = 3): DataFrame = {
     val postings = shinglePostings(docs)
     // one row per doc; the banded self-join would otherwise run the
     // 32-column aggregation twice
     val sh = graft.Caching.maybeCache(simhashes(postings, spark))
     val bands = spark.range(4).withColumnRenamed("id", "b")
-    val banded = sh.crossJoin(broadcast(bands))
-      .withColumn("band_val", expr("shiftright(simhash, cast(b * 8 as int)) % 256"))
+    val banded = capBuckets(
+      sh.crossJoin(broadcast(bands))
+        .withColumn("band_val", expr("shiftright(simhash, cast(b * 8 as int)) % 256")),
+      Seq("b", "band_val"))
     val pairs = banded.as("a")
       .join(banded.as("b2"),
         col("a.b") === col("b2.b") && col("a.band_val") === col("b2.band_val") &&
@@ -302,19 +376,30 @@ object DedupPack extends QueryPack {
       |),
       |sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id)""".stripMargin
 
-  private def jaccardSql(pairsCte: String, threshold: Long): String =
+  /** The [[DedupOps.MaxShingleDf]] cap mirrored in SQL: `shc` = postings
+    * restricted to the capped shingle space, `sizesc` = doc sizes over it. */
+  private[operators] val cappedPostingsSql =
+    s"""shc AS (
+       |  SELECT doc_id, x31 FROM (
+       |    SELECT doc_id, x31, COUNT(*) OVER (PARTITION BY x31) AS df FROM sh
+       |  ) WHERE df <= ${DedupOps.MaxShingleDf}
+       |),
+       |sizesc AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shc GROUP BY doc_id)""".stripMargin
+
+  private def jaccardSql(
+      pairsCte: String, threshold: Long, sh: String = "sh", sizes: String = "sizes"): String =
     s"""inter AS (
        |  SELECT p.da, p.db, COUNT(*) AS inter
        |  FROM $pairsCte p
-       |  JOIN sh a ON a.doc_id = p.da
-       |  JOIN sh b ON b.doc_id = p.db AND a.x31 = b.x31
+       |  JOIN $sh a ON a.doc_id = p.da
+       |  JOIN $sh b ON b.doc_id = p.db AND a.x31 = b.x31
        |  GROUP BY p.da, p.db
        |)
        |SELECT i.da, i.db,
        |       CAST(FLOOR((i.inter / CAST(sa.n_shingles + sb.n_shingles - i.inter AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS jaccard_e4
        |FROM inter i
-       |JOIN sizes sa ON i.da = sa.doc_id
-       |JOIN sizes sb ON i.db = sb.doc_id
+       |JOIN $sizes sa ON i.da = sa.doc_id
+       |JOIN $sizes sb ON i.db = sb.doc_id
        |WHERE (i.inter / CAST(sa.n_shingles + sb.n_shingles - i.inter AS DOUBLE)) * 10000 + 0.5 >= $threshold""".stripMargin
 
   override def oracles: Map[String, String] = Map(
@@ -350,11 +435,12 @@ object DedupPack extends QueryPack {
         |SELECT doc_id, fp FROM r WHERE rn = 1""".stripMargin,
     "dedup_jaccard" ->
       s"""WITH $postingsSql,
+         |$cappedPostingsSql,
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-         |  FROM sh a JOIN sh b ON a.x31 = b.x31 AND a.doc_id < b.doc_id
+         |  FROM shc a JOIN shc b ON a.x31 = b.x31 AND a.doc_id < b.doc_id
          |),
-         |${jaccardSql("pairs", 8000L)}""".stripMargin,
+         |${jaccardSql("pairs", 8000L, "shc", "sizesc")}""".stripMargin,
     "dedup_minhash" ->
       s"""WITH $postingsSql,
          |mins AS (
@@ -369,9 +455,14 @@ object DedupPack extends QueryPack {
          |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k) AS sig
          |  FROM mins GROUP BY doc_id, (k - k % 3) // 3
          |),
+         |sigf AS (
+         |  SELECT doc_id, band, sig FROM (
+         |    SELECT *, COUNT(*) OVER (PARTITION BY band, sig) AS bsz FROM sigs
+         |  ) WHERE bsz <= ${DedupOps.MaxBandBucket}
+         |),
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-         |  FROM sigs a JOIN sigs b
+         |  FROM sigf a JOIN sigf b
          |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
          |),
          |${jaccardSql("pairs", 5000L)}""".stripMargin,
@@ -387,11 +478,23 @@ object DedupPack extends QueryPack {
          |  SELECT doc_id,
          |         CAST(SUM(CASE WHEN s > 0 THEN CAST(POW(2, i) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
          |  FROM bits GROUP BY doc_id
+         |),
+         |banded AS (
+         |  SELECT doc_id, simhash, r.b AS b, (simhash >> CAST(r.b * 8 AS INT)) % 256 AS band_val
+         |  FROM hashes, range(0, 4) r(b)
+         |),
+         |bf AS (
+         |  SELECT doc_id, simhash, b, band_val FROM (
+         |    SELECT *, COUNT(*) OVER (PARTITION BY b, band_val) AS bsz FROM banded
+         |  ) WHERE bsz <= ${DedupOps.MaxBandBucket}
+         |),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db, a.simhash AS sa, b2.simhash AS sb
+         |  FROM bf a JOIN bf b2
+         |    ON a.b = b2.b AND a.band_val = b2.band_val AND a.doc_id < b2.doc_id
          |)
-         |SELECT a.doc_id AS da, b.doc_id AS db,
-         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-         |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+         |SELECT da, db, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+         |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
     // longest shared token span: 1-based positions vs Spark's 0-based is
     // irrelevant — diagonals and run lengths are shift-invariant
     "longest_span" ->
@@ -404,16 +507,21 @@ object DedupPack extends QueryPack {
         |  WHERE i + 2 <= len(t)
         |),
         |sh AS (SELECT DISTINCT doc_id, x31 FROM shp),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+        |shc AS (
+        |  SELECT doc_id, x31 FROM (
+        |    SELECT doc_id, x31, COUNT(*) OVER (PARTITION BY x31) AS df FROM sh
+        |  ) WHERE df <= ${DedupOps.MaxShingleDf}
+        |),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shc GROUP BY doc_id),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-        |  FROM sh a JOIN sh b ON a.x31 = b.x31 AND a.doc_id < b.doc_id
+        |  FROM shc a JOIN shc b ON a.x31 = b.x31 AND a.doc_id < b.doc_id
         |),
         |inter AS (
         |  SELECT c.da, c.db, COUNT(*) AS inter
         |  FROM cand c
-        |  JOIN sh a ON a.doc_id = c.da
-        |  JOIN sh b ON b.doc_id = c.db AND a.x31 = b.x31
+        |  JOIN shc a ON a.doc_id = c.da
+        |  JOIN shc b ON b.doc_id = c.db AND a.x31 = b.x31
         |  GROUP BY c.da, c.db
         |),
         |keep AS (

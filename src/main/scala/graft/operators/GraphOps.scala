@@ -234,14 +234,20 @@ object GraphPack extends QueryPack {
   )
 
   /** Connected components over the verified >= 0.8-Jaccard pair graph as
-    * recursive CTEs: `labels(doc_id, cluster_id)`. */
+    * recursive CTEs: `labels(doc_id, cluster_id)`. The shingle space is
+    * [[DedupOps.MaxShingleDf]]-capped, mirroring `ngramJaccard`. */
   private[operators] val ClustersCte =
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |sh AS (
+      |sh0 AS (
       |  SELECT DISTINCT doc_id,
       |         CAST(CAST(('0x' || substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 18, 15)) AS UBIGINT)
       |              % 2147483647 AS BIGINT) AS x31
       |  FROM toks, range(1, ${OracleLimits.MaxDocTokens}) r(i) WHERE i + 2 <= len(t)
+      |),
+      |sh AS (
+      |  SELECT doc_id, x31 FROM (
+      |    SELECT doc_id, x31, COUNT(*) OVER (PARTITION BY x31) AS df FROM sh0
+      |  ) WHERE df <= ${DedupOps.MaxShingleDf}
       |),
       |sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
       |inter AS (

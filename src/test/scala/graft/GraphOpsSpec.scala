@@ -74,19 +74,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.memoSize == 0)
   }
 
-  // keep after the other CC tests: setCheckpointDir is SparkContext-global
-  // and has no unset — later CC computations in this JVM use reliable
-  // checkpoints (correct, marginally slower)
   test("reliable checkpoints are used when the session has a checkpoint dir") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
-    val pairs = spark.range(100).select(col("id").as("da"), (col("id") + 1).as("db"))
-    val labels = GraphOps.connectedComponents(pairs)
-    assert(labels.count() == 101)
-    assert(labels.filter(col("cluster_id") =!= 0L).count() == 0)
-    // the materialization actually landed on the checkpoint filesystem
-    val written = new java.io.File(dir).listFiles()
-    assert(written != null && written.nonEmpty, s"no reliable checkpoint under $dir")
+    try {
+      val pairs = spark.range(100).select(col("id").as("da"), (col("id") + 1).as("db"))
+      val labels = GraphOps.connectedComponents(pairs)
+      assert(labels.count() == 101)
+      assert(labels.filter(col("cluster_id") =!= 0L).count() == 0)
+      // the materialization actually landed on the checkpoint filesystem
+      val written = new java.io.File(dir).listFiles()
+      assert(written != null && written.nonEmpty, s"no reliable checkpoint under $dir")
+    } finally {
+      // setCheckpointDir is SparkContext-global; in local mode a null
+      // restores Option(null) = None, so suites running after this one in
+      // the shared JVM keep using localCheckpoint — no cross-suite leak
+      spark.sparkContext.setCheckpointDir(null)
+      assert(spark.sparkContext.getCheckpointDir.isEmpty,
+        "checkpoint dir must be restored for later suites")
+    }
   }
 
   test("session funnel counts partition all sessions") {

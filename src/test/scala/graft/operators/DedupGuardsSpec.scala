@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+
+/** Scale guards on the dedup pair generators: the shingle
+  * document-frequency cap ([[DedupOps.MaxShingleDf]]) and the band-bucket
+  * membership cap ([[DedupOps.MaxBandBucket]]). These bound the pair-join
+  * OUTPUT — the one cost AQE skew handling cannot shrink — so the tests
+  * drive synthetic hot-shingle / degenerate-signature corpora where the
+  * uncapped plans would square.
+  *
+  * Lives in package graft.operators to reach the package-private
+  * generator internals (cappedPostings / verifyJaccard / capBuckets)
+  * without widening their visibility.
+  */
+class DedupGuardsSpec extends SparkSpec {
+
+  private def mkDocs(rows: Seq[(Long, String)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.map { case (id, text) => (id, text, "en", "s") }
+      .toDF("doc_id", "text", "lang", "source")
+  }
+
+  /** Uncached postings (the maybeCache-free probe hook) so corpus-churning
+    * tests don't grow the shared session's CacheManager. */
+  private def postings(docs: DataFrame): DataFrame =
+    DedupOps.postingsPlanForProbe(docs)
+
+  private def noCache[A](body: => A): A = {
+    spark.conf.set(graft.Caching.EnabledKey, "false")
+    try body finally spark.conf.set(graft.Caching.EnabledKey, "true")
+  }
+
+  test("df cap: a corpus-wide boilerplate shingle generates no pairs (uncapped would emit N²/2)") {
+    noCache {
+      val n = (DedupOps.MaxShingleDf + 72).toInt // 200 docs, hot df = 200 > cap
+      val docs = mkDocs((0 until n).map { i =>
+        // one trigram shared by every doc; every other trigram doc-unique
+        (i.toLong, s"hot1 hot2 hot3 u${i}a u${i}b u${i}c")
+      })
+      // threshold 0 exposes the full co-occurring pair set of the capped space
+      assert(DedupOps.ngramJaccard(docs, thresholdE4 = 0L).count() == 0,
+        "hot shingle above MaxShingleDf must not act as a pair meeting point")
+      // the intermediate the cap removes really was quadratic: uncapped
+      // postings co-occur on the hot shingle for all N²/2 pairs
+      val uncapped = DedupOps.verifyJaccard(postings(docs), None)
+      assert(uncapped.count() == n.toLong * (n - 1) / 2)
+    }
+  }
+
+  test("df cap: shingles at or below the cap still generate pairs") {
+    noCache {
+      val n = 50 // hot df = 50 <= 128: kept
+      val docs = mkDocs((0 until n).map { i =>
+        (i.toLong, s"hot1 hot2 hot3 u${i}a u${i}b u${i}c")
+      })
+      assert(DedupOps.ngramJaccard(docs, thresholdE4 = 0L).count() == n.toLong * (n - 1) / 2)
+    }
+  }
+
+  test("LSH bucket cap: a degenerate corpus of identical docs does not square; exact() still catches it") {
+    noCache {
+      val hot = (DedupOps.MaxBandBucket + 22).toInt // 150 identical docs
+      val degenerate = mkDocs((0 until hot).map(i => (i.toLong, "a b c d e f g h")))
+      assert(DedupOps.minhashLsh(degenerate, spark).count() == 0,
+        "an oversized band bucket must be dropped, not squared")
+      // the identical-content group the dropped bucket hides is exact()'s job
+      val ex = DedupOps.exact(degenerate)
+      assert(ex.count() == hot && ex.filter(col("group_sz") === hot).count() == hot)
+
+      val ok = 50 // buckets of 50 <= 128: banding intact
+      val small = mkDocs((0 until ok).map(i => (i.toLong, "a b c d e f g h")))
+      val found = DedupOps.minhashLsh(small, spark)
+      assert(found.count() == ok.toLong * (ok - 1) / 2)
+      assert(found.filter(col("jaccard_e4") =!= 10000L).count() == 0)
+    }
+  }
+
+  test("SimHash bucket cap: degenerate corpus bounded, honest near-dups preserved") {
+    noCache {
+      val hot = (DedupOps.MaxBandBucket + 22).toInt
+      val degenerate = mkDocs((0 until hot).map(i => (i.toLong, "a b c d e f g h")))
+      assert(DedupOps.simhashDedup(degenerate, spark).count() == 0)
+
+      val ok = 50
+      val small = mkDocs((0 until ok).map(i => (i.toLong, "a b c d e f g h")))
+      val found = DedupOps.simhashDedup(small, spark)
+      assert(found.count() == ok.toLong * (ok - 1) / 2)
+      assert(found.filter(col("hamming") =!= 0).count() == 0)
+    }
+  }
+
+  test("capBuckets: no surviving bucket exceeds the cap") {
+    noCache {
+      val docs = mkDocs((0 until 150).map(i => (i.toLong, s"a b c d e f g${i % 3}")))
+      val sigs = DedupOps.minhashSignatures(postings(docs), spark)
+      val capped = DedupOps.capBuckets(sigs, Seq("band", "sig"), cap = 10L)
+      val oversized = capped.groupBy("band", "sig").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 10)
+      assert(oversized.count() == 0)
+    }
+  }
+
+  /** Cap-tuning safety net (VERDICT r4 ask #8): on corpora whose only
+    * above-cap shingle is boilerplate present in EVERY doc — the real hot-
+    * shingle shape — capping is monotone: it never ADDS a pair above the
+    * Jaccard threshold (removing a shingle shared by both members can only
+    * lower their Jaccard: (i-c)/(u-c) <= i/u for c shared removals), and it
+    * never creates a co-occurrence that wasn't there. Note the premise
+    * matters: dropping a shingle present in only ONE member shrinks that
+    * doc's size with the intersection intact, which can RAISE the pair's
+    * Jaccard — the cap is sized (128) so only corpus-wide boilerplate,
+    * which is two-sided by construction, crosses it.
+    */
+  test("property: df-capping never adds a pair above threshold, nor a new co-occurrence") {
+    noCache {
+      val corpusGen: Gen[(Seq[(Long, String)], Long)] = for {
+        nTemplates <- Gen.choose(3, 5)
+        clones <- Gen.listOfN(nTemplates, Gen.choose(1, 3))
+        extraToks <- Gen.listOfN(nTemplates, Gen.choose(3, 6))
+        threshold <- Gen.oneOf(3000L, 5000L, 8000L)
+      } yield {
+        val rows = clones.zip(extraToks).zipWithIndex.flatMap { case ((c, nt), t) =>
+          // per-template-unique tokens: only the boilerplate prefix is
+          // shared corpus-wide, so it is the ONLY shingle above a cap of 4
+          // (clone groups have df <= 3)
+          val text = ("bp1 bp2 bp3" +: (0 until nt).map(j => s"t${t}_$j")).mkString(" ")
+          (0 until c).map(k => (t * 10L + k, text))
+        }
+        (rows, threshold)
+      }
+      val prop = Prop.forAll(corpusGen) { case (rows, threshold) =>
+        val p = postings(mkDocs(rows))
+        val uncapped = DedupOps.verifyJaccard(p, None).cache()
+        val capped = DedupOps.verifyJaccard(DedupOps.cappedPostings(p, maxDf = 4L), None).cache()
+        try {
+          val addedAbove = capped.filter(col("jaccard_e4") >= threshold)
+            .select("da", "db")
+            .except(uncapped.filter(col("jaccard_e4") >= threshold).select("da", "db"))
+            .count()
+          val addedPairs = capped.select("da", "db")
+            .except(uncapped.select("da", "db")).count()
+          addedAbove == 0 && addedPairs == 0
+        } finally {
+          uncapped.unpersist(); capped.unpersist()
+        }
+      }
+      val res = SCTest.check(
+        SCTest.Parameters.default.withMinSuccessfulTests(8).withInitialSeed(Seed(42L)), prop)
+      assert(res.passed, res.status.toString)
+    }
+  }
+}
