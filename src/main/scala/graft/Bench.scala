@@ -46,44 +46,16 @@ object Bench {
       }
     val probeAfter = cpuProbe()
 
-    // keep this line SHORT: the driver tail-captures exactly 2000 chars of
-    // build output and sbt appends a ~76-char "[success] Total time" line,
-    // so the whole JSON must fit in ~1900 chars or "parsed" comes back null
-    // (it did in rounds 1-2). 82+ queries only fit at 1-decimal per-query
-    // precision (trailing ".0" stripped); the gate is the 2x-of-baseline
-    // TOTAL, which keeps 2 decimals. Full 3-decimal per-query values go to
+    // keep this line SHORT: the driver tail-captures exactly 2000 chars —
+    // the whole budget/degrade policy lives in graft.tools.BenchLine
+    // (tested at 120+ queries). Full 3-decimal per-query values go to
     // stderr for local analysis.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    def f1(v: Double): String =
-      "%.1f".formatLocal(java.util.Locale.ROOT, v).stripSuffix(".0") match {
-        case "" => "0"
-        case s => s
-      }
     val sorted = results.toSeq.sortBy(_._1)
     System.err.println(sorted.map { case (k, v) => s"$k=${f3(v)}" }.mkString("[bench-full] ", ",", ""))
-    val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfName = sfDir.split('/').last
     System.err.println(s"[bench-probe] cpu_probe_sec=[${f3(probeBefore)},${f3(probeAfter)}]")
-    // methodology (2 passes, per-query min — see header comment) lives in
-    // stderr + docs, not the JSON line: every byte here is budget.
-    // Self-protecting length: if weather inflates values (more digits) or
-    // queries are added, degrade per-query precision stepwise rather than
-    // ever letting the line overflow the 2000-char tail capture.
-    def render(coarse: Boolean): String = {
-      val qs = sorted
-        .map { case (k, v) =>
-          val s = if (coarse && v >= 10) f1(math.floor(v + 0.5)) else f1(v)
-          "\"" + k + "\":" + s
-        }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
-    }
-    val line = {
-      val fine = render(coarse = false)
-      if (fine.length <= 1900) fine else render(coarse = true)
-    }
-    println(line)
+    println(graft.tools.BenchLine(results, sfName))
     spark.stop()
   }
 }

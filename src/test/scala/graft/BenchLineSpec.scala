@@ -1,0 +1,67 @@
+package graft
+
+import graft.tools.BenchLine
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench JSON line must stay parseable under the driver's 2000-char
+  * tail capture at any realistic query count (VERDICT r4 watch item: the
+  * fine line sat at ~1863/1900 with 102 queries; round 5 adds more). */
+class BenchLineSpec extends AnyFunSuite {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def parse(line: String): com.fasterxml.jackson.databind.JsonNode =
+    mapper.readTree(line)
+
+  /** Realistic name/value shape: the actual registered query names plus
+    * synthetic ones of the same length distribution, sub-second values
+    * with occasional slow queries. */
+  private def results(n: Int): Map[String, Double] = {
+    val real = SparkEntry.queries.keys.toSeq.sorted
+    val names = (real ++ (0 until math.max(0, n - real.size)).map(i => f"extra_query_$i%02d")).take(n)
+    names.zipWithIndex.map { case (k, i) =>
+      k -> (if (i % 17 == 0) 10.0 + i % 7 else 0.1 + (i % 23) * 0.1)
+    }.toMap
+  }
+
+  test("current query count renders fine-precision within budget") {
+    val line = BenchLine(results(SparkEntry.queries.size), "sf0.1")
+    assert(line.length <= BenchLine.MaxLen, s"line is ${line.length} chars")
+    val node = parse(line)
+    assert(node.get("queries").size() == SparkEntry.queries.size)
+    assert(!node.has("fast_n"), "no degrade expected at the current count")
+  }
+
+  test("120+ queries still fit and stay parseable (degrade ladder engages)") {
+    for (n <- Seq(110, 120, 150, 200)) {
+      val r = results(n)
+      val line = BenchLine(r, "sf0.1")
+      assert(line.length <= BenchLine.MaxLen, s"$n queries: line is ${line.length} chars")
+      val node = parse(line)
+      assert(node.get("metric").asText() == "total")
+      val shown = node.get("queries").size()
+      val fastN = if (node.has("fast_n")) node.get("fast_n").asInt() else 0
+      assert(shown + fastN == n, s"$n queries: $shown shown + $fastN folded")
+      // total reconciles with per-query values up to rendering precision
+      // (each shown value is 1-decimal or integer-rounded: <= 0.5 off)
+      val it = node.get("queries").elements()
+      var sum = 0.0
+      while (it.hasNext) sum += it.next().asDouble()
+      if (node.has("fast_sum")) sum += node.get("fast_sum").asDouble()
+      assert(math.abs(sum - node.get("value").asDouble()) <= 0.5 * n + 1,
+        s"$n queries: shown sum $sum vs total ${node.get("value").asDouble()}")
+      // the slowest queries are never the ones folded away
+      if (fastN > 0) {
+        val slowest = r.toSeq.sortBy { case (k, v) => (-v, k) }.take(5).map(_._1)
+        slowest.foreach(k => assert(node.get("queries").has(k), s"slow query $k was dropped"))
+      }
+    }
+  }
+
+  test("empty and single-query edge cases") {
+    val empty = parse(BenchLine(Map.empty, "sf0.1"))
+    assert(empty.get("value").asDouble() == 0.0 && empty.get("queries").size() == 0)
+    val one = parse(BenchLine(Map("q" -> 1.25), "sf0.1"))
+    assert(math.abs(one.get("queries").get("q").asDouble() - 1.25) <= 0.06)
+  }
+}
