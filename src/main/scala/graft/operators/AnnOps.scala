@@ -175,15 +175,31 @@ object AnnOps {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
-  /** Recall@k of the LSH index against the exact brute-force ranking —
-    * the self-evaluation loop an ANN deployment runs on a sampled query
-    * set before trusting the index at full scale. recall_e4 =
-    * round(n_common / k * 1e4), exact for any k (not just divisors of
-    * 10000). */
-  def annRecall(embeddings: DataFrame, spark: SparkSession, nQueries: Int = 10, k: Int = 5): DataFrame = {
+  /** Recall@k of an approximate index against the exact brute-force
+    * ranking — the self-evaluation loop an ANN deployment runs on a
+    * sampled query set before trusting the index at full scale; the
+    * more lossy the index (PQ most of all), the more this number is the
+    * first thing its operator asks for. `index` picks the candidate
+    * under test: "lsh", "ivf", "ivf2" (probe-2), "sq8", or "pq".
+    * recall_e4 = round(n_common / k * 1e4), exact for any k (not just
+    * divisors of 10000). */
+  def annRecall(
+      embeddings: DataFrame,
+      spark: SparkSession,
+      nQueries: Int = 10,
+      k: Int = 5,
+      index: String = "lsh"): DataFrame = {
     val brute = bruteTopK(embeddings, nQueries, k).select("qid", "vec_id")
-    val lsh = lshTopK(embeddings, spark, nQueries, k).select("qid", "vec_id")
-    val common = brute.join(lsh, Seq("qid", "vec_id"), "left_semi")
+    val approx = (index match {
+      case "lsh" => lshTopK(embeddings, spark, nQueries, k)
+      case "ivf" => ivfTopK(embeddings, nQueries, k)
+      case "ivf2" => ivfTopK(embeddings, nQueries, k, nprobe = 2)
+      case "sq8" => sq8TopK(embeddings, nQueries, k)
+      case "pq" => PqOps.pqTopK(embeddings, nQueries, k)
+      case other => throw new IllegalArgumentException(
+        s"unknown ANN index '$other' (expected lsh/ivf/ivf2/sq8/pq)")
+    }).select("qid", "vec_id")
+    val common = brute.join(approx, Seq("qid", "vec_id"), "left_semi")
       .groupBy("qid").agg(count(lit(1)).as("n_common"))
     brute.groupBy("qid").agg(count(lit(1)).as("n_brute"))
       .join(common, Seq("qid"), "left")
@@ -302,6 +318,9 @@ object AnnPack extends QueryPack {
     "ann_ivf_probe2" -> ((s, dir) => AnnOps.ivfTopK(e(s, dir), nprobe = 2)),
     "ann_sq8" -> ((s, dir) => AnnOps.sq8TopK(e(s, dir))),
     "ann_recall" -> ((s, dir) => AnnOps.annRecall(e(s, dir), s)),
+    "ivf_recall" -> ((s, dir) => AnnOps.annRecall(e(s, dir), s, index = "ivf")),
+    "sq8_recall" -> ((s, dir) => AnnOps.annRecall(e(s, dir), s, index = "sq8")),
+    "pq_recall" -> ((s, dir) => AnnOps.annRecall(e(s, dir), s, index = "pq")),
     "sem_dedup" -> ((s, dir) => AnnOps.semDedup(Tables.documents(s, dir), e(s, dir), s)),
     "emb_near_dups" -> ((s, dir) => AnnOps.nearDupPairs(e(s, dir), s)),
     "pq_knn" -> ((s, dir) => PqOps.pqTopK(e(s, dir)))
@@ -328,10 +347,40 @@ object AnnPack extends QueryPack {
   private[operators] val cosSql =
     "FLOOR(list_reduce(list_transform(range(1, 65), d -> qa.v[d] * ca.v[d]), (x, y) -> x + y) / (qa.nrm * ca.nrm) * 10000 + 0.5)"
 
-  /** IVF oracle: corpus side uses rn=1 assignments; query side probes the
-    * `nprobe` nearest centers. nprobe=1 degenerates to the plain IVF plan. */
-  private def ivfSql(nprobe: Int): String =
-    s"""WITH $normSql,
+  /** Exact brute-force top-5 per query as CTEs `bscored`/`brute` — the
+    * reference side of every recall oracle. */
+  private val bruteCtes =
+    s"""bscored AS (
+       |  SELECT qa.vec_id AS qid, ca.vec_id AS vec_id,
+       |         CAST($cosSql AS BIGINT) AS cosine_e4
+       |  FROM n qa JOIN n ca ON ca.vec_id <> qa.vec_id
+       |  WHERE qa.vec_id < 10
+       |),
+       |brute AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine_e4 DESC, vec_id) AS rnk
+       |    FROM bscored
+       |  ) WHERE rnk <= 5
+       |)""".stripMargin
+
+  /** recall@5 of CTE `atop(qid, vec_id)` against `brute` — 2000 = 1e4/k. */
+  private def recallTail(atop: String): String =
+    s"""common AS (
+       |  SELECT b.qid, COUNT(*) AS n_common
+       |  FROM brute b JOIN $atop l ON b.qid = l.qid AND b.vec_id = l.vec_id
+       |  GROUP BY b.qid
+       |)
+       |SELECT b.qid, CAST(COUNT(*) AS BIGINT) AS n_brute,
+       |       CAST(COALESCE(ANY_VALUE(cm.n_common), 0) AS BIGINT) AS n_common,
+       |       CAST(COALESCE(ANY_VALUE(cm.n_common), 0) * 2000 AS BIGINT) AS recall_e4
+       |FROM brute b LEFT JOIN common cm ON b.qid = cm.qid
+       |GROUP BY b.qid""".stripMargin
+
+  /** IVF CTE chain through `ranked` (rnk = per-query cosine rank):
+    * corpus side uses rn=1 assignments; query side probes the `nprobe`
+    * nearest centers. nprobe=1 degenerates to the plain IVF plan. */
+  private def ivfCtes(nprobe: Int): String =
+    s"""$normSql,
        |q AS (
        |  SELECT vec_id, label, d.i AS dim,
        |         CAST(FLOOR(CAST(embedding[d.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xq
@@ -366,7 +415,10 @@ object AnnPack extends QueryPack {
        |ranked AS (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine_e4 DESC, vec_id) AS rnk
        |  FROM scored
-       |)
+       |)""".stripMargin
+
+  private def ivfSql(nprobe: Int): String =
+    s"""WITH ${ivfCtes(nprobe)}
        |SELECT qid, vec_id, cosine_e4, rnk FROM ranked WHERE rnk <= 5""".stripMargin
 
   override def oracles: Map[String, String] = Map(
@@ -464,6 +516,74 @@ object AnnPack extends QueryPack {
          |       CAST(COALESCE(ANY_VALUE(c.n_common), 0) * 2000 AS BIGINT) AS recall_e4
          |FROM brute b LEFT JOIN common c ON b.qid = c.qid
          |GROUP BY b.qid""".stripMargin,
+    "ivf_recall" ->
+      s"""WITH ${ivfCtes(1)},
+         |atop AS (SELECT qid, vec_id FROM ranked WHERE rnk <= 5),
+         |$bruteCtes,
+         |${recallTail("atop")}""".stripMargin,
+    "sq8_recall" ->
+      s"""WITH $normSql,
+         |$bruteCtes,
+         |sq AS (
+         |  SELECT vec_id,
+         |         CASE WHEN list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) = 0
+         |              THEN list_transform(embedding::DOUBLE[], x -> CAST(0 AS BIGINT))
+         |              ELSE list_transform(embedding::DOUBLE[],
+         |                     x -> CAST(FLOOR(x / list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) * 127 + 0.5) AS BIGINT))
+         |         END AS q
+         |  FROM embeddings
+         |),
+         |sqn AS (
+         |  SELECT vec_id, q,
+         |         sqrt(CAST(list_reduce(list_transform(q, x -> x * x), (a, b) -> a + b) AS DOUBLE)) AS qn
+         |  FROM sq
+         |),
+         |sscored AS (
+         |  SELECT qa.vec_id AS qid, ca.vec_id AS vec_id,
+         |         CAST(FLOOR(CAST(list_reduce(list_transform(range(1, 65), d -> qa.q[d] * ca.q[d]), (x, y) -> x + y) AS DOUBLE)
+         |                    / (qa.qn * ca.qn) * 10000 + 0.5) AS BIGINT) AS cos8_e4
+         |  FROM sqn qa JOIN sqn ca ON ca.vec_id <> qa.vec_id
+         |  WHERE qa.vec_id < 10
+         |),
+         |atop AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos8_e4 DESC, vec_id) AS rnk
+         |    FROM sscored
+         |  ) WHERE rnk <= 5
+         |),
+         |${recallTail("atop")}""".stripMargin,
+    "pq_recall" ->
+      s"""WITH $normSql,
+         |$bruteCtes,
+         |${EmbeddingStatsPack.centroidSql},
+         |cq AS (SELECT CAST(label AS BIGINT) AS code, dim,
+         |              CAST(FLOOR(CAST(sum_q AS DOUBLE) / n + 0.5) AS BIGINT) AS centroid_q FROM c),
+         |qs AS (SELECT vec_id, (dim - 1) // 8 AS sub, dim, xq FROM q),
+         |cdist AS (
+         |  SELECT qs.vec_id, qs.sub, cq.code,
+         |         CAST(SUM((qs.xq - cq.centroid_q) * (qs.xq - cq.centroid_q)) AS BIGINT) AS dist2_q
+         |  FROM qs JOIN cq ON qs.dim = cq.dim
+         |  GROUP BY qs.vec_id, qs.sub, cq.code
+         |),
+         |codes AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist2_q, code) AS rn
+         |    FROM cdist
+         |  ) WHERE rn = 1
+         |),
+         |pscored AS (
+         |  SELECT l.vec_id AS qid, cd.vec_id, CAST(SUM(l.dist2_q) AS BIGINT) AS adist_q
+         |  FROM codes cd JOIN cdist l ON cd.sub = l.sub AND cd.code = l.code
+         |  WHERE l.vec_id < 10 AND cd.vec_id <> l.vec_id
+         |  GROUP BY l.vec_id, cd.vec_id
+         |),
+         |atop AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist_q, vec_id) AS rnk
+         |    FROM pscored
+         |  ) WHERE rnk <= 5
+         |),
+         |${recallTail("atop")}""".stripMargin,
     "pq_knn" ->
       s"""WITH ${EmbeddingStatsPack.centroidSql},
          |cq AS (SELECT CAST(label AS BIGINT) AS code, dim,

@@ -164,10 +164,18 @@ object CoveragePack extends QueryPack {
     "health_cand" -> ((s, d) => CoverageOps.healthCandidates(m(s, d))),
     "missing_meta" -> ((s, d) => CoverageOps.missingMeta(m(s, d), ri(s, d))),
     "availability" -> ((s, d) => CoverageOps.availability(graft.sources.Tables.events(s, d))),
-    "kv_pivot" -> ((s, d) => CoverageOps.kvPivot(graft.sources.Tables.lineitem(s, d)))
+    "kv_pivot" -> ((s, d) => CoverageOps.kvPivot(graft.sources.Tables.lineitem(s, d))),
+    // O-2 both ways: nest the flat metrics into the ClusterMetrics map
+    // shape, then flatten back — oracled against the flat view directly,
+    // so the explode(map_entries) path is value-checked, not just
+    // round-trip-checked
+    "flat_server_map" -> ((s, d) => CoverageOps.flattenServerMap(CoverageOps.nestServerMap(m(s, d))))
   )
 
   override def oracles: Map[String, String] = Map(
+    "flat_server_map" ->
+      s"""WITH ${ClusterSql.regionMetrics}
+         |SELECT server, region_id, size_mb, file_count FROM region_metrics""".stripMargin,
     "meta_regions" ->
       s"""WITH ${ClusterSql.regionInfo}
          |SELECT region_id, table_name, namespace, start_key, end_key, server

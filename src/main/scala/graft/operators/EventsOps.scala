@@ -103,6 +103,8 @@ object EventsOps {
       .withColumn("host_port", concat(col("host"), lit(":"), col("rs_port").cast("string")))
     val entries = jmxPortMap.split(",").toSeq.map { p =>
       val i = p.indexOf(":")
+      require(i > 0 && i < p.length - 1,
+        s"malformed port mapping '$p' (expected rsPort:jmxPort) in: $jmxPortMap")
       (p.substring(0, i).toInt, p.substring(i + 1).toInt)
     }
     val jmx = suppliers.sparkSession.createDataFrame(entries).toDF("rs_port_key", "jmx_port")

@@ -64,46 +64,89 @@ object JoinsOps {
     * Skew caveat: parallelism is per key — a single dominant key
     * serializes through one window partition, as ANY per-key temporal
     * ordering must (AQE cannot split a window). If one key carries a
-    * disproportionate share of left rows, shard it upstream (e.g. by
-    * time range, as-of joining each shard against the full right side
-    * for that key) before calling this. */
+    * disproportionate share of left rows, use [[asofJoinSharded]]. */
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
       key: String,
       leftTs: String,
-      rightTs: String): DataFrame = {
+      rightTs: String): DataFrame =
+    asofJoinImpl(left, right, key, leftTs, rightTs, numShards = 1)
+
+  /** [[asofJoin]] with the dominant-key skew mitigation: left rows are
+    * split into `numShards` shards (a deterministic function of the left
+    * timestamp), each key's FULL right slice is replicated into every
+    * shard, and the per-key window runs per (key, shard) — so a hot
+    * key's left rows flow through `numShards` parallel window partitions
+    * instead of serializing through one. Results are identical to
+    * [[asofJoin]]: each shard sees the complete right history for its
+    * key, so every left row still finds the latest right row <= its ts.
+    *
+    * Cost: the right side is written `numShards` times into the shuffle
+    * — the standard replicate-the-small-side skew trade, sized for the
+    * as-of shape (billions of left rows against bounded per-key right
+    * histories). When the RIGHT side is also huge, shard by time range
+    * instead and seed each range with its predecessor's last row —
+    * a different operator, not this one. */
+  def asofJoinSharded(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      numShards: Int = 8): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    asofJoinImpl(left, right, key, leftTs, rightTs, numShards)
+  }
+
+  private def asofJoinImpl(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      numShards: Int): DataFrame = {
     val rightVals = right.columns.filterNot(c => c == key || c == rightTs).toSeq
     require(rightVals.nonEmpty, "right side carries no value columns")
-    val reserved = Set("__ats", "__side")
+    val reserved = Set("__ats", "__side", "__shard")
     require((left.columns ++ right.columns).forall(c => !reserved(c)),
-      "column names __ats/__side are reserved by asofJoin")
+      "column names __ats/__side/__shard are reserved by asofJoin")
     // Spark resolves column names case-insensitively by default, so the
     // collision check must too — a case-only clash would silently null
     // out the left column instead of erroring
     val clash = rightVals.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
       .intersect(left.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet)
     require(clash.isEmpty, s"left/right value column collision: ${clash.mkString(", ")}")
+    // any deterministic left-row -> shard function preserves correctness
+    // (each shard carries the full right slice); hashing the timestamp
+    // keeps the assignment a pure function of the data
+    val lShard =
+      if (numShards == 1) lit(0L) else pmod(hash(col(leftTs)).cast("long"), lit(numShards.toLong))
     val lTagged = rightVals.foldLeft(
-      left.withColumn("__ats", col(leftTs)).withColumn("__side", lit(1))) { (df, c) =>
+      left.withColumn("__ats", col(leftTs)).withColumn("__side", lit(1))
+        .withColumn("__shard", lShard)) { (df, c) =>
       df.withColumn(c, lit(null).cast(right.schema(c).dataType))
     }
     val rTagged = {
-      val base = right
-        .filter(col(rightTs).isNotNull)
-        .select(col(key) +: col(rightTs).as("__ats") +: rightVals.map(col): _*)
+      val filtered = right.filter(col(rightTs).isNotNull)
+      val replicated =
+        if (numShards == 1) filtered.withColumn("__shard", lit(0L))
+        else filtered.crossJoin(
+          broadcast(right.sparkSession.range(numShards).withColumnRenamed("id", "__shard")))
+      val base = replicated
+        .select(col(key) +: col("__shard") +: col(rightTs).as("__ats") +: rightVals.map(col): _*)
         .withColumn("__side", lit(0))
       left.columns.filterNot(_ == key).foldLeft(base) { (df, c) =>
         df.withColumn(c, lit(null).cast(left.schema(c).dataType))
       }
     }
-    val w = Window.partitionBy(key).orderBy(col("__ats"), col("__side"))
+    val w = Window.partitionBy(col(key), col("__shard")).orderBy(col("__ats"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
     lTagged.unionByName(rTagged)
       .select(left.columns.map(col) ++ (col("__side") +:
         rightVals.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
       .filter(col("__side") === 1)
-      .drop("__side")
+      .drop("__side", "__shard")
   }
 
   def topCustomers(orders: DataFrame, customer: DataFrame, k: Int = 10): DataFrame =
@@ -127,19 +170,27 @@ object JoinsPack extends QueryPack {
     "top_customers" -> ((s, d) => JoinsOps.topCustomers(Tables.orders(s, d), Tables.customer(s, d))),
     // which server hosted each order's (customer-keyed) region at order
     // time: orders as-of joined against the deduped topology history
-    "asof_join" -> { (s, d) =>
-      val topo = ClusterViews.topology(s, d)
-      val perTs = Window.partitionBy("region_id", "snapshot_ts").orderBy(col("obs_id").desc)
-      val right = topo.withColumn("rn", row_number().over(perTs)).filter(col("rn") === 1)
-        .select(col("region_id"), col("snapshot_ts"), col("server"))
-      val left = Tables.orders(s, d).select(
-        col("o_orderkey").as("evt_id"),
-        (col("o_custkey") % 2048).as("region_id"),
-        col("o_orderdate").cast("timestamp").as("ts"))
-      JoinsOps.asofJoin(left, right, "region_id", "ts", "snapshot_ts")
-        .select(col("evt_id"), col("region_id"), unix_micros(col("ts")).as("ts_us"), col("server"))
-    }
+    "asof_join" -> { (s, d) => asofQuery(s, d, sharded = false) },
+    // the identical question through the skew-sharded plan (8 time shards
+    // per key), oracled against the same native ASOF JOIN — proving the
+    // shard/replicate/union rewrite is answer-preserving on real data
+    "asof_sharded" -> { (s, d) => asofQuery(s, d, sharded = true) }
   )
+
+  private def asofQuery(s: SparkSession, d: String, sharded: Boolean): DataFrame = {
+    val topo = ClusterViews.topology(s, d)
+    val perTs = Window.partitionBy("region_id", "snapshot_ts").orderBy(col("obs_id").desc)
+    val right = topo.withColumn("rn", row_number().over(perTs)).filter(col("rn") === 1)
+      .select(col("region_id"), col("snapshot_ts"), col("server"))
+    val left = Tables.orders(s, d).select(
+      col("o_orderkey").as("evt_id"),
+      (col("o_custkey") % 2048).as("region_id"),
+      col("o_orderdate").cast("timestamp").as("ts"))
+    val joined =
+      if (sharded) JoinsOps.asofJoinSharded(left, right, "region_id", "ts", "snapshot_ts")
+      else JoinsOps.asofJoin(left, right, "region_id", "ts", "snapshot_ts")
+    joined.select(col("evt_id"), col("region_id"), unix_micros(col("ts")).as("ts_us"), col("server"))
+  }
 
   override def oracles: Map[String, String] = Map(
     "revenue_nat" ->
@@ -167,7 +218,12 @@ object JoinsPack extends QueryPack {
         |FROM agg a JOIN customer c ON a.o_custkey = c.c_custkey""".stripMargin,
     // the oracle engine HAS a native ASOF JOIN — ideal independent check
     // of the union+window formulation
-    "asof_join" ->
+    "asof_join" -> asofOracle,
+    // same oracle on purpose: the sharded plan must be answer-identical
+    "asof_sharded" -> asofOracle
+  )
+
+  private val asofOracle =
       s"""WITH ${ClusterSql.topology},
          |dedup AS (
          |  SELECT region_id, snapshot_ts, server FROM (
@@ -183,5 +239,4 @@ object JoinsPack extends QueryPack {
          |SELECT l.evt_id, l.region_id, epoch_us(l.ts) AS ts_us, d.server
          |FROM l ASOF LEFT JOIN dedup d
          |  ON l.region_id = d.region_id AND l.ts >= d.snapshot_ts""".stripMargin
-  )
 }

@@ -50,13 +50,16 @@ object BulkOps {
     s"origin_${table}_${TsFmt.format(Instant.ofEpochMilli(epochMillis))}"
 
   /** O-6: copy a table via an intermediate snapshot name. Returns the
-    * copied row count — counted from the source after the write commits
-    * (ErrorIfExists throws on failure), avoiding a second full parse of
-    * the just-written destination. */
+    * copied row count, counted from the DESTINATION after the write
+    * commits — the count doubles as write verification (a connector that
+    * silently drops or duplicates rows shows up here, which a source-side
+    * count could never detect). Costs one scan of the just-written
+    * destination; for parquet the count is answered from footer
+    * row-group metadata, not a full parse. */
   def copyTable(spark: SparkSession, srcPath: String, destPath: String): Long = {
     val df = readPath(spark, srcPath)
     writePath(df, SaveMode.ErrorIfExists).save(destPath)
-    df.count()
+    readPath(spark, destPath).count()
   }
 
   /** O-7: replace `to` with `from`: optional backup copy of `to`
@@ -79,10 +82,30 @@ object BulkOps {
   }
 
   /** O-8: partitioned snapshot append — the batch writer with TTL
-    * semantics handled by partition retention instead of per-record TTL. */
-  def writeTopologySnapshot(topology: DataFrame, destPath: String): Unit =
+    * semantics handled by partition retention instead of per-record TTL.
+    *
+    * Layout contract: `destPath/snapshot_date=D/...`. MUST NOT share a
+    * destPath with [[writeTopologySnapshotBatch]], whose layout nests
+    * `batch_id=N/` ABOVE snapshot_date — mixing the two produces an
+    * inconsistent partition tree that breaks parquet partition discovery
+    * on read. Both writers enforce this with a one-listing guard. */
+  def writeTopologySnapshot(topology: DataFrame, destPath: String): Unit = {
+    requireNoChildPrefix(topology.sparkSession, destPath, "batch_id=",
+      "writeTopologySnapshot cannot append under a writeTopologySnapshotBatch destPath")
     writePath(snapshotLayout(topology), SaveMode.Append)
       .partitionBy("snapshot_date").save(destPath)
+  }
+
+  /** One FS listing: refuse to interleave the two snapshot layouts. */
+  private def requireNoChildPrefix(
+      spark: SparkSession, destPath: String, prefix: String, msg: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(destPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val clash = fs.listStatus(p).exists(_.getPath.getName.startsWith(prefix))
+      require(!clash, s"$msg (found '$prefix*' under $destPath)")
+    }
+  }
 
   /** Cluster rows by date for the partitioned write WITHOUT collapsing a
     * single-date snapshot onto one task: an 8-way salt keeps write
@@ -97,10 +120,14 @@ object BulkOps {
     * partitioning preserved inside it), so a foreachBatch retry rewrites
     * identical data instead of appending duplicates. Readers discover
     * batch_id as an extra partition column; snapshot_date pruning is
-    * unaffected. */
-  def writeTopologySnapshotBatch(topology: DataFrame, destPath: String, batchId: Long): Unit =
+    * unaffected. MUST NOT share a destPath with [[writeTopologySnapshot]]
+    * (guarded — see its layout contract). */
+  def writeTopologySnapshotBatch(topology: DataFrame, destPath: String, batchId: Long): Unit = {
+    requireNoChildPrefix(topology.sparkSession, destPath, "snapshot_date=",
+      "writeTopologySnapshotBatch cannot write under a writeTopologySnapshot destPath")
     writePath(snapshotLayout(topology), SaveMode.Overwrite)
       .partitionBy("snapshot_date").save(s"$destPath/batch_id=$batchId")
+  }
 
   /** O-57: retention — drop partitions older than maxAgeDays relative to
     * `nowEpochDay` (partition prune; no full scan at 100 TB). */

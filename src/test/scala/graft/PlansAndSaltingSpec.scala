@@ -121,6 +121,35 @@ class PlansAndSaltingSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("sharded asof join matches the unsharded operator on skewed random data") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(47)
+    def t(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    // dominant-key shape: 80% of left rows on one hot key — the case the
+    // sharded plan exists for — plus a key with no right rows and left
+    // rows with NULL timestamps (both must behave identically)
+    val leftRows = (1 to 500).map { i =>
+      val k = if (rnd.nextInt(10) < 8) "hot" else s"k${rnd.nextInt(5)}"
+      val ts = if (i % 97 == 0) null else t(rnd.nextInt(300))
+      (i.toLong, k, ts)
+    }
+    val rightRows = rnd.shuffle(
+      (for (k <- "hot" +: (0 until 4).map(i => s"k$i"); m <- 0 until 300) yield (k, t(m))).toList)
+      .take(80).zipWithIndex.map { case ((k, ts), i) => (k, ts, s"v$i") }
+    val left = leftRows.toDF("id", "k", "ts")
+    val right = rightRows.toDF("k", "rts", "v")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "v").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).sortBy(_._1).toSeq
+    val unsharded = norm(graft.operators.JoinsOps.asofJoin(left, right, "k", "ts", "rts"))
+    for (shards <- Seq(2, 8, 64)) { // fewer, comparable to, and more shards than distinct ts values per key
+      val sharded = norm(
+        graft.operators.JoinsOps.asofJoinSharded(left, right, "k", "ts", "rts", numShards = shards))
+      assert(sharded == unsharded, s"numShards=$shards diverged from the unsharded asof join")
+    }
+  }
+
   test("binned range lookup agrees with the broadcast variant on random ranges") {
     val s = spark
     import s.implicits._

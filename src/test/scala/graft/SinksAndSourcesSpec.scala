@@ -121,6 +121,32 @@ class SinksAndSourcesSpec extends SparkSpec {
     assert(kept.count() > 0 && kept.count() < all.count())
   }
 
+  test("the two snapshot writers refuse to interleave layouts on one destPath") {
+    val topo = ClusterViews.topology(spark, sf)
+    val a = s"${tmpDir()}/topo_a"
+    BulkOps.writeTopologySnapshot(topo, a)
+    val exA = intercept[IllegalArgumentException] {
+      BulkOps.writeTopologySnapshotBatch(topo, a, 1L)
+    }
+    assert(exA.getMessage.contains("snapshot_date="))
+    val b = s"${tmpDir()}/topo_b"
+    BulkOps.writeTopologySnapshotBatch(topo, b, 1L)
+    val exB = intercept[IllegalArgumentException] {
+      BulkOps.writeTopologySnapshot(topo, b)
+    }
+    assert(exB.getMessage.contains("batch_id="))
+  }
+
+  test("serverPorts rejects a malformed jmx port mapping with a clear error") {
+    val suppliers = graft.sources.Tables.supplier(spark, sf)
+    for (bad <- Seq("16020:10101,bogus", ":10101", "16020:")) {
+      val ex = intercept[IllegalArgumentException] {
+        graft.operators.EventsOps.serverPorts(suppliers, bad)
+      }
+      assert(ex.getMessage.contains("malformed port mapping"), s"input: $bad")
+    }
+  }
+
   test("settings registry: defaults, overrides, unknown-key warnings (O-11)") {
     val s = GraftSettings.parse(
       """compactor.border.weight=20
