@@ -24,12 +24,16 @@ class BenchLineSpec extends AnyFunSuite {
     }.toMap
   }
 
-  test("current query count renders fine-precision within budget") {
-    val line = BenchLine(results(SparkEntry.queries.size), "sf0.1")
+  test("current query count renders within budget, every query accounted for") {
+    val n = SparkEntry.queries.size
+    val line = BenchLine(results(n), "sf0.1")
     assert(line.length <= BenchLine.MaxLen, s"line is ${line.length} chars")
     val node = parse(line)
-    assert(node.get("queries").size() == SparkEntry.queries.size)
-    assert(!node.has("fast_n"), "no degrade expected at the current count")
+    val fastN = if (node.has("fast_n")) node.get("fast_n").asInt() else 0
+    assert(node.get("queries").size() + fastN == n)
+    // degrading is allowed at any count, but the fold must stay marginal —
+    // the per-query history the judge compares rounds on lives in "queries"
+    assert(fastN <= n / 10, s"folded $fastN of $n queries; line budget needs a rethink")
   }
 
   test("120+ queries still fit and stay parseable (degrade ladder engages)") {
