@@ -96,6 +96,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(offenders.isEmpty, s"forced join hints on corpus-derived sets:\n${offenders.mkString("\n")}")
   }
 
+  test("sharded asof join: broadcast right replication, window keyed by (key, shard)") {
+    val plan = physical(SparkEntry.queries("asof_sharded")(spark, sf))
+    // the hot key's rows must flow through numShards window partitions —
+    // the whole point of the operator — so the exchange feeding the fill
+    // window has to partition on BOTH the key and the shard
+    assert("hashpartitioning\\(region_id#\\d+L?, __shard".r.findFirstIn(plan).isDefined,
+      s"window not sharded:\n$plan")
+    // the right-slice replication is a broadcast of the tiny shard range,
+    // never a shuffle of the right side per shard
+    assert(plan.contains("BroadcastNestedLoopJoin") && plan.contains("IdentityBroadcastMode"),
+      s"shard replication not broadcast:\n$plan")
+  }
+
+  test("df-cap guard is in the physical jaccard plan, computed once into the shared cache") {
+    spark.catalog.clearCache()
+    val plan = physical(SparkEntry.queries("dedup_jaccard")(spark, sf))
+    assert(plan.contains("__df"), s"df-cap filter missing from:\n$plan")
+    // the cap window materializes into the cached capped-postings relation
+    // (one x31 shuffle total), not once per self-join side
+    assert("Filter \\(__df#\\d+L <= 128\\)".r.findFirstIn(plan).isDefined, s"cap not 128 in:\n$plan")
+    assert(plan.contains("InMemoryRelation"), s"capped postings not shared via cache:\n$plan")
+  }
+
   test("text ops prune the documents scan to referenced columns") {
     // a scan that reads lang/source for a (doc_id, text) operator ships
     // unneeded bytes from every parquet row group at 100 TB. Clear the
