@@ -232,11 +232,30 @@ object AnnOps {
         coalesce(col("jaccard_e4"), lit(0L)).as("jaccard_e4"))
   }
 
+  /** Degenerate-bucket cap for the embedding LSH self-join: a bucket
+    * larger than this (e.g. a spike of all-zero or boilerplate-identical
+    * embeddings) is dropped before pairing, bounding per-bucket fan-out
+    * at ~0.5M pairs. Deliberately far above [[DedupOps.MaxBandBucket]]:
+    * with 8 hyperplanes a bucket is a DENSE REGION of the embedding
+    * space, not a degenerate signature, and honest buckets at fixture
+    * scale reach ~250 members — dropping those would trade real recall
+    * for nothing. Width caveat at 100 TB, same as SimHash banding:
+    * E[bucket] = N / 2^planes grows linearly with the corpus, so scale
+    * the plane count with the corpus (e.g. 16-20 planes at billions of
+    * vectors) and keep this cap as the degeneracy guard it is. */
+  val MaxEmbBucket = 1024L
+
   /** Embedding near-dup pairs, blocked by LSH bucket (the 100-TB path:
-    * pairs only form inside buckets). */
+    * pairs only form inside buckets), with oversized buckets dropped —
+    * see [[MaxEmbBucket]]. The bucket census is a slim (vec_id, bucket)
+    * aggregate, so the guard never shuffles the vectors; the surviving-
+    * bucket list is bounded by 2^planes rows and broadcast. */
   def nearDupPairs(embeddings: DataFrame, spark: SparkSession, thresholdE4: Long = 4000L): DataFrame = {
     val n = normalized(embeddings)
-    val nb = n.join(buckets(n, spark), "vec_id")
+    val b = buckets(n, spark)
+    val okBuckets = b.groupBy("bucket").agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= MaxEmbBucket).select("bucket")
+    val nb = n.join(b, "vec_id").join(broadcast(okBuckets), Seq("bucket"), "left_semi")
     nb.as("a")
       .join(nb.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
@@ -613,14 +632,18 @@ object AnnPack extends QueryPack {
          |) WHERE rnk <= 5""".stripMargin,
     "emb_near_dups" ->
       s"""WITH $normSql, $bucketSql,
-         |nb AS (SELECT n.vec_id, n.v, n.nrm, bk.bucket FROM n JOIN bk ON n.vec_id = bk.vec_id)
+         |bok AS (SELECT bucket FROM bk GROUP BY bucket HAVING COUNT(*) <= ${AnnOps.MaxEmbBucket}),
+         |nb AS (SELECT n.vec_id, n.v, n.nrm, bk.bucket FROM n JOIN bk ON n.vec_id = bk.vec_id
+         |       JOIN bok ON bk.bucket = bok.bucket)
          |SELECT qa.vec_id AS va, ca.vec_id AS vb,
          |       CAST($cosSql AS BIGINT) AS cosine_e4
          |FROM nb qa JOIN nb ca ON qa.bucket = ca.bucket AND qa.vec_id < ca.vec_id
          |WHERE $cosSql >= 4000""".stripMargin,
     "sem_dedup" ->
       s"""WITH $normSql, $bucketSql,
-         |nb AS (SELECT n.vec_id, n.v, n.nrm, bk.bucket FROM n JOIN bk ON n.vec_id = bk.vec_id),
+         |bok AS (SELECT bucket FROM bk GROUP BY bucket HAVING COUNT(*) <= ${AnnOps.MaxEmbBucket}),
+         |nb AS (SELECT n.vec_id, n.v, n.nrm, bk.bucket FROM n JOIN bk ON n.vec_id = bk.vec_id
+         |       JOIN bok ON bk.bucket = bok.bucket),
          |epairs AS (
          |  SELECT qa.vec_id AS da, ca.vec_id AS db,
          |         CAST($cosSql AS BIGINT) AS cosine_e4

@@ -44,6 +44,20 @@ class TrainingDataSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("annRecall runs against every index variant; unknown index is rejected") {
+    for (idx <- Seq("lsh", "ivf", "ivf2", "sq8", "pq")) {
+      val r = AnnOps.annRecall(embs, spark, nQueries = 5, k = 3, index = idx).cache()
+      assert(r.count() == 5, s"index $idx: one recall row per query expected")
+      assert(r.filter(col("recall_e4") < 0 || col("recall_e4") > 10000).count() == 0,
+        s"index $idx: recall out of range")
+      r.unpersist()
+    }
+    val ex = intercept[IllegalArgumentException] {
+      AnnOps.annRecall(embs, spark, index = "hnsw")
+    }
+    assert(ex.getMessage.contains("unknown ANN index"))
+  }
+
   test("brute-force ANN returns exactly k ranked neighbors per query") {
     val out = AnnOps.bruteTopK(embs, nQueries = 5, k = 3).cache()
     val per = out.groupBy("qid").agg(count(lit(1)).as("n"), max("rnk").as("mr"))

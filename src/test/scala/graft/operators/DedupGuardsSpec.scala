@@ -95,6 +95,21 @@ class DedupGuardsSpec extends SparkSpec {
     }
   }
 
+  test("embedding LSH bucket cap: a degenerate vector spike does not square, honest buckets intact") {
+    noCache {
+      val s = spark
+      import s.implicits._
+      def embs(n: Int) =
+        (0 until n).map(i => (i.toLong, Array.fill(64)(0.5f))).toDF("vec_id", "embedding")
+      // identical vectors all land in one bucket; above MaxEmbBucket the
+      // bucket is degenerate and must be dropped, not squared
+      assert(AnnOps.nearDupPairs(embs((AnnOps.MaxEmbBucket + 6).toInt), spark).count() == 0)
+      val found = AnnOps.nearDupPairs(embs(40), spark)
+      assert(found.count() == 40L * 39 / 2)
+      assert(found.filter(col("cosine_e4") =!= 10000L).count() == 0)
+    }
+  }
+
   test("capBuckets: no surviving bucket exceeds the cap") {
     noCache {
       val docs = mkDocs((0 until 150).map(i => (i.toLong, s"a b c d e f g${i % 3}")))
