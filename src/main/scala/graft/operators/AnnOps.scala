@@ -57,7 +57,7 @@ object AnnOps {
       .agg(sum(col("bit")).as("bucket"))
   }
 
-  private def cosineE4(va: Column, vb: Column, na: Column, nb: Column): Column =
+  private[operators] def cosineE4(va: Column, vb: Column, na: Column, nb: Column): Column =
     floor(dot(va, vb) / (na * nb) * 10000 + 0.5).cast("long")
 
   /** Brute-force cosine top-k: query set × corpus, ranked per query on the
@@ -180,7 +180,8 @@ object AnnOps {
     * sampled query set before trusting the index at full scale; the
     * more lossy the index (PQ most of all), the more this number is the
     * first thing its operator asks for. `index` picks the candidate
-    * under test: "lsh", "ivf", "ivf2" (probe-2), "sq8", or "pq".
+    * under test: "lsh", "ivf", "ivf2" (probe-2), "sq8", "pq", or
+    * "pq_rerank" (PQ shortlist + exact re-rank).
     * recall_e4 = round(n_common / k * 1e4), exact for any k (not just
     * divisors of 10000). */
   def annRecall(
@@ -196,8 +197,9 @@ object AnnOps {
       case "ivf2" => ivfTopK(embeddings, nQueries, k, nprobe = 2)
       case "sq8" => sq8TopK(embeddings, nQueries, k)
       case "pq" => PqOps.pqTopK(embeddings, nQueries, k)
+      case "pq_rerank" => PqOps.pqRerankTopK(embeddings, nQueries, k)
       case other => throw new IllegalArgumentException(
-        s"unknown ANN index '$other' (expected lsh/ivf/ivf2/sq8/pq)")
+        s"unknown ANN index '$other' (expected lsh/ivf/ivf2/sq8/pq/pq_rerank)")
     }).select("qid", "vec_id")
     val common = brute.join(approx, Seq("qid", "vec_id"), "left_semi")
       .groupBy("qid").agg(count(lit(1)).as("n_common"))
@@ -325,6 +327,36 @@ object PqOps {
     val w = Window.partitionBy("qid").orderBy(col("adist_q"), col("vec_id"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
+
+  /** Two-stage retrieve-then-rerank, the standard production shape for a
+    * lossy index: the PQ ADC scan shortlists `shortlist` candidates per
+    * query (codes only — vectors never move, as in [[pqTopK]]), then ONLY
+    * those |queries|·shortlist rows are re-scored with the exact cosine
+    * and re-ranked to top-k. Buys back most of the recall PQ loses while
+    * touching a vanishing fraction of full vectors: at 100 TB the
+    * shortlist is a tiny broadcast list semi-fetching its vectors from
+    * the corpus scan, so the exact stage costs |q|·shortlist dot
+    * products instead of |q|·|corpus|. Both stages are deterministic
+    * (integer ADC ties broken by vec_id), so the result is oracle-exact
+    * end to end. */
+  def pqRerankTopK(
+      embeddings: DataFrame,
+      nQueries: Int = 10,
+      k: Int = 5,
+      shortlist: Int = 20): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    val short = pqTopK(embeddings, nQueries, shortlist).select("qid", "vec_id")
+    val n = AnnOps.normalized(embeddings)
+    val queries = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val rescored = n
+      .join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        AnnOps.cosineE4(col("qv"), col("v"), col("qn"), col("nrm")).as("cosine_e4"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine_e4").desc, col("vec_id"))
+    rescored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
 }
 
 object AnnPack extends QueryPack {
@@ -342,7 +374,8 @@ object AnnPack extends QueryPack {
     "pq_recall" -> ((s, dir) => AnnOps.annRecall(e(s, dir), s, index = "pq")),
     "sem_dedup" -> ((s, dir) => AnnOps.semDedup(Tables.documents(s, dir), e(s, dir), s)),
     "emb_near_dups" -> ((s, dir) => AnnOps.nearDupPairs(e(s, dir), s)),
-    "pq_knn" -> ((s, dir) => PqOps.pqTopK(e(s, dir)))
+    "pq_knn" -> ((s, dir) => PqOps.pqTopK(e(s, dir))),
+    "pq_rerank" -> ((s, dir) => PqOps.pqRerankTopK(e(s, dir)))
   )
 
   private[operators] val normSql =
@@ -629,6 +662,45 @@ object AnnPack extends QueryPack {
          |SELECT qid, vec_id, adist_q, CAST(rnk AS INTEGER) AS rnk FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist_q, vec_id) AS rnk
          |  FROM scored
+         |) WHERE rnk <= 5""".stripMargin,
+    "pq_rerank" ->
+      s"""WITH ${EmbeddingStatsPack.centroidSql},
+         |cq AS (SELECT CAST(label AS BIGINT) AS code, dim,
+         |              CAST(FLOOR(CAST(sum_q AS DOUBLE) / n + 0.5) AS BIGINT) AS centroid_q FROM c),
+         |qs AS (SELECT vec_id, (dim - 1) // 8 AS sub, dim, xq FROM q),
+         |cdist AS (
+         |  SELECT qs.vec_id, qs.sub, cq.code,
+         |         CAST(SUM((qs.xq - cq.centroid_q) * (qs.xq - cq.centroid_q)) AS BIGINT) AS dist2_q
+         |  FROM qs JOIN cq ON qs.dim = cq.dim
+         |  GROUP BY qs.vec_id, qs.sub, cq.code
+         |),
+         |codes AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist2_q, code) AS rn
+         |    FROM cdist
+         |  ) WHERE rn = 1
+         |),
+         |ascored AS (
+         |  SELECT l.vec_id AS qid, c.vec_id, CAST(SUM(l.dist2_q) AS BIGINT) AS adist_q
+         |  FROM codes c JOIN cdist l ON c.sub = l.sub AND c.code = l.code
+         |  WHERE l.vec_id < 10 AND c.vec_id <> l.vec_id
+         |  GROUP BY l.vec_id, c.vec_id
+         |),
+         |short AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist_q, vec_id) AS rnk
+         |    FROM ascored
+         |  ) WHERE rnk <= 20
+         |),
+         |$normSql,
+         |rescored AS (
+         |  SELECT s.qid, s.vec_id,
+         |         CAST($cosSql AS BIGINT) AS cosine_e4
+         |  FROM short s JOIN n ca ON ca.vec_id = s.vec_id JOIN n qa ON qa.vec_id = s.qid
+         |)
+         |SELECT qid, vec_id, cosine_e4, rnk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine_e4 DESC, vec_id) AS rnk
+         |  FROM rescored
          |) WHERE rnk <= 5""".stripMargin,
     "emb_near_dups" ->
       s"""WITH $normSql, $bucketSql,

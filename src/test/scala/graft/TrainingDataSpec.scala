@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AnnOps, DedupOps, MultimodalOps, TextOps}
+import graft.operators.{AnnOps, DedupOps, MultimodalOps, PqOps, TextOps}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -44,8 +44,24 @@ class TrainingDataSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("pq rerank: exact re-rank of the ADC shortlist never loses recall vs plain pq") {
+    val plain = AnnOps.annRecall(embs, spark, index = "pq")
+      .agg(sum("n_common")).collect()(0).getLong(0)
+    val rr = AnnOps.annRecall(embs, spark, index = "pq_rerank")
+      .agg(sum("n_common")).collect()(0).getLong(0)
+    assert(rr >= plain, s"rerank recall $rr fell below plain pq $plain")
+    // the rerank output is exact-cosine-scored: every row's score must
+    // equal the brute-force cosine for that (qid, vec_id)
+    val brute = AnnOps.bruteTopK(embs, nQueries = 10, k = 5)
+      .select(col("qid"), col("vec_id"), col("cosine_e4").as("bc"))
+    val mismatch = PqOps.pqRerankTopK(embs, nQueries = 10, k = 5)
+      .join(brute, Seq("qid", "vec_id"))
+      .filter(col("cosine_e4") =!= col("bc"))
+    assert(mismatch.count() == 0, "rerank scores must be exact cosines")
+  }
+
   test("annRecall runs against every index variant; unknown index is rejected") {
-    for (idx <- Seq("lsh", "ivf", "ivf2", "sq8", "pq")) {
+    for (idx <- Seq("lsh", "ivf", "ivf2", "sq8", "pq", "pq_rerank")) {
       val r = AnnOps.annRecall(embs, spark, nQueries = 5, k = 3, index = idx).cache()
       assert(r.count() == 5, s"index $idx: one recall row per query expected")
       assert(r.filter(col("recall_e4") < 0 || col("recall_e4") > 10000).count() == 0,
