@@ -3,7 +3,7 @@ package graft.operators
 import graft.QueryPack
 import graft.functions.TextFunctions._
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -311,6 +311,36 @@ object DedupOps {
       .groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), packed.as("simhash"))
+  }
+
+  /** Per-row simhash: the same 32-bit fingerprint as [[simhashes]],
+    * computed entirely within one row by higher-order array functions —
+    * no explode, no shuffle, no aggregation — so it can run on an
+    * unbounded stream (streaming/StreamingOps.nearDupStream) or as a
+    * narrow map over a corpus scan. The batch path keeps the
+    * posting-aggregation variant: over the shared postings cache the
+    * window plan codegens faster, but both MUST stay bit-identical
+    * (pinned by a test) or the streaming gate and the retrospective
+    * dedup would disagree on what counts as a near-dup. Docs with fewer
+    * than 3 tokens have no trigram and yield NULL, matching their
+    * absence from the batch postings. */
+  def rowSimhash(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    // guard BEFORE sequence(): sequence(1, n-2) with n < 3 would step
+    // DOWN and fabricate indices 1,0,-1... (the sequence footgun)
+    val idx = when(n >= lit(3), sequence(lit(1), n - 2))
+      .otherwise(array().cast("array<int>"))
+    val tris = transform(idx, i =>
+      concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+    val hs = array_distinct(transform(tris, t => stableHash31(t)))
+    // bit i set iff the +1/-1 sum over shingles is positive: 2*c1 > n
+    val sim = (0 until 32)
+      .map(i => when(
+        size(filter(hs, h => shiftright(h, i) % 2 === 1)) * 2 > size(hs),
+        lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    when(n >= 3, sim)
   }
 
   /** SimHash near-dup pairs with hamming distance <= 3, found via 4

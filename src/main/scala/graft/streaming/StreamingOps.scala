@@ -187,6 +187,67 @@ object StreamingOps {
         })
   }
 
+  case class BandedDoc(doc_id: Long, simhash: Long, band: Int, band_val: Long)
+  case class SimEntry(doc_id: Long, simhash: Long)
+  case class NearDupHit(doc_id: Long, dup_of: Long, band: Int, hamming: Int)
+
+  /** Streaming SimHash near-dup gate: flag each arriving doc against
+    * everything already ingested — the ingest-time twin of
+    * DedupOps.simhashDedup, sharing its banding (4×8-bit bands over the
+    * same 32-bit fingerprint; rowSimhash is test-pinned bit-identical to
+    * the batch aggregation) so the stream and a retrospective batch pass
+    * agree on what counts as a near-dup.
+    *
+    * Shape at scale: the simhash is a narrow per-row expression (no
+    * shuffle), each doc fans out to exactly 4 band rows, and state is
+    * keyed by (band, band_val) holding at most `maxPerBucket`
+    * fingerprints — 16 bytes each, so total state is bounded by
+    * 4·|buckets|·maxPerBucket, independent of corpus size. A bucket that
+    * fills to `maxPerBucket` goes dark (admits and emits nothing — the
+    * streaming analogue of capBuckets dropping degenerate buckets; a
+    * stream cannot retract already-emitted pairs, so it stops pairing
+    * instead). A pair colliding in several bands emits one hit per band
+    * — `band` is in the output, consumers wanting pair-level output
+    * dedup on (doc_id, dup_of). In-batch arrivals are processed in
+    * doc_id order so replays are deterministic. */
+  def nearDupStream(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      maxPerBucket: Int = graft.operators.DedupOps.MaxBandBucket.toInt): Dataset[NearDupHit] = {
+    import docs.sparkSession.implicits._
+    val bandStructs = (0 until 4).map { b =>
+      struct(
+        col("doc_id"), col("simhash"), lit(b).as("band"),
+        expr(s"shiftright(simhash, ${b * 8}) % 256").as("band_val"))
+    }
+    docs
+      .withColumn("simhash", graft.operators.DedupOps.rowSimhash(col("text")))
+      .filter(col("simhash").isNotNull)
+      .select(explode(array(bandStructs: _*)).as("r"))
+      .select("r.*").as[BandedDoc]
+      .groupByKey(r => (r.band, r.band_val))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (Int, Long), rows: Iterator[BandedDoc], state: GroupState[Seq[SimEntry]]) => {
+          val buf = scala.collection.mutable.ArrayBuffer.empty[SimEntry]
+          buf ++= state.getOption.getOrElse(Seq.empty)
+          val hits = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+          val admitted0 = buf.size
+          rows.toArray.sortBy(_.doc_id).foreach { r =>
+            if (buf.size < maxPerBucket) {
+              buf.foreach { e =>
+                if (e.doc_id != r.doc_id) {
+                  val d = java.lang.Long.bitCount((e.simhash ^ r.simhash) & 0xFFFFFFFFL)
+                  if (d <= maxHamming) hits += NearDupHit(r.doc_id, e.doc_id, key._1, d)
+                }
+              }
+              buf += SimEntry(r.doc_id, r.simhash)
+            }
+          }
+          if (buf.size != admitted0) state.update(buf.toSeq)
+          hits.iterator
+        })
+  }
+
   case class ServerSeen(server: String)
   case class NewServer(server: String, firstSeen: java.sql.Timestamp)
 

@@ -218,6 +218,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("simhash near-dup stream flags an identical doc across batches on all 4 bands") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again today"
+    val other = "spark structured streaming keeps keyed state inside the state store backend"
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.nearDupStream(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("neardup_out").outputMode("append").start()
+    try {
+      input.addData((1L, base), (2L, other))
+      q.processAllAvailable()
+      assert(s.sql("SELECT * FROM neardup_out").count() == 0,
+        "distinct docs in the first batch must not collide")
+      input.addData((3L, base), (4L, "tiny"))
+      q.processAllAvailable()
+      val out = s.sql("SELECT doc_id, dup_of, band, hamming FROM neardup_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).sorted
+      // doc 3 is verbatim doc 1: hamming 0, so every band fires; doc 4
+      // is below the 3-token trigram floor and must be invisible
+      assert(out.toSeq == (0 until 4).map(b => (3L, 1L, b, 0)))
+    } finally q.stop()
+  }
+
+  test("simhash near-dup stream: a full bucket goes dark instead of squaring") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val base = "one two three four five six seven eight nine ten"
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.nearDupStream(input.toDF().toDF("doc_id", "text"), maxPerBucket = 2)
+      .writeStream.format("memory").queryName("neardup_dark").outputMode("append").start()
+    try {
+      input.addData((1L, base), (2L, base), (3L, base))
+      q.processAllAvailable()
+      val hits = s.sql("SELECT doc_id, dup_of FROM neardup_dark").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).distinct.sorted
+      // docs 1,2 fill each bucket (cap 2); doc 3 arrives to full buckets
+      // and is neither paired nor admitted
+      assert(hits.toSeq == Seq((2L, 1L)))
+    } finally q.stop()
+  }
+
   test("new-server watcher emits each server exactly once (O-58)") {
     val s = spark
     import s.implicits._

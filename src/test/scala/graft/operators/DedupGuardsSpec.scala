@@ -110,6 +110,20 @@ class DedupGuardsSpec extends SparkSpec {
     }
   }
 
+  test("rowSimhash is bit-identical to the batch posting-aggregation simhash") {
+    noCache {
+      val docs = graft.sources.Tables.documents(spark, sf)
+      val batch = DedupOps.simhashes(DedupOps.shinglePostings(docs), spark)
+      val perRow = docs.select(col("doc_id"), DedupOps.rowSimhash(col("text")).as("rs"))
+        .filter(col("rs").isNotNull)
+      // same doc coverage (every doc with >=1 trigram) and same bits
+      assert(perRow.count() == batch.count())
+      val mismatch = perRow.join(batch, "doc_id")
+        .filter(col("rs") =!= col("simhash"))
+      assert(mismatch.count() == 0, "streaming and batch simhash diverged")
+    }
+  }
+
   test("capBuckets: no surviving bucket exceeds the cap") {
     noCache {
       val docs = mkDocs((0 until 150).map(i => (i.toLong, s"a b c d e f g${i % 3}")))
