@@ -383,6 +383,47 @@ object CurationOps {
         floor((lit(1.0) - col("n_distinct") / col("n_bigrams").cast("double")) * 10000 + 0.5)
           .cast("long").as("dup_frac_e4"))
   }
+
+  /** CCNet-style LM fluency scoring: each doc scored under a bigram
+    * language model trained on the corpus itself, for perplexity-filter
+    * curation (drop the least-fluent tail before training). Score =
+    * arithmetic mean of add-one-smoothed conditional bigram
+    * probabilities P(w2|w1) = (c12+1)/(c1+V) — the arithmetic variant of
+    * perplexity (which is the geometric mean's inverse): same ordering
+    * signal for filtering, but free of transcendentals, so every
+    * per-bigram term is one deterministic double division scaled to an
+    * exact BIGINT and the score is engine-exact (the same tradeoff the
+    * integer ADC makes in PqOps). Each bigram instance matches exactly
+    * one LM row, so the LM joins are 1:1 — two linear shuffles, no
+    * fan-out; stop-word-headed unigram skew is AQE's skew-join case. At
+    * trillion-token scale the LM table itself is pruned to top-K
+    * bigrams with the smoothing floor as backoff — the cap changes the
+    * model, not the join shape. Docs under 2 tokens have no bigram and
+    * are absent, as in [[repBigramFrac]]. */
+  def bigramFluency(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bgs = graft.Caching.maybeCache(
+      docs
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+        .withColumn("t1", lead("tok", 1).over(w))
+        .filter(col("t1").isNotNull)
+        .select(col("doc_id"), col("tok").as("w1"), col("t1").as("w2")))
+    val uni = bgs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val bi = bgs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val vocab = bgs.select(countDistinct(col("w2")).as("v"))
+    bgs
+      .join(bi, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("p_e9",
+        floor((col("c12") + 1) / (col("c1") + col("v")).cast("double") * 1000000000L + 0.5)
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_e9")).as("p_sum_e9"))
+      .select(col("doc_id"), col("n_bigrams"), col("p_sum_e9"),
+        floor(col("p_sum_e9").cast("double") / col("n_bigrams") / 100000L + 0.5)
+          .cast("long").as("fluency_e4"))
+  }
 }
 
 object CurationPack extends QueryPack {
@@ -394,6 +435,7 @@ object CurationPack extends QueryPack {
     "strat_sample" -> ((s, dir) => CurationOps.stratifiedSample(d(s, dir))),
     "rep_top_token" -> ((s, dir) => CurationOps.repTopToken(d(s, dir))),
     "rep_bigram_frac" -> ((s, dir) => CurationOps.repBigramFrac(d(s, dir))),
+    "fluency" -> ((s, dir) => CurationOps.bigramFluency(d(s, dir))),
     "cross_doc" -> ((s, dir) => CurationOps.crossDocShared(d(s, dir))),
     "vocab_top" -> ((s, dir) => CurationOps.vocabTopGrams(d(s, dir))),
     "splits" -> ((s, dir) => CurationOps.splitAssign(d(s, dir))),
@@ -468,6 +510,25 @@ object CurationPack extends QueryPack {
         |       CAST(COUNT(DISTINCT bg) AS BIGINT) AS n_distinct,
         |       CAST(FLOOR((1.0 - COUNT(DISTINCT bg) / CAST(COUNT(*) AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS dup_frac_e4
         |FROM bg GROUP BY doc_id""".stripMargin,
+    "fluency" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM toks, range(1, ${OracleLimits.MaxDocTokens}) r(i) WHERE i + 1 <= len(t)
+        |),
+        |uni AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+        |bi AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+        |vs AS (SELECT COUNT(DISTINCT w2) AS v FROM bg),
+        |scored AS (
+        |  SELECT bg.doc_id,
+        |         CAST(FLOOR((bi.c12 + 1) / CAST(uni.c1 + vs.v AS DOUBLE) * 1000000000 + 0.5) AS BIGINT) AS p_e9
+        |  FROM bg JOIN bi ON bg.w1 = bi.w1 AND bg.w2 = bi.w2
+        |          JOIN uni ON bg.w1 = uni.w1, vs
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |       CAST(SUM(p_e9) AS BIGINT) AS p_sum_e9,
+        |       CAST(FLOOR(CAST(SUM(p_e9) AS DOUBLE) / COUNT(*) / 100000 + 0.5) AS BIGINT) AS fluency_e4
+        |FROM scored GROUP BY doc_id""".stripMargin,
     "cross_doc" ->
       s"""WITH $ShingleCte,
          |df AS (SELECT x31, COUNT(*) AS df FROM sh GROUP BY x31)

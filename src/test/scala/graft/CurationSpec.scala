@@ -75,6 +75,27 @@ class CurationSpec extends SparkSpec {
     assert(out.filter(col("n_distinct") > col("n_bigrams")).count() == 0)
   }
 
+  test("fluency: bounded score, full coverage, and boilerplate outscores a one-off doc") {
+    val s = spark
+    import s.implicits._
+    val out = CurationOps.bigramFluency(docs).cache()
+    // one row per doc with >= 2 tokens, score within the e4 scale
+    val expected = docs.filter(size(split(col("text"), " ")) >= 2).count()
+    assert(out.count() == expected)
+    assert(out.filter(col("fluency_e4") < 0 || col("fluency_e4") > 10000).count() == 0)
+    out.unpersist()
+    // a phrase repeated across many docs has high-count bigrams -> its
+    // docs must outscore a doc of corpus-unique one-off bigrams
+    val boiler = (1L to 20L).map(i => (i, "all rights reserved to the original author"))
+    val oneOff = Seq((99L, "zq xv qj kw vx jz wq"))
+    val tiny = (boiler ++ oneOff).toDF("doc_id", "text")
+    val f = CurationOps.bigramFluency(tiny)
+    val boilerMin = f.filter(col("doc_id") <= 20).agg(min("fluency_e4")).collect()(0).getLong(0)
+    val oneOffScore = f.filter(col("doc_id") === 99).agg(max("fluency_e4")).collect()(0).getLong(0)
+    assert(boilerMin > oneOffScore,
+      s"boilerplate $boilerMin should outscore one-off $oneOffScore")
+  }
+
   test("split assignment: partitions the corpus, train dominates, deterministic") {
     val out = CurationOps.splitAssign(docs).cache()
     val byCol = out.groupBy("split").agg(sum("n_docs").as("n")).collect()

@@ -48,6 +48,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(CurationOps.vocabTopGrams(emptyDocs).count() == 0)
     assert(CurationOps.contamination(emptyDocs).count() == 0)
     assert(CurationOps.curated(emptyDocs).count() == 0)
+    assert(CurationOps.bigramFluency(emptyDocs).count() == 0)
   }
 
   test("text and multimodal families return empty on an empty corpus") {
