@@ -119,6 +119,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("InMemoryRelation"), s"capped postings not shared via cache:\n$plan")
   }
 
+  test("pq rerank: the exact stage broadcast-fetches the shortlist, never shuffles the corpus") {
+    val plan = physical(SparkEntry.queries("pq_rerank")(spark, sf))
+    // two broadcast joins in the rescore stage: the |q|*shortlist pair
+    // list fetching its vectors from the corpus scan, and the query
+    // vectors attaching to the fetched candidates
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"rerank stage not broadcast-joined:\n$plan")
+  }
+
   test("text ops prune the documents scan to referenced columns") {
     // a scan that reads lang/source for a (doc_id, text) operator ships
     // unneeded bytes from every parquet row group at 100 TB. Clear the
