@@ -153,7 +153,10 @@ object DedupOps {
       val candDocs = p.select(col("da").as("doc_id"))
         .unionByName(p.select(col("db").as("doc_id")))
         .distinct()
-      val restricted = postings.join(candDocs, Seq("doc_id"), "left_semi")
+      // cached: the self-join reads the restricted postings twice, and
+      // without a materialization each side re-runs the semi-join
+      val restricted = graft.Caching.maybeCache(
+        postings.join(candDocs, Seq("doc_id"), "left_semi"))
       sharedCounts(restricted).join(p, Seq("da", "db"), "left_semi")
     }
     inter
@@ -240,12 +243,16 @@ object DedupOps {
     // caching above the bucket guard would run its window on both reads
     val sigs = graft.Caching.maybeCache(
       capBuckets(minhashSignatures(postings, spark), Seq("band", "sig")))
-    val pairs = sigs.as("a")
-      .join(sigs.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .distinct()
+    // cached: the verify stage reads the pair list three times (two
+    // candidate-doc projections + the final semi-join); uncached, each
+    // reference re-runs the band self-join
+    val pairs = graft.Caching.maybeCache(
+      sigs.as("a")
+        .join(sigs.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct())
     verifyJaccard(postings, Some(pairs)).filter(col("jaccard_e4") >= thresholdE4)
   }
 
@@ -267,14 +274,18 @@ object DedupOps {
     // explode+window, so the position build is |candidates|-sized, not
     // |corpus|-sized
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val rp = docs
-      .join(candDocs, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-      .withColumn("t1", lead("tok", 1).over(w))
-      .withColumn("t2", lead("tok", 2).over(w))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), col("pos"),
-        stableHash31(concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("x31"))
+    // cached: the pair-scoped matching reads the position table twice
+    // (da side and db side); uncached, the explode+window subtree runs
+    // once per side
+    val rp = graft.Caching.maybeCache(
+      docs
+        .join(candDocs, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+        .withColumn("t1", lead("tok", 1).over(w))
+        .withColumn("t2", lead("tok", 2).over(w))
+        .filter(col("t2").isNotNull)
+        .select(col("doc_id"), col("pos"),
+          stableHash31(concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("x31")))
     // Join positions THROUGH the pair list, never a global x31 self-join:
     // a hot trigram shared by hundreds of candidate docs would square in
     // a global join, while per-pair matching is bounded by |pairs| x
@@ -363,10 +374,12 @@ object DedupOps {
     // 32-column aggregation twice
     val sh = graft.Caching.maybeCache(simhashes(postings, spark))
     val bands = spark.range(4).withColumnRenamed("id", "b")
-    val banded = capBuckets(
+    // cached: both sides of the band self-join read the capped banding;
+    // uncached, the bucket-census window runs once per side
+    val banded = graft.Caching.maybeCache(capBuckets(
       sh.crossJoin(broadcast(bands))
         .withColumn("band_val", expr("shiftright(simhash, cast(b * 8 as int)) % 256")),
-      Seq("b", "band_val"))
+      Seq("b", "band_val")))
     val pairs = banded.as("a")
       .join(banded.as("b2"),
         col("a.b") === col("b2.b") && col("a.band_val") === col("b2.band_val") &&
