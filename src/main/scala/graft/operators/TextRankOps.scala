@@ -20,8 +20,12 @@ object TextRankOps {
     * expression tree over exact integers, ranked on the scaled int. */
   def termRelevance(docs: DataFrame, k: Int = 3): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val docLen = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    // cached: df and the score join both read the term frequencies, and
+    // doc length is a fold of tf (sum of per-token counts) — so the
+    // corpus explode runs once, not three times
+    val tf = graft.Caching.maybeCache(
+      toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf")))
+    val docLen = tf.groupBy("doc_id").agg(sum(col("tf")).as("len"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
     val scored = tf
