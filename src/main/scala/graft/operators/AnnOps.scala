@@ -108,7 +108,12 @@ object AnnOps {
       .groupBy("vec_id", "center")
       .agg(sum(col("d") * col("d")).as("dist2_q"))
     val w = Window.partitionBy("vec_id").orderBy(col("dist2_q"), col("center"))
-    dist.withColumn("rn", row_number().over(w)).filter(col("rn") <= nprobe)
+    // cached ABOVE the nprobe filter: ivfTopK reads the ranking twice
+    // (corpus rn=1 side + query probe side) and the probe-1/probe-2/
+    // recall variants differ only in the filter, so every consumer
+    // shares ONE materialization of the k-small ranked distance table
+    graft.Caching.maybeCache(dist.withColumn("rn", row_number().over(w)))
+      .filter(col("rn") <= nprobe)
       .select(col("vec_id"), col("center"), col("rn"))
   }
 
