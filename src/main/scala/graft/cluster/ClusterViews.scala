@@ -27,6 +27,14 @@ import org.apache.spark.sql.types.DecimalType
   * Scale note: every view is a single shuffle-free projection or a single
   * hash aggregate over the base scan; nothing here collects to the driver,
   * so the same code runs on 100 TB with partial (map-side) aggregation.
+  *
+  * Each view registers with the cache manager (Caching.maybeCache): these
+  * are the same "cluster state" the reporter framework snapshots once and
+  * every analysis query re-reads — a region-metrics aggregate is
+  * O(#regions), orders of magnitude smaller than the scan it derives
+  * from, so materializing it once beats re-aggregating the base table in
+  * each of the ~20 consumer queries. Lifecycle and opt-out as everywhere:
+  * `graft.cache.enabled=false` / Caching.release.
   */
 object ClusterViews {
 
@@ -54,6 +62,7 @@ object ClusterViews {
         (col("qty_max") * 10).cast("long").as("max_file_mb"),
         col("qty_min").cast("long").as("mem_store_mb"),
         ((col("region_id") * 37) % 101).cast("double").divide(lit(100.0)).as("locality"))
+      .transform(graft.Caching.maybeCache)
 
   /** D2 region_info — one row per region from "meta": key ranges, namespace,
     * liveness (reference `api/meta/MetaTableInfoService.java:20-72`).
@@ -70,6 +79,7 @@ object ClusterViews {
         ((col("p_partkey") + 1) * 1000).as("end_key"),
         concat(lit("s"), ((col("p_partkey") * col("p_partkey") + col("p_partkey") * 5) % 24).cast("string")).as("server"),
         (col("p_partkey") % 97 === 0).as("offline"))
+      .transform(graft.Caching.maybeCache)
 
   /** D3 cluster_topology — timestamped region→server snapshots
     * (reference `api/meta/TechnicalMeta.java:130-158`: qualifiers
@@ -86,6 +96,7 @@ object ClusterViews {
         col("o_orderdate").cast("timestamp").as("snapshot_ts"),
         concat(lit("s"), ((col("o_orderkey") * 11 + col("o_custkey")) % 24).cast("string")).as("server"),
         col("o_orderkey").as("obs_id"))
+      .transform(graft.Caching.maybeCache)
 
   /** Typed views (model case classes mirror the column names). */
   def regionMetricsDs(spark: SparkSession, sfDir: String): Dataset[graft.model.RegionMetric] = {

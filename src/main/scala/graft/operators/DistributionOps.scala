@@ -92,8 +92,10 @@ object DistributionOps {
         Seq("table_name", "server"), "left")
       .select(col("table_name"), col("server"), coalesce(col("cnt"), lit(0L)).as("cnt"))
     val byTable = Window.partitionBy("table_name")
-    val withTarget = counts
-      .withColumn("target", ceil(sum(col("cnt")).over(byTable) / count(lit(1)).over(byTable)))
+    // cached: surplus and deficit both read the per-(table,server) target
+    // table; uncached, the counts join + window runs once per side
+    val withTarget = graft.Caching.maybeCache(counts
+      .withColumn("target", ceil(sum(col("cnt")).over(byTable) / count(lit(1)).over(byTable))))
 
     // surplus regions: per (table,server) the regions ranked beyond target
     val byTableServer = Window.partitionBy("table_name", "server").orderBy(col("region_id").desc)
