@@ -330,7 +330,11 @@ object PqOps {
       .groupBy("qid", "vec_id")
       .agg(sum(col("lut_q")).as("adist_q"))
     val w = Window.partitionBy("qid").orderBy(col("adist_q"), col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    // cached ABOVE the rank filter: the k=5 ADC top-k and the rerank
+    // shortlist (k=20) differ only here, so both share one
+    // materialization of the ranked ADC scores
+    graft.Caching.maybeCache(scored.withColumn("rnk", row_number().over(w)))
+      .filter(col("rnk") <= k)
   }
 
   /** Two-stage retrieve-then-rerank, the standard production shape for a
