@@ -59,9 +59,12 @@ object EmbeddingStatsOps {
         .withColumn("d", col("xq") - col("centroid_q"))
         .groupBy("vec_id", "center")
         .agg(sum(col("d") * col("d")).as("dist2_q"))
-      val w = Window.partitionBy("vec_id").orderBy(col("dist2_q"), col("center"))
-      dist.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select("vec_id", "center")
+      // argmin via min(struct): same (dist2_q, center) tie order a rank
+      // window would use, but map-side combinable — each Lloyd iteration
+      // drops the window's sort exchange
+      dist.groupBy("vec_id")
+        .agg(min(struct(col("dist2_q"), col("center"))).as("best"))
+        .select(col("vec_id"), col("best.center").as("center"))
     }
 
     def recompute(asg: DataFrame): DataFrame =

@@ -61,6 +61,8 @@ class EmptyInputSpec extends SparkSpec {
   test("ANN family returns empty on an empty vector table") {
     assert(AnnOps.bruteTopK(emptyEmb).count() == 0)
     assert(AnnOps.lshTopK(emptyEmb, spark).count() == 0)
+    assert(AnnOps.nearDupPairs(emptyEmb, spark).count() == 0)
+    assert(PqOps.pqRerankTopK(emptyEmb).count() == 0)
   }
 
   test("as-of join with an empty right side left-joins nulls, empty left is empty") {
