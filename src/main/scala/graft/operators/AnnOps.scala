@@ -305,12 +305,13 @@ object PqOps {
 
   /** PQ encoding: each vector's nearest codebook entry per subspace
     * (ties to the smallest code). */
-  def pqCodes(embeddings: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id", "sub").orderBy(col("dist2_q"), col("code"))
+  def pqCodes(embeddings: DataFrame): DataFrame =
+    // argmin via min(struct): same (dist2_q, code) tie order as a rank
+    // window, but map-side combinable — no sort exchange
     subDistances(embeddings)
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select("vec_id", "sub", "code")
-  }
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("dist2_q"), col("code"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.code").as("code"))
 
   /** PQ top-k by asymmetric distance (ADC): queries keep their exact
     * quantized subvectors, candidates are represented only by their M
@@ -384,7 +385,8 @@ object AnnPack extends QueryPack {
     "sem_dedup" -> ((s, dir) => AnnOps.semDedup(Tables.documents(s, dir), e(s, dir), s)),
     "emb_near_dups" -> ((s, dir) => AnnOps.nearDupPairs(e(s, dir), s)),
     "pq_knn" -> ((s, dir) => PqOps.pqTopK(e(s, dir))),
-    "pq_rerank" -> ((s, dir) => PqOps.pqRerankTopK(e(s, dir)))
+    "pq_rerank" -> ((s, dir) => PqOps.pqRerankTopK(e(s, dir))),
+    "rerank_recall" -> ((s, dir) => AnnOps.annRecall(e(s, dir), s, index = "pq_rerank"))
   )
 
   private[operators] val normSql =
@@ -436,6 +438,47 @@ object AnnPack extends QueryPack {
        |       CAST(COALESCE(ANY_VALUE(cm.n_common), 0) * 2000 AS BIGINT) AS recall_e4
        |FROM brute b LEFT JOIN common cm ON b.qid = cm.qid
        |GROUP BY b.qid""".stripMargin
+
+  /** PQ rerank CTE chain through `rescored(qid, vec_id, cosine_e4)`:
+    * codebook → codes → ADC scores → top-20 shortlist → exact cosine.
+    * Shared by the `pq_rerank` result oracle and the `rerank_recall`
+    * self-evaluation. Also defines `n` (normSql), which bruteCtes
+    * consumes downstream. */
+  private val pqRerankCtes =
+    s"""${EmbeddingStatsPack.centroidSql},
+       |cq AS (SELECT CAST(label AS BIGINT) AS code, dim,
+       |              CAST(FLOOR(CAST(sum_q AS DOUBLE) / n + 0.5) AS BIGINT) AS centroid_q FROM c),
+       |qs AS (SELECT vec_id, (dim - 1) // 8 AS sub, dim, xq FROM q),
+       |cdist AS (
+       |  SELECT qs.vec_id, qs.sub, cq.code,
+       |         CAST(SUM((qs.xq - cq.centroid_q) * (qs.xq - cq.centroid_q)) AS BIGINT) AS dist2_q
+       |  FROM qs JOIN cq ON qs.dim = cq.dim
+       |  GROUP BY qs.vec_id, qs.sub, cq.code
+       |),
+       |codes AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist2_q, code) AS rn
+       |    FROM cdist
+       |  ) WHERE rn = 1
+       |),
+       |ascored AS (
+       |  SELECT l.vec_id AS qid, c.vec_id, CAST(SUM(l.dist2_q) AS BIGINT) AS adist_q
+       |  FROM codes c JOIN cdist l ON c.sub = l.sub AND c.code = l.code
+       |  WHERE l.vec_id < 10 AND c.vec_id <> l.vec_id
+       |  GROUP BY l.vec_id, c.vec_id
+       |),
+       |short AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist_q, vec_id) AS rnk
+       |    FROM ascored
+       |  ) WHERE rnk <= 20
+       |),
+       |$normSql,
+       |rescored AS (
+       |  SELECT s.qid, s.vec_id,
+       |         CAST($cosSql AS BIGINT) AS cosine_e4
+       |  FROM short s JOIN n ca ON ca.vec_id = s.vec_id JOIN n qa ON qa.vec_id = s.qid
+       |)""".stripMargin
 
   /** IVF CTE chain through `ranked` (rnk = per-query cosine rank):
     * corpus side uses rn=1 assignments; query side probes the `nprobe`
@@ -673,44 +716,21 @@ object AnnPack extends QueryPack {
          |  FROM scored
          |) WHERE rnk <= 5""".stripMargin,
     "pq_rerank" ->
-      s"""WITH ${EmbeddingStatsPack.centroidSql},
-         |cq AS (SELECT CAST(label AS BIGINT) AS code, dim,
-         |              CAST(FLOOR(CAST(sum_q AS DOUBLE) / n + 0.5) AS BIGINT) AS centroid_q FROM c),
-         |qs AS (SELECT vec_id, (dim - 1) // 8 AS sub, dim, xq FROM q),
-         |cdist AS (
-         |  SELECT qs.vec_id, qs.sub, cq.code,
-         |         CAST(SUM((qs.xq - cq.centroid_q) * (qs.xq - cq.centroid_q)) AS BIGINT) AS dist2_q
-         |  FROM qs JOIN cq ON qs.dim = cq.dim
-         |  GROUP BY qs.vec_id, qs.sub, cq.code
-         |),
-         |codes AS (
-         |  SELECT vec_id, sub, code FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist2_q, code) AS rn
-         |    FROM cdist
-         |  ) WHERE rn = 1
-         |),
-         |ascored AS (
-         |  SELECT l.vec_id AS qid, c.vec_id, CAST(SUM(l.dist2_q) AS BIGINT) AS adist_q
-         |  FROM codes c JOIN cdist l ON c.sub = l.sub AND c.code = l.code
-         |  WHERE l.vec_id < 10 AND c.vec_id <> l.vec_id
-         |  GROUP BY l.vec_id, c.vec_id
-         |),
-         |short AS (
-         |  SELECT qid, vec_id FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist_q, vec_id) AS rnk
-         |    FROM ascored
-         |  ) WHERE rnk <= 20
-         |),
-         |$normSql,
-         |rescored AS (
-         |  SELECT s.qid, s.vec_id,
-         |         CAST($cosSql AS BIGINT) AS cosine_e4
-         |  FROM short s JOIN n ca ON ca.vec_id = s.vec_id JOIN n qa ON qa.vec_id = s.qid
-         |)
+      s"""WITH $pqRerankCtes
          |SELECT qid, vec_id, cosine_e4, rnk FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine_e4 DESC, vec_id) AS rnk
          |  FROM rescored
          |) WHERE rnk <= 5""".stripMargin,
+    "rerank_recall" ->
+      s"""WITH $pqRerankCtes,
+         |atop AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine_e4 DESC, vec_id) AS rnk
+         |    FROM rescored
+         |  ) WHERE rnk <= 5
+         |),
+         |$bruteCtes,
+         |${recallTail("atop")}""".stripMargin,
     "emb_near_dups" ->
       s"""WITH $normSql, $bucketSql,
          |bok AS (SELECT bucket FROM bk GROUP BY bucket HAVING COUNT(*) <= ${AnnOps.MaxEmbBucket}),
