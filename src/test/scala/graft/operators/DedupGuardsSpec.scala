@@ -124,6 +124,32 @@ class DedupGuardsSpec extends SparkSpec {
     }
   }
 
+  test("property: rowSimhash equals the batch simhash on adversarial random texts") {
+    noCache {
+      // token pool deliberately tiny so random docs repeat trigrams (the
+      // distinct-vs-multiset divergence trap) and includes docs at and
+      // below the 3-token trigram floor
+      val tokGen = Gen.oneOf("a", "b", "aa", "x1", "zz")
+      val docGen: Gen[Seq[(Long, String)]] = for {
+        n <- Gen.choose(2, 6)
+        texts <- Gen.listOfN(n, Gen.choose(0, 8).flatMap(len => Gen.listOfN(len, tokGen)))
+      } yield texts.zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+      val prop = Prop.forAll(docGen) { rows =>
+        val docs = mkDocs(rows)
+        val batch = DedupOps.simhashes(postings(docs), spark)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val perRow = docs
+          .select(col("doc_id"), DedupOps.rowSimhash(col("text")).as("rs"))
+          .filter(col("rs").isNotNull)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        perRow == batch
+      }
+      val res = SCTest.check(
+        SCTest.Parameters.default.withMinSuccessfulTests(20).withInitialSeed(Seed(7L)), prop)
+      assert(res.passed, res.status.toString)
+    }
+  }
+
   test("capBuckets: no surviving bucket exceeds the cap") {
     noCache {
       val docs = mkDocs((0 until 150).map(i => (i.toLong, s"a b c d e f g${i % 3}")))
