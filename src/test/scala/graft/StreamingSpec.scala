@@ -261,6 +261,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("simhash near-dup stream agrees with batch simhashDedup on the fixture corpus") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val docs = graft.sources.Tables.documents(s, sf).select("doc_id", "text")
+    // batch pairs (da < db, hamming <= 3); fixture band buckets are far
+    // below the cap, so dark-bucket vs dropped-bucket semantics cannot
+    // diverge here and the two paths must agree exactly
+    val batchPairs = graft.operators.DedupOps.simhashDedup(docs, s)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.nearDupStream(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("neardup_diff").outputMode("append").start()
+    try {
+      // arrival in doc_id order => every hit is (later, earlier)
+      input.addData(docs.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq: _*)
+      q.processAllAvailable()
+      val streamPairs = s.sql("SELECT dup_of, doc_id FROM neardup_diff").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamPairs == batchPairs,
+        s"stream-only: ${(streamPairs -- batchPairs).take(5)}; batch-only: ${(batchPairs -- streamPairs).take(5)}")
+    } finally q.stop()
+  }
+
   test("new-server watcher emits each server exactly once (O-58)") {
     val s = spark
     import s.implicits._
