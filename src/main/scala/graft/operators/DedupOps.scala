@@ -368,18 +368,23 @@ object DedupOps {
     * at that scale widen the fingerprint (64-bit simhash, 16-bit
     * bands ⇒ 65k values/band, same pigeonhole argument), keeping the
     * cap as the degenerate-signature guard it is here. */
-  def simhashDedup(docs: DataFrame, spark: SparkSession, maxHamming: Int = 3): DataFrame = {
-    val postings = shinglePostings(docs)
-    // one row per doc; the banded self-join would otherwise run the
-    // 32-column aggregation twice
-    val sh = graft.Caching.maybeCache(simhashes(postings, spark))
+  /** Capped 4×8-bit banding of every doc's simhash — the shared meeting
+    * point for the whole-corpus self-join ([[simhashDedup]]) and the
+    * batch-vs-corpus one-sided join ([[incrNearDup]]). Cached twice over:
+    * the per-doc simhash (the 32-column aggregation) and the capped
+    * banding (the bucket-census window), since every consumer reads the
+    * banding at least twice. */
+  private def cappedBanding(docs: DataFrame, spark: SparkSession): DataFrame = {
+    val sh = graft.Caching.maybeCache(simhashes(shinglePostings(docs), spark))
     val bands = spark.range(4).withColumnRenamed("id", "b")
-    // cached: both sides of the band self-join read the capped banding;
-    // uncached, the bucket-census window runs once per side
-    val banded = graft.Caching.maybeCache(capBuckets(
+    graft.Caching.maybeCache(capBuckets(
       sh.crossJoin(broadcast(bands))
         .withColumn("band_val", expr("shiftright(simhash, cast(b * 8 as int)) % 256")),
       Seq("b", "band_val")))
+  }
+
+  def simhashDedup(docs: DataFrame, spark: SparkSession, maxHamming: Int = 3): DataFrame = {
+    val banded = cappedBanding(docs, spark)
     val pairs = banded.as("a")
       .join(banded.as("b2"),
         col("a.b") === col("b2.b") && col("a.band_val") === col("b2.band_val") &&
@@ -393,6 +398,37 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
       .select(col("da"), col("db"), col("hamming").cast("int").as("hamming"))
   }
+
+  /** Incremental near-dup: flag each new-batch doc (doc_id >=
+    * `watermarkId` in the fixture; a date/partition predicate in
+    * production) against the EXISTING corpus — the near-dup analogue of
+    * [[incrDedup]] and the batch twin of streaming/StreamingOps
+    * .nearDupStream. Candidates meet through the same capped SimHash
+    * banding as [[simhashDedup]], but the join is one-sided (new ⋈ old),
+    * so a daily batch costs |batch bands| ⋈ |corpus bands|, never
+    * corpus². In production the old side reads a STORED signature table
+    * (16 bytes/doc) instead of re-hashing the corpus — the banding here
+    * recomputes both sides only because the fixture has no signature
+    * store; the join shape is identical. */
+  def incrNearDup(
+      docs: DataFrame,
+      spark: SparkSession,
+      watermarkId: Long,
+      maxHamming: Int = 3): DataFrame = {
+    val banded = cappedBanding(docs, spark)
+    val pairs = banded.as("nw")
+      .join(banded.as("old"),
+        col("nw.b") === col("old.b") && col("nw.band_val") === col("old.band_val") &&
+          col("nw.doc_id") >= watermarkId && col("old.doc_id") < watermarkId)
+      .select(
+        col("nw.doc_id").as("doc_id"), col("old.doc_id").as("dup_of"),
+        col("nw.simhash").as("sa"), col("old.simhash").as("sb"))
+      .distinct()
+    pairs
+      .withColumn("hamming", bit_count(expr("sa ^ sb")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_id"), col("dup_of"), col("hamming").cast("int").as("hamming"))
+  }
 }
 
 object DedupPack extends QueryPack {
@@ -404,7 +440,8 @@ object DedupPack extends QueryPack {
     "dedup_minhash" -> ((s, dir) => DedupOps.minhashLsh(d(s, dir), s)),
     "dedup_simhash" -> ((s, dir) => DedupOps.simhashDedup(d(s, dir), s)),
     "longest_span" -> ((s, dir) => DedupOps.pairLongestSpan(d(s, dir))),
-    "incr_dedup" -> ((s, dir) => DedupOps.incrDedup(d(s, dir), 25L))
+    "incr_dedup" -> ((s, dir) => DedupOps.incrDedup(d(s, dir), 25L)),
+    "incr_neardup" -> ((s, dir) => DedupOps.incrNearDup(d(s, dir), s, IncrNearDupWatermark))
   )
 
   /** Shared SQL: distinct (doc_id, 31-bit shingle hash) postings. */
@@ -418,6 +455,36 @@ object DedupPack extends QueryPack {
       |  WHERE i + 2 <= len(t)
       |),
       |sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id)""".stripMargin
+
+  /** Fixture watermark for incr_neardup: docs below are "the corpus",
+    * docs at/above are "the new batch". */
+  private[operators] val IncrNearDupWatermark = 100L
+
+  /** SimHash + capped 4×8 banding as CTEs through `bf(doc_id, simhash,
+    * b, band_val)` — shared by the whole-corpus and incremental oracles,
+    * mirroring [[DedupOps.cappedBanding]]. */
+  private val simhashBandSql =
+    s"""$postingsSql,
+       |bits AS (
+       |  SELECT doc_id, i.i,
+       |         SUM(CASE WHEN (x31 >> CAST(i.i AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM sh, range(0, 32) i(i)
+       |  GROUP BY doc_id, i.i
+       |),
+       |hashes AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(CASE WHEN s > 0 THEN CAST(POW(2, i) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id
+       |),
+       |banded AS (
+       |  SELECT doc_id, simhash, r.b AS b, (simhash >> CAST(r.b * 8 AS INT)) % 256 AS band_val
+       |  FROM hashes, range(0, 4) r(b)
+       |),
+       |bf AS (
+       |  SELECT doc_id, simhash, b, band_val FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY b, band_val) AS bsz FROM banded
+       |  ) WHERE bsz <= ${DedupOps.MaxBandBucket}
+       |)""".stripMargin
 
   /** The [[DedupOps.MaxShingleDf]] cap mirrored in SQL: `shc` = postings
     * restricted to the capped shingle space, `sizesc` = doc sizes over it. */
@@ -510,33 +577,23 @@ object DedupPack extends QueryPack {
          |),
          |${jaccardSql("pairs", 5000L)}""".stripMargin,
     "dedup_simhash" ->
-      s"""WITH $postingsSql,
-         |bits AS (
-         |  SELECT doc_id, i.i,
-         |         SUM(CASE WHEN (x31 >> CAST(i.i AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
-         |  FROM sh, range(0, 32) i(i)
-         |  GROUP BY doc_id, i.i
-         |),
-         |hashes AS (
-         |  SELECT doc_id,
-         |         CAST(SUM(CASE WHEN s > 0 THEN CAST(POW(2, i) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-         |  FROM bits GROUP BY doc_id
-         |),
-         |banded AS (
-         |  SELECT doc_id, simhash, r.b AS b, (simhash >> CAST(r.b * 8 AS INT)) % 256 AS band_val
-         |  FROM hashes, range(0, 4) r(b)
-         |),
-         |bf AS (
-         |  SELECT doc_id, simhash, b, band_val FROM (
-         |    SELECT *, COUNT(*) OVER (PARTITION BY b, band_val) AS bsz FROM banded
-         |  ) WHERE bsz <= ${DedupOps.MaxBandBucket}
-         |),
+      s"""WITH $simhashBandSql,
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db, a.simhash AS sa, b2.simhash AS sb
          |  FROM bf a JOIN bf b2
          |    ON a.b = b2.b AND a.band_val = b2.band_val AND a.doc_id < b2.doc_id
          |)
          |SELECT da, db, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+         |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
+    "incr_neardup" ->
+      s"""WITH $simhashBandSql,
+         |pairs AS (
+         |  SELECT DISTINCT nw.doc_id AS doc_id, old.doc_id AS dup_of, nw.simhash AS sa, old.simhash AS sb
+         |  FROM bf nw JOIN bf old
+         |    ON nw.b = old.b AND nw.band_val = old.band_val
+         |   AND nw.doc_id >= $IncrNearDupWatermark AND old.doc_id < $IncrNearDupWatermark
+         |)
+         |SELECT doc_id, dup_of, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
          |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
     // longest shared token span: 1-based positions vs Spark's 0-based is
     // irrelevant — diagonals and run lengths are shift-invariant

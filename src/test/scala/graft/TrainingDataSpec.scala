@@ -60,6 +60,20 @@ class TrainingDataSpec extends SparkSpec {
     assert(mismatch.count() == 0, "rerank scores must be exact cosines")
   }
 
+  test("incrNearDup is exactly the cross-watermark slice of the full simhash pair graph") {
+    val wm = 100L
+    val incr = DedupOps.incrNearDup(docs, spark, wm).cache()
+    // one-sidedness: new-batch doc flagged against an existing-corpus doc
+    assert(incr.filter(col("doc_id") < wm || col("dup_of") >= wm).count() == 0)
+    // both paths share the same capped banding, so the incremental pairs
+    // must equal the full graph's (da < wm <= db) slice
+    val fullSlice = DedupOps.simhashDedup(docs, spark)
+      .filter(col("da") < wm && col("db") >= wm)
+      .select(col("db").as("doc_id"), col("da").as("dup_of"), col("hamming"))
+    assert(incr.except(fullSlice).count() == 0 && fullSlice.except(incr).count() == 0)
+    incr.unpersist()
+  }
+
   test("annRecall runs against every index variant; unknown index is rejected") {
     for (idx <- Seq("lsh", "ivf", "ivf2", "sq8", "pq", "pq_rerank")) {
       val r = AnnOps.annRecall(embs, spark, nQueries = 5, k = 3, index = idx).cache()
