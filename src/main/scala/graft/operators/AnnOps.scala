@@ -262,7 +262,10 @@ object AnnOps {
     val b = buckets(n, spark)
     val okBuckets = b.groupBy("bucket").agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") <= MaxEmbBucket).select("bucket")
-    val nb = n.join(b, "vec_id").join(broadcast(okBuckets), Seq("bucket"), "left_semi")
+    // cached: both sides of the bucket self-join read the guarded
+    // (vector, bucket) frame; uncached, the vec_id join runs per side
+    val nb = graft.Caching.maybeCache(
+      n.join(b, "vec_id").join(broadcast(okBuckets), Seq("bucket"), "left_semi"))
     nb.as("a")
       .join(nb.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))

@@ -411,7 +411,11 @@ object CurationOps {
     val uni = bgs.groupBy("w1").agg(count(lit(1)).as("c1"))
     val bi = bgs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val vocab = bgs.select(countDistinct(col("w2")).as("v"))
+    // p_e9 is constant per (w1, w2), so the LM join runs over per-doc
+    // DISTINCT bigrams weighted by their in-doc count — Σ cnt·p_e9 equals
+    // the per-instance sum exactly, with a smaller join input
     bgs
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cnt"))
       .join(bi, Seq("w1", "w2"))
       .join(uni, Seq("w1"))
       .crossJoin(broadcast(vocab))
@@ -419,7 +423,7 @@ object CurationOps {
         floor((col("c12") + 1) / (col("c1") + col("v")).cast("double") * 1000000000L + 0.5)
           .cast("long"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_e9")).as("p_sum_e9"))
+      .agg(sum(col("cnt")).as("n_bigrams"), sum(col("cnt") * col("p_e9")).as("p_sum_e9"))
       .select(col("doc_id"), col("n_bigrams"), col("p_sum_e9"),
         floor(col("p_sum_e9").cast("double") / col("n_bigrams") / 100000L + 0.5)
           .cast("long").as("fluency_e4"))
