@@ -158,7 +158,10 @@ object CurationOps {
     * bottleneck at 100 TB vocab sizes. */
   def vocabTopGrams(docs: DataFrame, k: Int = 25): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val toks = docs.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    // cached: the unigram and bigram branches both read the token
+    // explode; uncached, the corpus parse runs once per branch
+    val toks = graft.Caching.maybeCache(
+      docs.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok"))))
     val uni = toks.select(lit(1).as("n"), col("tok").as("gram"))
     val bi = toks
       .withColumn("t1", lead("tok", 1).over(w))
