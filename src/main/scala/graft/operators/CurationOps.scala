@@ -387,6 +387,13 @@ object CurationOps {
           .cast("long").as("dup_frac_e4"))
   }
 
+  /** A trained bigram LM as data: unigram context counts, bigram counts,
+    * and the continuation vocabulary size — everything the add-one
+    * probability (c12+1)/(c1+V) needs. Produced offline by
+    * [[CurationOps.trainBigramLm]], consumed at serve time by
+    * streaming/StreamingOps.fluencyScoreStream via stream-static joins. */
+  case class BigramLm(uni: DataFrame, bi: DataFrame, vocabSize: Long)
+
   /** CCNet-style LM fluency scoring: each doc scored under a bigram
     * language model trained on the corpus itself, for perplexity-filter
     * curation (drop the least-fluent tail before training). Score =
@@ -430,6 +437,26 @@ object CurationOps {
       .select(col("doc_id"), col("n_bigrams"), col("p_sum_e9"),
         floor(col("p_sum_e9").cast("double") / col("n_bigrams") / 100000L + 0.5)
           .cast("long").as("fluency_e4"))
+  }
+
+  /** Train the [[BigramLm]] on a corpus — the offline step of the
+    * train-offline / score-at-ingest split. Same counts and smoothing
+    * universe as [[bigramFluency]] (which trains and scores in one lazy
+    * plan); here the vocab size is materialized eagerly (one scalar
+    * action) because the streaming scorer needs it as a literal, and the
+    * count tables are cached — they are the broadcast/static side of
+    * every stream-static join downstream. */
+  def trainBigramLm(docs: DataFrame): BigramLm = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bgs = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("t1", lead("tok", 1).over(w))
+      .filter(col("t1").isNotNull)
+      .select(col("tok").as("w1"), col("t1").as("w2"))
+    val uni = graft.Caching.maybeCache(bgs.groupBy("w1").agg(count(lit(1)).as("c1")))
+    val bi = graft.Caching.maybeCache(bgs.groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
+    val v = bgs.agg(countDistinct(col("w2")).as("v")).collect()(0).getLong(0)
+    BigramLm(uni, bi, v)
   }
 }
 

@@ -248,6 +248,48 @@ object StreamingOps {
         })
   }
 
+  /** Score documents AT INGEST under a pre-trained bigram LM
+    * (CurationOps.trainBigramLm) — the serve-time half of the CCNet-style
+    * perplexity filter, and the streaming section's stream-static join
+    * pattern: the unbounded doc stream joins the bounded count tables
+    * (static side; Spark broadcasts or re-plans it per microbatch, no
+    * stream state for the join itself). Bigrams come from a per-row
+    * higher-order explode (no window — windows can't run on a stream),
+    * unknown context/bigram falls back to the add-one floor
+    * (c12 -> 0, c1 -> 0), and the per-doc fold is a watermark-bounded
+    * windowed aggregation, emitted when the doc's ingest window closes.
+    * Scoring the training corpus itself reproduces bigramFluency exactly
+    * (differential-tested). */
+  def fluencyScoreStream(
+      docs: DataFrame,
+      lm: graft.operators.CurationOps.BigramLm,
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    // guard BEFORE sequence(): n < 2 would step the sequence DOWN
+    val idx = when(n >= lit(2), sequence(lit(1), n - 1))
+      .otherwise(array().cast("array<int>"))
+    val bgs = docs
+      .withColumn("__bg", explode(transform(idx, i =>
+        struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2")))))
+      .select(col("doc_id"), col("ingest_ts"),
+        col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    bgs
+      .withWatermark("ingest_ts", watermark)
+      .join(lm.bi, Seq("w1", "w2"), "left")
+      .join(lm.uni, Seq("w1"), "left")
+      .withColumn("p_e9",
+        floor((coalesce(col("c12"), lit(0L)) + 1) /
+          (coalesce(col("c1"), lit(0L)) + lit(lm.vocabSize)).cast("double") * 1000000000L + 0.5)
+          .cast("long"))
+      .groupBy(window(col("ingest_ts"), watermark), col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_e9")).as("p_sum_e9"))
+      .select(col("doc_id"), col("n_bigrams"),
+        floor(col("p_sum_e9").cast("double") / col("n_bigrams") / 100000L + 0.5)
+          .cast("long").as("fluency_e4"))
+  }
+
   case class ServerSeen(server: String)
   case class NewServer(server: String, firstSeen: java.sql.Timestamp)
 

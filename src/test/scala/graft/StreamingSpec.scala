@@ -286,6 +286,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fluency gate scores the training corpus identically to batch bigramFluency") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown cat sleeps on the warm mat"),
+      (3L, "a completely different sentence with its own words"),
+      (4L, "short"))
+    val corpus = texts.toDF("doc_id", "text")
+    val lm = graft.operators.CurationOps.trainBigramLm(corpus)
+    val expected = graft.operators.CurationOps.bigramFluency(corpus)
+      .select("doc_id", "n_bigrams", "fluency_e4").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingOps.fluencyScoreStream(
+      input.toDF().toDF("doc_id", "text", "ingest_ts"), lm)
+      .writeStream.format("memory").queryName("fluency_out").outputMode("append").start()
+    try {
+      input.addData(texts.map { case (id, t) => (id, t, ts(0)) }: _*)
+      q.processAllAvailable()
+      // far-future doc advances the watermark so the first window closes
+      input.addData((99L, "x y", Timestamp.valueOf("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val got = s.sql("SELECT doc_id, n_bigrams, fluency_e4 FROM fluency_out WHERE doc_id < 99")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected, s"stream $got vs batch $expected")
+    } finally q.stop()
+  }
+
   test("new-server watcher emits each server exactly once (O-58)") {
     val s = spark
     import s.implicits._
