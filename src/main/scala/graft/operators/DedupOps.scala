@@ -308,23 +308,32 @@ object DedupOps {
       .agg((max(col("runlen")) + lit(2)).as("longest_tokens"))
   }
 
-  /** Per-doc 32-bit simhash over shingle hashes: 32 conditional sums in a
+  /** Per-doc 64-bit simhash over shingle hashes: 64 conditional sums in a
     * single aggregation pass (no row blowup — one groupBy over the
-    * postings, 32 codegen'd sum columns). */
+    * postings, 64 codegen'd sum columns).
+    *
+    * Bit k is the parity of [[graft.functions.TextFunctions.minhashPerm]]
+    * applied to the 31-bit shingle hash — the shingle hash itself only
+    * carries 31 bits, so a 64-bit fingerprint needs 64 derived bit
+    * streams, and the affine mod-p family is already engine-portable
+    * (the minhash oracle mirrors it). Bit 63 makes the packed Long
+    * negative; band extraction masks with `& 65535` so the sign never
+    * leaks into bucket values. */
   def simhashes(postings: DataFrame, spark: SparkSession): DataFrame = {
-    val bitSums = (0 until 32).map { i =>
-      sum(when(expr(s"shiftright(x31, $i) % 2") === 1, lit(1L)).otherwise(lit(-1L))).as(s"s$i")
+    val bitSums = (0 until 64).map { i =>
+      sum(when(minhashPerm(col("x31"), lit(i.toLong)) % 2 === 1, lit(1L)).otherwise(lit(-1L)))
+        .as(s"s$i")
     }
-    val packed = (0 until 32)
+    val packed = (0 until 64)
       .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
+      .reduce((a, b) => a.bitwiseOR(b))
     postings
       .groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), packed.as("simhash"))
   }
 
-  /** Per-row simhash: the same 32-bit fingerprint as [[simhashes]],
+  /** Per-row simhash: the same 64-bit fingerprint as [[simhashes]],
     * computed entirely within one row by higher-order array functions —
     * no explode, no shuffle, no aggregation — so it can run on an
     * unbounded stream (streaming/StreamingOps.nearDupStream) or as a
@@ -346,43 +355,45 @@ object DedupOps {
       concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
     val hs = array_distinct(transform(tris, t => stableHash31(t)))
     // bit i set iff the +1/-1 sum over shingles is positive: 2*c1 > n
-    val sim = (0 until 32)
+    val sim = (0 until 64)
       .map(i => when(
-        size(filter(hs, h => shiftright(h, i) % 2 === 1)) * 2 > size(hs),
+        size(filter(hs, h => minhashPerm(h, lit(i.toLong)) % 2 === 1)) * 2 > size(hs),
         lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
+      .reduce((a, b) => a.bitwiseOR(b))
     when(n >= 3, sim)
   }
 
+  /** Capped 4×16-bit banding of every doc's simhash — the shared meeting
+    * point for the whole-corpus self-join ([[simhashDedup]]) and the
+    * batch-vs-corpus one-sided join ([[incrNearDup]]). Cached twice over:
+    * the per-doc simhash (the 64-column aggregation) and the capped
+    * banding (the bucket-census window), since every consumer reads the
+    * banding at least twice. The `& 65535` mask (not `% 65536`) keeps
+    * band values non-negative when bit 63 makes the simhash negative. */
+  private[operators] def cappedBanding(docs: DataFrame, spark: SparkSession): DataFrame = {
+    val sh = graft.Caching.maybeCache(simhashes(shinglePostings(docs), spark))
+    val bands = spark.range(4).withColumnRenamed("id", "b")
+    graft.Caching.maybeCache(capBuckets(
+      sh.crossJoin(broadcast(bands))
+        .withColumn("band_val", expr("shiftright(simhash, cast(b * 16 as int)) & 65535")),
+      Seq("b", "band_val")))
+  }
+
   /** SimHash near-dup pairs with hamming distance <= 3, found via 4
-    * 8-bit band buckets (pigeonhole: hamming<=3 over 4 bands ⇒ at least
+    * 16-bit band buckets (pigeonhole: hamming<=3 over 4 bands ⇒ at least
     * one identical band, so the banded join loses nothing below the
     * bucket cap).
     *
     * Bucket guard: buckets over [[MaxBandBucket]] members are dropped
     * (shared [[capBuckets]] guard) — pigeonhole bounds MISSES, not
     * bucket SIZE, and a degenerate corpus (boilerplate docs hashing
-    * identically) piles into one bucket. Width caveat for 100 TB: an
-    * 8-bit band has only 256 values, so E[bucket] grows linearly with
-    * the corpus and honest buckets would eventually exceed any cap —
-    * at that scale widen the fingerprint (64-bit simhash, 16-bit
-    * bands ⇒ 65k values/band, same pigeonhole argument), keeping the
-    * cap as the degenerate-signature guard it is here. */
-  /** Capped 4×8-bit banding of every doc's simhash — the shared meeting
-    * point for the whole-corpus self-join ([[simhashDedup]]) and the
-    * batch-vs-corpus one-sided join ([[incrNearDup]]). Cached twice over:
-    * the per-doc simhash (the 32-column aggregation) and the capped
-    * banding (the bucket-census window), since every consumer reads the
-    * banding at least twice. */
-  private def cappedBanding(docs: DataFrame, spark: SparkSession): DataFrame = {
-    val sh = graft.Caching.maybeCache(simhashes(shinglePostings(docs), spark))
-    val bands = spark.range(4).withColumnRenamed("id", "b")
-    graft.Caching.maybeCache(capBuckets(
-      sh.crossJoin(broadcast(bands))
-        .withColumn("band_val", expr("shiftright(simhash, cast(b * 8 as int)) % 256")),
-      Seq("b", "band_val")))
-  }
-
+    * identically) piles into one bucket. The 16-bit width is what makes
+    * the cap a pure degeneracy guard at scale: with 65k values per band
+    * an HONEST bucket holds E ≈ N/65536 docs (under a cap of 128 up to
+    * corpora of ~8M docs per partition-able blocking unit, and the cap
+    * can scale with N beyond that), whereas the previous 8-bit bands
+    * (256 values) had honest buckets growing past any fixed cap at
+    * corpus scale — the cap would then silently eat real near-dups. */
   def simhashDedup(docs: DataFrame, spark: SparkSession, maxHamming: Int = 3): DataFrame = {
     val banded = cappedBanding(docs, spark)
     val pairs = banded.as("a")
@@ -460,24 +471,31 @@ object DedupPack extends QueryPack {
     * docs at/above are "the new batch". */
   private[operators] val IncrNearDupWatermark = 100L
 
-  /** SimHash + capped 4×8 banding as CTEs through `bf(doc_id, simhash,
+  /** SimHash + capped 4×16 banding as CTEs through `bf(doc_id, simhash,
     * b, band_val)` — shared by the whole-corpus and incremental oracles,
-    * mirroring [[DedupOps.cappedBanding]]. */
+    * mirroring [[DedupOps.cappedBanding]]. Bit i is the parity of the
+    * minhashPerm affine family (same constants as the minhash oracle);
+    * bit 63 packs as the BIGINT sign bit, so the band extraction masks
+    * with `& 65535` exactly like the Spark side. */
   private val simhashBandSql =
     s"""$postingsSql,
        |bits AS (
        |  SELECT doc_id, i.i,
-       |         SUM(CASE WHEN (x31 >> CAST(i.i AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
-       |  FROM sh, range(0, 32) i(i)
+       |         SUM(CASE WHEN ((((i.i * 2 + 1) * 12582917) % 2147483647) * x31
+       |                        + (((i.i + 1) * 2654435761) % 2147483647)) % 2147483647 % 2 = 1
+       |                  THEN 1 ELSE -1 END) AS s
+       |  FROM sh, range(0, 64) i(i)
        |  GROUP BY doc_id, i.i
        |),
        |hashes AS (
        |  SELECT doc_id,
-       |         CAST(SUM(CASE WHEN s > 0 THEN CAST(POW(2, i) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+       |         CAST(SUM(CASE WHEN s <= 0 THEN 0
+       |                       WHEN i = 63 THEN (-9223372036854775807 - 1)
+       |                       ELSE CAST(POW(2, i) AS BIGINT) END) AS BIGINT) AS simhash
        |  FROM bits GROUP BY doc_id
        |),
        |banded AS (
-       |  SELECT doc_id, simhash, r.b AS b, (simhash >> CAST(r.b * 8 AS INT)) % 256 AS band_val
+       |  SELECT doc_id, simhash, r.b AS b, (simhash >> CAST(r.b * 16 AS INT)) & 65535 AS band_val
        |  FROM hashes, range(0, 4) r(b)
        |),
        |bf AS (

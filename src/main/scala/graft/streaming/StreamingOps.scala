@@ -193,8 +193,8 @@ object StreamingOps {
 
   /** Streaming SimHash near-dup gate: flag each arriving doc against
     * everything already ingested — the ingest-time twin of
-    * DedupOps.simhashDedup, sharing its banding (4×8-bit bands over the
-    * same 32-bit fingerprint; rowSimhash is test-pinned bit-identical to
+    * DedupOps.simhashDedup, sharing its banding (4×16-bit bands over the
+    * same 64-bit fingerprint; rowSimhash is test-pinned bit-identical to
     * the batch aggregation) so the stream and a retrospective batch pass
     * agree on what counts as a near-dup.
     *
@@ -218,7 +218,7 @@ object StreamingOps {
     val bandStructs = (0 until 4).map { b =>
       struct(
         col("doc_id"), col("simhash"), lit(b).as("band"),
-        expr(s"shiftright(simhash, ${b * 8}) % 256").as("band_val"))
+        expr(s"shiftright(simhash, ${b * 16}) & 65535").as("band_val"))
     }
     docs
       .withColumn("simhash", graft.operators.DedupOps.rowSimhash(col("text")))
@@ -236,7 +236,7 @@ object StreamingOps {
             if (buf.size < maxPerBucket) {
               buf.foreach { e =>
                 if (e.doc_id != r.doc_id) {
-                  val d = java.lang.Long.bitCount((e.simhash ^ r.simhash) & 0xFFFFFFFFL)
+                  val d = java.lang.Long.bitCount(e.simhash ^ r.simhash)
                   if (d <= maxHamming) hits += NearDupHit(r.doc_id, e.doc_id, key._1, d)
                 }
               }

@@ -150,6 +150,28 @@ class DedupGuardsSpec extends SparkSpec {
     }
   }
 
+  test("16-bit bands: honest buckets stay far below the cap as distinct-content corpora grow") {
+    noCache {
+      // N docs of fully distinct random content: with 65k values per band
+      // an honest bucket holds E ≈ N/65536 docs, so even at 400 docs no
+      // bucket should come anywhere near MaxBandBucket — the cap stays a
+      // degeneracy guard, not a recall limiter. (The former 8-bit bands
+      // put E = N/256 on a collision course with the cap: at 400 docs
+      // buckets already averaged 1.5+ members and grew linearly with N.)
+      val n = 400
+      val rnd = new scala.util.Random(11)
+      val docs = mkDocs((0 until n).map { i =>
+        (i.toLong, Seq.fill(12)("w" + rnd.nextInt(100000)).mkString(" "))
+      })
+      val banded = DedupOps.cappedBanding(docs, spark)
+      val maxBucket = banded.groupBy("b", "band_val").agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).collect()(0).getLong(0)
+      assert(maxBucket <= 8, s"honest 16-bit band bucket unexpectedly hot: $maxBucket")
+      // and the cap dropped nothing: every doc appears in all 4 bands
+      assert(banded.count() == 4L * n)
+    }
+  }
+
   test("capBuckets: no surviving bucket exceeds the cap") {
     noCache {
       val docs = mkDocs((0 until 150).map(i => (i.toLong, s"a b c d e f g${i % 3}")))
