@@ -45,9 +45,16 @@ object AnnOps {
   /** Deterministic integer hyperplane weight w(j, d) = ((j*67 + d*31) % 19) - 9. */
   private def planeDot(v: Column, j: Column): Column = plane_dot(v, j)
 
-  /** Per-vector LSH bucket: sign bits of 8 hyperplane projections. */
-  def buckets(normalized: DataFrame, spark: SparkSession): DataFrame = {
-    val planes = spark.range(NumPlanes).withColumnRenamed("id", "j")
+  /** Per-vector LSH bucket: sign bits of `numPlanes` hyperplane
+    * projections. The plane count is the blocking-granularity knob:
+    * E[honest bucket] = N / 2^planes, so it scales with the corpus —
+    * 8 planes for fixture-scale corpora, 16+ at billions of vectors
+    * (the 16-plane variant is oracled as `emb_near_dups_16p`). Raising
+    * the plane count only ever SPLITS buckets (bucket bits are a
+    * prefix), so candidates at p+k planes are a subset of candidates
+    * at p planes — pinned by a test. */
+  def buckets(normalized: DataFrame, spark: SparkSession, numPlanes: Int = NumPlanes): DataFrame = {
+    val planes = spark.range(numPlanes).withColumnRenamed("id", "j")
     normalized
       .crossJoin(broadcast(planes))
       .select(col("vec_id"),
@@ -246,10 +253,11 @@ object AnnOps {
     * with 8 hyperplanes a bucket is a DENSE REGION of the embedding
     * space, not a degenerate signature, and honest buckets at fixture
     * scale reach ~250 members — dropping those would trade real recall
-    * for nothing. Width caveat at 100 TB, same as SimHash banding:
-    * E[bucket] = N / 2^planes grows linearly with the corpus, so scale
-    * the plane count with the corpus (e.g. 16-20 planes at billions of
-    * vectors) and keep this cap as the degeneracy guard it is. */
+    * for nothing. At 100 TB E[bucket] = N / 2^planes grows linearly
+    * with the corpus, so the plane count is a caller knob on
+    * [[buckets]]/[[nearDupPairs]] (16-20 planes at billions of
+    * vectors; the 16-plane variant is oracled) and this cap stays the
+    * degeneracy guard it is. */
   val MaxEmbBucket = 1024L
 
   /** Embedding near-dup pairs, blocked by LSH bucket (the 100-TB path:
@@ -257,9 +265,13 @@ object AnnOps {
     * see [[MaxEmbBucket]]. The bucket census is a slim (vec_id, bucket)
     * aggregate, so the guard never shuffles the vectors; the surviving-
     * bucket list is bounded by 2^planes rows and broadcast. */
-  def nearDupPairs(embeddings: DataFrame, spark: SparkSession, thresholdE4: Long = 4000L): DataFrame = {
+  def nearDupPairs(
+      embeddings: DataFrame,
+      spark: SparkSession,
+      thresholdE4: Long = 4000L,
+      numPlanes: Int = NumPlanes): DataFrame = {
     val n = normalized(embeddings)
-    val b = buckets(n, spark)
+    val b = buckets(n, spark, numPlanes)
     val okBuckets = b.groupBy("bucket").agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") <= MaxEmbBucket).select("bucket")
     // cached: both sides of the bucket self-join read the guarded
@@ -387,6 +399,7 @@ object AnnPack extends QueryPack {
     "pq_recall" -> ((s, dir) => AnnOps.annRecall(e(s, dir), s, index = "pq")),
     "sem_dedup" -> ((s, dir) => AnnOps.semDedup(Tables.documents(s, dir), e(s, dir), s)),
     "emb_near_dups" -> ((s, dir) => AnnOps.nearDupPairs(e(s, dir), s)),
+    "emb_near_dups_16p" -> ((s, dir) => AnnOps.nearDupPairs(e(s, dir), s, numPlanes = 16)),
     "pq_knn" -> ((s, dir) => PqOps.pqTopK(e(s, dir))),
     "pq_rerank" -> ((s, dir) => PqOps.pqRerankTopK(e(s, dir))),
     "rerank_recall" -> ((s, dir) => AnnOps.annRecall(e(s, dir), s, index = "pq_rerank"))
@@ -399,16 +412,20 @@ object AnnPack extends QueryPack {
       |  FROM embeddings
       |)""".stripMargin
 
-  private[operators] val bucketSql =
-    """bk AS (
-      |  SELECT vec_id,
-      |         CAST(SUM(CASE WHEN list_reduce(list_transform(range(1, 65),
-      |                        d -> v[d] * CAST(((j.j * 67 + d * 31) % 19) - 9 AS DOUBLE)),
-      |                        (a, b) -> a + b) > 0
-      |                  THEN CAST(POW(2, j.j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-      |  FROM n, range(0, 8) j(j)
-      |  GROUP BY vec_id
-      |)""".stripMargin
+  /** Bucket CTE over `planes` hyperplanes — mirrors
+    * [[AnnOps.buckets]]' numPlanes knob. */
+  private[operators] def bucketSqlFor(planes: Int): String =
+    s"""bk AS (
+       |  SELECT vec_id,
+       |         CAST(SUM(CASE WHEN list_reduce(list_transform(range(1, 65),
+       |                        d -> v[d] * CAST(((j.j * 67 + d * 31) % 19) - 9 AS DOUBLE)),
+       |                        (a, b) -> a + b) > 0
+       |                  THEN CAST(POW(2, j.j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM n, range(0, $planes) j(j)
+       |  GROUP BY vec_id
+       |)""".stripMargin
+
+  private[operators] val bucketSql = bucketSqlFor(8)
 
   private[operators] val cosSql =
     "FLOOR(list_reduce(list_transform(range(1, 65), d -> qa.v[d] * ca.v[d]), (x, y) -> x + y) / (qa.nrm * ca.nrm) * 10000 + 0.5)"
@@ -736,6 +753,15 @@ object AnnPack extends QueryPack {
          |${recallTail("atop")}""".stripMargin,
     "emb_near_dups" ->
       s"""WITH $normSql, $bucketSql,
+         |bok AS (SELECT bucket FROM bk GROUP BY bucket HAVING COUNT(*) <= ${AnnOps.MaxEmbBucket}),
+         |nb AS (SELECT n.vec_id, n.v, n.nrm, bk.bucket FROM n JOIN bk ON n.vec_id = bk.vec_id
+         |       JOIN bok ON bk.bucket = bok.bucket)
+         |SELECT qa.vec_id AS va, ca.vec_id AS vb,
+         |       CAST($cosSql AS BIGINT) AS cosine_e4
+         |FROM nb qa JOIN nb ca ON qa.bucket = ca.bucket AND qa.vec_id < ca.vec_id
+         |WHERE $cosSql >= 4000""".stripMargin,
+    "emb_near_dups_16p" ->
+      s"""WITH $normSql, ${bucketSqlFor(16)},
          |bok AS (SELECT bucket FROM bk GROUP BY bucket HAVING COUNT(*) <= ${AnnOps.MaxEmbBucket}),
          |nb AS (SELECT n.vec_id, n.v, n.nrm, bk.bucket FROM n JOIN bk ON n.vec_id = bk.vec_id
          |       JOIN bok ON bk.bucket = bok.bucket)

@@ -146,6 +146,21 @@ class TrainingDataSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("raising the LSH plane count never ADDS a near-dup pair (16p candidates ⊆ 8p)") {
+    // the 16-plane bucket bits extend the 8-plane bits, so a same-bucket
+    // pair at 16 planes must share its 8-plane bucket too — raising
+    // planes only SPLITS buckets (the safe direction for cap tuning);
+    // holds as long as no 8-plane bucket crosses the degeneracy cap,
+    // which the fixture's honest buckets never do
+    val p8 = AnnOps.nearDupPairs(embs, spark).select("va", "vb").cache()
+    val p16 = AnnOps.nearDupPairs(embs, spark, numPlanes = 16).select("va", "vb").cache()
+    try {
+      assert(p16.except(p8).count() == 0, "16-plane blocking fabricated a pair")
+      assert(p16.count() <= p8.count())
+      assert(p16.count() > 0, "fixture should retain some near-dups at 16 planes")
+    } finally { p8.unpersist(); p16.unpersist() }
+  }
+
   test("incremental dedup: no admitted fingerprint exists in the old corpus or twice in batch") {
     val out = DedupOps.incrDedup(docs, 25L).cache()
     assert(out.count() > 0)
