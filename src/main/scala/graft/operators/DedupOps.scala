@@ -421,6 +421,62 @@ object DedupOps {
     * (16 bytes/doc) instead of re-hashing the corpus — the banding here
     * recomputes both sides only because the fixture has no signature
     * store; the join shape is identical. */
+  /** Measured pair-recall of each capped near-dup blocker against its
+    * brute-force truth set — the blocker analogue of [[AnnOps.annRecall]]
+    * (VERDICT r5 ask #3: the caps' recall cost as a number, not an
+    * assertion). One row per blocker:
+    *   - minhash: truth = full-shingle-space Jaccard ≥ 5000 over all
+    *     co-occurring pairs; found = [[minhashLsh]] (banded + capped +
+    *     verified).
+    *   - simhash: truth = hamming ≤ 3 over ALL doc pairs; found =
+    *     [[simhashDedup]] (16-bit bands + bucket cap).
+    *   - embedding: truth = cosine ≥ 4000 over ALL vector pairs; found =
+    *     [[AnnOps.nearDupPairs]] (LSH-bucket-blocked + capped).
+    *
+    * The truth sides are brute N²/2 EVAL joins (broadcast nested-loop
+    * over the slim signature/vector frames) — this is an evaluation
+    * harness run at fixture scale or on a sampled partition, never part
+    * of the production dedup path; the found sides are exactly the
+    * shipped operators. */
+  def blockerPairRecall(docs: DataFrame, embeddings: DataFrame, spark: SparkSession): DataFrame = {
+    val postings = shinglePostings(docs)
+    val truthJac = verifyJaccard(postings, None)
+      .filter(col("jaccard_e4") >= 5000L).select("da", "db")
+    val mhFound = minhashLsh(docs, spark, 5000L).select("da", "db")
+
+    val sh = graft.Caching.maybeCache(simhashes(postings, spark))
+    val shTruth = sh.as("a")
+      .join(broadcast(sh.as("b")), col("a.doc_id") < col("b.doc_id"))
+      .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 3)
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    val shFound = simhashDedup(docs, spark).select("da", "db")
+
+    val n = AnnOps.normalized(embeddings)
+    val embTruth = n.as("a")
+      .join(broadcast(n.as("b")), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("da"), col("b.vec_id").as("db"),
+        AnnOps.cosineE4(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")).as("cos"))
+      .filter(col("cos") >= 4000L).select("da", "db")
+    val embFound = AnnOps.nearDupPairs(embeddings, spark)
+      .select(col("va").as("da"), col("vb").as("db"))
+
+    def row(name: String, truthRaw: DataFrame, found: DataFrame): DataFrame = {
+      // truth is read twice (census + the intersection semi-join)
+      val truth = graft.Caching.maybeCache(truthRaw)
+      val nt = truth.agg(count(lit(1)).as("n_true"))
+      val nf = found.join(truth, Seq("da", "db"), "left_semi")
+        .agg(count(lit(1)).as("n_found"))
+      nt.crossJoin(broadcast(nf)).select(
+        lit(name).as("blocker"), col("n_true"), col("n_found"),
+        when(col("n_true") === 0, lit(10000L))
+          .otherwise(floor(col("n_found") / col("n_true") * 10000 + 0.5).cast("long"))
+          .as("recall_e4"))
+    }
+    row("minhash", truthJac, mhFound)
+      .unionByName(row("simhash", shTruth, shFound))
+      .unionByName(row("embedding", embTruth, embFound))
+  }
+
   def incrNearDup(
       docs: DataFrame,
       spark: SparkSession,
@@ -452,7 +508,9 @@ object DedupPack extends QueryPack {
     "dedup_simhash" -> ((s, dir) => DedupOps.simhashDedup(d(s, dir), s)),
     "longest_span" -> ((s, dir) => DedupOps.pairLongestSpan(d(s, dir))),
     "incr_dedup" -> ((s, dir) => DedupOps.incrDedup(d(s, dir), 25L)),
-    "incr_neardup" -> ((s, dir) => DedupOps.incrNearDup(d(s, dir), s, IncrNearDupWatermark))
+    "incr_neardup" -> ((s, dir) => DedupOps.incrNearDup(d(s, dir), s, IncrNearDupWatermark)),
+    "neardup_recall" -> ((s, dir) =>
+      DedupOps.blockerPairRecall(d(s, dir), Tables.embeddings(s, dir), s))
   )
 
   /** Shared SQL: distinct (doc_id, 31-bit shingle hash) postings. */
@@ -501,6 +559,27 @@ object DedupPack extends QueryPack {
        |bf AS (
        |  SELECT doc_id, simhash, b, band_val FROM (
        |    SELECT *, COUNT(*) OVER (PARTITION BY b, band_val) AS bsz FROM banded
+       |  ) WHERE bsz <= ${DedupOps.MaxBandBucket}
+       |)""".stripMargin
+
+  /** Banded minhash signatures as CTEs `mins`/`sigs`/`sigf` (over `sh`) —
+    * shared by the dedup_minhash and neardup_recall oracles. */
+  private val minhashSigSql =
+    s"""mins AS (
+       |  SELECT doc_id, k.k,
+       |         MIN((((k.k * 2 + 1) * 12582917) % 2147483647 * x31
+       |              + ((k.k + 1) * 2654435761) % 2147483647) % 2147483647) AS mh
+       |  FROM sh, range(0, 12) k(k)
+       |  GROUP BY doc_id, k.k
+       |),
+       |sigs AS (
+       |  SELECT doc_id, (k - k % 3) // 3 AS band,
+       |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k) AS sig
+       |  FROM mins GROUP BY doc_id, (k - k % 3) // 3
+       |),
+       |sigf AS (
+       |  SELECT doc_id, band, sig FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY band, sig) AS bsz FROM sigs
        |  ) WHERE bsz <= ${DedupOps.MaxBandBucket}
        |)""".stripMargin
 
@@ -571,23 +650,7 @@ object DedupPack extends QueryPack {
          |${jaccardSql("pairs", 8000L, "shc", "sizesc")}""".stripMargin,
     "dedup_minhash" ->
       s"""WITH $postingsSql,
-         |mins AS (
-         |  SELECT doc_id, k.k,
-         |         MIN((((k.k * 2 + 1) * 12582917) % 2147483647 * x31
-         |              + ((k.k + 1) * 2654435761) % 2147483647) % 2147483647) AS mh
-         |  FROM sh, range(0, 12) k(k)
-         |  GROUP BY doc_id, k.k
-         |),
-         |sigs AS (
-         |  SELECT doc_id, (k - k % 3) // 3 AS band,
-         |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k) AS sig
-         |  FROM mins GROUP BY doc_id, (k - k % 3) // 3
-         |),
-         |sigf AS (
-         |  SELECT doc_id, band, sig FROM (
-         |    SELECT *, COUNT(*) OVER (PARTITION BY band, sig) AS bsz FROM sigs
-         |  ) WHERE bsz <= ${DedupOps.MaxBandBucket}
-         |),
+         |$minhashSigSql,
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
          |  FROM sigf a JOIN sigf b
@@ -661,6 +724,75 @@ object DedupPack extends QueryPack {
         |),
         |runs AS (SELECT da, db, COUNT(*) AS runlen FROM r GROUP BY da, db, diag, grp)
         |SELECT da, db, CAST(MAX(runlen) + 2 AS BIGINT) AS longest_tokens
-        |FROM runs GROUP BY da, db""".stripMargin
+        |FROM runs GROUP BY da, db""".stripMargin,
+    // blocker pair-recall: each capped blocker's found set vs its brute
+    // truth set; the truth sides are the eval baselines, the found sides
+    // mirror the shipped operators' oracles exactly
+    "neardup_recall" ->
+      s"""WITH $simhashBandSql,
+         |$minhashSigSql,
+         |tpairs AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM sh a JOIN sh b ON a.x31 = b.x31 AND a.doc_id < b.doc_id
+         |),
+         |tinter AS (
+         |  SELECT p.da, p.db, COUNT(*) AS inter
+         |  FROM tpairs p
+         |  JOIN sh a ON a.doc_id = p.da
+         |  JOIN sh b ON b.doc_id = p.db AND a.x31 = b.x31
+         |  GROUP BY p.da, p.db
+         |),
+         |jtruth AS (
+         |  SELECT i.da, i.db FROM tinter i
+         |  JOIN sizes sa ON i.da = sa.doc_id
+         |  JOIN sizes sb ON i.db = sb.doc_id
+         |  WHERE (i.inter / CAST(sa.n_shingles + sb.n_shingles - i.inter AS DOUBLE)) * 10000 + 0.5 >= 5000
+         |),
+         |mpairs AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM sigf a JOIN sigf b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |),
+         |mfound AS (SELECT p.da, p.db FROM mpairs p JOIN jtruth t ON p.da = t.da AND p.db = t.db),
+         |struth AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db
+         |  FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |),
+         |sfound0 AS (
+         |  SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db
+         |  FROM bf a JOIN bf b2
+         |    ON a.b = b2.b AND a.band_val = b2.band_val AND a.doc_id < b2.doc_id
+         |  WHERE bit_count(xor(a.simhash, b2.simhash)) <= 3
+         |),
+         |sfound AS (SELECT p.da, p.db FROM sfound0 p JOIN struth t ON p.da = t.da AND p.db = t.db),
+         |${graft.operators.AnnPack.normSql},
+         |${graft.operators.AnnPack.bucketSql},
+         |etruth AS (
+         |  SELECT qa.vec_id AS da, ca.vec_id AS db
+         |  FROM n qa JOIN n ca ON qa.vec_id < ca.vec_id
+         |  WHERE ${graft.operators.AnnPack.cosSql} >= 4000
+         |),
+         |bok AS (SELECT bucket FROM bk GROUP BY bucket HAVING COUNT(*) <= ${AnnOps.MaxEmbBucket}),
+         |nb AS (SELECT n.vec_id, n.v, n.nrm, bk.bucket FROM n JOIN bk ON n.vec_id = bk.vec_id
+         |       JOIN bok ON bk.bucket = bok.bucket),
+         |efound0 AS (
+         |  SELECT qa.vec_id AS da, ca.vec_id AS db
+         |  FROM nb qa JOIN nb ca ON qa.bucket = ca.bucket AND qa.vec_id < ca.vec_id
+         |  WHERE ${graft.operators.AnnPack.cosSql} >= 4000
+         |),
+         |efound AS (SELECT p.da, p.db FROM efound0 p JOIN etruth t ON p.da = t.da AND p.db = t.db),
+         |counts(blocker, n_true, n_found) AS (
+         |  SELECT 'minhash', (SELECT COUNT(*) FROM jtruth), (SELECT COUNT(*) FROM mfound)
+         |  UNION ALL
+         |  SELECT 'simhash', (SELECT COUNT(*) FROM struth), (SELECT COUNT(*) FROM sfound)
+         |  UNION ALL
+         |  SELECT 'embedding', (SELECT COUNT(*) FROM etruth), (SELECT COUNT(*) FROM efound)
+         |)
+         |SELECT blocker, CAST(n_true AS BIGINT) AS n_true, CAST(n_found AS BIGINT) AS n_found,
+         |       CASE WHEN n_true = 0 THEN 10000
+         |            ELSE CAST(FLOOR(n_found / CAST(n_true AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+         |       END AS recall_e4
+         |FROM counts""".stripMargin
   )
 }
