@@ -34,7 +34,17 @@ object DedupOps {
     * generator: a shingle present in more docs than this is boilerplate
     * (stop-word trigrams, templates) and is excluded from the shingle
     * space. Bounds the posting self-join output at O(corpus · MaxDf)
-    * instead of Σ df². */
+    * instead of Σ df².
+    *
+    * Sizing: this fixed value is calibrated to the fixture corpus, where
+    * only corpus-wide boilerplate crosses it (the premise behind the
+    * capping-is-monotone property test). At production scale a fixed df
+    * is the wrong shape — a shingle with df just over 128 in a billion-
+    * doc corpus is rare, not boilerplate, and dropping it can RAISE a
+    * pair's Jaccard (one-sided removal shrinks a doc size with the
+    * intersection intact). Size the cap as a df FRACTION of the corpus
+    * there (e.g. df ≤ 1e-4·N) via [[cappedPostings]]' maxDf argument,
+    * which exists for exactly that. */
   val MaxShingleDf = 128L
 
   /** Membership cap on LSH band buckets and SimHash band buckets: a

@@ -50,16 +50,29 @@ object BulkOps {
     s"origin_${table}_${TsFmt.format(Instant.ofEpochMilli(epochMillis))}"
 
   /** O-6: copy a table via an intermediate snapshot name. Returns the
-    * copied row count, counted from the DESTINATION after the write
-    * commits — the count doubles as write verification (a connector that
-    * silently drops or duplicates rows shows up here, which a source-side
-    * count could never detect). Costs one scan of the just-written
-    * destination; for parquet the count is answered from footer
-    * row-group metadata, not a full parse. */
+    * copied row count after VERIFYING the write: source and destination
+    * are both counted after the write commits and a mismatch throws —
+    * a connector that silently drops or duplicates rows fails the copy
+    * instead of reporting a plausible number. Both counts are
+    * footer-metadata-cheap for parquet (no full parse); the source count
+    * is taken after the write from the same immutable snapshot the write
+    * read. */
   def copyTable(spark: SparkSession, srcPath: String, destPath: String): Long = {
     val df = readPath(spark, srcPath)
     writePath(df, SaveMode.ErrorIfExists).save(destPath)
-    readPath(spark, destPath).count()
+    verifyCopyCounts(spark, srcPath, destPath)
+  }
+
+  /** The post-write check [[copyTable]] runs: recount both sides, throw
+    * on mismatch, return the verified count. */
+  private[graft] def verifyCopyCounts(spark: SparkSession, srcPath: String, destPath: String): Long = {
+    val srcCount = readPath(spark, srcPath).count()
+    val destCount = readPath(spark, destPath).count()
+    if (srcCount != destCount)
+      throw new IllegalStateException(
+        s"copyTable verification failed: source $srcPath has $srcCount rows " +
+          s"but destination $destPath has $destCount")
+    destCount
   }
 
   /** O-7: replace `to` with `from`: optional backup copy of `to`

@@ -106,6 +106,23 @@ class SinksAndSourcesSpec extends SparkSpec {
     assert(spark.read.parquet(src).count() == n)          // to replaced
   }
 
+  test("copyTable write verification: a destination that lost rows fails the copy") {
+    val base = tmpDir()
+    val src = s"$base/vsrc"
+    ClusterViews.regionMetrics(spark, sf).limit(50).repartition(2).write.parquet(src)
+    val dest = s"$base/vdst"
+    assert(BulkOps.copyTable(spark, src, dest) == 50)
+    // simulate a connector that silently dropped rows: remove one part
+    // file from the destination, then re-run the same check copyTable runs
+    val lost = new java.io.File(dest).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+    assert(lost.delete())
+    val ex = intercept[IllegalStateException] {
+      BulkOps.verifyCopyCounts(spark, src, dest)
+    }
+    assert(ex.getMessage.contains("verification failed"))
+  }
+
   test("topology snapshot writer + partition retention (O-8/O-57)") {
     val out = s"${tmpDir()}/topo"
     val topo = ClusterViews.topology(spark, sf)
