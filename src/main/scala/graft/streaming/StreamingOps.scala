@@ -187,8 +187,9 @@ object StreamingOps {
         })
   }
 
-  case class BandedDoc(doc_id: Long, simhash: Long, band: Int, band_val: Long)
-  case class SimEntry(doc_id: Long, simhash: Long)
+  case class BandedDoc(
+      doc_id: Long, simhash: Long, band: Int, band_val: Long, ingest_ts: java.sql.Timestamp)
+  case class SimEntry(doc_id: Long, simhash: Long, ts_ms: Long)
   case class NearDupHit(doc_id: Long, dup_of: Long, band: Int, hamming: Int)
 
   /** Streaming SimHash near-dup gate: flag each arriving doc against
@@ -209,42 +210,87 @@ object StreamingOps {
     * instead). A pair colliding in several bands emits one hit per band
     * — `band` is in the output, consumers wanting pair-level output
     * dedup on (doc_id, dup_of). In-batch arrivals are processed in
-    * doc_id order so replays are deterministic. */
+    * doc_id order so replays are deterministic.
+    *
+    * State eviction: with `retention = Some(horizon)` the input must
+    * carry an `ingest_ts` event-time column; the stream watermarks on it
+    * and fingerprints older than the watermark are EVICTED — an arriving
+    * doc only pairs against corpus ingested within the horizon, matching
+    * the watermark semantics of [[ingestDedupStream]], and a bucket
+    * whose entries all age out is removed wholesale via an event-time
+    * timeout. Eviction is what keeps widened-band state bounded in
+    * production (4×16-bit bands make the bucket-count ceiling 4·65536;
+    * retention bounds the entries inside each) and lets a once-dark
+    * bucket readmit after its degenerate burst expires. With
+    * `retention = None` (fixture/differential mode) state never expires,
+    * matching the batch operator over a bounded corpus. */
   def nearDupStream(
       docs: DataFrame,
       maxHamming: Int = 3,
-      maxPerBucket: Int = graft.operators.DedupOps.MaxBandBucket.toInt): Dataset[NearDupHit] = {
+      maxPerBucket: Int = graft.operators.DedupOps.MaxBandBucket.toInt,
+      retention: Option[String] = None): Dataset[NearDupHit] = {
     import docs.sparkSession.implicits._
+    val timed = retention.isDefined
+    val withTs = retention match {
+      case Some(horizon) => docs.withWatermark("ingest_ts", horizon)
+      case None => docs.withColumn("ingest_ts", lit(new java.sql.Timestamp(0L)))
+    }
     val bandStructs = (0 until 4).map { b =>
       struct(
         col("doc_id"), col("simhash"), lit(b).as("band"),
         expr(s"shiftright(simhash, ${b * 16}) & 65535").as("band_val"))
     }
-    docs
+    val timeoutConf =
+      if (timed) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    withTs
       .withColumn("simhash", graft.operators.DedupOps.rowSimhash(col("text")))
       .filter(col("simhash").isNotNull)
-      .select(explode(array(bandStructs: _*)).as("r"))
-      .select("r.*").as[BandedDoc]
+      // ingest_ts stays a TOP-LEVEL column: its watermark tag must reach
+      // the stateful operator, and attribute metadata does not survive a
+      // round-trip through a struct
+      .select(col("ingest_ts"), explode(array(bandStructs: _*)).as("r"))
+      .select(col("r.doc_id"), col("r.simhash"), col("r.band"), col("r.band_val"),
+        col("ingest_ts"))
+      .as[BandedDoc]
       .groupByKey(r => (r.band, r.band_val))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (key: (Int, Long), rows: Iterator[BandedDoc], state: GroupState[Seq[SimEntry]]) => {
-          val buf = scala.collection.mutable.ArrayBuffer.empty[SimEntry]
-          buf ++= state.getOption.getOrElse(Seq.empty)
-          val hits = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
-          val admitted0 = buf.size
-          rows.toArray.sortBy(_.doc_id).foreach { r =>
-            if (buf.size < maxPerBucket) {
-              buf.foreach { e =>
-                if (e.doc_id != r.doc_id) {
-                  val d = java.lang.Long.bitCount(e.simhash ^ r.simhash)
-                  if (d <= maxHamming) hits += NearDupHit(r.doc_id, e.doc_id, key._1, d)
+          if (state.hasTimedOut) {
+            // watermark passed every entry's timestamp: the whole bucket
+            // is stale (set below as max live ts), drop it
+            state.remove()
+            Iterator.empty
+          } else {
+            val wm = if (timed) state.getCurrentWatermarkMs() else Long.MinValue
+            val prior = state.getOption.getOrElse(Seq.empty)
+            val buf = scala.collection.mutable.ArrayBuffer.empty[SimEntry]
+            buf ++= prior.filter(_.ts_ms >= wm) // evict aged-out fingerprints
+            val evicted = buf.size != prior.size
+            val hits = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+            val admitted0 = buf.size
+            rows.toArray.sortBy(_.doc_id).foreach { r =>
+              if (buf.size < maxPerBucket) {
+                buf.foreach { e =>
+                  if (e.doc_id != r.doc_id) {
+                    val d = java.lang.Long.bitCount(e.simhash ^ r.simhash)
+                    if (d <= maxHamming) hits += NearDupHit(r.doc_id, e.doc_id, key._1, d)
+                  }
                 }
+                buf += SimEntry(r.doc_id, r.simhash, r.ingest_ts.getTime)
               }
-              buf += SimEntry(r.doc_id, r.simhash)
             }
+            if (buf.isEmpty) { if (evicted) state.remove() }
+            else {
+              if (buf.size != admitted0 || evicted) state.update(buf.toSeq)
+              if (timed) {
+                // fire once the watermark passes the newest live entry —
+                // by then every entry is older than the watermark
+                val maxTs = buf.map(_.ts_ms).max
+                state.setTimeoutTimestamp(math.max(maxTs, wm + 1))
+              }
+            }
+            hits.iterator
           }
-          if (buf.size != admitted0) state.update(buf.toSeq)
-          hits.iterator
         })
   }
 

@@ -261,6 +261,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("simhash near-dup stream evicts fingerprints beyond the retention horizon") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def t(h: Int, m: Int = 0) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val dupText = "the quick brown fox jumps over the lazy dog again and again"
+    val q = StreamingOps.nearDupStream(
+        input.toDF().toDF("doc_id", "text", "ingest_ts"), retention = Some("1 hour"))
+      .writeStream.format("memory").queryName("evict_out").outputMode("append").start()
+    try {
+      input.addData((1L, dupText, t(10)))
+      q.processAllAvailable()
+      // advance the watermark to 12:00 (13:00 - 1h): doc 1 ages out
+      input.addData((2L, "totally different filler text here padding words", t(13)))
+      q.processAllAvailable()
+      input.addData((3L, dupText, t(13)))
+      q.processAllAvailable()
+      input.addData((4L, dupText, t(13, 30)))
+      q.processAllAvailable()
+      val hits = s.sql("SELECT doc_id, dup_of FROM evict_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!hits.exists(_._2 == 1L), s"evicted doc 1 still paired: $hits")
+      assert(hits.contains((4L, 3L)), s"recent docs must still pair: $hits")
+    } finally q.stop()
+  }
+
   test("simhash near-dup stream agrees with batch simhashDedup on the fixture corpus") {
     val s = spark
     import s.implicits._
