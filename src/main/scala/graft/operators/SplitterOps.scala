@@ -56,13 +56,40 @@ object SplitterOps {
       hex(salted_key(col("key_str"))).as("salted_hex"),
       length(salted_key(col("key_str"))).as("salted_len"))
   }
+
+  /** O-48 surface: printable escaping of arbitrary binary keys
+    * (`Bytes.toStringBinary` semantics — ASCII 32..126 verbatim, \xNN
+    * otherwise). The fixture derives full-range binary from md5 bytes so
+    * both branches are exercised on every row; the oracle re-implements
+    * the escape byte-by-byte in SQL. */
+  def printableKeys(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.Tables.customer(spark, sfDir)
+      .select(
+        col("c_custkey").as("id"),
+        BinaryKeys.toStringBinaryUdf(unhex(md5(col("c_name")))).as("printable"))
+
+  /** O-50 surface: deterministic probe key per key string — key bytes ++
+    * 4 CRC32 bytes over (key ++ 0x9e), hex-emitted; oracled against the
+    * same recursive-CTE CRC32 state machine salted_keys uses, extended
+    * one byte past the key for the 0x9e seed. */
+  def probeKeys(spark: SparkSession, sfDir: String): DataFrame = {
+    val probe = BinaryKeys.probeKeyUdf(col("key_str").cast("binary"))
+    graft.sources.Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("id"), col("c_name").as("key_str"))
+      .select(
+        col("id"), col("key_str"),
+        hex(probe).as("probe_hex"),
+        length(probe).as("probe_len"))
+  }
 }
 
 object SplitterPack extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "split_plan" -> ((s, d) =>
       SplitterOps.splitPlan(ClusterViews.regionInfo(s, d), ClusterViews.regionMetrics(s, d))),
-    "salted_keys" -> ((s, d) => SplitterOps.saltedKeys(s, d))
+    "salted_keys" -> ((s, d) => SplitterOps.saltedKeys(s, d)),
+    "key_printable" -> ((s, d) => SplitterOps.printableKeys(s, d)),
+    "probe_keys" -> ((s, d) => SplitterOps.probeKeys(s, d))
   )
 
   override def oracles: Map[String, String] = Map(
@@ -113,6 +140,51 @@ object SplitterPack extends QueryPack {
         |       ELSE lpad(hex(crc), 8, '0') || hex(key_str)
         |  END AS salted_hex,
         |  CAST(CASE WHEN len(key_str) >= 4 THEN 8 + len(key_str) ELSE 4 + len(key_str) END AS INTEGER) AS salted_len
+        |FROM fin""".stripMargin,
+    // Bytes.toStringBinary re-implemented byte-by-byte over md5 bytes:
+    // printable ASCII verbatim, \xNN (uppercase) otherwise
+    "key_printable" ->
+      """WITH h AS (SELECT c_custkey AS id, md5(c_name) AS hx FROM customer),
+        |b AS (
+        |  SELECT id, i.i, substring(hx, CAST(i.i * 2 + 1 AS INT), 2) AS p
+        |  FROM h, range(0, 16) i(i)
+        |),
+        |e AS (
+        |  SELECT id, i,
+        |         CASE WHEN CAST(('0x' || p) AS INT) BETWEEN 32 AND 126
+        |              THEN chr(CAST(('0x' || p) AS INT))
+        |              ELSE '\x' || upper(p) END AS piece
+        |  FROM b
+        |)
+        |SELECT id, string_agg(piece, '' ORDER BY i) AS printable
+        |FROM e GROUP BY id""".stripMargin,
+    // the salted_keys CRC32 state machine, extended ONE byte past the key
+    // (the 0x9e probe seed), probe = key bytes ++ 4 crc bytes
+    "probe_keys" ->
+      """WITH RECURSIVE keys AS (
+        |  SELECT c_custkey AS id, c_name AS key_str FROM customer
+        |),
+        |st(id, key_str, pos, bit, c) AS (
+        |  SELECT id, key_str, 0, 8, CAST(4294967295 AS BIGINT) FROM keys
+        |  UNION ALL
+        |  SELECT id, key_str,
+        |    CASE WHEN bit = 8 THEN pos + 1 ELSE pos END,
+        |    CASE WHEN bit = 8 THEN 0 ELSE bit + 1 END,
+        |    CASE WHEN bit = 8
+        |         THEN xor(c, CASE WHEN pos < len(key_str)
+        |                         THEN ascii(substring(key_str, pos + 1, 1))
+        |                         ELSE 158 END)
+        |         ELSE xor(c >> 1, CASE WHEN c % 2 = 1 THEN CAST(3988292384 AS BIGINT) ELSE 0 END)
+        |    END
+        |  FROM st
+        |  WHERE bit < 8 OR pos < len(key_str) + 1
+        |),
+        |fin AS (
+        |  SELECT id, key_str, xor(c, 4294967295) AS crc
+        |  FROM st WHERE bit = 8 AND pos = len(key_str) + 1
+        |)
+        |SELECT id, key_str, hex(key_str) || lpad(hex(crc), 8, '0') AS probe_hex,
+        |       CAST(len(key_str) + 4 AS INTEGER) AS probe_len
         |FROM fin""".stripMargin
   )
 }
