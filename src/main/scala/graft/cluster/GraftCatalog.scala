@@ -22,4 +22,24 @@ object GraftCatalog {
     ClusterViews.topology(spark, sfDir).createOrReplaceTempView("topology")
     ClusterViews.servers(spark).createOrReplaceTempView("servers")
   }
+
+  /** Operator outputs as temp views, so the SQL surface tracks the Scala
+    * surface: a pure-SQL user composes `SELECT ... FROM fluency_scores
+    * WHERE ...` and the filter/projection push into the operator's lazy
+    * plan like any other view. Covers the newer operator families; the
+    * older packs are reachable through [[registerViews]]' base model. */
+  def registerOperatorViews(spark: SparkSession, sfDir: String): Unit = {
+    val docs = Tables.documents(spark, sfDir)
+    val embs = Tables.embeddings(spark, sfDir)
+    graft.operators.CurationOps.bigramFluency(docs)
+      .createOrReplaceTempView("fluency_scores")
+    graft.operators.PqOps.pqRerankTopK(embs)
+      .createOrReplaceTempView("pq_rerank_topk")
+    graft.operators.JoinsPack.asofQuery(spark, sfDir, sharded = true)
+      .createOrReplaceTempView("order_region_asof")
+    graft.operators.DedupOps.incrNearDup(docs, spark, graft.operators.DedupPack.IncrNearDupWatermark)
+      .createOrReplaceTempView("incr_neardups")
+    graft.operators.DedupOps.blockerPairRecall(docs, embs, spark)
+      .createOrReplaceTempView("neardup_recall")
+  }
 }

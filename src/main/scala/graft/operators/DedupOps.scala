@@ -537,7 +537,7 @@ object DedupPack extends QueryPack {
 
   /** Fixture watermark for incr_neardup: docs below are "the corpus",
     * docs at/above are "the new batch". */
-  private[operators] val IncrNearDupWatermark = 100L
+  private[graft] val IncrNearDupWatermark = 100L
 
   /** SimHash + capped 4×16 banding as CTEs through `bf(doc_id, simhash,
     * b, band_val)` — shared by the whole-corpus and incremental oracles,

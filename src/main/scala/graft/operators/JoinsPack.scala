@@ -177,7 +177,7 @@ object JoinsPack extends QueryPack {
     "asof_sharded" -> { (s, d) => asofQuery(s, d, sharded = true) }
   )
 
-  private def asofQuery(s: SparkSession, d: String, sharded: Boolean): DataFrame = {
+  private[graft] def asofQuery(s: SparkSession, d: String, sharded: Boolean): DataFrame = {
     val topo = ClusterViews.topology(s, d)
     val perTs = Window.partitionBy("region_id", "snapshot_ts").orderBy(col("obs_id").desc)
     val right = topo.withColumn("rn", row_number().over(perTs)).filter(col("rn") === 1)

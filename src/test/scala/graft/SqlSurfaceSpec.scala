@@ -17,6 +17,25 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(joined > 0)
   }
 
+  test("operator views put the newer operator families on the SQL surface") {
+    GraftCatalog.registerOperatorViews(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val embs = graft.sources.Tables.embeddings(spark, sf)
+    // each view is the operator's lazy plan: counts match the Scala calls
+    assert(spark.sql("SELECT * FROM fluency_scores WHERE fluency_e4 >= 0").count() ==
+      graft.operators.CurationOps.bigramFluency(docs).count())
+    assert(spark.sql("SELECT * FROM pq_rerank_topk").count() ==
+      graft.operators.PqOps.pqRerankTopK(embs).count())
+    assert(spark.sql("SELECT COUNT(*) FROM order_region_asof").collect()(0).getLong(0) > 0)
+    assert(spark.sql("SELECT * FROM incr_neardups").count() ==
+      graft.operators.DedupOps.incrNearDup(docs, spark, 100L).count())
+    // and SQL composes over them: an aggregate over the recall view
+    val recallRows = spark.sql(
+      "SELECT blocker, recall_e4 FROM neardup_recall ORDER BY blocker").collect()
+    assert(recallRows.length == 3)
+    assert(recallRows.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 10000))
+  }
+
   test("compaction_weight resolves in SQL via session extensions") {
     val r = spark.sql(
       "SELECT compaction_weight(5000L, 50L, 40, CAST(0.1 AS DOUBLE)) AS w")
