@@ -118,10 +118,13 @@ object JoinsOps {
       .intersect(left.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet)
     require(clash.isEmpty, s"left/right value column collision: ${clash.mkString(", ")}")
     // any deterministic left-row -> shard function preserves correctness
-    // (each shard carries the full right slice); hashing the timestamp
-    // keeps the assignment a pure function of the data
+    // (each shard carries the full right slice); hashing EVERY left
+    // column keeps the assignment a pure function of the data while
+    // spreading the common skew shape the timestamp alone can't — many
+    // rows of one hot key sharing a constant/default timestamp
     val lShard =
-      if (numShards == 1) lit(0L) else pmod(hash(col(leftTs)).cast("long"), lit(numShards.toLong))
+      if (numShards == 1) lit(0L)
+      else pmod(hash(left.columns.map(col).toSeq: _*).cast("long"), lit(numShards.toLong))
     val lTagged = rightVals.foldLeft(
       left.withColumn("__ats", col(leftTs)).withColumn("__side", lit(1))
         .withColumn("__shard", lShard)) { (df, c) =>

@@ -150,6 +150,51 @@ class PlansAndSaltingSpec extends SparkSpec {
     }
   }
 
+  test("property: sharded asof join is shard-count invariant under constant-timestamp skew") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    val s = spark
+    import s.implicits._
+    def t(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val keys = Seq("hot", "k0", "k1")
+    // the ADVICE shape: most left rows on one hot key, and many of THOSE
+    // sharing one constant timestamp (a default/backfill ts) — the case a
+    // ts-only shard hash cannot spread; plus occasional NULL timestamps
+    val genCase: Gen[(Seq[(Long, String, java.sql.Timestamp)], Seq[(String, java.sql.Timestamp, String)])] =
+      for {
+        nLeft <- Gen.choose(20, 60)
+        constM <- Gen.choose(0, 50)
+        lefts <- Gen.listOfN(nLeft, for {
+          k <- Gen.frequency((7, Gen.const("hot")), (3, Gen.oneOf("k0", "k1")))
+          kind <- Gen.frequency((5, 0), (4, 1), (1, 2)) // constant ts / random ts / null
+          m <- Gen.choose(0, 50)
+        } yield (k, kind match {
+          case 0 => t(constM)
+          case 1 => t(m)
+          case _ => null.asInstanceOf[java.sql.Timestamp]
+        }))
+        grid = for (k <- keys; m <- 0 until 51 by 7) yield (k, m)
+        rights <- Gen.someOf(grid)
+      } yield (
+        lefts.zipWithIndex.map { case ((k, ts), i) => (i.toLong, k, ts) },
+        rights.toSeq.zipWithIndex.map { case ((k, m), i) => (k, t(m), s"v$i") })
+    val prop = Prop.forAll(genCase) { case (leftRows, rightRows) =>
+      val left = leftRows.toDF("id", "k", "ts")
+      val right = rightRows.toDF("k", "rts", "v")
+      def norm(df: org.apache.spark.sql.DataFrame) =
+        df.select("id", "v").collect()
+          .map(r => r.getLong(0) -> Option(r.getString(1))).sortBy(_._1).toSeq
+      val base = norm(graft.operators.JoinsOps.asofJoin(left, right, "k", "ts", "rts"))
+      Seq(1, 2, 8, 32).forall { shards =>
+        norm(graft.operators.JoinsOps.asofJoinSharded(
+          left, right, "k", "ts", "rts", numShards = shards)) == base
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8).withInitialSeed(Seed(13L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("binned range lookup agrees with the broadcast variant on random ranges") {
     val s = spark
     import s.implicits._
