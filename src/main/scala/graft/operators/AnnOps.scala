@@ -286,6 +286,47 @@ object AnnOps {
         cosineE4(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")).as("cosine_e4"))
       .filter(col("cosine_e4") >= thresholdE4)
   }
+
+  /** Multi-probe variant of [[nearDupPairs]] (à la multi-probe LSH): each
+    * vector probes its home bucket plus the `numPlanes` single-bit flips,
+    * so pairs meet when their buckets differ in AT MOST ONE plane sign —
+    * recovering the near-dups that land just across one hyperplane, the
+    * dominant loss mode of sign-LSH blocking (measured: the
+    * `neardup_recall` row `embedding_mp` vs `embedding`).
+    *
+    * Pair uniqueness is structural, no distinct needed: a hamming-0 pair
+    * meets only through the home probe, a hamming-1 pair only through
+    * the one matching flip. Cost shape at scale: the probe expansion is
+    * SLIM (vec_id, probe) rows — planes+1 per vector, 16 bytes each —
+    * and vectors join back in by vec_id afterwards, so the fan-out never
+    * shuffles the embedding payload. */
+  def nearDupPairsMultiProbe(
+      embeddings: DataFrame,
+      spark: SparkSession,
+      thresholdE4: Long = 4000L,
+      numPlanes: Int = NumPlanes): DataFrame = {
+    val n = normalized(embeddings)
+    val b = buckets(n, spark, numPlanes)
+    val okBuckets = b.groupBy("bucket").agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= MaxEmbBucket).select("bucket")
+    // cached: read three times (candidate join + both vector fetches)
+    val nb = graft.Caching.maybeCache(
+      n.join(b, "vec_id").join(broadcast(okBuckets), Seq("bucket"), "left_semi"))
+    val probeCols = col("bucket") +:
+      (0 until numPlanes).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
+    val probes = nb.select(col("vec_id").as("pvid"),
+      explode(array(probeCols: _*)).as("probe"))
+    val cand = probes
+      .join(nb.select(col("vec_id"), col("bucket")),
+        col("probe") === col("bucket") && col("pvid") < col("vec_id"))
+      .select(col("pvid").as("va"), col("vec_id").as("vb"))
+    cand
+      .join(nb.select(col("vec_id").as("va"), col("v").as("av"), col("nrm").as("an")), "va")
+      .join(nb.select(col("vec_id").as("vb"), col("v").as("bv"), col("nrm").as("bn")), "vb")
+      .select(col("va"), col("vb"),
+        cosineE4(col("av"), col("bv"), col("an"), col("bn")).as("cosine_e4"))
+      .filter(col("cosine_e4") >= thresholdE4)
+  }
 }
 
 object PqOps {
@@ -400,6 +441,7 @@ object AnnPack extends QueryPack {
     "sem_dedup" -> ((s, dir) => AnnOps.semDedup(Tables.documents(s, dir), e(s, dir), s)),
     "emb_near_dups" -> ((s, dir) => AnnOps.nearDupPairs(e(s, dir), s)),
     "emb_near_dups_16p" -> ((s, dir) => AnnOps.nearDupPairs(e(s, dir), s, numPlanes = 16)),
+    "emb_near_dups_mp" -> ((s, dir) => AnnOps.nearDupPairsMultiProbe(e(s, dir), s)),
     "pq_knn" -> ((s, dir) => PqOps.pqTopK(e(s, dir))),
     "pq_rerank" -> ((s, dir) => PqOps.pqRerankTopK(e(s, dir))),
     "rerank_recall" -> ((s, dir) => AnnOps.annRecall(e(s, dir), s, index = "pq_rerank"))
@@ -759,6 +801,24 @@ object AnnPack extends QueryPack {
          |SELECT qa.vec_id AS va, ca.vec_id AS vb,
          |       CAST($cosSql AS BIGINT) AS cosine_e4
          |FROM nb qa JOIN nb ca ON qa.bucket = ca.bucket AND qa.vec_id < ca.vec_id
+         |WHERE $cosSql >= 4000""".stripMargin,
+    "emb_near_dups_mp" ->
+      s"""WITH $normSql, $bucketSql,
+         |bok AS (SELECT bucket FROM bk GROUP BY bucket HAVING COUNT(*) <= ${AnnOps.MaxEmbBucket}),
+         |nb AS (SELECT n.vec_id, n.v, n.nrm, bk.bucket FROM n JOIN bk ON n.vec_id = bk.vec_id
+         |       JOIN bok ON bk.bucket = bok.bucket),
+         |probes AS (
+         |  SELECT vec_id AS pvid,
+         |         CASE WHEN j.j = ${AnnOps.NumPlanes} THEN bucket
+         |              ELSE xor(bucket, CAST(POW(2, j.j) AS BIGINT)) END AS probe
+         |  FROM nb, range(0, ${AnnOps.NumPlanes + 1}) j(j)
+         |),
+         |cand AS (
+         |  SELECT p.pvid AS va, h.vec_id AS vb
+         |  FROM probes p JOIN nb h ON p.probe = h.bucket AND p.pvid < h.vec_id
+         |)
+         |SELECT c.va, c.vb, CAST($cosSql AS BIGINT) AS cosine_e4
+         |FROM cand c JOIN nb qa ON qa.vec_id = c.va JOIN nb ca ON ca.vec_id = c.vb
          |WHERE $cosSql >= 4000""".stripMargin,
     "emb_near_dups_16p" ->
       s"""WITH $normSql, ${bucketSqlFor(16)},

@@ -442,6 +442,8 @@ object DedupOps {
     *     [[simhashDedup]] (16-bit bands + bucket cap).
     *   - embedding: truth = cosine ≥ 4000 over ALL vector pairs; found =
     *     [[AnnOps.nearDupPairs]] (LSH-bucket-blocked + capped).
+    *   - embedding_mp: same truth; found = [[AnnOps.nearDupPairsMultiProbe]]
+    *     — the measured recall lift multi-probe buys over plain blocking.
     *
     * The truth sides are brute N²/2 EVAL joins (broadcast nested-loop
     * over the slim signature/vector frames) — this is an evaluation
@@ -469,6 +471,8 @@ object DedupOps {
       .filter(col("cos") >= 4000L).select("da", "db")
     val embFound = AnnOps.nearDupPairs(embeddings, spark)
       .select(col("va").as("da"), col("vb").as("db"))
+    val mpFound = AnnOps.nearDupPairsMultiProbe(embeddings, spark)
+      .select(col("va").as("da"), col("vb").as("db"))
 
     def row(name: String, truthRaw: DataFrame, found: DataFrame): DataFrame = {
       // truth is read twice (census + the intersection semi-join)
@@ -482,9 +486,12 @@ object DedupOps {
           .otherwise(floor(col("n_found") / col("n_true") * 10000 + 0.5).cast("long"))
           .as("recall_e4"))
     }
+    // ONE cached truth frame serves the plain and multi-probe rows
+    val embTruthShared = graft.Caching.maybeCache(embTruth)
     row("minhash", truthJac, mhFound)
       .unionByName(row("simhash", shTruth, shFound))
-      .unionByName(row("embedding", embTruth, embFound))
+      .unionByName(row("embedding", embTruthShared, embFound))
+      .unionByName(row("embedding_mp", embTruthShared, mpFound))
   }
 
   def incrNearDup(
@@ -792,12 +799,30 @@ object DedupPack extends QueryPack {
          |  WHERE ${graft.operators.AnnPack.cosSql} >= 4000
          |),
          |efound AS (SELECT p.da, p.db FROM efound0 p JOIN etruth t ON p.da = t.da AND p.db = t.db),
+         |mprobes AS (
+         |  SELECT vec_id AS pvid,
+         |         CASE WHEN j.j = ${AnnOps.NumPlanes} THEN bucket
+         |              ELSE xor(bucket, CAST(POW(2, j.j) AS BIGINT)) END AS probe
+         |  FROM nb, range(0, ${AnnOps.NumPlanes + 1}) j(j)
+         |),
+         |mpcand AS (
+         |  SELECT p.pvid AS va, h.vec_id AS vb
+         |  FROM mprobes p JOIN nb h ON p.probe = h.bucket AND p.pvid < h.vec_id
+         |),
+         |mpfound0 AS (
+         |  SELECT c.va AS da, c.vb AS db
+         |  FROM mpcand c JOIN nb qa ON qa.vec_id = c.va JOIN nb ca ON ca.vec_id = c.vb
+         |  WHERE ${graft.operators.AnnPack.cosSql} >= 4000
+         |),
+         |mpfound AS (SELECT p.da, p.db FROM mpfound0 p JOIN etruth t ON p.da = t.da AND p.db = t.db),
          |counts(blocker, n_true, n_found) AS (
          |  SELECT 'minhash', (SELECT COUNT(*) FROM jtruth), (SELECT COUNT(*) FROM mfound)
          |  UNION ALL
          |  SELECT 'simhash', (SELECT COUNT(*) FROM struth), (SELECT COUNT(*) FROM sfound)
          |  UNION ALL
          |  SELECT 'embedding', (SELECT COUNT(*) FROM etruth), (SELECT COUNT(*) FROM efound)
+         |  UNION ALL
+         |  SELECT 'embedding_mp', (SELECT COUNT(*) FROM etruth), (SELECT COUNT(*) FROM mpfound)
          |)
          |SELECT blocker, CAST(n_true AS BIGINT) AS n_true, CAST(n_found AS BIGINT) AS n_found,
          |       CASE WHEN n_true = 0 THEN 10000

@@ -161,6 +161,20 @@ class TrainingDataSpec extends SparkSpec {
     } finally { p8.unpersist(); p16.unpersist() }
   }
 
+  test("multi-probe near-dups contain the single-probe pairs and never invent similarity") {
+    val plain = AnnOps.nearDupPairs(embs, spark).cache()
+    val mp = AnnOps.nearDupPairsMultiProbe(embs, spark).cache()
+    try {
+      // home-bucket probes make multi-probe a superset of plain blocking
+      assert(plain.select("va", "vb").except(mp.select("va", "vb")).count() == 0,
+        "multi-probe lost a same-bucket pair")
+      // every surfaced pair really clears the cosine threshold
+      assert(mp.filter(col("cosine_e4") < 4000L).count() == 0)
+      // and the probe expansion introduces no duplicate pairs
+      assert(mp.groupBy("va", "vb").count().filter(col("count") > 1).count() == 0)
+    } finally { plain.unpersist(); mp.unpersist() }
+  }
+
   test("incremental dedup: no admitted fingerprint exists in the old corpus or twice in batch") {
     val out = DedupOps.incrDedup(docs, 25L).cache()
     assert(out.count() > 0)
