@@ -128,6 +128,19 @@ class PlanQualitySpec extends SparkSpec {
       s"rerank stage not broadcast-joined:\n$plan")
   }
 
+  test("multi-probe fan-out ships slim probe rows, never the vector payload") {
+    val plan = physical(SparkEntry.queries("emb_near_dups_mp")(spark, sf))
+    // the 9x probe explode must carry only (vec_id, probe) — a Generate
+    // whose output includes the embedding array would multiply the bytes
+    // every downstream exchange ships by planes+1
+    val gens = "Generate explode[^\n]*".r.findAllIn(plan).toList
+    assert(gens.nonEmpty, s"no probe explode in:\n$plan")
+    gens.foreach { g =>
+      assert(!g.contains("v#") && !g.contains("embedding"),
+        s"probe explode carries the vector payload: $g")
+    }
+  }
+
   test("text ops prune the documents scan to referenced columns") {
     // a scan that reads lang/source for a (doc_id, text) operator ships
     // unneeded bytes from every parquet row group at 100 TB. Clear the
