@@ -50,25 +50,41 @@ object EmbeddingStatsOps {
     * tiny) plus two map-side-combinable aggregates — the canonical
     * distributed k-means shape, unrolled rather than driver-looped. */
   def kmeans2(embeddings: DataFrame): DataFrame = {
-    val q = quantized(embeddings).select("vec_id", "dim", "xq")
+    // row-wise formulation: one quantized array per vector (same integers
+    // as `quantized`, same expression), distances via zip_with against
+    // BROADCAST center arrays — the dim-keyed join would push
+    // |vectors|·64·k rows through two aggregates per iteration, the
+    // row-wise shape ships |vectors|·k slim rows into one argmin and
+    // only the recompute explodes back to dims. Cached: read by both
+    // iterations' assign and recompute (4 consumers).
+    val qarr = graft.Caching.maybeCache(embeddings.select(
+      col("vec_id"),
+      expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))")
+        .as("xq")))
     val c0 = centroids(embeddings)
       .select(col("label").cast("long").as("center"), col("dim"), col("centroid_q"))
 
-    def assign(c: DataFrame): DataFrame = {
-      val dist = q.join(broadcast(c), Seq("dim"))
-        .withColumn("d", col("xq") - col("centroid_q"))
-        .groupBy("vec_id", "center")
-        .agg(sum(col("d") * col("d")).as("dist2_q"))
-      // argmin via min(struct): same (dist2_q, center) tie order a rank
-      // window would use, but map-side combinable — each Lloyd iteration
-      // drops the window's sort exchange
-      dist.groupBy("vec_id")
+    // (center, dim, centroid_q) -> (center, carr[64]); k rows, broadcast
+    def centerArr(c: DataFrame): DataFrame =
+      c.groupBy("center")
+        .agg(array_sort(collect_list(struct(col("dim"), col("centroid_q")))).as("s"))
+        .select(col("center"), expr("transform(s, p -> p.centroid_q)").as("carr"))
+
+    def assign(c: DataFrame): DataFrame =
+      qarr.crossJoin(broadcast(centerArr(c)))
+        .select(col("vec_id"), col("center"),
+          expr("aggregate(zip_with(xq, carr, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+            .as("dist2_q"))
+        // argmin via min(struct): same (dist2_q, center) tie order a rank
+        // window would use, but map-side combinable
+        .groupBy("vec_id")
         .agg(min(struct(col("dist2_q"), col("center"))).as("best"))
         .select(col("vec_id"), col("best.center").as("center"))
-    }
 
     def recompute(asg: DataFrame): DataFrame =
-      q.join(asg, Seq("vec_id"))
+      qarr.join(asg, Seq("vec_id"))
+        .select(col("center"), posexplode(col("xq")).as(Seq("dim0", "xq")))
+        .select(col("center"), (col("dim0") + 1).as("dim"), col("xq"))
         .groupBy("center", "dim")
         .agg(count(lit(1)).as("n"), sum(col("xq")).as("sum_q"))
         .select(col("center"), col("dim"), col("n"),
