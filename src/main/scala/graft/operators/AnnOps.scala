@@ -210,8 +210,9 @@ object AnnOps {
       case "sq8" => sq8TopK(embeddings, nQueries, k)
       case "pq" => PqOps.pqTopK(embeddings, nQueries, k)
       case "pq_rerank" => PqOps.pqRerankTopK(embeddings, nQueries, k)
+      case "ivfpq" => PqOps.ivfPqTopK(embeddings, nQueries, k)
       case other => throw new IllegalArgumentException(
-        s"unknown ANN index '$other' (expected lsh/ivf/ivf2/sq8/pq/pq_rerank)")
+        s"unknown ANN index '$other' (expected lsh/ivf/ivf2/sq8/pq/pq_rerank/ivfpq)")
     }).select("qid", "vec_id")
     val common = brute.join(approx, Seq("qid", "vec_id"), "left_semi")
       .groupBy("qid").agg(count(lit(1)).as("n_common"))
@@ -423,6 +424,37 @@ object PqOps {
     val w = Window.partitionBy("qid").orderBy(col("cosine_e4").desc, col("vec_id"))
     rescored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
+
+  /** IVF-PQ: the billion-scale composition — the coarse quantizer
+    * restricts the ADC scan to each query's `nprobe` posting lists, so a
+    * query reads |probed lists| code rows instead of |corpus| (the
+    * IVFADC layout of Jégou et al.; what FAISS calls IVFx,PQy).
+    *
+    * Shape at scale: corpus codes live partitioned by their rn=1 coarse
+    * center (the posting lists); the query side broadcasts twice — the
+    * probe set (|q|·nprobe rows) fans each probed list's code rows to
+    * its probing queries, and the ADC LUT (|q|·M·|codebook| integers)
+    * scores them — so nothing corpus-sized ever shuffles, and both
+    * stages reuse the cached coarse ranking and code frames the plain
+    * IVF/PQ operators build. Integer-exact end-to-end like every other
+    * ANN variant here, hence oracle-able. */
+  def ivfPqTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val corpusList = AnnOps.ivfAssignmentsRanked(embeddings, 1).select("vec_id", "center")
+    val queryProbes = AnnOps.ivfAssignmentsRanked(embeddings, nprobe)
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("center"))
+    val lut = subDistances(embeddings).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("sub"), col("code"), col("dist2_q").as("lut_q"))
+    val scored = pqCodes(embeddings)
+      .join(corpusList, Seq("vec_id"))
+      .join(broadcast(queryProbes), Seq("center"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(lut), Seq("qid", "sub", "code"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("lut_q")).as("adist_q"))
+    val w = Window.partitionBy("qid").orderBy(col("adist_q"), col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
 }
 
 object AnnPack extends QueryPack {
@@ -444,7 +476,9 @@ object AnnPack extends QueryPack {
     "emb_near_dups_mp" -> ((s, dir) => AnnOps.nearDupPairsMultiProbe(e(s, dir), s)),
     "pq_knn" -> ((s, dir) => PqOps.pqTopK(e(s, dir))),
     "pq_rerank" -> ((s, dir) => PqOps.pqRerankTopK(e(s, dir))),
-    "rerank_recall" -> ((s, dir) => AnnOps.annRecall(e(s, dir), s, index = "pq_rerank"))
+    "rerank_recall" -> ((s, dir) => AnnOps.annRecall(e(s, dir), s, index = "pq_rerank")),
+    "ivfpq_knn" -> ((s, dir) => PqOps.ivfPqTopK(e(s, dir))),
+    "ivfpq_recall" -> ((s, dir) => AnnOps.annRecall(e(s, dir), s, index = "ivfpq"))
   )
 
   private[operators] val normSql =
@@ -540,6 +574,49 @@ object AnnPack extends QueryPack {
        |  SELECT s.qid, s.vec_id,
        |         CAST($cosSql AS BIGINT) AS cosine_e4
        |  FROM short s JOIN n ca ON ca.vec_id = s.vec_id JOIN n qa ON qa.vec_id = s.qid
+       |)""".stripMargin
+
+  /** IVF-PQ CTE chain through `ipscored(qid, vec_id, adist_q)`: the
+    * codebook/codes/LUT CTEs are the PQ chain; the coarse quantizer
+    * falls out for free because the full 64-dim distance to a label
+    * centroid is exactly the per-subspace distances summed
+    * (`codist` = SUM over subs of `cdist`). Probe-2, 10 queries —
+    * mirrors [[PqOps.ivfPqTopK]] defaults. */
+  private val ivfPqCtes =
+    s"""${EmbeddingStatsPack.centroidSql},
+       |cq AS (SELECT CAST(label AS BIGINT) AS code, dim,
+       |              CAST(FLOOR(CAST(sum_q AS DOUBLE) / n + 0.5) AS BIGINT) AS centroid_q FROM c),
+       |qs AS (SELECT vec_id, (dim - 1) // 8 AS sub, dim, xq FROM q),
+       |cdist AS (
+       |  SELECT qs.vec_id, qs.sub, cq.code,
+       |         CAST(SUM((qs.xq - cq.centroid_q) * (qs.xq - cq.centroid_q)) AS BIGINT) AS dist2_q
+       |  FROM qs JOIN cq ON qs.dim = cq.dim
+       |  GROUP BY qs.vec_id, qs.sub, cq.code
+       |),
+       |codes AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist2_q, code) AS rn
+       |    FROM cdist
+       |  ) WHERE rn = 1
+       |),
+       |codist AS (
+       |  SELECT vec_id, code AS center, CAST(SUM(dist2_q) AS BIGINT) AS cd2
+       |  FROM cdist GROUP BY vec_id, code
+       |),
+       |cranked AS (
+       |  SELECT vec_id, center,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd2, center) AS rn
+       |  FROM codist
+       |),
+       |corpus AS (SELECT vec_id, center FROM cranked WHERE rn = 1),
+       |probes AS (SELECT vec_id AS qid, center FROM cranked WHERE rn <= 2 AND vec_id < 10),
+       |ipscored AS (
+       |  SELECT p.qid, c2.vec_id, CAST(SUM(l.dist2_q) AS BIGINT) AS adist_q
+       |  FROM codes c2
+       |  JOIN corpus co ON co.vec_id = c2.vec_id
+       |  JOIN probes p ON p.center = co.center AND c2.vec_id <> p.qid
+       |  JOIN cdist l ON l.vec_id = p.qid AND l.sub = c2.sub AND l.code = c2.code
+       |  GROUP BY p.qid, c2.vec_id
        |)""".stripMargin
 
   /** IVF CTE chain through `ranked` (rnk = per-query cosine rank):
@@ -791,6 +868,23 @@ object AnnPack extends QueryPack {
          |    FROM rescored
          |  ) WHERE rnk <= 5
          |),
+         |$bruteCtes,
+         |${recallTail("atop")}""".stripMargin,
+    "ivfpq_knn" ->
+      s"""WITH $ivfPqCtes
+         |SELECT qid, vec_id, adist_q, CAST(rnk AS INTEGER) AS rnk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist_q, vec_id) AS rnk
+         |  FROM ipscored
+         |) WHERE rnk <= 5""".stripMargin,
+    "ivfpq_recall" ->
+      s"""WITH $ivfPqCtes,
+         |atop AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist_q, vec_id) AS rnk
+         |    FROM ipscored
+         |  ) WHERE rnk <= 5
+         |),
+         |$normSql,
          |$bruteCtes,
          |${recallTail("atop")}""".stripMargin,
     "emb_near_dups" ->
