@@ -41,5 +41,9 @@ object GraftCatalog {
       .createOrReplaceTempView("incr_neardups")
     graft.operators.DedupOps.blockerPairRecall(docs, embs, spark)
       .createOrReplaceTempView("neardup_recall")
+    graft.operators.AnnOps.nearDupPairsMultiProbe(embs, spark)
+      .createOrReplaceTempView("emb_near_dups_mp")
+    graft.operators.PqOps.ivfPqTopK(embs)
+      .createOrReplaceTempView("ivfpq_topk")
   }
 }

@@ -29,10 +29,14 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(spark.sql("SELECT COUNT(*) FROM order_region_asof").collect()(0).getLong(0) > 0)
     assert(spark.sql("SELECT * FROM incr_neardups").count() ==
       graft.operators.DedupOps.incrNearDup(docs, spark, 100L).count())
+    assert(spark.sql("SELECT * FROM emb_near_dups_mp").count() ==
+      graft.operators.AnnOps.nearDupPairsMultiProbe(embs, spark).count())
+    assert(spark.sql("SELECT * FROM ivfpq_topk WHERE rnk <= 5").count() ==
+      graft.operators.PqOps.ivfPqTopK(embs).count())
     // and SQL composes over them: an aggregate over the recall view
     val recallRows = spark.sql(
       "SELECT blocker, recall_e4 FROM neardup_recall ORDER BY blocker").collect()
-    assert(recallRows.length == 3)
+    assert(recallRows.length == 4)
     assert(recallRows.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 10000))
   }
 
