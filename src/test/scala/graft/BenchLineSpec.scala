@@ -24,21 +24,27 @@ class BenchLineSpec extends AnyFunSuite {
     }.toMap
   }
 
-  test("current query count renders within budget, every query accounted for") {
+  test("current query count renders within budget, only noise-level queries fold") {
     val n = SparkEntry.queries.size
-    val line = BenchLine(results(n), "sf0.1")
+    val r = results(n)
+    val line = BenchLine(r, "sf0.1")
     assert(line.length <= BenchLine.MaxLen, s"line is ${line.length} chars")
     val node = parse(line)
     val fastN = if (node.has("fast_n")) node.get("fast_n").asInt() else 0
     assert(node.get("queries").size() + fastN == n)
-    // degrading is allowed at any count, but the fold must stay marginal —
-    // the per-query history rounds are compared on lives in "queries".
-    // Bar: 1/8 of queries. The folded set is by construction the fastest
-    // tail (sub-0.3 s queries whose round-to-round deltas are noise), the
-    // slowest queries are pinned per-name below, and the hard ceiling is
-    // the driver's 2000-char tail capture — at 115 queries the fine line
-    // runs ~2080 chars, so ~12 folds are structural, not a regression.
-    assert(fastN <= n / 8, s"folded $fastN of $n queries; line budget needs a rethink")
+    // The line budget is hard (the driver tail-captures 2000 chars), so as
+    // the query count grows the ladder MUST fold more of the fastest tail.
+    // The property that matters is therefore not the fold COUNT but that
+    // per-query visibility is only ever lost where timings are noise: the
+    // fold set is the k smallest values, and its largest member must stay
+    // sub-second — any query worth comparing round-over-round is named.
+    if (fastN > 0) {
+      val foldedMax = r.values.toSeq.sorted.take(fastN).max
+      assert(foldedMax < 1.0,
+        s"fold reached a $foldedMax s query; line budget needs a rethink")
+    }
+    // loose backstop so a rendering regression can't quietly fold half the line
+    assert(fastN <= n / 4, s"folded $fastN of $n queries; line budget needs a rethink")
   }
 
   test("120+ queries still fit and stay parseable (degrade ladder engages)") {
