@@ -148,11 +148,15 @@ object DedupOps {
       .groupBy(col("pa.doc_id").as("da"), col("pb.doc_id").as("db"))
       .agg(count(lit(1)).as("inter"))
 
-  /** Exact Jaccard for candidate pairs (da < db): intersections come from
-    * the shingle-keyed self-join, then a semi-filter on the candidates —
-    * NOT a pairs×shingles expansion (which explodes when banding is
+  /** Per-pair overlap statistics (da < db): (inter, na, nb) for every
+    * co-occurring (or candidate) pair — the shared numerator/denominator
+    * frame BOTH similarity scores (Jaccard, containment) project from,
+    * so the expensive posting self-join is computed once whichever
+    * score a query asks for. Intersections come from the shingle-keyed
+    * self-join, then a semi-filter on the candidates — NOT a
+    * pairs×shingles expansion (which explodes when banding is
     * permissive). */
-  private[operators] def verifyJaccard(postings: DataFrame, pairs: Option[DataFrame]): DataFrame = {
+  private[operators] def pairStats(postings: DataFrame, pairs: Option[DataFrame]): DataFrame = {
     val sizes = shingleSizes(postings)
     val inter = pairs.fold(sharedCounts(postings)) { p =>
       // candidates are sparse after banding: restrict the postings to docs
@@ -172,28 +176,54 @@ object DedupOps {
     inter
       .join(sizes.select(col("doc_id").as("da"), col("n_shingles").as("na")), "da")
       .join(sizes.select(col("doc_id").as("db"), col("n_shingles").as("nb")), "db")
+  }
+
+  /** Exact Jaccard for candidate pairs (da < db), over [[pairStats]]. */
+  private[operators] def verifyJaccard(postings: DataFrame, pairs: Option[DataFrame]): DataFrame =
+    pairStats(postings, pairs)
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
       .select(col("da"), col("db"),
         floor(col("jaccard") * 10000 + 0.5).cast("long").as("jaccard_e4"))
-  }
 
   /** n-gram Jaccard dedup: all co-occurring pairs, exact Jaccard >=
     * threshold. Operates on the [[MaxShingleDf]]-capped shingle space
     * (see [[cappedPostings]]): sizes, intersections, and the pair set
     * itself all exclude boilerplate shingles, so the posting self-join
     * output is bounded by corpus · MaxDf, never Σ df². */
-  def ngramJaccard(docs: DataFrame, thresholdE4: Long = 8000L): DataFrame = {
-    // cached: verifyJaccard references the capped postings three times
+  /** Cached (da, db, inter, na, nb) over the capped shingle space —
+    * computed once for the whole dedup family: the jaccard/clusters/span
+    * thresholds AND the containment score all project from this one
+    * materialization of the df² self-join. */
+  private def cappedPairStats(docs: DataFrame): DataFrame = {
+    // cached: pairStats references the capped postings three times
     // (self-join twice + sizes), and the capped frame is shared across
-    // the jaccard/clusters/span thresholds
+    // every consumer of the capped shingle space
     val capped = graft.Caching.maybeCache(cappedPostings(shinglePostings(docs)))
-    // cache BELOW the threshold filter: the unfiltered pair-Jaccard table
-    // is identical across thresholds, so the jaccard/clusters/span
-    // operators (8000 vs 5000) share one materialization of the df²
-    // self-join instead of re-running it per query
-    graft.Caching.maybeCache(verifyJaccard(capped, None))
-      .filter(col("jaccard_e4") >= thresholdE4)
+    graft.Caching.maybeCache(pairStats(capped, None))
   }
+
+  def ngramJaccard(docs: DataFrame, thresholdE4: Long = 8000L): DataFrame =
+    cappedPairStats(docs)
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .select(col("da"), col("db"),
+        floor(col("jaccard") * 10000 + 0.5).cast("long").as("jaccard_e4"))
+      .filter(col("jaccard_e4") >= thresholdE4)
+
+  /** Containment dedup: inter / min(|a|, |b|) over the capped shingle
+    * space — the Broder containment score. Catches the near-SUPERSET
+    * shape whole-doc Jaccard misses: a short document fully embedded in
+    * a boilerplate-wrapped longer one has low Jaccard (the union is
+    * dominated by the wrapper) but containment ≈ 1. Same pair meeting
+    * points and caps as [[ngramJaccard]], and the same cached
+    * [[cappedPairStats]] frame — asking for both scores costs one df²
+    * self-join, not two. */
+  def containmentDedup(docs: DataFrame, thresholdE4: Long = 8000L): DataFrame =
+    cappedPairStats(docs)
+      .withColumn("containment",
+        col("inter") / least(col("na"), col("nb")))
+      .select(col("da"), col("db"),
+        floor(col("containment") * 10000 + 0.5).cast("long").as("containment_e4"))
+      .filter(col("containment_e4") >= thresholdE4)
 
   /** Incremental ingest dedup: admit docs from a new batch (doc_id >=
     * `watermarkId` in the fixture; a date/partition predicate in
@@ -521,6 +551,7 @@ object DedupPack extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) => DedupOps.exact(d(s, dir))),
     "dedup_jaccard" -> ((s, dir) => DedupOps.ngramJaccard(d(s, dir))),
+    "dedup_containment" -> ((s, dir) => DedupOps.containmentDedup(d(s, dir))),
     "dedup_minhash" -> ((s, dir) => DedupOps.minhashLsh(d(s, dir), s)),
     "dedup_simhash" -> ((s, dir) => DedupOps.simhashDedup(d(s, dir), s)),
     "longest_span" -> ((s, dir) => DedupOps.pairLongestSpan(d(s, dir))),
@@ -665,6 +696,28 @@ object DedupPack extends QueryPack {
          |  FROM shc a JOIN shc b ON a.x31 = b.x31 AND a.doc_id < b.doc_id
          |),
          |${jaccardSql("pairs", 8000L, "shc", "sizesc")}""".stripMargin,
+    // containment = inter / min(|a|,|b|) over the same capped space and
+    // pair set as dedup_jaccard — only the denominator differs
+    "dedup_containment" ->
+      s"""WITH $postingsSql,
+         |$cappedPostingsSql,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM shc a JOIN shc b ON a.x31 = b.x31 AND a.doc_id < b.doc_id
+         |),
+         |inter AS (
+         |  SELECT p.da, p.db, COUNT(*) AS inter
+         |  FROM pairs p
+         |  JOIN shc a ON a.doc_id = p.da
+         |  JOIN shc b ON b.doc_id = p.db AND a.x31 = b.x31
+         |  GROUP BY p.da, p.db
+         |)
+         |SELECT i.da, i.db,
+         |       CAST(FLOOR((i.inter / CAST(LEAST(sa.n_shingles, sb.n_shingles) AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS containment_e4
+         |FROM inter i
+         |JOIN sizesc sa ON i.da = sa.doc_id
+         |JOIN sizesc sb ON i.db = sb.doc_id
+         |WHERE (i.inter / CAST(LEAST(sa.n_shingles, sb.n_shingles) AS DOUBLE)) * 10000 + 0.5 >= 8000""".stripMargin,
     "dedup_minhash" ->
       s"""WITH $postingsSql,
          |$minhashSigSql,

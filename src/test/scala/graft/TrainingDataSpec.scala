@@ -161,6 +161,19 @@ class TrainingDataSpec extends SparkSpec {
     } finally { p8.unpersist(); p16.unpersist() }
   }
 
+  test("containment dominates Jaccard: every Jaccard pair survives the containment threshold") {
+    // inter/min(na,nb) >= inter/(na+nb-inter) always, so at one threshold
+    // the containment pair set is a superset — the extra pairs are the
+    // near-superset shape (small doc embedded in a bigger one)
+    val jac = DedupOps.ngramJaccard(docs, 8000L).select("da", "db").cache()
+    val cont = DedupOps.containmentDedup(docs, 8000L).cache()
+    try {
+      assert(jac.except(cont.select("da", "db")).count() == 0,
+        "a Jaccard-threshold pair fell below the same containment threshold")
+      assert(cont.filter(col("containment_e4") < 8000L || col("containment_e4") > 10000L).count() == 0)
+    } finally { jac.unpersist(); cont.unpersist() }
+  }
+
   test("multi-probe near-dups contain the single-probe pairs and never invent similarity") {
     val plain = AnnOps.nearDupPairs(embs, spark).cache()
     val mp = AnnOps.nearDupPairsMultiProbe(embs, spark).cache()
