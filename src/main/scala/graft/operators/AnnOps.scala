@@ -211,8 +211,9 @@ object AnnOps {
       case "pq" => PqOps.pqTopK(embeddings, nQueries, k)
       case "pq_rerank" => PqOps.pqRerankTopK(embeddings, nQueries, k)
       case "ivfpq" => PqOps.ivfPqTopK(embeddings, nQueries, k)
+      case "ivfpq_rerank" => PqOps.ivfPqRerankTopK(embeddings, nQueries, k)
       case other => throw new IllegalArgumentException(
-        s"unknown ANN index '$other' (expected lsh/ivf/ivf2/sq8/pq/pq_rerank/ivfpq)")
+        s"unknown ANN index '$other' (expected lsh/ivf/ivf2/sq8/pq/pq_rerank/ivfpq/ivfpq_rerank)")
     }).select("qid", "vec_id")
     val common = brute.join(approx, Seq("qid", "vec_id"), "left_semi")
       .groupBy("qid").agg(count(lit(1)).as("n_common"))
@@ -453,7 +454,36 @@ object PqOps {
       .groupBy("qid", "vec_id")
       .agg(sum(col("lut_q")).as("adist_q"))
     val w = Window.partitionBy("qid").orderBy(col("adist_q"), col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    // cached above the rank filter: the k=5 top-k and the rerank
+    // shortlist (k=20) share one materialization of the probed ADC scan
+    graft.Caching.maybeCache(scored.withColumn("rnk", row_number().over(w)))
+      .filter(col("rnk") <= k)
+  }
+
+  /** IVF-PQ with exact re-rank — the complete production retrieval
+    * stack (coarse probe → ADC shortlist → exact-cosine re-rank of
+    * |q|·shortlist rows). Composes [[ivfPqTopK]]'s probed scan with the
+    * same broadcast-fetched rescore [[pqRerankTopK]] uses; recall is
+    * bounded by what the probed posting lists contain, but the ordering
+    * within the shortlist becomes exact. */
+  def ivfPqRerankTopK(
+      embeddings: DataFrame,
+      nQueries: Int = 10,
+      k: Int = 5,
+      nprobe: Int = 2,
+      shortlist: Int = 20): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    val short = ivfPqTopK(embeddings, nQueries, shortlist, nprobe).select("qid", "vec_id")
+    val n = AnnOps.normalized(embeddings)
+    val queries = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val rescored = n
+      .join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        AnnOps.cosineE4(col("qv"), col("v"), col("qn"), col("nrm")).as("cosine_e4"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine_e4").desc, col("vec_id"))
+    rescored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 }
 
@@ -478,7 +508,8 @@ object AnnPack extends QueryPack {
     "pq_rerank" -> ((s, dir) => PqOps.pqRerankTopK(e(s, dir))),
     "rerank_recall" -> ((s, dir) => AnnOps.annRecall(e(s, dir), s, index = "pq_rerank")),
     "ivfpq_knn" -> ((s, dir) => PqOps.ivfPqTopK(e(s, dir))),
-    "ivfpq_recall" -> ((s, dir) => AnnOps.annRecall(e(s, dir), s, index = "ivfpq"))
+    "ivfpq_recall" -> ((s, dir) => AnnOps.annRecall(e(s, dir), s, index = "ivfpq")),
+    "ivfpq_rerank" -> ((s, dir) => PqOps.ivfPqRerankTopK(e(s, dir)))
   )
 
   private[operators] val normSql =
@@ -887,6 +918,24 @@ object AnnPack extends QueryPack {
          |$normSql,
          |$bruteCtes,
          |${recallTail("atop")}""".stripMargin,
+    "ivfpq_rerank" ->
+      s"""WITH $ivfPqCtes,
+         |ipshort AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist_q, vec_id) AS rnk
+         |    FROM ipscored
+         |  ) WHERE rnk <= 20
+         |),
+         |$normSql,
+         |iprescored AS (
+         |  SELECT s.qid, s.vec_id,
+         |         CAST($cosSql AS BIGINT) AS cosine_e4
+         |  FROM ipshort s JOIN n ca ON ca.vec_id = s.vec_id JOIN n qa ON qa.vec_id = s.qid
+         |)
+         |SELECT qid, vec_id, cosine_e4, rnk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine_e4 DESC, vec_id) AS rnk
+         |  FROM iprescored
+         |) WHERE rnk <= 5""".stripMargin,
     "emb_near_dups" ->
       s"""WITH $normSql, $bucketSql,
          |bok AS (SELECT bucket FROM bk GROUP BY bucket HAVING COUNT(*) <= ${AnnOps.MaxEmbBucket}),

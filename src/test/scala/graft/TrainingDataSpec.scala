@@ -75,7 +75,7 @@ class TrainingDataSpec extends SparkSpec {
   }
 
   test("annRecall runs against every index variant; unknown index is rejected") {
-    for (idx <- Seq("lsh", "ivf", "ivf2", "sq8", "pq", "pq_rerank", "ivfpq")) {
+    for (idx <- Seq("lsh", "ivf", "ivf2", "sq8", "pq", "pq_rerank", "ivfpq", "ivfpq_rerank")) {
       val r = AnnOps.annRecall(embs, spark, nQueries = 5, k = 3, index = idx).cache()
       assert(r.count() == 5, s"index $idx: one recall row per query expected")
       assert(r.filter(col("recall_e4") < 0 || col("recall_e4") > 10000).count() == 0,
