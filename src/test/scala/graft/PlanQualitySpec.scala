@@ -128,6 +128,20 @@ class PlanQualitySpec extends SparkSpec {
       s"rerank stage not broadcast-joined:\n$plan")
   }
 
+  test("containment projects from the same cached pair-stats frame as jaccard") {
+    spark.catalog.clearCache()
+    // force the shared materialization the way a mixed workload would:
+    // run jaccard first, then containment must read the SAME InMemoryRelation
+    SparkEntry.queries("dedup_jaccard")(spark, sf).count()
+    val plan = physical(SparkEntry.queries("dedup_containment")(spark, sf))
+    assert(plan.contains("InMemoryRelation"),
+      s"containment did not reuse the cached pair-stats frame:\n$plan")
+    // and its score really is the min-denominator, not a second self-join
+    assert(!plan.contains("SortMergeJoin") ||
+      plan.indexOf("InMemoryTableScan") >= 0,
+      s"containment re-ran the pair self-join:\n$plan")
+  }
+
   test("multi-probe fan-out ships slim probe rows, never the vector payload") {
     val plan = physical(SparkEntry.queries("emb_near_dups_mp")(spark, sf))
     // the 9x probe explode must carry only (vec_id, probe) — a Generate
