@@ -60,6 +60,21 @@ class TrainingDataSpec extends SparkSpec {
     assert(mismatch.count() == 0, "rerank scores must be exact cosines")
   }
 
+  test("ivfpq rerank: exact re-rank never loses recall vs the plain probed ADC scan") {
+    val plain = AnnOps.annRecall(embs, spark, index = "ivfpq")
+      .agg(sum("n_common")).collect()(0).getLong(0)
+    val rr = AnnOps.annRecall(embs, spark, index = "ivfpq_rerank")
+      .agg(sum("n_common")).collect()(0).getLong(0)
+    assert(rr >= plain, s"ivfpq rerank recall $rr fell below plain ivfpq $plain")
+    // rerank scores are exact cosines wherever they overlap brute top-k
+    val brute = AnnOps.bruteTopK(embs, nQueries = 10, k = 5)
+      .select(col("qid"), col("vec_id"), col("cosine_e4").as("bc"))
+    val mismatch = PqOps.ivfPqRerankTopK(embs, nQueries = 10, k = 5)
+      .join(brute, Seq("qid", "vec_id"))
+      .filter(col("cosine_e4") =!= col("bc"))
+    assert(mismatch.count() == 0, "ivfpq rerank scores must be exact cosines")
+  }
+
   test("incrNearDup is exactly the cross-watermark slice of the full simhash pair graph") {
     val wm = 100L
     val incr = DedupOps.incrNearDup(docs, spark, wm).cache()
