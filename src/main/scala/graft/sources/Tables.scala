@@ -66,13 +66,21 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "region")
-  /** events.ts is nanosecond-precision parquet, readable only as a long
+  /** events.ts normalizes to TimestampType (micros, UTC) whatever the
+    * fixture's physical type: nanosecond parquet arrives as a long
     * (spark.sql.legacy.parquet.nanosAsLong, set by GraftSession/Verify/
-    * Bench); convert to a proper TimestampType column (micros, UTC). */
+    * Bench), micros-without-tz arrives as TIMESTAMP_NTZ (a no-op
+    * reinterpretation under the UTC session zone), and a plain TIMESTAMP
+    * passes through. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    read(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = read(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")
