@@ -38,7 +38,9 @@ object SparkEntry {
     graft.operators.GraphPack,
     graft.operators.CohortPack,
     graft.operators.CurationPack,
-    graft.operators.PrivacyPack
+    graft.operators.PrivacyPack,
+    graft.operators.RetrievalPack,
+    graft.operators.DataLayoutPack
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {

@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout: Z-order (Morton) clustering of a table
+  * on two numeric columns, so range predicates on EITHER column prune
+  * most files — the lakehouse layout lever for 100-TB scans (Delta/Iceberg
+  * `OPTIMIZE ZORDER BY`, re-expressed as plain Spark).
+  *
+  * The morton code is a pure built-in expression tree (shift/mask bit
+  * spreading, no UDF, fully codegen'd). Each dimension is first
+  * normalized to 16 bits with exact integer arithmetic —
+  * `((x - min) * 65535) DIV max(range, 1)` — so the interleave uses the
+  * full grid at any data scale and stays engine-portable (no double
+  * rounding; the oracle mirrors it with `//`).
+  *
+  * Scale shape: the min/max frame is one scalar aggregate broadcast into
+  * a narrow per-row map; [[zorderBins]] then does one map-side-combined
+  * aggregation on the coarse bin. [[writeZordered]] range-partitions on
+  * the morton code and sorts within partitions, so every written file
+  * covers one tight z-range = a bounded rectangle of the key grid —
+  * parquet min/max footer stats on BOTH columns become selective, which
+  * is the entire point.
+  */
+object DataLayoutOps {
+
+  /** Bits kept per dimension after normalization. */
+  val DimBits = 16
+
+  /** Coarse bin = top [[BinBits]] bits of the 32-bit morton code (8 bits
+    * → ≤256 bins, each a 1/16 × 1/16 rectangle of the normalized grid). */
+  val BinBits = 8
+
+  /** Spread the low 16 bits of `x` to even bit positions (binary
+    * magic-number sequence; the standard Morton spread). */
+  private[graft] def spread16(x: Column): Column = {
+    val a = x.bitwiseAND(lit(65535L))
+    val b = a.bitwiseOR(shiftleft(a, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val c = b.bitwiseOR(shiftleft(b, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val d = c.bitwiseOR(shiftleft(c, 2)).bitwiseAND(lit(0x33333333L))
+    d.bitwiseOR(shiftleft(d, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 32-bit morton code of two 16-bit values: bits of `a` at even
+    * positions, bits of `b` at odd. */
+  private[graft] def morton16(a: Column, b: Column): Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** `df` + `zval`: morton code over min-max-normalized (`colA`, `colB`).
+    * Two passes: one scalar min/max aggregate (broadcast), one narrow
+    * map. Normalization divides with integer DIV — exact in both
+    * engines, no double rounding at bucket boundaries. */
+  def withZval(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val stats = df.agg(
+      min(col(colA)).as("a_min"), max(col(colA)).as("a_max"),
+      min(col(colB)).as("b_min"), max(col(colB)).as("b_max"))
+    val norm = (c: String, lo: String, hi: String) =>
+      expr(s"CAST((($c - $lo) * 65535) DIV greatest($hi - $lo, 1) AS BIGINT)")
+    df.crossJoin(broadcast(stats))
+      .withColumn("ua", norm(colA, "a_min", "a_max"))
+      .withColumn("ub", norm(colB, "b_min", "b_max"))
+      .withColumn("zval", morton16(col("ua"), col("ub")))
+      .drop("ua", "ub", "a_min", "a_max", "b_min", "b_max")
+  }
+
+  /** Per-z-bin layout census over lineitem's (l_partkey, l_suppkey):
+    * row count and the bounding rectangle each coarse bin actually
+    * covers. The rectangle widths are what a file-level min/max stat
+    * would be after clustering — the locality evidence, queryable. */
+  def zorderBins(lineitem: DataFrame): DataFrame =
+    withZval(lineitem.select("l_orderkey", "l_partkey", "l_suppkey"),
+      "l_partkey", "l_suppkey")
+      .withColumn("bin", shiftright(col("zval"), 2 * DimBits - BinBits))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("p_min"), max(col("l_partkey")).as("p_max"),
+        min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"))
+
+  /** Z-order-clustered rewrite: range-partition on the morton code into
+    * `numFiles` files, sorted within each, written through the connector
+    * seam. Each output file then covers one contiguous z-range — a
+    * bounded rectangle in (colA, colB) — so scans filtered on either
+    * column skip most files on footer stats alone. Returns the written
+    * row count (recounted from the destination, [[graft.sources.BulkOps]]
+    * write-verification convention). */
+  def writeZordered(
+      df: DataFrame, colA: String, colB: String,
+      destPath: String, numFiles: Int = 8): Long = {
+    val spark = df.sparkSession
+    graft.sources.BulkOps.writePath(
+      withZval(df, colA, colB)
+        .repartitionByRange(numFiles, col("zval"))
+        .sortWithinPartitions("zval"),
+      org.apache.spark.sql.SaveMode.Overwrite)
+      .save(destPath)
+    graft.sources.BulkOps.readPath(spark, destPath).count()
+  }
+}
+
+object DataLayoutPack extends QueryPack {
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zorder_bins" -> ((s, d) => DataLayoutOps.zorderBins(Tables.lineitem(s, d)))
+  )
+
+  /** The morton spread as literal SQL (same masks, `&`/`|`/`<<` on
+    * BIGINT are exact in both engines). */
+  private def spreadSql(x: String): String = {
+    val a = s"($x & 65535)"
+    val b = s"(($a | ($a << 8)) & 16711935)"
+    val c = s"(($b | ($b << 4)) & 252645135)"
+    val d = s"(($c | ($c << 2)) & 858993459)"
+    s"(($d | ($d << 1)) & 1431655765)"
+  }
+
+  override def oracles: Map[String, String] = Map(
+    "zorder_bins" ->
+      s"""WITH stats AS (
+         |  SELECT MIN(l_partkey) AS a_min, MAX(l_partkey) AS a_max,
+         |         MIN(l_suppkey) AS b_min, MAX(l_suppkey) AS b_max
+         |  FROM lineitem
+         |),
+         |z AS (
+         |  SELECT l_partkey, l_suppkey,
+         |         (${spreadSql("(((l_partkey - a_min) * 65535) // GREATEST(a_max - a_min, 1))")}
+         |          | (${spreadSql("(((l_suppkey - b_min) * 65535) // GREATEST(b_max - b_min, 1))")} << 1)) AS zval
+         |  FROM lineitem CROSS JOIN stats
+         |)
+         |SELECT zval >> ${2 * DataLayoutOps.DimBits - DataLayoutOps.BinBits} AS bin,
+         |       COUNT(*) AS n_rows,
+         |       MIN(l_partkey) AS p_min, MAX(l_partkey) AS p_max,
+         |       MIN(l_suppkey) AS s_min, MAX(l_suppkey) AS s_max
+         |FROM z GROUP BY 1""".stripMargin
+  )
+}

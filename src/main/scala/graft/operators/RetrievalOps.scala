@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical retrieval over the corpus: BM25 scoring against a small
+  * query-term set, the inverted-index ranking primitive a training-data
+  * pipeline uses for decontamination probes, targeted corpus audits, and
+  * RAG-ish eval harnesses.
+  *
+  * Engine-exactness: the score keeps the [[TextRankOps.termRelevance]]
+  * convention — a fixed double expression tree over exact integers, with
+  * one documented deviation: idf is the raw Robertson ratio
+  * `(N - df + 0.5) / (df + 0.5)` WITHOUT the log. The log would rank
+  * identically term-by-term (it is monotone) but its cross-term SUM is
+  * not order-free in floating point across engines; the raw ratio keeps
+  * the whole tree a short, fixed-order chain mirrored literally in the
+  * oracle. Per-doc summation over terms is pivoted into one column per
+  * query term and added in QUERY ORDER (a fixed left fold, at most
+  * [[MaxQueryTerms]] additions) — never a row-order-dependent SUM().
+  *
+  * Scale shape (100 TB): tokens are filtered to the query terms BEFORE
+  * the tf groupBy, so the only full-corpus pass is a narrow
+  * projection+filter — the shuffle carries just matching (doc, term)
+  * rows, ~|terms| × docs-per-term, not the corpus. df/N/avgdl reduce to
+  * a broadcast scalar frame. Top-k is the two-phase exact pattern
+  * (per-partition prune to k, then one k·P-row final sort) — no global
+  * sort of all scored docs.
+  */
+object RetrievalOps {
+
+  /** Pivot-column budget: terms beyond this would widen the fixed-order
+    * fold (and the oracle) past usefulness — a query box, not a corpus
+    * limit. */
+  val MaxQueryTerms = 8
+
+  /** Fixture default: three frequent, distinct corpus terms. */
+  val DefaultTerms: Seq[String] = Seq("join", "merge", "scan")
+
+  private val K1: Column = lit(1.2)
+  private val B: Column = lit(0.75)
+
+  /** BM25 top-k docs for `terms`: one row per ranked doc with the number
+    * of matched terms and the e4-scaled score. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String] = DefaultTerms, k: Int = 10): DataFrame = {
+    require(terms.nonEmpty && terms.size <= MaxQueryTerms,
+      s"1..$MaxQueryTerms query terms, got ${terms.size}")
+    require(terms.distinct.size == terms.size, s"duplicate query terms: $terms")
+    // doc length is a narrow map (no explode); read twice (stats + score
+    // join), so materialize once
+    val lens = graft.Caching.maybeCache(
+      docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("len")))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("total_len"))
+    // the corpus-wide explode collapses to matching tokens BEFORE the
+    // shuffle: isin is a codegen'd filter on the exploded stream
+    val tf = graft.Caching.maybeCache(
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .filter(col("token").isin(terms: _*))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf")))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val avgLen = col("total_len") * lit(1.0) / col("n_docs")
+    val score =
+      ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        (col("tf") * (K1 + lit(1.0))) /
+        (col("tf") + K1 * (lit(1.0) - B + B * col("len") / avgLen))
+    val perTerm = tf
+      .join(broadcast(df), "token")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("s", score)
+    // fixed-order fold: one pivot column per term, added in query order
+    val pivots = count(lit(1)).cast("int").as("n_terms") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        max(when(col("token") === t, col("s"))).as(s"s_$i")
+      }
+    val total = terms.indices
+      .map(i => coalesce(col(s"s_$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    val scored = perTerm
+      .groupBy("doc_id")
+      .agg(pivots.head, pivots.tail: _*)
+      .select(col("doc_id"), col("n_terms"),
+        floor(total * 10000 + 0.5).cast("long").as("score_e4"))
+    // two-phase exact top-k: prune each partition to k before the single
+    // k·P-row final ranking
+    val perPart = Window.partitionBy(spark_partition_id())
+      .orderBy(col("score_e4").desc, col("doc_id"))
+    scored
+      .withColumn("prnk", row_number().over(perPart))
+      .filter(col("prnk") <= k)
+      .drop("prnk")
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("score_e4").desc, col("doc_id"))))
+      .filter(col("rnk") <= k)
+  }
+}
+
+object RetrievalPack extends QueryPack {
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bm25_topk" -> ((s, d) => RetrievalOps.bm25TopK(Tables.documents(s, d)))
+  )
+
+  // the oracle mirrors the score tree literally; DOUBLE casts keep DuckDB
+  // from computing the constants in DECIMAL
+  override def oracles: Map[String, String] = Map(
+    "bm25_topk" ->
+      """WITH lens AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len FROM documents
+        |),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(len) AS total_len FROM lens),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM toks
+        |  WHERE token IN ('join', 'merge', 'scan')
+        |  GROUP BY doc_id, token
+        |),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        |st AS (
+        |  SELECT tf.doc_id, tf.token,
+        |         ((s.n_docs - df.df + CAST(0.5 AS DOUBLE)) / (df.df + CAST(0.5 AS DOUBLE)))
+        |         * (tf.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        |         / (tf.tf + CAST(1.2 AS DOUBLE) *
+        |            (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |             + CAST(0.75 AS DOUBLE) * l.len
+        |               / (s.total_len * CAST(1.0 AS DOUBLE) / s.n_docs))) AS s
+        |  FROM tf
+        |  JOIN df ON tf.token = df.token
+        |  JOIN lens l ON tf.doc_id = l.doc_id
+        |  CROSS JOIN stats s
+        |),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_terms,
+        |         MAX(CASE WHEN token = 'join' THEN s END) AS s_0,
+        |         MAX(CASE WHEN token = 'merge' THEN s END) AS s_1,
+        |         MAX(CASE WHEN token = 'scan' THEN s END) AS s_2
+        |  FROM st GROUP BY doc_id
+        |),
+        |scored AS (
+        |  SELECT doc_id, n_terms,
+        |         CAST(FLOOR((COALESCE(s_0, CAST(0.0 AS DOUBLE))
+        |                     + COALESCE(s_1, CAST(0.0 AS DOUBLE))
+        |                     + COALESCE(s_2, CAST(0.0 AS DOUBLE))) * 10000 + 0.5) AS BIGINT) AS score_e4
+        |  FROM agg
+        |),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY score_e4 DESC, doc_id) AS rnk FROM scored
+        |)
+        |SELECT doc_id, n_terms, score_e4, rnk FROM ranked WHERE rnk <= 10""".stripMargin
+  )
+}

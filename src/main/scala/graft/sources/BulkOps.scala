@@ -31,12 +31,12 @@ object BulkOps {
         "BulkOps is path-addressed (backups, retention, existence checks); " +
           s"unset ${Tables.NameAddressedKey} or use the connector's own bulk admin surface")
 
-  private def readPath(spark: SparkSession, path: String): DataFrame = {
+  private[graft] def readPath(spark: SparkSession, path: String): DataFrame = {
     requirePathAddressed(spark)
     spark.read.format(Tables.sourceFormat(spark)).options(Tables.sourceOptions(spark)).load(path)
   }
 
-  private def writePath(df: DataFrame, mode: SaveMode): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
+  private[graft] def writePath(df: DataFrame, mode: SaveMode): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
     val spark = df.sparkSession
     df.write.format(Tables.sourceFormat(spark)).options(Tables.sourceOptions(spark)).mode(mode)
   }

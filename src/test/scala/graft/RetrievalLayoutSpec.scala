@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.{DataLayoutOps, RetrievalOps}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class RetrievalLayoutSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf).cache()
+  private lazy val lineitem = Tables.lineitem(spark, sf).cache()
+
+  // reference morton implementation (plain Scala) for the property test
+  private def spreadRef(x: Long): Long = {
+    val a = x & 0xffffL
+    val b = (a | (a << 8)) & 0x00ff00ffL
+    val c = (b | (b << 4)) & 0x0f0f0f0fL
+    val d = (c | (c << 2)) & 0x33333333L
+    (d | (d << 1)) & 0x55555555L
+  }
+  private def mortonRef(a: Long, b: Long): Long = spreadRef(a) | (spreadRef(b) << 1)
+
+  private lazy val sp = spark
+
+  test("morton16 expression matches the reference interleave on random 16-bit pairs") {
+    import sp.implicits._
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(1000)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong)) ++
+      Seq((0L, 0L), (65535L, 0L), (0L, 65535L), (65535L, 65535L))
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), DataLayoutOps.morton16(col("a"), col("b")).as("z"))
+      .collect()
+    got.foreach(r => assert(r.getLong(2) == mortonRef(r.getLong(0), r.getLong(1)),
+      s"morton(${r.getLong(0)}, ${r.getLong(1)})"))
+  }
+
+  test("morton16 is a bijection: distinct pairs get distinct codes") {
+    import sp.implicits._
+    val grid = for (a <- 0L until 32L; b <- 0L until 32L) yield (a * 977L % 65536L, b * 1013L % 65536L)
+    val n = grid.distinct.size
+    val codes = grid.distinct.toDF("a", "b")
+      .select(DataLayoutOps.morton16(col("a"), col("b")).as("z"))
+      .distinct().count()
+    assert(codes == n)
+  }
+
+  test("every z-bin bounds a small rectangle of the key grid") {
+    val bins = DataLayoutOps.zorderBins(lineitem).cache()
+    val stats = lineitem.agg(
+      (max("l_partkey") - min("l_partkey")).as("p_rng"),
+      (max("l_suppkey") - min("l_suppkey")).as("s_rng")).head()
+    val (pRng, sRng) = (stats.getLong(0), stats.getLong(1))
+    // an 8-bit bin is a 1/16 x 1/16 cell of the normalized grid; allow
+    // +2 units of integer-normalization rounding per edge
+    val bad = bins.filter(
+      col("p_max") - col("p_min") > lit(pRng / 16 + 2) ||
+        col("s_max") - col("s_min") > lit(sRng / 16 + 2)).count()
+    assert(bad == 0, s"z-bins wider than one grid cell: $bad")
+    assert(bins.count() > 1)
+    bins.unpersist()
+  }
+
+  test("z-ordered files cover far smaller key rectangles than hash-partitioned ones") {
+    val dir = Files.createTempDirectory("graft-zorder").toFile.getAbsolutePath
+    val n = DataLayoutOps.writeZordered(lineitem, "l_partkey", "l_suppkey", s"$dir/z", numFiles = 8)
+    assert(n == lineitem.count(), "write verification: destination recount must match")
+    lineitem.repartition(8).write.parquet(s"$dir/h")
+
+    def meanArea(path: String): Double = {
+      val perFile = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(
+          (max("l_partkey") - min("l_partkey")).as("pw"),
+          (max("l_suppkey") - min("l_suppkey")).as("sw"))
+      perFile.agg(avg(col("pw") * col("sw"))).head().getDouble(0)
+    }
+    val (zArea, hArea) = (meanArea(s"$dir/z"), meanArea(s"$dir/h"))
+    // hash files span ~the whole grid; z files must average well under half
+    assert(zArea < hArea * 0.5, s"z-order clustering bought nothing: z=$zArea hash=$hArea")
+  }
+
+  test("bm25: matching more query terms can only help, and ranks are dense from 1") {
+    val out = RetrievalOps.bm25TopK(docs, k = 20).cache()
+    val ranks = out.select("rnk").collect().map(_.getInt(0)).sorted
+    assert(ranks.sameElements(1 to ranks.length))
+    // the top hit matches at least as many terms as the median hit
+    val byRank = out.orderBy("rnk").select("n_terms", "score_e4").collect()
+    assert(byRank.head.getLong(1) >= byRank.last.getLong(1))
+    out.unpersist()
+  }
+
+  test("bm25 rejects term lists the fixed-order fold cannot honor") {
+    intercept[IllegalArgumentException](RetrievalOps.bm25TopK(docs, terms = Seq.empty))
+    intercept[IllegalArgumentException](RetrievalOps.bm25TopK(docs, terms = Seq("a", "a")))
+    intercept[IllegalArgumentException](
+      RetrievalOps.bm25TopK(docs, terms = (1 to 9).map("t" + _)))
+  }
+
+  test("bm25 score grows with tf at fixed length, falls with doc length at fixed tf") {
+    import sp.implicits._
+    val corpus = Seq(
+      (1L, "join join join pad1 pad2 pad3"), // tf=3, len 6
+      (2L, "join pad1 pad2 pad3 pad4 pad5"), // tf=1, len 6
+      (3L, "join " + (1 to 40).map("x" + _).mkString(" ")) // tf=1, len 41
+    ).toDF("doc_id", "text")
+    val out = RetrievalOps.bm25TopK(corpus, terms = Seq("join"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) > out(2L), "higher tf must score higher at equal length")
+    assert(out(2L) > out(3L), "longer doc must score lower at equal tf")
+  }
+}
