@@ -45,5 +45,9 @@ object GraftCatalog {
       .createOrReplaceTempView("emb_near_dups_mp")
     graft.operators.PqOps.ivfPqTopK(embs)
       .createOrReplaceTempView("ivfpq_topk")
+    graft.operators.RetrievalOps.bm25TopK(docs)
+      .createOrReplaceTempView("bm25_topk")
+    graft.operators.DataLayoutOps.zorderBins(Tables.lineitem(spark, sfDir))
+      .createOrReplaceTempView("zorder_bins")
   }
 }

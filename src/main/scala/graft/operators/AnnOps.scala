@@ -127,6 +127,41 @@ object AnnOps {
   def ivfAssignments(embeddings: DataFrame): DataFrame =
     ivfAssignmentsRanked(embeddings, 1).select("vec_id", "center")
 
+  /** Incremental IVF index maintenance: assign a NEW ingest batch (the
+    * top 20% of vec_ids — an in-query watermark, a date/partition
+    * predicate in production) to the nearest coarse center trained on
+    * the EXISTING corpus only. This is the ingest path of an IVF index:
+    * new vectors take posting-list assignments without re-training or
+    * re-clustering the corpus, the ANN twin of [[DedupOps.incrDedup]].
+    *
+    * Row-wise shape (same as [[EmbeddingStatsOps.kmeans2]]'s assign
+    * stage): centers collapse to k broadcast arrays, distances are one
+    * zip_with fold per (vector, center), and the argmin is a map-side
+    * combinable min(struct) — the batch never shuffles its vector
+    * payload, only |batch|·k slim distance rows feed the argmin. */
+  def ivfAssignIncremental(embeddings: DataFrame): DataFrame = {
+    val wm = embeddings.agg(expr("(MAX(vec_id) * 4) DIV 5").as("wm"))
+    val e = embeddings.crossJoin(broadcast(wm))
+    val old = e.filter(col("vec_id") < col("wm")).drop("wm")
+    val centers = EmbeddingStatsOps.centroids(old)
+      .select(col("label").cast("long").as("center"), col("dim"), col("centroid_q"))
+    val carr = centers.groupBy("center")
+      .agg(array_sort(collect_list(struct(col("dim"), col("centroid_q")))).as("s"))
+      .select(col("center"), expr("transform(s, p -> p.centroid_q)").as("carr"))
+    e.filter(col("vec_id") >= col("wm"))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))")
+          .as("xq"))
+      .crossJoin(broadcast(carr))
+      .select(col("vec_id"), col("center"),
+        expr("aggregate(zip_with(xq, carr, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+          .as("dist2_q"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist2_q"), col("center"))).as("best"))
+      .select(col("vec_id"), col("best.center").as("center"),
+        col("best.dist2_q").as("dist2_q"))
+  }
+
   /** IVF top-k with probe-N: the corpus side stays partitioned by its
     * rn=1 assignment (the posting lists); only the bounded query set
     * fans out to its nprobe nearest centers, so recall rises with no
@@ -509,7 +544,8 @@ object AnnPack extends QueryPack {
     "rerank_recall" -> ((s, dir) => AnnOps.annRecall(e(s, dir), s, index = "pq_rerank")),
     "ivfpq_knn" -> ((s, dir) => PqOps.ivfPqTopK(e(s, dir))),
     "ivfpq_recall" -> ((s, dir) => AnnOps.annRecall(e(s, dir), s, index = "ivfpq")),
-    "ivfpq_rerank" -> ((s, dir) => PqOps.ivfPqRerankTopK(e(s, dir)))
+    "ivfpq_rerank" -> ((s, dir) => PqOps.ivfPqRerankTopK(e(s, dir))),
+    "ivf_assign" -> ((s, dir) => AnnOps.ivfAssignIncremental(e(s, dir)))
   )
 
   private[operators] val normSql =
@@ -696,6 +732,35 @@ object AnnPack extends QueryPack {
        |SELECT qid, vec_id, cosine_e4, rnk FROM ranked WHERE rnk <= 5""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    "ivf_assign" ->
+      """WITH wm AS (SELECT (MAX(vec_id) * 4) // 5 AS w FROM embeddings),
+        |qo AS (
+        |  SELECT vec_id, label, d.i AS dim,
+        |         CAST(FLOOR(CAST(embedding[d.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xq
+        |  FROM embeddings, range(1, 65) d(i)
+        |  WHERE vec_id < (SELECT w FROM wm)
+        |),
+        |c AS (SELECT label, dim, COUNT(*) AS n, CAST(SUM(xq) AS BIGINT) AS sum_q
+        |      FROM qo GROUP BY label, dim),
+        |cq AS (SELECT CAST(label AS BIGINT) AS center, dim,
+        |              CAST(FLOOR(CAST(sum_q AS DOUBLE) / n + 0.5) AS BIGINT) AS centroid_q
+        |       FROM c),
+        |nb AS (
+        |  SELECT vec_id, d.i AS dim,
+        |         CAST(FLOOR(CAST(embedding[d.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xq
+        |  FROM embeddings, range(1, 65) d(i)
+        |  WHERE vec_id >= (SELECT w FROM wm)
+        |),
+        |d AS (
+        |  SELECT nb.vec_id, cq.center,
+        |         CAST(SUM((nb.xq - cq.centroid_q) * (nb.xq - cq.centroid_q)) AS BIGINT) AS dist2_q
+        |  FROM nb JOIN cq ON nb.dim = cq.dim
+        |  GROUP BY nb.vec_id, cq.center
+        |),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2_q, center) AS rn FROM d
+        |)
+        |SELECT vec_id, center, dist2_q FROM r WHERE rn = 1""".stripMargin,
     "ann_brute_topk" ->
       s"""WITH $normSql,
          |scored AS (

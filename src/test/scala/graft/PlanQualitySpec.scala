@@ -195,6 +195,35 @@ class PlanQualitySpec extends SparkSpec {
     assert(!CacheProbe.isCached(postings), "release() left cached entries behind")
   }
 
+  test("bm25 filters the token stream to query terms BELOW the tf shuffle") {
+    val plan = physical(SparkEntry.queries("bm25_topk")(spark, sf))
+    // the IN-filter must sit under the (doc_id, token) aggregate exchange:
+    // the shuffle carries only matching postings, never the full corpus
+    // explode. Plans print top-down, so "below" = later in the text.
+    val filterIdx = "\\btoken#\\d+ IN \\(join,merge,scan\\)|INSET".r
+      .findFirstMatchIn(plan).map(_.start)
+    val exchIdx = "Exchange hashpartitioning\\(doc_id#\\d+L?, token#\\d+".r
+      .findFirstMatchIn(plan).map(_.start)
+    assert(filterIdx.isDefined, s"query-term filter missing:\n$plan")
+    assert(exchIdx.isDefined, s"tf aggregate exchange missing:\n$plan")
+    assert(filterIdx.get > exchIdx.get,
+      s"term filter sits above the tf shuffle — full corpus would shuffle:\n$plan")
+    // map-side combine on the tf aggregate
+    assert(plan.contains("partial_count"), s"no partial aggregation:\n$plan")
+  }
+
+  test("zorder bins: stats broadcast to a narrow map, one hash shuffle total") {
+    val plan = physical(SparkEntry.queries("zorder_bins")(spark, sf))
+    // min/max stats attach via a 1-row broadcast, never a shuffle join
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"stats not broadcast:\n$plan")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"expected exactly the bin-aggregate shuffle, got $hashExchanges:\n$plan")
+    // the morton interleave is inline expression code, not a UDF
+    assert(plan.contains("shiftleft") && !plan.toLowerCase.contains("batchevalpython"),
+      s"morton not an inline expression tree:\n$plan")
+  }
+
   test("compaction plan keeps the candidate filter below the per-server window shuffle") {
     val df = SparkEntry.queries("compaction_plan")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

@@ -38,6 +38,10 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT blocker, recall_e4 FROM neardup_recall ORDER BY blocker").collect()
     assert(recallRows.length == 4)
     assert(recallRows.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 10000))
+    assert(spark.sql("SELECT * FROM bm25_topk WHERE rnk <= 10").count() ==
+      graft.operators.RetrievalOps.bm25TopK(docs).count())
+    assert(spark.sql(
+      "SELECT MAX(p_max - p_min) FROM zorder_bins").collect()(0).getLong(0) >= 0)
   }
 
   test("compaction_weight resolves in SQL via session extensions") {

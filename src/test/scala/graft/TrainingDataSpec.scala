@@ -75,6 +75,21 @@ class TrainingDataSpec extends SparkSpec {
     assert(mismatch.count() == 0, "ivfpq rerank scores must be exact cosines")
   }
 
+  test("ivf_assign covers exactly the ingest batch with centers from the old corpus") {
+    val wm = embs.agg(expr("(MAX(vec_id) * 4) DIV 5")).collect()(0).getLong(0)
+    val out = AnnOps.ivfAssignIncremental(embs).cache()
+    // exactly one assignment per batch vector, none for the old corpus
+    assert(out.count() == embs.filter(col("vec_id") >= wm).count())
+    assert(out.filter(col("vec_id") < wm).count() == 0)
+    assert(out.select("vec_id").distinct().count() == out.count())
+    // every assigned center exists in the OLD corpus's label set
+    val oldLabels = embs.filter(col("vec_id") < wm)
+      .select(col("label").cast("long").as("center")).distinct()
+    assert(out.join(oldLabels, Seq("center"), "left_anti").count() == 0,
+      "assignment to a center the existing index does not have")
+    out.unpersist()
+  }
+
   test("incrNearDup is exactly the cross-watermark slice of the full simhash pair graph") {
     val wm = 100L
     val incr = DedupOps.incrNearDup(docs, spark, wm).cache()
