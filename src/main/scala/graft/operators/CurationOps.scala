@@ -368,6 +368,40 @@ object CurationOps {
   val MixTargetsE4: Seq[(String, Long)] =
     Seq("en" -> 2000L, "zh" -> 2000L, "de" -> 2000L, "fr" -> 2000L, "es" -> 2000L)
 
+  /** Quality-curriculum sampling plan: the corpus in exact quality
+    * deciles with a ramped keep rate per decile (decile d keeps d/10 of
+    * its docs — the "sample harder from higher-quality strata" pattern
+    * behind quality-weighted pretraining mixes), survivors chosen by the
+    * same deterministic md5 priority as [[splitAssign]]/[[sourceCaps]]
+    * so the sample is stable across runs and re-shards.
+    *
+    * Deciles WITHOUT a global sort: quality_e4 is a bounded integer
+    * score, so a value census (map-side combinable) + a running sum
+    * window over the TINY distinct-value frame gives exact decile
+    * boundaries; docs then join their value's decile through a broadcast
+    * — the histogram-quantile shape that survives 100 TB, vs an
+    * ntile/rank window that would total-order the corpus. Ties share a
+    * value and therefore a decile (decile of the last tied row). */
+  def qualityCurriculum(docs: DataFrame): DataFrame = {
+    val q = TextOps.quality(docs).select(col("doc_id"), col("quality_e4"))
+    val vc = q.groupBy(col("quality_e4").as("v")).agg(count(lit(1)).as("cnt"))
+    val cum = vc.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("v"))))
+    val n = q.agg(count(lit(1)).as("n_total"))
+    val dec = cum.crossJoin(broadcast(n))
+      .withColumn("decile", expr("CAST(1 + ((cum - 1) * 10) DIV n_total AS BIGINT)"))
+      .select(col("v"), col("decile"))
+    q.join(broadcast(dec), col("quality_e4") === col("v"))
+      .withColumn("pri", stableHash60(col("doc_id").cast("string")) % 1000L)
+      .withColumn("keep", col("pri") < col("decile") * 100L)
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        min(col("quality_e4")).as("q_min"),
+        max(col("quality_e4")).as("q_max"))
+  }
+
   /** Duplicate-bigram fraction: 1 - distinct(bigrams)/total(bigrams) per
     * doc — high values mean boilerplate/repetition (the Gopher
     * "duplicate n-gram fraction" filter). Same posexplode + lead shape as
@@ -479,7 +513,8 @@ object CurationPack extends QueryPack {
     "curated" -> ((s, dir) => CurationOps.curated(d(s, dir))),
     "lang_mix" -> ((s, dir) => CurationOps.langMix(d(s, dir))),
     "chunks" -> ((s, dir) => CurationOps.chunked(d(s, dir))),
-    "mix_plan" -> ((s, dir) => CurationOps.mixPlan(d(s, dir)))
+    "mix_plan" -> ((s, dir) => CurationOps.mixPlan(d(s, dir))),
+    "curriculum" -> ((s, dir) => CurationOps.qualityCurriculum(d(s, dir)))
   )
 
   // Shared shingle CTE: identical to the dedup oracles' 3-gram pipeline
@@ -706,6 +741,40 @@ object CurationPack extends QueryPack {
         |                          WHEN 'fr' THEN 2000 WHEN 'es' THEN 2000 ELSE 0 END AS DOUBLE)
         |         * CAST(t.total AS DOUBLE) / (CAST(p.n_tokens AS DOUBLE) * 10000.0) * 10000 + 0.5) AS BIGINT)) AS keep_e4
         |FROM per p CROSS JOIN t""".stripMargin,
+    // decile ladder mirrors the histogram shape: value census -> running
+    // sum over distinct values -> integer-DIV decile of the last tied row
+    "curriculum" ->
+      """WITH t AS (
+        |  SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS toks
+        |  FROM documents
+        |),
+        |m AS (
+        |  SELECT doc_id,
+        |         CAST(len(toks) AS INT) AS n_tokens,
+        |         CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on'))) AS INT) AS stop_hits,
+        |         n_chars
+        |  FROM t
+        |),
+        |q AS (
+        |  SELECT doc_id,
+        |         CAST(FLOOR(((stop_hits / CAST(n_tokens AS DOUBLE)) * 100.0
+        |                     + (n_chars - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS quality_e4
+        |  FROM m
+        |),
+        |vc AS (SELECT quality_e4 AS v, COUNT(*) AS cnt FROM q GROUP BY 1),
+        |cum AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum FROM vc),
+        |nt AS (SELECT COUNT(*) AS n_total FROM q),
+        |dec AS (SELECT v, CAST(1 + ((cum - 1) * 10) // n_total AS BIGINT) AS decile
+        |        FROM cum CROSS JOIN nt),
+        |a AS (
+        |  SELECT q.doc_id, q.quality_e4, d.decile,
+        |         CAST(CAST(('0x' || substring(md5(CAST(q.doc_id AS VARCHAR)), 18, 15)) AS UBIGINT) % 1000 AS BIGINT) AS pri
+        |  FROM q JOIN dec d ON q.quality_e4 = d.v
+        |)
+        |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(CASE WHEN pri < decile * 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       MIN(quality_e4) AS q_min, MAX(quality_e4) AS q_max
+        |FROM a GROUP BY decile""".stripMargin,
     "vocab_top" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |uni AS (SELECT 1 AS n, u.tok AS gram FROM toks, unnest(t) AS u(tok)),

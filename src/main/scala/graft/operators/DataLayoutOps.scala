@@ -3,6 +3,7 @@ package graft.operators
 import graft.QueryPack
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multi-dimensional data layout: Z-order (Morton) clustering of a table
@@ -80,6 +81,31 @@ object DataLayoutOps {
         min(col("l_partkey")).as("p_min"), max(col("l_partkey")).as("p_max"),
         min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"))
 
+  /** Join-key skew census: the k heaviest keys of a column with their
+    * row share and self-join pair contribution (n²) — the diagnostic a
+    * 100-TB pipeline runs BEFORE picking a join strategy, since one key
+    * holding 1% of rows turns a self-join into 10⁻⁴·N² pairs. One
+    * map-side-combined count per key, two-phase exact top-k, scalar
+    * total broadcast — never a global sort of the key census. */
+  def skewCensus(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum(col("n_rows")).as("total"))
+    val perPart = Window.partitionBy(spark_partition_id())
+      .orderBy(col("n_rows").desc, col("key"))
+    counts
+      .withColumn("prnk", row_number().over(perPart))
+      .filter(col("prnk") <= k)
+      .drop("prnk")
+      .crossJoin(broadcast(total))
+      .withColumn("share_e4",
+        floor(col("n_rows") * lit(1.0) / col("total") * 10000 + 0.5).cast("long"))
+      .withColumn("selfjoin_rows", col("n_rows") * col("n_rows"))
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("n_rows").desc, col("key"))))
+      .filter(col("rnk") <= k)
+      .select("key", "n_rows", "share_e4", "selfjoin_rows", "rnk")
+  }
+
   /** Z-order-clustered rewrite: range-partition on the morton code into
     * `numFiles` files, sorted within each, written through the connector
     * seam. Each output file then covers one contiguous z-range — a
@@ -103,7 +129,8 @@ object DataLayoutOps {
 
 object DataLayoutPack extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "zorder_bins" -> ((s, d) => DataLayoutOps.zorderBins(Tables.lineitem(s, d)))
+    "zorder_bins" -> ((s, d) => DataLayoutOps.zorderBins(Tables.lineitem(s, d))),
+    "skew_census" -> ((s, d) => DataLayoutOps.skewCensus(Tables.events(s, d), "user_id"))
   )
 
   /** The morton spread as literal SQL (same masks, `&`/`|`/`<<` on
@@ -133,6 +160,17 @@ object DataLayoutPack extends QueryPack {
          |       COUNT(*) AS n_rows,
          |       MIN(l_partkey) AS p_min, MAX(l_partkey) AS p_max,
          |       MIN(l_suppkey) AS s_min, MAX(l_suppkey) AS s_max
-         |FROM z GROUP BY 1""".stripMargin
+         |FROM z GROUP BY 1""".stripMargin,
+    "skew_census" ->
+      """WITH c AS (SELECT user_id AS key, COUNT(*) AS n_rows FROM events GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM c),
+        |r AS (
+        |  SELECT key, n_rows,
+        |         CAST(FLOOR(n_rows * CAST(1.0 AS DOUBLE) / total * 10000 + 0.5) AS BIGINT) AS share_e4,
+        |         n_rows * n_rows AS selfjoin_rows,
+        |         ROW_NUMBER() OVER (ORDER BY n_rows DESC, key) AS rnk
+        |  FROM c CROSS JOIN t
+        |)
+        |SELECT key, n_rows, share_e4, selfjoin_rows, rnk FROM r WHERE rnk <= 20""".stripMargin
   )
 }

@@ -55,10 +55,18 @@ object RetrievalOps {
     val lens = graft.Caching.maybeCache(
       docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("len")))
     val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("total_len"))
-    // the corpus-wide explode collapses to matching tokens BEFORE the
-    // shuffle: isin is a codegen'd filter on the exploded stream
+    // docs that can't match skip the explode entirely: the substring
+    // pre-filter is a SUPERSET guard (contains("join") also admits
+    // "joins", which the exact token filter then drops), so results are
+    // unchanged while the per-token work runs only on candidate docs —
+    // at 100 TB, for selective terms, that's the difference between
+    // exploding the corpus and exploding the hit set
+    val candidates = docs.filter(
+      terms.map(t => col("text").contains(t)).reduce(_ || _))
+    // the explode collapses to matching tokens BEFORE the shuffle: isin
+    // is a codegen'd filter on the exploded stream
     val tf = graft.Caching.maybeCache(
-      docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      candidates.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
         .filter(col("token").isin(terms: _*))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf")))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))

@@ -210,6 +210,13 @@ class PlanQualitySpec extends SparkSpec {
       s"term filter sits above the tf shuffle — full corpus would shuffle:\n$plan")
     // map-side combine on the tf aggregate
     assert(plan.contains("partial_count"), s"no partial aggregation:\n$plan")
+    // the substring pre-filter keeps non-candidate docs out of the
+    // explode: a Contains filter must sit below the Generate
+    val containsIdx = "Contains\\(text#\\d+, join\\)".r.findFirstMatchIn(plan).map(_.start)
+    val generateIdx = "Generate explode".r.findFirstMatchIn(plan).map(_.start)
+    assert(containsIdx.isDefined && generateIdx.isDefined &&
+      containsIdx.get > generateIdx.get,
+      s"candidate pre-filter not below the explode:\n$plan")
   }
 
   test("zorder bins: stats broadcast to a narrow map, one hash shuffle total") {

@@ -97,6 +97,32 @@ class RetrievalLayoutSpec extends SparkSpec {
       RetrievalOps.bm25TopK(docs, terms = (1 to 9).map("t" + _)))
   }
 
+  test("skew census: dense ranks, descending counts, exact pair arithmetic") {
+    val events = Tables.events(spark, sf)
+    val out = DataLayoutOps.skewCensus(events, "user_id").collect()
+    assert(out.map(_.getInt(4)).sorted.sameElements(1 to out.length))
+    val counts = out.sortBy(_.getInt(4)).map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      "census not ordered by count desc")
+    assert(out.forall(r => r.getLong(3) == r.getLong(1) * r.getLong(1)))
+    val totalShare = out.map(_.getLong(2)).sum
+    assert(totalShare <= 10000, s"top-k shares exceed the whole: $totalShare")
+  }
+
+  test("curriculum: ten deciles, ramped keep rate, bounded kept counts") {
+    val out = graft.operators.CurationOps.qualityCurriculum(docs)
+      .orderBy("decile").collect()
+    assert(out.map(_.getLong(0)).sameElements(1L to 10L))
+    assert(out.forall(r => r.getLong(2) <= r.getLong(1)), "kept > docs")
+    // decile boundaries are consistent: q_max non-decreasing across deciles
+    val qmax = out.map(_.getLong(4))
+    assert(qmax.zip(qmax.tail).forall { case (a, b) => a <= b })
+    // the ramp materializes: the top decile keeps everything (pri < 1000
+    // always), the bottom decile keeps well under half
+    assert(out.last.getLong(2) == out.last.getLong(1))
+    assert(out.head.getLong(2) * 2 < out.head.getLong(1))
+  }
+
   test("bm25 score grows with tf at fixed length, falls with doc length at fixed tf") {
     import sp.implicits._
     val corpus = Seq(
