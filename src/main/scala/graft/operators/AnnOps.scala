@@ -81,6 +81,30 @@ object AnnOps {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** Metadata-filtered ANN ("filtered vector search"): cosine top-k
+    * restricted to corpus vectors whose label matches the predicate. The
+    * filter applies to the corpus side BEFORE any distance is computed —
+    * pre-filtering, the shape that stays exact and gets FASTER as the
+    * predicate narrows, vs post-filtering a top-k whose recall collapses
+    * under selective predicates. At 100 TB the label predicate pushes
+    * into the vector-store scan like any other column filter. */
+  def filteredTopK(
+      embeddings: DataFrame, labelVal: Int = 3,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val n = normalized(embeddings)
+    val queries = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val corpus = n.join(
+      embeddings.select(col("vec_id"), col("label")).filter(col("label") === labelVal),
+      Seq("vec_id"))
+    val scored = corpus
+      .join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosineE4(col("qv"), col("v"), col("qn"), col("nrm")).as("cosine_e4"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine_e4").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** LSH-bucketed ANN: candidates share the query's hyperplane bucket. */
   def lshTopK(embeddings: DataFrame, spark: SparkSession, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val n = normalized(embeddings)
@@ -545,7 +569,8 @@ object AnnPack extends QueryPack {
     "ivfpq_knn" -> ((s, dir) => PqOps.ivfPqTopK(e(s, dir))),
     "ivfpq_recall" -> ((s, dir) => AnnOps.annRecall(e(s, dir), s, index = "ivfpq")),
     "ivfpq_rerank" -> ((s, dir) => PqOps.ivfPqRerankTopK(e(s, dir))),
-    "ivf_assign" -> ((s, dir) => AnnOps.ivfAssignIncremental(e(s, dir)))
+    "ivf_assign" -> ((s, dir) => AnnOps.ivfAssignIncremental(e(s, dir))),
+    "ann_filtered" -> ((s, dir) => AnnOps.filteredTopK(e(s, dir)))
   )
 
   private[operators] val normSql =
@@ -732,6 +757,21 @@ object AnnPack extends QueryPack {
        |SELECT qid, vec_id, cosine_e4, rnk FROM ranked WHERE rnk <= 5""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    "ann_filtered" ->
+      s"""WITH $normSql,
+         |scored AS (
+         |  SELECT qa.vec_id AS qid, ca.vec_id AS vec_id,
+         |         CAST($cosSql AS BIGINT) AS cosine_e4
+         |  FROM n qa
+         |  JOIN n ca ON ca.vec_id <> qa.vec_id
+         |  JOIN embeddings e ON e.vec_id = ca.vec_id AND e.label = 3
+         |  WHERE qa.vec_id < 10
+         |),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine_e4 DESC, vec_id) AS rnk
+         |  FROM scored
+         |)
+         |SELECT qid, vec_id, cosine_e4, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
     "ivf_assign" ->
       """WITH wm AS (SELECT (MAX(vec_id) * 4) // 5 AS w FROM embeddings),
         |qo AS (

@@ -105,58 +105,161 @@ object RetrievalOps {
         row_number().over(Window.orderBy(col("score_e4").desc, col("doc_id"))))
       .filter(col("rnk") <= k)
   }
+  /** Fixture default phrase (two frequent, co-occurring corpus tokens). */
+  val DefaultPhrase: Seq[String] = Seq("merge", "sort")
+
+  /** Exact phrase search: docs containing `phrase` as consecutive
+    * tokens, with occurrence count and first position (0-based).
+    *
+    * Scale shape: the substring pre-filter (`contains` of the joined
+    * phrase — a superset, since the match could straddle larger tokens)
+    * keeps non-candidate docs out of the positional explode entirely;
+    * the lead-window match then runs per candidate doc with no shuffle
+    * beyond the per-doc window. The positional-index twin of
+    * [[DedupOps.pairLongestSpan]]'s trigram diagonal. */
+  def phraseHits(docs: DataFrame, phrase: Seq[String] = DefaultPhrase): DataFrame = {
+    require(phrase.size >= 2 && phrase.size <= 5, s"2..5 phrase tokens, got ${phrase.size}")
+    val candidates = docs.filter(col("text").contains(phrase.mkString(" ")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = candidates.select(
+      col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val withLeads = (1 until phrase.size).foldLeft(toks) { (df, i) =>
+      df.withColumn(s"t$i", lead("tok", i).over(w))
+    }
+    val cond = phrase.zipWithIndex
+      .map { case (p, i) => (if (i == 0) col("tok") else col(s"t$i")) === lit(p) }
+      .reduce(_ && _)
+    withLeads.filter(cond)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), min(col("pos")).as("first_pos"))
+  }
+
+  /** Reciprocal-rank fusion of the lexical (BM25) and semantic (cosine
+    * top-k for query vector 0) rankings — the standard hybrid-retrieval
+    * combiner: rrf(d) = Σ 1/(60 + rank_i(d)), absent rankings contribute
+    * 0. The fixture treats vec_id as the doc's embedding id (doc_id ≡
+    * vec_id). Engine-exact: each term is one double division in a fixed
+    * two-term fold, scaled e6.
+    *
+    * Scale shape: both inputs are already top-n prunes (k·P rows), so
+    * the fusion is a full-outer join of two TINY frames plus one final
+    * k-row rank — the corpus never reappears. */
+  def rrfFusion(docs: DataFrame, embeddings: DataFrame, k: Int = 10): DataFrame = {
+    val lex = bm25TopK(docs, DefaultTerms, k = 20)
+      .select(col("doc_id"), col("rnk").as("r_lex"))
+    val sem = AnnOps.bruteTopK(embeddings, nQueries = 1, k = 20)
+      .select(col("vec_id").as("doc_id"), col("rnk").as("r_sem"))
+    val rrf =
+      coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60) + col("r_sem")), lit(0.0))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_e6", floor(rrf * 1000000 + 0.5).cast("long"))
+      .withColumn("r_lex", coalesce(col("r_lex"), lit(0)))
+      .withColumn("r_sem", coalesce(col("r_sem"), lit(0)))
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("rrf_e6").desc, col("doc_id"))))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "r_lex", "r_sem", "rrf_e6", "rnk")
+  }
 }
 
 object RetrievalPack extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "bm25_topk" -> ((s, d) => RetrievalOps.bm25TopK(Tables.documents(s, d)))
+    "bm25_topk" -> ((s, d) => RetrievalOps.bm25TopK(Tables.documents(s, d))),
+    "phrase_hits" -> ((s, d) => RetrievalOps.phraseHits(Tables.documents(s, d))),
+    "rrf_fusion" -> ((s, d) =>
+      RetrievalOps.rrfFusion(Tables.documents(s, d), Tables.embeddings(s, d)))
   )
 
-  // the oracle mirrors the score tree literally; DOUBLE casts keep DuckDB
-  // from computing the constants in DECIMAL
+  /** BM25 CTE chain ending in `ranked` — shared by the bm25_topk and
+    * rrf_fusion oracles. DOUBLE casts keep DuckDB from computing the
+    * constants in DECIMAL; the score tree mirrors the Spark expression
+    * literally. */
+  private val bm25Ctes: String =
+    """lens AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len FROM documents
+      |),
+      |stats AS (SELECT COUNT(*) AS n_docs, SUM(len) AS total_len FROM lens),
+      |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (
+      |  SELECT doc_id, token, COUNT(*) AS tf FROM toks
+      |  WHERE token IN ('join', 'merge', 'scan')
+      |  GROUP BY doc_id, token
+      |),
+      |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      |st AS (
+      |  SELECT tf.doc_id, tf.token,
+      |         ((s.n_docs - df.df + CAST(0.5 AS DOUBLE)) / (df.df + CAST(0.5 AS DOUBLE)))
+      |         * (tf.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+      |         / (tf.tf + CAST(1.2 AS DOUBLE) *
+      |            (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+      |             + CAST(0.75 AS DOUBLE) * l.len
+      |               / (s.total_len * CAST(1.0 AS DOUBLE) / s.n_docs))) AS s
+      |  FROM tf
+      |  JOIN df ON tf.token = df.token
+      |  JOIN lens l ON tf.doc_id = l.doc_id
+      |  CROSS JOIN stats s
+      |),
+      |agg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_terms,
+      |         MAX(CASE WHEN token = 'join' THEN s END) AS s_0,
+      |         MAX(CASE WHEN token = 'merge' THEN s END) AS s_1,
+      |         MAX(CASE WHEN token = 'scan' THEN s END) AS s_2
+      |  FROM st GROUP BY doc_id
+      |),
+      |scored AS (
+      |  SELECT doc_id, n_terms,
+      |         CAST(FLOOR((COALESCE(s_0, CAST(0.0 AS DOUBLE))
+      |                     + COALESCE(s_1, CAST(0.0 AS DOUBLE))
+      |                     + COALESCE(s_2, CAST(0.0 AS DOUBLE))) * 10000 + 0.5) AS BIGINT) AS score_e4
+      |  FROM agg
+      |),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (ORDER BY score_e4 DESC, doc_id) AS rnk FROM scored
+      |)""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     "bm25_topk" ->
-      """WITH lens AS (
-        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len FROM documents
-        |),
-        |stats AS (SELECT COUNT(*) AS n_docs, SUM(len) AS total_len FROM lens),
-        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-        |tf AS (
-        |  SELECT doc_id, token, COUNT(*) AS tf FROM toks
-        |  WHERE token IN ('join', 'merge', 'scan')
-        |  GROUP BY doc_id, token
-        |),
-        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
-        |st AS (
-        |  SELECT tf.doc_id, tf.token,
-        |         ((s.n_docs - df.df + CAST(0.5 AS DOUBLE)) / (df.df + CAST(0.5 AS DOUBLE)))
-        |         * (tf.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
-        |         / (tf.tf + CAST(1.2 AS DOUBLE) *
-        |            (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
-        |             + CAST(0.75 AS DOUBLE) * l.len
-        |               / (s.total_len * CAST(1.0 AS DOUBLE) / s.n_docs))) AS s
-        |  FROM tf
-        |  JOIN df ON tf.token = df.token
-        |  JOIN lens l ON tf.doc_id = l.doc_id
-        |  CROSS JOIN stats s
-        |),
-        |agg AS (
-        |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_terms,
-        |         MAX(CASE WHEN token = 'join' THEN s END) AS s_0,
-        |         MAX(CASE WHEN token = 'merge' THEN s END) AS s_1,
-        |         MAX(CASE WHEN token = 'scan' THEN s END) AS s_2
-        |  FROM st GROUP BY doc_id
-        |),
-        |scored AS (
-        |  SELECT doc_id, n_terms,
-        |         CAST(FLOOR((COALESCE(s_0, CAST(0.0 AS DOUBLE))
-        |                     + COALESCE(s_1, CAST(0.0 AS DOUBLE))
-        |                     + COALESCE(s_2, CAST(0.0 AS DOUBLE))) * 10000 + 0.5) AS BIGINT) AS score_e4
-        |  FROM agg
-        |),
-        |ranked AS (
-        |  SELECT *, ROW_NUMBER() OVER (ORDER BY score_e4 DESC, doc_id) AS rnk FROM scored
-        |)
-        |SELECT doc_id, n_terms, score_e4, rnk FROM ranked WHERE rnk <= 10""".stripMargin
+      s"""WITH $bm25Ctes
+         |SELECT doc_id, n_terms, score_e4, rnk FROM ranked WHERE rnk <= 10""".stripMargin,
+    "phrase_hits" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits, CAST(MIN(i - 1) AS INT) AS first_pos
+         |FROM toks, range(1, ${OracleLimits.MaxDocTokens}) r(i)
+         |WHERE i + 1 <= len(t) AND t[i] = 'merge' AND t[i+1] = 'sort'
+         |GROUP BY doc_id""".stripMargin,
+    "rrf_fusion" ->
+      s"""WITH $bm25Ctes,
+         |lex AS (SELECT doc_id, rnk AS r_lex FROM ranked WHERE rnk <= 20),
+         |${AnnPack.normSql},
+         |semscored AS (
+         |  SELECT ca.vec_id AS doc_id,
+         |         CAST(${AnnPack.cosSql} AS BIGINT) AS cosine_e4
+         |  FROM n qa JOIN n ca ON ca.vec_id <> qa.vec_id
+         |  WHERE qa.vec_id < 1
+         |),
+         |semranked AS (
+         |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine_e4 DESC, doc_id) AS r_sem
+         |  FROM semscored
+         |),
+         |sem AS (SELECT doc_id, r_sem FROM semranked WHERE r_sem <= 20),
+         |f AS (
+         |  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.r_lex, s.r_sem
+         |  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+         |),
+         |g AS (
+         |  SELECT doc_id,
+         |         CAST(FLOOR((COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_lex), CAST(0.0 AS DOUBLE))
+         |                     + COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_sem), CAST(0.0 AS DOUBLE)))
+         |                    * 1000000 + 0.5) AS BIGINT) AS rrf_e6,
+         |         COALESCE(r_lex, 0) AS r_lex, COALESCE(r_sem, 0) AS r_sem
+         |  FROM f
+         |),
+         |fr AS (
+         |  SELECT doc_id, r_lex, r_sem, rrf_e6,
+         |         ROW_NUMBER() OVER (ORDER BY rrf_e6 DESC, doc_id) AS rnk
+         |  FROM g
+         |)
+         |SELECT doc_id, r_lex, r_sem, rrf_e6, rnk FROM fr WHERE rnk <= 10""".stripMargin
   )
 }

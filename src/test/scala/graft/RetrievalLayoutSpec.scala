@@ -123,6 +123,47 @@ class RetrievalLayoutSpec extends SparkSpec {
     assert(out.head.getLong(2) * 2 < out.head.getLong(1))
   }
 
+  test("phrase search finds exact consecutive-token matches only") {
+    import sp.implicits._
+    val corpus = Seq(
+      (1L, "a merge sort b merge sort c"), // 2 hits, first at pos 1
+      (2L, "merge a sort"), // tokens present but not adjacent
+      (3L, "sort merge"), // reversed
+      (4L, "merge sort") // 1 hit at pos 0
+    ).toDF("doc_id", "text")
+    val out = graft.operators.RetrievalOps.phraseHits(corpus)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out == Map(1L -> ((2L, 1)), 4L -> ((1L, 0))))
+    intercept[IllegalArgumentException](
+      graft.operators.RetrievalOps.phraseHits(corpus, Seq("solo")))
+  }
+
+  test("rrf fusion: dense ranks, scores bounded by the two-list maximum") {
+    val out = graft.operators.RetrievalOps
+      .rrfFusion(docs, Tables.embeddings(spark, sf)).cache()
+    val rows = out.orderBy("rnk").collect()
+    assert(rows.map(_.getInt(4)).sameElements(1 to rows.length))
+    // max possible score: rank 1 in both lists = 2/61
+    val maxE6 = math.floor(2.0 / 61.0 * 1000000 + 0.5).toLong
+    assert(rows.forall(_.getLong(3) <= maxE6))
+    // a doc present in both lists must outrank one with a single worse entry
+    assert(rows.map(_.getLong(3)).sliding(2).forall(p => p.head >= p.last))
+    out.unpersist()
+  }
+
+  test("filtered ANN returns only vectors passing the metadata predicate") {
+    val embs = Tables.embeddings(spark, sf)
+    val out = graft.operators.AnnOps.filteredTopK(embs).cache()
+    val offLabel = out.join(
+      embs.select(col("vec_id"), col("label")), "vec_id")
+      .filter(col("label") =!= 3)
+    assert(offLabel.count() == 0)
+    // per query: at most k results, ranks dense from 1
+    val byQ = out.groupBy("qid").agg(count(lit(1)).as("n"), max("rnk").as("mx"))
+    assert(byQ.filter(col("n") =!= col("mx") || col("n") > 5).count() == 0)
+    out.unpersist()
+  }
+
   test("bm25 score grows with tf at fixed length, falls with doc length at fixed tf") {
     import sp.implicits._
     val corpus = Seq(
