@@ -368,6 +368,64 @@ object CurationOps {
   val MixTargetsE4: Seq[(String, Long)] =
     Seq("en" -> 2000L, "zh" -> 2000L, "de" -> 2000L, "fr" -> 2000L, "es" -> 2000L)
 
+  /** Two unrolled BPE training iterations over the word-frequency table
+    * — the tokenizer-training prep step ([[vocabTopGrams]] counts whole
+    * grams; this learns SUB-word merges). Iteration 1 counts adjacent
+    * CHARACTER pairs weighted by word frequency and picks the top merge;
+    * iteration 2 applies that merge to every word's symbol string and
+    * recounts — exactly [[EmbeddingStatsOps.kmeans2]]'s shape: the
+    * driver-side training loop unrolled into a deterministic dataflow,
+    * one broadcast (the learned merge) + one aggregation per iteration.
+    *
+    * The merge applies through non-overlapping left-to-right string
+    * replacement on a `|`-separated symbol string (words containing the
+    * marker are excluded up front). For a self-pair (a,a) this consumes
+    * separators so runs of 3+ collapse pessimistically — identical in
+    * both engines (plain `replace` semantics), documented deviation from
+    * canonical BPE's run handling.
+    *
+    * Scale shape: everything downstream of the one corpus explode runs
+    * on the WORD-FREQUENCY table (vocab-sized, not corpus-sized) — the
+    * standard BPE-trainer optimization; pair spaces are alphabet²-bounded. */
+  def bpeMerges(docs: DataFrame, k: Int = 15): DataFrame = {
+    // vocab with frequencies: the single corpus-sized aggregation; read
+    // by both iterations
+    val words = graft.Caching.maybeCache(
+      docs.select(explode(tokens(col("text"))).as("w"))
+        .filter(!col("w").contains("|") && length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("cnt")))
+    // it-1: adjacent char pairs via a position explode (no split() edge
+    // cases), weighted by word count
+    val p1 = graft.Caching.maybeCache(
+      words
+        .select(col("w"), col("cnt"),
+          explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+        .select(col("cnt"), expr("substr(w, i, 1)").as("sa"),
+          expr("substr(w, i + 1, 1)").as("sb"))
+        .groupBy("sa", "sb").agg(sum(col("cnt")).as("pair_cnt")))
+    val top1 = p1.orderBy(col("pair_cnt").desc, col("sa"), col("sb")).limit(1)
+    // it-2: apply the merge to every word's marker string, re-pair over
+    // the merged symbol arrays
+    val merged = words
+      .crossJoin(broadcast(top1.select(col("sa").as("ma"), col("sb").as("mb"))))
+      .withColumn("s1", expr("'|' || array_join(transform(sequence(1, length(w)), i -> substr(w, i, 1)), '|') || '|'"))
+      .withColumn("m", expr("replace(s1, '|' || ma || '|' || mb || '|', '|' || ma || mb || '|')"))
+      .withColumn("syms", expr("filter(split(m, '\\\\|'), x -> x <> '')"))
+    val win = Window.partitionBy("w").orderBy("pos")
+    val p2 = merged
+      .select(col("w"), col("cnt"), posexplode(col("syms")).as(Seq("pos", "sa")))
+      .withColumn("sb", lead("sa", 1).over(win))
+      .filter(col("sb").isNotNull)
+      .groupBy("sa", "sb").agg(sum(col("cnt")).as("pair_cnt"))
+    def ranked(p: DataFrame, it: Int): DataFrame =
+      p.withColumn("it", lit(it))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("it").orderBy(col("pair_cnt").desc, col("sa"), col("sb"))))
+        .filter(col("rnk") <= k)
+    ranked(p1, 1).unionByName(ranked(p2, 2))
+      .select("it", "sa", "sb", "pair_cnt", "rnk")
+  }
+
   /** Quality-curriculum sampling plan: the corpus in exact quality
     * deciles with a ramped keep rate per decile (decile d keeps d/10 of
     * its docs — the "sample harder from higher-quality strata" pattern
@@ -514,7 +572,8 @@ object CurationPack extends QueryPack {
     "lang_mix" -> ((s, dir) => CurationOps.langMix(d(s, dir))),
     "chunks" -> ((s, dir) => CurationOps.chunked(d(s, dir))),
     "mix_plan" -> ((s, dir) => CurationOps.mixPlan(d(s, dir))),
-    "curriculum" -> ((s, dir) => CurationOps.qualityCurriculum(d(s, dir)))
+    "curriculum" -> ((s, dir) => CurationOps.qualityCurriculum(d(s, dir))),
+    "bpe_merges" -> ((s, dir) => CurationOps.bpeMerges(d(s, dir)))
   )
 
   // Shared shingle CTE: identical to the dedup oracles' 3-gram pipeline
@@ -775,6 +834,45 @@ object CurationPack extends QueryPack {
         |       CAST(SUM(CASE WHEN pri < decile * 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |       MIN(quality_e4) AS q_min, MAX(quality_e4) AS q_max
         |FROM a GROUP BY decile""".stripMargin,
+    // BPE iterations: pair spaces bounded by alphabet^2; the merge is the
+    // same non-overlapping replace in both engines
+    "bpe_merges" ->
+      """WITH wd AS (
+        |  SELECT w, COUNT(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w NOT LIKE '%|%' AND length(w) >= 2
+        |  GROUP BY w
+        |),
+        |p1 AS (
+        |  SELECT substring(w, i, 1) AS sa, substring(w, i + 1, 1) AS sb,
+        |         CAST(SUM(cnt) AS BIGINT) AS pair_cnt
+        |  FROM wd, range(1, 64) r(i)
+        |  WHERE i + 1 <= length(w)
+        |  GROUP BY 1, 2
+        |),
+        |t1 AS (SELECT sa AS ma, sb AS mb FROM p1 ORDER BY pair_cnt DESC, sa, sb LIMIT 1),
+        |m AS (
+        |  SELECT w, cnt,
+        |         string_split(
+        |           replace('|' || array_to_string(list_transform(range(1, length(w) + 1),
+        |                                            i -> substring(w, CAST(i AS INT), 1)), '|') || '|',
+        |                   '|' || ma || '|' || mb || '|', '|' || ma || mb || '|'),
+        |           '|') AS sl
+        |  FROM wd CROSS JOIN t1
+        |),
+        |p2 AS (
+        |  SELECT sl[i] AS sa, sl[i + 1] AS sb, CAST(SUM(cnt) AS BIGINT) AS pair_cnt
+        |  FROM m, range(1, 80) r(i)
+        |  WHERE i + 1 <= len(sl) AND sl[i] <> '' AND sl[i + 1] <> ''
+        |  GROUP BY 1, 2
+        |),
+        |r1 AS (SELECT 1 AS it, sa, sb, pair_cnt,
+        |              ROW_NUMBER() OVER (ORDER BY pair_cnt DESC, sa, sb) AS rnk FROM p1),
+        |r2 AS (SELECT 2 AS it, sa, sb, pair_cnt,
+        |              ROW_NUMBER() OVER (ORDER BY pair_cnt DESC, sa, sb) AS rnk FROM p2)
+        |SELECT it, sa, sb, pair_cnt, rnk FROM r1 WHERE rnk <= 15
+        |UNION ALL
+        |SELECT it, sa, sb, pair_cnt, rnk FROM r2 WHERE rnk <= 15""".stripMargin,
     "vocab_top" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |uni AS (SELECT 1 AS n, u.tok AS gram FROM toks, unnest(t) AS u(tok)),

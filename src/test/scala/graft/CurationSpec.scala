@@ -6,6 +6,32 @@ import org.apache.spark.sql.functions._
 
 class CurationSpec extends SparkSpec {
 
+  private lazy val sp0 = spark
+
+  test("bpe: iteration 1 picks the heaviest char pair, iteration 2 counts over merged symbols") {
+    import sp0.implicits._
+    val corpus = Seq(
+      (1L, "abc abc abc abd abd")
+    ).toDF("doc_id", "text")
+    val out = CurationOps.bpeMerges(corpus).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3), r.getInt(4)))
+    // it-1: (a,b)=5 beats (b,c)=3 and (b,d)=2
+    assert(out.filter(_._1 == 1).minBy(_._5) == ((1, "a", "b", 5L, 1)))
+    // it-2: the merge happened — pairs now start from the fused symbol
+    val it2 = out.filter(_._1 == 2).map(t => (t._2, t._3) -> t._4).toMap
+    assert(it2 == Map(("ab", "c") -> 3L, ("ab", "d") -> 2L))
+  }
+
+  test("bpe self-pair merge consumes separators (documented deviation, engine-consistent)") {
+    import sp0.implicits._
+    val corpus = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val out = CurationOps.bpeMerges(corpus).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.filter(_._1 == 1).toSeq == Seq((1, "a", "a", 4L)))
+    // "aaa" -> [aa, a]: the second overlapping occurrence is not re-merged
+    assert(out.filter(_._1 == 2).toSeq == Seq((2, "aa", "a", 2L)))
+  }
+
   private lazy val docs = Tables.documents(spark, sf).cache()
 
   test("contamination: benchmark docs are never flagged, counts are sane") {
