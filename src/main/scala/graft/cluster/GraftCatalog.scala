@@ -49,5 +49,21 @@ object GraftCatalog {
       .createOrReplaceTempView("bm25_topk")
     graft.operators.DataLayoutOps.zorderBins(Tables.lineitem(spark, sfDir))
       .createOrReplaceTempView("zorder_bins")
+    graft.operators.RetrievalOps.phraseHits(docs)
+      .createOrReplaceTempView("phrase_hits")
+    graft.operators.RetrievalOps.rrfFusion(docs, embs)
+      .createOrReplaceTempView("rrf_fusion")
+    graft.operators.AnnOps.filteredTopK(embs)
+      .createOrReplaceTempView("ann_filtered")
+    graft.operators.AnnOps.ivfAssignIncremental(embs)
+      .createOrReplaceTempView("ivf_assign")
+    graft.operators.CurationOps.qualityCurriculum(docs)
+      .createOrReplaceTempView("curriculum_plan")
+    graft.operators.CurationOps.bpeMerges(docs)
+      .createOrReplaceTempView("bpe_merges")
+    graft.operators.DataLayoutOps.skewCensus(Tables.events(spark, sfDir), "user_id")
+      .createOrReplaceTempView("skew_census")
+    graft.operators.EventsOps.valueDrift(Tables.events(spark, sfDir))
+      .createOrReplaceTempView("value_drift")
   }
 }

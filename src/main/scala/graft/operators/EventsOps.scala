@@ -51,6 +51,25 @@ object EventsOps {
         col("n_events"),
         col("val_sum").cast("double").as("val_sum"))
 
+  /** Daily per-type value drift — the data-quality monitor a pipeline
+    * runs over an ingest feed: exact-decimal daily means (cross-partition
+    * double sums are order-dependent; the DECIMAL cast makes the sum
+    * order-free, per the house rule) and the day-over-day delta via one
+    * lag window over the tiny (type, day) aggregate. At 100 TB the only
+    * corpus-sized stage is the first map-side-combined aggregation. */
+  def valueDrift(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("value").cast(DecimalType(18, 6)).as("v"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .select(col("event_type"), col("day"), col("n"),
+        floor(col("sv").cast("double") / col("n") * 10000 + 0.5).cast("long").as("mean_e4"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily.withColumn("delta_e4",
+      coalesce(col("mean_e4") - lag(col("mean_e4"), 1).over(w), lit(0L)))
+  }
+
   /** JSON property extraction + rollup (events.props is a JSON string). */
   def jsonProps(events: DataFrame): DataFrame =
     events
@@ -139,10 +158,25 @@ object EventsPack extends QueryPack {
     "parse_qualifiers" -> ((s, d) =>
       EventsOps.parseQualifiers(graft.cluster.ClusterViews.topology(s, d))),
     "snap_names" -> ((s, d) => EventsOps.snapshotNames(Tables.orders(s, d))),
-    "server_ports" -> ((s, d) => EventsOps.serverPorts(Tables.supplier(s, d)))
+    "server_ports" -> ((s, d) => EventsOps.serverPorts(Tables.supplier(s, d))),
+    "value_drift" -> ((s, d) => EventsOps.valueDrift(ev(s, d)))
   )
 
   override def oracles: Map[String, String] = Map(
+    "value_drift" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+        |         SUM(CAST(value AS DECIMAL(18,6))) AS sv
+        |  FROM events GROUP BY 1, 2
+        |),
+        |m AS (
+        |  SELECT event_type, day, n,
+        |         CAST(FLOOR(CAST(sv AS DOUBLE) / n * 10000 + 0.5) AS BIGINT) AS mean_e4
+        |  FROM d
+        |)
+        |SELECT event_type, day, n, mean_e4,
+        |       COALESCE(mean_e4 - LAG(mean_e4) OVER (PARTITION BY event_type ORDER BY day), 0) AS delta_e4
+        |FROM m""".stripMargin,
     "ev_tumbling" ->
       """SELECT (epoch_us(ts) // 600000000) * 600000000 AS window_start_us,
         |       event_type, COUNT(*) AS n,

@@ -135,6 +135,23 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
 
+  /** Streaming face of [[graft.operators.EventsOps.valueDrift]]'s daily
+    * aggregate: per-(type, day) exact-decimal counts and sums under a
+    * watermark, so the quality monitor runs AT ingest instead of in a
+    * nightly batch. Emits (event_type, day, n, mean_e4) — the
+    * day-over-day delta stays a batch/lag concern downstream (a
+    * cross-window join the sink side does over the tiny result table).
+    * The DECIMAL sum keeps stream and batch bit-identical whatever order
+    * micro-batches arrive in (differential-tested). */
+  def valueDriftStream(events: DataFrame, watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("sv"))
+      .select(col("event_type"), to_date(col("w.start")).as("day"), col("n"),
+        floor(col("sv").cast("double") / col("n") * 10000 + 0.5).cast("long").as("mean_e4"))
+
   /** Streaming ingest dedup for a document feed: keep the first document
     * per content fingerprint within the dedup window. The streaming face
     * of DedupOps.exact / incrDedup — the fingerprint is the SAME head key

@@ -65,6 +65,22 @@ class EmptyInputSpec extends SparkSpec {
     assert(PqOps.pqRerankTopK(emptyEmb).count() == 0)
   }
 
+  test("retrieval, layout, curriculum, and index-ingest ops return empty on empty inputs") {
+    val s = spark
+    import s.implicits._
+    assert(RetrievalOps.bm25TopK(emptyDocs).count() == 0)
+    assert(RetrievalOps.phraseHits(emptyDocs).count() == 0)
+    assert(RetrievalOps.rrfFusion(emptyDocs, emptyEmb).count() == 0)
+    assert(CurationOps.qualityCurriculum(emptyDocs).count() == 0)
+    assert(CurationOps.bpeMerges(emptyDocs).count() == 0)
+    assert(AnnOps.filteredTopK(emptyEmb).count() == 0)
+    assert(AnnOps.ivfAssignIncremental(emptyEmb).count() == 0)
+    val emptyLineitem = Seq.empty[(Long, Long, Long)]
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+    assert(DataLayoutOps.zorderBins(emptyLineitem).count() == 0)
+    assert(DataLayoutOps.skewCensus(emptyLineitem, "l_partkey").count() == 0)
+  }
+
   test("as-of join with an empty right side left-joins nulls, empty left is empty") {
     val s = spark
     import s.implicits._

@@ -42,6 +42,14 @@ class SqlSurfaceSpec extends SparkSpec {
       graft.operators.RetrievalOps.bm25TopK(docs).count())
     assert(spark.sql(
       "SELECT MAX(p_max - p_min) FROM zorder_bins").collect()(0).getLong(0) >= 0)
+    assert(spark.sql("SELECT * FROM phrase_hits WHERE n_hits > 0").count() ==
+      graft.operators.RetrievalOps.phraseHits(docs).count())
+    assert(spark.sql("SELECT * FROM rrf_fusion").count() == 10)
+    assert(spark.sql("SELECT DISTINCT qid FROM ann_filtered").count() <= 10)
+    assert(spark.sql("SELECT COUNT(*) FROM ivf_assign").collect()(0).getLong(0) > 0)
+    assert(spark.sql("SELECT COUNT(*) FROM curriculum_plan").collect()(0).getLong(0) == 10)
+    assert(spark.sql("SELECT COUNT(DISTINCT it) FROM bpe_merges").collect()(0).getLong(0) == 2)
+    assert(spark.sql("SELECT MAX(rnk) FROM skew_census").collect()(0).getInt(0) <= 20)
   }
 
   test("compaction_weight resolves in SQL via session extensions") {

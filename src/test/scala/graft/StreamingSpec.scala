@@ -343,6 +343,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("value-drift stream reproduces batch daily means exactly on the fixture feed") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val ev = graft.sources.Tables.events(s, sf)
+      .select("ts", "event_type", "value").orderBy("ts")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamingOps.valueDriftStream(input.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("drift_out").outputMode("append").start()
+    try {
+      // time-ordered split across micro-batches: nothing arrives behind
+      // the watermark, windows straddling the split stay open in state
+      input.addData(ev.take(400).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(ev.drop(400).toSeq: _*)
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2030-01-01 00:00:00"), "zzz", 0.0))
+      q.processAllAvailable()
+      val got = s.sql(
+        "SELECT event_type, day, n, mean_e4 FROM drift_out WHERE event_type <> 'zzz'")
+        .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getLong(3)))
+        .toSet
+      val want = graft.operators.EventsOps.valueDrift(graft.sources.Tables.events(s, sf))
+        .select("event_type", "day", "n", "mean_e4")
+        .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == want, s"stream/batch drift disagree: ${got.diff(want)} / ${want.diff(got)}")
+    } finally q.stop()
+  }
+
   test("new-server watcher emits each server exactly once (O-58)") {
     val s = spark
     import s.implicits._
