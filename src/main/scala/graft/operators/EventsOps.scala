@@ -70,6 +70,40 @@ object EventsOps {
       coalesce(col("mean_e4") - lag(col("mean_e4"), 1).over(w), lit(0L)))
   }
 
+  /** Binned interval-overlap join: pairs of CONCURRENT sessions from
+    * different users (co-activity). The naive formulation is a non-equi
+    * interval join — a nested loop over |sessions|² at scale. Here every
+    * session explodes into the 10-minute bins it covers (a session is
+    * short, so a handful of bins each), pairs meet through a bin
+    * EQUI-join, the exact overlap predicate filters, and `distinct`
+    * collapses multi-bin matches — the same bin-the-range shape as
+    * [[TopologyOps.keyRangeLookupBinned]], plan-gated to stay a hash
+    * join. Output size is genuine concurrency² (what an overlap join
+    * means); the BINS bound the meeting points, not the answer. */
+  def coActivity(events: DataFrame, binMinutes: Int = 10): DataFrame = {
+    val binUs = binMinutes * 60L * 1000000L
+    // session intervals: session_window's end = last event + gap
+    val iv = graft.Caching.maybeCache(
+      events
+        .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("s_us"), unix_micros(col("w.end")).as("e_us")))
+    val binned = iv.select(col("user_id"), col("s_us"), col("e_us"),
+      explode(expr(s"sequence(s_us DIV $binUs, e_us DIV $binUs)")).as("bin"))
+    binned.as("a")
+      .join(binned.as("b"),
+        col("a.bin") === col("b.bin") &&
+          col("a.user_id") < col("b.user_id") &&
+          col("a.s_us") < col("b.e_us") && col("b.s_us") < col("a.e_us"))
+      .select(
+        col("a.user_id").as("ua"), col("b.user_id").as("ub"),
+        col("a.s_us").as("a_start_us"), col("b.s_us").as("b_start_us"),
+        (least(col("a.e_us"), col("b.e_us")) - greatest(col("a.s_us"), col("b.s_us")))
+          .as("overlap_us"))
+      .distinct()
+  }
+
   /** JSON property extraction + rollup (events.props is a JSON string). */
   def jsonProps(events: DataFrame): DataFrame =
     events
@@ -159,10 +193,37 @@ object EventsPack extends QueryPack {
       EventsOps.parseQualifiers(graft.cluster.ClusterViews.topology(s, d))),
     "snap_names" -> ((s, d) => EventsOps.snapshotNames(Tables.orders(s, d))),
     "server_ports" -> ((s, d) => EventsOps.serverPorts(Tables.supplier(s, d))),
-    "value_drift" -> ((s, d) => EventsOps.valueDrift(ev(s, d)))
+    "value_drift" -> ((s, d) => EventsOps.valueDrift(ev(s, d))),
+    "co_activity" -> ((s, d) => EventsOps.coActivity(ev(s, d)))
   )
 
   override def oracles: Map[String, String] = Map(
+    // the oracle is the DIRECT interval join — the binned Spark rewrite
+    // must produce the identical pair set
+    "co_activity" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t,
+        |         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t
+        |  FROM events
+        |),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev_t IS NULL OR t - prev_t >= 300000000 THEN 1 ELSE 0 END AS ns
+        |  FROM ordered
+        |),
+        |numbered AS (
+        |  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sn
+        |  FROM flagged
+        |),
+        |sess AS (
+        |  SELECT user_id, MIN(t) AS s_us, MAX(t) + 300000000 AS e_us
+        |  FROM numbered GROUP BY user_id, sn
+        |)
+        |SELECT a.user_id AS ua, b.user_id AS ub,
+        |       a.s_us AS a_start_us, b.s_us AS b_start_us,
+        |       LEAST(a.e_us, b.e_us) - GREATEST(a.s_us, b.s_us) AS overlap_us
+        |FROM sess a JOIN sess b
+        |  ON a.user_id < b.user_id AND a.s_us < b.e_us AND b.s_us < a.e_us""".stripMargin,
     "value_drift" ->
       """WITH d AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,

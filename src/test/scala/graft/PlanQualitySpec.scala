@@ -231,6 +231,15 @@ class PlanQualitySpec extends SparkSpec {
       s"morton not an inline expression tree:\n$plan")
   }
 
+  test("co-activity overlap join meets through the bin equi-join, never a nested loop") {
+    val plan = physical(SparkEntry.queries("co_activity")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval join fell back to a nested loop:\n$plan")
+    assert("(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \\[bin#".r.findFirstIn(plan).isDefined ||
+      plan.contains("bin#"),
+      s"bin not a join key:\n$plan")
+  }
+
   test("compaction plan keeps the candidate filter below the per-server window shuffle") {
     val df = SparkEntry.queries("compaction_plan")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
