@@ -63,6 +63,21 @@ object AnalyzerOps {
         percentile(col("size_mb"), lit(0.95)).as("p95_size_mb"),
         count(lit(1)).as("n_regions"))
 
+  /** The 100-TB twin of [[sizePercentiles]]: `percentile_approx` (a
+    * KLL-style mergeable sketch) computes map-side partials and merges —
+    * no per-group sort of all values, bounded memory at any cardinality.
+    * Deliberately NOT oracled: sketch internals are engine-specific, so
+    * this is cross-validated against the exact operator by test instead
+    * — the same exact/scale twin pattern as `key_lookup` /
+    * `key_lookup_bin`. */
+  def sizePercentilesApprox(metrics: DataFrame, accuracy: Int = 10000): DataFrame =
+    metrics
+      .groupBy("table_name")
+      .agg(
+        percentile_approx(col("size_mb"), lit(0.5), lit(accuracy)).as("p50_size_mb"),
+        percentile_approx(col("size_mb"), lit(0.95), lit(accuracy)).as("p95_size_mb"),
+        count(lit(1)).as("n_regions"))
+
   /** O-34: per-server stats over positive compaction weights
     * (`CompactorServer.java:298-315`: max-by, mean, exact median).
     * Stats run in the scaled-integer (e4) domain so both engines compute

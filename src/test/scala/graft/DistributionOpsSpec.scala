@@ -52,6 +52,26 @@ class DistributionOpsSpec extends AnyFunSuite {
     assert(GreedyBalance.closedForm(Seq(4, 4, 4, 0)) == 3)
   }
 
+  test("approx percentile twin tracks the exact analyzer percentiles") {
+    val spark = TestSpark.spark
+    val sf = TestSpark.sf
+    import org.apache.spark.sql.functions._
+    val m = ClusterViews.regionMetrics(spark, sf)
+    val exact = graft.operators.AnalyzerOps.sizePercentiles(m)
+      .select(col("table_name"), col("p50_size_mb").as("e50"), col("p95_size_mb").as("e95"))
+    val approx = graft.operators.AnalyzerOps.sizePercentilesApprox(m)
+      .select(col("table_name"),
+        col("p50_size_mb").cast("double").as("a50"),
+        col("p95_size_mb").cast("double").as("a95"))
+    val bad = exact.join(approx, "table_name")
+      // percentile_approx returns an actual data value; exact interpolates —
+      // allow 10% relative slack plus an absolute floor for tiny groups
+      .filter(
+        abs(col("a50") - col("e50")) > greatest(col("e50") * 0.1, lit(64.0)) ||
+          abs(col("a95") - col("e95")) > greatest(col("e95") * 0.1, lit(64.0)))
+    assert(bad.count() == 0, bad.collect().mkString("; "))
+  }
+
   test("move plan empties every surplus and respects the target cap") {
     val spark = TestSpark.spark
     val sf = TestSpark.sf
