@@ -65,5 +65,13 @@ object GraftCatalog {
       .createOrReplaceTempView("skew_census")
     graft.operators.EventsOps.valueDrift(Tables.events(spark, sfDir))
       .createOrReplaceTempView("value_drift")
+    graft.operators.EventsOps.coActivity(Tables.events(spark, sfDir))
+      .createOrReplaceTempView("co_activity")
+    graft.operators.DataLayoutOps.profile(Tables.lineitem(spark, sfDir),
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus"))
+      .createOrReplaceTempView("table_profile")
+    graft.operators.DataLayoutOps.joinSizeEstimate(
+      Tables.orders(spark, sfDir), "o_orderkey", Tables.lineitem(spark, sfDir), "l_orderkey")
+      .createOrReplaceTempView("join_size")
   }
 }

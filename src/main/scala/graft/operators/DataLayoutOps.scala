@@ -106,6 +106,47 @@ object DataLayoutOps {
       .select("key", "n_rows", "share_e4", "selfjoin_rows", "rnk")
   }
 
+  /** Single-pass column profiler: per-column null count and EXACT
+    * distinct count plus the row total — the schema-quality census run
+    * before a table joins a pipeline. One aggregation over one scan
+    * (Spark plans the multi-distinct via Expand — |cols| passes over
+    * each row in-memory, still one scan and one shuffle of partial
+    * states), then a `stack` unpivot to one row per column. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty && cols.forall(df.columns.contains), s"unknown columns in $cols")
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      countDistinct(col(c)).as(s"${c}__distinct")))
+    val wide = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackArgs = cols.map(c => s"'$c', ${c}__nulls, ${c}__distinct").mkString(", ")
+    wide.select(col("n_rows"),
+      expr(s"stack(${cols.size}, $stackArgs) AS (column_name, n_nulls, n_distinct)"))
+      .select("column_name", "n_rows", "n_nulls", "n_distinct")
+  }
+
+  /** Exact equi-join cardinality WITHOUT running the join: per-key
+    * censuses of both sides joined on the key, Σ ca·cb. For an equi-join
+    * this is not an estimate — it IS the output size — computed on
+    * census-sized frames (|distinct keys|, not |rows|), which is why a
+    * planner can afford it before committing to a join strategy.
+    * Also surfaces the heaviest key's contribution (the skew headline). */
+  def joinSizeEstimate(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame = {
+    val ca = left.groupBy(col(leftKey).as("k")).agg(count(lit(1)).as("ca"))
+    val cb = right.groupBy(col(rightKey).as("k")).agg(count(lit(1)).as("cb"))
+    ca.join(cb, "k")
+      .select(col("k"), (col("ca") * col("cb")).as("contrib"))
+      .agg(
+        count(lit(1)).as("n_shared_keys"),
+        sum(col("contrib")).as("join_rows"),
+        max(struct(col("contrib"), col("k"))).as("top"))
+      .select(col("n_shared_keys"), col("join_rows"),
+        col("top.k").as("top_key"), col("top.contrib").as("top_key_rows"))
+      // a global agg emits one row even over an empty census; no shared
+      // keys means no row (matching the oracle's empty `top`)
+      .filter(col("n_shared_keys") > 0)
+  }
+
   /** Z-order-clustered rewrite: range-partition on the morton code into
     * `numFiles` files, sorted within each, written through the connector
     * seam. Each output file then covers one contiguous z-range — a
@@ -130,7 +171,11 @@ object DataLayoutOps {
 object DataLayoutPack extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "zorder_bins" -> ((s, d) => DataLayoutOps.zorderBins(Tables.lineitem(s, d))),
-    "skew_census" -> ((s, d) => DataLayoutOps.skewCensus(Tables.events(s, d), "user_id"))
+    "skew_census" -> ((s, d) => DataLayoutOps.skewCensus(Tables.events(s, d), "user_id")),
+    "profile" -> ((s, d) => DataLayoutOps.profile(Tables.lineitem(s, d),
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus"))),
+    "join_size" -> ((s, d) => DataLayoutOps.joinSizeEstimate(
+      Tables.orders(s, d), "o_orderkey", Tables.lineitem(s, d), "l_orderkey"))
   )
 
   /** The morton spread as literal SQL (same masks, `&`/`|`/`<<` on
@@ -171,6 +216,24 @@ object DataLayoutPack extends QueryPack {
         |         ROW_NUMBER() OVER (ORDER BY n_rows DESC, key) AS rnk
         |  FROM c CROSS JOIN t
         |)
-        |SELECT key, n_rows, share_e4, selfjoin_rows, rnk FROM r WHERE rnk <= 20""".stripMargin
+        |SELECT key, n_rows, share_e4, selfjoin_rows, rnk FROM r WHERE rnk <= 20""".stripMargin,
+    // per-column aggregates unioned — different execution than the
+    // single-pass Expand, same answer
+    "profile" -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus")
+      .map(c =>
+        s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+           |       CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |       CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct
+           |FROM lineitem""".stripMargin)
+      .mkString("\nUNION ALL\n"),
+    "join_size" ->
+      """WITH ca AS (SELECT o_orderkey AS k, COUNT(*) AS ca FROM orders GROUP BY 1),
+        |cb AS (SELECT l_orderkey AS k, COUNT(*) AS cb FROM lineitem GROUP BY 1),
+        |j AS (SELECT ca.k, ca.ca * cb.cb AS contrib FROM ca JOIN cb ON ca.k = cb.k),
+        |top AS (SELECT k, contrib FROM j ORDER BY contrib DESC, k DESC LIMIT 1)
+        |SELECT (SELECT COUNT(*) FROM j) AS n_shared_keys,
+        |       (SELECT CAST(SUM(contrib) AS BIGINT) FROM j) AS join_rows,
+        |       top.k AS top_key, top.contrib AS top_key_rows
+        |FROM top""".stripMargin
   )
 }

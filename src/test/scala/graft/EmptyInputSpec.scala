@@ -79,6 +79,11 @@ class EmptyInputSpec extends SparkSpec {
       .toDF("l_orderkey", "l_partkey", "l_suppkey")
     assert(DataLayoutOps.zorderBins(emptyLineitem).count() == 0)
     assert(DataLayoutOps.skewCensus(emptyLineitem, "l_partkey").count() == 0)
+    // profile emits one row per column even on an empty table (all zeros)
+    val prof = DataLayoutOps.profile(emptyLineitem, Seq("l_partkey")).collect()
+    assert(prof.length == 1 && prof(0).getLong(1) == 0 && prof(0).getLong(3) == 0)
+    assert(DataLayoutOps.joinSizeEstimate(
+      emptyLineitem, "l_orderkey", emptyLineitem, "l_orderkey").count() == 0)
   }
 
   test("as-of join with an empty right side left-joins nulls, empty left is empty") {
