@@ -124,6 +124,23 @@ object DataLayoutOps {
       .select("column_name", "n_rows", "n_nulls", "n_distinct")
   }
 
+  /** The 100-TB twin of [[profile]]: HyperLogLog++ distinct counts
+    * (`approx_count_distinct`) — mergeable sketches, no Expand row
+    * multiplication, one narrow pass whatever the column count. NOT
+    * oracled (sketch estimates are engine-specific); tolerance-tested
+    * against the exact profiler, like the percentile twin. */
+  def profileApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.02): DataFrame = {
+    require(cols.nonEmpty && cols.forall(df.columns.contains), s"unknown columns in $cols")
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      approx_count_distinct(col(c), rsd).as(s"${c}__distinct")))
+    val wide = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackArgs = cols.map(c => s"'$c', ${c}__nulls, ${c}__distinct").mkString(", ")
+    wide.select(col("n_rows"),
+      expr(s"stack(${cols.size}, $stackArgs) AS (column_name, n_nulls, n_distinct)"))
+      .select("column_name", "n_rows", "n_nulls", "n_distinct")
+  }
+
   /** Exact equi-join cardinality WITHOUT running the join: per-key
     * censuses of both sides joined on the key, Σ ca·cb. For an equi-join
     * this is not an estimate — it IS the output size — computed on

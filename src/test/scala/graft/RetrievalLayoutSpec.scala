@@ -97,6 +97,22 @@ class RetrievalLayoutSpec extends SparkSpec {
       RetrievalOps.bm25TopK(docs, terms = (1 to 9).map("t" + _)))
   }
 
+  test("approx profiler tracks the exact one within HLL tolerance, nulls exact") {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
+    val exact = DataLayoutOps.profile(lineitem, cols)
+      .select(col("column_name"), col("n_nulls").as("en"), col("n_distinct").as("ed"))
+    val approx = DataLayoutOps.profileApprox(lineitem, cols)
+      .select(col("column_name"), col("n_nulls").as("an"), col("n_distinct").as("ad"))
+    val joined = exact.join(approx, "column_name").collect()
+    assert(joined.length == cols.size)
+    joined.foreach { r =>
+      assert(r.getLong(1) == r.getLong(3), s"${r.getString(0)}: null counts must be exact")
+      val (ed, ad) = (r.getLong(2).toDouble, r.getLong(4).toDouble)
+      assert(math.abs(ad - ed) <= math.max(ed * 0.1, 4.0),
+        s"${r.getString(0)}: approx distinct $ad too far from exact $ed")
+    }
+  }
+
   test("skew census: dense ranks, descending counts, exact pair arithmetic") {
     val events = Tables.events(spark, sf)
     val out = DataLayoutOps.skewCensus(events, "user_id").collect()
