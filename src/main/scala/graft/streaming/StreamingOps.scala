@@ -152,6 +152,23 @@ object StreamingOps {
       .select(col("event_type"), to_date(col("w.start")).as("day"), col("n"),
         floor(col("sv").cast("double") / col("n") * 10000 + 0.5).cast("long").as("mean_e4"))
 
+  /** Streaming heavy-hitter monitor — the stream twin of
+    * [[graft.operators.DataLayoutOps.skewCensus]]: per 10-minute window,
+    * keys whose row count crosses `threshold`, emitted when the
+    * watermark closes the window. The skew alarm a pipeline runs ON the
+    * ingest feed, so a hot key is known before the nightly join plans
+    * around it. State is one count per (window, key) under the
+    * watermark — map-side partials, eviction on window close. */
+  def heavyHitterStream(
+      events: DataFrame, keyCol: String,
+      threshold: Long = 5L, watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") >= threshold)
+      .select(unix_micros(col("w.start")).as("window_start_us"), col("key"), col("n_rows"))
+
   /** Streaming ingest dedup for a document feed: keep the first document
     * per content fingerprint within the dedup window. The streaming face
     * of DedupOps.exact / incrDedup — the fingerprint is the SAME head key

@@ -231,6 +231,15 @@ class PlanQualitySpec extends SparkSpec {
       s"morton not an inline expression tree:\n$plan")
   }
 
+  test("profiler is one scan: Expand multi-distinct, no per-column re-reads") {
+    val plan = physical(SparkEntry.queries("profile")(spark, sf))
+    // the multi-countDistinct plans via Expand over ONE scan — 5 columns
+    // of exact distincts must not become 5 parquet reads
+    assert(plan.contains("Expand"), s"multi-distinct not via Expand:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"profiler re-scans the table:\n$plan")
+  }
+
   test("co-activity overlap join meets through the bin equi-join, never a nested loop") {
     val plan = physical(SparkEntry.queries("co_activity")(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),

@@ -343,6 +343,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("heavy-hitter stream flags only keys crossing the threshold, per closed window") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val q = StreamingOps.heavyHitterStream(
+      input.toDF().toDF("ts", "user_id"), "user_id", threshold = 3L)
+      .writeStream.format("memory").queryName("hh_out").outputMode("append").start()
+    try {
+      // user 7 hits 3 times inside one 10-min window; user 8 only twice
+      input.addData((ts(1), 7L), (ts(2), 7L), (ts(3), 7L), (ts(4), 8L), (ts(5), 8L))
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-01-01 12:00:00"), 9L))
+      q.processAllAvailable()
+      val out = s.sql("SELECT key, n_rows FROM hh_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(out.toSeq == Seq((7L, 3L)), s"got ${out.toSeq}")
+    } finally q.stop()
+  }
+
   test("value-drift stream reproduces batch daily means exactly on the fixture feed") {
     val s = spark
     import s.implicits._
