@@ -16,6 +16,11 @@ object TimingSession {
     val spark = graft.GraftSession
       .builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt, extensions = false)
       .getOrCreate()
+    // SPARK_GRAFT_CACHE=false → run with operator-level cache
+    // registration off: the cache-invariance switch (results must not
+    // depend on the shared materializations, only their cost does)
+    sys.env.get("SPARK_GRAFT_CACHE")
+      .foreach(v => spark.conf.set(graft.Caching.EnabledKey, v))
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
