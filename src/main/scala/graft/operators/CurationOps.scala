@@ -368,6 +368,33 @@ object CurationOps {
   val MixTargetsE4: Seq[(String, Long)] =
     Seq("en" -> 2000L, "zh" -> 2000L, "de" -> 2000L, "fr" -> 2000L, "es" -> 2000L)
 
+  /** Token-budget cut plan: take documents in deterministic md5-priority
+    * order until the corpus hits `budgetTokens` — the "train on the
+    * first N tokens of a stable shuffle" primitive. The priority is
+    * bucketed (1000 md5 buckets) and the cut planned on the BUCKET
+    * census: a running sum over 1000 rows finds which buckets are wholly
+    * kept, which one straddles the boundary, and which drop — no global
+    * sort of the corpus, ever. Only the single `partial` bucket (0.1% of
+    * the corpus) would then need an exact within-bucket sort to place
+    * the boundary doc; the plan emits per-bucket status + cumulative
+    * position so that residual step is embarrassingly small. */
+  def tokenBudgetCut(docs: DataFrame, budgetTokens: Long = 10000L): DataFrame = {
+    val t = docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_toks"),
+      (stableHash60(col("doc_id").cast("string")) % 1000L).as("bkt"))
+    val census = t.groupBy("bkt")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("bucket_tokens"))
+    val w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    census
+      .withColumn("cum_before", coalesce(sum(col("bucket_tokens")).over(w), lit(0L)))
+      .withColumn("status",
+        when(col("cum_before") + col("bucket_tokens") <= budgetTokens, "keep")
+          .when(col("cum_before") < budgetTokens, "partial")
+          .otherwise("drop"))
+      .select("bkt", "n_docs", "bucket_tokens", "cum_before", "status")
+  }
+
   /** Two unrolled BPE training iterations over the word-frequency table
     * — the tokenizer-training prep step ([[vocabTopGrams]] counts whole
     * grams; this learns SUB-word merges). Iteration 1 counts adjacent
@@ -573,7 +600,8 @@ object CurationPack extends QueryPack {
     "chunks" -> ((s, dir) => CurationOps.chunked(d(s, dir))),
     "mix_plan" -> ((s, dir) => CurationOps.mixPlan(d(s, dir))),
     "curriculum" -> ((s, dir) => CurationOps.qualityCurriculum(d(s, dir))),
-    "bpe_merges" -> ((s, dir) => CurationOps.bpeMerges(d(s, dir)))
+    "bpe_merges" -> ((s, dir) => CurationOps.bpeMerges(d(s, dir))),
+    "token_budget" -> ((s, dir) => CurationOps.tokenBudgetCut(d(s, dir)))
   )
 
   // Shared shingle CTE: identical to the dedup oracles' 3-gram pipeline
@@ -599,6 +627,26 @@ object CurationPack extends QueryPack {
        |HAVING COUNT(DISTINCT c.x31) >= 2""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    "token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 18, 15)) AS UBIGINT) % 1000 AS BIGINT) AS bkt
+        |  FROM documents
+        |),
+        |census AS (
+        |  SELECT bkt, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS bucket_tokens
+        |  FROM t GROUP BY bkt
+        |),
+        |c AS (
+        |  SELECT *, COALESCE(CAST(SUM(bucket_tokens) OVER (ORDER BY bkt
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
+        |  FROM census
+        |)
+        |SELECT bkt, n_docs, bucket_tokens, cum_before,
+        |       CASE WHEN cum_before + bucket_tokens <= 10000 THEN 'keep'
+        |            WHEN cum_before < 10000 THEN 'partial'
+        |            ELSE 'drop' END AS status
+        |FROM c""".stripMargin,
     "contam" -> ContaminationSql,
     // the Bloom sketch only prunes; the exact join decides — same oracle
     "contam_bloom" -> ContaminationSql,
