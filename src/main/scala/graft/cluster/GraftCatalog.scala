@@ -73,5 +73,7 @@ object GraftCatalog {
     graft.operators.DataLayoutOps.joinSizeEstimate(
       Tables.orders(spark, sfDir), "o_orderkey", Tables.lineitem(spark, sfDir), "l_orderkey")
       .createOrReplaceTempView("join_size")
+    graft.operators.CurationOps.tokenBudgetCut(docs)
+      .createOrReplaceTempView("token_budget")
   }
 }

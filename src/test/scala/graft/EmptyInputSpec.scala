@@ -73,6 +73,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(RetrievalOps.rrfFusion(emptyDocs, emptyEmb).count() == 0)
     assert(CurationOps.qualityCurriculum(emptyDocs).count() == 0)
     assert(CurationOps.bpeMerges(emptyDocs).count() == 0)
+    assert(CurationOps.tokenBudgetCut(emptyDocs).count() == 0)
     assert(AnnOps.filteredTopK(emptyEmb).count() == 0)
     assert(AnnOps.ivfAssignIncremental(emptyEmb).count() == 0)
     val emptyLineitem = Seq.empty[(Long, Long, Long)]
