@@ -395,6 +395,38 @@ object CurationOps {
       .select("bkt", "n_docs", "bucket_tokens", "cum_before", "status")
   }
 
+  /** Phase two of [[tokenBudgetCut]]: the exact boundary inside the one
+    * `partial` bucket. Only that bucket's docs (0.1% of the corpus,
+    * semi-joined out) are sorted — by the same md5 priority, finer than
+    * the bucket id — and a running sum against the residual budget marks
+    * each doc kept or cut. A doc is kept iff the budget is not exhausted
+    * BEFORE it (the greedy "take until the budget trips" convention, so
+    * the boundary doc itself is taken). Together the two phases place an
+    * exact token-budget cut with one census window + one 0.1%-sized
+    * sort — never a corpus total-order. */
+  def tokenBudgetBoundary(docs: DataFrame, budgetTokens: Long = 10000L): DataFrame = {
+    val t = docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_toks"),
+      stableHash60(col("doc_id").cast("string")).as("pri"))
+      .withColumn("bkt", col("pri") % 1000L)
+    val census = t.groupBy("bkt")
+      .agg(sum(col("n_toks")).as("bucket_tokens"))
+    val wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    // the single partial bucket + its residual budget: a 1-row broadcast
+    val partial = census
+      .withColumn("cum_before", coalesce(sum(col("bucket_tokens")).over(wb), lit(0L)))
+      .filter(col("cum_before") < budgetTokens &&
+        col("cum_before") + col("bucket_tokens") > budgetTokens)
+      .select(col("bkt").as("pbkt"), (lit(budgetTokens) - col("cum_before")).as("residual"))
+    val win = Window.partitionBy("bkt").orderBy(col("pri"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.join(broadcast(partial), col("bkt") === col("pbkt"))
+      .withColumn("cum_before_doc", coalesce(sum(col("n_toks")).over(win), lit(0L)))
+      .select(col("doc_id"), col("bkt"), col("n_toks"), col("cum_before_doc"),
+        (col("cum_before_doc") < col("residual")).as("kept"))
+  }
+
   /** Two unrolled BPE training iterations over the word-frequency table
     * — the tokenizer-training prep step ([[vocabTopGrams]] counts whole
     * grams; this learns SUB-word merges). Iteration 1 counts adjacent
@@ -601,7 +633,8 @@ object CurationPack extends QueryPack {
     "mix_plan" -> ((s, dir) => CurationOps.mixPlan(d(s, dir))),
     "curriculum" -> ((s, dir) => CurationOps.qualityCurriculum(d(s, dir))),
     "bpe_merges" -> ((s, dir) => CurationOps.bpeMerges(d(s, dir))),
-    "token_budget" -> ((s, dir) => CurationOps.tokenBudgetCut(d(s, dir)))
+    "token_budget" -> ((s, dir) => CurationOps.tokenBudgetCut(d(s, dir))),
+    "token_boundary" -> ((s, dir) => CurationOps.tokenBudgetBoundary(d(s, dir)))
   )
 
   // Shared shingle CTE: identical to the dedup oracles' 3-gram pipeline
@@ -627,6 +660,31 @@ object CurationPack extends QueryPack {
        |HAVING COUNT(DISTINCT c.x31) >= 2""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    "token_boundary" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 18, 15)) AS UBIGINT) AS BIGINT) AS pri
+        |  FROM documents
+        |),
+        |tb AS (SELECT *, pri % 1000 AS bkt FROM t),
+        |census AS (SELECT bkt, CAST(SUM(n_toks) AS BIGINT) AS bt FROM tb GROUP BY bkt),
+        |c AS (
+        |  SELECT bkt, bt, COALESCE(CAST(SUM(bt) OVER (ORDER BY bkt
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cb
+        |  FROM census
+        |),
+        |p AS (SELECT bkt AS pbkt, 10000 - cb AS residual FROM c
+        |      WHERE cb < 10000 AND cb + bt > 10000),
+        |x AS (
+        |  SELECT tb.doc_id, tb.bkt, tb.n_toks,
+        |         COALESCE(CAST(SUM(tb.n_toks) OVER (PARTITION BY tb.bkt
+        |              ORDER BY tb.pri, tb.doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before_doc,
+        |         p.residual
+        |  FROM tb JOIN p ON tb.bkt = p.pbkt
+        |)
+        |SELECT doc_id, bkt, n_toks, cum_before_doc, cum_before_doc < residual AS kept
+        |FROM x""".stripMargin,
     "token_budget" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
