@@ -75,5 +75,7 @@ object GraftCatalog {
       .createOrReplaceTempView("join_size")
     graft.operators.CurationOps.tokenBudgetCut(docs)
       .createOrReplaceTempView("token_budget")
+    graft.operators.CurationOps.tokenBudgetBoundary(docs)
+      .createOrReplaceTempView("token_boundary")
   }
 }

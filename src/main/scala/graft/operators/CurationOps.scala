@@ -451,7 +451,8 @@ object CurationOps {
     // by both iterations
     val words = graft.Caching.maybeCache(
       docs.select(explode(tokens(col("text"))).as("w"))
-        .filter(!col("w").contains("|") && length(col("w")) >= 2)
+        .filter(!col("w").contains("|") && length(col("w")) >= 2 &&
+          length(col("w")) <= OracleLimits.MaxWordChars)
         .groupBy("w").agg(count(lit(1)).as("cnt")))
     // it-1: adjacent char pairs via a position explode (no split() edge
     // cases), weighted by word count
@@ -943,16 +944,17 @@ object CurationPack extends QueryPack {
     // BPE iterations: pair spaces bounded by alphabet^2; the merge is the
     // same non-overlapping replace in both engines
     "bpe_merges" ->
-      """WITH wd AS (
+      s"""WITH wd AS (
         |  SELECT w, COUNT(*) AS cnt FROM (
         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |  WHERE w NOT LIKE '%|%' AND length(w) >= 2
+        |    AND length(w) <= ${OracleLimits.MaxWordChars}
         |  GROUP BY w
         |),
         |p1 AS (
         |  SELECT substring(w, i, 1) AS sa, substring(w, i + 1, 1) AS sb,
         |         CAST(SUM(cnt) AS BIGINT) AS pair_cnt
-        |  FROM wd, range(1, 64) r(i)
+        |  FROM wd, range(1, ${OracleLimits.MaxWordChars}) r(i)
         |  WHERE i + 1 <= length(w)
         |  GROUP BY 1, 2
         |),
@@ -968,7 +970,7 @@ object CurationPack extends QueryPack {
         |),
         |p2 AS (
         |  SELECT sl[i] AS sa, sl[i + 1] AS sb, CAST(SUM(cnt) AS BIGINT) AS pair_cnt
-        |  FROM m, range(1, 80) r(i)
+        |  FROM m, range(1, ${OracleLimits.MaxWordChars + 16}) r(i)
         |  WHERE i + 1 <= len(sl) AND sl[i] <> '' AND sl[i + 1] <> ''
         |  GROUP BY 1, 2
         |),

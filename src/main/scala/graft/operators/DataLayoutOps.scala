@@ -115,7 +115,9 @@ object DataLayoutOps {
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty && cols.forall(df.columns.contains), s"unknown columns in $cols")
     val aggs = cols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      // coalesce: sum over zero rows is NULL, but an empty table has 0
+      // nulls, consistent with n_rows/n_distinct = 0
+      coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"${c}__nulls"),
       countDistinct(col(c)).as(s"${c}__distinct")))
     val wide = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
     val stackArgs = cols.map(c => s"'$c', ${c}__nulls, ${c}__distinct").mkString(", ")
@@ -132,7 +134,7 @@ object DataLayoutOps {
   def profileApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.02): DataFrame = {
     require(cols.nonEmpty && cols.forall(df.columns.contains), s"unknown columns in $cols")
     val aggs = cols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"${c}__nulls"),
       approx_count_distinct(col(c), rsd).as(s"${c}__distinct")))
     val wide = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
     val stackArgs = cols.map(c => s"'$c', ${c}__nulls, ${c}__distinct").mkString(", ")
@@ -168,7 +170,10 @@ object DataLayoutOps {
     * `numFiles` files, sorted within each, written through the connector
     * seam. Each output file then covers one contiguous z-range — a
     * bounded rectangle in (colA, colB) — so scans filtered on either
-    * column skip most files on footer stats alone. Returns the written
+    * column skip most files on footer stats alone. The synthetic zval is
+    * dropped before the write (a projection preserves the partition
+    * sort), so the clustered copy's schema is identical to the input —
+    * the lakehouse OPTIMIZE ZORDER contract. Returns the written
     * row count (recounted from the destination, [[graft.sources.BulkOps]]
     * write-verification convention). */
   def writeZordered(
@@ -178,7 +183,8 @@ object DataLayoutOps {
     graft.sources.BulkOps.writePath(
       withZval(df, colA, colB)
         .repartitionByRange(numFiles, col("zval"))
-        .sortWithinPartitions("zval"),
+        .sortWithinPartitions("zval")
+        .drop("zval"),
       org.apache.spark.sql.SaveMode.Overwrite)
       .save(destPath)
     graft.sources.BulkOps.readPath(spark, destPath).count()

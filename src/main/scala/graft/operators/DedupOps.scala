@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   *     cap. Jaccard is then defined over the capped shingle space —
   *     stop-list semantics, standard practice in near-dup pipelines.
   *   - MinHash pairs through band-signature buckets and SimHash pairs
-  *     through 8-bit band buckets, each bucket capped at
+  *     through 16-bit band buckets, each bucket capped at
   *     [[MaxBandBucket]] members ([[capBuckets]]) — degenerate
   *     signatures (empty/boilerplate docs that minhash identically)
   *     would otherwise square inside one bucket. Identical-content
@@ -450,17 +450,6 @@ object DedupOps {
       .select(col("da"), col("db"), col("hamming").cast("int").as("hamming"))
   }
 
-  /** Incremental near-dup: flag each new-batch doc (doc_id >=
-    * `watermarkId` in the fixture; a date/partition predicate in
-    * production) against the EXISTING corpus — the near-dup analogue of
-    * [[incrDedup]] and the batch twin of streaming/StreamingOps
-    * .nearDupStream. Candidates meet through the same capped SimHash
-    * banding as [[simhashDedup]], but the join is one-sided (new ⋈ old),
-    * so a daily batch costs |batch bands| ⋈ |corpus bands|, never
-    * corpus². In production the old side reads a STORED signature table
-    * (16 bytes/doc) instead of re-hashing the corpus — the banding here
-    * recomputes both sides only because the fixture has no signature
-    * store; the join shape is identical. */
   /** Measured pair-recall of each capped near-dup blocker against its
     * brute-force truth set — the blocker analogue of [[AnnOps.annRecall]]
     * (VERDICT r5 ask #3: the caps' recall cost as a number, not an
@@ -524,6 +513,17 @@ object DedupOps {
       .unionByName(row("embedding_mp", embTruthShared, mpFound))
   }
 
+  /** Incremental near-dup: flag each new-batch doc (doc_id >=
+    * `watermarkId` in the fixture; a date/partition predicate in
+    * production) against the EXISTING corpus — the near-dup analogue of
+    * [[incrDedup]] and the batch twin of streaming/StreamingOps
+    * .nearDupStream. Candidates meet through the same capped SimHash
+    * banding as [[simhashDedup]], but the join is one-sided (new ⋈ old),
+    * so a daily batch costs |batch bands| ⋈ |corpus bands|, never
+    * corpus². In production the old side reads a STORED signature table
+    * (16 bytes/doc) instead of re-hashing the corpus — the banding here
+    * recomputes both sides only because the fixture has no signature
+    * store; the join shape is identical. */
   def incrNearDup(
       docs: DataFrame,
       spark: SparkSession,

@@ -19,4 +19,11 @@ object OracleLimits {
 
   /** Exclusive upper bound on media frame indices per fixture payload. */
   val MaxMediaFrames = 1000
+
+  /** Inclusive upper bound on word length (chars) admitted to the BPE
+    * vocabulary. Unlike the pure-fixture caps above, this one is enforced
+    * on BOTH sides (Spark filters words over the bound; the oracle's
+    * position ranges stop at it), so the two engines agree even if a
+    * future fixture grows a pathological token. */
+  val MaxWordChars = 64
 }

@@ -74,6 +74,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(CurationOps.qualityCurriculum(emptyDocs).count() == 0)
     assert(CurationOps.bpeMerges(emptyDocs).count() == 0)
     assert(CurationOps.tokenBudgetCut(emptyDocs).count() == 0)
+    assert(CurationOps.tokenBudgetBoundary(emptyDocs).count() == 0)
     assert(AnnOps.filteredTopK(emptyEmb).count() == 0)
     assert(AnnOps.ivfAssignIncremental(emptyEmb).count() == 0)
     val emptyLineitem = Seq.empty[(Long, Long, Long)]
@@ -82,7 +83,10 @@ class EmptyInputSpec extends SparkSpec {
     assert(DataLayoutOps.skewCensus(emptyLineitem, "l_partkey").count() == 0)
     // profile emits one row per column even on an empty table (all zeros)
     val prof = DataLayoutOps.profile(emptyLineitem, Seq("l_partkey")).collect()
-    assert(prof.length == 1 && prof(0).getLong(1) == 0 && prof(0).getLong(3) == 0)
+    assert(prof.length == 1 && prof(0).getLong(1) == 0 && prof(0).getLong(2) == 0 &&
+      prof(0).getLong(3) == 0)
+    val profA = DataLayoutOps.profileApprox(emptyLineitem, Seq("l_partkey")).collect()
+    assert(profA.length == 1 && profA(0).getLong(1) == 0 && profA(0).getLong(2) == 0)
     assert(DataLayoutOps.joinSizeEstimate(
       emptyLineitem, "l_orderkey", emptyLineitem, "l_orderkey").count() == 0)
   }

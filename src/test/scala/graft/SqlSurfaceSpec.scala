@@ -50,6 +50,12 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(spark.sql("SELECT COUNT(*) FROM curriculum_plan").collect()(0).getLong(0) == 10)
     assert(spark.sql("SELECT COUNT(DISTINCT it) FROM bpe_merges").collect()(0).getLong(0) == 2)
     assert(spark.sql("SELECT MAX(rnk) FROM skew_census").collect()(0).getInt(0) <= 20)
+    // the boundary view covers exactly one partial bucket, and a kept
+    // doc's running sum stays under the whole default budget
+    assert(spark.sql("SELECT COUNT(DISTINCT bkt) FROM token_boundary").collect()(0).getLong(0) <= 1)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM token_boundary WHERE kept AND cum_before_doc >= 10000")
+      .collect()(0).getLong(0) == 0)
   }
 
   test("compaction_weight resolves in SQL via session extensions") {
