@@ -18,8 +18,12 @@ object Bench {
     }
     val probeBefore = cpuProbe()
 
+    // headline set = the operator surface minus the documented
+    // fixture-scale-only eval harnesses (their sampled production twins
+    // are benched instead — see SparkEntry.benchExcluded)
+    val headline = SparkEntry.queries.filterNot(q => SparkEntry.benchExcluded(q._1))
     def onePass(pass: Int): Map[String, Double] =
-      SparkEntry.queries.map { case (name, fn) =>
+      headline.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -45,6 +49,13 @@ object Bench {
         min2.map { case (k, v) => k -> math.min(v, p3(k)) }
       }
     val probeAfter = cpuProbe()
+    // cache-growth audit: peak registered storage across the whole run
+    // (135+ queries × 60+ maybeCache frames share one CacheManager) —
+    // the number BASELINE.md tracks to rule cache pressure in or out
+    // when a query regresses
+    val storage = spark.sparkContext.getRDDStorageInfo
+    System.err.println(f"[bench-cache] n_cached=${storage.length} " +
+      f"mem_mb=${storage.map(_.memSize).sum / 1e6}%.0f disk_mb=${storage.map(_.diskSize).sum / 1e6}%.0f")
 
     // keep this line SHORT: the driver tail-captures exactly 2000 chars —
     // the whole budget/degrade policy lives in graft.tools.BenchLine

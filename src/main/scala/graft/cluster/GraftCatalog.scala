@@ -41,6 +41,9 @@ object GraftCatalog {
       .createOrReplaceTempView("incr_neardups")
     graft.operators.DedupOps.blockerPairRecall(docs, embs, spark)
       .createOrReplaceTempView("neardup_recall")
+    graft.operators.DedupOps.blockerPairRecall(docs, embs, spark,
+      samplePct = Some(graft.operators.DedupPack.RecallSamplePct))
+      .createOrReplaceTempView("neardup_recall_sampled")
     graft.operators.AnnOps.nearDupPairsMultiProbe(embs, spark)
       .createOrReplaceTempView("emb_near_dups_mp")
     graft.operators.PqOps.ivfPqTopK(embs)
@@ -49,6 +52,8 @@ object GraftCatalog {
       .createOrReplaceTempView("bm25_topk")
     graft.operators.DataLayoutOps.zorderBins(Tables.lineitem(spark, sfDir))
       .createOrReplaceTempView("zorder_bins")
+    graft.operators.DataLayoutOps.zorderBins3d(Tables.lineitem(spark, sfDir))
+      .createOrReplaceTempView("zorder_bins_3d")
     graft.operators.RetrievalOps.phraseHits(docs)
       .createOrReplaceTempView("phrase_hits")
     graft.operators.RetrievalOps.rrfFusion(docs, embs)

@@ -330,11 +330,12 @@ object AnnOps {
       embeddings: DataFrame,
       spark: SparkSession,
       thresholdE4: Long = 4000L,
-      numPlanes: Int = NumPlanes): DataFrame = {
+      numPlanes: Int = NumPlanes,
+      bucketCap: Long = MaxEmbBucket): DataFrame = {
     val n = normalized(embeddings)
     val b = buckets(n, spark, numPlanes)
     val okBuckets = b.groupBy("bucket").agg(count(lit(1)).as("__bsz"))
-      .filter(col("__bsz") <= MaxEmbBucket).select("bucket")
+      .filter(col("__bsz") <= bucketCap).select("bucket")
     // cached: both sides of the bucket self-join read the guarded
     // (vector, bucket) frame; uncached, the vec_id join runs per side
     val nb = graft.Caching.maybeCache(
@@ -349,32 +350,43 @@ object AnnOps {
   }
 
   /** Multi-probe variant of [[nearDupPairs]] (à la multi-probe LSH): each
-    * vector probes its home bucket plus the `numPlanes` single-bit flips,
-    * so pairs meet when their buckets differ in AT MOST ONE plane sign —
-    * recovering the near-dups that land just across one hyperplane, the
-    * dominant loss mode of sign-LSH blocking (measured: the
-    * `neardup_recall` row `embedding_mp` vs `embedding`).
+    * vector probes its home bucket plus the `numPlanes` single-bit flips
+    * — and, at `bitFlips = 2`, the C(planes, 2) double flips — so pairs
+    * meet when their buckets differ in at most `bitFlips` plane signs,
+    * recovering the near-dups that land just across one (or two)
+    * hyperplanes, the dominant loss mode of sign-LSH blocking (measured:
+    * the `neardup_recall` rows `embedding_mp`/`embedding_mp2` vs
+    * `embedding` — the recall/cost ladder as a table, not a guess).
     *
-    * Pair uniqueness is structural, no distinct needed: a hamming-0 pair
-    * meets only through the home probe, a hamming-1 pair only through
-    * the one matching flip. Cost shape at scale: the probe expansion is
-    * SLIM (vec_id, probe) rows — planes+1 per vector, 16 bytes each —
+    * Pair uniqueness is structural, no distinct needed: a pair whose
+    * buckets differ in exactly d plane signs meets only through the one
+    * probe that flips exactly those d bits. Cost shape at scale: the
+    * probe expansion is SLIM (vec_id, probe) rows — 1 + planes
+    * (+ planes·(planes-1)/2 at two flips) per vector, 16 bytes each —
     * and vectors join back in by vec_id afterwards, so the fan-out never
     * shuffles the embedding payload. */
   def nearDupPairsMultiProbe(
       embeddings: DataFrame,
       spark: SparkSession,
       thresholdE4: Long = 4000L,
-      numPlanes: Int = NumPlanes): DataFrame = {
+      numPlanes: Int = NumPlanes,
+      bitFlips: Int = 1,
+      bucketCap: Long = MaxEmbBucket): DataFrame = {
+    require(bitFlips == 1 || bitFlips == 2, s"bitFlips 1 or 2, got $bitFlips")
     val n = normalized(embeddings)
     val b = buckets(n, spark, numPlanes)
     val okBuckets = b.groupBy("bucket").agg(count(lit(1)).as("__bsz"))
-      .filter(col("__bsz") <= MaxEmbBucket).select("bucket")
+      .filter(col("__bsz") <= bucketCap).select("bucket")
     // cached: read three times (candidate join + both vector fetches)
     val nb = graft.Caching.maybeCache(
       n.join(b, "vec_id").join(broadcast(okBuckets), Seq("bucket"), "left_semi"))
-    val probeCols = col("bucket") +:
-      (0 until numPlanes).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
+    val singleFlips = (0 until numPlanes).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
+    val doubleFlips =
+      if (bitFlips < 2) Seq.empty
+      else for {
+        j <- 0 until numPlanes; kk <- (j + 1) until numPlanes
+      } yield col("bucket").bitwiseXOR(lit((1L << j) | (1L << kk)))
+    val probeCols = (col("bucket") +: singleFlips) ++ doubleFlips
     val probes = nb.select(col("vec_id").as("pvid"),
       explode(array(probeCols: _*)).as("probe"))
     val cand = probes

@@ -7,9 +7,11 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multi-dimensional data layout: Z-order (Morton) clustering of a table
-  * on two numeric columns, so range predicates on EITHER column prune
-  * most files — the lakehouse layout lever for 100-TB scans (Delta/Iceberg
-  * `OPTIMIZE ZORDER BY`, re-expressed as plain Spark).
+  * on two numeric columns (16 bits each) or three ([[withZval3]],
+  * 21 bits each — the Delta/Iceberg 3-column OPTIMIZE shape), so range
+  * predicates on ANY clustered column prune most files — the lakehouse
+  * layout lever for 100-TB scans (`OPTIMIZE ZORDER BY`, re-expressed as
+  * plain Spark).
   *
   * The morton code is a pure built-in expression tree (shift/mask bit
   * spreading, no UDF, fully codegen'd). Each dimension is first
@@ -50,6 +52,39 @@ object DataLayoutOps {
   private[graft] def morton16(a: Column, b: Column): Column =
     spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
 
+  /** Bits kept per dimension in the 3-column interleave (3×21 = 63 bits
+    * — the full non-negative BIGINT range, the Delta/Iceberg Z-order
+    * layout for 3 columns). */
+  val DimBits3 = 21
+
+  /** Coarse 3-D bin = top [[Bin3Bits]] bits of the 63-bit code (9 bits →
+    * ≤512 bins, each a 1/8 × 1/8 × 1/8 box of the normalized grid). */
+  val Bin3Bits = 9
+
+  /** Spread the low 21 bits of `x` to every third bit position (the
+    * standard 3-D Morton magic-number sequence). Each step uses the
+    * mask-BEFORE-shift form `(v & M) | ((v & (M >> k)) << k)` — bitwise
+    * identical to the canonical `(v | v << k) & M` for 21-bit inputs,
+    * but no intermediate ever exceeds 63 bits, so engines that RAISE on
+    * shift overflow (DuckDB) agree with engines that wrap (JVM). */
+  private[graft] def spread21(x: Column): Column = {
+    def step(v: Column, k: Int, m: Long): Column =
+      v.bitwiseAND(lit(m)).bitwiseOR(shiftleft(v.bitwiseAND(lit(m >> k)), k))
+    val a = x.bitwiseAND(lit(0x1fffffL))
+    val b = step(a, 32, 0x1f00000000ffffL)
+    val c = step(b, 16, 0x1f0000ff0000ffL)
+    val d = step(c, 8, 0x100f00f00f00f00fL)
+    val e = step(d, 4, 0x10c30c30c30c30c3L)
+    step(e, 2, 0x1249249249249249L)
+  }
+
+  /** 63-bit morton code of three 21-bit values: bits of `a` at positions
+    * ≡ 0 (mod 3), `b` at ≡ 1, `c` at ≡ 2. */
+  private[graft] def morton21(a: Column, b: Column, c: Column): Column =
+    spread21(a)
+      .bitwiseOR(shiftleft(spread21(b), 1))
+      .bitwiseOR(shiftleft(spread21(c), 2))
+
   /** `df` + `zval`: morton code over min-max-normalized (`colA`, `colB`).
     * Two passes: one scalar min/max aggregate (broadcast), one narrow
     * map. Normalization divides with integer DIV — exact in both
@@ -66,6 +101,40 @@ object DataLayoutOps {
       .withColumn("zval", morton16(col("ua"), col("ub")))
       .drop("ua", "ub", "a_min", "a_max", "b_min", "b_max")
   }
+
+  /** `df` + `zval`: 63-bit morton code over three min-max-normalized
+    * columns — the 3-column OPTIMIZE ZORDER layout. Same two-pass shape
+    * as [[withZval]] (one broadcast scalar aggregate, one narrow map)
+    * with 21 bits per dimension. */
+  def withZval3(df: DataFrame, colA: String, colB: String, colC: String): DataFrame = {
+    val stats = df.agg(
+      min(col(colA)).as("a_min"), max(col(colA)).as("a_max"),
+      min(col(colB)).as("b_min"), max(col(colB)).as("b_max"),
+      min(col(colC)).as("c_min"), max(col(colC)).as("c_max"))
+    val norm = (c: String, lo: String, hi: String) =>
+      expr(s"CAST((($c - $lo) * 2097151) DIV greatest($hi - $lo, 1) AS BIGINT)")
+    df.crossJoin(broadcast(stats))
+      .withColumn("ua", norm(colA, "a_min", "a_max"))
+      .withColumn("ub", norm(colB, "b_min", "b_max"))
+      .withColumn("uc", norm(colC, "c_min", "c_max"))
+      .withColumn("zval", morton21(col("ua"), col("ub"), col("uc")))
+      .drop("ua", "ub", "uc", "a_min", "a_max", "b_min", "b_max", "c_min", "c_max")
+  }
+
+  /** Per-z-bin layout census over lineitem's (l_partkey, l_suppkey,
+    * l_orderkey): the 3-D twin of [[zorderBins]] — row count and the
+    * bounding BOX each coarse bin covers, the locality evidence for a
+    * 3-column clustered layout. */
+  def zorderBins3d(lineitem: DataFrame): DataFrame =
+    withZval3(lineitem.select("l_orderkey", "l_partkey", "l_suppkey"),
+      "l_partkey", "l_suppkey", "l_orderkey")
+      .withColumn("bin", shiftright(col("zval"), 3 * DimBits3 - Bin3Bits))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("p_min"), max(col("l_partkey")).as("p_max"),
+        min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"),
+        min(col("l_orderkey")).as("o_min"), max(col("l_orderkey")).as("o_max"))
 
   /** Per-z-bin layout census over lineitem's (l_partkey, l_suppkey):
     * row count and the bounding rectangle each coarse bin actually
@@ -194,6 +263,7 @@ object DataLayoutOps {
 object DataLayoutPack extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "zorder_bins" -> ((s, d) => DataLayoutOps.zorderBins(Tables.lineitem(s, d))),
+    "zorder_bins_3d" -> ((s, d) => DataLayoutOps.zorderBins3d(Tables.lineitem(s, d))),
     "skew_census" -> ((s, d) => DataLayoutOps.skewCensus(Tables.events(s, d), "user_id")),
     "profile" -> ((s, d) => DataLayoutOps.profile(Tables.lineitem(s, d),
       Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus"))),
@@ -209,6 +279,20 @@ object DataLayoutPack extends QueryPack {
     val c = s"(($b | ($b << 4)) & 252645135)"
     val d = s"(($c | ($c << 2)) & 858993459)"
     s"(($d | ($d << 1)) & 1431655765)"
+  }
+
+  /** The 3-D (21-bit) morton spread as literal SQL — decimal renderings
+    * of the same magic masks, in the same mask-before-shift form as the
+    * Scala side (DuckDB raises on shift overflow instead of wrapping). */
+  private def spread3Sql(x: String): String = {
+    def step(v: String, k: Int, m: Long): String =
+      s"((($v) & $m) | ((($v) & ${m >> k}) << $k))"
+    val a = s"(($x) & ${0x1fffffL})"
+    val b = step(a, 32, 0x1f00000000ffffL)
+    val c = step(b, 16, 0x1f0000ff0000ffL)
+    val d = step(c, 8, 0x100f00f00f00f00fL)
+    val e = step(d, 4, 0x10c30c30c30c30c3L)
+    step(e, 2, 0x1249249249249249L)
   }
 
   override def oracles: Map[String, String] = Map(
@@ -228,6 +312,26 @@ object DataLayoutPack extends QueryPack {
          |       COUNT(*) AS n_rows,
          |       MIN(l_partkey) AS p_min, MAX(l_partkey) AS p_max,
          |       MIN(l_suppkey) AS s_min, MAX(l_suppkey) AS s_max
+         |FROM z GROUP BY 1""".stripMargin,
+    "zorder_bins_3d" ->
+      s"""WITH stats AS (
+         |  SELECT MIN(l_partkey) AS a_min, MAX(l_partkey) AS a_max,
+         |         MIN(l_suppkey) AS b_min, MAX(l_suppkey) AS b_max,
+         |         MIN(l_orderkey) AS c_min, MAX(l_orderkey) AS c_max
+         |  FROM lineitem
+         |),
+         |z AS (
+         |  SELECT l_partkey, l_suppkey, l_orderkey,
+         |         (${spread3Sql("(((l_partkey - a_min) * 2097151) // GREATEST(a_max - a_min, 1))")}
+         |          | (${spread3Sql("(((l_suppkey - b_min) * 2097151) // GREATEST(b_max - b_min, 1))")} << 1)
+         |          | (${spread3Sql("(((l_orderkey - c_min) * 2097151) // GREATEST(c_max - c_min, 1))")} << 2)) AS zval
+         |  FROM lineitem CROSS JOIN stats
+         |)
+         |SELECT zval >> ${3 * DataLayoutOps.DimBits3 - DataLayoutOps.Bin3Bits} AS bin,
+         |       COUNT(*) AS n_rows,
+         |       MIN(l_partkey) AS p_min, MAX(l_partkey) AS p_max,
+         |       MIN(l_suppkey) AS s_min, MAX(l_suppkey) AS s_max,
+         |       MIN(l_orderkey) AS o_min, MAX(l_orderkey) AS o_max
          |FROM z GROUP BY 1""".stripMargin,
     "skew_census" ->
       """WITH c AS (SELECT user_id AS key, COUNT(*) AS n_rows FROM events GROUP BY 1),

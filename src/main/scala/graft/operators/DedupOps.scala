@@ -43,8 +43,10 @@ object DedupOps {
     * doc corpus is rare, not boilerplate, and dropping it can RAISE a
     * pair's Jaccard (one-sided removal shrinks a doc size with the
     * intersection intact). Size the cap as a df FRACTION of the corpus
-    * there (e.g. df ≤ 1e-4·N) via [[cappedPostings]]' maxDf argument,
-    * which exists for exactly that. */
+    * there (e.g. df ≤ 1e-4·N) via the public `maxDf` knob on
+    * [[ngramJaccard]]/[[containmentDedup]] — [[dfCapFraction]] computes
+    * the sized cap, and the banded blockers expose the matching
+    * `bucketCap` knob. */
   val MaxShingleDf = 128L
 
   /** Membership cap on LSH band buckets and SimHash band buckets: a
@@ -54,6 +56,16 @@ object DedupOps {
     * is caught by [[exact]]. Bounds per-bucket pair fan-out at
     * O(MaxBandBucket²). */
   val MaxBandBucket = 128L
+
+  /** Production df-cap sizing — the helper the [[MaxShingleDf]] scaladoc
+    * prescribes: at corpus scale the cap should be a FRACTION of the
+    * corpus (df ≤ fraction·N marks true boilerplate), floored at the
+    * fixture constant so small corpora keep the calibrated behavior.
+    * Pass the result as `maxDf` to [[ngramJaccard]] /
+    * [[containmentDedup]] (and, scaled to taste, as `bucketCap` to the
+    * banded blockers). */
+  def dfCapFraction(nDocs: Long, fraction: Double = 1e-4): Long =
+    math.max(MaxShingleDf, math.ceil(nDocs * fraction).toLong)
 
   /** Postings restricted to the capped shingle space: shingles whose
     * document frequency exceeds `maxDf` are dropped. The window's x31
@@ -194,16 +206,20 @@ object DedupOps {
     * computed once for the whole dedup family: the jaccard/clusters/span
     * thresholds AND the containment score all project from this one
     * materialization of the df² self-join. */
-  private def cappedPairStats(docs: DataFrame): DataFrame = {
+  private def cappedPairStats(docs: DataFrame, maxDf: Long = MaxShingleDf): DataFrame = {
     // cached: pairStats references the capped postings three times
     // (self-join twice + sizes), and the capped frame is shared across
     // every consumer of the capped shingle space
-    val capped = graft.Caching.maybeCache(cappedPostings(shinglePostings(docs)))
+    val capped = graft.Caching.maybeCache(cappedPostings(shinglePostings(docs), maxDf))
     graft.Caching.maybeCache(pairStats(capped, None))
   }
 
-  def ngramJaccard(docs: DataFrame, thresholdE4: Long = 8000L): DataFrame =
-    cappedPairStats(docs)
+  /** `maxDf` is the public scale knob ([[MaxShingleDf]] scaladoc /
+    * [[dfCapFraction]]): a 100-TB caller sizes the boilerplate cap as a
+    * df fraction of its corpus instead of editing the library. */
+  def ngramJaccard(
+      docs: DataFrame, thresholdE4: Long = 8000L, maxDf: Long = MaxShingleDf): DataFrame =
+    cappedPairStats(docs, maxDf)
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
       .select(col("da"), col("db"),
         floor(col("jaccard") * 10000 + 0.5).cast("long").as("jaccard_e4"))
@@ -217,8 +233,9 @@ object DedupOps {
     * points and caps as [[ngramJaccard]], and the same cached
     * [[cappedPairStats]] frame — asking for both scores costs one df²
     * self-join, not two. */
-  def containmentDedup(docs: DataFrame, thresholdE4: Long = 8000L): DataFrame =
-    cappedPairStats(docs)
+  def containmentDedup(
+      docs: DataFrame, thresholdE4: Long = 8000L, maxDf: Long = MaxShingleDf): DataFrame =
+    cappedPairStats(docs, maxDf)
       .withColumn("containment",
         col("inter") / least(col("na"), col("nb")))
       .select(col("da"), col("db"),
@@ -277,12 +294,14 @@ object DedupOps {
     * band-bucket join (buckets over [[MaxBandBucket]] members dropped —
     * degenerate signatures would square) → exact-Jaccard verification
     * >= threshold over the full shingle space. */
-  def minhashLsh(docs: DataFrame, spark: SparkSession, thresholdE4: Long = 5000L): DataFrame = {
+  def minhashLsh(
+      docs: DataFrame, spark: SparkSession, thresholdE4: Long = 5000L,
+      bucketCap: Long = MaxBandBucket): DataFrame = {
     val postings = shinglePostings(docs)
     // the band self-join reads the capped signatures twice (4 rows/doc);
     // caching above the bucket guard would run its window on both reads
     val sigs = graft.Caching.maybeCache(
-      capBuckets(minhashSignatures(postings, spark), Seq("band", "sig")))
+      capBuckets(minhashSignatures(postings, spark), Seq("band", "sig"), bucketCap))
     // cached: the verify stage reads the pair list three times (two
     // candidate-doc projections + the final semi-join); uncached, each
     // reference re-runs the band self-join
@@ -410,13 +429,14 @@ object DedupOps {
     * banding (the bucket-census window), since every consumer reads the
     * banding at least twice. The `& 65535` mask (not `% 65536`) keeps
     * band values non-negative when bit 63 makes the simhash negative. */
-  private[operators] def cappedBanding(docs: DataFrame, spark: SparkSession): DataFrame = {
+  private[operators] def cappedBanding(
+      docs: DataFrame, spark: SparkSession, bucketCap: Long = MaxBandBucket): DataFrame = {
     val sh = graft.Caching.maybeCache(simhashes(shinglePostings(docs), spark))
     val bands = spark.range(4).withColumnRenamed("id", "b")
     graft.Caching.maybeCache(capBuckets(
       sh.crossJoin(broadcast(bands))
         .withColumn("band_val", expr("shiftright(simhash, cast(b * 16 as int)) & 65535")),
-      Seq("b", "band_val")))
+      Seq("b", "band_val"), bucketCap))
   }
 
   /** SimHash near-dup pairs with hamming distance <= 3, found via 4
@@ -434,8 +454,10 @@ object DedupOps {
     * can scale with N beyond that), whereas the previous 8-bit bands
     * (256 values) had honest buckets growing past any fixed cap at
     * corpus scale — the cap would then silently eat real near-dups. */
-  def simhashDedup(docs: DataFrame, spark: SparkSession, maxHamming: Int = 3): DataFrame = {
-    val banded = cappedBanding(docs, spark)
+  def simhashDedup(
+      docs: DataFrame, spark: SparkSession, maxHamming: Int = 3,
+      bucketCap: Long = MaxBandBucket): DataFrame = {
+    val banded = cappedBanding(docs, spark, bucketCap)
     val pairs = banded.as("a")
       .join(banded.as("b2"),
         col("a.b") === col("b2.b") && col("a.band_val") === col("b2.band_val") &&
@@ -461,15 +483,35 @@ object DedupOps {
     *     [[simhashDedup]] (16-bit bands + bucket cap).
     *   - embedding: truth = cosine ≥ 4000 over ALL vector pairs; found =
     *     [[AnnOps.nearDupPairs]] (LSH-bucket-blocked + capped).
-    *   - embedding_mp: same truth; found = [[AnnOps.nearDupPairsMultiProbe]]
-    *     — the measured recall lift multi-probe buys over plain blocking.
+    *   - embedding_mp / embedding_mp2: same truth; found =
+    *     [[AnnOps.nearDupPairsMultiProbe]] at 1 and 2 bit flips — the
+    *     measured recall ladder multi-probe buys over plain blocking.
     *
     * The truth sides are brute N²/2 EVAL joins (broadcast nested-loop
-    * over the slim signature/vector frames) — this is an evaluation
-    * harness run at fixture scale or on a sampled partition, never part
-    * of the production dedup path; the found sides are exactly the
-    * shipped operators. */
-  def blockerPairRecall(docs: DataFrame, embeddings: DataFrame, spark: SparkSession): DataFrame = {
+    * over the slim signature/vector frames) — an evaluation harness,
+    * never part of the production dedup path; the found sides are
+    * exactly the shipped operators.
+    *
+    * `samplePct` is how the harness runs at production scale: Some(p)
+    * restricts BOTH sides (docs and vectors) to the stable p% sample
+    * whose md5 priority bucket — [[graft.functions.TextFunctions
+    * .stableHash60]] mod 100, the same deterministic key the curation
+    * split/cap/sample family uses — falls below p. Truth and found are
+    * then computed over the same sub-corpus, so each row is an unbiased
+    * recall measurement at (p/100)² of the brute-force pair cost; the
+    * sample is stable across runs and re-shards. None = exact mode over
+    * the whole input (fixture scale only: the truth joins are
+    * quadratic). */
+  def blockerPairRecall(
+      docs0: DataFrame,
+      embeddings0: DataFrame,
+      spark: SparkSession,
+      samplePct: Option[Int] = None): DataFrame = {
+    require(samplePct.forall(p => p > 0 && p <= 100), s"samplePct in 1..100, got $samplePct")
+    val docs = samplePct.fold(docs0)(p =>
+      docs0.filter(stableHash60(col("doc_id").cast("string")) % 100L < p))
+    val embeddings = samplePct.fold(embeddings0)(p =>
+      embeddings0.filter(stableHash60(col("vec_id").cast("string")) % 100L < p))
     val postings = shinglePostings(docs)
     val truthJac = verifyJaccard(postings, None)
       .filter(col("jaccard_e4") >= 5000L).select("da", "db")
@@ -492,6 +534,8 @@ object DedupOps {
       .select(col("va").as("da"), col("vb").as("db"))
     val mpFound = AnnOps.nearDupPairsMultiProbe(embeddings, spark)
       .select(col("va").as("da"), col("vb").as("db"))
+    val mp2Found = AnnOps.nearDupPairsMultiProbe(embeddings, spark, bitFlips = 2)
+      .select(col("va").as("da"), col("vb").as("db"))
 
     def row(name: String, truthRaw: DataFrame, found: DataFrame): DataFrame = {
       // truth is read twice (census + the intersection semi-join)
@@ -505,12 +549,13 @@ object DedupOps {
           .otherwise(floor(col("n_found") / col("n_true") * 10000 + 0.5).cast("long"))
           .as("recall_e4"))
     }
-    // ONE cached truth frame serves the plain and multi-probe rows
+    // ONE cached truth frame serves the plain and both multi-probe rows
     val embTruthShared = graft.Caching.maybeCache(embTruth)
     row("minhash", truthJac, mhFound)
       .unionByName(row("simhash", shTruth, shFound))
       .unionByName(row("embedding", embTruthShared, embFound))
       .unionByName(row("embedding_mp", embTruthShared, mpFound))
+      .unionByName(row("embedding_mp2", embTruthShared, mp2Found))
   }
 
   /** Incremental near-dup: flag each new-batch doc (doc_id >=
@@ -528,8 +573,9 @@ object DedupOps {
       docs: DataFrame,
       spark: SparkSession,
       watermarkId: Long,
-      maxHamming: Int = 3): DataFrame = {
-    val banded = cappedBanding(docs, spark)
+      maxHamming: Int = 3,
+      bucketCap: Long = MaxBandBucket): DataFrame = {
+    val banded = cappedBanding(docs, spark, bucketCap)
     val pairs = banded.as("nw")
       .join(banded.as("old"),
         col("nw.b") === col("old.b") && col("nw.band_val") === col("old.band_val") &&
@@ -551,6 +597,7 @@ object DedupPack extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) => DedupOps.exact(d(s, dir))),
     "dedup_jaccard" -> ((s, dir) => DedupOps.ngramJaccard(d(s, dir))),
+    "dedup_jaccard64" -> ((s, dir) => DedupOps.ngramJaccard(d(s, dir), maxDf = 64L)),
     "dedup_containment" -> ((s, dir) => DedupOps.containmentDedup(d(s, dir))),
     "dedup_minhash" -> ((s, dir) => DedupOps.minhashLsh(d(s, dir), s)),
     "dedup_simhash" -> ((s, dir) => DedupOps.simhashDedup(d(s, dir), s)),
@@ -558,7 +605,10 @@ object DedupPack extends QueryPack {
     "incr_dedup" -> ((s, dir) => DedupOps.incrDedup(d(s, dir), 25L)),
     "incr_neardup" -> ((s, dir) => DedupOps.incrNearDup(d(s, dir), s, IncrNearDupWatermark)),
     "neardup_recall" -> ((s, dir) =>
-      DedupOps.blockerPairRecall(d(s, dir), Tables.embeddings(s, dir), s))
+      DedupOps.blockerPairRecall(d(s, dir), Tables.embeddings(s, dir), s)),
+    "neardup_recall_s" -> ((s, dir) =>
+      DedupOps.blockerPairRecall(d(s, dir), Tables.embeddings(s, dir), s,
+        samplePct = Some(RecallSamplePct)))
   )
 
   /** Shared SQL: distinct (doc_id, 31-bit shingle hash) postings. */
@@ -631,15 +681,18 @@ object DedupPack extends QueryPack {
        |  ) WHERE bsz <= ${DedupOps.MaxBandBucket}
        |)""".stripMargin
 
-  /** The [[DedupOps.MaxShingleDf]] cap mirrored in SQL: `shc` = postings
-    * restricted to the capped shingle space, `sizesc` = doc sizes over it. */
-  private[operators] val cappedPostingsSql =
+  /** The df cap mirrored in SQL: `shc` = postings restricted to the
+    * capped shingle space, `sizesc` = doc sizes over it — parameterized
+    * the way the Scala side's `maxDf` knob is. */
+  private[operators] def cappedPostingsSqlFor(maxDf: Long): String =
     s"""shc AS (
        |  SELECT doc_id, x31 FROM (
        |    SELECT doc_id, x31, COUNT(*) OVER (PARTITION BY x31) AS df FROM sh
-       |  ) WHERE df <= ${DedupOps.MaxShingleDf}
+       |  ) WHERE df <= $maxDf
        |),
        |sizesc AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shc GROUP BY doc_id)""".stripMargin
+
+  private[operators] val cappedPostingsSql = cappedPostingsSqlFor(DedupOps.MaxShingleDf)
 
   private def jaccardSql(
       pairsCte: String, threshold: Long, sh: String = "sh", sizes: String = "sizes"): String =
@@ -691,6 +744,16 @@ object DedupPack extends QueryPack {
     "dedup_jaccard" ->
       s"""WITH $postingsSql,
          |$cappedPostingsSql,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM shc a JOIN shc b ON a.x31 = b.x31 AND a.doc_id < b.doc_id
+         |),
+         |${jaccardSql("pairs", 8000L, "shc", "sizesc")}""".stripMargin,
+    // the non-default cap knob oracled (maxDf = 64), the way
+    // emb_near_dups_16p oracles the plane knob
+    "dedup_jaccard64" ->
+      s"""WITH $postingsSql,
+         |${cappedPostingsSqlFor(64L)},
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
          |  FROM shc a JOIN shc b ON a.x31 = b.x31 AND a.doc_id < b.doc_id
@@ -798,8 +861,35 @@ object DedupPack extends QueryPack {
     // blocker pair-recall: each capped blocker's found set vs its brute
     // truth set; the truth sides are the eval baselines, the found sides
     // mirror the shipped operators' oracles exactly
-    "neardup_recall" ->
-      s"""WITH $simhashBandSql,
+    "neardup_recall" -> recallSql(""),
+    // sampled mode: the same chain over the stable md5 50% sample —
+    // shadow CTEs over main.* re-point every downstream reference
+    "neardup_recall_s" -> recallSql(
+      s"""documents AS (
+         |  SELECT * FROM main.documents
+         |  WHERE CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 18, 15)) AS UBIGINT) % 100 AS BIGINT) < $RecallSamplePct
+         |),
+         |embeddings AS (
+         |  SELECT * FROM main.embeddings
+         |  WHERE CAST(CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 18, 15)) AS UBIGINT) % 100 AS BIGINT) < $RecallSamplePct
+         |),
+         |""".stripMargin)
+  )
+
+  /** Fixture sample percentage for the sampled recall harness: 40% puts
+    * the brute truth joins at 16% of their exact pair cost (measured:
+    * the bench's former heaviest query drops 7.9 → ~2.7 s at sf0.1; the
+    * residual is the five blocker pipelines themselves, which a tighter
+    * sample does not shrink — 30% measures the same) while keeping every
+    * blocker's sampled truth set populated at the correctness
+    * fixtures. */
+  private[graft] val RecallSamplePct = 40
+
+  /** The blocker-recall oracle: truth + found CTEs for all five blocker
+    * rows; `sampleCtes` ("" = exact) prepends shadow CTEs that restrict
+    * `documents`/`embeddings` to the deterministic md5 sample. */
+  private def recallSql(sampleCtes: String): String =
+      s"""WITH $sampleCtes$simhashBandSql,
          |$minhashSigSql,
          |tpairs AS (
          |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
@@ -868,6 +958,26 @@ object DedupPack extends QueryPack {
          |  WHERE ${graft.operators.AnnPack.cosSql} >= 4000
          |),
          |mpfound AS (SELECT p.da, p.db FROM mpfound0 p JOIN etruth t ON p.da = t.da AND p.db = t.db),
+         |mprobes2 AS (
+         |  SELECT vec_id AS pvid, bucket AS probe FROM nb
+         |  UNION ALL
+         |  SELECT vec_id, xor(bucket, CAST(POW(2, j.j) AS BIGINT))
+         |  FROM nb, range(0, ${AnnOps.NumPlanes}) j(j)
+         |  UNION ALL
+         |  SELECT vec_id, xor(bucket, CAST(POW(2, j.j) + POW(2, k.k) AS BIGINT))
+         |  FROM nb, range(0, ${AnnOps.NumPlanes}) j(j), range(0, ${AnnOps.NumPlanes}) k(k)
+         |  WHERE j.j < k.k
+         |),
+         |mp2cand AS (
+         |  SELECT p.pvid AS va, h.vec_id AS vb
+         |  FROM mprobes2 p JOIN nb h ON p.probe = h.bucket AND p.pvid < h.vec_id
+         |),
+         |mp2found0 AS (
+         |  SELECT c.va AS da, c.vb AS db
+         |  FROM mp2cand c JOIN nb qa ON qa.vec_id = c.va JOIN nb ca ON ca.vec_id = c.vb
+         |  WHERE ${graft.operators.AnnPack.cosSql} >= 4000
+         |),
+         |mp2found AS (SELECT p.da, p.db FROM mp2found0 p JOIN etruth t ON p.da = t.da AND p.db = t.db),
          |counts(blocker, n_true, n_found) AS (
          |  SELECT 'minhash', (SELECT COUNT(*) FROM jtruth), (SELECT COUNT(*) FROM mfound)
          |  UNION ALL
@@ -876,11 +986,12 @@ object DedupPack extends QueryPack {
          |  SELECT 'embedding', (SELECT COUNT(*) FROM etruth), (SELECT COUNT(*) FROM efound)
          |  UNION ALL
          |  SELECT 'embedding_mp', (SELECT COUNT(*) FROM etruth), (SELECT COUNT(*) FROM mpfound)
+         |  UNION ALL
+         |  SELECT 'embedding_mp2', (SELECT COUNT(*) FROM etruth), (SELECT COUNT(*) FROM mp2found)
          |)
          |SELECT blocker, CAST(n_true AS BIGINT) AS n_true, CAST(n_found AS BIGINT) AS n_found,
          |       CASE WHEN n_true = 0 THEN 10000
          |            ELSE CAST(FLOOR(n_found / CAST(n_true AS DOUBLE) * 10000 + 0.5) AS BIGINT)
          |       END AS recall_e4
          |FROM counts""".stripMargin
-  )
 }

@@ -105,6 +105,75 @@ object RetrievalOps {
         row_number().over(Window.orderBy(col("score_e4").desc, col("doc_id"))))
       .filter(col("rnk") <= k)
   }
+  /** Query-table-driven BM25 — the decontamination-probe shape: a
+    * benchmark's THOUSANDS of queries arrive as a (query_id, term) TABLE
+    * and every query is scored per doc in one group-by, where
+    * [[bm25TopK]]'s pivot-column fold stops at [[MaxQueryTerms]]
+    * literals. Returns top-`k` docs per query with the matched-term
+    * count.
+    *
+    * Engine-exactness: the per-(doc, term) BM25 score is the same fixed
+    * double tree as [[bm25TopK]], but each term's score is rounded to a
+    * scaled int (e4) BEFORE the per-query summation — an integer sum is
+    * reduction-order-free, which is what makes an arbitrary-width query
+    * table exact across engines (documented deviation: ≤ 0.5e-4 rounding
+    * per matched term vs the fixed-order double fold).
+    *
+    * Scale shape (100 TB): the corpus explode is filtered by a broadcast
+    * semi-join against the DISTINCT term set BELOW the tf shuffle (the
+    * table-input analogue of the literal isin filter — plan-gated), so
+    * the shuffle carries only matching (doc, term) postings. The query
+    * table joins the scored postings by term (broadcast: query tables
+    * are bounded), and the final top-k window is partitioned by
+    * query_id — no global sort anywhere. */
+  def bm25TopKForQueries(docs: DataFrame, queries: DataFrame, k: Int = 3): DataFrame = {
+    val qterms = queries.select(col("query_id"), col("term")).distinct()
+    val terms = qterms.select("term").distinct()
+    val lens = graft.Caching.maybeCache(
+      docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("len")))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("total_len"))
+    // the semi-join collapses the exploded stream to query-term postings
+    // before any shuffle — the table-input twin of bm25TopK's isin filter
+    val tf = graft.Caching.maybeCache(
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .join(broadcast(terms), col("token") === col("term"), "left_semi")
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf")))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val avgLen = col("total_len") * lit(1.0) / col("n_docs")
+    val score =
+      ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        (col("tf") * (K1 + lit(1.0))) /
+        (col("tf") + K1 * (lit(1.0) - B + B * col("len") / avgLen))
+    val perTerm = tf
+      .join(broadcast(df), "token")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("token"),
+        floor(score * 10000 + 0.5).cast("long").as("s_e4"))
+    val scored = perTerm
+      .join(broadcast(qterms), col("token") === col("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).cast("int").as("n_terms"), sum(col("s_e4")).as("score_e4"))
+    val w = Window.partitionBy("query_id").orderBy(col("score_e4").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** Deterministic fixture query table for [[bm25TopKForQueries]]'
+    * oracle: `nQueries` queries of `termsPerQuery` terms each, drawn from
+    * the document-frequency-ranked vocabulary and dealt round-robin so
+    * every query mixes a common and a rarer term. (A FIXTURE builder —
+    * the vocab ranking is a global sort of the vocab census; production
+    * callers bring their own benchmark query table.) */
+  def benchmarkQueries(docs: DataFrame, nQueries: Int = 50, termsPerQuery: Int = 2): DataFrame = {
+    val dfv = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    dfv
+      .withColumn("rnk", row_number().over(Window.orderBy(col("df").desc, col("term"))))
+      .filter(col("rnk") <= nQueries * termsPerQuery)
+      .select(((col("rnk") - 1) % nQueries).cast("long").as("query_id"), col("term"))
+  }
+
   /** Fixture default phrase (two frequent, co-occurring corpus tokens). */
   val DefaultPhrase: Seq[String] = Seq("merge", "sort")
 
@@ -166,6 +235,10 @@ object RetrievalOps {
 object RetrievalPack extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_topk" -> ((s, d) => RetrievalOps.bm25TopK(Tables.documents(s, d))),
+    "bm25_multi" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      RetrievalOps.bm25TopKForQueries(docs, RetrievalOps.benchmarkQueries(docs))
+    }),
     "phrase_hits" -> ((s, d) => RetrievalOps.phraseHits(Tables.documents(s, d))),
     "rrf_fusion" -> ((s, d) =>
       RetrievalOps.rrfFusion(Tables.documents(s, d), Tables.embeddings(s, d)))
@@ -222,6 +295,56 @@ object RetrievalPack extends QueryPack {
     "bm25_topk" ->
       s"""WITH $bm25Ctes
          |SELECT doc_id, n_terms, score_e4, rnk FROM ranked WHERE rnk <= 10""".stripMargin,
+    // query-table BM25: 50 fixture queries dealt round-robin from the
+    // df-ranked vocab; per-term e4 rounding BEFORE the per-query integer
+    // sum mirrors the Spark side exactly
+    "bm25_multi" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |dfv AS (
+        |  SELECT token, COUNT(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token
+        |),
+        |vr AS (SELECT token, ROW_NUMBER() OVER (ORDER BY df DESC, token) AS rnk FROM dfv),
+        |qt AS (SELECT CAST((rnk - 1) % 50 AS BIGINT) AS query_id, token AS term
+        |       FROM vr WHERE rnk <= 100),
+        |lens AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len FROM documents
+        |),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(len) AS total_len FROM lens),
+        |tf AS (
+        |  SELECT t.doc_id, t.token, COUNT(*) AS tf FROM toks t
+        |  WHERE t.token IN (SELECT term FROM qt)
+        |  GROUP BY t.doc_id, t.token
+        |),
+        |dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        |st AS (
+        |  SELECT tf.doc_id, tf.token,
+        |         ((s.n_docs - d.df + CAST(0.5 AS DOUBLE)) / (d.df + CAST(0.5 AS DOUBLE)))
+        |         * (tf.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        |         / (tf.tf + CAST(1.2 AS DOUBLE) *
+        |            (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |             + CAST(0.75 AS DOUBLE) * l.len
+        |               / (s.total_len * CAST(1.0 AS DOUBLE) / s.n_docs))) AS sc
+        |  FROM tf
+        |  JOIN dfq d ON tf.token = d.token
+        |  JOIN lens l ON tf.doc_id = l.doc_id
+        |  CROSS JOIN stats s
+        |),
+        |pt AS (
+        |  SELECT doc_id, token, CAST(FLOOR(sc * 10000 + 0.5) AS BIGINT) AS s_e4 FROM st
+        |),
+        |agg AS (
+        |  SELECT q.query_id, p.doc_id, CAST(COUNT(*) AS INT) AS n_terms,
+        |         CAST(SUM(p.s_e4) AS BIGINT) AS score_e4
+        |  FROM pt p JOIN qt q ON p.token = q.term
+        |  GROUP BY q.query_id, p.doc_id
+        |),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |                               ORDER BY score_e4 DESC, doc_id) AS rnk
+        |  FROM agg
+        |)
+        |SELECT query_id, doc_id, n_terms, score_e4, rnk FROM ranked WHERE rnk <= 3""".stripMargin,
     "phrase_hits" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits, CAST(MIN(i - 1) AS INT) AS first_pos

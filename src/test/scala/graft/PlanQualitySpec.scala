@@ -219,6 +219,21 @@ class PlanQualitySpec extends SparkSpec {
       s"candidate pre-filter not below the explode:\n$plan")
   }
 
+  test("bm25_multi: term semi-join prunes the token stream below the tf shuffle") {
+    val plan = physical(SparkEntry.queries("bm25_multi")(spark, sf))
+    // the table-input analogue of the literal isin gate above: a
+    // broadcast LEFT-SEMI against the distinct term set must collapse
+    // the corpus explode before the (doc_id, token) aggregate exchange
+    val semiIdx = "LeftSemi, BuildRight".r.findFirstMatchIn(plan).map(_.start)
+    val exchIdx = "Exchange hashpartitioning\\(doc_id#\\d+L?, token#\\d+".r
+      .findFirstMatchIn(plan).map(_.start)
+    assert(semiIdx.isDefined, s"term semi-join missing:\n$plan")
+    assert(exchIdx.isDefined, s"tf aggregate exchange missing:\n$plan")
+    assert(semiIdx.get > exchIdx.get,
+      s"term semi-join sits above the tf shuffle — full corpus would shuffle:\n$plan")
+    assert(plan.contains("partial_count"), s"no partial aggregation:\n$plan")
+  }
+
   test("zorder bins: stats broadcast to a narrow map, one hash shuffle total") {
     val plan = physical(SparkEntry.queries("zorder_bins")(spark, sf))
     // min/max stats attach via a 1-row broadcast, never a shuffle join

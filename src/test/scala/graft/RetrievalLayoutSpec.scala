@@ -21,6 +21,16 @@ class RetrievalLayoutSpec extends SparkSpec {
   }
   private def mortonRef(a: Long, b: Long): Long = spreadRef(a) | (spreadRef(b) << 1)
 
+  // 3-D reference by explicit bit placement — independent of the
+  // magic-number spread, so it validates the masks
+  private def morton3Ref(a: Long, b: Long, c: Long): Long =
+    (0 until 21).foldLeft(0L) { (acc, i) =>
+      acc |
+        (((a >> i) & 1L) << (3 * i)) |
+        (((b >> i) & 1L) << (3 * i + 1)) |
+        (((c >> i) & 1L) << (3 * i + 2))
+    }
+
   private lazy val sp = spark
 
   test("morton16 expression matches the reference interleave on random 16-bit pairs") {
@@ -43,6 +53,43 @@ class RetrievalLayoutSpec extends SparkSpec {
       .select(DataLayoutOps.morton16(col("a"), col("b")).as("z"))
       .distinct().count()
     assert(codes == n)
+  }
+
+  test("morton21 expression matches the bit-placement reference on random 21-bit triples") {
+    import sp.implicits._
+    val rnd = new scala.util.Random(43)
+    val max21 = 1 << 21
+    val triples = Seq.fill(1000)(
+      (rnd.nextInt(max21).toLong, rnd.nextInt(max21).toLong, rnd.nextInt(max21).toLong)) ++
+      Seq((0L, 0L, 0L), (max21 - 1L, 0L, 0L), (0L, max21 - 1L, 0L),
+        (0L, 0L, max21 - 1L), (max21 - 1L, max21 - 1L, max21 - 1L))
+    val got = triples.toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+        DataLayoutOps.morton21(col("a"), col("b"), col("c")).as("z"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(3) == morton3Ref(r.getLong(0), r.getLong(1), r.getLong(2)),
+        s"morton21(${r.getLong(0)}, ${r.getLong(1)}, ${r.getLong(2)})")
+      assert(r.getLong(3) >= 0L, "63-bit code must stay non-negative")
+    }
+  }
+
+  test("every 3-D z-bin bounds a small box of the key grid") {
+    val bins = DataLayoutOps.zorderBins3d(lineitem).cache()
+    val stats = lineitem.agg(
+      (max("l_partkey") - min("l_partkey")).as("p_rng"),
+      (max("l_suppkey") - min("l_suppkey")).as("s_rng"),
+      (max("l_orderkey") - min("l_orderkey")).as("o_rng")).head()
+    val (pRng, sRng, oRng) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    // a 9-bit bin is a 1/8 x 1/8 x 1/8 cell of the normalized grid;
+    // allow +2 units of integer-normalization rounding per edge
+    val bad = bins.filter(
+      col("p_max") - col("p_min") > lit(pRng / 8 + 2) ||
+        col("s_max") - col("s_min") > lit(sRng / 8 + 2) ||
+        col("o_max") - col("o_min") > lit(oRng / 8 + 2)).count()
+    assert(bad == 0, s"3-D z-bins wider than one grid cell: $bad")
+    assert(bins.count() > 1)
+    bins.unpersist()
   }
 
   test("every z-bin bounds a small rectangle of the key grid") {

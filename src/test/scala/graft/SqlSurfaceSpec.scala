@@ -36,7 +36,7 @@ class SqlSurfaceSpec extends SparkSpec {
     // and SQL composes over them: an aggregate over the recall view
     val recallRows = spark.sql(
       "SELECT blocker, recall_e4 FROM neardup_recall ORDER BY blocker").collect()
-    assert(recallRows.length == 4)
+    assert(recallRows.length == 5)
     assert(recallRows.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 10000))
     assert(spark.sql("SELECT * FROM bm25_topk WHERE rnk <= 10").count() ==
       graft.operators.RetrievalOps.bm25TopK(docs).count())

@@ -172,6 +172,35 @@ class DedupGuardsSpec extends SparkSpec {
     }
   }
 
+  test("public cap knobs: tightening a cap never adds a pair (df and bucket both)") {
+    noCache {
+      // mixed corpus: clone groups (real near-dups), boilerplate-heavy
+      // docs (hot shingles straddling the candidate caps), and uniques
+      val docs = mkDocs((0 until 60).flatMap { i =>
+        val bp = "bp1 bp2 bp3 bp4"
+        Seq(
+          (i * 3L, s"$bp u${i}a u${i}b u${i}c"),
+          (i * 3L + 1, s"$bp u${i}a u${i}b u${i}d"),
+          (i * 3L + 2, s"v${i}a v${i}b v${i}c v${i}d"))
+      })
+      def pairs(df: DataFrame): Set[(Long, Long)] =
+        df.select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // df knob: the pair set shrinks monotonically as the cap tightens
+      val caps = Seq(256L, 64L, 16L, 4L)
+      val jac = caps.map(c => pairs(DedupOps.ngramJaccard(docs, thresholdE4 = 0L, maxDf = c)))
+      jac.zip(jac.tail).zip(caps.tail).foreach { case ((wide, tight), c) =>
+        assert(tight.subsetOf(wide), s"maxDf=$c added pairs: ${tight -- wide}")
+      }
+      // bucket knob on both banded blockers: same monotonicity
+      val mh = Seq(512L, 128L, 8L).map(c =>
+        pairs(DedupOps.minhashLsh(docs, spark, thresholdE4 = 0L, bucketCap = c)))
+      mh.zip(mh.tail).foreach { case (wide, tight) => assert(tight.subsetOf(wide)) }
+      val sh = Seq(512L, 128L, 8L).map(c =>
+        pairs(DedupOps.simhashDedup(docs, spark, maxHamming = 64, bucketCap = c)))
+      sh.zip(sh.tail).foreach { case (wide, tight) => assert(tight.subsetOf(wide)) }
+    }
+  }
+
   test("capBuckets: no surviving bucket exceeds the cap") {
     noCache {
       val docs = mkDocs((0 until 150).map(i => (i.toLong, s"a b c d e f g${i % 3}")))
