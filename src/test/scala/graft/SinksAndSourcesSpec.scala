@@ -206,4 +206,52 @@ class SinksAndSourcesSpec extends SparkSpec {
     // seam off: parquet behavior restored
     assert(graft.sources.Tables.documents(spark, sf).count() == viaParquet.count())
   }
+
+  test("connector seam: the FULL bulk lifecycle passes on ORC with no operator changes") {
+    val base = tmpDir()
+    // resolve all parquet inputs BEFORE the seam flips to ORC (load()
+    // binds the relation at call time; the seam then governs only the
+    // staged tables under base)
+    val topo = ClusterViews.topology(spark, sf)
+    val metrics = ClusterViews.regionMetrics(spark, sf)
+    val lineitem = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val (nTopo, nMetrics, nLine) =
+      (topo.count(), metrics.count(), lineitem.count())
+    try {
+      spark.conf.set(graft.sources.Tables.FormatKey, "orc")
+      spark.conf.set(graft.sources.Tables.SuffixKey, ".orc")
+      // stage the source THROUGH the seam writer (BulkOps.writePath)
+      val src = s"$base/src_table"
+      BulkOps.writePath(metrics, org.apache.spark.sql.SaveMode.ErrorIfExists).save(src)
+      // O-6 copy with recount verification — same code path as parquet
+      val n = BulkOps.copyTable(spark, src, s"$base/copy_table")
+      assert(n == nMetrics)
+      // O-7 replace with backup
+      val backup = BulkOps.replaceTable(
+        spark, s"$base/copy_table", src, makeBackup = true, 1700000000000L)
+      assert(backup.isDefined && Files.exists(Paths.get(backup.get)))
+      assert(!Files.exists(Paths.get(s"$base/copy_table")))
+      assert(BulkOps.readPath(spark, src).count() == nMetrics)
+      // the staged files really are ORC, not parquet under another suffix
+      assert(new java.io.File(src).listFiles().exists(f =>
+        f.getName.startsWith("part-") && f.getName.endsWith(".orc")))
+      // O-8/O-57 partitioned topology snapshot + retention
+      val out = s"$base/topo"
+      BulkOps.writeTopologySnapshot(topo, out)
+      assert(BulkOps.readPath(spark, out).count() == nTopo)
+      val maxDay = BulkOps.readPath(spark, out)
+        .agg(max(col("snapshot_date"))).collect()(0).getDate(0)
+        .toLocalDate.toEpochDay.toInt
+      val kept = BulkOps.retainedTopology(spark, out, maxDay, 30)
+      assert(kept.count() > 0 && kept.count() < nTopo)
+      // the clustered rewrite rides the seam too
+      val zn = graft.operators.DataLayoutOps.writeZordered(
+        lineitem, "l_partkey", "l_suppkey", s"$base/z", numFiles = 4)
+      assert(zn == nLine)
+    } finally {
+      spark.conf.unset(graft.sources.Tables.FormatKey)
+      spark.conf.unset(graft.sources.Tables.SuffixKey)
+    }
+  }
 }
