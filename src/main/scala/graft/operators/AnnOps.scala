@@ -272,8 +272,10 @@ object AnnOps {
       case "ivfpq" => PqOps.ivfPqTopK(embeddings, nQueries, k)
       case "ivfpq_rerank" => PqOps.ivfPqRerankTopK(embeddings, nQueries, k)
       case "ivfpq_res" => PqOps.ivfPqResidualTopK(embeddings, nQueries, k)
+      case "ivfpq_res_t" => PqOps.ivfPqResidualTrainedTopK(embeddings, nQueries, k)
       case other => throw new IllegalArgumentException(
-        s"unknown ANN index '$other' (expected lsh/ivf/ivf2/sq8/pq/pq_rerank/ivfpq/ivfpq_rerank/ivfpq_res)")
+        s"unknown ANN index '$other' " +
+          "(expected lsh/ivf/ivf2/sq8/pq/pq_rerank/ivfpq/ivfpq_rerank/ivfpq_res/ivfpq_res_t)")
     }).select("qid", "vec_id")
     val common = brute.join(approx, Seq("qid", "vec_id"), "left_semi")
       .groupBy("qid").agg(count(lit(1)).as("n_common"))
@@ -590,12 +592,13 @@ object PqOps {
     * Measured caveat (fixture): the deterministic label-MEAN residual
     * codebook is near-degenerate by construction — residuals are
     * centered on their cluster mean, so per-label means sit close to
-    * zero and the codes lose discrimination; recall lands at parity
-    * with the raw-code variant (1000 vs 1200 e4), not above it.
-    * Residual coding pays off with TRAINED subquantizers (per-subspace
-    * k-means, the [[EmbeddingStatsOps.kmeans2]] pattern applied per
-    * sub); this operator ships the exact IVFADC dataflow those trained
-    * codebooks drop into. */
+    * zero and the codes lose discrimination; recall lands slightly
+    * BELOW the raw-code variant (1000 vs 1200 e4 at sf0.01). One
+    * per-subspace Lloyd iteration repairs the seed —
+    * [[ivfPqResidualTrainedTopK]] measures back at raw-code parity
+    * (1200 e4, `ivfpqrest_recall`) — and production codebooks train
+    * more iterations on a sample; this operator ships the exact IVFADC
+    * dataflow those trained codebooks drop into. */
   def ivfPqResidualTopK(
       embeddings: DataFrame, nQueries: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame = {
     val corpus = AnnOps.ivfAssignmentsRanked(embeddings, 1).select("vec_id", "center")
@@ -616,6 +619,84 @@ object PqOps {
       .groupBy("qid", "center", "sub", "code")
       .agg(sum(col("d") * col("d")).as("lut_q"))
     val scored = residualCodes(embeddings)
+      .join(corpus, Seq("vec_id"))
+      .join(broadcast(probes), Seq("center"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(lut), Seq("qid", "center", "sub", "code"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("lut_q")).as("adist_q"))
+    val w = Window.partitionBy("qid").orderBy(col("adist_q"), col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** TRAINED residual subquantizer: one deterministic Lloyd iteration
+    * per subspace over the residual subvectors, seeded from the
+    * label-mean codebook — [[EmbeddingStatsOps.kmeans2]]'s unrolled
+    * trainer applied per sub, which is exactly how production IVFADC
+    * codebooks are fit. Returns (sub, code, dim, rc). Integer-exact:
+    * integer distances, floor-rounded integer centroids; a code that
+    * captures no vectors in a subspace drops out (standard Lloyd edge
+    * case, same as kmeans2). */
+  private[operators] def trainedResidualCodebook(embeddings: DataFrame): DataFrame = {
+    val res = graft.Caching.maybeCache(
+      residuals(embeddings).withColumn("sub", expr(s"(dim - 1) div $SubDims")))
+    val seed = residualCodebook(embeddings)
+      .withColumn("sub", expr(s"(dim - 1) div $SubDims"))
+    def assign(cb: DataFrame): DataFrame =
+      res.join(broadcast(cb), Seq("sub", "dim"))
+        .withColumn("d", col("rq") - col("rc"))
+        .groupBy("vec_id", "sub", "code")
+        .agg(sum(col("d") * col("d")).as("dist2_q"))
+        .groupBy("vec_id", "sub")
+        .agg(min(struct(col("dist2_q"), col("code"))).as("best"))
+        .select(col("vec_id"), col("sub"), col("best.code").as("code"))
+    def recompute(asg: DataFrame): DataFrame =
+      res.join(asg, Seq("vec_id", "sub"))
+        .groupBy("sub", "code", "dim")
+        .agg(count(lit(1)).as("n"), sum(col("rq")).as("sum_q"))
+        .select(col("sub"), col("code"), col("dim"),
+          floor(col("sum_q") / col("n") + 0.5).cast("long").as("rc"))
+    graft.Caching.maybeCache(recompute(assign(seed)))
+  }
+
+  /** Residual IVF-PQ with the TRAINED codebook — the last rung of the
+    * measured codebook ladder (sf0.01 recall@5: `ivfpq_recall` raw
+    * codes 1200 → `ivfpqres_recall` label-mean residuals 1000 →
+    * `ivfpqrest_recall` trained residuals 1200 e4 — one Lloyd
+    * iteration repairs the degenerate seed back to parity; production
+    * trains more, on a sample): same probed-ADC dataflow as
+    * [[ivfPqResidualTopK]], codebook fit by per-subspace Lloyd instead
+    * of taken from label means. */
+  def ivfPqResidualTrainedTopK(
+      embeddings: DataFrame, nQueries: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val corpus = AnnOps.ivfAssignmentsRanked(embeddings, 1).select("vec_id", "center")
+    val probes = AnnOps.ivfAssignmentsRanked(embeddings, nprobe)
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("center"))
+    val centers = EmbeddingStatsOps.centroids(embeddings)
+      .select(col("label").cast("long").as("center"), col("dim"), col("centroid_q"))
+    val cb = trainedResidualCodebook(embeddings)
+    val codes = residuals(embeddings)
+      .withColumn("sub", expr(s"(dim - 1) div $SubDims"))
+      .join(broadcast(cb), Seq("sub", "dim"))
+      .withColumn("d", col("rq") - col("rc"))
+      .groupBy("vec_id", "sub", "code")
+      .agg(sum(col("d") * col("d")).as("dist2_q"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("dist2_q"), col("code"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.code").as("code"))
+    val qdims = EmbeddingStatsOps.quantized(embeddings)
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("dim"), col("xq"))
+    val lut = qdims
+      .join(broadcast(probes), Seq("qid"))
+      .join(broadcast(centers), Seq("center", "dim"))
+      .withColumn("sub", expr(s"(dim - 1) div $SubDims"))
+      .join(broadcast(cb), Seq("sub", "dim"))
+      .withColumn("d", col("xq") - col("centroid_q") - col("rc"))
+      .groupBy("qid", "center", "sub", "code")
+      .agg(sum(col("d") * col("d")).as("lut_q"))
+    val scored = codes
       .join(corpus, Seq("vec_id"))
       .join(broadcast(probes), Seq("center"))
       .filter(col("vec_id") =!= col("qid"))
@@ -678,6 +759,8 @@ object AnnPack extends QueryPack {
     "ivfpq_rerank" -> ((s, dir) => PqOps.ivfPqRerankTopK(e(s, dir))),
     "ivfpq_res" -> ((s, dir) => PqOps.ivfPqResidualTopK(e(s, dir))),
     "ivfpqres_recall" -> ((s, dir) => AnnOps.annRecall(e(s, dir), s, index = "ivfpq_res")),
+    "ivfpq_res_t" -> ((s, dir) => PqOps.ivfPqResidualTrainedTopK(e(s, dir))),
+    "ivfpqrest_recall" -> ((s, dir) => AnnOps.annRecall(e(s, dir), s, index = "ivfpq_res_t")),
     "ivf_assign" -> ((s, dir) => AnnOps.ivfAssignIncremental(e(s, dir))),
     "ann_filtered" -> ((s, dir) => AnnOps.filteredTopK(e(s, dir)))
   )
@@ -882,6 +965,63 @@ object AnnPack extends QueryPack {
        |  JOIN rlut l ON l.qid = p.qid AND l.center = co.center
        |             AND l.sub = rc2.sub AND l.code = rc2.code
        |  GROUP BY p.qid, rc2.vec_id
+       |)""".stripMargin
+
+  /** Trained-residual IVF-PQ CTE chain through `trscored(qid, vec_id,
+    * adist_q)`: the [[ivfPqResCtes]] coarse/residual/seed chain plus one
+    * per-subspace Lloyd iteration (assign to seed codewords → recompute
+    * means → re-encode) — mirrors [[PqOps.ivfPqResidualTrainedTopK]]. */
+  private val ivfPqResTrainedCtes =
+    s"""$ivfPqResCtes,
+       |rsub AS (SELECT vec_id, label, dim, rq, (dim - 1) // 8 AS sub FROM res),
+       |rcbs AS (SELECT code, dim, rc, (dim - 1) // 8 AS sub FROM rcb),
+       |td1 AS (
+       |  SELECT r.vec_id, r.sub, b.code,
+       |         CAST(SUM((r.rq - b.rc) * (r.rq - b.rc)) AS BIGINT) AS dist2_q
+       |  FROM rsub r JOIN rcbs b ON r.sub = b.sub AND r.dim = b.dim
+       |  GROUP BY r.vec_id, r.sub, b.code
+       |),
+       |ta1 AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist2_q, code) AS rn
+       |    FROM td1
+       |  ) WHERE rn = 1
+       |),
+       |tcb AS (
+       |  SELECT a.sub, a.code, r.dim,
+       |         CAST(FLOOR(CAST(SUM(r.rq) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS rc
+       |  FROM rsub r JOIN ta1 a ON r.vec_id = a.vec_id AND r.sub = a.sub
+       |  GROUP BY a.sub, a.code, r.dim
+       |),
+       |td2 AS (
+       |  SELECT r.vec_id, r.sub, b.code,
+       |         CAST(SUM((r.rq - b.rc) * (r.rq - b.rc)) AS BIGINT) AS dist2_q
+       |  FROM rsub r JOIN tcb b ON r.sub = b.sub AND r.dim = b.dim
+       |  GROUP BY r.vec_id, r.sub, b.code
+       |),
+       |tcodes AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist2_q, code) AS rn
+       |    FROM td2
+       |  ) WHERE rn = 1
+       |),
+       |tlut AS (
+       |  SELECT p.qid, p.center, b.sub, b.code,
+       |         CAST(SUM((q.xq - cq.centroid_q - b.rc) * (q.xq - cq.centroid_q - b.rc)) AS BIGINT) AS lut_q
+       |  FROM q
+       |  JOIN probesf p ON q.vec_id = p.qid
+       |  JOIN cq ON cq.center = p.center AND cq.dim = q.dim
+       |  JOIN tcb b ON b.dim = q.dim
+       |  GROUP BY p.qid, p.center, b.sub, b.code
+       |),
+       |trscored AS (
+       |  SELECT p.qid, tc.vec_id, CAST(SUM(l.lut_q) AS BIGINT) AS adist_q
+       |  FROM tcodes tc
+       |  JOIN corpusf co ON co.vec_id = tc.vec_id
+       |  JOIN probesf p ON p.center = co.center AND tc.vec_id <> p.qid
+       |  JOIN tlut l ON l.qid = p.qid AND l.center = co.center
+       |             AND l.sub = tc.sub AND l.code = tc.code
+       |  GROUP BY p.qid, tc.vec_id
        |)""".stripMargin
 
   /** IVF CTE chain through `ranked` (rnk = per-query cosine rank):
@@ -1197,6 +1337,23 @@ object AnnPack extends QueryPack {
          |  SELECT qid, vec_id FROM (
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist_q, vec_id) AS rnk
          |    FROM iprscored
+         |  ) WHERE rnk <= 5
+         |),
+         |$normSql,
+         |$bruteCtes,
+         |${recallTail("atop")}""".stripMargin,
+    "ivfpq_res_t" ->
+      s"""WITH $ivfPqResTrainedCtes
+         |SELECT qid, vec_id, adist_q, CAST(rnk AS INTEGER) AS rnk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist_q, vec_id) AS rnk
+         |  FROM trscored
+         |) WHERE rnk <= 5""".stripMargin,
+    "ivfpqrest_recall" ->
+      s"""WITH $ivfPqResTrainedCtes,
+         |atop AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist_q, vec_id) AS rnk
+         |    FROM trscored
          |  ) WHERE rnk <= 5
          |),
          |$normSql,
