@@ -50,6 +50,11 @@ object GraftCatalog {
       .createOrReplaceTempView("ivfpq_topk")
     graft.operators.RetrievalOps.bm25TopK(docs)
       .createOrReplaceTempView("bm25_topk")
+    graft.operators.RetrievalOps.bm25TopKForQueries(
+      docs, graft.operators.RetrievalOps.benchmarkQueries(docs))
+      .createOrReplaceTempView("bm25_multi")
+    graft.operators.PqOps.ivfPqResidualTrainedTopK(embs)
+      .createOrReplaceTempView("ivfpq_res_topk")
     graft.operators.DataLayoutOps.zorderBins(Tables.lineitem(spark, sfDir))
       .createOrReplaceTempView("zorder_bins")
     graft.operators.DataLayoutOps.zorderBins3d(Tables.lineitem(spark, sfDir))

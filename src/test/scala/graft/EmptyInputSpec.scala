@@ -91,6 +91,30 @@ class EmptyInputSpec extends SparkSpec {
       emptyLineitem, "l_orderkey", emptyLineitem, "l_orderkey").count() == 0)
   }
 
+  test("round-7 operators behave on empty inputs") {
+    val s = spark
+    import s.implicits._
+    // query-table BM25: empty corpus and/or empty query table -> empty
+    val emptyQueries = Seq.empty[(Long, String)].toDF("query_id", "term")
+    assert(RetrievalOps.benchmarkQueries(emptyDocs).count() == 0)
+    assert(RetrievalOps.bm25TopKForQueries(emptyDocs, emptyQueries).count() == 0)
+    val someQueries = Seq((0L, "join")).toDF("query_id", "term")
+    assert(RetrievalOps.bm25TopKForQueries(emptyDocs, someQueries).count() == 0)
+    // 3-D z-order census
+    val emptyLineitem = Seq.empty[(Long, Long, Long)]
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+    assert(DataLayoutOps.zorderBins3d(emptyLineitem).count() == 0)
+    // residual IVF-PQ family
+    assert(PqOps.ivfPqResidualTopK(emptyEmb).count() == 0)
+    assert(PqOps.ivfPqResidualTrainedTopK(emptyEmb).count() == 0)
+    // blocker recall on an empty corpus: five defined rows, vacuous
+    // recall 10000 (n_true = 0), in both exact and sampled modes
+    val rec = DedupOps.blockerPairRecall(emptyDocs, emptyEmb, spark).collect()
+    assert(rec.length == 5 && rec.forall(r => r.getLong(1) == 0 && r.getLong(3) == 10000L))
+    assert(DedupOps.blockerPairRecall(emptyDocs, emptyEmb, spark,
+      samplePct = Some(40)).count() == 5)
+  }
+
   test("as-of join with an empty right side left-joins nulls, empty left is empty") {
     val s = spark
     import s.implicits._

@@ -50,6 +50,18 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(spark.sql("SELECT COUNT(*) FROM curriculum_plan").collect()(0).getLong(0) == 10)
     assert(spark.sql("SELECT COUNT(DISTINCT it) FROM bpe_merges").collect()(0).getLong(0) == 2)
     assert(spark.sql("SELECT MAX(rnk) FROM skew_census").collect()(0).getInt(0) <= 20)
+    // query-table BM25: every fixture query scores at least one doc
+    // (terms come from the corpus vocab, so none can be empty); at most
+    // 3 ranked docs per query, ranks dense from 1
+    val nQ = graft.operators.RetrievalOps.benchmarkQueries(docs)
+      .select("query_id").distinct().count()
+    assert(spark.sql("SELECT COUNT(DISTINCT query_id) FROM bm25_multi")
+      .collect()(0).getLong(0) == nQ)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM (SELECT query_id, MAX(rnk) m, COUNT(*) n FROM bm25_multi " +
+        "GROUP BY query_id) WHERE m <> n OR n > 3").collect()(0).getLong(0) == 0)
+    assert(spark.sql("SELECT COUNT(DISTINCT qid) FROM ivfpq_res_topk")
+      .collect()(0).getLong(0) <= 10)
     // the boundary view covers exactly one partial bucket, and a kept
     // doc's running sum stays under the whole default budget
     assert(spark.sql("SELECT COUNT(DISTINCT bkt) FROM token_boundary").collect()(0).getLong(0) <= 1)
