@@ -329,10 +329,13 @@ object AnnOps {
     * see [[MaxEmbBucket]]. The bucket census is a slim (vec_id, bucket)
     * aggregate, so the guard never shuffles the vectors; the surviving-
     * bucket list is bounded by 2^planes rows and broadcast. */
-  def nearDupPairs(
+  /** Every bucket-blocked candidate pair with its cosine — the frame
+    * [[nearDupPairs]] thresholds; exposed (unfiltered) so
+    * [[graft.operators.DedupOps.blockerCandidateStats]] can price the
+    * candidate fan-out against the verified survivors. */
+  private[operators] def nearDupScored(
       embeddings: DataFrame,
       spark: SparkSession,
-      thresholdE4: Long = 4000L,
       numPlanes: Int = NumPlanes,
       bucketCap: Long = MaxEmbBucket): DataFrame = {
     val n = normalized(embeddings)
@@ -349,8 +352,16 @@ object AnnOps {
       .select(
         col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
         cosineE4(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")).as("cosine_e4"))
-      .filter(col("cosine_e4") >= thresholdE4)
   }
+
+  def nearDupPairs(
+      embeddings: DataFrame,
+      spark: SparkSession,
+      thresholdE4: Long = 4000L,
+      numPlanes: Int = NumPlanes,
+      bucketCap: Long = MaxEmbBucket): DataFrame =
+    nearDupScored(embeddings, spark, numPlanes, bucketCap)
+      .filter(col("cosine_e4") >= thresholdE4)
 
   /** Multi-probe variant of [[nearDupPairs]] (à la multi-probe LSH): each
     * vector probes its home bucket plus the `numPlanes` single-bit flips

@@ -294,26 +294,31 @@ object DedupOps {
     * band-bucket join (buckets over [[MaxBandBucket]] members dropped —
     * degenerate signatures would square) → exact-Jaccard verification
     * >= threshold over the full shingle space. */
-  def minhashLsh(
-      docs: DataFrame, spark: SparkSession, thresholdE4: Long = 5000L,
-      bucketCap: Long = MaxBandBucket): DataFrame = {
-    val postings = shinglePostings(docs)
+  /** The banded candidate pair set [[minhashLsh]] verifies — exposed so
+    * [[blockerCandidateStats]] can price the verification stage. Cached:
+    * the verify stage reads the pair list three times (two candidate-doc
+    * projections + the final semi-join); uncached, each reference
+    * re-runs the band self-join. */
+  private[operators] def minhashCandidates(
+      docs: DataFrame, spark: SparkSession, bucketCap: Long = MaxBandBucket): DataFrame = {
     // the band self-join reads the capped signatures twice (4 rows/doc);
     // caching above the bucket guard would run its window on both reads
     val sigs = graft.Caching.maybeCache(
-      capBuckets(minhashSignatures(postings, spark), Seq("band", "sig"), bucketCap))
-    // cached: the verify stage reads the pair list three times (two
-    // candidate-doc projections + the final semi-join); uncached, each
-    // reference re-runs the band self-join
-    val pairs = graft.Caching.maybeCache(
+      capBuckets(minhashSignatures(shinglePostings(docs), spark), Seq("band", "sig"), bucketCap))
+    graft.Caching.maybeCache(
       sigs.as("a")
         .join(sigs.as("b"),
           col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .distinct())
-    verifyJaccard(postings, Some(pairs)).filter(col("jaccard_e4") >= thresholdE4)
   }
+
+  def minhashLsh(
+      docs: DataFrame, spark: SparkSession, thresholdE4: Long = 5000L,
+      bucketCap: Long = MaxBandBucket): DataFrame =
+    verifyJaccard(shinglePostings(docs), Some(minhashCandidates(docs, spark, bucketCap)))
+      .filter(col("jaccard_e4") >= thresholdE4)
 
   /** Token-level longest shared span per near-dup candidate pair — the
     * substring-dedup signal (à la "Deduplicating Training Data Makes
@@ -454,11 +459,13 @@ object DedupOps {
     * can scale with N beyond that), whereas the previous 8-bit bands
     * (256 values) had honest buckets growing past any fixed cap at
     * corpus scale — the cap would then silently eat real near-dups. */
-  def simhashDedup(
-      docs: DataFrame, spark: SparkSession, maxHamming: Int = 3,
-      bucketCap: Long = MaxBandBucket): DataFrame = {
+  /** The banded candidate pair set (with both simhashes) that
+    * [[simhashDedup]] hamming-verifies — exposed for
+    * [[blockerCandidateStats]]. */
+  private[operators] def simhashCandidates(
+      docs: DataFrame, spark: SparkSession, bucketCap: Long = MaxBandBucket): DataFrame = {
     val banded = cappedBanding(docs, spark, bucketCap)
-    val pairs = banded.as("a")
+    banded.as("a")
       .join(banded.as("b2"),
         col("a.b") === col("b2.b") && col("a.band_val") === col("b2.band_val") &&
           col("a.doc_id") < col("b2.doc_id"))
@@ -466,11 +473,15 @@ object DedupOps {
         col("a.doc_id").as("da"), col("b2.doc_id").as("db"),
         col("a.simhash").as("sa"), col("b2.simhash").as("sb"))
       .distinct()
-    pairs
+  }
+
+  def simhashDedup(
+      docs: DataFrame, spark: SparkSession, maxHamming: Int = 3,
+      bucketCap: Long = MaxBandBucket): DataFrame =
+    simhashCandidates(docs, spark, bucketCap)
       .withColumn("hamming", bit_count(expr("sa ^ sb")))
       .filter(col("hamming") <= maxHamming)
       .select(col("da"), col("db"), col("hamming").cast("int").as("hamming"))
-  }
 
   /** Measured pair-recall of each capped near-dup blocker against its
     * brute-force truth set — the blocker analogue of [[AnnOps.annRecall]]
@@ -569,6 +580,44 @@ object DedupOps {
     * (16 bytes/doc) instead of re-hashing the corpus — the banding here
     * recomputes both sides only because the fixture has no signature
     * store; the join shape is identical. */
+  /** Candidate-efficiency stats per blocker — the COST counterpart of
+    * [[blockerPairRecall]]: how many candidate pairs each capped meeting
+    * point emits, how many survive verification, and the precision.
+    * At 100 TB the candidate fan-out IS the verification bill (every
+    * candidate costs an exact Jaccard / hamming / cosine), so this is
+    * the number an operator reads before widening bands or adding
+    * probes: recall says what blocking loses, precision says what the
+    * verifier wastes. One row per blocker:
+    *   - minhash: candidates = capped band-bucket pairs; verified =
+    *     exact Jaccard ≥ 5000 ([[minhashLsh]]'s own stages).
+    *   - simhash: candidates = capped 16-bit-band pairs; verified =
+    *     hamming ≤ 3.
+    *   - embedding: candidates = LSH bucket pairs; verified = cosine
+    *     ≥ 4000.
+    * Candidate counts are COUNTs over the exact frames the shipped
+    * operators verify — nothing brute-force, so unlike the recall
+    * harness this diagnostic runs at full production scale as-is. */
+  def blockerCandidateStats(docs: DataFrame, embeddings: DataFrame, spark: SparkSession): DataFrame = {
+    val mhCand = minhashCandidates(docs, spark)
+    val mhVer = verifyJaccard(shinglePostings(docs), Some(mhCand))
+      .filter(col("jaccard_e4") >= 5000L)
+    // cached: read twice (candidate census + verified census)
+    val shCand = graft.Caching.maybeCache(simhashCandidates(docs, spark))
+    val shVer = shCand.filter(bit_count(expr("sa ^ sb")) <= 3)
+    val embScored = graft.Caching.maybeCache(AnnOps.nearDupScored(embeddings, spark))
+    val embVer = embScored.filter(col("cosine_e4") >= 4000L)
+    def row(name: String, cand: DataFrame, ver: DataFrame): DataFrame =
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(broadcast(ver.agg(count(lit(1)).as("n_verified"))))
+        .select(lit(name).as("blocker"), col("n_candidates"), col("n_verified"),
+          when(col("n_candidates") === 0, lit(10000L))
+            .otherwise(floor(col("n_verified") / col("n_candidates") * 10000 + 0.5).cast("long"))
+            .as("precision_e4"))
+    row("minhash", mhCand, mhVer)
+      .unionByName(row("simhash", shCand, shVer))
+      .unionByName(row("embedding", embScored, embVer))
+  }
+
   def incrNearDup(
       docs: DataFrame,
       spark: SparkSession,
@@ -608,7 +657,9 @@ object DedupPack extends QueryPack {
       DedupOps.blockerPairRecall(d(s, dir), Tables.embeddings(s, dir), s)),
     "neardup_recall_s" -> ((s, dir) =>
       DedupOps.blockerPairRecall(d(s, dir), Tables.embeddings(s, dir), s,
-        samplePct = Some(RecallSamplePct)))
+        samplePct = Some(RecallSamplePct))),
+    "blocker_precision" -> ((s, dir) =>
+      DedupOps.blockerCandidateStats(d(s, dir), Tables.embeddings(s, dir), s))
   )
 
   /** Shared SQL: distinct (doc_id, 31-bit shingle hash) postings. */
@@ -873,7 +924,60 @@ object DedupPack extends QueryPack {
          |  SELECT * FROM main.embeddings
          |  WHERE CAST(CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 18, 15)) AS UBIGINT) % 100 AS BIGINT) < $RecallSamplePct
          |),
-         |""".stripMargin)
+         |""".stripMargin),
+    // candidate-efficiency stats: the same banded/bucketed candidate
+    // frames the shipped blockers verify, counted before and after
+    // verification
+    "blocker_precision" ->
+      s"""WITH $simhashBandSql,
+         |$minhashSigSql,
+         |mcand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM sigf a JOIN sigf b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |),
+         |minter AS (
+         |  SELECT p.da, p.db, COUNT(*) AS inter
+         |  FROM mcand p
+         |  JOIN sh a ON a.doc_id = p.da
+         |  JOIN sh b ON b.doc_id = p.db AND a.x31 = b.x31
+         |  GROUP BY p.da, p.db
+         |),
+         |mver AS (
+         |  SELECT i.da, i.db FROM minter i
+         |  JOIN sizes sa ON i.da = sa.doc_id
+         |  JOIN sizes sb ON i.db = sb.doc_id
+         |  WHERE (i.inter / CAST(sa.n_shingles + sb.n_shingles - i.inter AS DOUBLE)) * 10000 + 0.5 >= 5000
+         |),
+         |scand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db, a.simhash AS sa, b2.simhash AS sb
+         |  FROM bf a JOIN bf b2
+         |    ON a.b = b2.b AND a.band_val = b2.band_val AND a.doc_id < b2.doc_id
+         |),
+         |sver AS (SELECT da, db FROM scand WHERE bit_count(xor(sa, sb)) <= 3),
+         |${graft.operators.AnnPack.normSql},
+         |${graft.operators.AnnPack.bucketSql},
+         |bok AS (SELECT bucket FROM bk GROUP BY bucket HAVING COUNT(*) <= ${AnnOps.MaxEmbBucket}),
+         |nb AS (SELECT n.vec_id, n.v, n.nrm, bk.bucket FROM n JOIN bk ON n.vec_id = bk.vec_id
+         |       JOIN bok ON bk.bucket = bok.bucket),
+         |ecand AS (
+         |  SELECT qa.vec_id AS va, ca.vec_id AS vb, CAST(${graft.operators.AnnPack.cosSql} AS BIGINT) AS cos
+         |  FROM nb qa JOIN nb ca ON qa.bucket = ca.bucket AND qa.vec_id < ca.vec_id
+         |),
+         |ever AS (SELECT va, vb FROM ecand WHERE cos >= 4000),
+         |counts(blocker, n_candidates, n_verified) AS (
+         |  SELECT 'minhash', (SELECT COUNT(*) FROM mcand), (SELECT COUNT(*) FROM mver)
+         |  UNION ALL
+         |  SELECT 'simhash', (SELECT COUNT(*) FROM scand), (SELECT COUNT(*) FROM sver)
+         |  UNION ALL
+         |  SELECT 'embedding', (SELECT COUNT(*) FROM ecand), (SELECT COUNT(*) FROM ever)
+         |)
+         |SELECT blocker, CAST(n_candidates AS BIGINT) AS n_candidates,
+         |       CAST(n_verified AS BIGINT) AS n_verified,
+         |       CASE WHEN n_candidates = 0 THEN 10000
+         |            ELSE CAST(FLOOR(n_verified / CAST(n_candidates AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+         |       END AS precision_e4
+         |FROM counts""".stripMargin
   )
 
   /** Fixture sample percentage for the sampled recall harness: 40% puts
