@@ -30,11 +30,22 @@ object Bench {
         System.err.println(f"[bench-trace] pass$pass $name%-24s $dt%8.1f s")
         name -> dt
       }
+    // cache-growth audit: sample registered storage at each pass boundary
+    // and report the MAX — entries evicted mid-run would vanish from an
+    // end-of-run-only snapshot exactly when pressure occurred
+    var peakCached = (0, 0L, 0L)
+    def sampleCache(): Unit = {
+      val s = spark.sparkContext.getRDDStorageInfo
+      val cur = (s.length, s.map(_.memSize).sum, s.map(_.diskSize).sum)
+      if (cur._2 + cur._3 > peakCached._2 + peakCached._3) peakCached = cur
+    }
     val p1 = onePass(1)
+    sampleCache()
     // nudge the ContextCleaner between passes: drops pass-1 shuffle files
     // from /dev/shm before pass 2 re-measures
     System.gc()
     val p2 = onePass(2)
+    sampleCache()
     val min2 = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     // the host stalls CPU in multi-minute bursts; when the two passes
     // disagree badly, one of them ran through a burst — a third pass makes
@@ -46,16 +57,16 @@ object Bench {
         System.err.println(f"[bench-trace] pass disagreement ${disagreement}%.1f s -> running pass 3")
         System.gc()
         val p3 = onePass(3)
-        min2.map { case (k, v) => k -> math.min(v, p3(k)) }
+        val m = min2.map { case (k, v) => k -> math.min(v, p3(k)) }
+        sampleCache()
+        m
       }
     val probeAfter = cpuProbe()
-    // cache-growth audit: peak registered storage across the whole run
-    // (135+ queries × 60+ maybeCache frames share one CacheManager) —
-    // the number BASELINE.md tracks to rule cache pressure in or out
-    // when a query regresses
-    val storage = spark.sparkContext.getRDDStorageInfo
-    System.err.println(f"[bench-cache] n_cached=${storage.length} " +
-      f"mem_mb=${storage.map(_.memSize).sum / 1e6}%.0f disk_mb=${storage.map(_.diskSize).sum / 1e6}%.0f")
+    // max across the pass-boundary samples (140+ queries × 60+
+    // maybeCache frames share one CacheManager) — the number BASELINE.md
+    // tracks to rule cache pressure in or out when a query regresses
+    System.err.println(f"[bench-cache] n_cached=${peakCached._1} " +
+      f"mem_mb=${peakCached._2 / 1e6}%.0f disk_mb=${peakCached._3 / 1e6}%.0f (max over pass boundaries)")
 
     // keep this line SHORT: the driver tail-captures exactly 2000 chars —
     // the whole budget/degrade policy lives in graft.tools.BenchLine

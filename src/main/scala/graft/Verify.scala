@@ -7,6 +7,9 @@ object Verify {
     // args: <sfDir> <outDir> [comma-separated query names] — the filter
     // is a local-iteration convenience; the driver passes two args and
     // always dumps the full surface
+    require(args.length >= 2 && args.length <= 3,
+      s"usage: Verify <sfDir> <outDir> [name,name,...] — got ${args.length} args " +
+        "(query names are COMMA-separated, not space-separated)")
     val (sfDir, outDir) = (args(0), args(1))
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(',').map(_.trim).filter(_.nonEmpty).toSet)

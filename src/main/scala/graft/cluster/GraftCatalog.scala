@@ -43,7 +43,7 @@ object GraftCatalog {
       .createOrReplaceTempView("neardup_recall")
     graft.operators.DedupOps.blockerPairRecall(docs, embs, spark,
       samplePct = Some(graft.operators.DedupPack.RecallSamplePct))
-      .createOrReplaceTempView("neardup_recall_sampled")
+      .createOrReplaceTempView("neardup_recall_s")
     graft.operators.AnnOps.nearDupPairsMultiProbe(embs, spark)
       .createOrReplaceTempView("emb_near_dups_mp")
     graft.operators.PqOps.ivfPqTopK(embs)
@@ -54,7 +54,7 @@ object GraftCatalog {
       docs, graft.operators.RetrievalOps.benchmarkQueries(docs))
       .createOrReplaceTempView("bm25_multi")
     graft.operators.PqOps.ivfPqResidualTrainedTopK(embs)
-      .createOrReplaceTempView("ivfpq_res_topk")
+      .createOrReplaceTempView("ivfpq_res_t_topk")
     graft.operators.DataLayoutOps.zorderBins(Tables.lineitem(spark, sfDir))
       .createOrReplaceTempView("zorder_bins")
     graft.operators.DataLayoutOps.zorderBins3d(Tables.lineitem(spark, sfDir))

@@ -324,11 +324,6 @@ object AnnOps {
     * degeneracy guard it is. */
   val MaxEmbBucket = 1024L
 
-  /** Embedding near-dup pairs, blocked by LSH bucket (the 100-TB path:
-    * pairs only form inside buckets), with oversized buckets dropped —
-    * see [[MaxEmbBucket]]. The bucket census is a slim (vec_id, bucket)
-    * aggregate, so the guard never shuffles the vectors; the surviving-
-    * bucket list is bounded by 2^planes rows and broadcast. */
   /** Every bucket-blocked candidate pair with its cosine — the frame
     * [[nearDupPairs]] thresholds; exposed (unfiltered) so
     * [[graft.operators.DedupOps.blockerCandidateStats]] can price the
@@ -354,6 +349,11 @@ object AnnOps {
         cosineE4(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")).as("cosine_e4"))
   }
 
+  /** Embedding near-dup pairs, blocked by LSH bucket (the 100-TB path:
+    * pairs only form inside buckets), with oversized buckets dropped —
+    * see [[MaxEmbBucket]]. The bucket census is a slim (vec_id, bucket)
+    * aggregate, so the guard never shuffles the vectors; the surviving-
+    * bucket list is bounded by 2^planes rows and broadcast. */
   def nearDupPairs(
       embeddings: DataFrame,
       spark: SparkSession,
@@ -574,17 +574,61 @@ object PqOps {
       .select(col("code"), col("dim"),
         floor(col("sum_q") / col("n") + 0.5).cast("long").as("rc"))
 
-  /** Residual PQ encoding: nearest residual codeword per subspace. */
-  def residualCodes(embeddings: DataFrame): DataFrame = {
+  /** Residual encode against an arbitrary codebook frame (dim, rc[,
+    * sub], code): nearest codeword per subspace by exact integer
+    * distance — shared by both rungs of the codebook ladder. */
+  private def codesFor(embeddings: DataFrame, cb: DataFrame, cbKeys: Seq[String]): DataFrame = {
     val res = residuals(embeddings).withColumn("sub", expr(s"(dim - 1) div $SubDims"))
     graft.Caching.maybeCache(
-      res.join(broadcast(residualCodebook(embeddings)), Seq("dim"))
+      res.join(broadcast(cb), cbKeys)
         .withColumn("d", col("rq") - col("rc"))
         .groupBy("vec_id", "sub", "code")
         .agg(sum(col("d") * col("d")).as("dist2_q")))
       .groupBy("vec_id", "sub")
       .agg(min(struct(col("dist2_q"), col("code"))).as("best"))
       .select(col("vec_id"), col("sub"), col("best.code").as("code"))
+  }
+
+  /** Residual PQ encoding: nearest residual codeword per subspace. */
+  def residualCodes(embeddings: DataFrame): DataFrame =
+    codesFor(embeddings, residualCodebook(embeddings), Seq("dim"))
+
+  /** The probed-ADC chain both residual variants share: corpus posting
+    * lists (rn = 1 coarse assignment) + bounded query probe set + the
+    * query's per-probed-center residual LUT over `cb`, summed per
+    * candidate and ranked top-k. Only the codebook frame and its join
+    * keys differ between the ladder rungs — one body means a fix to the
+    * self-exclusion, LUT grouping, or rank order can never drift
+    * between them. */
+  private def probedResidualAdc(
+      embeddings: DataFrame, cb: DataFrame, cbKeys: Seq[String],
+      nQueries: Int, k: Int, nprobe: Int): DataFrame = {
+    val corpus = AnnOps.ivfAssignmentsRanked(embeddings, 1).select("vec_id", "center")
+    val probes = AnnOps.ivfAssignmentsRanked(embeddings, nprobe)
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("center"))
+    val centers = EmbeddingStatsOps.centroids(embeddings)
+      .select(col("label").cast("long").as("center"), col("dim"), col("centroid_q"))
+    val qdims = EmbeddingStatsOps.quantized(embeddings)
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("dim"), col("xq"))
+    val lut = qdims
+      .join(broadcast(probes), Seq("qid"))
+      .join(broadcast(centers), Seq("center", "dim"))
+      .withColumn("sub", expr(s"(dim - 1) div $SubDims"))
+      .join(broadcast(cb), cbKeys)
+      .withColumn("d", col("xq") - col("centroid_q") - col("rc"))
+      .groupBy("qid", "center", "sub", "code")
+      .agg(sum(col("d") * col("d")).as("lut_q"))
+    val scored = codesFor(embeddings, cb, cbKeys)
+      .join(corpus, Seq("vec_id"))
+      .join(broadcast(probes), Seq("center"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(lut), Seq("qid", "center", "sub", "code"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("lut_q")).as("adist_q"))
+    val w = Window.partitionBy("qid").orderBy(col("adist_q"), col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
   /** IVFADC proper — IVF-PQ over RESIDUALS: corpus codes quantize
@@ -611,34 +655,8 @@ object PqOps {
     * more iterations on a sample; this operator ships the exact IVFADC
     * dataflow those trained codebooks drop into. */
   def ivfPqResidualTopK(
-      embeddings: DataFrame, nQueries: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame = {
-    val corpus = AnnOps.ivfAssignmentsRanked(embeddings, 1).select("vec_id", "center")
-    val probes = AnnOps.ivfAssignmentsRanked(embeddings, nprobe)
-      .filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("center"))
-    val centers = EmbeddingStatsOps.centroids(embeddings)
-      .select(col("label").cast("long").as("center"), col("dim"), col("centroid_q"))
-    val qdims = EmbeddingStatsOps.quantized(embeddings)
-      .filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("dim"), col("xq"))
-    val lut = qdims
-      .join(broadcast(probes), Seq("qid"))
-      .join(broadcast(centers), Seq("center", "dim"))
-      .join(broadcast(residualCodebook(embeddings)), Seq("dim"))
-      .withColumn("sub", expr(s"(dim - 1) div $SubDims"))
-      .withColumn("d", col("xq") - col("centroid_q") - col("rc"))
-      .groupBy("qid", "center", "sub", "code")
-      .agg(sum(col("d") * col("d")).as("lut_q"))
-    val scored = residualCodes(embeddings)
-      .join(corpus, Seq("vec_id"))
-      .join(broadcast(probes), Seq("center"))
-      .filter(col("vec_id") =!= col("qid"))
-      .join(broadcast(lut), Seq("qid", "center", "sub", "code"))
-      .groupBy("qid", "vec_id")
-      .agg(sum(col("lut_q")).as("adist_q"))
-    val w = Window.partitionBy("qid").orderBy(col("adist_q"), col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
-  }
+      embeddings: DataFrame, nQueries: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame =
+    probedResidualAdc(embeddings, residualCodebook(embeddings), Seq("dim"), nQueries, k, nprobe)
 
   /** TRAINED residual subquantizer: one deterministic Lloyd iteration
     * per subspace over the residual subvectors, seeded from the
@@ -653,21 +671,15 @@ object PqOps {
       residuals(embeddings).withColumn("sub", expr(s"(dim - 1) div $SubDims")))
     val seed = residualCodebook(embeddings)
       .withColumn("sub", expr(s"(dim - 1) div $SubDims"))
-    def assign(cb: DataFrame): DataFrame =
-      res.join(broadcast(cb), Seq("sub", "dim"))
-        .withColumn("d", col("rq") - col("rc"))
-        .groupBy("vec_id", "sub", "code")
-        .agg(sum(col("d") * col("d")).as("dist2_q"))
-        .groupBy("vec_id", "sub")
-        .agg(min(struct(col("dist2_q"), col("code"))).as("best"))
-        .select(col("vec_id"), col("sub"), col("best.code").as("code"))
-    def recompute(asg: DataFrame): DataFrame =
-      res.join(asg, Seq("vec_id", "sub"))
+    // assign = the shared encode against the seed codebook; recompute =
+    // per-(sub, code) mean of the residuals each codeword captured
+    val assigned = codesFor(embeddings, seed, Seq("sub", "dim"))
+    graft.Caching.maybeCache(
+      res.join(assigned, Seq("vec_id", "sub"))
         .groupBy("sub", "code", "dim")
         .agg(count(lit(1)).as("n"), sum(col("rq")).as("sum_q"))
         .select(col("sub"), col("code"), col("dim"),
-          floor(col("sum_q") / col("n") + 0.5).cast("long").as("rc"))
-    graft.Caching.maybeCache(recompute(assign(seed)))
+          floor(col("sum_q") / col("n") + 0.5).cast("long").as("rc")))
   }
 
   /** Residual IVF-PQ with the TRAINED codebook — the last rung of the
@@ -679,44 +691,9 @@ object PqOps {
     * [[ivfPqResidualTopK]], codebook fit by per-subspace Lloyd instead
     * of taken from label means. */
   def ivfPqResidualTrainedTopK(
-      embeddings: DataFrame, nQueries: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame = {
-    val corpus = AnnOps.ivfAssignmentsRanked(embeddings, 1).select("vec_id", "center")
-    val probes = AnnOps.ivfAssignmentsRanked(embeddings, nprobe)
-      .filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("center"))
-    val centers = EmbeddingStatsOps.centroids(embeddings)
-      .select(col("label").cast("long").as("center"), col("dim"), col("centroid_q"))
-    val cb = trainedResidualCodebook(embeddings)
-    val codes = residuals(embeddings)
-      .withColumn("sub", expr(s"(dim - 1) div $SubDims"))
-      .join(broadcast(cb), Seq("sub", "dim"))
-      .withColumn("d", col("rq") - col("rc"))
-      .groupBy("vec_id", "sub", "code")
-      .agg(sum(col("d") * col("d")).as("dist2_q"))
-      .groupBy("vec_id", "sub")
-      .agg(min(struct(col("dist2_q"), col("code"))).as("best"))
-      .select(col("vec_id"), col("sub"), col("best.code").as("code"))
-    val qdims = EmbeddingStatsOps.quantized(embeddings)
-      .filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("dim"), col("xq"))
-    val lut = qdims
-      .join(broadcast(probes), Seq("qid"))
-      .join(broadcast(centers), Seq("center", "dim"))
-      .withColumn("sub", expr(s"(dim - 1) div $SubDims"))
-      .join(broadcast(cb), Seq("sub", "dim"))
-      .withColumn("d", col("xq") - col("centroid_q") - col("rc"))
-      .groupBy("qid", "center", "sub", "code")
-      .agg(sum(col("d") * col("d")).as("lut_q"))
-    val scored = codes
-      .join(corpus, Seq("vec_id"))
-      .join(broadcast(probes), Seq("center"))
-      .filter(col("vec_id") =!= col("qid"))
-      .join(broadcast(lut), Seq("qid", "center", "sub", "code"))
-      .groupBy("qid", "vec_id")
-      .agg(sum(col("lut_q")).as("adist_q"))
-    val w = Window.partitionBy("qid").orderBy(col("adist_q"), col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
-  }
+      embeddings: DataFrame, nQueries: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame =
+    probedResidualAdc(
+      embeddings, trainedResidualCodebook(embeddings), Seq("sub", "dim"), nQueries, k, nprobe)
 
   /** IVF-PQ with exact re-rank — the complete production retrieval
     * stack (coarse probe → ADC shortlist → exact-cosine re-rank of

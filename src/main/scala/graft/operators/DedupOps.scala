@@ -569,17 +569,6 @@ object DedupOps {
       .unionByName(row("embedding_mp2", embTruthShared, mp2Found))
   }
 
-  /** Incremental near-dup: flag each new-batch doc (doc_id >=
-    * `watermarkId` in the fixture; a date/partition predicate in
-    * production) against the EXISTING corpus — the near-dup analogue of
-    * [[incrDedup]] and the batch twin of streaming/StreamingOps
-    * .nearDupStream. Candidates meet through the same capped SimHash
-    * banding as [[simhashDedup]], but the join is one-sided (new ⋈ old),
-    * so a daily batch costs |batch bands| ⋈ |corpus bands|, never
-    * corpus². In production the old side reads a STORED signature table
-    * (16 bytes/doc) instead of re-hashing the corpus — the banding here
-    * recomputes both sides only because the fixture has no signature
-    * store; the join shape is identical. */
   /** Candidate-efficiency stats per blocker — the COST counterpart of
     * [[blockerPairRecall]]: how many candidate pairs each capped meeting
     * point emits, how many survive verification, and the precision.
@@ -618,6 +607,17 @@ object DedupOps {
       .unionByName(row("embedding", embScored, embVer))
   }
 
+  /** Incremental near-dup: flag each new-batch doc (doc_id >=
+    * `watermarkId` in the fixture; a date/partition predicate in
+    * production) against the EXISTING corpus — the near-dup analogue of
+    * [[incrDedup]] and the batch twin of streaming/StreamingOps
+    * .nearDupStream. Candidates meet through the same capped SimHash
+    * banding as [[simhashDedup]], but the join is one-sided (new ⋈ old),
+    * so a daily batch costs |batch bands| ⋈ |corpus bands|, never
+    * corpus². In production the old side reads a STORED signature table
+    * (16 bytes/doc) instead of re-hashing the corpus — the banding here
+    * recomputes both sides only because the fixture has no signature
+    * store; the join shape is identical. */
   def incrNearDup(
       docs: DataFrame,
       spark: SparkSession,
@@ -913,7 +913,8 @@ object DedupPack extends QueryPack {
     // truth set; the truth sides are the eval baselines, the found sides
     // mirror the shipped operators' oracles exactly
     "neardup_recall" -> recallSql(""),
-    // sampled mode: the same chain over the stable md5 50% sample —
+    // sampled mode: the same chain over the stable md5 sample
+    // ([[RecallSamplePct]]%) —
     // shadow CTEs over main.* re-point every downstream reference
     "neardup_recall_s" -> recallSql(
       s"""documents AS (

@@ -44,17 +44,43 @@ object RetrievalOps {
   private val K1: Column = lit(1.2)
   private val B: Column = lit(0.75)
 
+  /** Doc length as a narrow map (no explode); read twice everywhere
+    * (stats + score join), so materialize once. */
+  private def docLengths(docs: DataFrame): DataFrame =
+    graft.Caching.maybeCache(
+      docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("len")))
+
+  /** The BM25 per-(doc, term) score — ONE fixed double expression tree
+    * over (tf, df, len, n_docs, total_len), shared by the literal-terms
+    * and query-table operators so the calibration (and the oracle
+    * mirror) can never fork between them. */
+  private val bm25Score: Column = {
+    val avgLen = col("total_len") * lit(1.0) / col("n_docs")
+    ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+      (col("tf") * (K1 + lit(1.0))) /
+      (col("tf") + K1 * (lit(1.0) - B + B * col("len") / avgLen))
+  }
+
+  /** (doc_id, token, s): tf joined with its df / doc length / corpus
+    * stats and scored — the shared scaffolding above the two operators'
+    * different aggregation shapes. */
+  private def scoredPostings(tf: DataFrame, lens: DataFrame): DataFrame = {
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("total_len"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf
+      .join(broadcast(df), "token")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("s", bm25Score)
+  }
+
   /** BM25 top-k docs for `terms`: one row per ranked doc with the number
     * of matched terms and the e4-scaled score. */
   def bm25TopK(docs: DataFrame, terms: Seq[String] = DefaultTerms, k: Int = 10): DataFrame = {
     require(terms.nonEmpty && terms.size <= MaxQueryTerms,
       s"1..$MaxQueryTerms query terms, got ${terms.size}")
     require(terms.distinct.size == terms.size, s"duplicate query terms: $terms")
-    // doc length is a narrow map (no explode); read twice (stats + score
-    // join), so materialize once
-    val lens = graft.Caching.maybeCache(
-      docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("len")))
-    val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("total_len"))
+    val lens = docLengths(docs)
     // docs that can't match skip the explode entirely: the substring
     // pre-filter is a SUPERSET guard (contains("join") also admits
     // "joins", which the exact token filter then drops), so results are
@@ -69,17 +95,7 @@ object RetrievalOps {
       candidates.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
         .filter(col("token").isin(terms: _*))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf")))
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val avgLen = col("total_len") * lit(1.0) / col("n_docs")
-    val score =
-      ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-        (col("tf") * (K1 + lit(1.0))) /
-        (col("tf") + K1 * (lit(1.0) - B + B * col("len") / avgLen))
-    val perTerm = tf
-      .join(broadcast(df), "token")
-      .join(lens, "doc_id")
-      .crossJoin(broadcast(stats))
-      .withColumn("s", score)
+    val perTerm = scoredPostings(tf, lens)
     // fixed-order fold: one pivot column per term, added in query order
     val pivots = count(lit(1)).cast("int").as("n_terms") +:
       terms.zipWithIndex.map { case (t, i) =>
@@ -129,27 +145,16 @@ object RetrievalOps {
   def bm25TopKForQueries(docs: DataFrame, queries: DataFrame, k: Int = 3): DataFrame = {
     val qterms = queries.select(col("query_id"), col("term")).distinct()
     val terms = qterms.select("term").distinct()
-    val lens = graft.Caching.maybeCache(
-      docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("len")))
-    val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("total_len"))
+    val lens = docLengths(docs)
     // the semi-join collapses the exploded stream to query-term postings
     // before any shuffle — the table-input twin of bm25TopK's isin filter
     val tf = graft.Caching.maybeCache(
       docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
         .join(broadcast(terms), col("token") === col("term"), "left_semi")
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf")))
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val avgLen = col("total_len") * lit(1.0) / col("n_docs")
-    val score =
-      ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-        (col("tf") * (K1 + lit(1.0))) /
-        (col("tf") + K1 * (lit(1.0) - B + B * col("len") / avgLen))
-    val perTerm = tf
-      .join(broadcast(df), "token")
-      .join(lens, "doc_id")
-      .crossJoin(broadcast(stats))
+    val perTerm = scoredPostings(tf, lens)
       .select(col("doc_id"), col("token"),
-        floor(score * 10000 + 0.5).cast("long").as("s_e4"))
+        floor(col("s") * 10000 + 0.5).cast("long").as("s_e4"))
     val scored = perTerm
       .join(broadcast(qterms), col("token") === col("term"))
       .groupBy("query_id", "doc_id")

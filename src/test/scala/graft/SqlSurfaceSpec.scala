@@ -60,8 +60,16 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT COUNT(*) FROM (SELECT query_id, MAX(rnk) m, COUNT(*) n FROM bm25_multi " +
         "GROUP BY query_id) WHERE m <> n OR n > 3").collect()(0).getLong(0) == 0)
-    assert(spark.sql("SELECT COUNT(DISTINCT qid) FROM ivfpq_res_topk")
+    assert(spark.sql("SELECT COUNT(DISTINCT qid) FROM ivfpq_res_t_topk")
       .collect()(0).getLong(0) <= 10)
+    // the sampled recall view really exercises the sampled path: five
+    // blocker rows, and its truth sets are subsets of the exact view's
+    val sampled = spark.sql(
+      "SELECT s.blocker, s.n_true, x.n_true FROM neardup_recall_s s " +
+        "JOIN neardup_recall x ON s.blocker = x.blocker").collect()
+    assert(sampled.length == 5)
+    assert(sampled.forall(r => r.getLong(1) <= r.getLong(2)),
+      "sampled truth set exceeded the exact truth set")
     // the boundary view covers exactly one partial bucket, and a kept
     // doc's running sum stays under the whole default budget
     assert(spark.sql("SELECT COUNT(DISTINCT bkt) FROM token_boundary").collect()(0).getLong(0) <= 1)
