@@ -40,7 +40,8 @@ object SparkEntry {
     graft.operators.CurationPack,
     graft.operators.PrivacyPack,
     graft.operators.RetrievalPack,
-    graft.operators.DataLayoutPack
+    graft.operators.DataLayoutPack,
+    graft.operators.ScrubPack
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {

@@ -87,5 +87,11 @@ object GraftCatalog {
       .createOrReplaceTempView("token_budget")
     graft.operators.CurationOps.tokenBudgetBoundary(docs)
       .createOrReplaceTempView("token_boundary")
+    graft.operators.ScrubOps.dupSpanCensus(docs)
+      .createOrReplaceTempView("dup_spans")
+    graft.operators.ScrubOps.spanScrub(docs)
+      .createOrReplaceTempView("span_scrub")
+    graft.operators.RetrievalOps.bm25IngestTopK(docs)
+      .createOrReplaceTempView("bm25_ingest")
   }
 }

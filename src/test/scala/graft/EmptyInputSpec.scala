@@ -113,6 +113,12 @@ class EmptyInputSpec extends SparkSpec {
     assert(rec.length == 5 && rec.forall(r => r.getLong(1) == 0 && r.getLong(3) == 10000L))
     assert(DedupOps.blockerPairRecall(emptyDocs, emptyEmb, spark,
       samplePct = Some(40)).count() == 5)
+    // span scrub family: empty corpus -> empty census, empty scrub
+    assert(ScrubOps.dupSpanCensus(emptyDocs).count() == 0)
+    assert(ScrubOps.spanScrub(emptyDocs).count() == 0)
+    // incremental BM25: empty corpus -> empty index and empty ranking
+    assert(RetrievalOps.bm25Index(emptyDocs).count() == 0)
+    assert(RetrievalOps.bm25IngestTopK(emptyDocs).count() == 0)
   }
 
   test("as-of join with an empty right side left-joins nulls, empty left is empty") {

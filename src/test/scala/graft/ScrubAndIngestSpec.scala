@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.{RetrievalOps, ScrubOps}
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Repeated-span scrub (ScrubOps) + incremental BM25 ingest
+  * (RetrievalOps.bm25IngestTopK). */
+class ScrubAndIngestSpec extends SparkSpec {
+
+  private lazy val sp = spark
+  private lazy val docs = Tables.documents(spark, sf).cache()
+
+  /** Hand-built corpus: docs 1/2 share a 7-token span (guaranteed >= one
+    * hot 5-gram run), doc 3 shares nothing, docs 4/5 are identical. */
+  private lazy val tiny: DataFrame = {
+    import sp.implicits._
+    Seq(
+      (1L, "aa bb cc dd ee ff gg xx yy zz"),
+      (2L, "pp qq aa bb cc dd ee ff gg rr"),
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "dup dup2 dup3 dup4 dup5 dup6 tail7 tail8"),
+      (5L, "dup dup2 dup3 dup4 dup5 dup6 tail7 tail8")
+    ).toDF("doc_id", "text")
+  }
+
+  test("dupSpanCensus covers exactly the shared 7-token span on the tiny corpus") {
+    val got = ScrubOps.dupSpanCensus(tiny).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((7L, 1L)), "doc 1: shared run of 7 tokens, one island")
+    assert(got(2L) == ((7L, 1L)), "doc 2: same span, shifted position")
+    assert(got(3L) == ((0L, 0L)), "doc 3: no cross-doc repeat")
+    assert(got(4L)._1 == 8L && got(5L)._1 == 8L, "identical docs fully covered")
+  }
+
+  test("spanScrub drops exactly the covered tokens and keeps the rest in order") {
+    import sp.implicits._
+    val got = ScrubOps.spanScrub(tiny).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    // doc 1 keeps its 3-token tail, doc 2 its 2-token prefix + 1 tail
+    assert(got(1L)._1 == 3L)
+    assert(got(1L)._2 == tiny.sparkSession.range(1)
+      .select(md5(lit("xx yy zz"))).head.getString(0))
+    assert(got(2L)._1 == 3L)
+    assert(got(3L)._1 == 10L, "untouched doc keeps everything")
+    assert(got(4L)._1 == 0L && got(5L)._1 == 0L, "identical docs scrub to empty")
+    assert(got(4L)._2 == spark.range(1).select(md5(lit(""))).head.getString(0))
+  }
+
+  test("census and scrub agree: kept_tokens == n_tokens - covered_tokens (fixture corpus)") {
+    val cen = ScrubOps.dupSpanCensus(docs)
+      .select(col("doc_id"), col("n_tokens"), col("covered_tokens"))
+    val scr = ScrubOps.spanScrub(docs).select(col("doc_id"), col("kept_tokens"))
+    val bad = cen.join(scr, "doc_id")
+      .filter(col("kept_tokens") =!= col("n_tokens") - col("covered_tokens"))
+    assert(bad.count() == 0)
+  }
+
+  test("raising minDf never increases span coverage (sensitivity is monotone)") {
+    val loose = ScrubOps.dupSpanCensus(docs, minDf = 2L)
+      .select(col("doc_id"), col("covered_tokens").as("c2"))
+    val tight = ScrubOps.dupSpanCensus(docs, minDf = 5L)
+      .select(col("doc_id"), col("covered_tokens").as("c5"))
+    val bad = loose.join(tight, "doc_id").filter(col("c5") > col("c2"))
+    assert(bad.count() == 0)
+  }
+
+  test("incremental BM25 equals the batch answer at every split fraction") {
+    val batch = RetrievalOps.bm25TopK(docs).collect().toSet
+    for (pct <- Seq(0L, 20L, 50L, 100L)) {
+      val inc = RetrievalOps.bm25IngestTopK(docs, ingestPct = pct).collect().toSet
+      assert(inc == batch, s"ingestPct=$pct diverged from batch BM25")
+    }
+  }
+}

@@ -76,6 +76,15 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT COUNT(*) FROM token_boundary WHERE kept AND cum_before_doc >= 10000")
       .collect()(0).getLong(0) == 0)
+    // span-scrub views compose: the census and the scrub agree per doc
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM dup_spans c JOIN span_scrub s ON c.doc_id = s.doc_id " +
+        "WHERE s.kept_tokens <> c.n_tokens - c.covered_tokens").collect()(0).getLong(0) == 0)
+    // incremental BM25 view returns the batch top-10
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM bm25_ingest i JOIN bm25_topk b " +
+        "ON i.doc_id = b.doc_id AND i.rnk = b.rnk AND i.score_e4 = b.score_e4")
+      .collect()(0).getLong(0) == 10)
   }
 
   test("compaction_weight resolves in SQL via session extensions") {
