@@ -93,5 +93,7 @@ object GraftCatalog {
       .createOrReplaceTempView("span_scrub")
     graft.operators.RetrievalOps.bm25IngestTopK(docs)
       .createOrReplaceTempView("bm25_ingest")
+    graft.operators.AnnOps.truncRerankTopK(embs)
+      .createOrReplaceTempView("ann_trunc_rr")
   }
 }

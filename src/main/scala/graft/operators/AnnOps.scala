@@ -81,6 +81,45 @@ object AnnOps {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** Matryoshka-truncated ANN: brute cosine over the first `dims`-dim
+    * PREFIX of each embedding (Kusupati et al., "Matryoshka
+    * Representation Learning": nested prefixes trained to stand alone as
+    * embeddings). The production pattern: score the corpus at the cheap
+    * prefix — dims/64 of the bytes shuffled and multiplies per distance
+    * — then optionally rerank survivors at full width, the same
+    * shortlist-rescore shape as [[PqOps.pqRerankTopK]]. The recall
+    * ladder (`trunc_recall` @16, `trunc8_recall` @8) measures what
+    * truncation costs on THIS corpus; fixture embeddings are not
+    * Matryoshka-trained, so those rows are the honest floor, not the
+    * advertised MRL quality. */
+  def truncTopK(embeddings: DataFrame, dims: Int = 16, nQueries: Int = 10, k: Int = 5): DataFrame =
+    bruteTopK(
+      embeddings.select(col("vec_id"), slice(col("embedding"), 1, dims).as("embedding")),
+      nQueries, k)
+
+  /** Truncated-prefix scan + full-width rerank: shortlist at the cheap
+    * prefix, rescore only the survivors with the full vectors
+    * (broadcast-fetched — the [[PqOps.pqRerankTopK]] shape; nothing
+    * corpus-sized shuffles in the rerank stage). The ladder row
+    * `truncr_recall` measures how much of the prefix's recall loss the
+    * rerank buys back at `shortlist`/corpus fetch cost. */
+  def truncRerankTopK(
+      embeddings: DataFrame, dims: Int = 16, nQueries: Int = 10,
+      k: Int = 5, shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    val short = truncTopK(embeddings, dims, nQueries, shortlist).select("qid", "vec_id")
+    val n = normalized(embeddings)
+    val queries = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val rescored = n
+      .join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosineE4(col("qv"), col("v"), col("qn"), col("nrm")).as("cosine_e4"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine_e4").desc, col("vec_id"))
+    rescored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** Metadata-filtered ANN ("filtered vector search"): cosine top-k
     * restricted to corpus vectors whose label matches the predicate. The
     * filter applies to the corpus side BEFORE any distance is computed —
@@ -273,9 +312,12 @@ object AnnOps {
       case "ivfpq_rerank" => PqOps.ivfPqRerankTopK(embeddings, nQueries, k)
       case "ivfpq_res" => PqOps.ivfPqResidualTopK(embeddings, nQueries, k)
       case "ivfpq_res_t" => PqOps.ivfPqResidualTrainedTopK(embeddings, nQueries, k)
+      case "trunc16" => truncTopK(embeddings, dims = 16, nQueries = nQueries, k = k)
+      case "trunc8" => truncTopK(embeddings, dims = 8, nQueries = nQueries, k = k)
+      case "trunc_rerank" => truncRerankTopK(embeddings, nQueries = nQueries, k = k)
       case other => throw new IllegalArgumentException(
         s"unknown ANN index '$other' " +
-          "(expected lsh/ivf/ivf2/sq8/pq/pq_rerank/ivfpq/ivfpq_rerank/ivfpq_res/ivfpq_res_t)")
+          "(expected lsh/ivf/ivf2/sq8/pq/pq_rerank/ivfpq/ivfpq_rerank/ivfpq_res/ivfpq_res_t/trunc16/trunc8)")
     }).select("qid", "vec_id")
     val common = brute.join(approx, Seq("qid", "vec_id"), "left_semi")
       .groupBy("qid").agg(count(lit(1)).as("n_common"))
@@ -750,7 +792,12 @@ object AnnPack extends QueryPack {
     "ivfpq_res_t" -> ((s, dir) => PqOps.ivfPqResidualTrainedTopK(e(s, dir))),
     "ivfpqrest_recall" -> ((s, dir) => AnnOps.annRecall(e(s, dir), s, index = "ivfpq_res_t")),
     "ivf_assign" -> ((s, dir) => AnnOps.ivfAssignIncremental(e(s, dir))),
-    "ann_filtered" -> ((s, dir) => AnnOps.filteredTopK(e(s, dir)))
+    "ann_filtered" -> ((s, dir) => AnnOps.filteredTopK(e(s, dir))),
+    "ann_trunc" -> ((s, dir) => AnnOps.truncTopK(e(s, dir))),
+    "trunc_recall" -> ((s, dir) => AnnOps.annRecall(e(s, dir), s, index = "trunc16")),
+    "trunc8_recall" -> ((s, dir) => AnnOps.annRecall(e(s, dir), s, index = "trunc8")),
+    "ann_trunc_rr" -> ((s, dir) => AnnOps.truncRerankTopK(e(s, dir))),
+    "truncr_recall" -> ((s, dir) => AnnOps.annRecall(e(s, dir), s, index = "trunc_rerank"))
   )
 
   private[operators] val normSql =
@@ -792,6 +839,49 @@ object AnnPack extends QueryPack {
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine_e4 DESC, vec_id) AS rnk
        |    FROM bscored
        |  ) WHERE rnk <= 5
+       |)""".stripMargin
+
+  /** Truncated-prefix twin of `normSql`: vectors sliced to their first
+    * `dims` elements, named `cte`. */
+  private def truncNormSql(dims: Int, cte: String): String =
+    s"""$cte AS (
+       |  SELECT vec_id, (embedding::DOUBLE[])[1:$dims] AS v,
+       |         sqrt(list_reduce(list_transform((embedding::DOUBLE[])[1:$dims], x -> x * x), (a, b) -> a + b)) AS nrm
+       |  FROM embeddings
+       |)""".stripMargin
+
+  private def truncCosSql(dims: Int): String =
+    s"FLOOR(list_reduce(list_transform(range(1, ${dims + 1}), d -> qa.v[d] * ca.v[d]), (x, y) -> x + y) / (qa.nrm * ca.nrm) * 10000 + 0.5)"
+
+  /** Truncated brute top-`cap` per query as CTE `name` (over `tn`). */
+  private def truncAtopCtes(dims: Int, cap: Int = 5, name: String = "atop"): String =
+    s"""${truncNormSql(dims, "tn")},
+       |tscored AS (
+       |  SELECT qa.vec_id AS qid, ca.vec_id AS vec_id,
+       |         CAST(${truncCosSql(dims)} AS BIGINT) AS cosine_e4
+       |  FROM tn qa JOIN tn ca ON ca.vec_id <> qa.vec_id
+       |  WHERE qa.vec_id < 10
+       |),
+       |$name AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine_e4 DESC, vec_id) AS rnk
+       |    FROM tscored
+       |  ) WHERE rnk <= $cap
+       |)""".stripMargin
+
+  /** Full-width rescore of shortlist CTE `short` → CTE `rr` ranked to
+    * top-5 (needs `n` in scope). */
+  private def rerankCtes(short: String): String =
+    s"""rescored AS (
+       |  SELECT s.qid, s.vec_id,
+       |         CAST($cosSql AS BIGINT) AS cosine_e4
+       |  FROM $short s
+       |  JOIN n qa ON qa.vec_id = s.qid
+       |  JOIN n ca ON ca.vec_id = s.vec_id
+       |),
+       |rr AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine_e4 DESC, vec_id) AS rnk
+       |  FROM rescored
        |)""".stripMargin
 
   /** recall@5 of CTE `atop(qid, vec_id)` against `brute` — 2000 = 1e4/k. */
@@ -1115,6 +1205,44 @@ object AnnPack extends QueryPack {
          |  FROM scored
          |)
          |SELECT qid, vec_id, cosine_e4, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
+    // truncated-prefix brute top-k: the same ranking chain over the
+    // 16-dim Matryoshka slice
+    "ann_trunc" ->
+      s"""WITH ${truncNormSql(16, "n")},
+         |scored AS (
+         |  SELECT qa.vec_id AS qid, ca.vec_id AS vec_id,
+         |         CAST(${truncCosSql(16)} AS BIGINT) AS cosine_e4
+         |  FROM n qa JOIN n ca ON ca.vec_id <> qa.vec_id
+         |  WHERE qa.vec_id < 10
+         |),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine_e4 DESC, vec_id) AS rnk
+         |  FROM scored
+         |)
+         |SELECT qid, vec_id, cosine_e4, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
+    "trunc_recall" ->
+      s"""WITH $normSql,
+         |$bruteCtes,
+         |${truncAtopCtes(16)},
+         |${recallTail("atop")}""".stripMargin,
+    "trunc8_recall" ->
+      s"""WITH $normSql,
+         |$bruteCtes,
+         |${truncAtopCtes(8)},
+         |${recallTail("atop")}""".stripMargin,
+    // prefix shortlist (top-50 @16 dims) rescored at full width
+    "ann_trunc_rr" ->
+      s"""WITH $normSql,
+         |${truncAtopCtes(16, cap = 50, name = "tshort")},
+         |${rerankCtes("tshort")}
+         |SELECT qid, vec_id, cosine_e4, rnk FROM rr WHERE rnk <= 5""".stripMargin,
+    "truncr_recall" ->
+      s"""WITH $normSql,
+         |$bruteCtes,
+         |${truncAtopCtes(16, cap = 50, name = "tshort")},
+         |${rerankCtes("tshort")},
+         |atop AS (SELECT qid, vec_id FROM rr WHERE rnk <= 5),
+         |${recallTail("atop")}""".stripMargin,
     "ann_lsh_topk" ->
       s"""WITH $normSql, $bucketSql,
          |nb AS (SELECT n.vec_id, n.v, n.nrm, bk.bucket FROM n JOIN bk ON n.vec_id = bk.vec_id),

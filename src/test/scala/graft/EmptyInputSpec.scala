@@ -119,6 +119,9 @@ class EmptyInputSpec extends SparkSpec {
     // incremental BM25: empty corpus -> empty index and empty ranking
     assert(RetrievalOps.bm25Index(emptyDocs).count() == 0)
     assert(RetrievalOps.bm25IngestTopK(emptyDocs).count() == 0)
+    // Matryoshka truncation ladder: empty vector table -> empty everywhere
+    assert(AnnOps.truncTopK(emptyEmb).count() == 0)
+    assert(AnnOps.truncRerankTopK(emptyEmb).count() == 0)
   }
 
   test("as-of join with an empty right side left-joins nulls, empty left is empty") {
