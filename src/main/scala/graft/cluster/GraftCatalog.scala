@@ -95,5 +95,9 @@ object GraftCatalog {
       .createOrReplaceTempView("bm25_ingest")
     graft.operators.AnnOps.truncRerankTopK(embs)
       .createOrReplaceTempView("ann_trunc_rr")
+    graft.operators.CurationOps.sourceQualityDrift(docs)
+      .createOrReplaceTempView("source_drift")
+    graft.operators.CurationOps.bpeEncodeStats(docs)
+      .createOrReplaceTempView("bpe_fertility")
   }
 }

@@ -446,37 +446,51 @@ object CurationOps {
     * Scale shape: everything downstream of the one corpus explode runs
     * on the WORD-FREQUENCY table (vocab-sized, not corpus-sized) — the
     * standard BPE-trainer optimization; pair spaces are alphabet²-bounded. */
-  def bpeMerges(docs: DataFrame, k: Int = 15): DataFrame = {
-    // vocab with frequencies: the single corpus-sized aggregation; read
-    // by both iterations
-    val words = graft.Caching.maybeCache(
+  /** Vocab with frequencies: the single corpus-sized aggregation behind
+    * the BPE family; cached, shared by training and encoding. */
+  private def bpeWords(docs: DataFrame): DataFrame =
+    graft.Caching.maybeCache(
       docs.select(explode(tokens(col("text"))).as("w"))
         .filter(!col("w").contains("|") && length(col("w")) >= 2 &&
           length(col("w")) <= OracleLimits.MaxWordChars)
         .groupBy("w").agg(count(lit(1)).as("cnt")))
-    // it-1: adjacent char pairs via a position explode (no split() edge
-    // cases), weighted by word count
-    val p1 = graft.Caching.maybeCache(
+
+  /** it-1 adjacent char pairs, weighted by word count. */
+  private def bpePairs1(words: DataFrame): DataFrame =
+    graft.Caching.maybeCache(
       words
         .select(col("w"), col("cnt"),
           explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
         .select(col("cnt"), expr("substr(w, i, 1)").as("sa"),
           expr("substr(w, i + 1, 1)").as("sb"))
         .groupBy("sa", "sb").agg(sum(col("cnt")).as("pair_cnt")))
-    val top1 = p1.orderBy(col("pair_cnt").desc, col("sa"), col("sb")).limit(1)
-    // it-2: apply the merge to every word's marker string, re-pair over
-    // the merged symbol arrays
-    val merged = words
+
+  /** Words with merge-1 applied: marker string `m` + symbol array
+    * `syms`. The non-overlapping left-to-right `replace` IS the merge
+    * convention, identical in both engines. */
+  private def bpeMerged(words: DataFrame, top1: DataFrame): DataFrame =
+    words
       .crossJoin(broadcast(top1.select(col("sa").as("ma"), col("sb").as("mb"))))
       .withColumn("s1", expr("'|' || array_join(transform(sequence(1, length(w)), i -> substr(w, i, 1)), '|') || '|'"))
       .withColumn("m", expr("replace(s1, '|' || ma || '|' || mb || '|', '|' || ma || mb || '|')"))
       .withColumn("syms", expr("filter(split(m, '\\\\|'), x -> x <> '')"))
+
+  /** it-2 pairs over the merged symbol arrays. */
+  private def bpePairs2(merged: DataFrame): DataFrame = {
     val win = Window.partitionBy("w").orderBy("pos")
-    val p2 = merged
+    merged
       .select(col("w"), col("cnt"), posexplode(col("syms")).as(Seq("pos", "sa")))
       .withColumn("sb", lead("sa", 1).over(win))
       .filter(col("sb").isNotNull)
       .groupBy("sa", "sb").agg(sum(col("cnt")).as("pair_cnt"))
+  }
+
+  def bpeMerges(docs: DataFrame, k: Int = 15): DataFrame = {
+    val words = bpeWords(docs)
+    val p1 = bpePairs1(words)
+    val top1 = p1.orderBy(col("pair_cnt").desc, col("sa"), col("sb")).limit(1)
+    val merged = bpeMerged(words, top1)
+    val p2 = bpePairs2(merged)
     def ranked(p: DataFrame, it: Int): DataFrame =
       p.withColumn("it", lit(it))
         .withColumn("rnk", row_number().over(
@@ -484,6 +498,49 @@ object CurationOps {
         .filter(col("rnk") <= k)
     ranked(p1, 1).unionByName(ranked(p2, 2))
       .select("it", "sa", "sb", "pair_cnt", "rnk")
+  }
+
+  /** Tokenizer FERTILITY under the trained BPE merges — the metric that
+    * decides whether a tokenizer is worth its vocab budget (symbols
+    * emitted per word; 1.0 = every word is one token). Applies the it-1
+    * and it-2 winning merges from [[bpeMerges]] to the whole vocab
+    * (occurrence-weighted) and reports the compression ladder: it 0 =
+    * character baseline, it 1 = after merge 1, it 2 = after both.
+    *
+    * Engine-exact: symbol counts are integers; the single rounding is
+    * integer arithmetic (floor(x+0.5) = (2a+b) DIV (2b)). Scale shape:
+    * everything runs on the VOCAB frame (words × their counts — the
+    * corpus never reappears after [[bpeWords]]' one aggregation), and
+    * both winning merges broadcast. Measured over the BPE-eligible vocab
+    * (2..MaxWordChars chars, the training population). */
+  def bpeEncodeStats(docs: DataFrame): DataFrame = {
+    val words = bpeWords(docs)
+    val p1 = bpePairs1(words)
+    val top1 = p1.orderBy(col("pair_cnt").desc, col("sa"), col("sb")).limit(1)
+    val merged = bpeMerged(words, top1)
+    val top2 = bpePairs2(merged)
+      .orderBy(col("pair_cnt").desc, col("sa"), col("sb")).limit(1)
+    val enc = merged
+      .crossJoin(broadcast(top2.select(col("sa").as("ma2"), col("sb").as("mb2"))))
+      .withColumn("m2", expr("replace(m, '|' || ma2 || '|' || mb2 || '|', '|' || ma2 || mb2 || '|')"))
+      .withColumn("syms2", expr("filter(split(m2, '\\\\|'), x -> x <> '')"))
+      .select(col("cnt"), length(col("w")).cast("long").as("n0"),
+        size(col("syms")).cast("long").as("n1"), size(col("syms2")).cast("long").as("n2"))
+    val agg = enc.agg(
+      sum(col("cnt")).as("n_words"),
+      sum(col("cnt") * col("n0")).as("s0"),
+      sum(col("cnt") * col("n1")).as("s1"),
+      sum(col("cnt") * col("n2")).as("s2"))
+    agg
+      .select(expr("stack(3, 0, s0, 1, s1, 2, s2) AS (it, total_syms)"), col("n_words"))
+      .select(col("it").cast("int").as("it"),
+        col("total_syms").cast("long").as("total_syms"),
+        col("n_words").cast("long").as("n_words"),
+        expr("CAST((20000 * total_syms + n_words) DIV (2 * n_words) AS BIGINT)")
+          .as("fertility_e4"))
+      // empty corpus: the global agg row is all-null — drop it rather
+      // than emit three null ladder rows
+      .filter(col("n_words").isNotNull)
   }
 
   /** Quality-curriculum sampling plan: the corpus in exact quality
@@ -518,6 +575,56 @@ object CurationOps {
         sum(when(col("keep"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
         min(col("quality_e4")).as("q_min"),
         max(col("quality_e4")).as("q_max"))
+  }
+
+  /** Per-source quality-distribution drift vs the corpus baseline:
+    * total-variation distance between each source's quality-DECILE
+    * histogram and the corpus's decile shares. The source-health monitor
+    * for a federated ingest pipeline — a crawler whose quality
+    * distribution shifts lights up as tv_e4 without per-source
+    * thresholds, because every source is compared to the same corpus
+    * deciles (which are ~uniform by construction, so tv ≈ 0 means "this
+    * source looks like the corpus").
+    *
+    * Engine-exact: deciles come from [[qualityCurriculum]]'s value
+    * census; the TV mass is summed over INTEGER cross-products
+    * |n_sd·N − n_d·N_s| with a single final integer-arithmetic rounding
+    * (floor(x+0.5) as (2a+b) DIV (2b)) — no doubles anywhere. Fixture
+    * longs hold the products (≤ ~1e12 at sf0.1); at 100-TB doc counts
+    * lift the products to DECIMAL(38,0) — same plan.
+    *
+    * Scale shape: one value census (value-space-sized, map-side
+    * combined), one (source, decile) groupBy, then everything is
+    * source×10-sized; the decile map and corpus scalars broadcast. No
+    * corpus total-order, no corpus re-join. */
+  def sourceQualityDrift(docs: DataFrame): DataFrame = {
+    val q = TextOps.quality(docs, keep = Seq("source"))
+      .select(col("source"), col("quality_e4"))
+    val vc = q.groupBy(col("quality_e4").as("v")).agg(count(lit(1)).as("cnt"))
+    val cum = vc.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("v"))))
+    val n = q.agg(count(lit(1)).as("n_total"))
+    val dec = cum.crossJoin(broadcast(n))
+      .withColumn("decile", expr("CAST(1 + ((cum - 1) * 10) DIV n_total AS BIGINT)"))
+      .select(col("v"), col("decile"))
+    val binned = q.join(broadcast(dec), col("quality_e4") === col("v"))
+      .groupBy("source", "decile").agg(count(lit(1)).as("n_sd"))
+    val perSource = binned.groupBy("source").agg(sum(col("n_sd")).as("n_s"))
+    val perDecile = binned.groupBy("decile").agg(sum(col("n_sd")).as("n_d"))
+    // dense source × decile grid: a decile a source never hits still
+    // contributes its corpus mass |0 − n_d·N_s|
+    val terms = perSource.crossJoin(broadcast(perDecile))
+      .join(binned, Seq("source", "decile"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("source"), col("n_s"), col("n_total"),
+        abs(coalesce(col("n_sd"), lit(0L)) * col("n_total") - col("n_d") * col("n_s"))
+          .as("term"))
+    terms
+      .groupBy("source", "n_s", "n_total")
+      .agg(sum(col("term")).as("s_abs"))
+      .select(col("source"), col("n_s").as("n_docs"),
+        expr("CAST((20000 * s_abs + 2 * n_s * n_total) DIV (4 * n_s * n_total) AS BIGINT)")
+          .as("tv_e4"))
   }
 
   /** Duplicate-bigram fraction: 1 - distinct(bigrams)/total(bigrams) per
@@ -633,7 +740,9 @@ object CurationPack extends QueryPack {
     "chunks" -> ((s, dir) => CurationOps.chunked(d(s, dir))),
     "mix_plan" -> ((s, dir) => CurationOps.mixPlan(d(s, dir))),
     "curriculum" -> ((s, dir) => CurationOps.qualityCurriculum(d(s, dir))),
+    "source_drift" -> ((s, dir) => CurationOps.sourceQualityDrift(d(s, dir))),
     "bpe_merges" -> ((s, dir) => CurationOps.bpeMerges(d(s, dir))),
+    "bpe_fertility" -> ((s, dir) => CurationOps.bpeEncodeStats(d(s, dir))),
     "token_budget" -> ((s, dir) => CurationOps.tokenBudgetCut(d(s, dir))),
     "token_boundary" -> ((s, dir) => CurationOps.tokenBudgetBoundary(d(s, dir)))
   )
@@ -909,6 +1018,48 @@ object CurationPack extends QueryPack {
         |FROM per p CROSS JOIN t""".stripMargin,
     // decile ladder mirrors the histogram shape: value census -> running
     // sum over distinct values -> integer-DIV decile of the last tied row
+    // total-variation drift per source over the corpus quality deciles;
+    // integer arithmetic end-to-end, floor(x+0.5) = (2a+b) // (2b)
+    "source_drift" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, length(text) AS n_chars, string_split(text, ' ') AS toks
+        |  FROM documents
+        |),
+        |m AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(toks) AS INT) AS n_tokens,
+        |         CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on'))) AS INT) AS stop_hits,
+        |         n_chars
+        |  FROM t
+        |),
+        |q AS (
+        |  SELECT doc_id, source,
+        |         CAST(FLOOR(((stop_hits / CAST(n_tokens AS DOUBLE)) * 100.0
+        |                     + (n_chars - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS quality_e4
+        |  FROM m
+        |),
+        |vc AS (SELECT quality_e4 AS v, COUNT(*) AS cnt FROM q GROUP BY 1),
+        |cum AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum FROM vc),
+        |nt AS (SELECT COUNT(*) AS n_total FROM q),
+        |dec AS (SELECT v, CAST(1 + ((cum - 1) * 10) // n_total AS BIGINT) AS decile
+        |        FROM cum CROSS JOIN nt),
+        |binned AS (
+        |  SELECT q.source, d.decile, COUNT(*) AS n_sd
+        |  FROM q JOIN dec d ON q.quality_e4 = d.v
+        |  GROUP BY q.source, d.decile
+        |),
+        |ps AS (SELECT source, SUM(n_sd) AS n_s FROM binned GROUP BY source),
+        |pd AS (SELECT decile, SUM(n_sd) AS n_d FROM binned GROUP BY decile),
+        |terms AS (
+        |  SELECT g.source, g.n_s, nt.n_total,
+        |         abs(COALESCE(b.n_sd, 0) * nt.n_total - g.n_d * g.n_s) AS term
+        |  FROM (SELECT ps.source, ps.n_s, pd.decile, pd.n_d FROM ps CROSS JOIN pd) g
+        |  LEFT JOIN binned b ON g.source = b.source AND g.decile = b.decile
+        |  CROSS JOIN nt
+        |)
+        |SELECT source, CAST(n_s AS BIGINT) AS n_docs,
+        |       CAST((20000 * SUM(term) + 2 * n_s * n_total) // (4 * n_s * n_total) AS BIGINT) AS tv_e4
+        |FROM terms GROUP BY source, n_s, n_total""".stripMargin,
     "curriculum" ->
       """WITH t AS (
         |  SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS toks
@@ -943,6 +1094,64 @@ object CurationPack extends QueryPack {
         |FROM a GROUP BY decile""".stripMargin,
     // BPE iterations: pair spaces bounded by alphabet^2; the merge is the
     // same non-overlapping replace in both engines
+    // fertility ladder under the trained merges: marker-string replace
+    // is the same non-overlapping merge in both engines; one integer
+    // rounding at the end
+    "bpe_fertility" ->
+      s"""WITH wd AS (
+        |  SELECT w, COUNT(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w NOT LIKE '%|%' AND length(w) >= 2
+        |    AND length(w) <= ${OracleLimits.MaxWordChars}
+        |  GROUP BY w
+        |),
+        |p1 AS (
+        |  SELECT substring(w, i, 1) AS sa, substring(w, i + 1, 1) AS sb,
+        |         CAST(SUM(cnt) AS BIGINT) AS pair_cnt
+        |  FROM wd, range(1, ${OracleLimits.MaxWordChars}) r(i)
+        |  WHERE i + 1 <= length(w)
+        |  GROUP BY 1, 2
+        |),
+        |t1 AS (SELECT sa AS ma, sb AS mb FROM p1 ORDER BY pair_cnt DESC, sa, sb LIMIT 1),
+        |mm AS (
+        |  SELECT w, cnt,
+        |         replace('|' || array_to_string(list_transform(range(1, length(w) + 1),
+        |                                          i -> substring(w, CAST(i AS INT), 1)), '|') || '|',
+        |                 '|' || ma || '|' || mb || '|', '|' || ma || mb || '|') AS ms
+        |  FROM wd CROSS JOIN t1
+        |),
+        |sl AS (SELECT w, cnt, ms, string_split(ms, '|') AS sl FROM mm),
+        |p2 AS (
+        |  SELECT sl[i] AS sa, sl[i + 1] AS sb, CAST(SUM(cnt) AS BIGINT) AS pair_cnt
+        |  FROM sl, range(1, ${OracleLimits.MaxWordChars + 16}) r(i)
+        |  WHERE i + 1 <= len(sl) AND sl[i] <> '' AND sl[i + 1] <> ''
+        |  GROUP BY 1, 2
+        |),
+        |t2 AS (SELECT sa AS ma2, sb AS mb2 FROM p2 ORDER BY pair_cnt DESC, sa, sb LIMIT 1),
+        |enc AS (
+        |  SELECT cnt, CAST(length(w) AS BIGINT) AS n0,
+        |         CAST(len(list_filter(sl, x -> x <> '')) AS BIGINT) AS n1,
+        |         CAST(len(list_filter(
+        |                string_split(replace(ms, '|' || ma2 || '|' || mb2 || '|',
+        |                                     '|' || ma2 || mb2 || '|'), '|'),
+        |                x -> x <> '')) AS BIGINT) AS n2
+        |  FROM sl CROSS JOIN t2
+        |),
+        |agg AS (
+        |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_words,
+        |         CAST(SUM(cnt * n0) AS BIGINT) AS s0,
+        |         CAST(SUM(cnt * n1) AS BIGINT) AS s1,
+        |         CAST(SUM(cnt * n2) AS BIGINT) AS s2
+        |  FROM enc
+        |),
+        |l AS (
+        |  SELECT 0 AS it, s0 AS total_syms, n_words FROM agg
+        |  UNION ALL SELECT 1, s1, n_words FROM agg
+        |  UNION ALL SELECT 2, s2, n_words FROM agg
+        |)
+        |SELECT CAST(it AS INT) AS it, total_syms, n_words,
+        |       CAST((20000 * total_syms + n_words) // (2 * n_words) AS BIGINT) AS fertility_e4
+        |FROM l""".stripMargin,
     "bpe_merges" ->
       s"""WITH wd AS (
         |  SELECT w, COUNT(*) AS cnt FROM (

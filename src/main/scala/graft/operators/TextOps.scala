@@ -41,19 +41,25 @@ object TextOps {
         max(col("n_tokens")).as("max_tokens"))
 
   /** Quality scoring: stopword ratio, mean token length, composite score
-    * (length/punct/stopword heuristics à la C4/Gopher quality filters). */
-  def quality(docs: DataFrame): DataFrame = {
+    * (length/punct/stopword heuristics à la C4/Gopher quality filters).
+    * `keep` carries extra input columns through (appended after the
+    * metrics, so the default output is unchanged) — cheaper than a
+    * doc_id re-join for callers that need e.g. `source` alongside the
+    * score. */
+  def quality(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val toks = tokens(col("text"))
     val n = size(toks)
     val stopHits = size(filter(toks, t => t.isInCollection(Stop)))
     val meanLen = (length(col("text")) - (n - 1)) / n
     val stopRatio = stopHits / n
     docs.select(
-      col("doc_id"),
-      n.as("n_tokens"),
-      floor(stopRatio * 10000 + 0.5).cast("long").as("stop_ratio_e4"),
-      floor(meanLen * 10000 + 0.5).cast("long").as("mean_tok_len_e4"),
-      floor((stopRatio * 100.0 + meanLen) * 10000 + 0.5).cast("long").as("quality_e4"))
+      Seq(
+        col("doc_id"),
+        n.as("n_tokens"),
+        floor(stopRatio * 10000 + 0.5).cast("long").as("stop_ratio_e4"),
+        floor(meanLen * 10000 + 0.5).cast("long").as("mean_tok_len_e4"),
+        floor((stopRatio * 100.0 + meanLen) * 10000 + 0.5).cast("long").as("quality_e4")
+      ) ++ keep.map(col): _*)
   }
 
   private val Profiles: Seq[(String, Seq[String])] = Seq(

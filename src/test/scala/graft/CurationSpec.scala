@@ -221,4 +221,36 @@ class CurationSpec extends SparkSpec {
     assert(plan.filter(col("target_e4") === 0 && col("keep_e4") =!= 0).count() == 0)
     plan.unpersist()
   }
+
+  test("bpe fertility ladder: merges never increase the symbol count; char baseline = weighted word length") {
+    val docs = Tables.documents(spark, sf)
+    val ladder = CurationOps.bpeEncodeStats(docs).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(ladder.keySet == Set(0, 1, 2))
+    assert(ladder(0)._1 >= ladder(1)._1 && ladder(1)._1 >= ladder(2)._1,
+      "a merge must not increase total symbols")
+    assert(ladder(0)._2 == ladder(1)._2 && ladder(1)._2 == ladder(2)._2,
+      "word population constant across the ladder")
+    assert(ladder.values.forall(v => v._3 >= 10000L),
+      "fertility below 1.0 symbols/word is impossible")
+  }
+
+  test("source drift: tv bounded, and a degenerate source drifts hardest") {
+    val sp = spark
+    import sp.implicits._
+    val base = Tables.documents(spark, sf)
+    val tv = CurationOps.sourceQualityDrift(base).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(tv.values.forall(v => v >= 0L && v <= 10000L))
+    // replace src0's text with identical degenerate junk: its quality
+    // mass collapses into one decile, so its drift must strictly exceed
+    // every unmodified source's
+    val junked = base.withColumn("text",
+      when(col("source") === "src0",
+        lit("zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz")).otherwise(col("text")))
+    val tvJ = CurationOps.sourceQualityDrift(junked).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(tvJ("src0") > tvJ.filter(_._1 != "src0").values.max,
+      s"degenerate source should lead the drift board: $tvJ")
+  }
 }

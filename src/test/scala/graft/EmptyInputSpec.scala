@@ -122,6 +122,9 @@ class EmptyInputSpec extends SparkSpec {
     // Matryoshka truncation ladder: empty vector table -> empty everywhere
     assert(AnnOps.truncTopK(emptyEmb).count() == 0)
     assert(AnnOps.truncRerankTopK(emptyEmb).count() == 0)
+    // source drift and BPE fertility: empty corpus -> no rows, no 0-div
+    assert(CurationOps.sourceQualityDrift(emptyDocs).count() == 0)
+    assert(CurationOps.bpeEncodeStats(emptyDocs).count() == 0)
   }
 
   test("as-of join with an empty right side left-joins nulls, empty left is empty") {
