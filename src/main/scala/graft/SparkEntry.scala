@@ -41,7 +41,8 @@ object SparkEntry {
     graft.operators.PrivacyPack,
     graft.operators.RetrievalPack,
     graft.operators.DataLayoutPack,
-    graft.operators.ScrubPack
+    graft.operators.ScrubPack,
+    graft.operators.LmPack
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {

@@ -99,5 +99,7 @@ object GraftCatalog {
       .createOrReplaceTempView("source_drift")
     graft.operators.CurationOps.bpeEncodeStats(docs)
       .createOrReplaceTempView("bpe_fertility")
+    graft.operators.LmOps.trigramBackoff(docs)
+      .createOrReplaceTempView("trigram_backoff")
   }
 }

@@ -44,9 +44,11 @@ class BenchLineSpec extends AnyFunSuite {
         s"fold reached a $foldedMax s query; line budget needs a rethink")
     }
     // loose backstop so a rendering regression can't quietly fold half the
-    // line (ceiling division: the 1900-char budget names ~100 queries, so
-    // at n=143 a legitimate ladder folds 42 — just under a third)
-    assert(fastN <= (n + 1) / 3, s"folded $fastN of $n queries; line budget needs a rethink")
+    // line: the 1900-char budget names ~100 queries regardless of n, so
+    // the invariant that scales is a floor on NAMED queries, not a cap on
+    // the fold count (which legitimately grows 1:1 with n past ~100)
+    assert(n - fastN >= math.min(n, 95),
+      s"only ${n - fastN} of $n queries named; line budget needs a rethink")
   }
 
   test("120+ queries still fit and stay parseable (degrade ladder engages)") {

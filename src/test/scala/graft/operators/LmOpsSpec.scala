@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Stupid-backoff trigram LM: invariants of the train/score split, the
+  * backoff ladder, and the plan shape.
+  */
+class LmOpsSpec extends SparkSpec {
+
+  /** The operator's own split predicate, recomputed JVM-side: md5-derived
+    * 60-bit bucket of the decimal doc_id string, mod 100. */
+  private def trainBucket(docId: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(docId.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(17, 32), 16) % 100L
+  }
+
+  private def heldOutId(from: Long): Long =
+    Iterator.iterate(from)(_ + 1).find(id => trainBucket(id) >= LmOps.TrainBuckets).get
+
+  private def trainId(from: Long): Long =
+    Iterator.iterate(from)(_ + 1).find(id => trainBucket(id) < LmOps.TrainBuckets).get
+
+  test("backoff scores: full coverage, bounded, level counts partition the trigrams") {
+    val docs = Tables.documents(spark, sf)
+    val out = LmOps.trigramBackoff(docs).cache()
+    val eligible = docs.filter(size(split(col("text"), " ")) >= 3).count()
+    assert(out.count() == eligible, "every >=3-token doc must be scored")
+    assert(out.filter(col("backoff_e4") < 0 || col("backoff_e4") > 10000).count() == 0)
+    assert(out.filter(
+      col("n_tri") + col("n_bi") + col("n_uni") > col("n_trigrams")).count() == 0,
+      "backoff levels partition (with oov remainder) the trigram instances")
+  }
+
+  test("train-split docs always trigram-hit; held-out docs exercise the backoff") {
+    val docs = Tables.documents(spark, sf)
+    val out = LmOps.trigramBackoff(docs).cache()
+    val bucket = graft.functions.TextFunctions
+      .stableHash60(col("doc_id").cast("string")) % 100L
+    val trainMiss = out
+      .join(docs.select(col("doc_id"), bucket.as("b")), "doc_id")
+      .filter(col("b") < LmOps.TrainBuckets && col("n_tri") =!= col("n_trigrams"))
+    assert(trainMiss.count() == 0,
+      "a training doc's own trigrams are in the count tables by construction")
+    val backedOff = out
+      .join(docs.select(col("doc_id"), bucket.as("b")), "doc_id")
+      .filter(col("b") >= LmOps.TrainBuckets)
+      .filter(col("n_bi") + col("n_uni") > 0 || col("n_tri") < col("n_trigrams"))
+    assert(backedOff.count() > 0,
+      "the held-out half must actually hit the backoff branches (else they are dead code)")
+  }
+
+  test("identical-corpus degenerate case: one score, all trigram-level") {
+    val s = spark
+    import s.implicits._
+    // 40 identical docs: ids span both splits, every trigram is in-train.
+    val docs = (1L to 40L)
+      .map(id => (id, "alpha beta gamma alpha beta gamma alpha beta", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = LmOps.trigramBackoff(docs).cache()
+    assert(out.count() == 40)
+    assert(out.filter(col("n_tri") =!= col("n_trigrams")).count() == 0)
+    assert(out.select(countDistinct(col("backoff_e4"))).collect()(0).getLong(0) == 1)
+  }
+
+  test("held-out all-OOV doc scores exactly zero; shared-boilerplate doc outscores it") {
+    val s = spark
+    import s.implicits._
+    val oov = heldOutId(1000L)
+    val boiler = heldOutId(oov + 1)
+    val base = (1L to 30L).map(trainId).distinct
+      .map(id => (id, "the quick brown fox jumps over the lazy dog again", "en", "web"))
+    val docs = (base :+
+      ((oov, "zzq wwk vvm zzq wwk vvm zzq", "en", "web")) :+
+      ((boiler, "the quick brown fox jumps over the lazy dog", "en", "web")))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = LmOps.trigramBackoff(docs).cache()
+    val oovRow = out.filter(col("doc_id") === oov).collect()(0)
+    assert(oovRow.getAs[Long]("backoff_e4") == 0L, "no token of the OOV doc is in-train")
+    assert(oovRow.getAs[Long]("n_tri") == 0L && oovRow.getAs[Long]("n_bi") == 0L
+      && oovRow.getAs[Long]("n_uni") == 0L)
+    val boilerScore = out.filter(col("doc_id") === boiler)
+      .collect()(0).getAs[Long]("backoff_e4")
+    assert(boilerScore > 0L, "held-out doc made of in-train trigrams must score")
+  }
+
+  test("plan: equi-joins only — the single nested loop is the broadcast scalar N") {
+    val docs = Tables.documents(spark, sf)
+    val full = LmOps.trigramBackoff(docs).queryExecution.executedPlan.toString
+    // AQE prints the pre-adaptive plan too; gate only the final one
+    val plan = full.split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct"), s"cartesian in backoff plan:\n$plan")
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(nlj <= 1, s"expected at most the scalar-N nested loop, got $nlj:\n$plan")
+  }
+}
