@@ -101,5 +101,7 @@ object GraftCatalog {
       .createOrReplaceTempView("bpe_fertility")
     graft.operators.LmOps.trigramBackoff(docs)
       .createOrReplaceTempView("trigram_backoff")
+    graft.operators.LmOps.dsirWeights(docs)
+      .createOrReplaceTempView("dsir_weights")
   }
 }

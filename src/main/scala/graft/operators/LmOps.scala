@@ -113,13 +113,78 @@ object LmOps {
         floor(col("s_sum_e9").cast("double") / col("n_trigrams") / 100000L + 0.5)
           .cast("long").as("backoff_e4"))
   }
+  /** Hashed-feature bucket count for [[dsirWeights]] — small enough that
+    * the bucket-ratio table always broadcasts, large enough that bucket
+    * collisions wash out (the paper uses 10k buckets at web scale; the
+    * ratio table is B rows regardless of corpus size). */
+  val DsirBuckets = 512L
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): each doc scored by how
+    * much its hashed-bigram distribution looks like a curated TARGET
+    * corpus relative to the RAW corpus. Target here = the
+    * [[CurationOps.gopherRules]]-passing subset (the repo's quality
+    * reference); raw = everything. Per bucket b: add-one-smoothed
+    * probability ratio (t_b+1)(R+B) / ((r_b+1)(T+B)); per doc: the
+    * count-weighted arithmetic mean of its instances' bucket ratios —
+    * the arithmetic variant of the paper's log-product weight (same
+    * tradeoff as [[CurationOps.bigramFluency]]: monotone filtering
+    * signal, zero transcendentals, so the oracle is bit-exact).
+    * Selection is then top-k by `imp_e6` (the paper's deterministic
+    * top-k alternative to Gumbel resampling) via orderBy/limit or a
+    * threshold — both engine-trivial on this output.
+    *
+    * Shape at 100 TB: two single-pass groupBys build the B-row bucket
+    * tables (map-side combined; B = [[DsirBuckets]]); the ratio table
+    * broadcasts; scoring is one broadcast hash join over the instance
+    * stream plus one map-side-combined groupBy(doc_id). No self-joins,
+    * no windows over the corpus. Docs under 2 tokens have no bigram and
+    * are absent. */
+  def dsirWeights(docs: DataFrame): DataFrame = {
+    val B = DsirBuckets
+    val target = CurationOps.gopherRules(docs)
+      .filter(col("pass")).select(col("doc_id").as("t_id"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val inst = graft.Caching.maybeCache(
+      docs
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+        .withColumn("t1", lead("tok", 1).over(w))
+        .filter(col("t1").isNotNull)
+        .join(target, col("doc_id") === col("t_id"), "left")
+        .select(
+          col("doc_id"),
+          (stableHash60(concat_ws(" ", col("tok"), col("t1"))) % B).as("b"),
+          col("t_id").isNotNull.as("in_target")))
+
+    val raw = inst.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgt = inst.filter(col("in_target")).groupBy("b").agg(count(lit(1)).as("ct"))
+    val totals = inst.select(
+      count(lit(1)).as("rn"),
+      sum(when(col("in_target"), 1L).otherwise(0L)).as("tn"))
+    val ratio = raw
+      .join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        floor((coalesce(col("ct"), lit(0L)) + 1) / (col("cr") + 1)
+          * ((col("rn") + B) / (col("tn") + B)) * 1000000L + 0.5)
+          .cast("long").as("ratio_e6"))
+
+    inst
+      .join(broadcast(ratio), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("ratio_e6")).as("r_sum"))
+      .select(col("doc_id"), col("n_feats"),
+        floor(col("r_sum").cast("double") / col("n_feats") + 0.5)
+          .cast("long").as("imp_e6"))
+  }
 }
 
 object LmPack extends graft.QueryPack {
   private def d(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "trigram_backoff" -> ((s, dir) => LmOps.trigramBackoff(d(s, dir)))
+    "trigram_backoff" -> ((s, dir) => LmOps.trigramBackoff(d(s, dir))),
+    "dsir_weights" -> ((s, dir) => LmOps.dsirWeights(d(s, dir)))
   )
 
   /** The split-bucket predicate, identical to the Spark side's
@@ -179,6 +244,55 @@ object LmPack extends graft.QueryPack {
          |       CAST(SUM(CASE WHEN lvl = 'bi' THEN cnt ELSE 0 END) AS BIGINT) AS n_bi,
          |       CAST(SUM(CASE WHEN lvl = 'uni' THEN cnt ELSE 0 END) AS BIGINT) AS n_uni,
          |       CAST(FLOOR(CAST(SUM(cnt * s_e9) AS DOUBLE) / SUM(cnt) / 100000 + 0.5) AS BIGINT) AS backoff_e4
-         |FROM s GROUP BY doc_id""".stripMargin
+         |FROM s GROUP BY doc_id""".stripMargin,
+    "dsir_weights" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+         |),
+         |agg AS (
+         |  SELECT doc_id,
+         |         CAST(COUNT(*) AS BIGINT) AS n_words,
+         |         CAST(SUM(len(tok)) AS BIGINT) AS n_chars,
+         |         CAST(SUM(CASE WHEN tok IN ('the','a','of','to','and','in','is','that') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+         |         CAST(SUM(CASE WHEN regexp_matches(tok, '[a-zA-Z]') THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha
+         |  FROM toks GROUP BY doc_id
+         |),
+         |tgt AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, n_words,
+         |           CAST(FLOOR(CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS mwl_e4,
+         |           CAST(FLOOR(CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS stop_e4,
+         |           CAST(FLOOR(CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS alpha_e4
+         |    FROM agg
+         |  ) WHERE (n_words BETWEEN 50 AND 100000) AND (mwl_e4 BETWEEN 30000 AND 100000)
+         |          AND stop_e4 >= 600 AND alpha_e4 >= 8000
+         |),
+         |ta AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |inst AS (
+         |  SELECT ta.doc_id,
+         |         CAST(CAST(('0x' || substring(md5(t[i] || ' ' || t[i+1]), 18, 15)) AS UBIGINT) % ${LmOps.DsirBuckets} AS BIGINT) AS b,
+         |         tgt.doc_id IS NOT NULL AS in_target
+         |  FROM ta LEFT JOIN tgt ON ta.doc_id = tgt.doc_id,
+         |       range(1, ${OracleLimits.MaxDocTokens}) r(i)
+         |  WHERE i + 1 <= len(t)
+         |),
+         |raw AS (SELECT b, COUNT(*) AS cr FROM inst GROUP BY b),
+         |tg AS (SELECT b, COUNT(*) AS ct FROM inst WHERE in_target GROUP BY b),
+         |tot AS (
+         |  SELECT COUNT(*) AS rn,
+         |         SUM(CASE WHEN in_target THEN 1 ELSE 0 END) AS tn
+         |  FROM inst
+         |),
+         |ratio AS (
+         |  SELECT raw.b,
+         |         CAST(FLOOR((COALESCE(tg.ct, 0) + 1) / (raw.cr + 1)
+         |           * ((tot.rn + ${LmOps.DsirBuckets}) / (tot.tn + ${LmOps.DsirBuckets})) * 1000000 + 0.5) AS BIGINT) AS ratio_e6
+         |  FROM raw LEFT JOIN tg ON raw.b = tg.b, tot
+         |)
+         |SELECT inst.doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_feats,
+         |       CAST(FLOOR(CAST(SUM(ratio_e6) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS imp_e6
+         |FROM inst JOIN ratio ON inst.b = ratio.b
+         |GROUP BY inst.doc_id""".stripMargin
   )
 }

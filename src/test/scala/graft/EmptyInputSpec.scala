@@ -50,6 +50,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(CurationOps.curated(emptyDocs).count() == 0)
     assert(CurationOps.bigramFluency(emptyDocs).count() == 0)
     assert(LmOps.trigramBackoff(emptyDocs).count() == 0)
+    assert(LmOps.dsirWeights(emptyDocs).count() == 0)
   }
 
   test("text and multimodal families return empty on an empty corpus") {

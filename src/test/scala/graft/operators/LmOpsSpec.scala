@@ -87,6 +87,44 @@ class LmOpsSpec extends SparkSpec {
     assert(boilerScore > 0L, "held-out doc made of in-train trigrams must score")
   }
 
+  test("dsir: full bigram coverage, target docs outweigh non-target on average") {
+    val docs = Tables.documents(spark, sf)
+    val out = LmOps.dsirWeights(docs).cache()
+    val eligible = docs.filter(size(split(col("text"), " ")) >= 2).count()
+    assert(out.count() == eligible, "every >=2-token doc must be weighted")
+    assert(out.filter(col("imp_e6") < 0).count() == 0)
+    val tgt = CurationOps.gopherRules(docs).filter(col("pass")).select("doc_id")
+    assert(tgt.count() > 0, "fixture must have gopher-passing docs for a meaningful target")
+    val joined = out.join(tgt.withColumn("t", lit(1)), Seq("doc_id"), "left")
+    val Array(tgtMean, rawMean) = joined
+      .agg(
+        avg(when(col("t").isNotNull, col("imp_e6"))),
+        avg(when(col("t").isNull, col("imp_e6"))))
+      .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(tgtMean > rawMean,
+      s"importance weights must separate target ($tgtMean) from non-target ($rawMean)")
+  }
+
+  test("dsir: a doc written in target-style n-grams outweighs a gibberish doc") {
+    val s = spark
+    import s.implicits._
+    // 30 target-quality docs (long, stopword-rich), 5 gibberish docs, one
+    // short probe of each style: the probes are what DSIR must separate.
+    // mean word length must clear the gopher 3.0 floor for these to be target
+    val tgtText = ("the quick brown fox jumps over the lazy dog and the bird flies to the house " * 5).trim
+    val gibText = "xqz wvk pfm djn bhr " * 12
+    val docs = (
+      (1L to 30L).map(id => (id, tgtText, "en", "web")) ++
+        (31L to 35L).map(id => (id, gibText.trim, "en", "spam")) :+
+        ((40L, "the quick brown fox jumps over the lazy dog", "en", "probe")) :+
+        ((41L, "xqz wvk pfm djn", "en", "probe"))
+      ).toDF("doc_id", "text", "lang", "source")
+    val out = LmOps.dsirWeights(docs).cache()
+    val good = out.filter(col("doc_id") === 40L).collect()(0).getAs[Long]("imp_e6")
+    val bad = out.filter(col("doc_id") === 41L).collect()(0).getAs[Long]("imp_e6")
+    assert(good > bad, s"target-style probe ($good) must outweigh gibberish probe ($bad)")
+  }
+
   test("plan: equi-joins only — the single nested loop is the broadcast scalar N") {
     val docs = Tables.documents(spark, sf)
     val full = LmOps.trigramBackoff(docs).queryExecution.executedPlan.toString
