@@ -113,6 +113,40 @@ object LmOps {
         floor(col("s_sum_e9").cast("double") / col("n_trigrams") / 100000L + 0.5)
           .cast("long").as("backoff_e4"))
   }
+  /** A trained stupid-backoff trigram LM as data: the three count tables
+    * plus the train-token total — everything the backoff ladder needs.
+    * Produced offline by [[trainTrigramLm]]; consumed at serve time by
+    * streaming/StreamingOps.backoffScoreStream via stream-static joins
+    * (the trigram analogue of [[CurationOps.BigramLm]]). */
+  case class TrigramLm(uni: DataFrame, bi: DataFrame, tri: DataFrame, nTokens: Long)
+
+  /** Train the [[TrigramLm]] on the SAME md5-bucket half of the corpus
+    * that [[trigramBackoff]] trains on, so the streaming scorer is the
+    * exact serve-time twin of the batch query (differential-tested).
+    * Count tables are cached — they are the static side of every
+    * stream-static join downstream; the token total is materialized
+    * eagerly (one scalar action) because the stream scorer needs it as a
+    * literal. */
+  def trainTrigramLm(docs: DataFrame): TrigramLm = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val inst = docs
+      .filter(stableHash60(col("doc_id").cast("string")) % 100L < TrainBuckets)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("t1", lead("tok", 1).over(w))
+      .withColumn("t2", lead("tok", 2).over(w))
+    val uni = graft.Caching.maybeCache(
+      inst.groupBy(col("tok").as("u")).agg(count(lit(1)).as("cu")))
+    val bi = graft.Caching.maybeCache(
+      inst.filter(col("t1").isNotNull)
+        .groupBy(col("tok").as("ba"), col("t1").as("bb")).agg(count(lit(1)).as("cb")))
+    val tri = graft.Caching.maybeCache(
+      inst.filter(col("t2").isNotNull)
+        .groupBy(col("tok").as("ta"), col("t1").as("tb"), col("t2").as("tc"))
+        .agg(count(lit(1)).as("ct")))
+    val n = inst.count()
+    TrigramLm(uni, bi, tri, n)
+  }
+
   /** Hashed-feature bucket count for [[dsirWeights]] — small enough that
     * the bucket-ratio table always broadcasts, large enough that bucket
     * collisions wash out (the paper uses 10k buckets at web scale; the

@@ -370,6 +370,69 @@ object StreamingOps {
           .cast("long").as("fluency_e4"))
   }
 
+  /** Score-at-ingest twin of operators/LmOps.trigramBackoff: each arriving
+    * doc scored under an offline-trained stupid-backoff [[graft.operators
+    * .LmOps.TrigramLm]] via stream-static left joins (the count tables are
+    * the static side; unseen n-grams fall down the 0.4-backoff ladder
+    * exactly as in batch — same CASE, same fixed-point arithmetic, so
+    * scoring the training corpus reproduces trigramBackoff bit-for-bit,
+    * differential-tested). Per-doc fold is a watermark-bounded windowed
+    * aggregation like [[fluencyScoreStream]]; state is bounded by the
+    * watermark, the LM by its own top-K pruning at scale. */
+  def backoffScoreStream(
+      docs: DataFrame,
+      lm: graft.operators.LmOps.TrigramLm,
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    // guard BEFORE sequence(): n < 3 would step the sequence DOWN
+    val idx = when(n >= lit(3), sequence(lit(1), n - 2))
+      .otherwise(array().cast("array<int>"))
+    val tris = docs
+      .withColumn("__tg", explode(transform(idx, i =>
+        struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"),
+          element_at(toks, i + 2).as("w3")))))
+      .select(col("doc_id"), col("ingest_ts"),
+        col("__tg.w1").as("w1"), col("__tg.w2").as("w2"), col("__tg.w3").as("w3"))
+    val sE9 =
+      when(col("ct").isNotNull,
+        floor(col("ct") / col("c12").cast("double") * 1000000000L + 0.5).cast("long"))
+        .when(col("c23").isNotNull,
+          floor(col("c23") * lit(400000000.0) / col("c2") + 0.5).cast("long"))
+        .when(col("c3").isNotNull,
+          floor(col("c3") * lit(160000000.0) / lit(lm.nTokens) + 0.5).cast("long"))
+        .otherwise(lit(0L))
+    val lvl =
+      when(col("ct").isNotNull, "tri")
+        .when(col("c23").isNotNull, "bi")
+        .when(col("c3").isNotNull, "uni")
+        .otherwise("oov")
+    tris
+      .withWatermark("ingest_ts", watermark)
+      .join(lm.tri,
+        col("w1") === col("ta") && col("w2") === col("tb") && col("w3") === col("tc"), "left")
+      .join(lm.bi.as("ctx"), col("w1") === col("ctx.ba") && col("w2") === col("ctx.bb"), "left")
+      .join(lm.bi.as("b2"), col("w2") === col("b2.ba") && col("w3") === col("b2.bb"), "left")
+      .join(lm.uni.as("u2"), col("w2") === col("u2.u"), "left")
+      .join(lm.uni.as("u3"), col("w3") === col("u3.u"), "left")
+      .select(col("doc_id"), col("ingest_ts"),
+        col("ct"), col("ctx.cb").as("c12"), col("b2.cb").as("c23"),
+        col("u2.cu").as("c2"), col("u3.cu").as("c3"))
+      .withColumn("s_e9", sE9).withColumn("lvl", lvl)
+      .groupBy(window(col("ingest_ts"), watermark), col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_trigrams"),
+        sum(when(col("lvl") === "tri", 1L).otherwise(0L)).as("n_tri"),
+        sum(when(col("lvl") === "bi", 1L).otherwise(0L)).as("n_bi"),
+        sum(when(col("lvl") === "uni", 1L).otherwise(0L)).as("n_uni"),
+        sum(col("s_e9")).as("s_sum_e9"))
+      .select(
+        col("doc_id"), col("n_trigrams"), col("n_tri"), col("n_bi"), col("n_uni"),
+        floor(col("s_sum_e9").cast("double") / col("n_trigrams") / 100000L + 0.5)
+          .cast("long").as("backoff_e4"))
+  }
+
   case class ServerSeen(server: String)
   case class NewServer(server: String, firstSeen: java.sql.Timestamp)
 

@@ -313,6 +313,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("backoff gate scores the corpus identically to batch trigramBackoff") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val docs = graft.sources.Tables.documents(s, sf)
+      .select("doc_id", "text").orderBy("doc_id").limit(60).cache()
+    // LM trains on the same md5 half trigramBackoff trains on, so the
+    // stream scorer must reproduce the batch query on every doc —
+    // including held-out docs going down the backoff ladder.
+    val lm = graft.operators.LmOps.trainTrigramLm(docs)
+    val expected = graft.operators.LmOps.trigramBackoff(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingOps.backoffScoreStream(
+      input.toDF().toDF("doc_id", "text", "ingest_ts"), lm)
+      .writeStream.format("memory").queryName("backoff_out").outputMode("append").start()
+    try {
+      input.addData(docs.collect().map(r => (r.getLong(0), r.getString(1), ts(0))).toSeq: _*)
+      q.processAllAvailable()
+      // far-future doc advances the watermark so the first window closes
+      input.addData((999999L, "a b c", Timestamp.valueOf("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val got = s.sql(
+        "SELECT doc_id, n_trigrams, n_tri, n_bi, n_uni, backoff_e4 FROM backoff_out WHERE doc_id < 999999")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      assert(got == expected,
+        s"stream-only: ${(got -- expected).take(3)}; batch-only: ${(expected -- got).take(3)}")
+    } finally q.stop()
+  }
+
   test("fluency gate scores the training corpus identically to batch bigramFluency") {
     val s = spark
     import s.implicits._
