@@ -103,5 +103,7 @@ object GraftCatalog {
       .createOrReplaceTempView("trigram_backoff")
     graft.operators.LmOps.dsirWeights(docs)
       .createOrReplaceTempView("dsir_weights")
+    graft.operators.DedupOps.sourceOverlap(docs, spark)
+      .createOrReplaceTempView("source_overlap")
   }
 }

@@ -607,6 +607,43 @@ object DedupOps {
       .unionByName(row("embedding", embScored, embVer))
   }
 
+  /** Cross-source overlap matrix: near-dup pairs ([[simhashDedup]])
+    * labeled with their endpoints' sources and rolled up per unordered
+    * source pair, normalized by the pair universe (n_a·n_b across
+    * sources, n·(n-1)/2 within) into a mirror rate. This is the "is
+    * src3 a mirror of src0" curation question: a high cross-source rate
+    * means one source republishes another and should be capped or
+    * dropped BEFORE spending dedup compute on its docs. Cost on top of
+    * the pair set: two joins against the slim (doc_id, source) frame
+    * and a groupBy over at most |sources|² rows; the per-source count
+    * frame is broadcast. Rate denominator is computed in doubles — at
+    * corpus scale n_a·n_b overflows a long, and the rate is a
+    * statistic, not a key. */
+  def sourceOverlap(docs: DataFrame, spark: SparkSession): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    val sizes = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = simhashDedup(docs, spark)
+      .join(src.as("s1"), col("da") === col("s1.doc_id"))
+      .join(src.as("s2"), col("db") === col("s2.doc_id"))
+      .select(
+        least(col("s1.source"), col("s2.source")).as("source_a"),
+        greatest(col("s1.source"), col("s2.source")).as("source_b"))
+    pairs
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .join(broadcast(sizes.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n", "na")), Seq("source_a"))
+      .join(broadcast(sizes.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n", "nb")), Seq("source_b"))
+      .select(
+        col("source_a"), col("source_b"), col("n_pairs"), col("na"), col("nb"),
+        floor(col("n_pairs") /
+          when(col("source_a") === col("source_b"),
+            col("na") * (col("na") - 1) / lit(2.0))
+            .otherwise(col("na").cast("double") * col("nb")) * 1000000000L + 0.5)
+          .cast("long").as("rate_e9"))
+  }
+
   /** Incremental near-dup: flag each new-batch doc (doc_id >=
     * `watermarkId` in the fixture; a date/partition predicate in
     * production) against the EXISTING corpus — the near-dup analogue of
@@ -659,7 +696,8 @@ object DedupPack extends QueryPack {
       DedupOps.blockerPairRecall(d(s, dir), Tables.embeddings(s, dir), s,
         samplePct = Some(RecallSamplePct))),
     "blocker_precision" -> ((s, dir) =>
-      DedupOps.blockerCandidateStats(d(s, dir), Tables.embeddings(s, dir), s))
+      DedupOps.blockerCandidateStats(d(s, dir), Tables.embeddings(s, dir), s)),
+    "source_overlap" -> ((s, dir) => DedupOps.sourceOverlap(d(s, dir), s))
   )
 
   /** Shared SQL: distinct (doc_id, 31-bit shingle hash) postings. */
@@ -850,6 +888,31 @@ object DedupPack extends QueryPack {
          |)
          |SELECT da, db, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
          |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
+    "source_overlap" ->
+      s"""WITH $simhashBandSql,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db, a.simhash AS sa, b2.simhash AS sb
+         |  FROM bf a JOIN bf b2
+         |    ON a.b = b2.b AND a.band_val = b2.band_val AND a.doc_id < b2.doc_id
+         |),
+         |nd AS (SELECT da, db FROM pairs WHERE bit_count(xor(sa, sb)) <= 3),
+         |lbl AS (
+         |  SELECT least(s1.source, s2.source) AS source_a,
+         |         greatest(s1.source, s2.source) AS source_b
+         |  FROM nd JOIN documents s1 ON nd.da = s1.doc_id
+         |          JOIN documents s2 ON nd.db = s2.doc_id
+         |),
+         |mat AS (
+         |  SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |  FROM lbl GROUP BY source_a, source_b
+         |),
+         |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source)
+         |SELECT m.source_a, m.source_b, m.n_pairs, sa.n AS na, sb.n AS nb,
+         |       CAST(FLOOR(m.n_pairs /
+         |         (CASE WHEN m.source_a = m.source_b THEN sa.n * (sa.n - 1) / 2.0
+         |               ELSE CAST(sa.n AS DOUBLE) * sb.n END) * 1000000000 + 0.5) AS BIGINT) AS rate_e9
+         |FROM mat m JOIN sz sa ON m.source_a = sa.source
+         |           JOIN sz sb ON m.source_b = sb.source""".stripMargin,
     "incr_neardup" ->
       s"""WITH $simhashBandSql,
          |pairs AS (

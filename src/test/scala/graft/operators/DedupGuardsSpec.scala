@@ -261,4 +261,36 @@ class DedupGuardsSpec extends SparkSpec {
       assert(res.passed, res.status.toString)
     }
   }
+
+  test("source overlap: a planted mirror source tops the cross-source rate matrix") {
+    val s = spark
+    import s.implicits._
+    // src_o is original content; src_m republishes it doc-for-doc (the
+    // mirror case the matrix exists to expose); src_u is unrelated.
+    def text(i: Long) =
+      s"alpha$i bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docs = (
+      (1L to 20L).map(i => (i, text(i), "en", "src_o")) ++
+        (21L to 40L).map(i => (i, text(i - 20), "en", "src_m")) ++
+        (41L to 60L).map(i => (i, s"november$i oscar$i papa$i quebec$i romeo$i sierra$i tango$i uniform$i victor$i whiskey$i xray$i", "en", "src_u"))
+      ).toDF("doc_id", "text", "lang", "source")
+    val out = DedupOps.sourceOverlap(docs, s).cache()
+    val cross = out.filter(col("source_a") =!= col("source_b")).collect()
+    assert(cross.nonEmpty, "the mirror must produce cross-source pairs")
+    assert(cross.forall(r =>
+      Set(r.getAs[String]("source_a"), r.getAs[String]("source_b")) == Set("src_m", "src_o")),
+      s"only the mirror pair may appear cross-source, got ${cross.toSeq}")
+    // 20 mirrored docs over a 20x20 pair universe: at least the 20 exact
+    // mirror pairs (near-identical texts may add a few more); the mirror
+    // rate must dominate every within-source rate.
+    val m = cross.head
+    assert(m.getAs[Long]("n_pairs") >= 20L && m.getAs[Long]("rate_e9") >= 50000000L,
+      s"mirror rate must cover the doc-for-doc copies, got $m")
+    val maxWithin = out.filter(col("source_a") === col("source_b"))
+      .agg(coalesce(max("rate_e9"), lit(0L))).collect()(0).getLong(0)
+    assert(m.getAs[Long]("rate_e9") > maxWithin,
+      s"mirror rate ${m.getAs[Long]("rate_e9")} must top within-source $maxWithin")
+    assert(out.filter(col("source_a") > col("source_b")).count() == 0,
+      "matrix keys are unordered pairs (source_a <= source_b)")
+  }
 }
