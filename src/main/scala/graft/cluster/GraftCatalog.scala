@@ -105,5 +105,7 @@ object GraftCatalog {
       .createOrReplaceTempView("dsir_weights")
     graft.operators.DedupOps.sourceOverlap(docs, spark)
       .createOrReplaceTempView("source_overlap")
+    graft.operators.CurationOps.cascadePlan(docs)
+      .createOrReplaceTempView("cascade_plan")
   }
 }

@@ -245,6 +245,72 @@ object CurationOps {
           col("stop_e4") >= 600L && col("alpha_e4") >= 8000L)
   }
 
+  /** Repetition thresholds for the cascade planner's keep-predicates:
+    * docs above either fraction are rejected by the corresponding rule. */
+  val CascadeDupBigramMax = 2000L
+  val CascadeTopTokenMax = 1500L
+
+  /** Cost-based ordering of the curation filter cascade — the classic
+    * query-optimizer predicate-ordering problem applied to data
+    * curation. Each keep-rule gets a static per-doc evaluation cost
+    * (metadata equality 1, token-aggregate rules 4, bigram/window rules
+    * 6 — relative units) and a measured selectivity from one pass over
+    * the corpus; the plan orders rules by rejections-per-cost
+    * descending, i.e. cheapest-rejects-first, which minimizes expected
+    * evaluation cost per doc under rule independence (the same greedy
+    * rule Catalyst-style optimizers use for conjunctive predicates).
+    * Output per rule: cost, failure count, selectivity, reject-per-cost
+    * and the resulting execution order.
+    *
+    * Shape at 100 TB: the signals reuse the gopher/repetition aggregates
+    * (token-stream groupBys, map-side combined); the rollup is one
+    * 7-column aggregate unpivoted to 7 rows — the window that ranks
+    * them runs on 7 rows, not the corpus. Null-signal docs (too short
+    * to have the statistic) FAIL structural rules (an empty doc is not
+    * quality) but PASS repetition rules (nothing repeats in 1 token);
+    * both defaults are explicit in the predicate. */
+  def cascadePlan(docs: DataFrame): DataFrame = {
+    val sig = gopherRules(docs).drop("pass")
+    val rep = repBigramFrac(docs).select(col("doc_id"), col("dup_frac_e4"))
+    val top = repTopToken(docs).select(col("doc_id"), col("rep_ratio_e4"))
+    val j = docs.select(col("doc_id"), col("lang"))
+      .join(sig, Seq("doc_id"), "left")
+      .join(rep, Seq("doc_id"), "left")
+      .join(top, Seq("doc_id"), "left")
+    def fails(keep: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      sum(when(coalesce(keep, lit(false)), 0L).otherwise(1L))
+    val a = j.agg(
+      count(lit(1)).as("n"),
+      fails(col("lang") === "en").as("f_lang"),
+      fails(col("n_words").between(50, 100000)).as("f_wc"),
+      fails(col("mwl_e4").between(30000L, 100000L)).as("f_mwl"),
+      fails(col("stop_e4") >= 600L).as("f_stop"),
+      fails(col("alpha_e4") >= 8000L).as("f_alpha"),
+      sum(when(coalesce(col("dup_frac_e4") <= CascadeDupBigramMax, lit(true)), 0L)
+        .otherwise(1L)).as("f_dup"),
+      sum(when(coalesce(col("rep_ratio_e4") <= CascadeTopTokenMax, lit(true)), 0L)
+        .otherwise(1L)).as("f_top"))
+    // empty corpus: no rule stats rather than 7 rows of nulls
+    val rules = a.filter(col("n") > 0).select(col("n"), expr(
+      """stack(7,
+        |  'lang_en', 1L, f_lang,
+        |  'word_count', 4L, f_wc,
+        |  'mean_word_len', 4L, f_mwl,
+        |  'stopword_frac', 4L, f_stop,
+        |  'alpha_frac', 4L, f_alpha,
+        |  'dup_bigram', 6L, f_dup,
+        |  'top_token', 6L, f_top) AS (rule, cost_u, n_fail)""".stripMargin))
+    val scored = rules.select(
+      col("rule"), col("cost_u"), col("n").as("n_docs"), col("n_fail"),
+      floor((col("n") - col("n_fail")) / col("n").cast("double") * 10000 + 0.5)
+        .cast("long").as("sel_e4"),
+      floor(col("n_fail") / col("n").cast("double") / col("cost_u") * 1000000 + 0.5)
+        .cast("long").as("rpc_e6"))
+    // 7 rows: the single-partition window is over the RULE table, never the corpus
+    val w = Window.orderBy(col("rpc_e6").desc, col("rule"))
+    scored.withColumn("exec_order", row_number().over(w).cast("long"))
+  }
+
   /** Context-length bucket boundaries for the packing plan. */
   val PackBuckets: Seq[Int] = Seq(16, 32, 48, 64, 96, 128)
 
@@ -744,7 +810,8 @@ object CurationPack extends QueryPack {
     "bpe_merges" -> ((s, dir) => CurationOps.bpeMerges(d(s, dir))),
     "bpe_fertility" -> ((s, dir) => CurationOps.bpeEncodeStats(d(s, dir))),
     "token_budget" -> ((s, dir) => CurationOps.tokenBudgetCut(d(s, dir))),
-    "token_boundary" -> ((s, dir) => CurationOps.tokenBudgetBoundary(d(s, dir)))
+    "token_boundary" -> ((s, dir) => CurationOps.tokenBudgetBoundary(d(s, dir))),
+    "cascade_plan" -> ((s, dir) => CurationOps.cascadePlan(d(s, dir)))
   )
 
   // Shared shingle CTE: identical to the dedup oracles' 3-gram pipeline
@@ -827,6 +894,83 @@ object CurationPack extends QueryPack {
         |  FROM documents
         |)
         |SELECT doc_id, lang, bucket FROM b WHERE bucket < rate""".stripMargin,
+    "cascade_plan" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |),
+        |agg AS (
+        |  SELECT doc_id,
+        |         CAST(COUNT(*) AS BIGINT) AS n_words,
+        |         CAST(SUM(len(tok)) AS BIGINT) AS n_chars,
+        |         CAST(SUM(CASE WHEN tok IN ('the','a','of','to','and','in','is','that') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+        |         CAST(SUM(CASE WHEN regexp_matches(tok, '[a-zA-Z]') THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha
+        |  FROM toks GROUP BY doc_id
+        |),
+        |sig AS (
+        |  SELECT doc_id, n_words,
+        |         CAST(FLOOR(CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS mwl_e4,
+        |         CAST(FLOOR(CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS stop_e4,
+        |         CAST(FLOOR(CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS alpha_e4
+        |  FROM agg
+        |),
+        |ta AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+        |  FROM ta, range(1, ${OracleLimits.MaxDocTokens}) r(i) WHERE i + 1 <= len(t)
+        |),
+        |rep AS (
+        |  SELECT doc_id,
+        |         CAST(FLOOR((1.0 - COUNT(DISTINCT bg) / CAST(COUNT(*) AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS dup_frac_e4
+        |  FROM bg GROUP BY doc_id
+        |),
+        |counts AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY doc_id, tok),
+        |topt AS (
+        |  SELECT doc_id,
+        |         CAST(FLOOR(cnt / CAST(n_tokens AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS rep_ratio_e4
+        |  FROM (
+        |    SELECT doc_id, cnt,
+        |           SUM(cnt) OVER (PARTITION BY doc_id) AS n_tokens,
+        |           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok) AS rn
+        |    FROM counts
+        |  ) WHERE rn = 1
+        |),
+        |j AS (
+        |  SELECT d.doc_id, d.lang, s.n_words, s.mwl_e4, s.stop_e4, s.alpha_e4,
+        |         r.dup_frac_e4, t2.rep_ratio_e4
+        |  FROM documents d
+        |  LEFT JOIN sig s ON d.doc_id = s.doc_id
+        |  LEFT JOIN rep r ON d.doc_id = r.doc_id
+        |  LEFT JOIN topt t2 ON d.doc_id = t2.doc_id
+        |),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CASE WHEN COALESCE(lang = 'en', false) THEN 0 ELSE 1 END) AS BIGINT) AS f_lang,
+        |         CAST(SUM(CASE WHEN COALESCE(n_words BETWEEN 50 AND 100000, false) THEN 0 ELSE 1 END) AS BIGINT) AS f_wc,
+        |         CAST(SUM(CASE WHEN COALESCE(mwl_e4 BETWEEN 30000 AND 100000, false) THEN 0 ELSE 1 END) AS BIGINT) AS f_mwl,
+        |         CAST(SUM(CASE WHEN COALESCE(stop_e4 >= 600, false) THEN 0 ELSE 1 END) AS BIGINT) AS f_stop,
+        |         CAST(SUM(CASE WHEN COALESCE(alpha_e4 >= 8000, false) THEN 0 ELSE 1 END) AS BIGINT) AS f_alpha,
+        |         CAST(SUM(CASE WHEN COALESCE(dup_frac_e4 <= ${CurationOps.CascadeDupBigramMax}, true) THEN 0 ELSE 1 END) AS BIGINT) AS f_dup,
+        |         CAST(SUM(CASE WHEN COALESCE(rep_ratio_e4 <= ${CurationOps.CascadeTopTokenMax}, true) THEN 0 ELSE 1 END) AS BIGINT) AS f_top
+        |  FROM j
+        |),
+        |rules AS (
+        |  SELECT 'lang_en' AS rule, CAST(1 AS BIGINT) AS cost_u, f_lang AS n_fail, n FROM a
+        |  UNION ALL SELECT 'word_count', CAST(4 AS BIGINT), f_wc, n FROM a
+        |  UNION ALL SELECT 'mean_word_len', CAST(4 AS BIGINT), f_mwl, n FROM a
+        |  UNION ALL SELECT 'stopword_frac', CAST(4 AS BIGINT), f_stop, n FROM a
+        |  UNION ALL SELECT 'alpha_frac', CAST(4 AS BIGINT), f_alpha, n FROM a
+        |  UNION ALL SELECT 'dup_bigram', CAST(6 AS BIGINT), f_dup, n FROM a
+        |  UNION ALL SELECT 'top_token', CAST(6 AS BIGINT), f_top, n FROM a
+        |),
+        |scored AS (
+        |  SELECT rule, cost_u, n AS n_docs, n_fail,
+        |         CAST(FLOOR((n - n_fail) / CAST(n AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS sel_e4,
+        |         CAST(FLOOR(n_fail / CAST(n AS DOUBLE) / cost_u * 1000000 + 0.5) AS BIGINT) AS rpc_e6
+        |  FROM rules
+        |)
+        |SELECT rule, cost_u, n_docs, n_fail, sel_e4, rpc_e6,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY rpc_e6 DESC, rule) AS BIGINT) AS exec_order
+        |FROM scored""".stripMargin,
     "rep_top_token" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents

@@ -253,4 +253,33 @@ class CurationSpec extends SparkSpec {
     assert(tvJ("src0") > tvJ.filter(_._1 != "src0").values.max,
       s"degenerate source should lead the drift board: $tvJ")
   }
+
+  test("cascade plan: 7 rules, exec order is a permutation sorted by reject-per-cost") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val rows = CurationOps.cascadePlan(docs).collect()
+    assert(rows.length == 7)
+    assert(rows.map(_.getAs[Long]("exec_order")).sorted.toSeq == (1L to 7L))
+    val byOrder = rows.sortBy(_.getAs[Long]("exec_order"))
+    assert(byOrder.map(_.getAs[Long]("rpc_e6")).toSeq ==
+      byOrder.map(_.getAs[Long]("rpc_e6")).sortBy(-_).toSeq,
+      "execution order must be non-increasing in rejections-per-cost")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_fail") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("sel_e4") >= 0L && r.getAs[Long]("sel_e4") <= 10000L)
+    }
+  }
+
+  test("cascade plan: a cheap high-rejection rule is scheduled first") {
+    val s = spark
+    import s.implicits._
+    // 90% non-English docs: lang_en rejects 90% at cost 1 — nothing beats
+    // rejections-per-cost ~0.9; it must head the cascade.
+    val docs = (1L to 100L).map { i =>
+      val lang = if (i <= 90) "de" else "en"
+      (i, "the quick brown fox jumps over the lazy dog and runs on", lang, "web")
+    }.toDF("doc_id", "text", "lang", "source")
+    val first = CurationOps.cascadePlan(docs).filter(col("exec_order") === 1L)
+      .collect()(0)
+    assert(first.getAs[String]("rule") == "lang_en", s"got $first")
+  }
 }
