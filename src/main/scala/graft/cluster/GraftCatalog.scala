@@ -107,5 +107,7 @@ object GraftCatalog {
       .createOrReplaceTempView("source_overlap")
     graft.operators.CurationOps.cascadePlan(docs)
       .createOrReplaceTempView("cascade_plan")
+    graft.operators.AnnOps.knnGraph(embs, spark)
+      .createOrReplaceTempView("knn_graph")
   }
 }

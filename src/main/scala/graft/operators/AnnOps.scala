@@ -405,6 +405,36 @@ object AnnOps {
     nearDupScored(embeddings, spark, numPlanes, bucketCap)
       .filter(col("cosine_e4") >= thresholdE4)
 
+  /** k-NN graph over the embedding corpus — the primitive SemDeDup-style
+    * semantic clustering and SNN/HDBSCAN pipelines consume. Candidate
+    * edges come from the same capped LSH blocking as [[nearDupPairs]]
+    * (each undirected bucket pair scored once, then oriented both ways),
+    * ranked per node by cosine; `k` nearest survive. An APPROXIMATE
+    * graph by construction: nodes only see their bucket (raise
+    * `numPlanes` resolution or use the multi-probe blocker upstream for
+    * more connectivity — the recall harness prices that choice).
+    * Isolated nodes (singleton or dropped buckets) are absent, as in
+    * every capped blocker here.
+    *
+    * Shape at 100 TB: pair scoring is bucket-local (the [[nearDupScored]]
+    * guarantee — vectors never shuffle corpus-wide); the per-node top-k
+    * window shuffles slim (vec_id, nbr_id, cosine) edges on vec_id,
+    * bounded by the bucket cap at `bucketCap`·|buckets| edges total. */
+  def knnGraph(
+      embeddings: DataFrame,
+      spark: SparkSession,
+      k: Int = 3,
+      numPlanes: Int = NumPlanes,
+      bucketCap: Long = MaxEmbBucket): DataFrame = {
+    val cand = nearDupScored(embeddings, spark, numPlanes, bucketCap)
+    val directed = cand
+      .select(col("va").as("vec_id"), col("vb").as("nbr_id"), col("cosine_e4"))
+      .unionByName(cand
+        .select(col("vb").as("vec_id"), col("va").as("nbr_id"), col("cosine_e4")))
+    val w = Window.partitionBy("vec_id").orderBy(col("cosine_e4").desc, col("nbr_id"))
+    directed.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** Multi-probe variant of [[nearDupPairs]] (à la multi-probe LSH): each
     * vector probes its home bucket plus the `numPlanes` single-bit flips
     * — and, at `bitFlips = 2`, the C(planes, 2) double flips — so pairs
@@ -797,7 +827,8 @@ object AnnPack extends QueryPack {
     "trunc_recall" -> ((s, dir) => AnnOps.annRecall(e(s, dir), s, index = "trunc16")),
     "trunc8_recall" -> ((s, dir) => AnnOps.annRecall(e(s, dir), s, index = "trunc8")),
     "ann_trunc_rr" -> ((s, dir) => AnnOps.truncRerankTopK(e(s, dir))),
-    "truncr_recall" -> ((s, dir) => AnnOps.annRecall(e(s, dir), s, index = "trunc_rerank"))
+    "truncr_recall" -> ((s, dir) => AnnOps.annRecall(e(s, dir), s, index = "trunc_rerank")),
+    "knn_graph" -> ((s, dir) => AnnOps.knnGraph(e(s, dir), s))
   )
 
   private[operators] val normSql =
@@ -1513,6 +1544,20 @@ object AnnPack extends QueryPack {
          |       CAST($cosSql AS BIGINT) AS cosine_e4
          |FROM nb qa JOIN nb ca ON qa.bucket = ca.bucket AND qa.vec_id < ca.vec_id
          |WHERE $cosSql >= 4000""".stripMargin,
+    "knn_graph" ->
+      s"""WITH $normSql, $bucketSql,
+         |bok AS (SELECT bucket FROM bk GROUP BY bucket HAVING COUNT(*) <= ${AnnOps.MaxEmbBucket}),
+         |nb AS (SELECT n.vec_id, n.v, n.nrm, bk.bucket FROM n JOIN bk ON n.vec_id = bk.vec_id
+         |       JOIN bok ON bk.bucket = bok.bucket),
+         |edges AS (
+         |  SELECT qa.vec_id AS vec_id, ca.vec_id AS nbr_id,
+         |         CAST($cosSql AS BIGINT) AS cosine_e4
+         |  FROM nb qa JOIN nb ca ON qa.bucket = ca.bucket AND qa.vec_id <> ca.vec_id
+         |)
+         |SELECT vec_id, nbr_id, cosine_e4, rnk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine_e4 DESC, nbr_id) AS rnk
+         |  FROM edges
+         |) WHERE rnk <= 3""".stripMargin,
     "emb_near_dups_mp" ->
       s"""WITH $normSql, $bucketSql,
          |bok AS (SELECT bucket FROM bk GROUP BY bucket HAVING COUNT(*) <= ${AnnOps.MaxEmbBucket}),

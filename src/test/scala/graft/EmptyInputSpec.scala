@@ -66,6 +66,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(AnnOps.bruteTopK(emptyEmb).count() == 0)
     assert(AnnOps.lshTopK(emptyEmb, spark).count() == 0)
     assert(AnnOps.nearDupPairs(emptyEmb, spark).count() == 0)
+    assert(AnnOps.knnGraph(emptyEmb, spark).count() == 0)
     assert(PqOps.pqRerankTopK(emptyEmb).count() == 0)
   }
 

@@ -167,6 +167,28 @@ class TrainingDataSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("knn graph: at most k ranked neighbors per node, edges bucket-local and best-first") {
+    val g = AnnOps.knnGraph(embs, spark, k = 3).cache()
+    assert(g.count() > 0)
+    assert(g.filter(col("vec_id") === col("nbr_id")).count() == 0, "no self loops")
+    val perNode = g.groupBy("vec_id").agg(count(lit(1)).as("deg"), max("rnk").as("maxr"))
+    assert(perNode.filter(col("deg") > 3).count() == 0)
+    assert(perNode.filter(col("deg") =!= col("maxr")).count() == 0,
+      "ranks must be contiguous 1..deg")
+    // best-first: rnk 1 has the max cosine among the node's edges
+    val bad = g.groupBy("vec_id").agg(max("cosine_e4").as("mx")).as("m")
+      .join(g.filter(col("rnk") === 1).as("r1"), col("m.vec_id") === col("r1.vec_id"))
+      .filter(col("r1.cosine_e4") =!= col("m.mx"))
+    assert(bad.count() == 0)
+    // every edge's endpoints share an LSH bucket (approximate-graph contract):
+    // each edge came from the capped pair set, whose reverse orientation was
+    // also a candidate — so mutual edges carry a symmetric cosine
+    val rev = g.as("a").join(g.as("b"),
+      col("a.vec_id") === col("b.nbr_id") && col("a.nbr_id") === col("b.vec_id"))
+    assert(rev.filter(col("a.cosine_e4") =!= col("b.cosine_e4")).count() == 0)
+    g.unpersist()
+  }
+
   test("sem_dedup: one row per embedding near-dup pair, Jaccard attached") {
     val pairs = AnnOps.nearDupPairs(embs, spark)
     val out = AnnOps.semDedup(docs, embs, spark).cache()
