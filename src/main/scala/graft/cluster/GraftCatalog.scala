@@ -109,5 +109,7 @@ object GraftCatalog {
       .createOrReplaceTempView("cascade_plan")
     graft.operators.AnnOps.knnGraph(embs, spark)
       .createOrReplaceTempView("knn_graph")
+    graft.operators.CurationOps.curationFunnel(docs)
+      .createOrReplaceTempView("curation_funnel")
   }
 }

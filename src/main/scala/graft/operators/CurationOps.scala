@@ -311,6 +311,63 @@ object CurationOps {
     scored.withColumn("exec_order", row_number().over(w).cast("long"))
   }
 
+  /** The curation funnel: docs and tokens surviving each pipeline stage
+    * — raw → exact dedup → near-dup cluster keep → quality pass →
+    * source cap — as one 5-row observability report (the number a
+    * pipeline owner reads before/after every config change: where does
+    * the corpus actually shrink, in docs AND tokens, and what reaches
+    * training). Stages compose CUMULATIVELY in the order [[curated]]
+    * applies them; each keep-set is the existing operator's own
+    * ([[DedupOps.exact]] canonicals, [[GraphOps.dedupClusters]] cluster
+    * minima, [[gopherRules]] pass, [[sourceCaps]] survivors), so the
+    * funnel can never drift from the pipeline it reports on.
+    *
+    * Shape at 100 TB: four slim keep-set joins on doc_id (each the
+    * operator's own linear plan) into one map-side-combined 10-column
+    * aggregate; the stack unpivot runs on ONE row. */
+  def curationFunnel(docs: DataFrame): DataFrame = {
+    val base = docs.select(
+      col("doc_id"), size(tokens(col("text"))).cast("long").as("n_toks"))
+    val exactDrop = DedupOps.exact(docs)
+      .filter(col("doc_id") =!= col("canonical_id")).select("doc_id")
+    val nearDrop = GraphOps.dedupClusters(docs)
+      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    val qualKeep = gopherRules(docs).filter(col("pass")).select("doc_id")
+    val capKeep = sourceCaps(docs).select("doc_id")
+    val flags = base
+      .join(exactDrop.withColumn("xd", lit(1)), Seq("doc_id"), "left")
+      .join(nearDrop.withColumn("nd", lit(1)), Seq("doc_id"), "left")
+      .join(qualKeep.withColumn("qk", lit(1)), Seq("doc_id"), "left")
+      .join(capKeep.withColumn("ck", lit(1)), Seq("doc_id"), "left")
+      .select(col("n_toks"),
+        col("xd").isNull.as("s1"),
+        (col("xd").isNull && col("nd").isNull).as("s2"),
+        (col("xd").isNull && col("nd").isNull && col("qk").isNotNull).as("s3"),
+        (col("xd").isNull && col("nd").isNull && col("qk").isNotNull
+          && col("ck").isNotNull).as("s4"))
+    def dsum(f: org.apache.spark.sql.Column) = sum(when(f, 1L).otherwise(0L))
+    def tsum(f: org.apache.spark.sql.Column) = sum(when(f, col("n_toks")).otherwise(0L))
+    val a = flags.agg(
+      count(lit(1)).as("n0"), sum(col("n_toks")).as("t0"),
+      dsum(col("s1")).as("n1"), tsum(col("s1")).as("t1"),
+      dsum(col("s2")).as("n2"), tsum(col("s2")).as("t2"),
+      dsum(col("s3")).as("n3"), tsum(col("s3")).as("t3"),
+      dsum(col("s4")).as("n4"), tsum(col("s4")).as("t4"))
+      .filter(col("n0") > 0) // empty corpus: no funnel rows, not 5 nulls
+    a.select(col("n0"), col("t0"), expr(
+      """stack(5,
+        |  'raw', 0L, n0, t0,
+        |  'exact_dedup', 1L, n1, t1,
+        |  'neardup_dedup', 2L, n2, t2,
+        |  'quality', 3L, n3, t3,
+        |  'source_cap', 4L, n4, t4) AS (stage, ord, n_docs, n_tokens)""".stripMargin))
+      .select(col("stage"), col("ord"), col("n_docs"), col("n_tokens"),
+        floor(col("n_docs") / col("n0").cast("double") * 10000 + 0.5)
+          .cast("long").as("doc_pct_e4"),
+        floor(col("n_tokens") / col("t0").cast("double") * 10000 + 0.5)
+          .cast("long").as("tok_pct_e4"))
+  }
+
   /** Context-length bucket boundaries for the packing plan. */
   val PackBuckets: Seq[Int] = Seq(16, 32, 48, 64, 96, 128)
 
@@ -811,7 +868,8 @@ object CurationPack extends QueryPack {
     "bpe_fertility" -> ((s, dir) => CurationOps.bpeEncodeStats(d(s, dir))),
     "token_budget" -> ((s, dir) => CurationOps.tokenBudgetCut(d(s, dir))),
     "token_boundary" -> ((s, dir) => CurationOps.tokenBudgetBoundary(d(s, dir))),
-    "cascade_plan" -> ((s, dir) => CurationOps.cascadePlan(d(s, dir)))
+    "cascade_plan" -> ((s, dir) => CurationOps.cascadePlan(d(s, dir))),
+    "curation_funnel" -> ((s, dir) => CurationOps.curationFunnel(d(s, dir)))
   )
 
   // Shared shingle CTE: identical to the dedup oracles' 3-gram pipeline
@@ -894,6 +952,81 @@ object CurationPack extends QueryPack {
         |  FROM documents
         |)
         |SELECT doc_id, lang, bucket FROM b WHERE bucket < rate""".stripMargin,
+    "curation_funnel" ->
+      s"""WITH RECURSIVE ${GraphPack.ClustersCte},
+        |fx AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string((string_split(text, ' '))[1:5], ' ')) AS dup_key
+        |  FROM documents
+        |),
+        |fg AS (
+        |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY dup_key) AS canonical_id FROM fx
+        |),
+        |ftoks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |),
+        |fagg AS (
+        |  SELECT doc_id,
+        |         CAST(COUNT(*) AS BIGINT) AS n_words,
+        |         CAST(SUM(len(tok)) AS BIGINT) AS n_chars,
+        |         CAST(SUM(CASE WHEN tok IN ('the','a','of','to','and','in','is','that') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+        |         CAST(SUM(CASE WHEN regexp_matches(tok, '[a-zA-Z]') THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha
+        |  FROM ftoks GROUP BY doc_id
+        |),
+        |fq AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, n_words,
+        |           CAST(FLOOR(CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS mwl_e4,
+        |           CAST(FLOOR(CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS stop_e4,
+        |           CAST(FLOOR(CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS alpha_e4
+        |    FROM fagg
+        |  ) WHERE (n_words BETWEEN 50 AND 100000) AND (mwl_e4 BETWEEN 30000 AND 100000)
+        |          AND stop_e4 >= 600 AND alpha_e4 >= 8000
+        |),
+        |fc AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |           ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+        |             CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 18, 15)) AS UBIGINT) AS BIGINT), doc_id) AS rk
+        |    FROM documents
+        |  ) WHERE rk <= 15
+        |),
+        |flags AS (
+        |  SELECT CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks,
+        |         fg.doc_id = fg.canonical_id AS s1,
+        |         fg.doc_id = fg.canonical_id AND l.doc_id IS NULL AS s2,
+        |         fg.doc_id = fg.canonical_id AND l.doc_id IS NULL AND fq.doc_id IS NOT NULL AS s3,
+        |         fg.doc_id = fg.canonical_id AND l.doc_id IS NULL AND fq.doc_id IS NOT NULL
+        |           AND fc.doc_id IS NOT NULL AS s4
+        |  FROM documents d
+        |  JOIN fg ON d.doc_id = fg.doc_id
+        |  LEFT JOIN labels l ON d.doc_id = l.doc_id AND l.doc_id <> l.cluster_id
+        |  LEFT JOIN fq ON d.doc_id = fq.doc_id
+        |  LEFT JOIN fc ON d.doc_id = fc.doc_id
+        |),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n0, CAST(SUM(n_toks) AS BIGINT) AS t0,
+        |         CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(SUM(CASE WHEN s1 THEN n_toks ELSE 0 END) AS BIGINT) AS t1,
+        |         CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |         CAST(SUM(CASE WHEN s2 THEN n_toks ELSE 0 END) AS BIGINT) AS t2,
+        |         CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |         CAST(SUM(CASE WHEN s3 THEN n_toks ELSE 0 END) AS BIGINT) AS t3,
+        |         CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+        |         CAST(SUM(CASE WHEN s4 THEN n_toks ELSE 0 END) AS BIGINT) AS t4
+        |  FROM flags
+        |),
+        |st AS (
+        |  SELECT 'raw' AS stage, CAST(0 AS BIGINT) AS ord, n0 AS n_docs, t0 AS n_tokens, n0, t0 FROM a
+        |  UNION ALL SELECT 'exact_dedup', CAST(1 AS BIGINT), n1, t1, n0, t0 FROM a
+        |  UNION ALL SELECT 'neardup_dedup', CAST(2 AS BIGINT), n2, t2, n0, t0 FROM a
+        |  UNION ALL SELECT 'quality', CAST(3 AS BIGINT), n3, t3, n0, t0 FROM a
+        |  UNION ALL SELECT 'source_cap', CAST(4 AS BIGINT), n4, t4, n0, t0 FROM a
+        |)
+        |SELECT stage, ord, n_docs, n_tokens,
+        |       CAST(FLOOR(n_docs / CAST(n0 AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS doc_pct_e4,
+        |       CAST(FLOOR(n_tokens / CAST(t0 AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS tok_pct_e4
+        |FROM st""".stripMargin,
     "cascade_plan" ->
       s"""WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents

@@ -269,6 +269,26 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("curation funnel: monotone non-increasing, raw totals exact, final stage = curated()") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val rows = CurationOps.curationFunnel(docs).collect().sortBy(_.getAs[Long]("ord"))
+    assert(rows.length == 5)
+    val nd = rows.map(_.getAs[Long]("n_docs"))
+    val nt = rows.map(_.getAs[Long]("n_tokens"))
+    assert(nd.zip(nd.tail).forall { case (a, b) => b <= a }, s"docs not monotone: ${nd.toSeq}")
+    assert(nt.zip(nt.tail).forall { case (a, b) => b <= a }, s"tokens not monotone: ${nt.toSeq}")
+    assert(nd.head == docs.count())
+    assert(rows.head.getAs[Long]("doc_pct_e4") == 10000L)
+    // the funnel's terminal stage must agree with the shipped curated()
+    // corpus PLUS the exact-dedup stage the funnel adds in front
+    val exactDrops = graft.operators.DedupOps.exact(docs)
+      .filter(col("doc_id") =!= col("canonical_id")).select("doc_id")
+    val curatedN = CurationOps.curated(docs)
+      .join(exactDrops, Seq("doc_id"), "left_anti").count()
+    assert(nd.last == curatedN,
+      s"funnel end ${nd.last} vs curated-minus-exact-dups $curatedN")
+  }
+
   test("cascade plan: a cheap high-rejection rule is scheduled first") {
     val s = spark
     import s.implicits._

@@ -53,6 +53,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(LmOps.trigramBackoff(emptyDocs).count() == 0)
     assert(LmOps.dsirWeights(emptyDocs).count() == 0)
     assert(CurationOps.cascadePlan(emptyDocs).count() == 0)
+    assert(CurationOps.curationFunnel(emptyDocs).count() == 0)
   }
 
   test("text and multimodal families return empty on an empty corpus") {
