@@ -147,6 +147,50 @@ object LmOps {
     TrigramLm(uni, bi, tri, n)
   }
 
+  /** A trained DSIR scorer as data: the B-row bucket-ratio table plus the
+    * ratio an UNSEEN bucket gets (t=0, r=0 under the same add-one
+    * smoothing — possible at serve time, impossible in batch where every
+    * scored instance is also a raw-corpus instance). Consumed by
+    * streaming/StreamingOps.dsirScoreStream via a stream-static join. */
+  case class DsirModel(ratio: DataFrame, defaultRatioE6: Long)
+
+  /** Train the [[DsirModel]] on a corpus: the exact bucket-ratio frame
+    * [[dsirWeights]] builds internally, cached (it is the static side of
+    * every stream-static join downstream), plus the unseen-bucket
+    * default materialized as a literal (one scalar action). */
+  def trainDsir(docs: DataFrame): DsirModel = {
+    val B = DsirBuckets
+    val target = CurationOps.gopherRules(docs)
+      .filter(col("pass")).select(col("doc_id").as("t_id"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val inst = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("t1", lead("tok", 1).over(w))
+      .filter(col("t1").isNotNull)
+      .join(target, col("doc_id") === col("t_id"), "left")
+      .select(
+        col("doc_id"),
+        (stableHash60(concat_ws(" ", col("tok"), col("t1"))) % B).as("b"),
+        col("t_id").isNotNull.as("in_target"))
+    val raw = inst.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgt = inst.filter(col("in_target")).groupBy("b").agg(count(lit(1)).as("ct"))
+    val totals = inst.select(
+      count(lit(1)).as("rn"),
+      sum(when(col("in_target"), 1L).otherwise(0L)).as("tn"))
+    val ratio = graft.Caching.maybeCache(raw
+      .join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        floor((coalesce(col("ct"), lit(0L)) + 1) / (col("cr") + 1)
+          * ((col("rn") + B) / (col("tn") + B)) * 1000000L + 0.5)
+          .cast("long").as("ratio_e6")))
+    val d = totals
+      .select(floor((lit(0L) + 1) / (lit(0L) + 1).cast("double")
+        * ((col("rn") + B) / (col("tn") + B)) * 1000000L + 0.5).cast("long"))
+      .collect()(0).getLong(0)
+    DsirModel(ratio, d)
+  }
+
   /** Hashed-feature bucket count for [[dsirWeights]] — small enough that
     * the bucket-ratio table always broadcasts, large enough that bucket
     * collisions wash out (the paper uses 10k buckets at web scale; the

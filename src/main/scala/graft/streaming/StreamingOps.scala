@@ -433,6 +433,38 @@ object StreamingOps {
           .cast("long").as("backoff_e4"))
   }
 
+  /** Score-at-ingest twin of operators/LmOps.dsirWeights: each arriving
+    * doc's hashed-bigram buckets join the offline-trained B-row ratio
+    * table (stream-static, broadcastable at any corpus size); buckets
+    * never seen in the reference corpus get the model's explicit unseen
+    * default instead of silently dropping. Scoring the training corpus
+    * reproduces the batch weights exactly (differential-tested) — there
+    * every bucket hits, so the default path never fires. */
+  def dsirScoreStream(
+      docs: DataFrame,
+      model: graft.operators.LmOps.DsirModel,
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.functions.TextFunctions.{stableHash60, tokens}
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    // guard BEFORE sequence(): n < 2 would step the sequence DOWN
+    val idx = when(n >= lit(2), sequence(lit(1), n - 1))
+      .otherwise(array().cast("array<int>"))
+    docs
+      .withColumn("__bg", explode(transform(idx, i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))))
+      .select(col("doc_id"), col("ingest_ts"),
+        (stableHash60(col("__bg")) % graft.operators.LmOps.DsirBuckets).as("b"))
+      .withWatermark("ingest_ts", watermark)
+      .join(model.ratio, Seq("b"), "left")
+      .withColumn("r_e6", coalesce(col("ratio_e6"), lit(model.defaultRatioE6)))
+      .groupBy(window(col("ingest_ts"), watermark), col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("r_e6")).as("r_sum"))
+      .select(col("doc_id"), col("n_feats"),
+        floor(col("r_sum").cast("double") / col("n_feats") + 0.5)
+          .cast("long").as("imp_e6"))
+  }
+
   case class ServerSeen(server: String)
   case class NewServer(server: String, firstSeen: java.sql.Timestamp)
 

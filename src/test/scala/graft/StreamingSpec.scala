@@ -346,6 +346,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dsir gate scores the corpus identically to batch; unseen buckets get the default") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val docs = graft.sources.Tables.documents(s, sf)
+      .orderBy("doc_id").limit(60).cache()
+    val model = graft.operators.LmOps.trainDsir(docs)
+    val expected = graft.operators.LmOps.dsirWeights(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingOps.dsirScoreStream(
+      input.toDF().toDF("doc_id", "text", "ingest_ts"), model)
+      .writeStream.format("memory").queryName("dsir_out").outputMode("append").start()
+    try {
+      // the corpus, plus a doc of never-seen tokens: all-default buckets
+      input.addData(docs.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1), ts(0))).toSeq: _*)
+      input.addData((777777L, "qqj wzx vbn mlk", ts(1)))
+      q.processAllAvailable()
+      input.addData((999999L, "a b", Timestamp.valueOf("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val got = s.sql(
+        "SELECT doc_id, n_feats, imp_e6 FROM dsir_out WHERE doc_id < 777777")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected,
+        s"stream-only: ${(got -- expected).take(3)}; batch-only: ${(expected -- got).take(3)}")
+      // the novel doc scores exactly what the model lookup (hit OR the
+      // unseen-bucket default) says — recomputed batch-side here
+      val wantNovel = Seq("qqj wzx", "wzx vbn", "vbn mlk").toDF("bg")
+        .select((graft.functions.TextFunctions.stableHash60(col("bg"))
+          % graft.operators.LmOps.DsirBuckets).as("b"))
+        .join(model.ratio, Seq("b"), "left")
+        .agg(floor(sum(coalesce(col("ratio_e6"), lit(model.defaultRatioE6)))
+          .cast("double") / count(lit(1)) + 0.5).cast("long"))
+        .collect()(0).getLong(0)
+      val novel = s.sql("SELECT n_feats, imp_e6 FROM dsir_out WHERE doc_id = 777777")
+        .collect()(0)
+      assert(novel.getLong(0) == 3L && novel.getLong(1) == wantNovel,
+        s"novel doc must score the model lookup exactly, got $novel (want $wantNovel)")
+    } finally q.stop()
+  }
+
   test("fluency gate scores the training corpus identically to batch bigramFluency") {
     val s = spark
     import s.implicits._
