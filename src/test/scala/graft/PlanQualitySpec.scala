@@ -78,6 +78,34 @@ class PlanQualitySpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  test("dsir: ratio table joins by broadcast hash on the bucket; doc fold map-side combined") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val plan = physical(graft.operators.LmOps.dsirWeights(docs))
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin [b#") || plan.contains("BroadcastHashJoin [b"),
+      s"bucket-ratio join must broadcast the B-row table:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"per-doc fold must have a map-side partial aggregate:\n$plan")
+  }
+
+  test("knn graph: bucket-local equi joins only, no corpus-wide nested loop") {
+    val embs = graft.sources.Tables.embeddings(spark, sf)
+    val plan = physical(graft.operators.AnnOps.knnGraph(embs, spark))
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct"), s"cartesian in knn graph:\n$plan")
+    // the candidate pair join must be an equi join KEYED ON THE BUCKET;
+    // the only nested loops allowed are the 8-row plane replications
+    // inside buckets() (BuildRight broadcast of a range, not the corpus)
+    assert(plan.contains("Join [bucket") || plan.contains("Join [bucket#")
+      || "(SortMerge|BroadcastHash|ShuffledHash)Join \\[bucket".r.findFirstIn(plan).nonEmpty,
+      s"knn graph candidates must meet through the bucket equi-join:\n$plan")
+    val nljNotPlaneReplication = plan.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin"))
+      .filterNot(_.contains("BuildRight, Cross")).toSeq
+    assert(nljNotPlaneReplication.isEmpty,
+      s"unexpected nested loop beyond the plane replication:\n$nljNotPlaneReplication")
+  }
+
   test("corpus-derived dup/pair sets carry no forced broadcast hint") {
     // dedup_keep / curated anti-join the duplicate doc_id set; longest_span
     // joins the near-dup pair list. All three sets are O(corpus) at scale
