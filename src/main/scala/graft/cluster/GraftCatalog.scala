@@ -111,5 +111,7 @@ object GraftCatalog {
       .createOrReplaceTempView("knn_graph")
     graft.operators.CurationOps.curationFunnel(docs)
       .createOrReplaceTempView("curation_funnel")
+    graft.operators.LmOps.scoreCorr(docs)
+      .createOrReplaceTempView("score_corr")
   }
 }

@@ -255,6 +255,52 @@ object LmOps {
         floor(col("r_sum").cast("double") / col("n_feats") + 0.5)
           .cast("long").as("imp_e6"))
   }
+  /** Cross-score calibration report: exact Pearson correlations between
+    * the three per-doc quality signals the engine ships — the heuristic
+    * [[TextOps.quality]] score, the LM [[CurationOps.bigramFluency]], and
+    * the [[dsirWeights]] importance weight. This is the "does the cheap
+    * filter predict the expensive one" question a curation owner asks
+    * before swapping filters; a low correlation means the cascade stages
+    * are measuring different things (keep both), a high one means the
+    * cheaper stage can gate earlier (see [[CurationOps.cascadePlan]]).
+    *
+    * Arithmetic discipline: all five moments accumulate in
+    * decimal(38,0) (exact at any corpus size — sums of e4/e6 scores
+    * cross 2^63 around 10^13 docs, and the oracle's 128-bit HUGEINT
+    * matches decimal(38,0) exactly); only the final r computation drops
+    * to doubles, identically parenthesized in both engines. One inner
+    * 3-way join on doc_id, one map-side-combined 10-sum aggregate; the
+    * unpivot runs on a single row. */
+  def scoreCorr(docs: DataFrame): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val q = TextOps.quality(docs).select(col("doc_id"), col("quality_e4").as("xq"))
+    val f = CurationOps.bigramFluency(docs).select(col("doc_id"), col("fluency_e4").as("xf"))
+    val dz = dsirWeights(docs).select(col("doc_id"), col("imp_e6").as("xd"))
+    val a = q.join(f, Seq("doc_id")).join(dz, Seq("doc_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("xq"))).as("sq"), sum(dec(col("xf"))).as("sf"),
+        sum(dec(col("xd"))).as("sd"),
+        sum(dec(col("xq")) * dec(col("xq"))).as("sqq"),
+        sum(dec(col("xf")) * dec(col("xf"))).as("sff"),
+        sum(dec(col("xd")) * dec(col("xd"))).as("sdd"),
+        sum(dec(col("xq")) * dec(col("xf"))).as("sqf"),
+        sum(dec(col("xq")) * dec(col("xd"))).as("sqd"),
+        sum(dec(col("xf")) * dec(col("xd"))).as("sfd"))
+      .filter(col("n") > 0)
+    val rows = a.select(col("n"), expr(
+      """stack(3,
+        |  'quality_vs_fluency', sq, sf, sqq, sff, sqf,
+        |  'quality_vs_dsir', sq, sd, sqq, sdd, sqd,
+        |  'fluency_vs_dsir', sf, sd, sff, sdd, sfd) AS (pair, sx, sy, sxx, syy, sxy)""".stripMargin))
+    val nD = dec(col("n"))
+    val num = (nD * col("sxy") - col("sx") * col("sy")).cast("double")
+    val vx = (nD * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vy = (nD * col("syy") - col("sy") * col("sy")).cast("double")
+    rows.select(col("pair"), col("n"),
+      when(vx > 0 && vy > 0,
+        floor(num / sqrt(vx * vy) * 10000 + 0.5).cast("long")).as("corr_e4"))
+  }
 }
 
 object LmPack extends graft.QueryPack {
@@ -262,13 +308,68 @@ object LmPack extends graft.QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "trigram_backoff" -> ((s, dir) => LmOps.trigramBackoff(d(s, dir))),
-    "dsir_weights" -> ((s, dir) => LmOps.dsirWeights(d(s, dir)))
+    "dsir_weights" -> ((s, dir) => LmOps.dsirWeights(d(s, dir))),
+    "score_corr" -> ((s, dir) => LmOps.scoreCorr(d(s, dir)))
   )
 
   /** The split-bucket predicate, identical to the Spark side's
     * stableHash60(doc_id) % 100 < TrainBuckets. */
   private val InTrain =
     s"CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 18, 15)) AS UBIGINT) % 100 AS BIGINT) < ${LmOps.TrainBuckets}"
+
+  /** The full DSIR chain as CTEs ending in `dw(doc_id, n_feats, imp_e6)`
+    * — shared by the dsir_weights and score_corr oracles. */
+  private val DsirCtes =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |),
+       |agg AS (
+       |  SELECT doc_id,
+       |         CAST(COUNT(*) AS BIGINT) AS n_words,
+       |         CAST(SUM(len(tok)) AS BIGINT) AS n_chars,
+       |         CAST(SUM(CASE WHEN tok IN ('the','a','of','to','and','in','is','that') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+       |         CAST(SUM(CASE WHEN regexp_matches(tok, '[a-zA-Z]') THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha
+       |  FROM toks GROUP BY doc_id
+       |),
+       |tgt AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, n_words,
+       |           CAST(FLOOR(CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS mwl_e4,
+       |           CAST(FLOOR(CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS stop_e4,
+       |           CAST(FLOOR(CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS alpha_e4
+       |    FROM agg
+       |  ) WHERE (n_words BETWEEN 50 AND 100000) AND (mwl_e4 BETWEEN 30000 AND 100000)
+       |          AND stop_e4 >= 600 AND alpha_e4 >= 8000
+       |),
+       |ta AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |inst AS (
+       |  SELECT ta.doc_id,
+       |         CAST(CAST(('0x' || substring(md5(t[i] || ' ' || t[i+1]), 18, 15)) AS UBIGINT) % ${LmOps.DsirBuckets} AS BIGINT) AS b,
+       |         tgt.doc_id IS NOT NULL AS in_target
+       |  FROM ta LEFT JOIN tgt ON ta.doc_id = tgt.doc_id,
+       |       range(1, ${OracleLimits.MaxDocTokens}) r(i)
+       |  WHERE i + 1 <= len(t)
+       |),
+       |raw AS (SELECT b, COUNT(*) AS cr FROM inst GROUP BY b),
+       |tg AS (SELECT b, COUNT(*) AS ct FROM inst WHERE in_target GROUP BY b),
+       |tot AS (
+       |  SELECT COUNT(*) AS rn,
+       |         SUM(CASE WHEN in_target THEN 1 ELSE 0 END) AS tn
+       |  FROM inst
+       |),
+       |ratio AS (
+       |  SELECT raw.b,
+       |         CAST(FLOOR((COALESCE(tg.ct, 0) + 1) / (raw.cr + 1)
+       |           * ((tot.rn + ${LmOps.DsirBuckets}) / (tot.tn + ${LmOps.DsirBuckets})) * 1000000 + 0.5) AS BIGINT) AS ratio_e6
+       |  FROM raw LEFT JOIN tg ON raw.b = tg.b, tot
+       |),
+       |dw AS (
+       |  SELECT inst.doc_id,
+       |         CAST(COUNT(*) AS BIGINT) AS n_feats,
+       |         CAST(FLOOR(CAST(SUM(ratio_e6) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS imp_e6
+       |  FROM inst JOIN ratio ON inst.b = ratio.b
+       |  GROUP BY inst.doc_id
+       |)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
     "trigram_backoff" ->
@@ -324,53 +425,64 @@ object LmPack extends graft.QueryPack {
          |       CAST(FLOOR(CAST(SUM(cnt * s_e9) AS DOUBLE) / SUM(cnt) / 100000 + 0.5) AS BIGINT) AS backoff_e4
          |FROM s GROUP BY doc_id""".stripMargin,
     "dsir_weights" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      s"""WITH $DsirCtes
+         |SELECT doc_id, n_feats, imp_e6 FROM dw""".stripMargin,
+    "score_corr" ->
+      s"""WITH $DsirCtes,
+         |qt AS (
+         |  SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS qtoks
+         |  FROM documents
          |),
-         |agg AS (
+         |qual AS (
          |  SELECT doc_id,
-         |         CAST(COUNT(*) AS BIGINT) AS n_words,
-         |         CAST(SUM(len(tok)) AS BIGINT) AS n_chars,
-         |         CAST(SUM(CASE WHEN tok IN ('the','a','of','to','and','in','is','that') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
-         |         CAST(SUM(CASE WHEN regexp_matches(tok, '[a-zA-Z]') THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha
-         |  FROM toks GROUP BY doc_id
+         |         CAST(FLOOR(((len(list_filter(qtoks, x -> x IN ('the','a','of','and','to','in','is','on'))) / CAST(len(qtoks) AS DOUBLE)) * 100.0
+         |                     + (n_chars - (len(qtoks) - 1)) / CAST(len(qtoks) AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS xq
+         |  FROM qt
          |),
-         |tgt AS (
-         |  SELECT doc_id FROM (
-         |    SELECT doc_id, n_words,
-         |           CAST(FLOOR(CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS mwl_e4,
-         |           CAST(FLOOR(CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS stop_e4,
-         |           CAST(FLOOR(CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS alpha_e4
-         |    FROM agg
-         |  ) WHERE (n_words BETWEEN 50 AND 100000) AND (mwl_e4 BETWEEN 30000 AND 100000)
-         |          AND stop_e4 >= 600 AND alpha_e4 >= 8000
+         |fbg AS (
+         |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+         |  FROM ta, range(1, ${OracleLimits.MaxDocTokens}) r(i) WHERE i + 1 <= len(t)
          |),
-         |ta AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |inst AS (
-         |  SELECT ta.doc_id,
-         |         CAST(CAST(('0x' || substring(md5(t[i] || ' ' || t[i+1]), 18, 15)) AS UBIGINT) % ${LmOps.DsirBuckets} AS BIGINT) AS b,
-         |         tgt.doc_id IS NOT NULL AS in_target
-         |  FROM ta LEFT JOIN tgt ON ta.doc_id = tgt.doc_id,
-         |       range(1, ${OracleLimits.MaxDocTokens}) r(i)
-         |  WHERE i + 1 <= len(t)
+         |funi AS (SELECT w1, COUNT(*) AS c1 FROM fbg GROUP BY w1),
+         |fbi AS (SELECT w1, w2, COUNT(*) AS c12 FROM fbg GROUP BY w1, w2),
+         |fvs AS (SELECT COUNT(DISTINCT w2) AS v FROM fbg),
+         |fsc AS (
+         |  SELECT fbg.doc_id,
+         |         CAST(FLOOR((fbi.c12 + 1) / CAST(funi.c1 + fvs.v AS DOUBLE) * 1000000000 + 0.5) AS BIGINT) AS p_e9
+         |  FROM fbg JOIN fbi ON fbg.w1 = fbi.w1 AND fbg.w2 = fbi.w2
+         |           JOIN funi ON fbg.w1 = funi.w1, fvs
          |),
-         |raw AS (SELECT b, COUNT(*) AS cr FROM inst GROUP BY b),
-         |tg AS (SELECT b, COUNT(*) AS ct FROM inst WHERE in_target GROUP BY b),
-         |tot AS (
-         |  SELECT COUNT(*) AS rn,
-         |         SUM(CASE WHEN in_target THEN 1 ELSE 0 END) AS tn
-         |  FROM inst
+         |flu AS (
+         |  SELECT doc_id,
+         |         CAST(FLOOR(CAST(SUM(p_e9) AS DOUBLE) / COUNT(*) / 100000 + 0.5) AS BIGINT) AS xf
+         |  FROM fsc GROUP BY doc_id
          |),
-         |ratio AS (
-         |  SELECT raw.b,
-         |         CAST(FLOOR((COALESCE(tg.ct, 0) + 1) / (raw.cr + 1)
-         |           * ((tot.rn + ${LmOps.DsirBuckets}) / (tot.tn + ${LmOps.DsirBuckets})) * 1000000 + 0.5) AS BIGINT) AS ratio_e6
-         |  FROM raw LEFT JOIN tg ON raw.b = tg.b, tot
+         |z AS (
+         |  SELECT q.xq, f.xf, d.imp_e6 AS xd
+         |  FROM qual q JOIN flu f ON q.doc_id = f.doc_id
+         |              JOIN dw d ON q.doc_id = d.doc_id
+         |),
+         |a AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |         SUM(CAST(xq AS HUGEINT)) AS sq, SUM(CAST(xf AS HUGEINT)) AS sf,
+         |         SUM(CAST(xd AS HUGEINT)) AS sd,
+         |         SUM(CAST(xq AS HUGEINT) * xq) AS sqq, SUM(CAST(xf AS HUGEINT) * xf) AS sff,
+         |         SUM(CAST(xd AS HUGEINT) * xd) AS sdd,
+         |         SUM(CAST(xq AS HUGEINT) * xf) AS sqf, SUM(CAST(xq AS HUGEINT) * xd) AS sqd,
+         |         SUM(CAST(xf AS HUGEINT) * xd) AS sfd
+         |  FROM z
+         |),
+         |p AS (
+         |  SELECT 'quality_vs_fluency' AS pair, n, sq AS sx, sf AS sy, sqq AS sxx, sff AS syy, sqf AS sxy FROM a
+         |  UNION ALL SELECT 'quality_vs_dsir', n, sq, sd, sqq, sdd, sqd FROM a
+         |  UNION ALL SELECT 'fluency_vs_dsir', n, sf, sd, sff, sdd, sfd FROM a
          |)
-         |SELECT inst.doc_id,
-         |       CAST(COUNT(*) AS BIGINT) AS n_feats,
-         |       CAST(FLOOR(CAST(SUM(ratio_e6) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS imp_e6
-         |FROM inst JOIN ratio ON inst.b = ratio.b
-         |GROUP BY inst.doc_id""".stripMargin
+         |SELECT pair, n,
+         |       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0 AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+         |            THEN CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+         |                   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+         |                   * 10000 + 0.5) AS BIGINT)
+         |       END AS corr_e4
+         |FROM p""".stripMargin
   )
 }

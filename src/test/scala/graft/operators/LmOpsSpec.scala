@@ -125,6 +125,23 @@ class LmOpsSpec extends SparkSpec {
     assert(good > bad, s"target-style probe ($good) must outweigh gibberish probe ($bad)")
   }
 
+  test("score corr: 3 bounded pairs over the 2-token+ docs; dsir tracks its own target") {
+    val docs = Tables.documents(spark, sf)
+    val rows = LmOps.scoreCorr(docs).collect()
+    assert(rows.length == 3)
+    val eligible = docs.filter(size(split(col("text"), " ")) >= 2).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == eligible)
+      val c = r.getAs[Long]("corr_e4")
+      assert(c >= -10000L && c <= 10000L, s"corr out of bounds: $r")
+    }
+    val byPair = rows.map(r => r.getString(0) -> r.getAs[Long]("corr_e4")).toMap
+    // DSIR's target IS the gopher quality pass, so the structural link
+    // must dominate the accidental fluency correlation
+    assert(byPair("quality_vs_dsir") > byPair("fluency_vs_dsir"),
+      s"expected the structurally-linked pair to lead: $byPair")
+  }
+
   test("plan: equi-joins only — the single nested loop is the broadcast scalar N") {
     val docs = Tables.documents(spark, sf)
     val full = LmOps.trigramBackoff(docs).queryExecution.executedPlan.toString
