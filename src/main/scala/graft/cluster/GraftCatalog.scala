@@ -113,5 +113,7 @@ object GraftCatalog {
       .createOrReplaceTempView("curation_funnel")
     graft.operators.LmOps.scoreCorr(docs)
       .createOrReplaceTempView("score_corr")
+    graft.operators.DedupOps.jaccardSweep(docs)
+      .createOrReplaceTempView("dedup_sweep")
   }
 }

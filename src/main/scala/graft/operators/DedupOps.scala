@@ -225,6 +225,27 @@ object DedupOps {
         floor(col("jaccard") * 10000 + 0.5).cast("long").as("jaccard_e4"))
       .filter(col("jaccard_e4") >= thresholdE4)
 
+  /** Threshold sweep for the Jaccard dedup: the full similarity
+    * DISTRIBUTION over every co-occurring pair in the capped shingle
+    * space, binned at 500-e4 steps, with the cumulative pair count at
+    * or above each bin — i.e. what every candidate threshold would
+    * keep, in one query, instead of re-running [[ngramJaccard]] per
+    * threshold. The input is the same cached [[cappedPairStats]] frame
+    * the jaccard/containment queries project from, so the sweep adds
+    * one groupBy over pairs plus a window over the ≤21-row bin table.
+    * At 100 TB the pair universe is df-cap-bounded exactly like
+    * [[ngramJaccard]]'s — the sweep costs what one dedup run costs. */
+  def jaccardSweep(docs: DataFrame): DataFrame = {
+    val binned = cappedPairStats(docs, MaxShingleDf)
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .select((floor(col("jaccard") * 10000 + 0.5).cast("long") - (floor(col("jaccard") * 10000 + 0.5).cast("long") % 500L)).as("bin_lo_e4"))
+      .groupBy("bin_lo_e4")
+      .agg(count(lit(1)).as("n_pairs"))
+    val w = Window.orderBy(col("bin_lo_e4").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned.withColumn("n_at_or_above", sum(col("n_pairs")).over(w))
+  }
+
   /** Containment dedup: inter / min(|a|, |b|) over the capped shingle
     * space — the Broder containment score. Catches the near-SUPERSET
     * shape whole-doc Jaccard misses: a short document fully embedded in
@@ -697,7 +718,8 @@ object DedupPack extends QueryPack {
         samplePct = Some(RecallSamplePct))),
     "blocker_precision" -> ((s, dir) =>
       DedupOps.blockerCandidateStats(d(s, dir), Tables.embeddings(s, dir), s)),
-    "source_overlap" -> ((s, dir) => DedupOps.sourceOverlap(d(s, dir), s))
+    "source_overlap" -> ((s, dir) => DedupOps.sourceOverlap(d(s, dir), s)),
+    "dedup_sweep" -> ((s, dir) => DedupOps.jaccardSweep(d(s, dir)))
   )
 
   /** Shared SQL: distinct (doc_id, 31-bit shingle hash) postings. */
@@ -848,6 +870,28 @@ object DedupPack extends QueryPack {
          |  FROM shc a JOIN shc b ON a.x31 = b.x31 AND a.doc_id < b.doc_id
          |),
          |${jaccardSql("pairs", 8000L, "shc", "sizesc")}""".stripMargin,
+    "dedup_sweep" ->
+      s"""WITH $postingsSql,
+         |$cappedPostingsSql,
+         |inter AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+         |  FROM shc a JOIN shc b ON a.x31 = b.x31 AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |jac AS (
+         |  SELECT CAST(FLOOR((i.inter / CAST(sa.n_shingles + sb.n_shingles - i.inter AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS j
+         |  FROM inter i
+         |  JOIN sizesc sa ON i.da = sa.doc_id
+         |  JOIN sizesc sb ON i.db = sb.doc_id
+         |),
+         |bins AS (
+         |  SELECT j - (j % 500) AS bin_lo_e4, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |  FROM jac GROUP BY 1
+         |)
+         |SELECT bin_lo_e4, n_pairs,
+         |       CAST(SUM(n_pairs) OVER (ORDER BY bin_lo_e4 DESC
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_at_or_above
+         |FROM bins""".stripMargin,
     // containment = inter / min(|a|,|b|) over the same capped space and
     // pair set as dedup_jaccard — only the denominator differs
     "dedup_containment" ->

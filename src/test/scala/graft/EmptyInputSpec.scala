@@ -31,6 +31,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(DedupOps.incrDedup(emptyDocs, 0L).count() == 0)
     assert(DedupOps.pairLongestSpan(emptyDocs).count() == 0)
     assert(DedupOps.sourceOverlap(emptyDocs, spark).count() == 0)
+    assert(DedupOps.jaccardSweep(emptyDocs).count() == 0)
   }
 
   test("clustering and keep-set return empty on an empty corpus") {

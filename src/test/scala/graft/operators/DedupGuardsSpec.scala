@@ -262,6 +262,24 @@ class DedupGuardsSpec extends SparkSpec {
     }
   }
 
+  test("jaccard sweep: bins tile [0,10000], cumulative reconciles with ngramJaccard at 8000") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val sweep = DedupOps.jaccardSweep(docs).collect()
+    assert(sweep.nonEmpty)
+    sweep.foreach { r =>
+      val lo = r.getAs[Long]("bin_lo_e4")
+      assert(lo >= 0L && lo <= 10000L && lo % 500 == 0, s"bad bin: $r")
+    }
+    val total = sweep.map(_.getAs[Long]("n_pairs")).sum
+    assert(sweep.map(_.getAs[Long]("n_at_or_above")).max == total,
+      "the lowest bin's cumulative must equal the total pair count")
+    // the sweep's >= 8000 cumulative is exactly what the dedup keeps
+    val kept = DedupOps.ngramJaccard(docs).count()
+    val at8000 = sweep.filter(_.getAs[Long]("bin_lo_e4") >= 8000L)
+      .map(_.getAs[Long]("n_pairs")).sum
+    assert(at8000 == kept, s"sweep >=8000 says $at8000, ngramJaccard kept $kept")
+  }
+
   test("source overlap: a planted mirror source tops the cross-source rate matrix") {
     val s = spark
     import s.implicits._
