@@ -115,5 +115,8 @@ object GraftCatalog {
       .createOrReplaceTempView("score_corr")
     graft.operators.DedupOps.jaccardSweep(docs)
       .createOrReplaceTempView("dedup_sweep")
+    graft.operators.DataLayoutOps.sortBounds(
+      Tables.lineitem(spark, sfDir), "l_partkey", Seq("l_orderkey", "l_linenumber"))
+      .createOrReplaceTempView("sort_bounds")
   }
 }

@@ -150,6 +150,41 @@ object DataLayoutOps {
         min(col("l_partkey")).as("p_min"), max(col("l_partkey")).as("p_max"),
         min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"))
 
+  /** Range-partition boundary plan for a global sort or sorted write —
+    * the RangePartitioner recipe made deterministic and engine-portable:
+    * an md5-bucket sample of the rows (reproducible across runs and
+    * engines, unlike Spark's XORShift reservoir), totally ordered by
+    * (key, tiebreak ids), cut into `buckets` NTILEs; each tile's max key
+    * is the partition upper bound, with the sample count per tile as the
+    * balance diagnostic. Feed the `upper_key` column to a range
+    * repartition / sorted writer and every output file covers a disjoint
+    * key range of near-equal weight.
+    *
+    * Scale shape: the only total order is over the p% SAMPLE — the same
+    * concession Spark's own RangePartitioner makes (it collect()s its
+    * sample to the driver; this stays in an executor partition). Size
+    * `samplePct` so the sample fits one partition: at 100 TB with
+    * buckets in the thousands, 0.01% is plenty (the paper-standard
+    * sample bound depends on buckets, not corpus size). */
+  def sortBounds(
+      df: DataFrame,
+      keyCol: String,
+      idCols: Seq[String],
+      buckets: Int = 32,
+      samplePct: Long = 10): DataFrame = {
+    require(idCols.nonEmpty, "need tiebreak id columns for a deterministic total order")
+    val prio = graft.functions.TextFunctions.stableHash60(
+      concat_ws("|", idCols.map(c => col(c).cast("string")): _*))
+    val sample = df
+      .filter(prio % 100L < samplePct)
+      .select((col(keyCol).as("k") +: idCols.map(col)): _*)
+    val w = Window.orderBy((col("k").asc +: idCols.map(col(_).asc)): _*)
+    sample
+      .withColumn("bucket", ntile(buckets).over(w).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_sample"), max(col("k")).as("upper_key"))
+  }
+
   /** Join-key skew census: the k heaviest keys of a column with their
     * row share and self-join pair contribution (n²) — the diagnostic a
     * 100-TB pipeline runs BEFORE picking a join strategy, since one key
@@ -268,7 +303,9 @@ object DataLayoutPack extends QueryPack {
     "profile" -> ((s, d) => DataLayoutOps.profile(Tables.lineitem(s, d),
       Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus"))),
     "join_size" -> ((s, d) => DataLayoutOps.joinSizeEstimate(
-      Tables.orders(s, d), "o_orderkey", Tables.lineitem(s, d), "l_orderkey"))
+      Tables.orders(s, d), "o_orderkey", Tables.lineitem(s, d), "l_orderkey")),
+    "sort_bounds" -> ((s, d) => DataLayoutOps.sortBounds(
+      Tables.lineitem(s, d), "l_partkey", Seq("l_orderkey", "l_linenumber")))
   )
 
   /** The morton spread as literal SQL (same masks, `&`/`|`/`<<` on
@@ -333,6 +370,19 @@ object DataLayoutPack extends QueryPack {
          |       MIN(l_suppkey) AS s_min, MAX(l_suppkey) AS s_max,
          |       MIN(l_orderkey) AS o_min, MAX(l_orderkey) AS o_max
          |FROM z GROUP BY 1""".stripMargin,
+    "sort_bounds" ->
+      """WITH s AS (
+        |  SELECT l_partkey AS k, l_orderkey, l_linenumber
+        |  FROM lineitem
+        |  WHERE CAST(CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)), 18, 15)) AS UBIGINT) % 100 AS BIGINT) < 10
+        |),
+        |t AS (
+        |  SELECT k, NTILE(32) OVER (ORDER BY k, l_orderkey, l_linenumber) AS bucket FROM s
+        |)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_sample,
+        |       MAX(k) AS upper_key
+        |FROM t GROUP BY bucket""".stripMargin,
     "skew_census" ->
       """WITH c AS (SELECT user_id AS key, COUNT(*) AS n_rows FROM events GROUP BY 1),
         |t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM c),

@@ -97,6 +97,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(profA.length == 1 && profA(0).getLong(1) == 0 && profA(0).getLong(2) == 0)
     assert(DataLayoutOps.joinSizeEstimate(
       emptyLineitem, "l_orderkey", emptyLineitem, "l_orderkey").count() == 0)
+    assert(DataLayoutOps.sortBounds(
+      emptyLineitem, "l_partkey", Seq("l_orderkey", "l_suppkey")).count() == 0)
   }
 
   test("round-7 operators behave on empty inputs") {

@@ -239,4 +239,25 @@ class RetrievalLayoutSpec extends SparkSpec {
     assert(out(1L) > out(2L), "higher tf must score higher at equal length")
     assert(out(2L) > out(3L), "longer doc must score lower at equal tf")
   }
+
+  test("sort bounds: NTILE-balanced sample, monotone boundaries, full data covered") {
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val bounds = graft.operators.DataLayoutOps
+      .sortBounds(li, "l_partkey", Seq("l_orderkey", "l_linenumber"))
+      .collect().sortBy(_.getAs[Long]("bucket"))
+    assert(bounds.length == 32)
+    val uppers = bounds.map(_.getAs[Long]("upper_key"))
+    assert(uppers.zip(uppers.tail).forall { case (a, b) => a <= b },
+      s"boundaries must be non-decreasing: ${uppers.toSeq}")
+    val sizes = bounds.map(_.getAs[Long]("n_sample"))
+    assert(sizes.max - sizes.min <= 1, s"NTILE must balance the sample: ${sizes.toSeq}")
+    // the plan covers the full table: all but a boundary-tie sliver of
+    // rows fall at or below the last upper bound (the last bucket is
+    // open-ended in a real writer)
+    val maxKey = li.agg(max("l_partkey")).collect()(0).getLong(0)
+    assert(uppers.last <= maxKey)
+    val below = li.filter(col("l_partkey") <= uppers.last).count()
+    assert(below >= (li.count() * 0.9).toLong,
+      "sampled bounds must cover ~all of the key mass")
+  }
 }
