@@ -118,5 +118,7 @@ object GraftCatalog {
     graft.operators.DataLayoutOps.sortBounds(
       Tables.lineitem(spark, sfDir), "l_partkey", Seq("l_orderkey", "l_linenumber"))
       .createOrReplaceTempView("sort_bounds")
+    graft.operators.CurationOps.tokenAllocation(docs)
+      .createOrReplaceTempView("mix_alloc")
   }
 }

@@ -486,6 +486,52 @@ object CurationOps {
           .as("keep_e4"))
   }
 
+  /** Water-filling token-budget allocation across sources — the
+    * SUPPLY-CONSTRAINED mixture solver [[mixPlan]] is not: given a total
+    * token budget B and per-source weights w_i, allocate
+    * alloc_i = min(supply_i, λ·w_i) with the water level λ set so the
+    * allocations sum to B. Small sources saturate (you take everything
+    * they have); the remaining budget spreads over the rest in weight
+    * proportion — the standard closed form: sort by supply/weight,
+    * saturate the prefix where s_i·(W−W_i) ≤ (B−S_i)·w_i (prefix sums
+    * INCLUDING row i; exact integer cross-products, no division), then
+    * λ = (B−S_K)/(W−W_K) over the saturated totals.
+    *
+    * Shape at 100 TB: one token-count groupBy builds the per-source
+    * frame; everything after runs on |sources| rows (windows, prefix
+    * sums, one broadcast scalar join). Default weights are equal;
+    * `budgetPct` sets B as a percentage of the corpus total. */
+  def tokenAllocation(docs: DataFrame, budgetPct: Long = 50L): DataFrame = {
+    val supply = docs
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n"))
+      .groupBy("source")
+      .agg(sum(col("n")).as("s"))
+      .withColumn("w", lit(1L))
+    val totals = supply.agg(
+      sum(col("s")).as("st"), sum(col("w")).as("wt"))
+    val withB = supply.crossJoin(broadcast(totals))
+      .withColumn("b", floor(col("st") * budgetPct / lit(100.0)).cast("long"))
+    // ascending supply/weight order; integer cross-product comparison
+    // avoids ever forming the ratio
+    val ord = Window.orderBy((col("s") / col("w").cast("double")).asc, col("source"))
+    val cum = withB
+      .withColumn("sk", sum(col("s")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("wk", sum(col("w")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("saturated",
+        col("s") * (col("wt") - col("wk")) <= (col("b") - col("sk")) * col("w"))
+    val satTotals = cum.agg(
+      sum(when(col("saturated"), col("s")).otherwise(0L)).as("ssat"),
+      sum(when(col("saturated"), col("w")).otherwise(0L)).as("wsat"))
+    cum.crossJoin(broadcast(satTotals))
+      .select(
+        col("source"), col("s").as("n_tokens"), col("w").as("weight"), col("saturated"),
+        when(col("saturated"), col("s"))
+          .when(col("wt") > col("wsat"),
+            floor((col("b") - col("ssat")) / (col("wt") - col("wsat")).cast("double")
+              * col("w") + 0.5).cast("long"))
+          .otherwise(col("s")).as("alloc_tokens"))
+  }
+
   /** Target token shares (e4) for [[mixPlan]]'s fixture run: an even
     * 2000 per language — unlisted languages get 0 (drop). */
   val MixTargetsE4: Seq[(String, Long)] =
@@ -869,7 +915,11 @@ object CurationPack extends QueryPack {
     "token_budget" -> ((s, dir) => CurationOps.tokenBudgetCut(d(s, dir))),
     "token_boundary" -> ((s, dir) => CurationOps.tokenBudgetBoundary(d(s, dir))),
     "cascade_plan" -> ((s, dir) => CurationOps.cascadePlan(d(s, dir))),
-    "curation_funnel" -> ((s, dir) => CurationOps.curationFunnel(d(s, dir)))
+    "curation_funnel" -> ((s, dir) => CurationOps.curationFunnel(d(s, dir))),
+    "mix_alloc" -> ((s, dir) => CurationOps.tokenAllocation(d(s, dir))),
+    // 99% budget: small sources saturate, so the oracle exercises the
+    // water-level prefix logic, not just the proportional branch
+    "mix_alloc99" -> ((s, dir) => CurationOps.tokenAllocation(d(s, dir), budgetPct = 99L))
   )
 
   // Shared shingle CTE: identical to the dedup oracles' 3-gram pipeline
@@ -893,6 +943,42 @@ object CurationPack extends QueryPack {
        |FROM cand c JOIN bench b ON c.x31 = b.x31
        |GROUP BY c.doc_id
        |HAVING COUNT(DISTINCT c.x31) >= 2""".stripMargin
+
+  /** Water-filling allocation mirrored in SQL, parameterized by the
+    * budget percentage the way the Scala side's `budgetPct` knob is. */
+  private def mixAllocSql(pct: Long): String =
+    s"""WITH sup AS (
+       |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS s,
+       |         CAST(1 AS BIGINT) AS w
+       |  FROM documents GROUP BY source
+       |),
+       |tot AS (SELECT CAST(SUM(s) AS BIGINT) AS st, CAST(SUM(w) AS BIGINT) AS wt FROM sup),
+       |wb AS (
+       |  SELECT sup.*, tot.st, tot.wt,
+       |         CAST(FLOOR(tot.st * $pct / 100.0) AS BIGINT) AS b
+       |  FROM sup, tot
+       |),
+       |cum AS (
+       |  SELECT *,
+       |         CAST(SUM(s) OVER (ORDER BY s / CAST(w AS DOUBLE), source
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sk,
+       |         CAST(SUM(w) OVER (ORDER BY s / CAST(w AS DOUBLE), source
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS wk
+       |  FROM wb
+       |),
+       |flg AS (
+       |  SELECT *, s * (wt - wk) <= (b - sk) * w AS saturated FROM cum
+       |),
+       |sat AS (
+       |  SELECT CAST(SUM(CASE WHEN saturated THEN s ELSE 0 END) AS BIGINT) AS ssat,
+       |         CAST(SUM(CASE WHEN saturated THEN w ELSE 0 END) AS BIGINT) AS wsat
+       |  FROM flg
+       |)
+       |SELECT source, s AS n_tokens, w AS weight, saturated,
+       |       CASE WHEN saturated THEN s
+       |            WHEN wt > wsat THEN CAST(FLOOR((b - ssat) / CAST(wt - wsat AS DOUBLE) * w + 0.5) AS BIGINT)
+       |            ELSE s END AS alloc_tokens
+       |FROM flg, sat""".stripMargin
 
   override def oracles: Map[String, String] = Map(
     "token_boundary" ->
@@ -952,6 +1038,8 @@ object CurationPack extends QueryPack {
         |  FROM documents
         |)
         |SELECT doc_id, lang, bucket FROM b WHERE bucket < rate""".stripMargin,
+    "mix_alloc" -> mixAllocSql(50L),
+    "mix_alloc99" -> mixAllocSql(99L),
     "curation_funnel" ->
       s"""WITH RECURSIVE ${GraphPack.ClustersCte},
         |fx AS (

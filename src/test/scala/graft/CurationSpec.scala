@@ -289,6 +289,29 @@ class CurationSpec extends SparkSpec {
       s"funnel end ${nd.last} vs curated-minus-exact-dups $curatedN")
   }
 
+  test("token allocation: water level saturates small sources, budget met within rounding") {
+    val s = spark
+    import s.implicits._
+    // tiny source saturates; two big ones split the remaining budget
+    val docs = (
+      Seq((1L, "a b c d e", "en", "tiny")) ++
+        (2L to 21L).map(i => (i, ("tok " * 50).trim, "en", "big1")) ++
+        (22L to 41L).map(i => (i, ("tok " * 50).trim, "en", "big2"))
+      ).toDF("doc_id", "text", "lang", "source")
+    val out = CurationOps.tokenAllocation(docs, budgetPct = 50L).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // supplies: tiny 5, big1 1000, big2 1000; B = 1002
+    assert(out("tiny").getAs[Boolean]("saturated"))
+    assert(out("tiny").getAs[Long]("alloc_tokens") == 5L)
+    assert(!out("big1").getAs[Boolean]("saturated") && !out("big2").getAs[Boolean]("saturated"))
+    assert(out("big1").getAs[Long]("alloc_tokens") == out("big2").getAs[Long]("alloc_tokens"))
+    val total = out.values.map(_.getAs[Long]("alloc_tokens")).sum
+    assert(math.abs(total - 1002L) <= 2L, s"allocations must meet the budget, got $total")
+    // alloc never exceeds supply, on the fixture corpus too
+    val fx = CurationOps.tokenAllocation(Tables.documents(spark, sf)).collect()
+    assert(fx.forall(r => r.getAs[Long]("alloc_tokens") <= r.getAs[Long]("n_tokens")))
+  }
+
   test("cascade plan: a cheap high-rejection rule is scheduled first") {
     val s = spark
     import s.implicits._

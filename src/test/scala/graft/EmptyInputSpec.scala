@@ -56,6 +56,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(CurationOps.cascadePlan(emptyDocs).count() == 0)
     assert(CurationOps.curationFunnel(emptyDocs).count() == 0)
     assert(LmOps.scoreCorr(emptyDocs).count() == 0)
+    assert(CurationOps.tokenAllocation(emptyDocs).count() == 0)
   }
 
   test("text and multimodal families return empty on an empty corpus") {
