@@ -1,0 +1,274 @@
+package graft.sources.kv
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.collection.JavaConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** In-memory, name-addressed DataSource V2 connector — the mock
+  * region-server store that proves `sources/Tables`' connector seam at
+  * the API level, beyond the ORC format swap: reads go through a real
+  * `ScanBuilder` with FILTER PUSHDOWN (`SupportsPushDownFilters`) and
+  * COLUMN PRUNING (`SupportsPushDownRequiredColumns`) evaluated inside
+  * the partition readers — exactly where an hbase-spark connector turns
+  * them into row-key ranges and column-family projections (reference:
+  * the scan/get surface of `api/HBaseClient.java`) — and writes go
+  * through `WriteBuilder`/`BatchWrite` with append and truncate
+  * semantics. Partitioned reads split the table into `partitions`
+  * slices so operators see a genuinely multi-partition source.
+  *
+  * The store itself is a process-local map: the point is the connector
+  * CONTRACT (what Spark pushes, what the source must honor), which is
+  * identical whether rows come from a JVM map or a region server.
+  */
+class KvSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graftkv"
+
+  // writes to not-yet-existing tables take the query's schema
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KvStore.schemaOf(KvSource.tableName(options))
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new KvTable(KvSource.tableName(opts), schema,
+      opts.getInt("partitions", 4))
+  }
+}
+
+object KvSource {
+  /** Name-addressed via `graft.table`, or path-addressed (the seam's
+    * writer calls `.save(path)`) with the path string as the key. */
+  private[kv] def tableName(options: CaseInsensitiveStringMap): String = {
+    val t = options.get(graft.sources.Tables.TableNameOption)
+    if (t != null) t
+    else {
+      val p = options.get("path")
+      require(p != null, s"graftkv needs a ${graft.sources.Tables.TableNameOption} option or a path")
+      p
+    }
+  }
+
+  // Observability for the plan-contract specs: what Spark actually
+  // pushed into the last scan it built.
+  @volatile var lastPushedFilters: Seq[Filter] = Nil
+  @volatile var lastPrunedSchema: Option[StructType] = None
+}
+
+/** The backing store: table name -> (schema, rows of plain JVM values). */
+object KvStore {
+  private val tables = new ConcurrentHashMap[String, (StructType, Vector[Seq[Any]])]()
+
+  def put(name: String, schema: StructType, rows: Seq[Seq[Any]]): Unit =
+    tables.put(name, (schema, rows.toVector))
+
+  def append(name: String, schema: StructType, rows: Seq[Seq[Any]]): Unit =
+    tables.merge(name, (schema, rows.toVector),
+      (old, add) => (old._1, old._2 ++ add._2))
+
+  def drop(name: String): Unit = tables.remove(name)
+  def clear(): Unit = tables.clear()
+  def contains(name: String): Boolean = tables.containsKey(name)
+
+  def schemaOf(name: String): StructType = {
+    val t = tables.get(name)
+    require(t != null, s"graftkv: unknown table '$name'")
+    t._1
+  }
+
+  def rowsOf(name: String): Vector[Seq[Any]] = {
+    val t = tables.get(name)
+    require(t != null, s"graftkv: unknown table '$name'")
+    t._2
+  }
+}
+
+class KvTable(tableName: String, tableSchema: StructType, partitions: Int)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new KvScanBuilder(tableName, tableSchema, partitions)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new KvWriteBuilder(tableName, info.schema())
+}
+
+class KvScanBuilder(table: String, full: StructType, partitions: Int)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, residual) = filters.partition(KvFilterEval.supported)
+    pushed = sup
+    KvSource.lastPushedFilters = sup.toSeq
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    required = requiredSchema
+    KvSource.lastPrunedSchema = Some(requiredSchema)
+  }
+
+  override def build(): Scan = new KvScan(table, full, required, pushed, partitions)
+}
+
+class KvScan(
+    table: String, full: StructType, required: StructType,
+    pushed: Array[Filter], partitions: Int) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graftkv:$table PushedFilters: [${pushed.mkString(", ")}], ReadSchema: ${required.simpleString}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = KvStore.rowsOf(table).size
+    val parts = math.max(1, math.min(partitions, math.max(1, n)))
+    val step = math.max(1, (n + parts - 1) / parts)
+    (0 until n by step).map(start =>
+      KvInputPartition(start, math.min(n, start + step)): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KvReaderFactory(table, full, required, pushed)
+}
+
+case class KvInputPartition(start: Int, end: Int) extends InputPartition
+
+class KvReaderFactory(
+    table: String, full: StructType, required: StructType, pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[KvInputPartition]
+    new KvPartitionReader(table, full, required, pushed, p.start, p.end)
+  }
+}
+
+class KvPartitionReader(
+    table: String, full: StructType, required: StructType,
+    pushed: Array[Filter], start: Int, end: Int)
+    extends PartitionReader[InternalRow] {
+  private val fieldIdx = full.fieldNames.zipWithIndex.toMap
+  private val outIdx = required.fieldNames.map(fieldIdx)
+  private val it = KvStore.rowsOf(table).slice(start, end)
+    .iterator
+    .filter(row => pushed.forall(f => KvFilterEval.eval(f, name => row(fieldIdx(name)))))
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (it.hasNext) {
+      val row = it.next()
+      current = InternalRow.fromSeq(outIdx.map(i => KvFilterEval.toCatalyst(row(i))))
+      true
+    } else false
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+/** The pushdown contract: which V1 filters the source claims, and their
+  * row-level evaluation — the part a real connector compiles to row-key
+  * ranges / qualifier filters instead of evaluating per row. */
+object KvFilterEval {
+  def supported(f: Filter): Boolean = f match {
+    case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
+        _: LessThan | _: LessThanOrEqual | _: IsNotNull | _: IsNull => true
+    case In(_, vs) => vs.nonEmpty
+    case _ => false
+  }
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Number) => java.lang.Long.compare(x, y.longValue())
+    case (x: Int, y: Number) => java.lang.Long.compare(x.toLong, y.longValue())
+    case (x: Double, y: Number) => java.lang.Double.compare(x, y.doubleValue())
+    case (x: String, y: String) => x.compareTo(y)
+    case _ => throw new IllegalArgumentException(s"graftkv cannot compare $a with $b")
+  }
+
+  def eval(f: Filter, value: String => Any): Boolean = f match {
+    case EqualTo(c, v) => value(c) != null && cmp(value(c), v) == 0
+    case GreaterThan(c, v) => value(c) != null && cmp(value(c), v) > 0
+    case GreaterThanOrEqual(c, v) => value(c) != null && cmp(value(c), v) >= 0
+    case LessThan(c, v) => value(c) != null && cmp(value(c), v) < 0
+    case LessThanOrEqual(c, v) => value(c) != null && cmp(value(c), v) <= 0
+    case IsNotNull(c) => value(c) != null
+    case IsNull(c) => value(c) == null
+    case In(c, vs) => value(c) != null && vs.exists(v => cmp(value(c), v) == 0)
+    case other => throw new IllegalStateException(s"unclaimed filter reached eval: $other")
+  }
+
+  def toCatalyst(v: Any): Any = v match {
+    case s: String => UTF8String.fromString(s)
+    case other => other
+  }
+
+  def fromCatalyst(v: Any): Any = v match {
+    case s: UTF8String => s.toString
+    case other => other
+  }
+}
+
+class KvWriteBuilder(table: String, writeSchema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new KvWrite(table, writeSchema, doTruncate)
+}
+
+class KvWrite(table: String, writeSchema: StructType, truncate: Boolean) extends Write {
+  override def toBatch: BatchWrite = new KvBatchWrite(table, writeSchema, truncate)
+}
+
+case class KvCommit(rows: Seq[Seq[Any]]) extends WriterCommitMessage
+
+class KvBatchWrite(table: String, writeSchema: StructType, truncate: Boolean)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new KvWriterFactory(writeSchema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val rows = messages.flatMap(_.asInstanceOf[KvCommit].rows).toSeq
+    if (truncate || !KvStore.contains(table)) KvStore.put(table, writeSchema, rows)
+    else KvStore.append(table, writeSchema, rows)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class KvWriterFactory(writeSchema: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new KvDataWriter(writeSchema)
+}
+
+class KvDataWriter(writeSchema: StructType) extends DataWriter[InternalRow] {
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+
+  override def write(record: InternalRow): Unit =
+    buf += writeSchema.fields.zipWithIndex.map { case (f, i) =>
+      if (record.isNullAt(i)) null
+      else KvFilterEval.fromCatalyst(record.get(i, f.dataType))
+    }.toSeq
+
+  override def commit(): WriterCommitMessage = KvCommit(buf.toSeq)
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
+}

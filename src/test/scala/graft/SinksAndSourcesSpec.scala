@@ -254,4 +254,72 @@ class SinksAndSourcesSpec extends SparkSpec {
       spark.conf.unset(graft.sources.Tables.SuffixKey)
     }
   }
+
+  test("connector seam: DSv2 graftkv source — pushdown, pruning, writes, operators unchanged") {
+    import graft.sources.kv.{KvSource, KvStore}
+    val docsPq = graft.sources.Tables.documents(spark, sf).cache()
+    val schema = docsPq.schema
+    val rows = docsPq.collect().map(_.toSeq).toSeq
+    KvStore.put("documents", schema, rows)
+    try {
+      spark.conf.set(graft.sources.Tables.FormatKey, "graftkv")
+      spark.conf.set(graft.sources.Tables.NameAddressedKey, "true")
+      // 1) the seam reader resolves through the DSv2 provider, full equality
+      val viaKv = graft.sources.Tables.documents(spark, sf)
+      assert(viaKv.count() == docsPq.count())
+      assert(viaKv.collect().map(_.toSeq).toSet == docsPq.collect().map(_.toSeq).toSet)
+      // multi-partition read: the source plans real slices
+      assert(viaKv.rdd.getNumPartitions > 1)
+      // 2) filter pushdown reaches the source (and results stay correct)
+      KvSource.lastPushedFilters = Nil
+      val filtered = viaKv.filter(col("doc_id") > 100L && col("lang") === "en")
+      val gotF = filtered.count()
+      assert(gotF == docsPq.filter(col("doc_id") > 100L && col("lang") === "en").count())
+      val pushedStr = KvSource.lastPushedFilters.map(_.toString).mkString(";")
+      assert(pushedStr.contains("GreaterThan(doc_id,100)") && pushedStr.contains("EqualTo(lang,en)"),
+        s"expected both predicates pushed, got: $pushedStr")
+      // the physical plan advertises the pushed filters too
+      val planStr = filtered.queryExecution.executedPlan.toString
+      assert(planStr.contains("PushedFilters") && planStr.contains("GreaterThan(doc_id,100"),
+        s"plan must show the pushdown:\n$planStr")
+      // 3) column pruning reaches the source
+      KvSource.lastPrunedSchema = None
+      graft.sources.Tables.documents(spark, sf).select("doc_id").collect()
+      assert(KvSource.lastPrunedSchema.exists(_.fieldNames.toSeq == Seq("doc_id")),
+        s"expected a doc_id-only read schema, got ${KvSource.lastPrunedSchema}")
+      // count() needs no columns at all — pruning goes all the way to empty
+      KvSource.lastPrunedSchema = None
+      graft.sources.Tables.documents(spark, sf).count()
+      assert(KvSource.lastPrunedSchema.exists(_.isEmpty),
+        s"count() must prune every column, got ${KvSource.lastPrunedSchema}")
+      // 4) an operator runs UNCHANGED against the DSv2 source
+      val gopherKv = graft.operators.CurationOps.gopherRules(
+        graft.sources.Tables.documents(spark, sf)).collect().map(_.toSeq).toSet
+      val gopherPq = graft.operators.CurationOps.gopherRules(docsPq)
+        .collect().map(_.toSeq).toSet
+      assert(gopherKv == gopherPq)
+      // 5) DSv2 write contract: append accumulates, overwrite truncates
+      val staged = docsPq.limit(10)
+      staged.write.format("graftkv").mode("append").save("kv_staged")
+      assert(KvStore.rowsOf("kv_staged").size == 10)
+      staged.write.format("graftkv").mode("append").save("kv_staged")
+      assert(KvStore.rowsOf("kv_staged").size == 20, "append must accumulate")
+      staged.write.format("graftkv").mode("overwrite").save("kv_staged")
+      assert(KvStore.rowsOf("kv_staged").size == 10, "overwrite must truncate")
+      // round-trip: what the writer stored, the reader returns
+      val back = spark.read.format("graftkv")
+        .option(graft.sources.Tables.TableNameOption, "kv_staged").load()
+      assert(back.collect().map(_.toSeq).toSet == staged.collect().map(_.toSeq).toSet)
+      // 6) BulkOps' path-addressed guard correctly REFUSES a name-addressed
+      // store (backups/retention/existence checks need a filesystem)
+      intercept[IllegalStateException] {
+        BulkOps.readPath(spark, "kv_staged")
+      }
+    } finally {
+      spark.conf.unset(graft.sources.Tables.FormatKey)
+      spark.conf.unset(graft.sources.Tables.NameAddressedKey)
+      KvStore.clear()
+      docsPq.unpersist()
+    }
+  }
 }
