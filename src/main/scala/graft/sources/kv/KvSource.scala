@@ -7,6 +7,8 @@ import scala.collection.JavaConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
@@ -66,6 +68,7 @@ object KvSource {
   // pushed into the last scan it built.
   @volatile var lastPushedFilters: Seq[Filter] = Nil
   @volatile var lastPrunedSchema: Option[StructType] = None
+  @volatile var lastPushedAggregates: Seq[String] = Nil
 }
 
 /** The backing store: table name -> (schema, rows of plain JVM values). */
@@ -112,9 +115,11 @@ class KvTable(tableName: String, tableSchema: StructType, partitions: Int)
 }
 
 class KvScanBuilder(table: String, full: StructType, partitions: Int)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var agg: Option[Aggregation] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (sup, residual) = filters.partition(KvFilterEval.supported)
@@ -129,38 +134,143 @@ class KvScanBuilder(table: String, full: StructType, partitions: Int)
     KvSource.lastPrunedSchema = Some(requiredSchema)
   }
 
-  override def build(): Scan = new KvScan(table, full, required, pushed, partitions)
+  // Aggregate pushdown — COUNT(*)/COUNT(col)/MIN/MAX resolved inside the
+  // source (ungrouped, complete): the scan answers from its own metadata
+  // or a single sweep and ships ONE row, the way a real store answers
+  // from region statistics instead of streaming every row out.
+  private def aggCol(f: AggregateFunc): Option[String] = f match {
+    case _: CountStar => Some("*")
+    case c: Count if !c.isDistinct => c.column() match {
+      case n: NamedReference => Some(n.fieldNames()(0)); case _ => None
+    }
+    case m: Min => m.column() match {
+      case n: NamedReference => Some(n.fieldNames()(0)); case _ => None
+    }
+    case m: Max => m.column() match {
+      case n: NamedReference => Some(n.fieldNames()(0)); case _ => None
+    }
+    case _ => None
+  }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    aggregation.groupByExpressions().isEmpty &&
+      aggregation.aggregateExpressions().forall(aggCol(_).isDefined)
+
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    if (!supportCompletePushDown(aggregation)) false
+    else {
+      agg = Some(aggregation)
+      KvSource.lastPushedAggregates =
+        aggregation.aggregateExpressions().map(_.toString).toSeq
+      true
+    }
+
+  override def build(): Scan = new KvScan(table, full, required, pushed, partitions, agg)
 }
 
 class KvScan(
     table: String, full: StructType, required: StructType,
-    pushed: Array[Filter], partitions: Int) extends Scan with Batch {
-  override def readSchema(): StructType = required
-  override def toBatch: Batch = this
-  override def description(): String =
-    s"graftkv:$table PushedFilters: [${pushed.mkString(", ")}], ReadSchema: ${required.simpleString}"
-
-  override def planInputPartitions(): Array[InputPartition] = {
-    val n = KvStore.rowsOf(table).size
-    val parts = math.max(1, math.min(partitions, math.max(1, n)))
-    val step = math.max(1, (n + parts - 1) / parts)
-    (0 until n by step).map(start =>
-      KvInputPartition(start, math.min(n, start + step)): InputPartition).toArray
+    pushed: Array[Filter], partitions: Int,
+    agg: Option[Aggregation] = None) extends Scan with Batch {
+  // after a complete aggregate pushdown the scan's output IS the
+  // aggregate row, so the read schema must be the agg output schema
+  private val aggSchema: Option[StructType] = agg.map { a =>
+    StructType(a.aggregateExpressions().zipWithIndex.map { case (f, i) =>
+      f match {
+        case _: CountStar => StructField(s"agg_$i", LongType)
+        case _: Count => StructField(s"agg_$i", LongType)
+        case m: Min =>
+          val c = m.column().asInstanceOf[NamedReference].fieldNames()(0)
+          StructField(s"agg_$i", full(c).dataType)
+        case m: Max =>
+          val c = m.column().asInstanceOf[NamedReference].fieldNames()(0)
+          StructField(s"agg_$i", full(c).dataType)
+        case other => throw new IllegalStateException(s"unclaimed aggregate: $other")
+      }
+    })
   }
 
+  override def readSchema(): StructType = aggSchema.getOrElse(required)
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graftkv:$table PushedFilters: [${pushed.mkString(", ")}], " +
+      s"PushedAggregates: [${agg.map(_.aggregateExpressions().mkString(", ")).getOrElse("")}], " +
+      s"ReadSchema: ${required.simpleString}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    if (agg.isDefined) Array(KvInputPartition(0, KvStore.rowsOf(table).size))
+    else {
+      val n = KvStore.rowsOf(table).size
+      val parts = math.max(1, math.min(partitions, math.max(1, n)))
+      val step = math.max(1, (n + parts - 1) / parts)
+      (0 until n by step).map(start =>
+        KvInputPartition(start, math.min(n, start + step)): InputPartition).toArray
+    }
+
   override def createReaderFactory(): PartitionReaderFactory =
-    new KvReaderFactory(table, full, required, pushed)
+    new KvReaderFactory(table, full, required, pushed, agg)
 }
 
 case class KvInputPartition(start: Int, end: Int) extends InputPartition
 
 class KvReaderFactory(
-    table: String, full: StructType, required: StructType, pushed: Array[Filter])
+    table: String, full: StructType, required: StructType,
+    pushed: Array[Filter], agg: Option[Aggregation] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[KvInputPartition]
-    new KvPartitionReader(table, full, required, pushed, p.start, p.end)
+    agg match {
+      case Some(a) => new KvAggReader(table, full, pushed, a)
+      case None => new KvPartitionReader(table, full, required, pushed, p.start, p.end)
+    }
   }
+}
+
+/** Complete ungrouped aggregate pushdown: one sweep over the (filtered)
+  * rows, one output row in the aggregate expressions' order. */
+class KvAggReader(
+    table: String, full: StructType, pushed: Array[Filter], agg: Aggregation)
+    extends PartitionReader[InternalRow] {
+  private val fieldIdx = full.fieldNames.zipWithIndex.toMap
+  private var emitted = false
+
+  private def colOf(f: AggregateFunc): String = f match {
+    case _: CountStar => "*"
+    case c: Count => c.column().asInstanceOf[NamedReference].fieldNames()(0)
+    case m: Min => m.column().asInstanceOf[NamedReference].fieldNames()(0)
+    case m: Max => m.column().asInstanceOf[NamedReference].fieldNames()(0)
+    case other => throw new IllegalStateException(s"unclaimed aggregate: $other")
+  }
+
+  override def next(): Boolean =
+    if (emitted) false
+    else {
+      val rows = KvStore.rowsOf(table)
+        .filter(row => pushed.forall(f => KvFilterEval.eval(f, n => row(fieldIdx(n)))))
+      val values = agg.aggregateExpressions().map { f =>
+        val c = colOf(f)
+        f match {
+          case _: CountStar => rows.size.toLong
+          case _: Count => rows.count(r => r(fieldIdx(c)) != null).toLong
+          case _: Min =>
+            val vs = rows.map(r => r(fieldIdx(c))).filter(_ != null)
+            if (vs.isEmpty) null
+            else KvFilterEval.toCatalyst(vs.reduce((a, b) => if (KvFilterEval.ord(a, b) <= 0) a else b))
+          case _: Max =>
+            val vs = rows.map(r => r(fieldIdx(c))).filter(_ != null)
+            if (vs.isEmpty) null
+            else KvFilterEval.toCatalyst(vs.reduce((a, b) => if (KvFilterEval.ord(a, b) >= 0) a else b))
+          case other => throw new IllegalStateException(s"unclaimed aggregate: $other")
+        }
+      }
+      currentRow = InternalRow.fromSeq(values.toSeq)
+      emitted = true
+      true
+    }
+
+  private var currentRow: InternalRow = _
+  override def get(): InternalRow = currentRow
+  override def close(): Unit = ()
 }
 
 class KvPartitionReader(
@@ -194,6 +304,15 @@ object KvFilterEval {
         _: LessThan | _: LessThanOrEqual | _: IsNotNull | _: IsNull => true
     case In(_, vs) => vs.nonEmpty
     case _ => false
+  }
+
+  /** Same-type ordering for the pushed MIN/MAX sweep. */
+  def ord(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Int, y: Int) => java.lang.Integer.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: String, y: String) => x.compareTo(y)
+    case _ => throw new IllegalArgumentException(s"graftkv cannot order $a with $b")
   }
 
   private def cmp(a: Any, b: Any): Int = (a, b) match {

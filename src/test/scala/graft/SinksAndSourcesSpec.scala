@@ -287,11 +287,12 @@ class SinksAndSourcesSpec extends SparkSpec {
       graft.sources.Tables.documents(spark, sf).select("doc_id").collect()
       assert(KvSource.lastPrunedSchema.exists(_.fieldNames.toSeq == Seq("doc_id")),
         s"expected a doc_id-only read schema, got ${KvSource.lastPrunedSchema}")
-      // count() needs no columns at all — pruning goes all the way to empty
-      KvSource.lastPrunedSchema = None
-      graft.sources.Tables.documents(spark, sf).count()
-      assert(KvSource.lastPrunedSchema.exists(_.isEmpty),
-        s"count() must prune every column, got ${KvSource.lastPrunedSchema}")
+      // count() ships no rows at all: it becomes a pushed COUNT(*) the
+      // source answers from its own sweep (one row out, zero columns in)
+      KvSource.lastPushedAggregates = Nil
+      assert(graft.sources.Tables.documents(spark, sf).count() == docsPq.count())
+      assert(KvSource.lastPushedAggregates.exists(_.contains("COUNT(*)")),
+        s"count() must push CountStar, got ${KvSource.lastPushedAggregates}")
       // 4) an operator runs UNCHANGED against the DSv2 source
       val gopherKv = graft.operators.CurationOps.gopherRules(
         graft.sources.Tables.documents(spark, sf)).collect().map(_.toSeq).toSet
@@ -315,6 +316,21 @@ class SinksAndSourcesSpec extends SparkSpec {
       intercept[IllegalStateException] {
         BulkOps.readPath(spark, "kv_staged")
       }
+      // 7) aggregate pushdown: ungrouped COUNT/MIN/MAX answered by the
+      // source in one row, values exact vs parquet, composing with the
+      // pushed filter
+      KvSource.lastPushedAggregates = Nil
+      val aggKv = graft.sources.Tables.documents(spark, sf)
+        .filter(col("lang") === "en")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("mn"), max("n_chars").as("mx"))
+        .collect()(0)
+      val aggPq = docsPq.filter(col("lang") === "en")
+        .agg(count(lit(1)), min("doc_id"), max("n_chars")).collect()(0)
+      assert(aggKv.toSeq == aggPq.toSeq, s"pushed agg ${aggKv.toSeq} vs ${aggPq.toSeq}")
+      val pushedAgg = KvSource.lastPushedAggregates.mkString(";")
+      assert(pushedAgg.contains("COUNT(*)") && pushedAgg.contains("MIN(doc_id)")
+        && pushedAgg.contains("MAX(n_chars)"),
+        s"expected COUNT/MIN/MAX pushed to the source, got: $pushedAgg")
     } finally {
       spark.conf.unset(graft.sources.Tables.FormatKey)
       spark.conf.unset(graft.sources.Tables.NameAddressedKey)
