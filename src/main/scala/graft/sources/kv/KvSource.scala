@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -105,7 +106,7 @@ class KvTable(tableName: String, tableSchema: StructType, partitions: Int)
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KvScanBuilder(tableName, tableSchema, partitions)
@@ -209,6 +210,40 @@ class KvScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new KvReaderFactory(table, full, required, pushed, agg)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new KvMicroBatchStream(table, full, required, pushed)
+}
+
+/** Streaming read: the row log as an append-only micro-batch source —
+  * offsets are row positions, each batch the half-open slice between
+  * the last committed and the latest count (the KV analogue of a WAL /
+  * change-stream tail). Filter pushdown and column pruning ride the
+  * same ScanBuilder as batch. Append-only contract: a truncating
+  * overwrite under a running stream is undefined, exactly as rewriting
+  * a file under a file stream is. */
+class KvMicroBatchStream(
+    table: String, full: StructType, required: StructType, pushed: Array[Filter])
+    extends MicroBatchStream {
+  override def initialOffset(): Offset = KvOffset(0L)
+  override def latestOffset(): Offset = KvOffset(KvStore.rowsOf(table).size.toLong)
+  override def deserializeOffset(json: String): Offset = KvOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[KvOffset].n.toInt
+    val e = end.asInstanceOf[KvOffset].n.toInt
+    if (e <= s) Array.empty
+    else Array(KvInputPartition(s, e))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KvReaderFactory(table, full, required, pushed)
+}
+
+case class KvOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
 }
 
 case class KvInputPartition(start: Int, end: Int) extends InputPartition

@@ -388,6 +388,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("graftkv micro-batch stream tails the row log exactly once, filters pushed") {
+    import graft.sources.kv.KvStore
+    val s = spark
+    import s.implicits._
+    val schema = Seq((1L, "a", "en")).toDF("id", "txt", "lang").schema
+    KvStore.put("kv_stream", schema, Seq(Seq(1L, "one", "en"), Seq(2L, "zwei", "de")))
+    val q = s.readStream.format("graftkv")
+      .option(graft.sources.Tables.TableNameOption, "kv_stream").load()
+      .filter(col("lang") === "en")
+      .writeStream.format("memory").queryName("kv_tail").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(s.sql("SELECT id FROM kv_tail").collect().map(_.getLong(0)).toSet == Set(1L))
+      // appended rows arrive in the NEXT batch, earlier rows never re-emit
+      KvStore.append("kv_stream", schema, Seq(Seq(3L, "three", "en"), Seq(4L, "quatre", "fr")))
+      q.processAllAvailable()
+      val got = s.sql("SELECT id FROM kv_tail").collect().map(_.getLong(0)).toSeq
+      assert(got.sorted == Seq(1L, 3L), s"exactly-once en rows, got $got")
+    } finally {
+      q.stop()
+      KvStore.drop("kv_stream")
+    }
+  }
+
   test("fluency gate scores the training corpus identically to batch bigramFluency") {
     val s = spark
     import s.implicits._
