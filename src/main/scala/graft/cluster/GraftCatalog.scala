@@ -103,6 +103,12 @@ object GraftCatalog {
       .createOrReplaceTempView("trigram_backoff")
     graft.operators.LmOps.dsirWeights(docs)
       .createOrReplaceTempView("dsir_weights")
+    graft.operators.LmOps.nbScore(docs)
+      .createOrReplaceTempView("nb_score")
+    graft.operators.LmOps.nbTopFeatures(docs)
+      .createOrReplaceTempView("nb_top_feats")
+    graft.operators.CurationOps.temperatureMix(docs)
+      .createOrReplaceTempView("temp_mix")
     graft.operators.DedupOps.sourceOverlap(docs, spark)
       .createOrReplaceTempView("source_overlap")
     graft.operators.CurationOps.cascadePlan(docs)

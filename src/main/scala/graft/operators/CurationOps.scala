@@ -486,6 +486,47 @@ object CurationOps {
           .as("keep_e4"))
   }
 
+  /** Temperature-scaled source-sampling weights — the multilingual
+    * mixing rule of mBERT / XLM-R / mT5 (sample source i with
+    * probability ∝ p_i^α, α < 1): flattens the size distribution so
+    * head sources stop drowning tail ones. α is fixed at 1/2 and
+    * computed as IEEE-754 `sqrt` — correctly rounded in every engine,
+    * so the oracle stays bit-exact, where a free-α pow() is
+    * transcendental and engine-divergent (0.5 sits inside the 0.2–0.7
+    * band the papers sweep). Per-row sqrt outputs are e9-rounded BEFORE
+    * the normalizer sums them, so every cross-row sum is an integer sum
+    * — order-free, unlike a raw double Σ√p (the same discipline as the
+    * e9 scores everywhere else in this file). Output per source: token
+    * share `p_e6`, sqrt-temperature sampling share `w_e6`, and the
+    * implied duplication factor `dup_e4` = w/p — how many times the
+    * source's tokens repeat per epoch of the mixture, the number an
+    * operator checks against the ~4-epoch repetition ceiling before
+    * accepting the mix.
+    *
+    * Shape at 100 TB: one map-side-combined token-count groupBy; the
+    * rest runs on |sources| rows with two broadcast scalar joins. */
+  def temperatureMix(docs: DataFrame): DataFrame = {
+    val perSrc = docs
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+    val total = perSrc.agg(sum(col("n_tokens")).as("total"))
+    val qq = perSrc.crossJoin(broadcast(total))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        floor((col("n_tokens") / col("total").cast("double")) * 1000000L + 0.5)
+          .cast("long").as("p_e6"),
+        floor(sqrt(col("n_tokens") / col("total").cast("double")) * 1000000000L + 0.5)
+          .cast("long").as("q_e9"))
+    val z = qq.agg(sum(col("q_e9")).as("z"))
+    qq.crossJoin(broadcast(z))
+      .withColumn("w_e6",
+        floor(col("q_e9").cast("double") * 1000000L / col("z") + 0.5).cast("long"))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"), col("p_e6"), col("w_e6"),
+        floor(col("w_e6") * lit(10000.0) / col("p_e6") + 0.5).cast("long").as("dup_e4"))
+  }
+
   /** Water-filling token-budget allocation across sources — the
     * SUPPLY-CONSTRAINED mixture solver [[mixPlan]] is not: given a total
     * token budget B and per-source weights w_i, allocate
@@ -919,7 +960,8 @@ object CurationPack extends QueryPack {
     "mix_alloc" -> ((s, dir) => CurationOps.tokenAllocation(d(s, dir))),
     // 99% budget: small sources saturate, so the oracle exercises the
     // water-level prefix logic, not just the proportional branch
-    "mix_alloc99" -> ((s, dir) => CurationOps.tokenAllocation(d(s, dir), budgetPct = 99L))
+    "mix_alloc99" -> ((s, dir) => CurationOps.tokenAllocation(d(s, dir), budgetPct = 99L)),
+    "temp_mix" -> ((s, dir) => CurationOps.temperatureMix(d(s, dir)))
   )
 
   // Shared shingle CTE: identical to the dedup oracles' 3-gram pipeline
@@ -1040,6 +1082,28 @@ object CurationPack extends QueryPack {
         |SELECT doc_id, lang, bucket FROM b WHERE bucket < rate""".stripMargin,
     "mix_alloc" -> mixAllocSql(50L),
     "mix_alloc99" -> mixAllocSql(99L),
+    "temp_mix" ->
+      """WITH per AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source
+        |),
+        |tot AS (SELECT SUM(n_tokens) AS total FROM per),
+        |qq AS (
+        |  SELECT source, n_docs, n_tokens,
+        |         CAST(FLOOR((n_tokens / CAST(total AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS p_e6,
+        |         CAST(FLOOR(sqrt(n_tokens / CAST(total AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT) AS q_e9
+        |  FROM per, tot
+        |),
+        |z AS (SELECT SUM(q_e9) AS z FROM qq),
+        |ww AS (
+        |  SELECT source, n_docs, n_tokens, p_e6,
+        |         CAST(FLOOR(CAST(q_e9 AS DOUBLE) * 1000000 / z + 0.5) AS BIGINT) AS w_e6
+        |  FROM qq, z
+        |)
+        |SELECT source, n_docs, n_tokens, p_e6, w_e6,
+        |       CAST(FLOOR(w_e6 * 10000.0 / p_e6 + 0.5) AS BIGINT) AS dup_e4
+        |FROM ww""".stripMargin,
     "curation_funnel" ->
       s"""WITH RECURSIVE ${GraphPack.ClustersCte},
         |fx AS (

@@ -255,6 +255,152 @@ object LmOps {
         floor(col("r_sum").cast("double") / col("n_feats") + 0.5)
           .cast("long").as("imp_e6"))
   }
+  /** Sources forming the trusted (positive) class for [[nbScore]] /
+    * [[nbTopFeatures]] — the CCNet setup (Wenzek et al. 2020): a curated
+    * reference corpus (Wikipedia there; two fixture sources here) vs the
+    * raw remainder. */
+  val NbTrusted: Seq[String] = Seq("src0", "src1")
+
+  /** Add-one-smoothed Multinomial-Naive-Bayes token posteriors for the
+    * trusted-vs-rest classifier: per token, P(trusted | token) under the
+    * doc-count prior,
+    *   post = pi·pp / (pi·pp + (1-pi)·pn),
+    *   pp = (c_pos+1)/(N_pos+V),  pn = (c_neg+1)/(N_neg+V),
+    *   pi = docs_pos/docs,
+    * scaled to e9. All rationals of exact counts with one fixed
+    * parenthesization, so the oracle is bit-exact (the
+    * [[CurationOps.bigramFluency]] discipline) — the posterior-mean
+    * score is the arithmetic variant of the NB log-odds sum: same
+    * ordering signal, zero transcendentals.
+    *
+    * Cached: the instance stream feeds three aggregates (class counts,
+    * totals, and each consumer's per-doc counts), and the posterior
+    * table itself is read by both the scorer and the feature report. */
+  /** The smoothed posterior as an e9 column, given this token's class
+    * counts — evaluated over a frame that carries the broadcast totals
+    * (np, nn, v) and priors (dp, dn) columns. One fixed parenthesization
+    * shared by the vocab table AND the unseen-token default, mirrored
+    * verbatim in the oracle SQL. */
+  private def nbPostE9(cp: org.apache.spark.sql.Column,
+      cn: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val pi = col("dp") / col("dn").cast("double")
+    val pp = (cp + 1) / (col("np") + col("v")).cast("double")
+    val pn = (cn + 1) / (col("nn") + col("v")).cast("double")
+    floor((pi * pp) / ((pi * pp) + ((lit(1.0) - pi) * pn)) * 1000000000L + 0.5)
+      .cast("long")
+  }
+
+  /** (class-count frame, one-row totals, one-row doc priors) for the
+    * trusted-vs-rest NB model. */
+  private def nbCounts(
+      docs: DataFrame, trusted: Seq[String]): (DataFrame, DataFrame, DataFrame) = {
+    val inst = graft.Caching.maybeCache(
+      docs.select(
+        col("doc_id"),
+        col("source").isInCollection(trusted).as("pos"),
+        explode(tokens(col("text"))).as("tok")))
+    val stats = inst.groupBy("tok").agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
+      sum(when(col("pos"), 0L).otherwise(1L)).as("cn"))
+    val totals = inst.agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+      sum(when(col("pos"), 0L).otherwise(1L)).as("nn"),
+      countDistinct(col("tok")).as("v"))
+    val priors = docs.agg(
+      sum(when(col("source").isInCollection(trusted), 1L).otherwise(0L)).as("dp"),
+      count(lit(1)).as("dn"))
+    (stats, totals, priors)
+  }
+
+  private def nbPosteriors(docs: DataFrame, trusted: Seq[String]): DataFrame = {
+    val (stats, totals, priors) = nbCounts(docs, trusted)
+    graft.Caching.maybeCache(
+      stats.crossJoin(broadcast(totals)).crossJoin(broadcast(priors))
+        .select(col("tok"), col("cp"), col("cn"),
+          nbPostE9(col("cp"), col("cn")).as("post_e9")))
+  }
+
+  /** A trained NB quality classifier as data: the vocab-sized posterior
+    * table plus the posterior an UNSEEN token gets (c_pos = c_neg = 0
+    * under the same add-one smoothing — possible at serve time,
+    * impossible in batch where every scored token is also a training
+    * token). Consumed by streaming/StreamingOps.nbScoreStream via a
+    * stream-static join (the [[DsirModel]] pattern). */
+  case class NbModel(post: DataFrame, defaultPostE9: Long)
+
+  /** Train the [[NbModel]]: the exact posterior frame [[nbScore]] joins
+    * against, cached (it is the static side of every stream-static join
+    * downstream), plus the unseen-token default materialized as a
+    * literal (one scalar action). */
+  def trainNb(docs: DataFrame, trusted: Seq[String] = NbTrusted): NbModel = {
+    val (_, totals, priors) = nbCounts(docs, trusted)
+    val d = totals.crossJoin(priors)
+      .select(nbPostE9(lit(0L), lit(0L)))
+      .collect()(0).getLong(0)
+    NbModel(nbPosteriors(docs, trusted), d)
+  }
+
+  /** The learned quality filter of the CCNet / GPT-3 data pipelines
+    * (Wenzek et al. 2020; Brown et al. 2020 appendix A): a classifier
+    * trained to distinguish a trusted corpus from the raw pool, applied
+    * to every doc as a curation score. Model = Multinomial Naive Bayes
+    * over whitespace tokens (the linear-classifier-over-token-features
+    * family fastText belongs to, trainable in ONE aggregation pass —
+    * no SGD, no iteration); score = count-weighted mean of per-token
+    * posteriors P(trusted|token), `pred_trusted` = score ≥ 0.5.
+    *
+    * Shape at 100 TB: training is one explode + two map-side-combined
+    * groupBys (the same shape as the [[dsirWeights]] count tables);
+    * the posterior table is VOCAB-sized — independent of corpus row
+    * count — so scoring joins the per-doc DISTINCT token counts against
+    * it (broadcast when vocab fits, shuffle otherwise; stop-word key
+    * skew is AQE's skew-join case) and rolls up per doc. No windows, no
+    * self-joins. Training docs score under the full model (standard for
+    * a corpus audit; the held-out variant is [[trigramBackoff]]'s
+    * split). */
+  def nbScore(docs: DataFrame, trusted: Seq[String] = NbTrusted): DataFrame = {
+    val inst = docs.select(
+      col("doc_id"),
+      explode(tokens(col("text"))).as("tok"))
+    val post = nbPosteriors(docs, trusted)
+    inst
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .join(post.select("tok", "post_e9"), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_toks"), sum(col("cnt") * col("post_e9")).as("p_sum_e9"))
+      .select(
+        col("doc_id"), col("n_toks"),
+        floor(col("p_sum_e9").cast("double") / col("n_toks") / 100000L + 0.5)
+          .cast("long").as("nb_e4"))
+      .withColumn("pred_trusted", col("nb_e4") >= 5000L)
+  }
+
+  /** Interpretability report for [[nbScore]]: the k most trusted-
+    * discriminative and k most untrusted-discriminative tokens (highest /
+    * lowest posterior, ties broken by token), restricted to tokens seen
+    * at least `minCount` times — the "what does the filter key on"
+    * audit a curation owner reads before deploying a learned classifier
+    * (fastText's `predict`-explain equivalent). Two-phase top-k over the
+    * vocab-sized posterior table (per-partition prune, then the global
+    * k-row window) — never a total order over the vocabulary. */
+  def nbTopFeatures(
+      docs: DataFrame, trusted: Seq[String] = NbTrusted,
+      k: Int = 10, minCount: Long = 3L): DataFrame = {
+    val f = graft.Caching.maybeCache(
+      nbPosteriors(docs, trusted).filter(col("cp") + col("cn") >= minCount))
+    def topK(side: String, ord: Seq[org.apache.spark.sql.Column]): DataFrame = {
+      val perPart = Window.partitionBy(spark_partition_id()).orderBy(ord: _*)
+      f.withColumn("prnk", row_number().over(perPart))
+        .filter(col("prnk") <= k)
+        .drop("prnk")
+        .withColumn("rnk", row_number().over(Window.orderBy(ord: _*)))
+        .filter(col("rnk") <= k)
+        .select(lit(side).as("side"), col("tok"), col("cp"), col("cn"), col("post_e9"), col("rnk"))
+    }
+    topK("trusted", Seq(col("post_e9").desc, col("tok")))
+      .unionByName(topK("untrusted", Seq(col("post_e9").asc, col("tok"))))
+  }
+
   /** Cross-score calibration report: exact Pearson correlations between
     * the three per-doc quality signals the engine ships — the heuristic
     * [[TextOps.quality]] score, the LM [[CurationOps.bigramFluency]], and
@@ -309,8 +455,43 @@ object LmPack extends graft.QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "trigram_backoff" -> ((s, dir) => LmOps.trigramBackoff(d(s, dir))),
     "dsir_weights" -> ((s, dir) => LmOps.dsirWeights(d(s, dir))),
-    "score_corr" -> ((s, dir) => LmOps.scoreCorr(d(s, dir)))
+    "score_corr" -> ((s, dir) => LmOps.scoreCorr(d(s, dir))),
+    "nb_score" -> ((s, dir) => LmOps.nbScore(d(s, dir))),
+    "nb_top_feats" -> ((s, dir) => LmOps.nbTopFeatures(d(s, dir)))
   )
+
+  /** The NB posterior table as CTEs ending in `post(tok, cp, cn,
+    * post_e9)` — shared by the nb_score and nb_top_feats oracles;
+    * arithmetic parenthesized exactly as [[LmOps.nbPosteriors]]. */
+  private val NbCtes = {
+    val trusted = LmOps.NbTrusted.map(s => s"'$s'").mkString(", ")
+    s"""lab AS (
+       |  SELECT doc_id, source IN ($trusted) AS pos, string_split(text, ' ') AS t
+       |  FROM documents
+       |),
+       |inst AS (SELECT doc_id, pos, unnest(t) AS tok FROM lab),
+       |stats AS (
+       |  SELECT tok,
+       |         SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+       |         SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
+       |  FROM inst GROUP BY tok
+       |),
+       |tot AS (
+       |  SELECT SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+       |         SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS nn,
+       |         COUNT(DISTINCT tok) AS v
+       |  FROM inst
+       |),
+       |pri AS (SELECT SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS dp, COUNT(*) AS dn FROM lab),
+       |post AS (
+       |  SELECT tok, CAST(cp AS BIGINT) AS cp, CAST(cn AS BIGINT) AS cn,
+       |         CAST(FLOOR(((dp / CAST(dn AS DOUBLE)) * ((cp + 1) / CAST(np + v AS DOUBLE)))
+       |           / (((dp / CAST(dn AS DOUBLE)) * ((cp + 1) / CAST(np + v AS DOUBLE)))
+       |              + ((1.0 - dp / CAST(dn AS DOUBLE)) * ((cn + 1) / CAST(nn + v AS DOUBLE))))
+       |           * 1000000000 + 0.5) AS BIGINT) AS post_e9
+       |  FROM stats, tot, pri
+       |)""".stripMargin
+  }
 
   /** The split-bucket predicate, identical to the Spark side's
     * stableHash60(doc_id) % 100 < TrainBuckets. */
@@ -427,6 +608,37 @@ object LmPack extends graft.QueryPack {
     "dsir_weights" ->
       s"""WITH $DsirCtes
          |SELECT doc_id, n_feats, imp_e6 FROM dw""".stripMargin,
+    "nb_score" ->
+      s"""WITH $NbCtes,
+         |dcnt AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM inst GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT doc_id,
+         |         CAST(SUM(cnt) AS BIGINT) AS n_toks,
+         |         CAST(FLOOR(CAST(SUM(cnt * post_e9) AS DOUBLE) / SUM(cnt) / 100000 + 0.5) AS BIGINT) AS nb_e4
+         |  FROM dcnt JOIN post USING (tok)
+         |  GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_toks, nb_e4, nb_e4 >= 5000 AS pred_trusted FROM sc""".stripMargin,
+    "nb_top_feats" ->
+      s"""WITH $NbCtes,
+         |f AS (SELECT tok, cp, cn, post_e9 FROM post WHERE cp + cn >= 3),
+         |tr AS (
+         |  SELECT * FROM (
+         |    SELECT 'trusted' AS side, tok, cp, cn, post_e9,
+         |           ROW_NUMBER() OVER (ORDER BY post_e9 DESC, tok) AS rnk
+         |    FROM f
+         |  ) WHERE rnk <= 10
+         |),
+         |un AS (
+         |  SELECT * FROM (
+         |    SELECT 'untrusted' AS side, tok, cp, cn, post_e9,
+         |           ROW_NUMBER() OVER (ORDER BY post_e9 ASC, tok) AS rnk
+         |    FROM f
+         |  ) WHERE rnk <= 10
+         |)
+         |SELECT side, tok, cp, cn, post_e9, rnk FROM tr
+         |UNION ALL
+         |SELECT side, tok, cp, cn, post_e9, rnk FROM un""".stripMargin,
     "score_corr" ->
       s"""WITH $DsirCtes,
          |qt AS (

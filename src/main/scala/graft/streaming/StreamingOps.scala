@@ -465,6 +465,34 @@ object StreamingOps {
           .cast("long").as("imp_e6"))
   }
 
+  /** Score-at-ingest twin of operators/LmOps.nbScore: each arriving
+    * doc's tokens join the offline-trained vocab-sized posterior table
+    * (stream-static; broadcastable when the vocab fits), tokens the
+    * model never saw get the explicit unseen-token default, and the
+    * per-doc posterior mean + keep flag emit when the watermark closes
+    * the window. Scoring the training corpus reproduces the batch
+    * scores exactly (differential-tested) — there every token hits, so
+    * the default path never fires. This is the learned-filter-at-the-
+    * front-door deployment CCNet describes: the model trains offline on
+    * a snapshot, the gate scores the firehose. */
+  def nbScoreStream(
+      docs: DataFrame,
+      model: graft.operators.LmOps.NbModel,
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    docs
+      .select(col("doc_id"), col("ingest_ts"), explode(tokens(col("text"))).as("tok"))
+      .withWatermark("ingest_ts", watermark)
+      .join(model.post.select("tok", "post_e9"), Seq("tok"), "left")
+      .withColumn("p_e9", coalesce(col("post_e9"), lit(model.defaultPostE9)))
+      .groupBy(window(col("ingest_ts"), watermark), col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("p_e9")).as("p_sum_e9"))
+      .select(col("doc_id"), col("n_toks"),
+        floor(col("p_sum_e9").cast("double") / col("n_toks") / 100000L + 0.5)
+          .cast("long").as("nb_e4"))
+      .withColumn("pred_trusted", col("nb_e4") >= 5000L)
+  }
+
   case class ServerSeen(server: String)
   case class NewServer(server: String, firstSeen: java.sql.Timestamp)
 

@@ -325,4 +325,32 @@ class CurationSpec extends SparkSpec {
       .collect()(0)
     assert(first.getAs[String]("rule") == "lang_en", s"got $first")
   }
+
+  test("temperature mix: weights normalize, order-preserve, and flatten a planted skew") {
+    val s = spark
+    import s.implicits._
+    // 100/10/1-doc sources of equal-length docs: a hard head/tail skew
+    val docs = ((1L to 100L).map(id => (id, "a b c d e", "en", "head")) ++
+      (101L to 110L).map(id => (id, "a b c d e", "en", "mid")) ++
+      Seq((111L, "a b c d e", "en", "tail")))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = CurationOps.temperatureMix(docs).cache()
+    val rows = out.collect().map(r =>
+      r.getAs[String]("source") -> (r.getAs[Long]("p_e6"), r.getAs[Long]("w_e6"),
+        r.getAs[Long]("dup_e4"))).toMap
+    // shares each sum to 1e6 within per-row rounding
+    Seq("p_e6", "w_e6").foreach { c =>
+      val tot = out.agg(sum(col(c))).collect()(0).getLong(0)
+      assert(math.abs(tot - 1000000L) <= 3, s"$c sums to $tot")
+    }
+    // sqrt preserves the size order but compresses it
+    assert(rows("head")._2 > rows("mid")._2 && rows("mid")._2 > rows("tail")._2)
+    assert(rows("head")._2 < rows("head")._1,
+      "the head source's sampling share must shrink below its raw share")
+    assert(rows("tail")._2 > rows("tail")._1,
+      "the tail source's sampling share must grow above its raw share")
+    // duplication factor: tail upsampled hardest, head below 1.0
+    assert(rows("head")._3 < 10000L && rows("tail")._3 > 10000L)
+    assert(rows("tail")._3 > rows("mid")._3 && rows("mid")._3 > rows("head")._3)
+  }
 }

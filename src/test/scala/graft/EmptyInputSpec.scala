@@ -57,6 +57,9 @@ class EmptyInputSpec extends SparkSpec {
     assert(CurationOps.curationFunnel(emptyDocs).count() == 0)
     assert(LmOps.scoreCorr(emptyDocs).count() == 0)
     assert(CurationOps.tokenAllocation(emptyDocs).count() == 0)
+    assert(LmOps.nbScore(emptyDocs).count() == 0)
+    assert(LmOps.nbTopFeatures(emptyDocs).count() == 0)
+    assert(CurationOps.temperatureMix(emptyDocs).count() == 0)
   }
 
   test("text and multimodal families return empty on an empty corpus") {

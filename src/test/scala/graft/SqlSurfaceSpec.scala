@@ -70,6 +70,16 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sampled.length == 5)
     assert(sampled.forall(r => r.getLong(1) <= r.getLong(2)),
       "sampled truth set exceeded the exact truth set")
+    // NB classifier views: every doc scored, features split into the
+    // two k-row sides
+    assert(spark.sql("SELECT COUNT(*) FROM nb_score").collect()(0).getLong(0) ==
+      docs.count())
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM (SELECT side, COUNT(*) n FROM nb_top_feats " +
+        "GROUP BY side) WHERE n <> 10").collect()(0).getLong(0) == 0)
+    // temperature mix view: sampling shares normalize within rounding
+    val wSum = spark.sql("SELECT SUM(w_e6) FROM temp_mix").collect()(0).getLong(0)
+    assert(math.abs(wSum - 1000000L) <= 20, s"w_e6 sums to $wSum")
     // the boundary view covers exactly one partial bucket, and a kept
     // doc's running sum stays under the whole default budget
     assert(spark.sql("SELECT COUNT(DISTINCT bkt) FROM token_boundary").collect()(0).getLong(0) <= 1)

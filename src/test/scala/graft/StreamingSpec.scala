@@ -388,6 +388,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nb gate scores the corpus identically to batch; unseen tokens get the default") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val docs = graft.sources.Tables.documents(s, sf)
+      .orderBy("doc_id").limit(60).cache()
+    val model = graft.operators.LmOps.trainNb(docs)
+    val expected = graft.operators.LmOps.nbScore(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingOps.nbScoreStream(
+      input.toDF().toDF("doc_id", "text", "ingest_ts"), model)
+      .writeStream.format("memory").queryName("nb_out").outputMode("append").start()
+    try {
+      // the corpus, plus a doc of never-seen tokens: all-default lookups
+      input.addData(docs.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1), ts(0))).toSeq: _*)
+      input.addData((777777L, "qqj wzx vbn", ts(1)))
+      q.processAllAvailable()
+      input.addData((999999L, "a b", Timestamp.valueOf("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val got = s.sql(
+        "SELECT doc_id, n_toks, nb_e4, pred_trusted FROM nb_out WHERE doc_id < 777777")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+      assert(got == expected,
+        s"stream-only: ${(got -- expected).take(3)}; batch-only: ${(expected -- got).take(3)}")
+      // the novel doc scores exactly what the model lookup (hit OR the
+      // unseen-token default) says — recomputed batch-side here
+      val wantNovel = Seq("qqj", "wzx", "vbn").toDF("tok")
+        .join(model.post.select("tok", "post_e9"), Seq("tok"), "left")
+        .agg(floor(sum(coalesce(col("post_e9"), lit(model.defaultPostE9)))
+          .cast("double") / count(lit(1)) / 100000L + 0.5).cast("long"))
+        .collect()(0).getLong(0)
+      val novel = s.sql("SELECT n_toks, nb_e4 FROM nb_out WHERE doc_id = 777777")
+        .collect()(0)
+      assert(novel.getLong(0) == 3L && novel.getLong(1) == wantNovel,
+        s"novel doc must score the model lookup exactly, got $novel (want $wantNovel)")
+    } finally q.stop()
+  }
+
   test("graftkv micro-batch stream tails the row log exactly once, filters pushed") {
     import graft.sources.kv.KvStore
     val s = spark

@@ -142,6 +142,50 @@ class LmOpsSpec extends SparkSpec {
       s"expected the structurally-linked pair to lead: $byPair")
   }
 
+  test("nb classifier: full coverage, bounded, trusted sources separate from the rest") {
+    val docs = Tables.documents(spark, sf)
+    val out = LmOps.nbScore(docs).cache()
+    assert(out.count() == docs.count(),
+      "every doc scores — the vocab is trained on the same corpus")
+    assert(out.filter(col("nb_e4") < 0 || col("nb_e4") > 10000).count() == 0)
+    val m = out.join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy(col("source").isInCollection(LmOps.NbTrusted).as("t"))
+      .agg(avg(col("nb_e4")).as("m"))
+      .collect().map(r => (r.getBoolean(0), r.getDouble(1))).toMap
+    assert(m(true) > m(false),
+      s"trusted-source docs must outscore the rest under their own classifier: $m")
+  }
+
+  test("nb top features: structure + a planted discriminative token leads its side") {
+    val s = spark
+    import s.implicits._
+    val trusted = (1L to 10L).map(id =>
+      (id, "zzmarker alpha beta gamma delta", "en", "src0"))
+    val rest = (11L to 40L).map(id =>
+      (id, "alpha beta gamma delta qqonly", "en", "web"))
+    val docs = (trusted ++ rest).toDF("doc_id", "text", "lang", "source")
+    val out = LmOps.nbTopFeatures(docs, k = 3).cache()
+    assert(out.count() == 6)
+    Seq("trusted", "untrusted").foreach { side =>
+      val rnks = out.filter(col("side") === side)
+        .select("rnk").collect().map(_.getInt(0)).sorted.toSeq
+      assert(rnks == Seq(1, 2, 3), s"$side ranks must be 1..k, got $rnks")
+    }
+    val top = out.filter(col("side") === "trusted" && col("rnk") === 1)
+      .select("tok").collect()(0).getString(0)
+    assert(top == "zzmarker", s"the trusted-only token must lead, got $top")
+    val bot = out.filter(col("side") === "untrusted" && col("rnk") === 1)
+      .select("tok").collect()(0).getString(0)
+    assert(bot == "qqonly", s"the untrusted-only token must lead its side, got $bot")
+    // the two sides never overlap below the posterior midline
+    val trMin = out.filter(col("side") === "trusted")
+      .agg(min(col("post_e9"))).collect()(0).getLong(0)
+    val unMax = out.filter(col("side") === "untrusted")
+      .agg(max(col("post_e9"))).collect()(0).getLong(0)
+    assert(trMin >= unMax,
+      s"top-trusted posteriors must dominate top-untrusted: $trMin < $unMax")
+  }
+
   test("plan: equi-joins only — the single nested loop is the broadcast scalar N") {
     val docs = Tables.documents(spark, sf)
     val full = LmOps.trigramBackoff(docs).queryExecution.executedPlan.toString
