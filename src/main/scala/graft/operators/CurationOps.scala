@@ -46,6 +46,23 @@ object CurationOps {
       .filter(col("n_shared_shingles") >= minShared)
   }
 
+  /** The offline benchmark shingle SET (distinct x31) the streaming
+    * decontamination gate joins against — the benchmark side of
+    * [[contamination]] reduced to its shingle universe, cached (it is
+    * the static side of every stream-static join downstream, KB-MB for
+    * millions of benchmark shingles). Deliberately a set, not the
+    * (x31, bench_id) relation: the gate's keep/drop decision needs the
+    * distinct shared-shingle count only, which streaming can take as a
+    * plain count over the already-distinct row shingles — the forensic
+    * n_bench_docs column stays a batch-report concern
+    * ([[contamination]]). */
+  def benchmarkShingleSet(docs: DataFrame): DataFrame =
+    graft.Caching.maybeCache(
+      DedupOps.shinglePostings(docs)
+        .filter(col("doc_id") % BenchMod === BenchRem)
+        .select(col("x31"))
+        .distinct())
+
   /** Bloom-prefiltered contamination: identical output to
     * [[contamination]], different 100-TB shape. A Bloom sketch of the
     * benchmark shingle set (KB-MB for millions of shingles) is built

@@ -429,7 +429,17 @@ object DedupOps {
     * dedup would disagree on what counts as a near-dup. Docs with fewer
     * than 3 tokens have no trigram and yield NULL, matching their
     * absence from the batch postings. */
-  def rowSimhash(text: Column): Column = {
+  /** Per-row DISTINCT trigram shingle hashes — the row-local twin of the
+    * batch [[postingsPlan]] universe (same tokens → trigram →
+    * stableHash31 → distinct chain; the equivalence is pinned by the
+    * batch/row simhash differential test, which hashes through this
+    * array). Empty array for docs under 3 tokens, matching their absence
+    * from the batch postings. Shared by [[rowSimhash]] and the streaming
+    * decontamination gate (streaming/StreamingOps.contaminationStream),
+    * whose exact per-doc shared-shingle count RELIES on the
+    * distinctness: each (doc, shingle) row occurs once, so a plain
+    * streaming count equals the batch countDistinct. */
+  def rowShingles(text: Column): Column = {
     val toks = tokens(text)
     val n = size(toks)
     // guard BEFORE sequence(): sequence(1, n-2) with n < 3 would step
@@ -438,7 +448,12 @@ object DedupOps {
       .otherwise(array().cast("array<int>"))
     val tris = transform(idx, i =>
       concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
-    val hs = array_distinct(transform(tris, t => stableHash31(t)))
+    array_distinct(transform(tris, t => stableHash31(t)))
+  }
+
+  def rowSimhash(text: Column): Column = {
+    val n = size(tokens(text))
+    val hs = rowShingles(text)
     // bit i set iff the +1/-1 sum over shingles is positive: 2*c1 > n
     val sim = (0 until 64)
       .map(i => when(

@@ -465,6 +465,38 @@ object StreamingOps {
           .cast("long").as("imp_e6"))
   }
 
+  /** Decontamination-at-ingest twin of operators/CurationOps
+    * .contamination: each arriving non-benchmark doc explodes its
+    * row-local DISTINCT trigram shingles (operators/DedupOps.rowShingles
+    * — the same shingle universe as the batch postings), stream-static-
+    * joins the offline benchmark shingle set, and the per-doc shared-
+    * shingle count emits when the watermark closes, flagged at the batch
+    * rule (>= minShared). Because the row shingles are distinct and the
+    * static side is a set, the plain streaming count IS the batch
+    * countDistinct — no distinct aggregation (which streaming forbids)
+    * is needed. The benchmark set broadcasts at any corpus scale (it is
+    * benchmark-sized, not corpus-sized); state is one count per open
+    * (window, doc). This closes the ingest-gate family: near-dup,
+    * exact-dup, fluency, NB quality, and now benchmark leakage are all
+    * decided at the front door with offline-built static sides. */
+  def contaminationStream(
+      docs: DataFrame,
+      benchShingles: DataFrame,
+      minShared: Long = 2L,
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.operators.{CurationOps, DedupOps}
+    docs
+      .filter(col("doc_id") % CurationOps.BenchMod =!= CurationOps.BenchRem)
+      .select(col("doc_id"), col("ingest_ts"),
+        explode(DedupOps.rowShingles(col("text"))).as("x31"))
+      .withWatermark("ingest_ts", watermark)
+      .join(benchShingles, Seq("x31"))
+      .groupBy(window(col("ingest_ts"), watermark), col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+      .filter(col("n_shared_shingles") >= minShared)
+      .select(col("doc_id"), col("n_shared_shingles"))
+  }
+
   /** Score-at-ingest twin of operators/LmOps.nbScore: each arriving
     * doc's tokens join the offline-trained vocab-sized posterior table
     * (stream-static; broadcastable when the vocab fits), tokens the

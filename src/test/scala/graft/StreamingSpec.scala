@@ -429,6 +429,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontamination gate flags the same docs and counts as batch; planted leak caught") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val base = graft.sources.Tables.documents(s, sf)
+    // plant a guaranteed leak: a non-benchmark doc carrying a benchmark
+    // doc's full text (777777 % 97 = 31, never the benchmark remainder)
+    val benchText = base
+      .filter(col("doc_id") % graft.operators.CurationOps.BenchMod ===
+        graft.operators.CurationOps.BenchRem)
+      .select("text").limit(1).collect()(0).getString(0)
+    val docs = base.select("doc_id", "text", "lang", "source")
+      .unionByName(Seq((777777L, benchText, "en", "web"))
+        .toDF("doc_id", "text", "lang", "source"))
+      .cache()
+    val expected = graft.operators.CurationOps.contamination(docs)
+      .select("doc_id", "n_shared_shingles").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.exists(_._1 == 777777L), "the planted leak must flag in batch")
+    val benchSet = graft.operators.CurationOps.benchmarkShingleSet(docs)
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingOps.contaminationStream(
+      input.toDF().toDF("doc_id", "text", "ingest_ts"), benchSet)
+      .writeStream.format("memory").queryName("contam_out").outputMode("append").start()
+    try {
+      input.addData(docs.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1), ts(0))).toSeq: _*)
+      q.processAllAvailable()
+      input.addData((999999L, "a b c", Timestamp.valueOf("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val got = s.sql(
+        "SELECT doc_id, n_shared_shingles FROM contam_out WHERE doc_id < 999999")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"stream-only: ${(got -- expected).take(3)}; batch-only: ${(expected -- got).take(3)}")
+    } finally q.stop()
+  }
+
   test("graftkv micro-batch stream tails the row log exactly once, filters pushed") {
     import graft.sources.kv.KvStore
     val s = spark
