@@ -523,10 +523,13 @@ object CurationOps {
     * Shape at 100 TB: one map-side-combined token-count groupBy; the
     * rest runs on |sources| rows with two broadcast scalar joins. */
   def temperatureMix(docs: DataFrame): DataFrame = {
-    val perSrc = docs
+    // cached: the |sources|-row aggregate is read by the total, the z
+    // normalizer, and the final projection — uncached, the corpus
+    // token-count scan would run once per reader
+    val perSrc = graft.Caching.maybeCache(docs
       .select(col("source"), size(tokens(col("text"))).cast("long").as("n"))
       .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens")))
     val total = perSrc.agg(sum(col("n_tokens")).as("total"))
     val qq = perSrc.crossJoin(broadcast(total))
       .select(

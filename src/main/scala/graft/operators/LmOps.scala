@@ -290,10 +290,12 @@ object LmOps {
       .cast("long")
   }
 
-  /** (class-count frame, one-row totals, one-row doc priors) for the
-    * trusted-vs-rest NB model. */
+  /** (cached instance stream, class-count frame, one-row totals, one-row
+    * doc priors) for the trusted-vs-rest NB model. The instance cache is
+    * shared by training counts AND [[nbScore]]'s scoring side, so the
+    * corpus parses once per query. */
   private def nbCounts(
-      docs: DataFrame, trusted: Seq[String]): (DataFrame, DataFrame, DataFrame) = {
+      docs: DataFrame, trusted: Seq[String]): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val inst = graft.Caching.maybeCache(
       docs.select(
         col("doc_id"),
@@ -309,11 +311,11 @@ object LmOps {
     val priors = docs.agg(
       sum(when(col("source").isInCollection(trusted), 1L).otherwise(0L)).as("dp"),
       count(lit(1)).as("dn"))
-    (stats, totals, priors)
+    (inst, stats, totals, priors)
   }
 
   private def nbPosteriors(docs: DataFrame, trusted: Seq[String]): DataFrame = {
-    val (stats, totals, priors) = nbCounts(docs, trusted)
+    val (_, stats, totals, priors) = nbCounts(docs, trusted)
     graft.Caching.maybeCache(
       stats.crossJoin(broadcast(totals)).crossJoin(broadcast(priors))
         .select(col("tok"), col("cp"), col("cn"),
@@ -333,7 +335,7 @@ object LmOps {
     * downstream), plus the unseen-token default materialized as a
     * literal (one scalar action). */
   def trainNb(docs: DataFrame, trusted: Seq[String] = NbTrusted): NbModel = {
-    val (_, totals, priors) = nbCounts(docs, trusted)
+    val (_, _, totals, priors) = nbCounts(docs, trusted)
     val d = totals.crossJoin(priors)
       .select(nbPostE9(lit(0L), lit(0L)))
       .collect()(0).getLong(0)
@@ -359,9 +361,9 @@ object LmOps {
     * a corpus audit; the held-out variant is [[trigramBackoff]]'s
     * split). */
   def nbScore(docs: DataFrame, trusted: Seq[String] = NbTrusted): DataFrame = {
-    val inst = docs.select(
-      col("doc_id"),
-      explode(tokens(col("text"))).as("tok"))
+    // the SAME cached instance frame training aggregates over — the
+    // scoring side projects from it, so the corpus parses once
+    val (inst, _, _, _) = nbCounts(docs, trusted)
     val post = nbPosteriors(docs, trusted)
     inst
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))

@@ -294,6 +294,25 @@ class PlanQualitySpec extends SparkSpec {
       s"bin not a join key:\n$plan")
   }
 
+  test("nb classifier: no cartesian — nested loops are only the broadcast scalar frames") {
+    spark.catalog.clearCache()
+    val plan = physical(SparkEntry.queries("nb_score")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in nb plan:\n$plan")
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(nlj <= 2, s"expected at most the totals+priors scalar loops, got $nlj:\n$plan")
+  }
+
+  test("temperature mix: one corpus shuffle — everything after runs on |sources| rows") {
+    spark.catalog.clearCache()
+    val plan = physical(SparkEntry.queries("temp_mix")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in temp_mix plan:\n$plan")
+    // the cached |sources|-row frame reprints its build plan at every
+    // InMemoryTableScan reference — count DISTINCT exchanges, not prints
+    val hashEx = "Exchange hashpartitioning\\([^)]*\\)".r.findAllIn(plan).toSet
+    assert(hashEx.size <= 1,
+      s"expected at most the one source-groupBy exchange, got $hashEx:\n$plan")
+  }
+
   test("compaction plan keeps the candidate filter below the per-server window shuffle") {
     val df = SparkEntry.queries("compaction_plan")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
