@@ -121,6 +121,8 @@ object GraftCatalog {
       .createOrReplaceTempView("score_corr")
     graft.operators.DedupOps.jaccardSweep(docs)
       .createOrReplaceTempView("dedup_sweep")
+    graft.operators.DedupOps.sweepThreshold(docs)
+      .createOrReplaceTempView("sweep_threshold")
     graft.operators.DataLayoutOps.sortBounds(
       Tables.lineitem(spark, sfDir), "l_partkey", Seq("l_orderkey", "l_linenumber"))
       .createOrReplaceTempView("sort_bounds")

@@ -246,6 +246,21 @@ object DedupOps {
     binned.withColumn("n_at_or_above", sum(col("n_pairs")).over(w))
   }
 
+  /** Auto-threshold from a pair budget: the LOWEST (most inclusive)
+    * sweep bin whose at-or-above pair count fits `maxPairs` — the
+    * operator's answer to "I can afford to verify/merge N pairs, where
+    * do I set the Jaccard threshold". One row (bin, pairs kept at it);
+    * EMPTY when even the top bin exceeds the budget (the caller's signal
+    * that the budget is unreachable at this binning, not a silently
+    * clamped guess). Runs on [[jaccardSweep]]'s ≤21-row bin table, so
+    * the cost is one sweep whatever the corpus size. */
+  def sweepThreshold(docs: DataFrame, maxPairs: Long = 100L): DataFrame =
+    jaccardSweep(docs)
+      .filter(col("n_at_or_above") <= maxPairs)
+      .orderBy(col("bin_lo_e4"))
+      .limit(1)
+      .select(col("bin_lo_e4").as("threshold_e4"), col("n_at_or_above").as("n_pairs_kept"))
+
   /** Containment dedup: inter / min(|a|, |b|) over the capped shingle
     * space — the Broder containment score. Catches the near-SUPERSET
     * shape whole-doc Jaccard misses: a short document fully embedded in
@@ -734,7 +749,8 @@ object DedupPack extends QueryPack {
     "blocker_precision" -> ((s, dir) =>
       DedupOps.blockerCandidateStats(d(s, dir), Tables.embeddings(s, dir), s)),
     "source_overlap" -> ((s, dir) => DedupOps.sourceOverlap(d(s, dir), s)),
-    "dedup_sweep" -> ((s, dir) => DedupOps.jaccardSweep(d(s, dir)))
+    "dedup_sweep" -> ((s, dir) => DedupOps.jaccardSweep(d(s, dir))),
+    "sweep_threshold" -> ((s, dir) => DedupOps.sweepThreshold(d(s, dir)))
   )
 
   /** Shared SQL: distinct (doc_id, 31-bit shingle hash) postings. */
@@ -836,6 +852,34 @@ object DedupPack extends QueryPack {
        |JOIN $sizes sb ON i.db = sb.doc_id
        |WHERE (i.inter / CAST(sa.n_shingles + sb.n_shingles - i.inter AS DOUBLE)) * 10000 + 0.5 >= $threshold""".stripMargin
 
+  /** The sweep's binned cumulative distribution as CTEs ending in
+    * `cum(bin_lo_e4, n_pairs, n_at_or_above)` — shared by the
+    * dedup_sweep and sweep_threshold oracles. */
+  private val sweepCumSql =
+    s"""WITH $postingsSql,
+       |$cappedPostingsSql,
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+       |  FROM shc a JOIN shc b ON a.x31 = b.x31 AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |),
+       |jac AS (
+       |  SELECT CAST(FLOOR((i.inter / CAST(sa.n_shingles + sb.n_shingles - i.inter AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS j
+       |  FROM inter i
+       |  JOIN sizesc sa ON i.da = sa.doc_id
+       |  JOIN sizesc sb ON i.db = sb.doc_id
+       |),
+       |bins AS (
+       |  SELECT j - (j % 500) AS bin_lo_e4, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |  FROM jac GROUP BY 1
+       |),
+       |cum AS (
+       |  SELECT bin_lo_e4, n_pairs,
+       |         CAST(SUM(n_pairs) OVER (ORDER BY bin_lo_e4 DESC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_at_or_above
+       |  FROM bins
+       |)""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """WITH keyed AS (
@@ -886,27 +930,13 @@ object DedupPack extends QueryPack {
          |),
          |${jaccardSql("pairs", 8000L, "shc", "sizesc")}""".stripMargin,
     "dedup_sweep" ->
-      s"""WITH $postingsSql,
-         |$cappedPostingsSql,
-         |inter AS (
-         |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
-         |  FROM shc a JOIN shc b ON a.x31 = b.x31 AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2
-         |),
-         |jac AS (
-         |  SELECT CAST(FLOOR((i.inter / CAST(sa.n_shingles + sb.n_shingles - i.inter AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS j
-         |  FROM inter i
-         |  JOIN sizesc sa ON i.da = sa.doc_id
-         |  JOIN sizesc sb ON i.db = sb.doc_id
-         |),
-         |bins AS (
-         |  SELECT j - (j % 500) AS bin_lo_e4, CAST(COUNT(*) AS BIGINT) AS n_pairs
-         |  FROM jac GROUP BY 1
-         |)
-         |SELECT bin_lo_e4, n_pairs,
-         |       CAST(SUM(n_pairs) OVER (ORDER BY bin_lo_e4 DESC
-         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_at_or_above
-         |FROM bins""".stripMargin,
+      s"""$sweepCumSql
+         |SELECT bin_lo_e4, n_pairs, n_at_or_above FROM cum""".stripMargin,
+    "sweep_threshold" ->
+      s"""$sweepCumSql
+         |SELECT bin_lo_e4 AS threshold_e4, n_at_or_above AS n_pairs_kept
+         |FROM cum WHERE n_at_or_above <= 100
+         |ORDER BY bin_lo_e4 LIMIT 1""".stripMargin,
     // containment = inter / min(|a|,|b|) over the same capped space and
     // pair set as dedup_jaccard — only the denominator differs
     "dedup_containment" ->

@@ -32,6 +32,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(DedupOps.pairLongestSpan(emptyDocs).count() == 0)
     assert(DedupOps.sourceOverlap(emptyDocs, spark).count() == 0)
     assert(DedupOps.jaccardSweep(emptyDocs).count() == 0)
+    assert(DedupOps.sweepThreshold(emptyDocs).count() == 0)
   }
 
   test("clustering and keep-set return empty on an empty corpus") {

@@ -280,6 +280,28 @@ class DedupGuardsSpec extends SparkSpec {
     assert(at8000 == kept, s"sweep >=8000 says $at8000, ngramJaccard kept $kept")
   }
 
+  test("sweep threshold: lowest bin under the budget, reconciled with ngramJaccard") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val maxPairs = 100L
+    val rows = DedupOps.sweepThreshold(docs, maxPairs).collect()
+    val sweep = DedupOps.jaccardSweep(docs).collect()
+    val feasible = sweep.filter(_.getAs[Long]("n_at_or_above") <= maxPairs)
+    if (feasible.isEmpty) {
+      assert(rows.isEmpty, "unreachable budget must yield NO row, not a clamped guess")
+    } else {
+      assert(rows.length == 1)
+      val t = rows(0).getAs[Long]("threshold_e4")
+      val kept = rows(0).getAs[Long]("n_pairs_kept")
+      assert(t == feasible.map(_.getAs[Long]("bin_lo_e4")).min,
+        "must pick the most inclusive feasible bin")
+      assert(kept <= maxPairs)
+      // the promised keep-count is exactly what the dedup at that
+      // threshold produces
+      assert(DedupOps.ngramJaccard(docs, thresholdE4 = t).count() == kept,
+        s"ngramJaccard at $t disagrees with the sweep's $kept")
+    }
+  }
+
   test("source overlap: a planted mirror source tops the cross-source rate matrix") {
     val s = spark
     import s.implicits._
