@@ -506,11 +506,15 @@ object CurationOps {
   /** Temperature-scaled source-sampling weights — the multilingual
     * mixing rule of mBERT / XLM-R / mT5 (sample source i with
     * probability ∝ p_i^α, α < 1): flattens the size distribution so
-    * head sources stop drowning tail ones. α is fixed at 1/2 and
-    * computed as IEEE-754 `sqrt` — correctly rounded in every engine,
-    * so the oracle stays bit-exact, where a free-α pow() is
-    * transcendental and engine-divergent (0.5 sits inside the 0.2–0.7
-    * band the papers sweep). Per-row sqrt outputs are e9-rounded BEFORE
+    * head sources stop drowning tail ones. α comes in QUARTERS
+    * (`alphaQ`/4 ∈ {1/4, 1/2, 3/4}, default 1/2) so every power is a
+    * composition of IEEE-754 `sqrt` — correctly rounded in every
+    * engine, hence the oracle stays bit-exact, where a free-α pow() is
+    * transcendental and engine-divergent; the quarter grid spans the
+    * 0.2–0.7 band the papers sweep (p^¼ = √√p flattens hardest,
+    * p^¾ = √p·√√p stays closest to natural). Both engines evaluate the
+    * SAME sqrt composition, so the rounding chain is identical.
+    * Per-row outputs are e9-rounded BEFORE
     * the normalizer sums them, so every cross-row sum is an integer sum
     * — order-free, unlike a raw double Σ√p (the same discipline as the
     * e9 scores everywhere else in this file). Output per source: token
@@ -522,7 +526,8 @@ object CurationOps {
     *
     * Shape at 100 TB: one map-side-combined token-count groupBy; the
     * rest runs on |sources| rows with two broadcast scalar joins. */
-  def temperatureMix(docs: DataFrame): DataFrame = {
+  def temperatureMix(docs: DataFrame, alphaQ: Int = 2): DataFrame = {
+    require(alphaQ >= 1 && alphaQ <= 3, s"alphaQ in 1..3 (quarters), got $alphaQ")
     // cached: the |sources|-row aggregate is read by the total, the z
     // normalizer, and the final projection — uncached, the corpus
     // token-count scan would run once per reader
@@ -531,13 +536,17 @@ object CurationOps {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens")))
     val total = perSrc.agg(sum(col("n_tokens")).as("total"))
+    val p = col("n_tokens") / col("total").cast("double")
+    val pAlpha = alphaQ match {
+      case 1 => sqrt(sqrt(p))
+      case 2 => sqrt(p)
+      case 3 => sqrt(p) * sqrt(sqrt(p))
+    }
     val qq = perSrc.crossJoin(broadcast(total))
       .select(
         col("source"), col("n_docs"), col("n_tokens"),
-        floor((col("n_tokens") / col("total").cast("double")) * 1000000L + 0.5)
-          .cast("long").as("p_e6"),
-        floor(sqrt(col("n_tokens") / col("total").cast("double")) * 1000000000L + 0.5)
-          .cast("long").as("q_e9"))
+        floor(p * 1000000L + 0.5).cast("long").as("p_e6"),
+        floor(pAlpha * 1000000000L + 0.5).cast("long").as("q_e9"))
     val z = qq.agg(sum(col("q_e9")).as("z"))
     qq.crossJoin(broadcast(z))
       .withColumn("w_e6",
@@ -981,7 +990,8 @@ object CurationPack extends QueryPack {
     // 99% budget: small sources saturate, so the oracle exercises the
     // water-level prefix logic, not just the proportional branch
     "mix_alloc99" -> ((s, dir) => CurationOps.tokenAllocation(d(s, dir), budgetPct = 99L)),
-    "temp_mix" -> ((s, dir) => CurationOps.temperatureMix(d(s, dir)))
+    "temp_mix" -> ((s, dir) => CurationOps.temperatureMix(d(s, dir))),
+    "temp_mix25" -> ((s, dir) => CurationOps.temperatureMix(d(s, dir), alphaQ = 1))
   )
 
   // Shared shingle CTE: identical to the dedup oracles' 3-gram pipeline
@@ -1008,6 +1018,32 @@ object CurationPack extends QueryPack {
 
   /** Water-filling allocation mirrored in SQL, parameterized by the
     * budget percentage the way the Scala side's `budgetPct` knob is. */
+  /** The temperature-mix oracle, parameterized by the sqrt-composition
+    * power expression over `n_tokens / CAST(total AS DOUBLE)` — exactly
+    * the compositions [[CurationOps.temperatureMix]]'s alphaQ selects. */
+  private def tempMixSql(powerExpr: String): String =
+    s"""WITH per AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source
+       |),
+       |tot AS (SELECT SUM(n_tokens) AS total FROM per),
+       |qq AS (
+       |  SELECT source, n_docs, n_tokens,
+       |         CAST(FLOOR((n_tokens / CAST(total AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS p_e6,
+       |         CAST(FLOOR($powerExpr * 1000000000 + 0.5) AS BIGINT) AS q_e9
+       |  FROM per, tot
+       |),
+       |z AS (SELECT SUM(q_e9) AS z FROM qq),
+       |ww AS (
+       |  SELECT source, n_docs, n_tokens, p_e6,
+       |         CAST(FLOOR(CAST(q_e9 AS DOUBLE) * 1000000 / z + 0.5) AS BIGINT) AS w_e6
+       |  FROM qq, z
+       |)
+       |SELECT source, n_docs, n_tokens, p_e6, w_e6,
+       |       CAST(FLOOR(w_e6 * 10000.0 / p_e6 + 0.5) AS BIGINT) AS dup_e4
+       |FROM ww""".stripMargin
+
   private def mixAllocSql(pct: Long): String =
     s"""WITH sup AS (
        |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS s,
@@ -1102,28 +1138,8 @@ object CurationPack extends QueryPack {
         |SELECT doc_id, lang, bucket FROM b WHERE bucket < rate""".stripMargin,
     "mix_alloc" -> mixAllocSql(50L),
     "mix_alloc99" -> mixAllocSql(99L),
-    "temp_mix" ->
-      """WITH per AS (
-        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-        |  FROM documents GROUP BY source
-        |),
-        |tot AS (SELECT SUM(n_tokens) AS total FROM per),
-        |qq AS (
-        |  SELECT source, n_docs, n_tokens,
-        |         CAST(FLOOR((n_tokens / CAST(total AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS p_e6,
-        |         CAST(FLOOR(sqrt(n_tokens / CAST(total AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT) AS q_e9
-        |  FROM per, tot
-        |),
-        |z AS (SELECT SUM(q_e9) AS z FROM qq),
-        |ww AS (
-        |  SELECT source, n_docs, n_tokens, p_e6,
-        |         CAST(FLOOR(CAST(q_e9 AS DOUBLE) * 1000000 / z + 0.5) AS BIGINT) AS w_e6
-        |  FROM qq, z
-        |)
-        |SELECT source, n_docs, n_tokens, p_e6, w_e6,
-        |       CAST(FLOOR(w_e6 * 10000.0 / p_e6 + 0.5) AS BIGINT) AS dup_e4
-        |FROM ww""".stripMargin,
+    "temp_mix" -> tempMixSql("sqrt(n_tokens / CAST(total AS DOUBLE))"),
+    "temp_mix25" -> tempMixSql("sqrt(sqrt(n_tokens / CAST(total AS DOUBLE)))"),
     "curation_funnel" ->
       s"""WITH RECURSIVE ${GraphPack.ClustersCte},
         |fx AS (

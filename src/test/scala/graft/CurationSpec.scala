@@ -352,5 +352,15 @@ class CurationSpec extends SparkSpec {
     // duplication factor: tail upsampled hardest, head below 1.0
     assert(rows("head")._3 < 10000L && rows("tail")._3 > 10000L)
     assert(rows("tail")._3 > rows("mid")._3 && rows("mid")._3 > rows("head")._3)
+    // the alpha ladder orders as the exponent says: 1/4 flattens harder
+    // than 1/2, 3/4 stays closer to the natural distribution
+    def wOf(alphaQ: Int): Map[String, Long] =
+      CurationOps.temperatureMix(docs, alphaQ).collect()
+        .map(r => r.getAs[String]("source") -> r.getAs[Long]("w_e6")).toMap
+    val (w25, w75) = (wOf(1), wOf(3))
+    assert(w25("head") < rows("head")._2 && rows("head")._2 < w75("head"),
+      s"head share must grow with alpha: ${w25("head")}, ${rows("head")._2}, ${w75("head")}")
+    assert(w25("tail") > rows("tail")._2 && rows("tail")._2 > w75("tail"),
+      s"tail share must shrink with alpha: ${w25("tail")}, ${rows("tail")._2}, ${w75("tail")}")
   }
 }
