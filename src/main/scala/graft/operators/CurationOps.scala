@@ -553,7 +553,13 @@ object CurationOps {
         floor(col("q_e9").cast("double") * 1000000L / col("z") + 0.5).cast("long"))
       .select(
         col("source"), col("n_docs"), col("n_tokens"), col("p_e6"), col("w_e6"),
-        floor(col("w_e6") * lit(10000.0) / col("p_e6") + 0.5).cast("long").as("dup_e4"))
+        // p_e6 rounds to 0 for any source under 0.5 ppm of total tokens —
+        // realistic tail sources at 100 TB. Guard the ratio or the division
+        // yields Infinity→Long.MaxValue here and engine-divergent garbage in
+        // the oracle; NULL is the honest "share too small to express in e6".
+        when(col("p_e6") > 0,
+          floor(col("w_e6") * lit(10000.0) / col("p_e6") + 0.5).cast("long"))
+          .as("dup_e4"))
   }
 
   /** Water-filling token-budget allocation across sources — the
@@ -1016,8 +1022,6 @@ object CurationPack extends QueryPack {
        |GROUP BY c.doc_id
        |HAVING COUNT(DISTINCT c.x31) >= 2""".stripMargin
 
-  /** Water-filling allocation mirrored in SQL, parameterized by the
-    * budget percentage the way the Scala side's `budgetPct` knob is. */
   /** The temperature-mix oracle, parameterized by the sqrt-composition
     * power expression over `n_tokens / CAST(total AS DOUBLE)` — exactly
     * the compositions [[CurationOps.temperatureMix]]'s alphaQ selects. */
@@ -1041,9 +1045,13 @@ object CurationPack extends QueryPack {
        |  FROM qq, z
        |)
        |SELECT source, n_docs, n_tokens, p_e6, w_e6,
-       |       CAST(FLOOR(w_e6 * 10000.0 / p_e6 + 0.5) AS BIGINT) AS dup_e4
+       |       CASE WHEN p_e6 > 0
+       |            THEN CAST(FLOOR(w_e6 * 10000.0 / p_e6 + 0.5) AS BIGINT)
+       |            END AS dup_e4
        |FROM ww""".stripMargin
 
+  /** Water-filling allocation mirrored in SQL, parameterized by the
+    * budget percentage the way the Scala side's `budgetPct` knob is. */
   private def mixAllocSql(pct: Long): String =
     s"""WITH sup AS (
        |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS s,

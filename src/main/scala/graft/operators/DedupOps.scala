@@ -253,7 +253,12 @@ object DedupOps {
     * EMPTY when even the top bin exceeds the budget (the caller's signal
     * that the budget is unreachable at this binning, not a silently
     * clamped guess). Runs on [[jaccardSweep]]'s ≤21-row bin table, so
-    * the cost is one sweep whatever the corpus size. */
+    * the cost is one sweep whatever the corpus size. Note the 500-wide
+    * binning is conservative: the returned bin's `n_pairs_kept` can sit
+    * well under `maxPairs` when the next bin down would overshoot —
+    * callers wanting a tighter fit re-bin, they don't re-sweep. Both the
+    * default budget and a non-default one (25) are oracled
+    * (`sweep_threshold` / `sweep_threshold25`). */
   def sweepThreshold(docs: DataFrame, maxPairs: Long = 100L): DataFrame =
     jaccardSweep(docs)
       .filter(col("n_at_or_above") <= maxPairs)
@@ -750,7 +755,8 @@ object DedupPack extends QueryPack {
       DedupOps.blockerCandidateStats(d(s, dir), Tables.embeddings(s, dir), s)),
     "source_overlap" -> ((s, dir) => DedupOps.sourceOverlap(d(s, dir), s)),
     "dedup_sweep" -> ((s, dir) => DedupOps.jaccardSweep(d(s, dir))),
-    "sweep_threshold" -> ((s, dir) => DedupOps.sweepThreshold(d(s, dir)))
+    "sweep_threshold" -> ((s, dir) => DedupOps.sweepThreshold(d(s, dir))),
+    "sweep_threshold25" -> ((s, dir) => DedupOps.sweepThreshold(d(s, dir), maxPairs = 25L))
   )
 
   /** Shared SQL: distinct (doc_id, 31-bit shingle hash) postings. */
@@ -880,6 +886,14 @@ object DedupPack extends QueryPack {
        |  FROM bins
        |)""".stripMargin
 
+  /** sweep_threshold oracle, parameterized by the pair budget the way
+    * the Scala side's `maxPairs` knob is. */
+  private def sweepThresholdSql(maxPairs: Long): String =
+    s"""$sweepCumSql
+       |SELECT bin_lo_e4 AS threshold_e4, n_at_or_above AS n_pairs_kept
+       |FROM cum WHERE n_at_or_above <= $maxPairs
+       |ORDER BY bin_lo_e4 LIMIT 1""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """WITH keyed AS (
@@ -932,11 +946,9 @@ object DedupPack extends QueryPack {
     "dedup_sweep" ->
       s"""$sweepCumSql
          |SELECT bin_lo_e4, n_pairs, n_at_or_above FROM cum""".stripMargin,
-    "sweep_threshold" ->
-      s"""$sweepCumSql
-         |SELECT bin_lo_e4 AS threshold_e4, n_at_or_above AS n_pairs_kept
-         |FROM cum WHERE n_at_or_above <= 100
-         |ORDER BY bin_lo_e4 LIMIT 1""".stripMargin,
+    "sweep_threshold" -> sweepThresholdSql(100L),
+    // the non-default pair budget oracled, the mixAllocSql(pct) pattern
+    "sweep_threshold25" -> sweepThresholdSql(25L),
     // containment = inter / min(|a|,|b|) over the same capped space and
     // pair set as dedup_jaccard — only the denominator differs
     "dedup_containment" ->

@@ -261,21 +261,6 @@ object LmOps {
     * raw remainder. */
   val NbTrusted: Seq[String] = Seq("src0", "src1")
 
-  /** Add-one-smoothed Multinomial-Naive-Bayes token posteriors for the
-    * trusted-vs-rest classifier: per token, P(trusted | token) under the
-    * doc-count prior,
-    *   post = pi·pp / (pi·pp + (1-pi)·pn),
-    *   pp = (c_pos+1)/(N_pos+V),  pn = (c_neg+1)/(N_neg+V),
-    *   pi = docs_pos/docs,
-    * scaled to e9. All rationals of exact counts with one fixed
-    * parenthesization, so the oracle is bit-exact (the
-    * [[CurationOps.bigramFluency]] discipline) — the posterior-mean
-    * score is the arithmetic variant of the NB log-odds sum: same
-    * ordering signal, zero transcendentals.
-    *
-    * Cached: the instance stream feeds three aggregates (class counts,
-    * totals, and each consumer's per-doc counts), and the posterior
-    * table itself is read by both the scorer and the feature report. */
   /** The smoothed posterior as an e9 column, given this token's class
     * counts — evaluated over a frame that carries the broadcast totals
     * (np, nn, v) and priors (dp, dn) columns. One fixed parenthesization
@@ -314,6 +299,21 @@ object LmOps {
     (inst, stats, totals, priors)
   }
 
+  /** Add-one-smoothed Multinomial-Naive-Bayes token posteriors for the
+    * trusted-vs-rest classifier: per token, P(trusted | token) under the
+    * doc-count prior,
+    *   post = pi·pp / (pi·pp + (1-pi)·pn),
+    *   pp = (c_pos+1)/(N_pos+V),  pn = (c_neg+1)/(N_neg+V),
+    *   pi = docs_pos/docs,
+    * scaled to e9. All rationals of exact counts with one fixed
+    * parenthesization, so the oracle is bit-exact (the
+    * [[CurationOps.bigramFluency]] discipline) — the posterior-mean
+    * score is the arithmetic variant of the NB log-odds sum: same
+    * ordering signal, zero transcendentals.
+    *
+    * Cached: the instance stream feeds three aggregates (class counts,
+    * totals, and each consumer's per-doc counts), and the posterior
+    * table itself is read by both the scorer and the feature report. */
   private def nbPosteriors(docs: DataFrame, trusted: Seq[String]): DataFrame = {
     val (_, stats, totals, priors) = nbCounts(docs, trusted)
     graft.Caching.maybeCache(

@@ -6,8 +6,7 @@ import scala.collection.JavaConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
@@ -70,6 +69,10 @@ object KvSource {
   @volatile var lastPushedFilters: Seq[Filter] = Nil
   @volatile var lastPrunedSchema: Option[StructType] = None
   @volatile var lastPushedAggregates: Seq[String] = Nil
+  @volatile var lastPushedGroupBy: Seq[String] = Nil
+  @volatile var lastPushedLimit: Option[Int] = None
+  @volatile var lastPushedTopN: Option[(Seq[String], Int)] = None
+  @volatile var lastRuntimeFilters: Seq[Filter] = Nil
 }
 
 /** The backing store: table name -> (schema, rows of plain JVM values). */
@@ -117,10 +120,13 @@ class KvTable(tableName: String, tableSchema: StructType, partitions: Int)
 
 class KvScanBuilder(table: String, full: StructType, partitions: Int)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var agg: Option[Aggregation] = None
+  private var limit: Option[Int] = None
+  private var topN: Option[(Seq[SortOrder], Int)] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (sup, residual) = filters.partition(KvFilterEval.supported)
@@ -135,10 +141,43 @@ class KvScanBuilder(table: String, full: StructType, partitions: Int)
     KvSource.lastPrunedSchema = Some(requiredSchema)
   }
 
+  // Limit / top-N pushdown — the O-3/O-5 scan shapes: a point get is
+  // filter + LIMIT 1 (the reference bounds it with scan caching /
+  // maxResultSize(1)), a bounded range scan is orderBy(key) + LIMIT k.
+  // Both are PARTIAL pushes: each partition reader stops after its local
+  // limit (or ships its local top-N) and Spark's global Limit /
+  // TakeOrderedAndProject finishes the job — the shape that still works
+  // when the "partitions" are a thousand region servers, because what
+  // crosses the wire is k rows per region, not the region.
+  override def pushLimit(l: Int): Boolean = {
+    limit = Some(l)
+    KvSource.lastPushedLimit = Some(l)
+    true
+  }
+
+  override def pushTopN(orders: Array[SortOrder], l: Int): Boolean = {
+    val claimable = orders.forall(o => o.expression() match {
+      case n: NamedReference => full.fieldNames.contains(n.fieldNames()(0))
+      case _ => false
+    })
+    if (!claimable) false
+    else {
+      topN = Some((orders.toSeq, l))
+      KvSource.lastPushedTopN = Some((orders.map(_.toString).toSeq, l))
+      true
+    }
+  }
+
+  // one override satisfies both interfaces' default method
+  override def isPartiallyPushed(): Boolean = true
+
   // Aggregate pushdown — COUNT(*)/COUNT(col)/MIN/MAX resolved inside the
-  // source (ungrouped, complete): the scan answers from its own metadata
-  // or a single sweep and ships ONE row, the way a real store answers
-  // from region statistics instead of streaming every row out.
+  // source (COMPLETE, grouped or ungrouped): the scan answers from its
+  // own sweep and ships one row per group, the way a real store answers
+  // from region statistics instead of streaming every row out. Grouped
+  // pushdown plans a single partition (the store is one "region" here);
+  // a multi-region connector would return partial per-region rows
+  // instead (supportCompletePushDown = false) and let Spark merge.
   private def aggCol(f: AggregateFunc): Option[String] = f match {
     case _: CountStar => Some("*")
     case c: Count if !c.isDistinct => c.column() match {
@@ -154,8 +193,10 @@ class KvScanBuilder(table: String, full: StructType, partitions: Int)
   }
 
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    aggregation.groupByExpressions().isEmpty &&
-      aggregation.aggregateExpressions().forall(aggCol(_).isDefined)
+    aggregation.groupByExpressions().forall {
+      case n: NamedReference => full.fieldNames.contains(n.fieldNames()(0))
+      case _ => false
+    } && aggregation.aggregateExpressions().forall(aggCol(_).isDefined)
 
   override def pushAggregation(aggregation: Aggregation): Boolean =
     if (!supportCompletePushDown(aggregation)) false
@@ -163,20 +204,31 @@ class KvScanBuilder(table: String, full: StructType, partitions: Int)
       agg = Some(aggregation)
       KvSource.lastPushedAggregates =
         aggregation.aggregateExpressions().map(_.toString).toSeq
+      KvSource.lastPushedGroupBy =
+        aggregation.groupByExpressions().map(_.toString).toSeq
       true
     }
 
-  override def build(): Scan = new KvScan(table, full, required, pushed, partitions, agg)
+  override def build(): Scan =
+    new KvScan(table, full, required, pushed, partitions, agg, limit, topN)
 }
 
 class KvScan(
     table: String, full: StructType, required: StructType,
     pushed: Array[Filter], partitions: Int,
-    agg: Option[Aggregation] = None) extends Scan with Batch {
+    agg: Option[Aggregation] = None,
+    limit: Option[Int] = None,
+    topN: Option[(Seq[SortOrder], Int)] = None)
+    extends Scan with Batch with SupportsRuntimeFiltering {
   // after a complete aggregate pushdown the scan's output IS the
-  // aggregate row, so the read schema must be the agg output schema
+  // group-by columns followed by the aggregate columns, positionally —
+  // Spark maps readSchema() onto groupings ++ aggregates by index
   private val aggSchema: Option[StructType] = agg.map { a =>
-    StructType(a.aggregateExpressions().zipWithIndex.map { case (f, i) =>
+    val groupFields = a.groupByExpressions().map { e =>
+      val c = e.asInstanceOf[NamedReference].fieldNames()(0)
+      full(c)
+    }
+    val aggFields = a.aggregateExpressions().zipWithIndex.map { case (f, i) =>
       f match {
         case _: CountStar => StructField(s"agg_$i", LongType)
         case _: Count => StructField(s"agg_$i", LongType)
@@ -188,14 +240,34 @@ class KvScan(
           StructField(s"agg_$i", full(c).dataType)
         case other => throw new IllegalStateException(s"unclaimed aggregate: $other")
       }
-    })
+    }
+    StructType(groupFields ++ aggFields)
   }
+
+  // Runtime (DPP-style) filters arrive on the built scan at execution
+  // time, before partition planning — a real connector compiles the IN
+  // set into row-key ranges; here the readers evaluate it, which still
+  // means the join's build-side keys filter the scan INSIDE the source
+  // instead of after a full table ship.
+  @volatile private var runtime: Array[Filter] = Array.empty
+  // only columns in the scan's OUTPUT are claimable: Spark resolves these
+  // against the pruned relation, not the table schema
+  override def filterAttributes(): Array[NamedReference] =
+    readSchema().fieldNames.map(Expressions.column)
+  override def filter(filters: Array[Filter]): Unit = {
+    runtime = filters.filter(KvFilterEval.supported)
+    KvSource.lastRuntimeFilters = runtime.toSeq
+  }
+  private def effectiveFilters: Array[Filter] = pushed ++ runtime
 
   override def readSchema(): StructType = aggSchema.getOrElse(required)
   override def toBatch: Batch = this
   override def description(): String =
     s"graftkv:$table PushedFilters: [${pushed.mkString(", ")}], " +
       s"PushedAggregates: [${agg.map(_.aggregateExpressions().mkString(", ")).getOrElse("")}], " +
+      s"PushedGroupBy: [${agg.map(_.groupByExpressions().mkString(", ")).getOrElse("")}], " +
+      s"PushedLimit: ${limit.orElse(topN.map(_._2)).map(_.toString).getOrElse("-")}, " +
+      s"PushedTopN: [${topN.map(_._1.mkString(", ")).getOrElse("")}], " +
       s"ReadSchema: ${required.simpleString}"
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -209,7 +281,7 @@ class KvScan(
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new KvReaderFactory(table, full, required, pushed, agg)
+    new KvReaderFactory(table, full, required, effectiveFilters, agg, limit, topN)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new KvMicroBatchStream(table, full, required, pushed)
@@ -250,24 +322,26 @@ case class KvInputPartition(start: Int, end: Int) extends InputPartition
 
 class KvReaderFactory(
     table: String, full: StructType, required: StructType,
-    pushed: Array[Filter], agg: Option[Aggregation] = None)
+    pushed: Array[Filter], agg: Option[Aggregation] = None,
+    limit: Option[Int] = None, topN: Option[(Seq[SortOrder], Int)] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[KvInputPartition]
     agg match {
       case Some(a) => new KvAggReader(table, full, pushed, a)
-      case None => new KvPartitionReader(table, full, required, pushed, p.start, p.end)
+      case None =>
+        new KvPartitionReader(table, full, required, pushed, p.start, p.end, limit, topN)
     }
   }
 }
 
-/** Complete ungrouped aggregate pushdown: one sweep over the (filtered)
-  * rows, one output row in the aggregate expressions' order. */
+/** Complete aggregate pushdown: one sweep over the (filtered) rows —
+  * ungrouped ships ONE row, grouped ships one row per group with the
+  * group-by values leading, positionally matching the scan's readSchema. */
 class KvAggReader(
     table: String, full: StructType, pushed: Array[Filter], agg: Aggregation)
     extends PartitionReader[InternalRow] {
   private val fieldIdx = full.fieldNames.zipWithIndex.toMap
-  private var emitted = false
 
   private def colOf(f: AggregateFunc): String = f match {
     case _: CountStar => "*"
@@ -277,46 +351,67 @@ class KvAggReader(
     case other => throw new IllegalStateException(s"unclaimed aggregate: $other")
   }
 
-  override def next(): Boolean =
-    if (emitted) false
-    else {
-      val rows = KvStore.rowsOf(table)
-        .filter(row => pushed.forall(f => KvFilterEval.eval(f, n => row(fieldIdx(n)))))
-      val values = agg.aggregateExpressions().map { f =>
-        val c = colOf(f)
-        f match {
-          case _: CountStar => rows.size.toLong
-          case _: Count => rows.count(r => r(fieldIdx(c)) != null).toLong
-          case _: Min =>
-            val vs = rows.map(r => r(fieldIdx(c))).filter(_ != null)
-            if (vs.isEmpty) null
-            else KvFilterEval.toCatalyst(vs.reduce((a, b) => if (KvFilterEval.ord(a, b) <= 0) a else b))
-          case _: Max =>
-            val vs = rows.map(r => r(fieldIdx(c))).filter(_ != null)
-            if (vs.isEmpty) null
-            else KvFilterEval.toCatalyst(vs.reduce((a, b) => if (KvFilterEval.ord(a, b) >= 0) a else b))
-          case other => throw new IllegalStateException(s"unclaimed aggregate: $other")
-        }
+  private def aggValues(rows: Seq[Seq[Any]]): Seq[Any] =
+    agg.aggregateExpressions().toSeq.map { f =>
+      val c = colOf(f)
+      f match {
+        case _: CountStar => rows.size.toLong
+        case _: Count => rows.count(r => r(fieldIdx(c)) != null).toLong
+        case _: Min =>
+          val vs = rows.map(r => r(fieldIdx(c))).filter(_ != null)
+          if (vs.isEmpty) null
+          else KvFilterEval.toCatalyst(vs.reduce((a, b) => if (KvFilterEval.ord(a, b) <= 0) a else b))
+        case _: Max =>
+          val vs = rows.map(r => r(fieldIdx(c))).filter(_ != null)
+          if (vs.isEmpty) null
+          else KvFilterEval.toCatalyst(vs.reduce((a, b) => if (KvFilterEval.ord(a, b) >= 0) a else b))
+        case other => throw new IllegalStateException(s"unclaimed aggregate: $other")
       }
-      currentRow = InternalRow.fromSeq(values.toSeq)
-      emitted = true
-      true
     }
 
+  private lazy val it: Iterator[InternalRow] = {
+    val rows = KvStore.rowsOf(table)
+      .filter(row => pushed.forall(f => KvFilterEval.eval(f, n => row(fieldIdx(n)))))
+    val groupCols = agg.groupByExpressions().toSeq
+      .map(_.asInstanceOf[NamedReference].fieldNames()(0))
+    if (groupCols.isEmpty) Iterator.single(InternalRow.fromSeq(aggValues(rows)))
+    else rows
+      .groupBy(r => groupCols.map(c => r(fieldIdx(c))))
+      .iterator
+      .map { case (key, grp) =>
+        InternalRow.fromSeq(key.map(KvFilterEval.toCatalyst) ++ aggValues(grp))
+      }
+  }
+
   private var currentRow: InternalRow = _
+  override def next(): Boolean =
+    if (it.hasNext) { currentRow = it.next(); true } else false
   override def get(): InternalRow = currentRow
   override def close(): Unit = ()
 }
 
 class KvPartitionReader(
     table: String, full: StructType, required: StructType,
-    pushed: Array[Filter], start: Int, end: Int)
+    pushed: Array[Filter], start: Int, end: Int,
+    limit: Option[Int] = None, topN: Option[(Seq[SortOrder], Int)] = None)
     extends PartitionReader[InternalRow] {
   private val fieldIdx = full.fieldNames.zipWithIndex.toMap
   private val outIdx = required.fieldNames.map(fieldIdx)
-  private val it = KvStore.rowsOf(table).slice(start, end)
-    .iterator
-    .filter(row => pushed.forall(f => KvFilterEval.eval(f, name => row(fieldIdx(name)))))
+
+  private val it: Iterator[Seq[Any]] = {
+    val filtered = KvStore.rowsOf(table).slice(start, end)
+      .iterator
+      .filter(row => pushed.forall(f => KvFilterEval.eval(f, name => row(fieldIdx(name)))))
+    (topN, limit) match {
+      // local top-N: this partition's k best rows by the pushed sort —
+      // Spark's TakeOrderedAndProject merges the per-partition winners
+      case (Some((orders, k)), _) =>
+        filtered.toSeq.sorted(KvFilterEval.sortOrdering(orders, fieldIdx)).take(k).iterator
+      // local limit: stop the sweep after k rows, Spark's Limit finishes
+      case (None, Some(k)) => filtered.take(k)
+      case (None, None) => filtered
+    }
+  }
   private var current: InternalRow = _
 
   override def next(): Boolean =
@@ -369,6 +464,29 @@ object KvFilterEval {
     case In(c, vs) => value(c) != null && vs.exists(v => cmp(value(c), v) == 0)
     case other => throw new IllegalStateException(s"unclaimed filter reached eval: $other")
   }
+
+  /** Row ordering for the pushed top-N: the claimed SortOrders over raw
+    * store rows, nulls placed per the order's null ordering. */
+  def sortOrdering(
+      orders: Seq[SortOrder], fieldIdx: Map[String, Int]): Ordering[Seq[Any]] =
+    new Ordering[Seq[Any]] {
+      override def compare(x: Seq[Any], y: Seq[Any]): Int = {
+        orders.foreach { o =>
+          val i = fieldIdx(o.expression().asInstanceOf[NamedReference].fieldNames()(0))
+          val (a, b) = (x(i), y(i))
+          val c =
+            if (a == null && b == null) 0
+            else if (a == null) {
+              if (o.nullOrdering() == org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST) -1 else 1
+            } else if (b == null) {
+              if (o.nullOrdering() == org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST) 1 else -1
+            } else if (o.direction() == SortDirection.ASCENDING) ord(a, b)
+            else -ord(a, b)
+          if (c != 0) return c
+        }
+        0
+      }
+    }
 
   def toCatalyst(v: Any): Any = v match {
     case s: String => UTF8String.fromString(s)

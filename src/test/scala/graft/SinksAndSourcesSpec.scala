@@ -338,4 +338,101 @@ class SinksAndSourcesSpec extends SparkSpec {
       docsPq.unpersist()
     }
   }
+
+  test("connector seam: graftkv limit/top-N, grouped-agg, and runtime-filter pushdown") {
+    import graft.sources.kv.{KvSource, KvStore}
+    val docsPq = graft.sources.Tables.documents(spark, sf).cache()
+    KvStore.put("documents", docsPq.schema, docsPq.collect().map(_.toSeq).toSeq)
+    try {
+      spark.conf.set(graft.sources.Tables.FormatKey, "graftkv")
+      spark.conf.set(graft.sources.Tables.NameAddressedKey, "true")
+      def viaKv = graft.sources.Tables.documents(spark, sf)
+
+      // 1) the O-5 point-get shape pushes its LIMIT into the source: each
+      // partition reader stops after one row instead of sweeping its slice
+      // (the reference bounds the same probe with maxResultSize(1))
+      KvSource.lastPushedLimit = None
+      val pointGet = viaKv.filter(col("doc_id") === 7L).limit(1)
+      assert(pointGet.count() == 1L)
+      assert(KvSource.lastPushedLimit.contains(1),
+        s"expected LIMIT 1 pushed, got ${KvSource.lastPushedLimit}")
+      val limPlan = pointGet.queryExecution.executedPlan.toString
+      assert(limPlan.contains("PushedLimit: 1"), s"plan must show the pushed limit:\n$limPlan")
+
+      // 2) the O-3 bounded-scan shape pushes its TOP-N: per-partition
+      // local winners only cross the wire, TakeOrderedAndProject merges
+      KvSource.lastPushedTopN = None
+      val top3 = viaKv.select("doc_id", "n_chars").orderBy(col("doc_id").desc).limit(3)
+      val gotTop = top3.collect().map(_.toSeq).toSeq
+      val expTop = docsPq.select("doc_id", "n_chars").orderBy(col("doc_id").desc)
+        .limit(3).collect().map(_.toSeq).toSeq
+      assert(gotTop == expTop, s"top-N rows: $gotTop vs $expTop")
+      assert(KvSource.lastPushedTopN.exists { case (orders, k) =>
+        k == 3 && orders.exists(_.contains("doc_id")) },
+        s"expected doc_id DESC top-3 pushed, got ${KvSource.lastPushedTopN}")
+
+      // 3) grouped aggregate pushdown: one row per group computed inside
+      // the source, group columns leading — the other half of the DSv2
+      // aggregate contract beyond r7's ungrouped COUNT/MIN/MAX
+      KvSource.lastPushedGroupBy = Nil
+      val gKv = viaKv.groupBy("lang")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("mn"), max("n_chars").as("mx"))
+        .collect().map(_.toSeq).toSet
+      val gPq = docsPq.groupBy("lang")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("mn"), max("n_chars").as("mx"))
+        .collect().map(_.toSeq).toSet
+      assert(gKv == gPq, s"grouped pushdown disagrees with parquet")
+      assert(KvSource.lastPushedGroupBy.exists(_.contains("lang")),
+        s"expected GROUP BY lang pushed, got ${KvSource.lastPushedGroupBy}")
+
+      // grouped pushdown composes with a pushed filter
+      val gfKv = viaKv.filter(col("doc_id") < 50L).groupBy("source")
+        .agg(count(lit(1)).as("n")).collect().map(_.toSeq).toSet
+      val gfPq = docsPq.filter(col("doc_id") < 50L).groupBy("source")
+        .agg(count(lit(1)).as("n")).collect().map(_.toSeq).toSet
+      assert(gfKv == gfPq)
+
+      // 4) runtime filtering: a selective dim-side filter reaches the
+      // fact scan as a dynamic IN filter at execution time — the DSv2
+      // seam where an hbase connector turns join keys into row-key gets
+      KvStore.put("dim",
+        docsPq.select("doc_id", "lang").schema,
+        docsPq.select("doc_id", "lang").collect().map(_.toSeq).toSeq)
+      KvSource.lastRuntimeFilters = Nil
+      withSQLConf(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+        "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "10.0",
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly" -> "false") {
+        val fact = viaKv
+        // a predicate the source does NOT claim (StartsWith), so it stays
+        // a residual Filter — what makes the optimizer see a selective
+        // build side (a fully-claimed filter vanishes from the plan and
+        // with it the pruning opportunity; production dims keep residuals)
+        val dim = spark.read.format("graftkv")
+          .option(graft.sources.Tables.TableNameOption, "dim").load()
+          .filter(col("lang").startsWith("d"))
+        val joined = fact.join(broadcast(dim), Seq("doc_id"))
+          .select(fact("doc_id"), col("n_chars"))
+        val got = joined.count()
+        val exp = docsPq.join(
+          docsPq.select("doc_id", "lang").filter(col("lang").startsWith("d")), Seq("doc_id"))
+          .count()
+        assert(got == exp)
+        assert(KvSource.lastRuntimeFilters.exists {
+          case org.apache.spark.sql.sources.In("doc_id", vs) => vs.nonEmpty
+          case _ => false
+        }, s"expected the dim-side keys delivered to the fact scan as a runtime IN filter, " +
+          s"got ${KvSource.lastRuntimeFilters}")
+        // and the physical plan names the dynamic filter on the fact scan
+        val dppPlan = joined.queryExecution.executedPlan.toString
+        assert(dppPlan.contains("dynamicpruningexpression"),
+          s"plan must show the runtime filter:\n$dppPlan")
+      }
+    } finally {
+      spark.conf.unset(graft.sources.Tables.FormatKey)
+      spark.conf.unset(graft.sources.Tables.NameAddressedKey)
+      KvStore.clear()
+      docsPq.unpersist()
+    }
+  }
 }

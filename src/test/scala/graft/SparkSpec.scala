@@ -18,4 +18,16 @@ object TestSpark {
 trait SparkSpec extends AnyFunSuite {
   def spark: SparkSession = TestSpark.spark
   def sf: String = TestSpark.sf
+
+  /** Run `body` with the given SQL confs set, restoring priors after —
+    * the shared-session analogue of Spark's own test helper. */
+  def withSQLConf[A](pairs: (String, String)*)(body: => A): A = {
+    val prior = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
