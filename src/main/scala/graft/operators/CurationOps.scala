@@ -23,20 +23,45 @@ object CurationOps {
 
   /** Deterministic "benchmark" membership for the fixtures: doc_id % 97
     * == 13 (~1% of docs). A real deployment passes its own benchmark doc
-    * set; everything downstream only sees a (doc_id, shingle) relation. */
+    * set to the `benchDocs` knobs below (a real benchmark table's doc
+    * ids, not a modulus) — oracled non-default as `contam_src`;
+    * everything downstream only sees a (doc_id, shingle) relation. */
   val BenchMod = 97L
   val BenchRem = 13L
+
+  /** The fixture-default membership predicate (used when no benchmark
+    * doc set is passed). */
+  def benchPredicate: org.apache.spark.sql.Column =
+    col("doc_id") % BenchMod === BenchRem
+
+  /** (benchmark postings, candidate postings): split by the external
+    * benchmark doc set when given — a broadcast semi/anti-join on
+    * doc_id, since a benchmark suite is orders of magnitude smaller
+    * than the corpus — else by the fixture modulus predicate. */
+  private def splitPostings(
+      docs: DataFrame, benchDocs: Option[DataFrame]): (DataFrame, DataFrame) = {
+    val postings = DedupOps.shinglePostings(docs)
+    benchDocs match {
+      case None =>
+        (postings.filter(benchPredicate), postings.filter(!benchPredicate))
+      case Some(b) =>
+        val ids = broadcast(b.select(col("doc_id")).distinct())
+        (postings.join(ids, Seq("doc_id"), "left_semi"),
+          postings.join(ids, Seq("doc_id"), "left_anti"))
+    }
+  }
 
   /** Benchmark contamination: for every non-benchmark doc, how many
     * distinct 3-gram shingles it shares with the benchmark set and how
     * many benchmark docs it touches; flagged above `minShared`.
-    * The n-gram-overlap decontamination check run before training. */
-  def contamination(docs: DataFrame, minShared: Long = 2L): DataFrame = {
-    val postings = DedupOps.shinglePostings(docs)
-    val isBench = col("doc_id") % BenchMod === BenchRem
-    val bench = postings.filter(isBench)
-      .select(col("x31"), col("doc_id").as("bench_id"))
-    val candidates = postings.filter(!isBench)
+    * The n-gram-overlap decontamination check run before training.
+    * `benchDocs` is the production knob: the benchmark suite's doc ids
+    * as a DataFrame (any frame with a doc_id column). */
+  def contamination(
+      docs: DataFrame, minShared: Long = 2L,
+      benchDocs: Option[DataFrame] = None): DataFrame = {
+    val (benchP, candidates) = splitPostings(docs, benchDocs)
+    val bench = benchP.select(col("x31"), col("doc_id").as("bench_id"))
     candidates
       .join(broadcast(bench), "x31")
       .groupBy("doc_id")
@@ -56,10 +81,10 @@ object CurationOps {
     * plain count over the already-distinct row shingles — the forensic
     * n_bench_docs column stays a batch-report concern
     * ([[contamination]]). */
-  def benchmarkShingleSet(docs: DataFrame): DataFrame =
+  def benchmarkShingleSet(
+      docs: DataFrame, benchDocs: Option[DataFrame] = None): DataFrame =
     graft.Caching.maybeCache(
-      DedupOps.shinglePostings(docs)
-        .filter(col("doc_id") % BenchMod === BenchRem)
+      splitPostings(docs, benchDocs)._1
         .select(col("x31"))
         .distinct())
 
@@ -87,15 +112,14 @@ object CurationOps {
       docs: DataFrame,
       minShared: Long = 2L,
       fpp: Double = 0.01,
-      expectedItems: Long = 1L << 20): DataFrame = {
-    val postings = DedupOps.shinglePostings(docs)
-    val isBench = col("doc_id") % BenchMod === BenchRem
-    val bench = postings.filter(isBench)
-      .select(col("x31"), col("doc_id").as("bench_id"))
+      expectedItems: Long = 1L << 20,
+      benchDocs: Option[DataFrame] = None): DataFrame = {
+    val (benchP, candidates) = splitPostings(docs, benchDocs)
+    val bench = benchP.select(col("x31"), col("doc_id").as("bench_id"))
     val bloom = bench.stat.bloomFilter("x31", expectedItems, fpp)
     val bc = docs.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((x: Long) => bc.value.mightContainLong(x))
-    postings.filter(!isBench)
+    candidates
       .filter(mightContain(col("x31")))
       .join(broadcast(bench), "x31")
       .groupBy("doc_id")
@@ -970,6 +994,10 @@ object CurationPack extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "contam" -> ((s, dir) => CurationOps.contamination(d(s, dir))),
     "contam_bloom" -> ((s, dir) => CurationOps.contaminationBloom(d(s, dir))),
+    // the production shape: benchmark membership from a real doc table
+    // (here: one source stands in for the benchmark suite), not a modulus
+    "contam_src" -> ((s, dir) => CurationOps.contamination(d(s, dir),
+      benchDocs = Some(d(s, dir).filter(col("source") === "src19")))),
     "strat_sample" -> ((s, dir) => CurationOps.stratifiedSample(d(s, dir))),
     "rep_top_token" -> ((s, dir) => CurationOps.repTopToken(d(s, dir))),
     "rep_bigram_frac" -> ((s, dir) => CurationOps.repBigramFrac(d(s, dir))),
@@ -1011,16 +1039,21 @@ object CurationPack extends QueryPack {
       |  FROM toks, range(1, ${OracleLimits.MaxDocTokens}) r(i) WHERE i + 2 <= len(t)
       |)""".stripMargin
 
-  private val ContaminationSql =
+  /** The contamination oracle, parameterized by the benchmark-membership
+    * condition over `sh.doc_id` the way the Scala side's `benchDocs`
+    * knob is (the fixture modulus, or membership in an id set). */
+  private def contaminationSql(benchCond: String): String =
     s"""WITH $ShingleCte,
-       |bench AS (SELECT doc_id AS bench_id, x31 FROM sh WHERE doc_id % 97 = 13),
-       |cand AS (SELECT doc_id, x31 FROM sh WHERE doc_id % 97 <> 13)
+       |bench AS (SELECT doc_id AS bench_id, x31 FROM sh WHERE $benchCond),
+       |cand AS (SELECT doc_id, x31 FROM sh WHERE NOT ($benchCond))
        |SELECT c.doc_id,
        |       CAST(COUNT(DISTINCT c.x31) AS BIGINT) AS n_shared_shingles,
        |       CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
        |FROM cand c JOIN bench b ON c.x31 = b.x31
        |GROUP BY c.doc_id
        |HAVING COUNT(DISTINCT c.x31) >= 2""".stripMargin
+
+  private val ContaminationSql = contaminationSql("doc_id % 97 = 13")
 
   /** The temperature-mix oracle, parameterized by the sqrt-composition
     * power expression over `n_tokens / CAST(total AS DOUBLE)` — exactly
@@ -1135,6 +1168,8 @@ object CurationPack extends QueryPack {
     "contam" -> ContaminationSql,
     // the Bloom sketch only prunes; the exact join decides — same oracle
     "contam_bloom" -> ContaminationSql,
+    "contam_src" -> contaminationSql(
+      "doc_id IN (SELECT doc_id FROM documents WHERE source = 'src19')"),
     "strat_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

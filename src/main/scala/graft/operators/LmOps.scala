@@ -360,7 +360,16 @@ object LmOps {
     * self-joins. Training docs score under the full model (standard for
     * a corpus audit; the held-out variant is [[trigramBackoff]]'s
     * split). */
-  def nbScore(docs: DataFrame, trusted: Seq[String] = NbTrusted): DataFrame = {
+  /** Default decision threshold for [[nbScore]]: posterior-mean ≥ 0.5,
+    * i.e. "more trusted than not" — the symmetric prior-free cut. A
+    * deployment tunes it against a labeled sample (precision/recall
+    * trade); it is a public knob here for exactly that reason, with a
+    * non-default twin oracled (`nb_score_t10`) the dedup_jaccard64 way. */
+  val NbThresholdE4 = 5000L
+
+  def nbScore(
+      docs: DataFrame, trusted: Seq[String] = NbTrusted,
+      thresholdE4: Long = NbThresholdE4): DataFrame = {
     // the SAME cached instance frame training aggregates over — the
     // scoring side projects from it, so the corpus parses once
     val (inst, _, _, _) = nbCounts(docs, trusted)
@@ -374,7 +383,7 @@ object LmOps {
         col("doc_id"), col("n_toks"),
         floor(col("p_sum_e9").cast("double") / col("n_toks") / 100000L + 0.5)
           .cast("long").as("nb_e4"))
-      .withColumn("pred_trusted", col("nb_e4") >= 5000L)
+      .withColumn("pred_trusted", col("nb_e4") >= thresholdE4)
   }
 
   /** Interpretability report for [[nbScore]]: the k most trusted-
@@ -459,6 +468,7 @@ object LmPack extends graft.QueryPack {
     "dsir_weights" -> ((s, dir) => LmOps.dsirWeights(d(s, dir))),
     "score_corr" -> ((s, dir) => LmOps.scoreCorr(d(s, dir))),
     "nb_score" -> ((s, dir) => LmOps.nbScore(d(s, dir))),
+    "nb_score_t10" -> ((s, dir) => LmOps.nbScore(d(s, dir), thresholdE4 = 1000L)),
     "nb_top_feats" -> ((s, dir) => LmOps.nbTopFeatures(d(s, dir)))
   )
 
@@ -554,6 +564,20 @@ object LmPack extends graft.QueryPack {
        |  GROUP BY inst.doc_id
        |)""".stripMargin
 
+  /** nb_score oracle, parameterized by the decision threshold the way
+    * the Scala side's `thresholdE4` knob is. */
+  private def nbScoreSql(thresholdE4: Long): String =
+    s"""WITH $NbCtes,
+       |dcnt AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM inst GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(cnt) AS BIGINT) AS n_toks,
+       |         CAST(FLOOR(CAST(SUM(cnt * post_e9) AS DOUBLE) / SUM(cnt) / 100000 + 0.5) AS BIGINT) AS nb_e4
+       |  FROM dcnt JOIN post USING (tok)
+       |  GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_toks, nb_e4, nb_e4 >= $thresholdE4 AS pred_trusted FROM sc""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     "trigram_backoff" ->
       s"""WITH toks AS (
@@ -610,17 +634,11 @@ object LmPack extends graft.QueryPack {
     "dsir_weights" ->
       s"""WITH $DsirCtes
          |SELECT doc_id, n_feats, imp_e6 FROM dw""".stripMargin,
-    "nb_score" ->
-      s"""WITH $NbCtes,
-         |dcnt AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM inst GROUP BY 1, 2),
-         |sc AS (
-         |  SELECT doc_id,
-         |         CAST(SUM(cnt) AS BIGINT) AS n_toks,
-         |         CAST(FLOOR(CAST(SUM(cnt * post_e9) AS DOUBLE) / SUM(cnt) / 100000 + 0.5) AS BIGINT) AS nb_e4
-         |  FROM dcnt JOIN post USING (tok)
-         |  GROUP BY doc_id
-         |)
-         |SELECT doc_id, n_toks, nb_e4, nb_e4 >= 5000 AS pred_trusted FROM sc""".stripMargin,
+    "nb_score" -> nbScoreSql(LmOps.NbThresholdE4),
+    // the decision threshold proven non-default: 1000 splits the fixture
+    // corpus (whose posterior means center near e4=1000) about in half,
+    // where the 5000 default predicts all-false
+    "nb_score_t10" -> nbScoreSql(1000L),
     "nb_top_feats" ->
       s"""WITH $NbCtes,
          |f AS (SELECT tok, cp, cn, post_e9 FROM post WHERE cp + cn >= 3),

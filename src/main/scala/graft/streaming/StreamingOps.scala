@@ -483,10 +483,15 @@ object StreamingOps {
       docs: DataFrame,
       benchShingles: DataFrame,
       minShared: Long = 2L,
-      watermark: String = "10 minutes"): DataFrame = {
-    import graft.operators.{CurationOps, DedupOps}
+      watermark: String = "10 minutes",
+      isBench: org.apache.spark.sql.Column =
+        graft.operators.CurationOps.benchPredicate): DataFrame = {
+    import graft.operators.DedupOps
+    // production: the firehose either contains no benchmark docs (drop
+    // the filter by passing lit(false)) or marks them with a column
+    // this predicate reads; the fixture keeps the modulus default
     docs
-      .filter(col("doc_id") % CurationOps.BenchMod =!= CurationOps.BenchRem)
+      .filter(!isBench)
       .select(col("doc_id"), col("ingest_ts"),
         explode(DedupOps.rowShingles(col("text"))).as("x31"))
       .withWatermark("ingest_ts", watermark)
@@ -510,7 +515,8 @@ object StreamingOps {
   def nbScoreStream(
       docs: DataFrame,
       model: graft.operators.LmOps.NbModel,
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes",
+      thresholdE4: Long = graft.operators.LmOps.NbThresholdE4): DataFrame = {
     import graft.functions.TextFunctions.tokens
     docs
       .select(col("doc_id"), col("ingest_ts"), explode(tokens(col("text"))).as("tok"))
@@ -522,7 +528,7 @@ object StreamingOps {
       .select(col("doc_id"), col("n_toks"),
         floor(col("p_sum_e9").cast("double") / col("n_toks") / 100000L + 0.5)
           .cast("long").as("nb_e4"))
-      .withColumn("pred_trusted", col("nb_e4") >= 5000L)
+      .withColumn("pred_trusted", col("nb_e4") >= thresholdE4)
   }
 
   case class ServerSeen(server: String)

@@ -363,4 +363,43 @@ class CurationSpec extends SparkSpec {
     assert(w25("tail") > rows("tail")._2 && rows("tail")._2 > w75("tail"),
       s"tail share must shrink with alpha: ${w25("tail")}, ${rows("tail")._2}, ${w75("tail")}")
   }
+
+  test("temperature mix: a sub-0.5ppm source gets NULL dup_e4, not division garbage") {
+    val s = spark
+    import s.implicits._
+    // head: 2.1M tokens across 21 docs; tail: ONE token → p ≈ 0.48 ppm,
+    // which rounds to p_e6 = 0 — the 100-TB head/tail shape where an
+    // unguarded w/p ratio yields Infinity→Long.MaxValue
+    val big = ("a " * 99999) + "a"
+    val docs = ((1L to 21L).map(id => (id, big, "en", "head")) ++
+      Seq((22L, "a", "en", "tail")))
+      .toDF("doc_id", "text", "lang", "source")
+    val rows = CurationOps.temperatureMix(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("p_e6"), if (r.isNullAt(r.fieldIndex("dup_e4"))) None
+         else Some(r.getAs[Long]("dup_e4")))).toMap
+    assert(rows("tail")._1 == 0L, s"expected the tail share to round to 0, got ${rows("tail")._1}")
+    assert(rows("tail")._2.isEmpty, "unexpressible share must yield NULL dup_e4")
+    assert(rows("head")._2.exists(d => d > 0L && d < 10001L),
+      s"the head source keeps a real dup factor, got ${rows("head")._2}")
+  }
+
+  test("contamination: an explicit benchmark doc table reproduces the fixture predicate") {
+    val docs = Tables.documents(spark, sf)
+    val byPredicate = CurationOps.contamination(docs)
+      .collect().map(_.toSeq).toSet
+    val byTable = CurationOps.contamination(docs,
+      benchDocs = Some(docs.filter(CurationOps.benchPredicate).select("doc_id")))
+      .collect().map(_.toSeq).toSet
+    assert(byPredicate == byTable,
+      "membership via a benchmark doc table must equal the modulus fixture")
+    // and a disjoint benchmark set flags nothing from itself: no
+    // benchmark doc ever appears as a candidate
+    val benchIds = docs.filter(col("source") === "src19")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val flagged = CurationOps.contamination(docs,
+      benchDocs = Some(docs.filter(col("source") === "src19")))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(flagged.intersect(benchIds).isEmpty, "benchmark docs must never be flagged")
+  }
 }
