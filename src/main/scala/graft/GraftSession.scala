@@ -11,11 +11,32 @@ import org.apache.spark.sql.SparkSession
   * oracle-comparable.
   */
 object GraftSession {
+
+  /** Streaming state-store provider class for [[builder]]'s
+    * `rocksdbStateStore` flag. The default HDFS-backed store keeps every
+    * key of every stateful operator on the EXECUTOR HEAP — fine for the
+    * fixture streams, but the watermarked dedup gates
+    * ([[graft.streaming.StreamingOps]] nearDup/ingestDedup/contamination)
+    * hold one entry per fingerprint bucket inside the retention horizon,
+    * which at 100-TB ingest rates is tens of billions of keys: far past
+    * heap. RocksDB spills state to local SSD with an off-heap block
+    * cache, and changelog checkpointing uploads per-batch deltas instead
+    * of full snapshots — the configuration a production deployment of
+    * these gates runs. Ships with Spark 4 (rocksdbjni bundled). */
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   def builder(
       master: String = "local[32]",
       shufflePartitions: Int = 32,
-      extensions: Boolean = true): SparkSession.Builder = {
-    val base = SparkSession.builder()
+      extensions: Boolean = true,
+      rocksdbStateStore: Boolean = false): SparkSession.Builder = {
+    val base0 = SparkSession.builder()
+    val base = if (!rocksdbStateStore) base0 else base0
+      .config("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+      // per-batch delta upload instead of full RocksDB snapshots — the
+      // checkpoint-size story that makes billions of state keys practical
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
     (if (extensions) base.withExtensions(new graft.plans.GraftExtensions) else base)
       .master(master)
       .appName("graft")

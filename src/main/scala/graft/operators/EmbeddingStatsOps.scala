@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.QueryPack
+import graft.functions.TextFunctions.stableHash60
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -48,8 +49,22 @@ object EmbeddingStatsOps {
     * an empty cluster simply drops out (the standard Lloyd edge case).
     * At 100 TB each iteration is one broadcast join (centers are k×dim,
     * tiny) plus two map-side-combinable aggregates — the canonical
-    * distributed k-means shape, unrolled rather than driver-looped. */
-  def kmeans2(embeddings: DataFrame): DataFrame = {
+    * distributed k-means shape, unrolled rather than driver-looped.
+    *
+    * `trainPct`: production quantizers fit on a deterministic sample,
+    * not the full corpus — Some(p) restricts the WHOLE fit (seed
+    * centroids and both Lloyd iterations) to the stable p% of vectors
+    * whose [[stableHash60]] md5 bucket falls below p (the same sampling
+    * key [[DedupOps.blockerPairRecall]] and [[DataLayoutOps.sortBounds]]
+    * use, so the sample is reproducible across runs and re-shards).
+    * Output stays the fitted centroid table — counts then census the
+    * SAMPLE members per center, which is what a sample-fitted codebook
+    * reports. None = full-corpus fit (the oracled default); the
+    * `kmeans2_s50` twin oracles the sampled path. */
+  def kmeans2(embeddings0: DataFrame, trainPct: Option[Int] = None): DataFrame = {
+    require(trainPct.forall(p => p > 0 && p <= 100), s"trainPct in 1..100, got $trainPct")
+    val embeddings = trainPct.fold(embeddings0)(p =>
+      embeddings0.filter(stableHash60(col("vec_id").cast("string")) % 100L < p))
     // row-wise formulation: one quantized array per vector (same integers
     // as `quantized`, same expression), distances via zip_with against
     // BROADCAST center arrays — the dim-keyed join would push
@@ -114,22 +129,33 @@ object EmbeddingStatsPack extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_centroids" -> ((s, d) => EmbeddingStatsOps.centroids(e(s, d))),
     "emb_outliers" -> ((s, d) => EmbeddingStatsOps.outliers(e(s, d))),
-    "kmeans2" -> ((s, d) => EmbeddingStatsOps.kmeans2(e(s, d)))
+    "kmeans2" -> ((s, d) => EmbeddingStatsOps.kmeans2(e(s, d))),
+    "kmeans2_s50" -> ((s, d) => EmbeddingStatsOps.kmeans2(e(s, d), trainPct = Some(50)))
   )
 
-  private[operators] val quantSql =
-    """q AS (
-      |  SELECT vec_id, label, d.i AS dim,
-      |         CAST(FLOOR(CAST(embedding[d.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xq
-      |  FROM embeddings, range(1, 65) d(i)
-      |)""".stripMargin
+  /** The stableHash60-mod-100 vector sample predicate in DuckDB form —
+    * identical to the Scala side's md5 bucket key. */
+  private[operators] def vecSamplePred(p: Int): String =
+    s"CAST(CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 18, 15)) AS UBIGINT) % 100 AS BIGINT) < $p"
 
-  private[operators] val centroidSql =
-    s"""$quantSql,
+  private[operators] def quantSqlP(pred: String): String =
+    s"""q AS (
+       |  SELECT vec_id, label, d.i AS dim,
+       |         CAST(FLOOR(CAST(embedding[d.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xq
+       |  FROM embeddings, range(1, 65) d(i)
+       |  WHERE $pred
+       |)""".stripMargin
+
+  private[operators] val quantSql = quantSqlP("TRUE")
+
+  private[operators] def centroidSqlP(pred: String): String =
+    s"""${quantSqlP(pred)},
        |c AS (
        |  SELECT label, dim, COUNT(*) AS n, CAST(SUM(xq) AS BIGINT) AS sum_q
        |  FROM q GROUP BY label, dim
        |)""".stripMargin
+
+  private[operators] val centroidSql = centroidSqlP("TRUE")
 
   override def oracles: Map[String, String] = Map(
     "emb_centroids" ->
@@ -153,8 +179,14 @@ object EmbeddingStatsPack extends QueryPack {
          |  FROM dist
          |)
          |SELECT vec_id, label, dist2_q, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
-    "kmeans2" ->
-      s"""WITH $centroidSql,
+    "kmeans2" -> kmeans2Sql("TRUE"),
+    // the sample-fitted twin: seed + both Lloyd iterations restricted to
+    // the stable 50% md5 bucket, proving the trainPct knob end-to-end
+    "kmeans2_s50" -> kmeans2Sql(vecSamplePred(50))
+  )
+
+  private def kmeans2Sql(pred: String): String =
+      s"""WITH ${centroidSqlP(pred)},
          |c0 AS (SELECT CAST(label AS BIGINT) AS center, dim,
          |              CAST(FLOOR(CAST(sum_q AS DOUBLE) / n + 0.5) AS BIGINT) AS centroid_q FROM c),
          |d1 AS (
@@ -190,5 +222,4 @@ object EmbeddingStatsPack extends QueryPack {
          |SELECT center, dim, CAST(n AS BIGINT) AS n,
          |       CAST(FLOOR(CAST(sum_q AS DOUBLE) / n + 0.5) AS BIGINT) AS centroid_q
          |FROM c2""".stripMargin
-  )
 }

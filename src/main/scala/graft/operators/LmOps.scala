@@ -255,6 +255,57 @@ object LmOps {
         floor(col("r_sum").cast("double") / col("n_feats") + 0.5)
           .cast("long").as("imp_e6"))
   }
+
+  /** DSIR step 2 — SELECTION: keep documents in DESCENDING importance
+    * order until the token budget is exhausted (the paper's
+    * deterministic top-k alternative to Gumbel resampling, closed over
+    * [[dsirWeights]]'s step-1 scores). Output: one row per scored doc
+    * (docs under 2 tokens have no bigram features and are absent, same
+    * contract as [[dsirWeights]]) with `kept` = true iff the doc makes
+    * the cut.
+    *
+    * Same two-phase census shape as [[CurationOps.tokenBudgetCut]], with
+    * the importance value itself as the band: a census over DISTINCT
+    * `imp_e6` values (window-ordered imp_e6 DESC — band cardinality is
+    * bounded by the e6 quantization of the add-one-smoothed ratio range,
+    * orders of magnitude under the corpus, so the band window is never a
+    * corpus sort) finds which bands are wholly kept / dropped; only the
+    * single band straddling the boundary gets a within-band running sum
+    * (ordered doc_id), and only ITS docs flow through that window (the
+    * boundary band is one importance value's ties — a handful of docs).
+    * Greedy boundary convention matches [[CurationOps
+    * .tokenBudgetBoundary]]: a doc is kept iff the budget is not
+    * exhausted BEFORE it, so the boundary doc itself is taken. */
+  def dsirSelect(docs: DataFrame, budgetTokens: Long = 10000L): DataFrame = {
+    // cached: read by the band census, the boundary-band window, and the
+    // final status join
+    val sel = graft.Caching.maybeCache(
+      dsirWeights(docs).join(
+        docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_toks")),
+        Seq("doc_id")))
+    val census = sel.groupBy("imp_e6").agg(sum(col("n_toks")).as("band_tokens"))
+    val wb = Window.orderBy(col("imp_e6").desc).rowsBetween(Window.unboundedPreceding, -1)
+    val cb = census
+      .withColumn("cum_before", coalesce(sum(col("band_tokens")).over(wb), lit(0L)))
+    // the one straddling band + its residual budget: <= 1 row, broadcast
+    val partial = cb
+      .filter(col("cum_before") < budgetTokens &&
+        col("cum_before") + col("band_tokens") > budgetTokens)
+      .select(col("imp_e6").as("pband"),
+        (lit(budgetTokens) - col("cum_before")).as("residual"))
+    val win = Window.partitionBy("imp_e6").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val partDocs = sel.join(broadcast(partial), col("imp_e6") === col("pband"))
+      .withColumn("cum_doc", coalesce(sum(col("n_toks")).over(win), lit(0L)))
+      .select(col("doc_id"), (col("cum_doc") < col("residual")).as("part_kept"))
+    sel
+      .join(cb.select(col("imp_e6"), col("cum_before"), col("band_tokens")), Seq("imp_e6"))
+      .join(partDocs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"), col("imp_e6"),
+        when(col("cum_before") + col("band_tokens") <= budgetTokens, lit(true))
+          .when(col("cum_before") >= budgetTokens, lit(false))
+          .otherwise(col("part_kept")).as("kept"))
+  }
   /** Sources forming the trusted (positive) class for [[nbScore]] /
     * [[nbTopFeatures]] — the CCNet setup (Wenzek et al. 2020): a curated
     * reference corpus (Wikipedia there; two fixture sources here) vs the
@@ -466,6 +517,7 @@ object LmPack extends graft.QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "trigram_backoff" -> ((s, dir) => LmOps.trigramBackoff(d(s, dir))),
     "dsir_weights" -> ((s, dir) => LmOps.dsirWeights(d(s, dir))),
+    "dsir_select" -> ((s, dir) => LmOps.dsirSelect(d(s, dir))),
     "score_corr" -> ((s, dir) => LmOps.scoreCorr(d(s, dir))),
     "nb_score" -> ((s, dir) => LmOps.nbScore(d(s, dir))),
     "nb_score_t10" -> ((s, dir) => LmOps.nbScore(d(s, dir), thresholdE4 = 1000L)),
@@ -634,6 +686,41 @@ object LmPack extends graft.QueryPack {
     "dsir_weights" ->
       s"""WITH $DsirCtes
          |SELECT doc_id, n_feats, imp_e6 FROM dw""".stripMargin,
+    // step-2 selection: descending-importance census cut at 10000 tokens,
+    // boundary band broken by doc_id with the greedy take-the-boundary-doc
+    // convention — mirrors LmOps.dsirSelect band for band
+    "dsir_select" ->
+      s"""WITH $DsirCtes,
+         |selx AS (
+         |  SELECT dw.doc_id, dw.imp_e6, CAST(len(t.t) AS BIGINT) AS n_toks
+         |  FROM dw JOIN ta t ON dw.doc_id = t.doc_id
+         |),
+         |bcensus AS (
+         |  SELECT imp_e6, CAST(SUM(n_toks) AS BIGINT) AS band_tokens FROM selx GROUP BY imp_e6
+         |),
+         |bcb AS (
+         |  SELECT imp_e6, band_tokens,
+         |         COALESCE(SUM(band_tokens) OVER (ORDER BY imp_e6 DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM bcensus
+         |),
+         |pband AS (
+         |  SELECT imp_e6 AS pb, 10000 - cum_before AS residual FROM bcb
+         |  WHERE cum_before < 10000 AND cum_before + band_tokens > 10000
+         |),
+         |pdocs AS (
+         |  SELECT s.doc_id,
+         |         COALESCE(SUM(s.n_toks) OVER (PARTITION BY s.imp_e6 ORDER BY s.doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) < p.residual AS part_kept
+         |  FROM selx s JOIN pband p ON s.imp_e6 = p.pb
+         |)
+         |SELECT s.doc_id, s.n_toks, s.imp_e6,
+         |       CASE WHEN c.cum_before + c.band_tokens <= 10000 THEN TRUE
+         |            WHEN c.cum_before >= 10000 THEN FALSE
+         |            ELSE pd.part_kept END AS kept
+         |FROM selx s
+         |JOIN bcb c ON s.imp_e6 = c.imp_e6
+         |LEFT JOIN pdocs pd ON s.doc_id = pd.doc_id""".stripMargin,
     "nb_score" -> nbScoreSql(LmOps.NbThresholdE4),
     // the decision threshold proven non-default: 1000 splits the fixture
     // corpus (whose posterior means center near e4=1000) about in half,

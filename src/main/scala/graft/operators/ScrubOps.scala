@@ -32,6 +32,41 @@ import org.apache.spark.sql.functions._
   * Reference anchor: the repeated-content diagnostics the reference ships
   * per-table (api/analyzer row-value histograms) stop at whole-cell
   * granularity; span granularity is the training-data extension.
+  *
+  * == Exactness bound vs the suffix-array method ==
+  *
+  * Within its class the census is EXACT, not approximate: a token is
+  * covered iff it lies inside some [[SpanN]]-token window that appears
+  * verbatim in >= `minDf` DISTINCT docs. Both directions hold — every
+  * qualifying repeat of length T >= [[SpanN]] yields T-[[SpanN]]+1 hot
+  * windows whose union covers all T tokens (no false negatives), and
+  * every hot window IS a cross-doc repeated span of exactly [[SpanN]]
+  * tokens (no overcoverage beyond the class). What the fixed-n census
+  * CANNOT see, and a corpus suffix array can:
+  *
+  *   1. '''Within-doc repeats.''' `df` counts DISTINCT docs, so a span
+  *      repeated twice inside one doc (and nowhere else) is never hot.
+  *      The suffix-array method deduplicates any substring occurring
+  *      more than once in the corpus, including self-repeats. This is
+  *      a deliberate scope choice (cross-doc contamination is the
+  *      scrub target; within-doc repetition is [[CurationOps]]'s
+  *      repetition signal), but it is a real divergence —
+  *      ScrubAndIngestSpec constructs the miss.
+  *   2. '''Repeats shorter than [[SpanN]] tokens.''' A 4-token span
+  *      repeated a million times contributes nothing. The suffix-array
+  *      method has the same length threshold (50 BPE tokens in Lee et
+  *      al.), so this is parity at equal thresholds — but the
+  *      threshold here is in WHITESPACE tokens, there in BPE tokens,
+  *      so the two cuts differ on long words vs short ones.
+  *   3. '''Sub-token granularity.''' Suffix arrays match raw bytes; a
+  *      repeat that crosses token boundaries differently ("foo bar" vs
+  *      "foobar"), or differs only in whitespace runs, matches there
+  *      and not here (tokenization normalizes before hashing).
+  *
+  * Additionally, hot-gram identity is a [[graft.functions.TextFunctions
+  * .stableHash31]] 31-bit hash, so distinct grams can collide
+  * (~n_grams²/2³² expected false-hot pairs — overcoverage, never a
+  * miss; negligible at fixture scale, bounded and one-sided at 100 TB).
   */
 object ScrubOps {
 

@@ -66,6 +66,32 @@ class ScrubAndIngestSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("exactness bound: within-doc-only and sub-SpanN repeats are the documented misses") {
+    import sp.implicits._
+    // doc 10 repeats a 5-token span TWICE internally; no other doc shares
+    // it -> df = 1 distinct doc, never hot: the constructed miss vs a
+    // corpus suffix array (which flags any substring occurring twice).
+    // docs 11/12 share the SAME span cross-doc -> fully covered (control:
+    // the span itself is detectable, only the within-doc case is not).
+    // docs 13/14 share a 4-token span (< SpanN) -> invisible at n = 5.
+    val corpus = Seq(
+      (10L, "s1 s2 s3 s4 s5 mid s1 s2 s3 s4 s5"),
+      (11L, "left s1 s2 s3 s4 s5 right"),
+      (12L, "s1 s2 s3 s4 s5 other tail"),
+      (13L, "q1 q2 q3 q4 aaa bbb ccc ddd eee"),
+      (14L, "fff q1 q2 q3 q4 ggg hhh iii jjj")
+    ).toDF("doc_id", "text")
+    val got = ScrubOps.dupSpanCensus(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // the within-doc repeat in doc 10 IS covered here only because docs
+    // 11/12 also carry the span; drop them and it vanishes:
+    val solo = ScrubOps.dupSpanCensus(corpus.filter(col("doc_id") === 10L)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(solo(10L) == 0L, "within-doc-only repeat: df=1 distinct doc, missed by design")
+    assert(got(11L) == 5L && got(12L) == 5L, "cross-doc control: the same span IS exact-covered")
+    assert(got(13L) == 0L && got(14L) == 0L, "4-token repeat < SpanN: below the length threshold")
+  }
+
   test("incremental BM25 equals the batch answer at every split fraction") {
     val batch = RetrievalOps.bm25TopK(docs).collect().toSet
     for (pct <- Seq(0L, 20L, 50L, 100L)) {

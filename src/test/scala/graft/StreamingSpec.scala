@@ -218,6 +218,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingest dedup stream produces the same answer on the RocksDB state store") {
+    // GraftSession's rocksdbStateStore flag sets this provider at session
+    // build; here it's set as a runtime conf on the shared test session
+    // (providerClass is read at query START, so this is the same code
+    // path) and restored after. One real stateful stream through RocksDB
+    // proves the 100-TB state configuration actually runs: keyed dedup
+    // state lands in RocksDB instead of the executor heap.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.getOption(key)
+    s.conf.set(key, GraftSession.RocksDbProvider)
+    try {
+      val input = MemoryStream[(Long, String, Timestamp)]
+      val df = input.toDF().toDF("doc_id", "text", "ingest_ts")
+      val q = StreamingOps.ingestDedupStream(df)
+        .writeStream.format("memory").queryName("ingest_rocks").outputMode("append").start()
+      try {
+        input.addData(
+          (1L, "alpha beta gamma", ts(0)),
+          (2L, "alpha beta gamma", ts(1)),
+          (3L, "delta epsilon", ts(1)))
+        q.processAllAvailable()
+        // dedup state must persist ACROSS batches through RocksDB: doc 4
+        // repeats doc 1's fingerprint two batches later and is dropped
+        input.addData((4L, "alpha beta gamma", ts(2)), (5L, "zeta eta", ts(2)))
+        q.processAllAvailable()
+        val out = s.sql("SELECT doc_id FROM ingest_rocks").collect().map(_.getLong(0)).sorted
+        assert(out.toSeq == Seq(1L, 3L, 5L))
+      } finally q.stop()
+    } finally prior.fold(s.conf.unset(key))(v => s.conf.set(key, v))
+  }
+
   test("simhash near-dup stream flags an identical doc across batches on all 4 bands") {
     val s = spark
     import s.implicits._

@@ -23,6 +23,33 @@ class TrainingDataSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("dsir_select funnel consistency: kept set is a descending-importance prefix within budget") {
+    import graft.operators.LmOps
+    val budget = 10000L
+    val sel = LmOps.dsirSelect(docs, budget).cache()
+    try {
+      // covers exactly the scored universe, with unchanged importance
+      val w = LmOps.dsirWeights(docs).select(col("doc_id"), col("imp_e6").as("w_imp"))
+      assert(sel.join(w, "doc_id").filter(col("imp_e6") =!= col("w_imp")).count() == 0)
+      assert(sel.count() == w.count(), "one selection row per scored doc")
+      // prefix property: no dropped doc outranks a kept doc (ties split
+      // only inside the one boundary band)
+      val dropped = sel.filter(!col("kept"))
+      if (dropped.count() > 0) {
+        val minKept = sel.filter(col("kept")).agg(min(col("imp_e6"))).head.getLong(0)
+        val maxDrop = dropped.agg(max(col("imp_e6"))).head.getLong(0)
+        assert(maxDrop <= minKept, s"dropped imp $maxDrop outranks kept imp $minKept")
+      }
+      // budget: kept tokens overshoot only by the greedy boundary doc
+      val keptTok = sel.filter(col("kept")).agg(sum(col("n_toks"))).head.getLong(0)
+      val maxKeptDoc = sel.filter(col("kept")).agg(max(col("n_toks"))).head.getLong(0)
+      assert(keptTok < budget + maxKeptDoc, s"kept $keptTok tokens vs budget $budget")
+      // the cut is tight: dropping ANY kept doc re-opens budget room only
+      // if we kept less than the budget before the boundary doc
+      assert(keptTok > 0L, "a 10k budget keeps something at every fixture")
+    } finally sel.unpersist()
+  }
+
   test("exact dedup groups share an identical head fingerprint") {
     val out = DedupOps.exact(docs)
     val withKey = out.join(
