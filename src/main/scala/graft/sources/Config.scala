@@ -36,7 +36,14 @@ object GraftSettings {
     "distributor.recalculate.table.count" -> "15",
     "splitter.divide.multiplier" -> "1.1",
     "technical.meta.scan.period.sec" -> "3600",
-    "checker.check.interval.seconds" -> "900")
+    "checker.check.interval.seconds" -> "900",
+    // auth seam (reference CommonOptions: principal/keytab default empty
+    // = unsecured; site files default to the stock hadoop conf paths)
+    "principal" -> "",
+    "keytab" -> "",
+    "core.site" -> "/etc/hbase/conf/core-site.xml",
+    "hdfs.site" -> "/etc/hbase/conf/hdfs-site.xml",
+    "hbase.site" -> "/etc/hbase/conf/hbase-site.xml")
 
   def parse(propertiesText: String): GraftSettings = {
     val p = new Properties()
@@ -73,4 +80,83 @@ object AuxSources {
     spark.catalog.listTables().select("name").as[String]
       .filter(_.matches(mask)).toDF("table_name")
   }
+}
+
+/** Kerberos/identity seam — the Spark re-expression of the reference's
+  * auth subsystem (`runner/UGIExecutor.java:22-90` keytab login + doAs +
+  * TGT-renewal thread; `runner/StaticConnector.java:33-58` settings →
+  * principal/keytab/site-xml → Configuration).
+  *
+  * A Spark job does NOT doAs around each call the way a threads-and-RPC
+  * tool does: identity is declared ONCE at submit time
+  * (`spark.kerberos.principal` / `spark.kerberos.keytab`) and Spark's own
+  * machinery performs the keytab login, the periodic TGT relogin
+  * (`spark.kerberos.relogin.period` — the renewal thread the reference
+  * hand-rolls), and delegation-token distribution to every executor
+  * (which UGIExecutor cannot do at all — its UGI is process-local, a
+  * 1000-executor job needs tokens shipped, not a driver-side doAs). So
+  * the seam maps the SAME settings keys the reference reads
+  * (`principal`, `keytab`, `core.site`, `hdfs.site`, `hbase.site` —
+  * `HBaseToolsOptions.CommonOptions`) onto the submit-time conf and the
+  * Hadoop resource list, instead of porting the doAs executor.
+  *
+  * [[withLoginFallback]] keeps the one genuinely per-call behavior —
+  * doActionAndReturnResult's secured-then-unsecured fallback for
+  * DRIVER-side admin actions (the fix-script/report sinks' seam) — with
+  * the privileged runner injected, so the contract is testable without a
+  * KDC. No Kerberos RPC happens in this sandbox by design; the seam is
+  * configuration + control flow, which is all the reference's subsystem
+  * is once the HBase RPCs themselves are out of scope. */
+object SecurityContext {
+  val Principal = "principal"
+  val Keytab = "keytab"
+  val CoreSite = "core.site"
+  val HdfsSite = "hdfs.site"
+  val HbaseSite = "hbase.site"
+
+  /** Secured iff both principal and keytab are configured — the same
+    * all-or-nothing check StaticConnector's checkParameters applies. */
+  def secured(s: GraftSettings): Boolean =
+    s.string(Principal).nonEmpty && s.string(Keytab).nonEmpty
+
+  /** The submit-time Spark conf derived from the settings: empty when
+    * unsecured (plain-auth cluster), the three kerberos confs when
+    * secured. `reloginPeriodMinutes` is the reference's startRenewTask
+    * cadence expressed as Spark's relogin conf. */
+  def sparkSubmitConf(s: GraftSettings, reloginPeriodMinutes: Int = 10): Map[String, String] =
+    if (!secured(s)) Map.empty
+    else Map(
+      "spark.kerberos.principal" -> s.string(Principal),
+      "spark.kerberos.keytab" -> s.string(Keytab),
+      "spark.kerberos.relogin.period" -> s"${reloginPeriodMinutes}m")
+
+  /** The Hadoop resource files a connector Configuration must add
+    * (StaticConnector.getDefaultConfig's three addResource calls),
+    * filtered to files that exist — a missing site file on an edge node
+    * falls back to defaults there too. */
+  def hadoopResources(s: GraftSettings): Seq[String] =
+    Seq(CoreSite, HdfsSite, HbaseSite)
+      .map(s.string)
+      .filter(p => p.nonEmpty && new java.io.File(p).isFile)
+
+  /** doActionAndReturnResult's contract: run the privileged action; on
+    * failure log and retry UNSECURED; if that also fails, fail the
+    * action (the reference wraps in RuntimeException). The privileged
+    * runner is a plain thunk here — in production it closes over
+    * `ugi.doAs`; in tests it closes over a fake. */
+  def withLoginFallback[T](
+      privileged: () => T,
+      unsecured: () => T,
+      onFallback: Throwable => Unit = _ => ()): T =
+    try privileged()
+    catch {
+      case e: Exception =>
+        onFallback(e)
+        try unsecured()
+        catch {
+          case e2: Exception =>
+            e2.addSuppressed(e)
+            throw new RuntimeException("action failed in secured and unsecured contexts", e2)
+        }
+    }
 }

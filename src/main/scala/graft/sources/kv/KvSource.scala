@@ -9,6 +9,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
@@ -47,11 +48,23 @@ class KvSource extends TableProvider with DataSourceRegister {
       properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     new KvTable(KvSource.tableName(opts), schema,
-      opts.getInt("partitions", 4))
+      opts.getInt("partitions", 4),
+      Option(opts.get(KvSource.KeyOption)))
   }
 }
 
 object KvSource {
+  /** Declares the table's physical clustering column (the row-key
+    * analogue): reads partition rows BY DISTINCT KEY VALUE and report
+    * [[KeyGroupedPartitioning]] so Spark can plan storage-partitioned
+    * joins/aggregations WITHOUT an exchange — the DSv2 contract through
+    * which an hbase-style connector tells Spark "rows already live
+    * grouped by key on the region servers, don't reshuffle them".
+    * Requires `spark.sql.sources.v2.bucketing.enabled=true` to take
+    * effect; without it Spark ignores the report and plans exchanges as
+    * before. */
+  val KeyOption = "graft.key"
+
   /** Name-addressed via `graft.table`, or path-addressed (the seam's
     * writer calls `.save(path)`) with the path string as the key. */
   private[kv] def tableName(options: CaseInsensitiveStringMap): String = {
@@ -103,7 +116,9 @@ object KvStore {
   }
 }
 
-class KvTable(tableName: String, tableSchema: StructType, partitions: Int)
+class KvTable(
+    tableName: String, tableSchema: StructType, partitions: Int,
+    keyCol: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
@@ -112,13 +127,16 @@ class KvTable(tableName: String, tableSchema: StructType, partitions: Int)
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new KvScanBuilder(tableName, tableSchema, partitions)
+    new KvScanBuilder(tableName, tableSchema, partitions,
+      keyCol.filter(tableSchema.fieldNames.contains))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new KvWriteBuilder(tableName, info.schema())
 }
 
-class KvScanBuilder(table: String, full: StructType, partitions: Int)
+class KvScanBuilder(
+    table: String, full: StructType, partitions: Int,
+    keyCol: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN {
@@ -210,7 +228,7 @@ class KvScanBuilder(table: String, full: StructType, partitions: Int)
     }
 
   override def build(): Scan =
-    new KvScan(table, full, required, pushed, partitions, agg, limit, topN)
+    new KvScan(table, full, required, pushed, partitions, agg, limit, topN, keyCol)
 }
 
 class KvScan(
@@ -218,8 +236,10 @@ class KvScan(
     pushed: Array[Filter], partitions: Int,
     agg: Option[Aggregation] = None,
     limit: Option[Int] = None,
-    topN: Option[(Seq[SortOrder], Int)] = None)
-    extends Scan with Batch with SupportsRuntimeFiltering {
+    topN: Option[(Seq[SortOrder], Int)] = None,
+    keyCol: Option[String] = None)
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with SupportsReportPartitioning {
   // after a complete aggregate pushdown the scan's output IS the
   // group-by columns followed by the aggregate columns, positionally —
   // Spark maps readSchema() onto groupings ++ aggregates by index
@@ -270,8 +290,38 @@ class KvScan(
       s"PushedTopN: [${topN.map(_._1.mkString(", ")).getOrElse("")}], " +
       s"ReadSchema: ${required.simpleString}"
 
+  // Keyed layout (graft.key): one input partition per DISTINCT key value
+  // — the in-memory analogue of "each region holds one key range". Only
+  // active when the key survives column pruning (the reported
+  // partitioning is an expression over the scan OUTPUT) and no aggregate
+  // was pushed (the agg path plans its own single partition). A real
+  // connector derives the groups from region boundaries; here they come
+  // from one grouping sweep at plan time.
+  private def activeKey: Option[String] =
+    keyCol.filter(k => agg.isEmpty && required.fieldNames.contains(k))
+
+  private lazy val keyedPartitions: Array[InputPartition] = {
+    val k = activeKey.get
+    val ki = full.fieldNames.indexOf(k)
+    KvStore.rowsOf(table).zipWithIndex
+      .groupBy(_._1(ki))
+      .toArray
+      .sortBy(_._1.toString)
+      .map { case (kv, rows) =>
+        KvKeyedPartition(kv == null, kv, rows.map(_._2).toArray): InputPartition
+      }
+  }
+
+  override def outputPartitioning(): Partitioning = activeKey match {
+    case Some(k) =>
+      new KeyGroupedPartitioning(Array(Expressions.identity(k)), keyedPartitions.length)
+    case None =>
+      new UnknownPartitioning(planInputPartitions().length)
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
     if (agg.isDefined) Array(KvInputPartition(0, KvStore.rowsOf(table).size))
+    else if (activeKey.isDefined) keyedPartitions
     else {
       val n = KvStore.rowsOf(table).size
       val parts = math.max(1, math.min(partitions, math.max(1, n)))
@@ -320,19 +370,31 @@ case class KvOffset(n: Long) extends Offset {
 
 case class KvInputPartition(start: Int, end: Int) extends InputPartition
 
+/** One distinct key value's rows, with the key exposed through
+  * [[HasPartitionKey]] so Spark can group/align partitions for
+  * storage-partitioned joins. */
+case class KvKeyedPartition(keyIsNull: Boolean, key: Any, indices: Array[Int])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    InternalRow.fromSeq(Seq(if (keyIsNull) null else KvFilterEval.toCatalyst(key)))
+}
+
 class KvReaderFactory(
     table: String, full: StructType, required: StructType,
     pushed: Array[Filter], agg: Option[Aggregation] = None,
     limit: Option[Int] = None, topN: Option[(Seq[SortOrder], Int)] = None)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[KvInputPartition]
-    agg match {
-      case Some(a) => new KvAggReader(table, full, pushed, a)
-      case None =>
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    (agg, partition) match {
+      case (Some(a), _) => new KvAggReader(table, full, pushed, a)
+      case (None, p: KvKeyedPartition) =>
+        new KvPartitionReader(table, full, required, pushed, 0, 0, limit, topN,
+          indices = Some(p.indices))
+      case (None, p: KvInputPartition) =>
         new KvPartitionReader(table, full, required, pushed, p.start, p.end, limit, topN)
+      case (_, other) =>
+        throw new IllegalStateException(s"unexpected partition: $other")
     }
-  }
 }
 
 /** Complete aggregate pushdown: one sweep over the (filtered) rows —
@@ -393,14 +455,19 @@ class KvAggReader(
 class KvPartitionReader(
     table: String, full: StructType, required: StructType,
     pushed: Array[Filter], start: Int, end: Int,
-    limit: Option[Int] = None, topN: Option[(Seq[SortOrder], Int)] = None)
+    limit: Option[Int] = None, topN: Option[(Seq[SortOrder], Int)] = None,
+    indices: Option[Array[Int]] = None)
     extends PartitionReader[InternalRow] {
   private val fieldIdx = full.fieldNames.zipWithIndex.toMap
   private val outIdx = required.fieldNames.map(fieldIdx)
 
   private val it: Iterator[Seq[Any]] = {
-    val filtered = KvStore.rowsOf(table).slice(start, end)
-      .iterator
+    val all = KvStore.rowsOf(table)
+    val slice = indices match {
+      case Some(ix) => ix.iterator.map(all(_))
+      case None => all.slice(start, end).iterator
+    }
+    val filtered = slice
       .filter(row => pushed.forall(f => KvFilterEval.eval(f, name => row(fieldIdx(name)))))
     (topN, limit) match {
       // local top-N: this partition's k best rows by the pushed sort —

@@ -174,6 +174,53 @@ class SinksAndSourcesSpec extends SparkSpec {
     assert(s.unknownKeys == Seq("some.unknown.key"))
   }
 
+  test("auth seam: settings map to submit conf, site resources, and the doAs fallback") {
+    import graft.sources.SecurityContext
+    // unsecured: empty principal/keytab (the reference defaults) → no
+    // kerberos conf at all, not half a configuration
+    val plain = GraftSettings.parse("")
+    assert(!SecurityContext.secured(plain))
+    assert(SecurityContext.sparkSubmitConf(plain).isEmpty)
+
+    // secured: both set → the three Spark confs that replace UGIExecutor
+    // (declared identity + Spark-managed relogin instead of a doAs loop)
+    val sec = GraftSettings.parse(
+      """principal=graft/host@REALM
+        |keytab=/etc/security/keytabs/graft.keytab
+        |""".stripMargin)
+    assert(SecurityContext.secured(sec))
+    val conf = SecurityContext.sparkSubmitConf(sec, reloginPeriodMinutes = 7)
+    assert(conf("spark.kerberos.principal") == "graft/host@REALM")
+    assert(conf("spark.kerberos.keytab") == "/etc/security/keytabs/graft.keytab")
+    assert(conf("spark.kerberos.relogin.period") == "7m")
+    // principal without keytab is NOT secured (checkParameters semantics)
+    assert(!SecurityContext.secured(GraftSettings.parse("principal=x@R")))
+
+    // site resources: only files that exist make the Configuration list
+    val site = Files.createTempFile("core-site", ".xml")
+    val s2 = GraftSettings.parse(
+      s"""core.site=$site
+         |hdfs.site=/nonexistent/hdfs-site.xml
+         |""".stripMargin)
+    assert(SecurityContext.hadoopResources(s2) == Seq(site.toString))
+
+    // doAs fallback contract: privileged wins when it works; a failing
+    // privileged runner falls back to unsecured (with the error surfaced
+    // to the caller's hook); both failing fails the action
+    assert(SecurityContext.withLoginFallback(() => 1, () => 2) == 1)
+    var seen: Throwable = null
+    val got = SecurityContext.withLoginFallback[Int](
+      () => throw new IllegalStateException("no TGT"), () => 2, e => seen = e)
+    assert(got == 2 && seen != null && seen.getMessage == "no TGT")
+    val boom = intercept[RuntimeException] {
+      SecurityContext.withLoginFallback[Int](
+        () => throw new IllegalStateException("no TGT"),
+        () => throw new IllegalStateException("acl denied"))
+    }
+    assert(boom.getCause.getMessage == "acl denied")
+    assert(boom.getCause.getSuppressed.head.getMessage == "no TGT")
+  }
+
   test("aux sources: metrics feed and table list file (O-12/O-13)") {
     val feed = AuxSources.serverMetricsFeed(spark, Seq(("s1", 5, 2, 99.5), ("s2", 0, 0, 100.0)))
     assert(feed.count() == 2 && feed.columns.contains("compaction_queue"))
@@ -431,6 +478,75 @@ class SinksAndSourcesSpec extends SparkSpec {
     } finally {
       spark.conf.unset(graft.sources.Tables.FormatKey)
       spark.conf.unset(graft.sources.Tables.NameAddressedKey)
+      KvStore.clear()
+      docsPq.unpersist()
+    }
+  }
+
+  test("connector seam: graftkv keyed layout plans a storage-partitioned join — no exchange") {
+    import graft.sources.kv.{KvSource, KvStore}
+    val docsPq = graft.sources.Tables.documents(spark, sf)
+      .select("lang", "doc_id", "n_chars").cache()
+    try {
+      // fact side: docs clustered by lang; dim side: one row per lang —
+      // both declare graft.key=lang, so each arrives as one input
+      // partition per distinct key reporting KeyGroupedPartitioning
+      KvStore.put("spj_fact", docsPq.schema, docsPq.collect().map(_.toSeq).toSeq)
+      val langs = docsPq.select("lang").distinct().collect().map(_.getString(0)).sorted
+      KvStore.put("spj_dim",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("boost", org.apache.spark.sql.types.LongType))),
+        langs.zipWithIndex.map { case (l, i) => Seq[Any](l, (i + 1).toLong) })
+      def keyed(t: String) = spark.read.format("graftkv")
+        .option(graft.sources.Tables.TableNameOption, t)
+        .option(KvSource.KeyOption, "lang").load()
+      withSQLConf(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+        // JOIN on the clustering key: both sides' reported partitioning
+        // already satisfies the join's distribution — the plan must hold
+        // ZERO shuffles (sorts are fine; they are not exchanges). This is
+        // the contract that lets two region-partitioned tables join
+        // region-locally on a 1000-node cluster instead of reshuffling
+        // 100 TB.
+        val joined = keyed("spj_fact").join(keyed("spj_dim"), Seq("lang"))
+          .select(col("lang"), col("doc_id"), col("boost"))
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"storage-partitioned join must not shuffle:\n$plan")
+        assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+        val exp = docsPq.count()
+        assert(joined.count() == exp, "every fact row has exactly one dim match")
+
+        // GROUP BY the clustering key with an UNCLAIMED aggregate (sum is
+        // not in the source's pushdown set, so the aggregation stays in
+        // Spark): the reported partitioning satisfies the final
+        // aggregate's distribution — again no exchange
+        val agged = keyed("spj_fact").groupBy("lang")
+          .agg(sum("n_chars").as("chars"))
+        val aplan = agged.queryExecution.executedPlan.toString
+        assert(!aplan.contains("Exchange"),
+          s"keyed group-by must aggregate partition-locally:\n$aplan")
+        val gotAgg = agged.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        val expAgg = docsPq.groupBy("lang").agg(sum("n_chars").as("chars"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        assert(gotAgg == expAgg)
+      }
+      // sanity: without the key option the same join shuffles — the
+      // no-exchange plan above is the REPORT's doing, not a fluke
+      withSQLConf(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+        def unkeyed(t: String) = spark.read.format("graftkv")
+          .option(graft.sources.Tables.TableNameOption, t).load()
+        val j = unkeyed("spj_fact").join(unkeyed("spj_dim"), Seq("lang"))
+        assert(j.queryExecution.executedPlan.toString.contains("Exchange"),
+          "control: the unkeyed read must still plan a shuffle")
+      }
+    } finally {
       KvStore.clear()
       docsPq.unpersist()
     }
