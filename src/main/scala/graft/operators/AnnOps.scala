@@ -127,6 +127,35 @@ object AnnOps {
     * predicate narrows, vs post-filtering a top-k whose recall collapses
     * under selective predicates. At 100 TB the label predicate pushes
     * into the vector-store scan like any other column filter. */
+  /** Hard-negative mining for contrastive training: per anchor (query
+    * vector), the k HIGHEST-cosine vectors carrying a DIFFERENT label —
+    * the negatives closest to the anchor, which dominate the gradient in
+    * InfoNCE-style objectives (Robinson et al. 2021, "Contrastive
+    * Learning with Hard Negative Samples"; the mining step every
+    * embedding-model training pipeline runs between epochs).
+    *
+    * Shape: [[filteredTopK]]'s labeled scan with the label test moved
+    * into the join condition (per-anchor `label != qlabel` instead of a
+    * global equality). The label join shuffles two SLIM frames on
+    * vec_id once; at production scale the label lives as one more
+    * column of the vector index (normalized-frame analogue), making
+    * this a pure broadcast-query scan, and the probed variant filters
+    * labels inside IVF posting lists exactly as filtered search does. */
+  def hardNegatives(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val n = normalized(embeddings)
+    val lab = embeddings.select(col("vec_id"), col("label"))
+    val queries = n.join(lab, Seq("vec_id")).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val scored = n.join(lab, Seq("vec_id"))
+      .join(broadcast(queries),
+        col("vec_id") =!= col("qid") && col("label") =!= col("qlabel"))
+      .select(col("qid"), col("vec_id"), col("label"),
+        cosineE4(col("qv"), col("v"), col("qn"), col("nrm")).as("cosine_e4"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine_e4").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   def filteredTopK(
       embeddings: DataFrame, labelVal: Int = 3,
       nQueries: Int = 10, k: Int = 5): DataFrame = {
@@ -874,6 +903,7 @@ object AnnPack extends QueryPack {
     "ivfpqrests_recall" -> ((s, dir) => AnnOps.annRecall(e(s, dir), s, index = "ivfpq_res_ts")),
     "ivf_assign" -> ((s, dir) => AnnOps.ivfAssignIncremental(e(s, dir))),
     "ann_filtered" -> ((s, dir) => AnnOps.filteredTopK(e(s, dir))),
+    "hard_negs" -> ((s, dir) => AnnOps.hardNegatives(e(s, dir))),
     "ann_trunc" -> ((s, dir) => AnnOps.truncTopK(e(s, dir))),
     "trunc_recall" -> ((s, dir) => AnnOps.annRecall(e(s, dir), s, index = "trunc16")),
     "trunc8_recall" -> ((s, dir) => AnnOps.annRecall(e(s, dir), s, index = "trunc8")),
@@ -1255,6 +1285,25 @@ object AnnPack extends QueryPack {
          |  FROM scored
          |)
          |SELECT qid, vec_id, cosine_e4, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
+    // hard negatives: the label inequality moves into the join condition
+    // (per-anchor), everything else is the filtered-scan shape
+    "hard_negs" ->
+      s"""WITH $normSql,
+         |nl AS (
+         |  SELECT n.vec_id, n.v, n.nrm, e.label
+         |  FROM n JOIN embeddings e ON n.vec_id = e.vec_id
+         |),
+         |hscored AS (
+         |  SELECT qa.vec_id AS qid, ca.vec_id AS vec_id, ca.label,
+         |         CAST($cosSql AS BIGINT) AS cosine_e4
+         |  FROM nl qa
+         |  JOIN nl ca ON ca.vec_id <> qa.vec_id AND ca.label <> qa.label
+         |  WHERE qa.vec_id < 10
+         |)
+         |SELECT qid, vec_id, label, cosine_e4, rnk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine_e4 DESC, vec_id) AS rnk
+         |  FROM hscored
+         |) WHERE rnk <= 5""".stripMargin,
     "ivf_assign" ->
       """WITH wm AS (SELECT (MAX(vec_id) * 4) // 5 AS w FROM embeddings),
         |qo AS (

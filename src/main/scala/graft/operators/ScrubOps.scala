@@ -48,10 +48,11 @@ import org.apache.spark.sql.functions._
   *      repeated twice inside one doc (and nowhere else) is never hot.
   *      The suffix-array method deduplicates any substring occurring
   *      more than once in the corpus, including self-repeats. This is
-  *      a deliberate scope choice (cross-doc contamination is the
-  *      scrub target; within-doc repetition is [[CurationOps]]'s
-  *      repetition signal), but it is a real divergence —
-  *      ScrubAndIngestSpec constructs the miss.
+  *      a deliberate scope split (cross-doc contamination is the scrub
+  *      target) — ScrubAndIngestSpec constructs the miss, and
+  *      [[ScrubOps.intraDupCensus]] is the operator that covers it:
+  *      cross-doc census ∪ within-doc census = the suffix-array
+  *      method's full token-aligned scope.
   *   2. '''Repeats shorter than [[SpanN]] tokens.''' A 4-token span
   *      repeated a million times contributes nothing. The suffix-array
   *      method has the same length threshold (50 BPE tokens in Lee et
@@ -122,13 +123,15 @@ object ScrubOps {
       .select(col("doc_id"), col("pos"), (col("pos") + SpanN - 1).as("pend"))
   }
 
-  /** Per-doc duplicate-span census: how many tokens sit inside some
-    * cross-doc repeated span. Interval union via one gaps-and-islands
-    * window sweep per doc (sorted starts; island break when a start
-    * clears the running max end) — per-doc state, never a global sort. */
-  def dupSpanCensus(docs: DataFrame, minDf: Long = MinSpanDf): DataFrame = {
+  /** The shared interval-union sweep: covered intervals [pos, pend] per
+    * doc → (doc_id, n_tokens, covered_tokens, n_islands, dup_frac_e4)
+    * via one gaps-and-islands window per doc (sorted starts; island
+    * break when a start clears the running max end) — per-doc state,
+    * never a global sort. Both census variants (cross-doc and
+    * within-doc) differ only in which hits flow in. */
+  private def coverageCensus(docs: DataFrame, hits: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val sweep = hotHits(docs, minDf)
+    val sweep = hits
       .withColumn("prev_end",
         max(col("pend")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("is_new",
@@ -150,6 +153,33 @@ object ScrubOps {
         coalesce(col("n_islands"), lit(0L)).as("n_islands"),
         floor(coalesce(col("covered_tokens"), lit(0L)) * 10000.0 / col("n_tokens") + 0.5)
           .cast("long").as("dup_frac_e4"))
+  }
+
+  /** Per-doc duplicate-span census: how many tokens sit inside some
+    * cross-doc repeated span. */
+  def dupSpanCensus(docs: DataFrame, minDf: Long = MinSpanDf): DataFrame =
+    coverageCensus(docs, hotHits(docs, minDf))
+
+  /** WITHIN-doc repeated-span census — the operator that closes the
+    * exactness bound's miss #1: a [[SpanN]]-gram occurring >= 2 times at
+    * different positions of the SAME doc marks all its occurrences as
+    * covered (self-repetition: boilerplate, copy-paste loops, degenerate
+    * generation). Together with [[dupSpanCensus]] this reaches the full
+    * token-aligned scope of the suffix-array method: any substring of
+    * >= [[SpanN]] tokens occurring twice anywhere in the corpus is
+    * covered by one census or the other.
+    *
+    * Scale shape: the hot set is a (doc_id, x31) count — the SAME
+    * shuffle key the hit join uses, so the exchange is reused; nothing
+    * leaves its doc partition after the explode. Strictly lighter than
+    * the cross-doc census (no corpus-wide df table at all). */
+  def intraDupCensus(docs: DataFrame): DataFrame = {
+    val g = grams(docs)
+    val selfHot = g.groupBy("doc_id", "x31").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("doc_id", "x31")
+    val hits = g.join(selfHot, Seq("doc_id", "x31"))
+      .select(col("doc_id"), col("pos"), (col("pos") + SpanN - 1).as("pend"))
+    coverageCensus(docs, hits)
   }
 
   /** The scrubbed corpus: each doc with every token inside a repeated
@@ -187,7 +217,8 @@ object ScrubPack extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dup_spans" -> ((s, dir) => ScrubOps.dupSpanCensus(d(s, dir))),
-    "span_scrub" -> ((s, dir) => ScrubOps.spanScrub(d(s, dir)))
+    "span_scrub" -> ((s, dir) => ScrubOps.spanScrub(d(s, dir))),
+    "intra_spans" -> ((s, dir) => ScrubOps.intraDupCensus(d(s, dir)))
   )
 
   /** Shared oracle CTEs: positional 5-grams + the hot census. */
@@ -265,6 +296,48 @@ object ScrubPack extends QueryPack {
          |       md5(COALESCE(k.scrubbed, '')) AS scrub_md5
          |FROM documents d
          |JOIN toks t ON d.doc_id = t.doc_id
-         |LEFT JOIN kept k ON d.doc_id = k.doc_id""".stripMargin
+         |LEFT JOIN kept k ON d.doc_id = k.doc_id""".stripMargin,
+    // within-doc twin: hot = grams occurring >= 2 times in the SAME doc,
+    // same interval-union sweep
+    "intra_spans" ->
+      s"""WITH $gramSql,
+         |ihot AS (
+         |  SELECT doc_id, x31 FROM (
+         |    SELECT doc_id, x31, COUNT(*) AS c FROM shp GROUP BY doc_id, x31
+         |  ) WHERE c >= 2
+         |),
+         |ihits AS (
+         |  SELECT s.doc_id, s.pos, s.pos + 4 AS pend
+         |  FROM shp s JOIN ihot h ON s.doc_id = h.doc_id AND s.x31 = h.x31
+         |),
+         |sweep AS (
+         |  SELECT doc_id, pos, pend,
+         |         MAX(pend) OVER (PARTITION BY doc_id ORDER BY pos
+         |                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM ihits
+         |),
+         |isl AS (
+         |  SELECT doc_id, pos, pend,
+         |         SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY doc_id ORDER BY pos
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM sweep
+         |),
+         |islands AS (
+         |  SELECT doc_id, island, MAX(pend) - MIN(pos) + 1 AS ilen
+         |  FROM isl GROUP BY doc_id, island
+         |),
+         |cov AS (
+         |  SELECT doc_id, CAST(SUM(ilen) AS BIGINT) AS covered_tokens,
+         |         CAST(COUNT(*) AS BIGINT) AS n_islands
+         |  FROM islands GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+         |       COALESCE(c.covered_tokens, 0) AS covered_tokens,
+         |       COALESCE(c.n_islands, 0) AS n_islands,
+         |       CAST(FLOOR(COALESCE(c.covered_tokens, 0) * 10000.0 / len(t.t) + 0.5) AS BIGINT) AS dup_frac_e4
+         |FROM documents d
+         |JOIN toks t ON d.doc_id = t.doc_id
+         |LEFT JOIN cov c ON d.doc_id = c.doc_id""".stripMargin
   )
 }

@@ -90,6 +90,14 @@ class ScrubAndIngestSpec extends SparkSpec {
     assert(solo(10L) == 0L, "within-doc-only repeat: df=1 distinct doc, missed by design")
     assert(got(11L) == 5L && got(12L) == 5L, "cross-doc control: the same span IS exact-covered")
     assert(got(13L) == 0L && got(14L) == 0L, "4-token repeat < SpanN: below the length threshold")
+    // ... and intraDupCensus closes exactly that miss: the same solo doc's
+    // two in-doc occurrences (2×5 tokens) are covered, while docs whose
+    // repeats are only cross-doc stay at zero
+    val intra = ScrubOps.intraDupCensus(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(intra(10L) == 10L, "within-doc repeat: both 5-token occurrences covered")
+    assert(intra(11L) == 0L && intra(12L) == 0L && intra(13L) == 0L && intra(14L) == 0L,
+      "cross-doc-only and sub-SpanN repeats are invisible to the intra census")
   }
 
   test("incremental BM25 equals the batch answer at every split fraction") {

@@ -216,6 +216,29 @@ class TrainingDataSpec extends SparkSpec {
     g.unpersist()
   }
 
+  test("hard negatives: k cross-label rows per anchor, never beating same-label similarity cap") {
+    val emb = Tables.embeddings(spark, sf).cache()
+    try {
+      val hn = AnnOps.hardNegatives(emb).cache()
+      val labels = emb.select(col("vec_id"), col("label")).withColumnRenamed("vec_id", "qid")
+        .withColumnRenamed("label", "qlabel")
+      // every mined negative carries a label different from its anchor's
+      assert(hn.join(labels, "qid").filter(col("label") === col("qlabel")).count() == 0)
+      // exactly k rows per anchor, ranked 1..k
+      val perQ = hn.groupBy("qid").agg(count(lit(1)).as("n"), max("rnk").as("mr"))
+        .filter(col("n") =!= 5 || col("mr") =!= 5)
+      assert(perQ.count() == 0)
+      // hardest negative can never out-rank the brute-force best overall
+      // neighbor (the brute top-1 is an upper bound over ALL labels)
+      val best = AnnOps.bruteTopK(emb).filter(col("rnk") === 1)
+        .select(col("qid"), col("cosine_e4").as("best_all"))
+      val bad = hn.filter(col("rnk") === 1).join(best, "qid")
+        .filter(col("cosine_e4") > col("best_all"))
+      assert(bad.count() == 0)
+      hn.unpersist()
+    } finally emb.unpersist()
+  }
+
   test("sem_dedup: one row per embedding near-dup pair, Jaccard attached") {
     val pairs = AnnOps.nearDupPairs(embs, spark)
     val out = AnnOps.semDedup(docs, embs, spark).cache()
