@@ -113,6 +113,68 @@ object LmOps {
         floor(col("s_sum_e9").cast("double") / col("n_trigrams") / 100000L + 0.5)
           .cast("long").as("backoff_e4"))
   }
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    * per LANGUAGE, split the corpus into head/middle/tail thirds by LM
+    * score — CCNet keeps head+middle for training and the split IS its
+    * quality tiering. Score = [[trigramBackoff]]'s backoff_e4 (higher =
+    * more fluent), so head = the top-scoring third, CCNet's
+    * lowest-perplexity third.
+    *
+    * Band-census split, NOT a per-language sort of the corpus: scores
+    * are e4-quantized ints, so the (lang, score) census is bounded by
+    * |langs|·|score values| rows; the cumulative window runs on that
+    * census and docs join their band's bucket back by (lang, score). A
+    * band straddling a third boundary is assigned whole, by its START
+    * position — deterministic, and the tie convention a percentile cut
+    * applies to equal scores anyway. Docs under 3 tokens have no
+    * trigram and are absent, as in [[trigramBackoff]]. */
+  def pplBuckets(docs: DataFrame): DataFrame = {
+    // cached: read by the census and by the final doc-level join
+    val scored = graft.Caching.maybeCache(
+      trigramBackoff(docs).select(col("doc_id"), col("backoff_e4"))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")))
+    val census = scored.groupBy("lang", "backoff_e4").agg(count(lit(1)).as("c"))
+    val wl = Window.partitionBy("lang").orderBy(col("backoff_e4").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cb = census.withColumn("cum_before", coalesce(sum(col("c")).over(wl), lit(0L)))
+    val tot = census.groupBy("lang").agg(sum(col("c")).as("n"))
+    val band = cb.join(tot, Seq("lang"))
+      .select(col("lang"), col("backoff_e4"),
+        when(col("cum_before") * 3 < col("n"), "head")
+          .when(col("cum_before") * 3 < col("n") * 2, "middle")
+          .otherwise("tail").as("bucket"))
+    scored.join(band, Seq("lang", "backoff_e4"))
+      .select(col("doc_id"), col("lang"), col("backoff_e4"), col("bucket"))
+  }
+
+  /** The frozen serve-time form of [[pplBuckets]]: per-language score
+    * cutoffs (head_min_e4 = lowest score still in the head third,
+    * middle_min_e4 likewise). Train once on the reference corpus, then
+    * bucket NEW documents — batch via [[applyPplCutoffs]], streaming by
+    * composing [[graft.streaming.StreamingOps.backoffScoreStream]] with
+    * the same broadcast stream-static join — without re-censusing. On
+    * the training corpus itself the application reproduces
+    * [[pplBuckets]] EXACTLY (the cutoff is a faithful summary of the
+    * band census; differential-tested). A language whose corpus slice
+    * never produced a middle/tail band carries null cutoffs there —
+    * unseen lower scores then fall through to tail, the conservative
+    * serve-time default. */
+  def trainPplCutoffs(docs: DataFrame): DataFrame =
+    pplBuckets(docs).groupBy("lang").agg(
+      min(when(col("bucket") === "head", col("backoff_e4"))).as("head_min_e4"),
+      min(when(col("bucket") === "middle", col("backoff_e4"))).as("middle_min_e4"))
+
+  /** Bucket scored docs (doc_id, lang, backoff_e4) with frozen
+    * [[trainPplCutoffs]]: one broadcast join, no census — the shape that
+    * buckets an unbounded ingest stream at 100 TB. */
+  def applyPplCutoffs(scored: DataFrame, cutoffs: DataFrame): DataFrame =
+    scored.join(broadcast(cutoffs), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("backoff_e4"),
+        when(col("head_min_e4").isNotNull && col("backoff_e4") >= col("head_min_e4"), "head")
+          .when(col("middle_min_e4").isNotNull && col("backoff_e4") >= col("middle_min_e4"), "middle")
+          .otherwise("tail").as("bucket"))
+
   /** A trained stupid-backoff trigram LM as data: the three count tables
     * plus the train-token total — everything the backoff ladder needs.
     * Produced offline by [[trainTrigramLm]]; consumed at serve time by
@@ -518,6 +580,7 @@ object LmPack extends graft.QueryPack {
     "trigram_backoff" -> ((s, dir) => LmOps.trigramBackoff(d(s, dir))),
     "dsir_weights" -> ((s, dir) => LmOps.dsirWeights(d(s, dir))),
     "dsir_select" -> ((s, dir) => LmOps.dsirSelect(d(s, dir))),
+    "ppl_buckets" -> ((s, dir) => LmOps.pplBuckets(d(s, dir))),
     "score_corr" -> ((s, dir) => LmOps.scoreCorr(d(s, dir))),
     "nb_score" -> ((s, dir) => LmOps.nbScore(d(s, dir))),
     "nb_score_t10" -> ((s, dir) => LmOps.nbScore(d(s, dir), thresholdE4 = 1000L)),
@@ -630,9 +693,11 @@ object LmPack extends graft.QueryPack {
        |)
        |SELECT doc_id, n_toks, nb_e4, nb_e4 >= $thresholdE4 AS pred_trusted FROM sc""".stripMargin
 
-  override def oracles: Map[String, String] = Map(
-    "trigram_backoff" ->
-      s"""WITH toks AS (
+  /** The stupid-backoff chain as CTEs ending in `bs(doc_id, n_trigrams,
+    * n_tri, n_bi, n_uni, backoff_e4)` — shared by the trigram_backoff
+    * and ppl_buckets oracles. */
+  private val BackoffCtes =
+      s"""toks AS (
          |  SELECT doc_id, $InTrain AS in_train, string_split(text, ' ') AS t FROM documents
          |),
          |inst AS (
@@ -675,14 +740,48 @@ object LmPack extends graft.QueryPack {
          |         CASE WHEN ct IS NOT NULL THEN 'tri' WHEN c23 IS NOT NULL THEN 'bi'
          |              WHEN c3 IS NOT NULL THEN 'uni' ELSE 'oov' END AS lvl
          |  FROM j
+         |),
+         |bs AS (
+         |  SELECT doc_id,
+         |         CAST(SUM(cnt) AS BIGINT) AS n_trigrams,
+         |         CAST(SUM(CASE WHEN lvl = 'tri' THEN cnt ELSE 0 END) AS BIGINT) AS n_tri,
+         |         CAST(SUM(CASE WHEN lvl = 'bi' THEN cnt ELSE 0 END) AS BIGINT) AS n_bi,
+         |         CAST(SUM(CASE WHEN lvl = 'uni' THEN cnt ELSE 0 END) AS BIGINT) AS n_uni,
+         |         CAST(FLOOR(CAST(SUM(cnt * s_e9) AS DOUBLE) / SUM(cnt) / 100000 + 0.5) AS BIGINT) AS backoff_e4
+         |  FROM s GROUP BY doc_id
+         |)""".stripMargin
+
+  override def oracles: Map[String, String] = Map(
+    "trigram_backoff" ->
+      s"""WITH $BackoffCtes
+         |SELECT doc_id, n_trigrams, n_tri, n_bi, n_uni, backoff_e4 FROM bs""".stripMargin,
+    // CCNet head/middle/tail: per-language thirds over the (lang, score)
+    // band census, bands assigned whole by their start position
+    "ppl_buckets" ->
+      s"""WITH $BackoffCtes,
+         |ld AS (
+         |  SELECT d.doc_id, d.lang, s.backoff_e4
+         |  FROM documents d JOIN bs s ON d.doc_id = s.doc_id
+         |),
+         |pcensus AS (
+         |  SELECT lang, backoff_e4, CAST(COUNT(*) AS BIGINT) AS c FROM ld GROUP BY lang, backoff_e4
+         |),
+         |pcb AS (
+         |  SELECT lang, backoff_e4, c,
+         |         COALESCE(SUM(c) OVER (PARTITION BY lang ORDER BY backoff_e4 DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM pcensus
+         |),
+         |ptot AS (SELECT lang, SUM(c) AS n FROM pcensus GROUP BY lang),
+         |pband AS (
+         |  SELECT pcb.lang, pcb.backoff_e4,
+         |         CASE WHEN pcb.cum_before * 3 < t.n THEN 'head'
+         |              WHEN pcb.cum_before * 3 < t.n * 2 THEN 'middle'
+         |              ELSE 'tail' END AS bucket
+         |  FROM pcb JOIN ptot t ON pcb.lang = t.lang
          |)
-         |SELECT doc_id,
-         |       CAST(SUM(cnt) AS BIGINT) AS n_trigrams,
-         |       CAST(SUM(CASE WHEN lvl = 'tri' THEN cnt ELSE 0 END) AS BIGINT) AS n_tri,
-         |       CAST(SUM(CASE WHEN lvl = 'bi' THEN cnt ELSE 0 END) AS BIGINT) AS n_bi,
-         |       CAST(SUM(CASE WHEN lvl = 'uni' THEN cnt ELSE 0 END) AS BIGINT) AS n_uni,
-         |       CAST(FLOOR(CAST(SUM(cnt * s_e9) AS DOUBLE) / SUM(cnt) / 100000 + 0.5) AS BIGINT) AS backoff_e4
-         |FROM s GROUP BY doc_id""".stripMargin,
+         |SELECT ld.doc_id, ld.lang, ld.backoff_e4, pb.bucket
+         |FROM ld JOIN pband pb ON ld.lang = pb.lang AND ld.backoff_e4 = pb.backoff_e4""".stripMargin,
     "dsir_weights" ->
       s"""WITH $DsirCtes
          |SELECT doc_id, n_feats, imp_e6 FROM dw""".stripMargin,

@@ -216,6 +216,45 @@ class TrainingDataSpec extends SparkSpec {
     g.unpersist()
   }
 
+  test("ppl buckets: per-language thirds are score-monotone and roughly balanced") {
+    import graft.operators.LmOps
+    val pb = LmOps.pplBuckets(docs).cache()
+    try {
+      // monotone: within a language every head score beats every middle
+      // score, every middle beats every tail (bands are disjoint values)
+      val stats = pb.groupBy("lang", "bucket")
+        .agg(min("backoff_e4").as("lo"), max("backoff_e4").as("hi"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val langs = stats.keys.map(_._1).toSet
+      for (l <- langs) {
+        for (hm <- stats.get((l, "head")); mm <- stats.get((l, "middle")))
+          assert(hm._1 > mm._2, s"$l: head min ${hm._1} must beat middle max ${mm._2}")
+        for (mm <- stats.get((l, "middle")); tm <- stats.get((l, "tail")))
+          assert(mm._1 > tm._2, s"$l: middle min must beat tail max")
+      }
+      // roughly balanced: no bucket of a language holds everything when
+      // the language has enough distinct scores to split at all
+      val perLang = pb.groupBy("lang").agg(
+        count(lit(1)).as("n"), countDistinct("backoff_e4").as("nv"),
+        countDistinct("bucket").as("nb")).collect()
+      perLang.foreach { r =>
+        if (r.getLong(2) >= 3) assert(r.getLong(3) >= 2,
+          s"${r.getString(0)}: ${r.getLong(1)} docs over ${r.getLong(2)} score values landed in one bucket")
+      }
+      // coverage: every scored doc gets exactly one bucket row
+      assert(pb.count() == LmOps.trigramBackoff(docs).count())
+      // frozen cutoffs reproduce the census buckets exactly on the
+      // training corpus — the serve-time model is a faithful summary
+      val cut = LmOps.trainPplCutoffs(docs)
+      val applied = LmOps.applyPplCutoffs(
+        pb.select(col("doc_id"), col("lang"), col("backoff_e4")), cut)
+        .withColumnRenamed("bucket", "applied")
+      val diverged = pb.join(applied, Seq("doc_id", "lang", "backoff_e4"))
+        .filter(col("bucket") =!= col("applied"))
+      assert(diverged.count() == 0, "applyPplCutoffs must replay pplBuckets on its train corpus")
+    } finally pb.unpersist()
+  }
+
   test("hard negatives: k cross-label rows per anchor, never beating same-label similarity cap") {
     val emb = Tables.embeddings(spark, sf).cache()
     try {
