@@ -952,7 +952,10 @@ object CurationOps {
     // p_e9 is constant per (w1, w2), so the LM join runs over per-doc
     // DISTINCT bigrams weighted by their in-doc count — Σ cnt·p_e9 equals
     // the per-instance sum exactly, with a smaller join input
-    bgs
+    // output cached: the per-doc fluency frame is read by the fluency
+    // query, scoreCorr, and the cascade/funnel composers — the LM joins
+    // re-run per consumer otherwise
+    graft.Caching.maybeCache(bgs
       .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cnt"))
       .join(bi, Seq("w1", "w2"))
       .join(uni, Seq("w1"))
@@ -964,7 +967,7 @@ object CurationOps {
       .agg(sum(col("cnt")).as("n_bigrams"), sum(col("cnt") * col("p_e9")).as("p_sum_e9"))
       .select(col("doc_id"), col("n_bigrams"), col("p_sum_e9"),
         floor(col("p_sum_e9").cast("double") / col("n_bigrams") / 100000L + 0.5)
-          .cast("long").as("fluency_e4"))
+          .cast("long").as("fluency_e4")))
   }
 
   /** Train the [[BigramLm]] on a corpus — the offline step of the

@@ -99,7 +99,11 @@ object LmOps {
         .when(col("c3").isNotNull, "uni")
         .otherwise("oov")
 
-    joined
+    // output cached, not just the instance stream: the per-doc score
+    // frame is read by the trigram_backoff query, pplBuckets, AND
+    // scoreCorr-adjacent composers — the 5-way backoff join re-runs per
+    // consumer otherwise (CacheManager converges the identical plans)
+    graft.Caching.maybeCache(joined
       .withColumn("s_e9", sE9).withColumn("lvl", lvl)
       .groupBy("doc_id")
       .agg(
@@ -111,7 +115,7 @@ object LmOps {
       .select(
         col("doc_id"), col("n_trigrams"), col("n_tri"), col("n_bi"), col("n_uni"),
         floor(col("s_sum_e9").cast("double") / col("n_trigrams") / 100000L + 0.5)
-          .cast("long").as("backoff_e4"))
+          .cast("long").as("backoff_e4")))
   }
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl Data"):
@@ -309,13 +313,15 @@ object LmOps {
           * ((col("rn") + B) / (col("tn") + B)) * 1000000L + 0.5)
           .cast("long").as("ratio_e6"))
 
-    inst
+    // output cached: read by the dsir_weights query, dsirSelect, and
+    // scoreCorr — one broadcast-join + fold instead of three
+    graft.Caching.maybeCache(inst
       .join(broadcast(ratio), Seq("b"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"), sum(col("ratio_e6")).as("r_sum"))
       .select(col("doc_id"), col("n_feats"),
         floor(col("r_sum").cast("double") / col("n_feats") + 0.5)
-          .cast("long").as("imp_e6"))
+          .cast("long").as("imp_e6")))
   }
 
   /** DSIR step 2 — SELECTION: keep documents in DESCENDING importance
