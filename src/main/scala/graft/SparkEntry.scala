@@ -42,7 +42,8 @@ object SparkEntry {
     graft.operators.RetrievalPack,
     graft.operators.DataLayoutPack,
     graft.operators.ScrubPack,
-    graft.operators.LmPack
+    graft.operators.LmPack,
+    graft.operators.SketchPack
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {

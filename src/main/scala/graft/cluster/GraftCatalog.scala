@@ -128,5 +128,13 @@ object GraftCatalog {
       .createOrReplaceTempView("sort_bounds")
     graft.operators.CurationOps.tokenAllocation(docs)
       .createOrReplaceTempView("mix_alloc")
+    graft.operators.LmOps.dsirSelect(docs)
+      .createOrReplaceTempView("dsir_select")
+    graft.operators.LmOps.pplBuckets(docs)
+      .createOrReplaceTempView("ppl_buckets")
+    graft.operators.ScrubOps.intraDupCensus(docs)
+      .createOrReplaceTempView("intra_spans")
+    graft.operators.AnnOps.hardNegatives(embs)
+      .createOrReplaceTempView("hard_negs")
   }
 }

@@ -140,6 +140,15 @@ class EmptyInputSpec extends SparkSpec {
     // source drift and BPE fertility: empty corpus -> no rows, no 0-div
     assert(CurationOps.sourceQualityDrift(emptyDocs).count() == 0)
     assert(CurationOps.bpeEncodeStats(emptyDocs).count() == 0)
+    // round-8 family: selection, bucketing, intra-doc census, mining —
+    // all empty-in/empty-out with no div-by-zero or null bucket
+    assert(LmOps.dsirSelect(emptyDocs).count() == 0)
+    assert(LmOps.pplBuckets(emptyDocs).count() == 0)
+    assert(LmOps.trainPplCutoffs(emptyDocs).count() == 0)
+    assert(ScrubOps.intraDupCensus(emptyDocs).count() == 0)
+    assert(AnnOps.hardNegatives(emptyEmb).count() == 0)
+    assert(PqOps.ivfPqResidualTrainedTopK(emptyEmb, trainPct = Some(50)).count() == 0)
+    assert(graft.operators.EmbeddingStatsOps.kmeans2(emptyEmb, trainPct = Some(50)).count() == 0)
   }
 
   test("as-of join with an empty right side left-joins nulls, empty left is empty") {

@@ -95,6 +95,24 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT COUNT(*) FROM bm25_ingest i JOIN bm25_topk b " +
         "ON i.doc_id = b.doc_id AND i.rnk = b.rnk AND i.score_e4 = b.score_e4")
       .collect()(0).getLong(0) == 10)
+    // round-8 views: DSIR selection is a prefix (no dropped doc outranks
+    // a kept one), ppl buckets cover every scored doc with one of three
+    // labels, the intra census never exceeds doc length, hard negatives
+    // carry 5 ranked cross-label rows per anchor
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM dsir_select d WHERE NOT kept AND imp_e6 > " +
+        "(SELECT MIN(imp_e6) FROM dsir_select WHERE kept)").collect()(0).getLong(0) == 0)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM ppl_buckets WHERE bucket NOT IN ('head','middle','tail')")
+      .collect()(0).getLong(0) == 0)
+    assert(spark.sql("SELECT COUNT(*) FROM ppl_buckets").collect()(0).getLong(0) ==
+      spark.sql("SELECT COUNT(*) FROM trigram_backoff").collect()(0).getLong(0))
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM intra_spans WHERE covered_tokens > n_tokens")
+      .collect()(0).getLong(0) == 0)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM (SELECT qid, COUNT(*) n, MAX(rnk) m FROM hard_negs " +
+        "GROUP BY qid) WHERE n <> 5 OR m <> 5").collect()(0).getLong(0) == 0)
   }
 
   test("compaction_weight resolves in SQL via session extensions") {

@@ -216,6 +216,46 @@ class TrainingDataSpec extends SparkSpec {
     g.unpersist()
   }
 
+  test("kmv sketches: saturated mode is exact, overlap matches true hash-set jaccard") {
+    import graft.operators.SketchOps
+    import graft.functions.TextFunctions.{stableHash60, tokens}
+    // fixture vocab (31 tokens at sf0.001) sits below k = 64, so every
+    // sketch saturates and the estimator must return EXACT counts
+    val v = SketchOps.kmvVocabSketch(docs).head
+    assert(v.getLong(0) <= SketchOps.KmvK)
+    if (v.getLong(0) < SketchOps.KmvK)
+      assert(v.getLong(3) == v.getLong(2) && v.getLong(4) == 0L,
+        "unsaturated sketch must be exact with zero error")
+    val ov = SketchOps.kmvSourceOverlap(docs).cache()
+    try {
+      // structural bounds hold for every pair
+      assert(ov.filter(col("jaccard_est_e4") < 0 || col("jaccard_est_e4") > 10000).count() == 0)
+      assert(ov.filter(col("est_inter") > col("est_a") + col("est_b")).count() == 0)
+      // ground truth: exact jaccard of the per-source distinct hash sets
+      val hs = docs.select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .select(col("source"), stableHash60(col("tok")).as("h")).distinct()
+      val inter = hs.as("x").join(hs.as("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      val sizes = hs.groupBy("source").agg(count(lit(1)).as("n"))
+      val truth = inter
+        .join(sizes.withColumnRenamed("source", "src_a").withColumnRenamed("n", "na"), "src_a")
+        .join(sizes.withColumnRenamed("source", "src_b").withColumnRenamed("n", "nb"), "src_b")
+        .select(col("src_a"), col("src_b"),
+          floor(col("n_inter") * 10000.0 / (col("na") + col("nb") - col("n_inter")) + 0.5)
+            .cast("long").as("true_j"))
+      // in saturated (exact) mode the sketch overlap IS the true overlap
+      val allExact = ov.filter(col("est_a") >= SketchOps.KmvK ||
+        col("est_b") >= SketchOps.KmvK).count() == 0
+      if (allExact) {
+        val bad = ov.join(truth, Seq("src_a", "src_b"))
+          .filter(col("jaccard_est_e4") =!= col("true_j"))
+        assert(bad.count() == 0, "saturated sketches must reproduce the exact jaccard")
+      }
+    } finally ov.unpersist()
+  }
+
   test("ppl buckets: per-language thirds are score-monotone and roughly balanced") {
     import graft.operators.LmOps
     val pb = LmOps.pplBuckets(docs).cache()
