@@ -114,19 +114,23 @@ object SketchOps {
         .filter(col("rnk") <= k)
         .select(col("source"), col("h"))
     }
+    // every pair join below is sketch×sketch — |sources|·k rows a side,
+    // independent of corpus size — so the inequality joins BROADCAST
+    // (the repo's no-unhinted-cartesian rule; a plain `<` join would
+    // otherwise plan a CartesianProduct)
     val sketchStats = perSource.groupBy("source")
       .agg(count(lit(1)).as("ku"), max(col("h")).as("kth"))
-    val pairs = sketchStats.as("a").join(sketchStats.as("b"),
+    val pairs = sketchStats.as("a").join(broadcast(sketchStats.as("b")),
       col("a.source") < col("b.source"))
       .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
         estimate(col("a.ku"), col("a.kth"), k).as("est_a"),
         estimate(col("b.ku"), col("b.kth"), k).as("est_b"))
     // union sketch: k smallest of the two sketches' DISTINCT hashes
-    val unioned = perSource.as("pa").join(perSource.as("pb"),
+    val unioned = perSource.as("pa").join(broadcast(perSource.as("pb")),
       col("pa.source") < col("pb.source"))
       .select(col("pa.source").as("src_a"), col("pb.source").as("src_b"),
         col("pa.h").as("h"))
-      .unionByName(perSource.as("pa").join(perSource.as("pb"),
+      .unionByName(perSource.as("pa").join(broadcast(perSource.as("pb")),
         col("pa.source") < col("pb.source"))
         .select(col("pa.source").as("src_a"), col("pb.source").as("src_b"),
           col("pb.h").as("h")))

@@ -14,13 +14,19 @@ class BenchLineSpec extends AnyFunSuite {
     mapper.readTree(line)
 
   /** Realistic name/value shape: the actual registered query names plus
-    * synthetic ones of the same length distribution, sub-second values
-    * with occasional slow queries. */
+    * synthetic ones of the same length distribution. Values calibrated
+    * to the measured r8 bench profile (median ≈ 0.35 s, ~45% of queries
+    * under 0.3 s, a handful of 1-2.5 s heavies, occasional 10 s+
+    * weather) — the fold-only-noise property below is about THIS
+    * distribution; a uniform 0.1-2.3 s spread would fold genuinely
+    * comparable queries at any budget. */
   private def results(n: Int): Map[String, Double] = {
     val real = SparkEntry.queries.keys.toSeq.sorted
     val names = (real ++ (0 until math.max(0, n - real.size)).map(i => f"extra_query_$i%02d")).take(n)
     names.zipWithIndex.map { case (k, i) =>
-      k -> (if (i % 17 == 0) 10.0 + i % 7 else 0.1 + (i % 23) * 0.1)
+      k -> (if (i % 17 == 0) 10.0 + i % 7
+            else if (i % 11 == 0) 1.0 + (i % 5) * 0.3
+            else 0.05 + (i % 23) * 0.03)
     }.toMap
   }
 

@@ -319,4 +319,49 @@ class PlanQualitySpec extends SparkSpec {
     // WindowGroupLimit (rank pushdown) must be present so only top-k rows shuffle
     assert(plan.contains("WindowGroupLimit"), s"rank pushdown missing:\n$plan")
   }
+
+  test("hard negatives: the bounded anchor set broadcasts; the corpus never self-joins") {
+    spark.catalog.clearCache()
+    val plan = physical(SparkEntry.queries("hard_negs")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in hard_negs:\n$plan")
+    // the label-inequality join is non-equi, so it must be a broadcast
+    // nested loop with the 10-anchor side as the build — never a
+    // corpus×corpus loop
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected the broadcast anchor join:\n$plan")
+  }
+
+  test("dsir selection: boundary-band frames broadcast; the corpus holds one window") {
+    spark.catalog.clearCache()
+    val plan = physical(SparkEntry.queries("dsir_select")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in dsir_select:\n$plan")
+    // the <=1-row partial-band frame joins by broadcast, not shuffle
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"partial-band join must broadcast:\n$plan")
+    // the only corpus-wide window is dsirWeights' bigram lead; the
+    // selection itself windows over the census (rangepartitioning
+    // exchanges stay bounded: census band order + boundary band)
+    val rangeEx = "Exchange rangepartitioning\\([^)]*\\)".r.findAllIn(plan).toSet
+    assert(rangeEx.size <= 2, s"unexpected global sorts: $rangeEx\n$plan")
+  }
+
+  test("kmv sketches: two-phase k-min — no corpus-wide range sort of the hash stream") {
+    spark.catalog.clearCache()
+    val plan = physical(SparkEntry.queries("kmv_vocab")(spark, sf))
+    // phase one prunes per partition (spark_partition_id window needs no
+    // exchange); the global window sorts <= k·partitions rows in ONE
+    // single-partition exchange — never a rangepartitioning total order
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"kmv must not total-order the hash stream:\n$plan")
+    assert(plan.contains("SinglePartition"),
+      s"expected the k-row single-partition merge:\n$plan")
+  }
+
+  test("ppl buckets: censuses aggregate map-side; the corpus joins back by (lang, score)") {
+    spark.catalog.clearCache()
+    val plan = physical(SparkEntry.queries("ppl_buckets")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in ppl_buckets:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"census must map-side combine:\n$plan")
+  }
 }
