@@ -136,5 +136,12 @@ object GraftCatalog {
       .createOrReplaceTempView("intra_spans")
     graft.operators.AnnOps.hardNegatives(embs)
       .createOrReplaceTempView("hard_negs")
+    graft.operators.SketchOps.kmvVocabSketch(docs)
+      .createOrReplaceTempView("kmv_vocab")
+    graft.operators.SketchOps.kmvSourceOverlap(docs)
+      .createOrReplaceTempView("kmv_overlap")
+    val (oldV, newV) = graft.operators.CurationOps.fixtureVersions(docs)
+    graft.operators.CurationOps.corpusDiff(oldV, newV)
+      .createOrReplaceTempView("corpus_diff")
   }
 }

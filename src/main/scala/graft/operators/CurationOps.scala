@@ -237,6 +237,42 @@ object CurationOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
   }
 
+  /** Corpus version diff — [[TopologyOps.diff]]'s IN/OUT shape lifted to
+    * the dataset level: per doc_id, whether the doc was added, removed,
+    * changed (md5 fingerprint differs), or unchanged between two corpus
+    * versions. This is the audit a dataset release runs before shipping
+    * ("what did this crawl refresh actually touch") and the input to
+    * incremental downstreams (only `added`/`changed` re-enter dedup /
+    * scoring; `removed` feeds tombstones).
+    *
+    * One full-outer join on doc_id over md5-fingerprint projections —
+    * both sides shuffle once on the join key, text never shuffles (the
+    * fingerprint is computed in the scan projection). At 100 TB this is
+    * the minimal-movement diff: 32-byte rows per side. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), md5(col("text")).as("old_md5"))
+    val n = newDocs.select(col("doc_id"), md5(col("text")).as("new_md5"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("old_md5"), col("new_md5"),
+        when(col("old_md5").isNull, "added")
+          .when(col("new_md5").isNull, "removed")
+          .when(col("old_md5") =!= col("new_md5"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
+  /** Fixture version pair for [[corpusDiff]]'s oracle: old = docs whose
+    * md5 decile != 0, new = deciles != 9 with deciles 4-5 textually
+    * revised — so the diff exercises all four statuses
+    * deterministically. */
+  private[graft] def fixtureVersions(docs: DataFrame): (DataFrame, DataFrame) = {
+    val dec = stableHash60(col("doc_id").cast("string")) % 10L
+    val old = docs.filter(dec =!= 0L)
+    val neu = docs.filter(dec =!= 9L)
+      .withColumn("text",
+        when(dec.isin(4L, 5L), concat(col("text"), lit(" v2"))).otherwise(col("text")))
+    (old, neu)
+  }
+
   /** Per-source document cap (the Common-Crawl-style domain cap): at most
     * `cap` docs kept per source, chosen by a deterministic md5 priority so
     * the survivors are a stable pseudo-random sample, not "first by id".
@@ -1008,6 +1044,10 @@ object CurationPack extends QueryPack {
     "cross_doc" -> ((s, dir) => CurationOps.crossDocShared(d(s, dir))),
     "vocab_top" -> ((s, dir) => CurationOps.vocabTopGrams(d(s, dir))),
     "splits" -> ((s, dir) => CurationOps.splitAssign(d(s, dir))),
+    "corpus_diff" -> ((s, dir) => {
+      val (o, n) = CurationOps.fixtureVersions(d(s, dir))
+      CurationOps.corpusDiff(o, n)
+    }),
     "src_caps" -> ((s, dir) => CurationOps.sourceCaps(d(s, dir))),
     "gopher" -> ((s, dir) => CurationOps.gopherRules(d(s, dir))),
     "packing" -> ((s, dir) => CurationOps.lenBuckets(d(s, dir))),
@@ -1123,6 +1163,26 @@ object CurationPack extends QueryPack {
        |FROM flg, sat""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    // fixture versions from md5 deciles: old = deciles != 0, new =
+    // deciles != 9 with 4-5 revised — full-outer md5 diff
+    "corpus_diff" ->
+      """WITH dd AS (
+        |  SELECT doc_id, text,
+        |         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 18, 15)) AS UBIGINT) % 10 AS BIGINT) AS dec
+        |  FROM documents
+        |),
+        |old AS (SELECT doc_id, md5(text) AS old_md5 FROM dd WHERE dec <> 0),
+        |neu AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN dec IN (4, 5) THEN text || ' v2' ELSE text END) AS new_md5
+        |  FROM dd WHERE dec <> 9
+        |)
+        |SELECT COALESCE(old.doc_id, neu.doc_id) AS doc_id, old_md5, new_md5,
+        |       CASE WHEN old_md5 IS NULL THEN 'added'
+        |            WHEN new_md5 IS NULL THEN 'removed'
+        |            WHEN old_md5 <> new_md5 THEN 'changed'
+        |            ELSE 'unchanged' END AS status
+        |FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id""".stripMargin,
     "token_boundary" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,

@@ -34,6 +34,28 @@ class CurationSpec extends SparkSpec {
 
   private lazy val docs = Tables.documents(spark, sf).cache()
 
+  test("corpus diff: self-diff is all unchanged; fixture statuses partition the id union") {
+    val self = CurationOps.corpusDiff(docs, docs)
+    assert(self.filter(col("status") =!= "unchanged").count() == 0)
+    assert(self.count() == docs.count())
+    // the fixture version pair must exercise all four statuses, and the
+    // diff covers exactly the union of the two versions' ids, once each
+    val (o, n) = CurationOps.fixtureVersions(docs)
+    val diff = CurationOps.corpusDiff(o, n).cache()
+    try {
+      val statuses = diff.select("status").distinct().collect().map(_.getString(0)).toSet
+      assert(statuses == Set("added", "removed", "changed", "unchanged"))
+      assert(diff.groupBy("doc_id").count().filter(col("count") > 1).count() == 0)
+      assert(diff.count() ==
+        o.select("doc_id").union(n.select("doc_id")).distinct().count())
+      // removed rows are exactly old-minus-new, added exactly new-minus-old
+      assert(diff.filter(col("status") === "removed").count() ==
+        o.join(n, Seq("doc_id"), "left_anti").count())
+      assert(diff.filter(col("status") === "added").count() ==
+        n.join(o, Seq("doc_id"), "left_anti").count())
+    } finally diff.unpersist()
+  }
+
   test("contamination: benchmark docs are never flagged, counts are sane") {
     val out = CurationOps.contamination(docs, minShared = 1L).cache()
     assert(out.count() > 0)

@@ -149,6 +149,12 @@ class EmptyInputSpec extends SparkSpec {
     assert(AnnOps.hardNegatives(emptyEmb).count() == 0)
     assert(PqOps.ivfPqResidualTrainedTopK(emptyEmb, trainPct = Some(50)).count() == 0)
     assert(graft.operators.EmbeddingStatsOps.kmeans2(emptyEmb, trainPct = Some(50)).count() == 0)
+    // sketches: empty corpus -> one saturated row with zero estimates /
+    // no pair rows; corpus diff of empties is empty
+    val kv = SketchOps.kmvVocabSketch(emptyDocs).collect()
+    assert(kv.length == 1 && kv(0).getLong(0) == 0 && kv(0).getLong(3) == 0)
+    assert(SketchOps.kmvSourceOverlap(emptyDocs).count() == 0)
+    assert(CurationOps.corpusDiff(emptyDocs, emptyDocs).count() == 0)
   }
 
   test("as-of join with an empty right side left-joins nulls, empty left is empty") {
