@@ -239,7 +239,7 @@ class KvScan(
     topN: Option[(Seq[SortOrder], Int)] = None,
     keyCol: Option[String] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with SupportsReportOrdering {
   // after a complete aggregate pushdown the scan's output IS the
   // group-by columns followed by the aggregate columns, positionally —
   // Spark maps readSchema() onto groupings ++ aggregates by index
@@ -317,6 +317,16 @@ class KvScan(
       new KeyGroupedPartitioning(Array(Expressions.identity(k)), keyedPartitions.length)
     case None =>
       new UnknownPartitioning(planInputPartitions().length)
+  }
+
+  // A keyed partition holds exactly ONE key value, so its rows are
+  // (trivially) sorted by the key — reporting that ordering lets a
+  // sort-merge join over two keyed scans skip its Sort nodes as well as
+  // its exchanges: the full zero-shuffle-zero-sort storage-partitioned
+  // join. Empty when unkeyed (no ordering claim).
+  override def outputOrdering(): Array[SortOrder] = activeKey match {
+    case Some(k) => Array(Expressions.sort(Expressions.column(k), SortDirection.ASCENDING))
+    case None => Array.empty
   }
 
   override def planInputPartitions(): Array[InputPartition] =

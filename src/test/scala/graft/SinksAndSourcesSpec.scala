@@ -517,6 +517,11 @@ class SinksAndSourcesSpec extends SparkSpec {
         assert(!plan.contains("Exchange"),
           s"storage-partitioned join must not shuffle:\n$plan")
         assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+        // SupportsReportOrdering: each keyed partition holds one key
+        // value (trivially key-sorted), so the SMJ also drops its Sorts —
+        // zero shuffles AND zero sorts
+        assert(!plan.contains("Sort "),
+          s"reported ordering must remove the join sorts:\n$plan")
         val exp = docsPq.count()
         assert(joined.count() == exp, "every fact row has exactly one dim match")
 
