@@ -552,4 +552,48 @@ object StreamingOps {
           }
         })
   }
+
+  /** One hash-bucket's slice of a streaming KMV sketch. */
+  case class KmvBucket(bucket: Long, kmins: Seq[Long], n_tokens_seen: Long)
+
+  /** Streaming KMV distinct-vocabulary sketch — continuous cardinality
+    * monitoring at ingest, the stream twin of
+    * [[graft.operators.SketchOps.kmvVocabSketch]]. State is keyed by
+    * HASH BUCKET (h mod nBuckets), not one global row: each bucket holds
+    * the k smallest hashes it has seen (bounded: k longs per bucket, so
+    * total state is nBuckets·k longs FOREVER, whatever the ingest
+    * volume — the whole point of sketching the stream), buckets spread
+    * across executors, and KMV's merge associativity makes the global
+    * sketch recoverable downstream as the k smallest over the buckets'
+    * union. Because bucketing partitions the hash space, that merged
+    * k-min set is EXACTLY the batch sketch's — the differential the
+    * spec pins. Update mode: each trigger re-emits the buckets that
+    * changed. */
+  def kmvVocabStream(
+      docs: DataFrame, k: Int = 64, nBuckets: Int = 16): Dataset[KmvBucket] = {
+    import graft.functions.TextFunctions.{stableHash60, tokens}
+    import docs.sparkSession.implicits._
+    docs
+      .select(explode(tokens(col("text"))).as("tok"))
+      .select(stableHash60(col("tok")).as("h"))
+      .as[Long]
+      .groupByKey(_ % nBuckets)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (bucket: Long, hs: Iterator[Long], state: GroupState[KmvBucket]) => {
+          val prior = state.getOption.getOrElse(KmvBucket(bucket, Nil, 0L))
+          var seen = 0L
+          val merged = scala.collection.mutable.SortedSet[Long](prior.kmins: _*)
+          hs.foreach { h =>
+            seen += 1
+            if (merged.size < k) merged += h
+            else if (h < merged.last && !merged.contains(h)) {
+              merged += h
+              merged -= merged.last
+            }
+          }
+          val next = KmvBucket(bucket, merged.toSeq, prior.n_tokens_seen + seen)
+          state.update(next)
+          next
+        })
+  }
 }

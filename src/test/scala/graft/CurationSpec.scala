@@ -56,6 +56,49 @@ class CurationSpec extends SparkSpec {
     } finally diff.unpersist()
   }
 
+  test("property: corpus diff reconciles with set algebra under random edit scripts") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    val s = spark
+    import s.implicits._
+    // a random corpus of <= 40 docs and an edit script over it: each doc
+    // independently kept / dropped / rewritten in the new version, plus
+    // some fresh ids — every status must reconcile with the plain set
+    // algebra of the two versions
+    val genCase: Gen[(Seq[(Long, String)], Seq[(Long, String)])] = for {
+      n <- Gen.choose(1, 40)
+      edits <- Gen.listOfN(n, Gen.oneOf("keep", "drop", "edit"))
+      nAdd <- Gen.choose(0, 10)
+    } yield {
+      val old = (0 until n).map(i => (i.toLong, s"text $i"))
+      val kept = old.zip(edits).collect {
+        case ((id, t), "keep") => (id, t)
+        case ((id, t), "edit") => (id, t + " edited")
+      }
+      val added = (0 until nAdd).map(i => ((n + i).toLong, s"new $i"))
+      (old, kept ++ added)
+    }
+    val prop = Prop.forAll(genCase) { case (oldRows, newRows) =>
+      val diff = graft.operators.CurationOps.corpusDiff(
+        oldRows.toDF("doc_id", "text"), newRows.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+      val oldM = oldRows.toMap; val newM = newRows.toMap
+      val ids = oldM.keySet ++ newM.keySet
+      diff.keySet == ids && ids.forall { id =>
+        val expect = (oldM.get(id), newM.get(id)) match {
+          case (None, Some(_)) => "added"
+          case (Some(_), None) => "removed"
+          case (Some(a), Some(b)) if a != b => "changed"
+          case _ => "unchanged"
+        }
+        diff(id) == expect
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10).withInitialSeed(Seed(29L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("contamination: benchmark docs are never flagged, counts are sane") {
     val out = CurationOps.contamination(docs, minShared = 1L).cache()
     assert(out.count() > 0)

@@ -252,6 +252,43 @@ class StreamingSpec extends SparkSpec {
     } finally prior.fold(s.conf.unset(key))(v => s.conf.set(key, v))
   }
 
+  test("streaming KMV sketch: bucket states merge to exactly the batch sketch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val docs = graft.sources.Tables.documents(s, sf)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.kmvVocabStream(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("kmv_stream").outputMode("update").start()
+    try {
+      input.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      // latest state per bucket = the row with the largest cumulative
+      // token count (update mode re-emits a bucket each time it changes)
+      val rows = s.sql("SELECT bucket, kmins, n_tokens_seen FROM kmv_stream").collect()
+      val latest = rows.groupBy(_.getLong(0)).map { case (_, rs) =>
+        rs.maxBy(_.getLong(2))
+      }
+      val mergedKmins = latest.flatMap(_.getSeq[Long](1)).toSeq.distinct.sorted
+        .take(graft.operators.SketchOps.KmvK)
+      // KMV merge associativity: the k smallest over the buckets' union
+      // must equal the batch sketch (same hashes, same order)
+      val batch = graft.operators.SketchOps
+        .kmvVocabSketch(graft.sources.Tables.documents(s, sf)).head
+      assert(mergedKmins.size.toLong == batch.getLong(0), "merged sketch size != batch k_used")
+      assert(mergedKmins.max == batch.getLong(1), "merged kth-min != batch kth_h60")
+      // the cumulative counters saw every token instance exactly once
+      val totalSeen = latest.map(_.getLong(2)).sum
+      val expected = graft.sources.Tables.documents(s, sf)
+        .select(explode(graft.functions.TextFunctions.tokens(col("text")))).count()
+      assert(totalSeen == expected, s"state counters saw $totalSeen of $expected tokens")
+    } finally q.stop()
+  }
+
   test("simhash near-dup stream flags an identical doc across batches on all 4 bands") {
     val s = spark
     import s.implicits._

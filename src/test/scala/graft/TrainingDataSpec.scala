@@ -216,6 +216,32 @@ class TrainingDataSpec extends SparkSpec {
     g.unpersist()
   }
 
+  test("dsir_select budget sweep: prefix + bound invariants hold at every budget") {
+    import graft.operators.LmOps
+    // kept tokens grow monotonically with the budget, the prefix property
+    // holds at every cut, and overshoot never exceeds the boundary doc
+    var prevKept = -1L
+    for (budget <- Seq(1L, 100L, 1000L, 5000L, 20000L, 1000000L)) {
+      val sel = LmOps.dsirSelect(docs, budget).cache()
+      try {
+        val kept = sel.filter(col("kept"))
+        val keptTok = kept.agg(coalesce(sum(col("n_toks")), lit(0L))).head.getLong(0)
+        assert(keptTok >= prevKept, s"budget $budget shrank the kept set")
+        prevKept = keptTok
+        val dropped = sel.filter(!col("kept"))
+        if (dropped.count() > 0 && kept.count() > 0) {
+          val minKept = kept.agg(min(col("imp_e6"))).head.getLong(0)
+          val maxDrop = dropped.agg(max(col("imp_e6"))).head.getLong(0)
+          assert(maxDrop <= minKept, s"budget $budget broke the importance prefix")
+        }
+        if (kept.count() > 0) {
+          val maxDoc = kept.agg(max(col("n_toks"))).head.getLong(0)
+          assert(keptTok < budget + maxDoc, s"budget $budget overshot past the boundary doc")
+        }
+      } finally sel.unpersist()
+    }
+  }
+
   test("kmv sketches: saturated mode is exact, overlap matches true hash-set jaccard") {
     import graft.operators.SketchOps
     import graft.functions.TextFunctions.{stableHash60, tokens}
