@@ -539,6 +539,18 @@ class SinksAndSourcesSpec extends SparkSpec {
           .collect().map(r => (r.getString(0), r.getLong(1))).toSet
         assert(gotAgg == expAgg)
       }
+      // keyed reads stay CORRECT under the rest of the scan contract:
+      // pushed filters and limits apply inside keyed partitions, and
+      // pruning the key column away silently deactivates the report
+      // (partitioning is an expression over the scan OUTPUT) instead of
+      // breaking resolution
+      withSQLConf("spark.sql.sources.v2.bucketing.enabled" -> "true") {
+        val filtered = keyed("spj_fact").filter(col("doc_id") < 50L)
+        assert(filtered.count() == docsPq.filter(col("doc_id") < 50L).count())
+        assert(keyed("spj_fact").limit(7).count() == 7L)
+        val pruned = keyed("spj_fact").select("doc_id")
+        assert(pruned.count() == docsPq.count(), "key-pruned keyed read must still scan fully")
+      }
       // sanity: without the key option the same join shuffles — the
       // no-exchange plan above is the REPORT's doing, not a fluke
       withSQLConf(
