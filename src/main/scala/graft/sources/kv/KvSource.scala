@@ -306,7 +306,9 @@ class KvScan(
     KvStore.rowsOf(table).zipWithIndex
       .groupBy(_._1(ki))
       .toArray
-      .sortBy(_._1.toString)
+      // deterministic partition order; String.valueOf survives a NULL
+      // key value (null rows form their own partition)
+      .sortBy(p => String.valueOf(p._1))
       .map { case (kv, rows) =>
         KvKeyedPartition(kv == null, kv, rows.map(_._2).toArray): InputPartition
       }

@@ -550,6 +550,13 @@ class SinksAndSourcesSpec extends SparkSpec {
         assert(keyed("spj_fact").limit(7).count() == 7L)
         val pruned = keyed("spj_fact").select("doc_id")
         assert(pruned.count() == docsPq.count(), "key-pruned keyed read must still scan fully")
+        // a NULL key value forms its own partition instead of crashing
+        // partition planning
+        KvStore.put("spj_null",
+          docsPq.schema,
+          Seq[Seq[Any]](Seq(null, 900001L, 5L), Seq("de", 900002L, 6L)))
+        assert(keyed("spj_null").count() == 2L)
+        assert(keyed("spj_null").filter(col("lang").isNull).count() == 1L)
       }
       // sanity: without the key option the same join shuffles — the
       // no-exchange plan above is the REPORT's doing, not a fluke
