@@ -66,10 +66,14 @@ object SketchOps {
 
   /** The KMV estimator as a column: exact when the sketch saturated
     * below k (it holds the whole universe), (k−1)·M/kth otherwise —
-    * one fixed double expression, mirrored verbatim in the oracle. */
+    * one fixed double expression, mirrored verbatim in the oracle. The
+    * `kth = 0` guard (hash value zero became the kth smallest — a
+    * 2^-60 event) keeps the engines aligned where an infinite quotient
+    * would otherwise cast differently (Long.MaxValue vs a cast error);
+    * falling back to kUsed is the conservative lower bound. */
   private def estimate(kUsed: org.apache.spark.sql.Column,
       kth: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
-    when(kUsed < k, kUsed)
+    when(kUsed < k || kth === 0L, kUsed)
       .otherwise(floor(lit((k - 1).toDouble) * HashRange / kth + 0.5).cast("long"))
 
   /** One-row corpus vocabulary sketch: sketch estimate next to the exact
@@ -169,7 +173,7 @@ object SketchPack extends QueryPack {
   /** The estimator expression over (ku, kth) columns — mirrors
     * [[SketchOps.estimate]] operation for operation. */
   private def estSql(k: Int)(ku: String, kth: String): String =
-    s"CASE WHEN $ku < $k THEN $ku ELSE CAST(FLOOR(${k - 1}.0 * $M / $kth + 0.5) AS BIGINT) END"
+    s"CASE WHEN $ku < $k OR $kth = 0 THEN $ku ELSE CAST(FLOOR(${k - 1}.0 * $M / $kth + 0.5) AS BIGINT) END"
 
   override def oracles: Map[String, String] = Map(
     "kmv_vocab" -> kmvVocabSql(SketchOps.KmvK),
