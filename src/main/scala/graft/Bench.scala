@@ -72,9 +72,11 @@ object Bench {
     // disagree badly, one of them ran through a burst — a third pass makes
     // the per-query min robust to a single burst window
     val disagreement = p1.keys.map(k => math.abs(p1(k) - p2(k))).sum
+    var ranPass3 = false
     val results =
       if (disagreement <= 0.25 * math.max(min2.values.sum, 1e-9)) min2
       else {
+        ranPass3 = true
         System.err.println(f"[bench-trace] pass disagreement ${disagreement}%.1f s -> running pass 3")
         System.gc()
         val p3 = onePass(3)
@@ -107,7 +109,14 @@ object Bench {
     System.err.println(sorted.map { case (k, v) => s"$k=${f3(v)}" }.mkString("[bench-full] ", ",", ""))
     val sfName = sfDir.split('/').last
     System.err.println(s"[bench-probe] cpu_probe_sec=[${f3(probeBefore)},${f3(probeAfter)}]")
-    println(graft.tools.BenchLine(results, sfName))
+    // window evidence rides the COMMITTED line (probes, pass-3 flag,
+    // top cache builders) — the archived artifact answers "clean
+    // window? who built the caches?" without the stderr trace
+    val meta = graft.tools.BenchMeta(
+      probeBefore, probeAfter, ranPass3,
+      cacheBuiltBytes.toSeq.sortBy(-_._2).take(graft.tools.BenchLine.AttrTop)
+        .map { case (n, b) => n -> b / 1e6 })
+    println(graft.tools.BenchLine(results, sfName, Some(meta)))
     spark.stop()
   }
 }

@@ -314,17 +314,32 @@ object DedupOps {
     *
     * All K permutations are min-aggregated as K columns in ONE groupBy
     * (map-side partial min, single |postings| shuffle) — not a K× row
-    * blowup with two aggregation shuffles. The 4-rows-per-doc band layout
-    * is then a cheap per-doc explode of an inline array. */
-  def minhashSignatures(postings: DataFrame, spark: SparkSession): DataFrame = {
-    val mins = (0 until MinhashK).map(k =>
+    * blowup with two aggregation shuffles. The numPerms/bandSize-rows-
+    * per-doc band layout is then a cheap per-doc explode of an inline
+    * array.
+    *
+    * `(numPerms, bandSize)` is the LSH precision/recall dial (default
+    * 12 perms / 4 bands of 3): with b bands of r rows, a pair at
+    * Jaccard s collides with probability 1 − (1 − s^r)^b. More bands at
+    * fixed r raises recall monotonically (each extra band only ADDS
+    * collision chances — the candidate set grows to a superset, the
+    * property DedupGuardsSpec pins); larger r sharpens the threshold.
+    * Production near-dup pipelines run 64-128 perms; the fixtures
+    * default to 12 so the oracled surface stays fast, and the
+    * non-default twin (`dedup_minhash24`) proves the dial end-to-end. */
+  def minhashSignatures(
+      postings: DataFrame, spark: SparkSession,
+      numPerms: Int = MinhashK, bandSize: Int = BandSize): DataFrame = {
+    require(numPerms > 0 && bandSize > 0 && numPerms % bandSize == 0,
+      s"numPerms ($numPerms) must be a positive multiple of bandSize ($bandSize)")
+    val mins = (0 until numPerms).map(k =>
       min(minhashPerm(col("x31"), lit(k.toLong))).as(s"mh$k"))
     val wide = postings.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-    val bandStructs = (0 until MinhashK / BandSize).map { b =>
+    val bandStructs = (0 until numPerms / bandSize).map { b =>
       struct(
         lit(b.toLong).as("band"),
         concat_ws(",",
-          (0 until BandSize).map(i => col(s"mh${b * BandSize + i}").cast("string")): _*).as("sig"))
+          (0 until bandSize).map(i => col(s"mh${b * bandSize + i}").cast("string")): _*).as("sig"))
     }
     wide
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
@@ -341,11 +356,13 @@ object DedupOps {
     * projections + the final semi-join); uncached, each reference
     * re-runs the band self-join. */
   private[operators] def minhashCandidates(
-      docs: DataFrame, spark: SparkSession, bucketCap: Long = MaxBandBucket): DataFrame = {
-    // the band self-join reads the capped signatures twice (4 rows/doc);
+      docs: DataFrame, spark: SparkSession, bucketCap: Long = MaxBandBucket,
+      numPerms: Int = MinhashK, bandSize: Int = BandSize): DataFrame = {
+    // the band self-join reads the capped signatures twice (b rows/doc);
     // caching above the bucket guard would run its window on both reads
     val sigs = graft.Caching.maybeCache(
-      capBuckets(minhashSignatures(shinglePostings(docs), spark), Seq("band", "sig"), bucketCap))
+      capBuckets(minhashSignatures(shinglePostings(docs), spark, numPerms, bandSize),
+        Seq("band", "sig"), bucketCap))
     graft.Caching.maybeCache(
       sigs.as("a")
         .join(sigs.as("b"),
@@ -357,8 +374,10 @@ object DedupOps {
 
   def minhashLsh(
       docs: DataFrame, spark: SparkSession, thresholdE4: Long = 5000L,
-      bucketCap: Long = MaxBandBucket): DataFrame =
-    verifyJaccard(shinglePostings(docs), Some(minhashCandidates(docs, spark, bucketCap)))
+      bucketCap: Long = MaxBandBucket,
+      numPerms: Int = MinhashK, bandSize: Int = BandSize): DataFrame =
+    verifyJaccard(shinglePostings(docs),
+      Some(minhashCandidates(docs, spark, bucketCap, numPerms, bandSize)))
       .filter(col("jaccard_e4") >= thresholdE4)
 
   /** Token-level longest shared span per near-dup candidate pair — the
@@ -742,6 +761,10 @@ object DedupPack extends QueryPack {
     "dedup_jaccard64" -> ((s, dir) => DedupOps.ngramJaccard(d(s, dir), maxDf = 64L)),
     "dedup_containment" -> ((s, dir) => DedupOps.containmentDedup(d(s, dir))),
     "dedup_minhash" -> ((s, dir) => DedupOps.minhashLsh(d(s, dir), s)),
+    // the band dial at a non-default setting: 24 perms / 8 bands of 3 —
+    // double the bands at fixed rows-per-band, i.e. strictly more recall
+    "dedup_minhash24" -> ((s, dir) =>
+      DedupOps.minhashLsh(d(s, dir), s, numPerms = 24, bandSize = 3)),
     "dedup_simhash" -> ((s, dir) => DedupOps.simhashDedup(d(s, dir), s)),
     "longest_span" -> ((s, dir) => DedupOps.pairLongestSpan(d(s, dir))),
     "incr_dedup" -> ((s, dir) => DedupOps.incrDedup(d(s, dir), 25L)),
@@ -810,24 +833,26 @@ object DedupPack extends QueryPack {
 
   /** Banded minhash signatures as CTEs `mins`/`sigs`/`sigf` (over `sh`) —
     * shared by the dedup_minhash and neardup_recall oracles. */
-  private val minhashSigSql =
+  private def minhashSigSqlFor(numPerms: Int, bandSize: Int): String =
     s"""mins AS (
        |  SELECT doc_id, k.k,
        |         MIN((((k.k * 2 + 1) * 12582917) % 2147483647 * x31
        |              + ((k.k + 1) * 2654435761) % 2147483647) % 2147483647) AS mh
-       |  FROM sh, range(0, 12) k(k)
+       |  FROM sh, range(0, $numPerms) k(k)
        |  GROUP BY doc_id, k.k
        |),
        |sigs AS (
-       |  SELECT doc_id, (k - k % 3) // 3 AS band,
+       |  SELECT doc_id, (k - k % $bandSize) // $bandSize AS band,
        |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k) AS sig
-       |  FROM mins GROUP BY doc_id, (k - k % 3) // 3
+       |  FROM mins GROUP BY doc_id, (k - k % $bandSize) // $bandSize
        |),
        |sigf AS (
        |  SELECT doc_id, band, sig FROM (
        |    SELECT *, COUNT(*) OVER (PARTITION BY band, sig) AS bsz FROM sigs
        |  ) WHERE bsz <= ${DedupOps.MaxBandBucket}
        |)""".stripMargin
+
+  private val minhashSigSql = minhashSigSqlFor(DedupOps.MinhashK, DedupOps.BandSize)
 
   /** The df cap mirrored in SQL: `shc` = postings restricted to the
     * capped shingle space, `sizesc` = doc sizes over it — parameterized
@@ -974,6 +999,15 @@ object DedupPack extends QueryPack {
     "dedup_minhash" ->
       s"""WITH $postingsSql,
          |$minhashSigSql,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM sigf a JOIN sigf b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |),
+         |${jaccardSql("pairs", 5000L)}""".stripMargin,
+    "dedup_minhash24" ->
+      s"""WITH $postingsSql,
+         |${minhashSigSqlFor(24, 3)},
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
          |  FROM sigf a JOIN sigf b

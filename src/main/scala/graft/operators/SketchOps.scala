@@ -129,15 +129,13 @@ object SketchOps {
       .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
         estimate(col("a.ku"), col("a.kth"), k).as("est_a"),
         estimate(col("b.ku"), col("b.kth"), k).as("est_b"))
-    // union sketch: k smallest of the two sketches' DISTINCT hashes
+    // union sketch: k smallest of the two sketches' DISTINCT hashes —
+    // ONE pair join emitting both sides' hashes (explode of a 2-array),
+    // not two identical joins unioned: same rows, half the join work
     val unioned = perSource.as("pa").join(broadcast(perSource.as("pb")),
       col("pa.source") < col("pb.source"))
       .select(col("pa.source").as("src_a"), col("pb.source").as("src_b"),
-        col("pa.h").as("h"))
-      .unionByName(perSource.as("pa").join(broadcast(perSource.as("pb")),
-        col("pa.source") < col("pb.source"))
-        .select(col("pa.source").as("src_a"), col("pb.source").as("src_b"),
-          col("pb.h").as("h")))
+        explode(array(col("pa.h"), col("pb.h"))).as("h"))
       .distinct()
     val wu = Window.partitionBy("src_a", "src_b").orderBy(col("h"))
     val unionStats = unioned.withColumn("rnk", row_number().over(wu))

@@ -143,7 +143,18 @@ object SecurityContext {
     * failure log and retry UNSECURED; if that also fails, fail the
     * action (the reference wraps in RuntimeException). The privileged
     * runner is a plain thunk here — in production it closes over
-    * `ugi.doAs`; in tests it closes over a fake. */
+    * `ugi.doAs`; in tests it closes over a fake.
+    *
+    * '''Callers must pass an IDEMPOTENT action.''' The catch is
+    * deliberately broad (the reference's contract), which carries two
+    * hazards the reference leaves implicit: (1) the WHOLE action re-runs
+    * unsecured, so a non-idempotent mutation that partially succeeded
+    * before an unrelated failure (timeout after the first of N batch
+    * puts) executes its prefix twice; (2) the retry silently DOWNGRADES
+    * security — an action that should only ever run authenticated must
+    * not be routed through here (call `privileged()` directly and let it
+    * fail). Route only read-only or replay-safe admin actions through
+    * the fallback; `onFallback` is the audit hook — log the downgrade. */
   def withLoginFallback[T](
       privileged: () => T,
       unsecured: () => T,

@@ -102,6 +102,21 @@ object KvStore {
   def drop(name: String): Unit = tables.remove(name)
   def clear(): Unit = tables.clear()
   def contains(name: String): Boolean = tables.containsKey(name)
+  def tableNames(): Seq[String] = tables.keySet().asScala.toSeq.sorted
+
+  /** Row-level delete: atomically drop every row matching `pred` —
+    * the store-side effect of an HBase Delete mutation batch. Returns
+    * the number of rows removed. */
+  def deleteWhere(name: String, pred: Seq[Any] => Boolean): Int = {
+    var removed = 0
+    tables.computeIfPresent(name, (_, t) => {
+      val (schema, rows) = t
+      val kept = rows.filterNot(pred)
+      removed = rows.size - kept.size
+      (schema, kept)
+    })
+    removed
+  }
 
   def schemaOf(name: String): StructType = {
     val t = tables.get(name)
@@ -119,7 +134,7 @@ object KvStore {
 class KvTable(
     tableName: String, tableSchema: StructType, partitions: Int,
     keyCol: Option[String] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -132,6 +147,66 @@ class KvTable(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new KvWriteBuilder(tableName, info.schema())
+
+  // Row-level deletes (`SupportsDelete`): `DELETE FROM <kv table> WHERE
+  // <pushable predicate>` resolves to one metadata-level deleteWhere on
+  // the source — the connector face of an HBase Delete mutation, so
+  // O-9's tombstone merge can round-trip through the store it targets
+  // (reference: api(client)/SequenceBufferedMutator.java:201-275, where
+  // the mutation stream interleaves Puts with Deletes). Only predicates
+  // the scan can also push are claimable — a real connector compiles
+  // them to row-key ranges; Spark fails loudly on anything else instead
+  // of silently rewriting the table.
+  private val fieldIdx = tableSchema.fieldNames.zipWithIndex.toMap
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(KvFilterEval.supported)
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(canDeleteWhere(filters), s"unsupported delete predicate: ${filters.mkString(", ")}")
+    KvStore.deleteWhere(tableName,
+      row => filters.forall(f => KvFilterEval.eval(f, n => row(fieldIdx(n)))))
+  }
+}
+
+/** Minimal DSv2 [[TableCatalog]] over [[KvStore]] — registered as
+  * `spark.sql.catalog.<name> = graft.sources.kv.KvCatalog` — so
+  * catalog-addressed SQL (`DELETE FROM kvcat.t WHERE ...`, `SELECT ...
+  * FROM kvcat.t`) resolves through the same [[KvTable]] as the
+  * path/name-addressed reader. The catalog face an hbase-spark
+  * connector exposes (HBaseCatalog); creation/rename stay out of scope
+  * — tables are materialized by writes or `KvStore.put`. */
+class KvCatalog extends TableCatalog {
+  private var catalogName: String = "graftkv"
+  private var defaultPartitions: Int = 4
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    defaultPartitions = options.getInt("partitions", 4)
+  }
+  override def name(): String = catalogName
+
+  private def tableOf(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(".")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    KvStore.tableNames()
+      .map(n => Identifier.of(Array.empty[String], n))
+      .toArray
+
+  override def loadTable(ident: Identifier): Table = {
+    val t = tableOf(ident)
+    if (!KvStore.contains(t))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    new KvTable(t, KvStore.schemaOf(t), defaultPartitions)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graftkv: alterTable not supported")
+  override def dropTable(ident: Identifier): Boolean =
+    if (KvStore.contains(tableOf(ident))) { KvStore.drop(tableOf(ident)); true }
+    else false
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graftkv: renameTable not supported")
 }
 
 class KvScanBuilder(
@@ -303,14 +378,19 @@ class KvScan(
   private lazy val keyedPartitions: Array[InputPartition] = {
     val k = activeKey.get
     val ki = full.fieldNames.indexOf(k)
-    KvStore.rowsOf(table).zipWithIndex
-      .groupBy(_._1(ki))
+    // rows are CAPTURED in the partition (not row indices resolved at
+    // execution): a write/truncate landing between planning and
+    // execution must not shift a running scan onto different rows — the
+    // snapshot-at-plan-time contract a real connector gets from region
+    // boundary metadata + HBase's own MVCC read point
+    KvStore.rowsOf(table)
+      .groupBy(_(ki))
       .toArray
       // deterministic partition order; String.valueOf survives a NULL
       // key value (null rows form their own partition)
       .sortBy(p => String.valueOf(p._1))
       .map { case (kv, rows) =>
-        KvKeyedPartition(kv == null, kv, rows.map(_._2).toArray): InputPartition
+        KvKeyedPartition(kv == null, kv, rows.toArray): InputPartition
       }
   }
 
@@ -382,10 +462,11 @@ case class KvOffset(n: Long) extends Offset {
 
 case class KvInputPartition(start: Int, end: Int) extends InputPartition
 
-/** One distinct key value's rows, with the key exposed through
-  * [[HasPartitionKey]] so Spark can group/align partitions for
-  * storage-partitioned joins. */
-case class KvKeyedPartition(keyIsNull: Boolean, key: Any, indices: Array[Int])
+/** One distinct key value's rows — the row VALUES snapshotted at plan
+  * time, so concurrent store mutation cannot shift a running scan —
+  * with the key exposed through [[HasPartitionKey]] so Spark can
+  * group/align partitions for storage-partitioned joins. */
+case class KvKeyedPartition(keyIsNull: Boolean, key: Any, rows: Array[Seq[Any]])
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     InternalRow.fromSeq(Seq(if (keyIsNull) null else KvFilterEval.toCatalyst(key)))
@@ -401,7 +482,7 @@ class KvReaderFactory(
       case (Some(a), _) => new KvAggReader(table, full, pushed, a)
       case (None, p: KvKeyedPartition) =>
         new KvPartitionReader(table, full, required, pushed, 0, 0, limit, topN,
-          indices = Some(p.indices))
+          captured = Some(p.rows))
       case (None, p: KvInputPartition) =>
         new KvPartitionReader(table, full, required, pushed, p.start, p.end, limit, topN)
       case (_, other) =>
@@ -468,16 +549,15 @@ class KvPartitionReader(
     table: String, full: StructType, required: StructType,
     pushed: Array[Filter], start: Int, end: Int,
     limit: Option[Int] = None, topN: Option[(Seq[SortOrder], Int)] = None,
-    indices: Option[Array[Int]] = None)
+    captured: Option[Array[Seq[Any]]] = None)
     extends PartitionReader[InternalRow] {
   private val fieldIdx = full.fieldNames.zipWithIndex.toMap
   private val outIdx = required.fieldNames.map(fieldIdx)
 
   private val it: Iterator[Seq[Any]] = {
-    val all = KvStore.rowsOf(table)
-    val slice = indices match {
-      case Some(ix) => ix.iterator.map(all(_))
-      case None => all.slice(start, end).iterator
+    val slice = captured match {
+      case Some(rows) => rows.iterator
+      case None => KvStore.rowsOf(table).slice(start, end).iterator
     }
     val filtered = slice
       .filter(row => pushed.forall(f => KvFilterEval.eval(f, name => row(fieldIdx(name)))))
@@ -529,6 +609,7 @@ object KvFilterEval {
     case (x: Int, y: Number) => java.lang.Long.compare(x.toLong, y.longValue())
     case (x: Double, y: Number) => java.lang.Double.compare(x, y.doubleValue())
     case (x: String, y: String) => x.compareTo(y)
+    case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
     case _ => throw new IllegalArgumentException(s"graftkv cannot compare $a with $b")
   }
 

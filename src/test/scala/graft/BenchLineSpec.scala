@@ -83,6 +83,37 @@ class BenchLineSpec extends AnyFunSuite {
     }
   }
 
+  test("window-evidence meta rides the line at 190+ queries, never degraded") {
+    val meta = graft.tools.BenchMeta(
+      probeBefore = 0.0114, probeAfter = 0.0152, pass3 = true,
+      cacheAttrMb = Seq("blocker_precision" -> 11.1, "curated" -> 9.2,
+        "ivfpq_res_t" -> 7.5, "overflow_entry" -> 1.0))
+    for (n <- Seq(SparkEntry.queries.size, 190, 210, 250)) {
+      val r = results(n)
+      val line = BenchLine(r, "sf0.1", Some(meta))
+      assert(line.length <= BenchLine.MaxLen, s"$n queries: line is ${line.length} chars")
+      val node = parse(line)
+      // probes at 3 decimals, both ends of the run
+      assert(node.get("probe").size() == 2)
+      assert(math.abs(node.get("probe").get(0).asDouble() - 0.011) <= 0.001)
+      assert(math.abs(node.get("probe").get(1).asDouble() - 0.015) <= 0.001)
+      assert(node.get("pass3").asBoolean())
+      // top-3 builders only, MB at 1 decimal
+      assert(node.get("attr").size() == BenchLine.AttrTop)
+      assert(math.abs(node.get("attr").get("blocker_precision").asDouble() - 11.1) <= 0.05)
+      assert(!node.get("attr").has("overflow_entry"))
+      // the meta costs fold budget, not correctness: totals reconcile
+      val fastN = if (node.has("fast_n")) node.get("fast_n").asInt() else 0
+      assert(node.get("queries").size() + fastN == n)
+      // the evidence fields survive even at the deepest fold depth
+      assert(node.has("probe") && node.has("pass3") && node.has("attr"))
+    }
+    // a clean no-attr window renders without the attr object at all
+    val clean = parse(BenchLine(results(150), "sf0.1",
+      Some(graft.tools.BenchMeta(0.010, 0.011, pass3 = false, Nil))))
+    assert(!clean.get("pass3").asBoolean() && !clean.has("attr"))
+  }
+
   test("empty and single-query edge cases") {
     val empty = parse(BenchLine(Map.empty, "sf0.1"))
     assert(empty.get("value").asDouble() == 0.0 && empty.get("queries").size() == 0)

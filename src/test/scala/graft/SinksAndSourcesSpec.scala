@@ -575,4 +575,59 @@ class SinksAndSourcesSpec extends SparkSpec {
       docsPq.unpersist()
     }
   }
+
+  test("connector seam: graftkv row-level deletes — DELETE FROM via catalog, keep-latest round-trips") {
+    import graft.sources.kv.KvStore
+    // the O-9 mutation log: puts interleaved with delete tombstones
+    val topo = ClusterViews.topology(spark, sf)
+      .withColumn("is_delete", col("obs_id") % 50 === 0).cache()
+    try {
+      spark.conf.set("spark.sql.catalog.kvcat", "graft.sources.kv.KvCatalog")
+      // stage through the WRITER (catalyst-native storage: timestamps as
+      // micros longs), then address the same store through the catalog
+      topo.write.format("graftkv").mode("overwrite").save("mutlog")
+      val viaCat = spark.table("kvcat.mutlog")
+      assert(viaCat.count() == topo.count())
+      // 1) the keep-latest-with-tombstones operator runs UNCHANGED on the
+      // connector and matches its parquet-path output row for row
+      val keepKv = graft.operators.CoverageOps.keepLatest(viaCat)
+        .collect().map(_.toSeq).toSet
+      val keepPq = graft.operators.CoverageOps.keepLatest(topo)
+        .collect().map(_.toSeq).toSet
+      assert(keepKv == keepPq, "keepLatest over graftkv must match the parquet path")
+      // 2) DELETE FROM through Spark SQL resolves to SupportsDelete's
+      // metadata-level deleteWhere (no table rewrite) — the connector
+      // face of an HBase Delete mutation
+      val before = KvStore.rowsOf("mutlog").size
+      val nTombstone = topo.filter(col("is_delete")).count()
+      spark.sql("DELETE FROM kvcat.mutlog WHERE is_delete = true")
+      assert(KvStore.rowsOf("mutlog").size == before - nTombstone,
+        "deleteWhere must remove exactly the tombstoned mutations")
+      // 3) a fresh scan sees the deletes; compacting the purged log keeps
+      // every surviving key's latest version
+      val purged = spark.table("kvcat.mutlog")
+      assert(purged.filter(col("is_delete")).count() == 0)
+      val keepPurged = graft.operators.CoverageOps.keepLatest(purged)
+        .collect().map(_.toSeq).toSet
+      val expPurged = graft.operators.CoverageOps.keepLatest(
+        topo.filter(!col("is_delete"))).collect().map(_.toSeq).toSet
+      assert(keepPurged == expPurged)
+      // 4) keyed deletes: IN-list on the clustering key — the row-key
+      // range shape a real connector compiles — removes whole key groups
+      spark.sql("DELETE FROM kvcat.mutlog WHERE region_id IN (1, 2, 3)")
+      assert(spark.table("kvcat.mutlog").filter(col("region_id").isin(1L, 2L, 3L)).count() == 0)
+      // 5) an unpushable predicate fails LOUDLY instead of rewriting the
+      // table behind the connector's back
+      intercept[Exception] {
+        spark.sql("DELETE FROM kvcat.mutlog WHERE obs_id % 7 = 0")
+      }
+      // 6) catalog contract: listTables/dropTable address the same store
+      assert(spark.sql("SHOW TABLES IN kvcat").collect().map(_.getString(1)).contains("mutlog"))
+      spark.sql("DROP TABLE kvcat.mutlog")
+      assert(!KvStore.contains("mutlog"))
+    } finally {
+      KvStore.clear()
+      topo.unpersist()
+    }
+  }
 }

@@ -242,6 +242,29 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("dsir_select bounded census equals the full-precision sort cut, doc for doc") {
+    import graft.operators.LmOps
+    import org.apache.spark.sql.expressions.Window
+    // brute-force reference: global (imp DESC, doc_id) sort, kept iff the
+    // running token sum BEFORE the doc is under budget — the semantics the
+    // 1000-qband two-phase construction must reproduce exactly
+    for (budget <- Seq(37L, 10000L)) {
+      val w = Window.orderBy(col("imp_e6").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val weights = LmOps.dsirWeights(docs)
+        .join(docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_toks")),
+          "doc_id")
+      val ref = weights
+        .withColumn("cum", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+        .select(col("doc_id"), (col("cum") < budget).as("ref_kept"))
+      val diverged = LmOps.dsirSelect(docs, budget)
+        .join(ref, "doc_id")
+        .filter(col("kept") =!= col("ref_kept"))
+      assert(diverged.count() == 0,
+        s"budget $budget: bounded-census cut diverges from the full sort")
+    }
+  }
+
   test("kmv sketches: saturated mode is exact, overlap matches true hash-set jaccard") {
     import graft.operators.SketchOps
     import graft.functions.TextFunctions.{stableHash60, tokens}
@@ -298,14 +321,25 @@ class TrainingDataSpec extends SparkSpec {
         for (mm <- stats.get((l, "middle")); tm <- stats.get((l, "tail")))
           assert(mm._1 > tm._2, s"$l: middle min must beat tail max")
       }
-      // roughly balanced: no bucket of a language holds everything when
-      // the language has enough distinct scores to split at all
-      val perLang = pb.groupBy("lang").agg(
-        count(lit(1)).as("n"), countDistinct("backoff_e4").as("nv"),
-        countDistinct("bucket").as("nb")).collect()
+      // balance, asserted only as far as the band-start rule GUARANTEES
+      // it: whole bands are assigned by their start position, so a
+      // single score value holding > n/3 of a language can legitimately
+      // swallow a whole third (band counts 1,1,7 all land in head).
+      // What the rule does guarantee: when every band holds <= n/3,
+      // the first band is head (cum_before = 0) and the last band's
+      // cum_before = n - c_last >= 2n/3 makes it tail — so >= 2 buckets
+      val perLang = pb.groupBy("lang", "backoff_e4")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("lang").agg(
+          sum(col("c")).as("n"), max(col("c")).as("maxband"),
+          countDistinct("backoff_e4").as("nv"))
+        .join(pb.groupBy("lang").agg(countDistinct("bucket").as("nb")), Seq("lang"))
+        .collect()
       perLang.foreach { r =>
-        if (r.getLong(2) >= 3) assert(r.getLong(3) >= 2,
-          s"${r.getString(0)}: ${r.getLong(1)} docs over ${r.getLong(2)} score values landed in one bucket")
+        val (n, maxband, nv, nb) =
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        if (nv >= 3 && maxband * 3 <= n) assert(nb >= 2,
+          s"${r.getString(0)}: $n docs, max band $maxband (<= n/3), $nv score values, one bucket")
       }
       // coverage: every scored doc gets exactly one bucket row
       assert(pb.count() == LmOps.trigramBackoff(docs).count())

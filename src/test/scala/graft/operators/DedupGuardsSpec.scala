@@ -150,6 +150,40 @@ class DedupGuardsSpec extends SparkSpec {
     }
   }
 
+  test("minhash band dial: more bands at fixed rows-per-band only ADDS candidates (superset), verified pairs agree") {
+    noCache {
+      // varied mid-similarity corpus: overlapping-prefix families where
+      // banding at 4 bands misses some honest pairs that 8 bands catch
+      val docs = mkDocs((0 until 40).map { i =>
+        val fam = i / 4
+        val uniq = (0 until (i % 4) + 1).map(j => s"u${i}x$j").mkString(" ")
+        (i.toLong, s"f${fam}a f${fam}b f${fam}c f${fam}d f${fam}e f${fam}f $uniq")
+      })
+      def candSet(perms: Int) =
+        DedupOps.minhashCandidates(docs, spark, numPerms = perms, bandSize = 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val c12 = candSet(12)
+      val c24 = candSet(24)
+      // the first 4 of 8 bands ARE the 12-perm bands (same permutation
+      // family, same band layout), so every 12-perm collision recurs
+      assert(c12.subsetOf(c24),
+        s"12-perm candidates must be a subset of 24-perm: missing ${c12 -- c24}")
+      // the extra bands exist to find MORE — on this corpus they must
+      // (otherwise the test corpus exercises nothing)
+      assert(c24.size > c12.size, "24-perm banding found no extra candidates on the mid-sim corpus")
+      // verification is band-independent: shared pairs score identically
+      val v12 = DedupOps.minhashLsh(docs, spark, thresholdE4 = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val v24 = DedupOps.minhashLsh(docs, spark, thresholdE4 = 0L, numPerms = 24, bandSize = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      v12.foreach { case (p, j) => assert(v24(p) == j, s"pair $p scored $j vs ${v24(p)}") }
+      // the dial rejects a non-divisible band layout loudly
+      intercept[IllegalArgumentException] {
+        DedupOps.minhashLsh(docs, spark, numPerms = 13, bandSize = 3).count()
+      }
+    }
+  }
+
   test("16-bit bands: honest buckets stay far below the cap as distinct-content corpora grow") {
     noCache {
       // N docs of fully distinct random content: with 65k values per band
