@@ -470,6 +470,58 @@ object CurationOps {
         sum(when(col("ctx") > 0, col("ctx") - col("n_toks")).otherwise(0L)).as("waste"))
   }
 
+  /** Bin capacity for [[packingAssign]]: one packed training sequence. */
+  val PackContext: Int = PackBuckets.max
+
+  /** Sequence-packing ASSIGNMENT — closes [[lenBuckets]]' waste plan into
+    * the doc → (bin, offset) layout an input pipeline actually consumes:
+    * each doc is padded to its [[PackBuckets]] class width and placed in
+    * a fixed slot of a [[PackContext]]-token bin (slots per bin =
+    * PackContext div width, so a bin mixes only same-class docs and
+    * never overflows BY CONSTRUCTION — first-fit inside one class is
+    * exactly fill-in-rank-order when all items share a width).
+    * Overflow docs (ctx 0, longer than every bucket) are the chunker's
+    * job ([[chunked]]) and are not emitted.
+    *
+    * The global placement order within a class is (md5 bucket of
+    * doc_id, doc_id) — deterministic and shuffle-friendly — and the
+    * rank is computed scale-safely with the census pattern: a (ctx,
+    * bkt) census (≤ |buckets|·1000 rows) gives each hash-bucket's
+    * starting rank via a per-class cumulative window over ≤ 1000 census
+    * rows; docs then rank inside their (ctx, bkt) cell with a
+    * PARTITIONED window. No corpus-wide total order, ever: the densest
+    * single window partition is one hash-bucket of one class
+    * (~corpus/1000). Waste reconciles with [[lenBuckets]]: sum(pad) per
+    * class equals the plan's `waste` row. */
+  def packingAssign(docs: DataFrame): DataFrame = {
+    val n = size(tokens(col("text"))).cast("long")
+    val bucket = PackBuckets
+      .foldRight(lit(0L): org.apache.spark.sql.Column) { case (b, acc) =>
+        when(n <= b, lit(b.toLong)).otherwise(acc)
+      }
+    val t = docs
+      .select(col("doc_id"), n.as("n_toks"), bucket.as("ctx"),
+        (stableHash60(col("doc_id").cast("string")) % 1000L).as("bkt"))
+      .filter(col("ctx") > 0)
+    val census = t.groupBy("ctx", "bkt").agg(count(lit(1)).as("c"))
+    val wb = Window.partitionBy("ctx").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val starts = census
+      .withColumn("start", coalesce(sum(col("c")).over(wb), lit(0L)))
+      .select("ctx", "bkt", "start")
+    val wd = Window.partitionBy("ctx", "bkt").orderBy("doc_id")
+    t.join(broadcast(starts), Seq("ctx", "bkt"))
+      .withColumn("r", col("start") + row_number().over(wd) - lit(1L))
+      .withColumn("slots", expr(s"CAST($PackContext AS BIGINT) div ctx"))
+      .select(
+        col("doc_id"), col("ctx"),
+        expr("r div slots").as("bin_no"),
+        (col("r") % col("slots")).as("slot"),
+        ((col("r") % col("slots")) * col("ctx")).as("bin_offset"),
+        col("n_toks"),
+        (col("ctx") - col("n_toks")).as("pad"))
+  }
+
   /** Corpus-mixture report: per (lang, source) document and token counts
     * plus each cell's share of ALL tokens — the table a data-mixing plan
     * starts from. The global total comes from a scalar aggregate
@@ -1051,6 +1103,7 @@ object CurationPack extends QueryPack {
     "src_caps" -> ((s, dir) => CurationOps.sourceCaps(d(s, dir))),
     "gopher" -> ((s, dir) => CurationOps.gopherRules(d(s, dir))),
     "packing" -> ((s, dir) => CurationOps.lenBuckets(d(s, dir))),
+    "packing_assign" -> ((s, dir) => CurationOps.packingAssign(d(s, dir))),
     "curated" -> ((s, dir) => CurationOps.curated(d(s, dir))),
     "lang_mix" -> ((s, dir) => CurationOps.langMix(d(s, dir))),
     "chunks" -> ((s, dir) => CurationOps.chunked(d(s, dir))),
@@ -1514,6 +1567,34 @@ object CurationPack extends QueryPack {
         |       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
         |       CAST(SUM(CASE WHEN ctx > 0 THEN ctx - n_toks ELSE 0 END) AS BIGINT) AS waste
         |FROM b GROUP BY ctx""".stripMargin,
+    // placement rank mirrored as one ROW_NUMBER over (md5 bucket, doc_id)
+    // within the class — equal to the engine's census-start + in-cell rank
+    "packing_assign" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 18, 15)) AS UBIGINT) % 1000 AS BIGINT) AS bkt
+        |  FROM documents
+        |),
+        |b AS (
+        |  SELECT doc_id, n_toks, bkt,
+        |         CAST(CASE WHEN n_toks <= 16 THEN 16 WHEN n_toks <= 32 THEN 32
+        |              WHEN n_toks <= 48 THEN 48 WHEN n_toks <= 64 THEN 64
+        |              WHEN n_toks <= 96 THEN 96 WHEN n_toks <= 128 THEN 128
+        |              ELSE 0 END AS BIGINT) AS ctx
+        |  FROM t
+        |),
+        |r AS (
+        |  SELECT doc_id, n_toks, ctx,
+        |         ROW_NUMBER() OVER (PARTITION BY ctx ORDER BY bkt, doc_id) - 1 AS r,
+        |         ${CurationOps.PackContext} // ctx AS slots
+        |  FROM b WHERE ctx > 0
+        |)
+        |SELECT doc_id, ctx,
+        |       CAST(r // slots AS BIGINT) AS bin_no,
+        |       CAST(r % slots AS BIGINT) AS slot,
+        |       CAST((r % slots) * ctx AS BIGINT) AS bin_offset,
+        |       n_toks, CAST(ctx - n_toks AS BIGINT) AS pad
+        |FROM r""".stripMargin,
     "lang_mix" ->
       """WITH cells AS (
         |  SELECT lang, source,

@@ -86,6 +86,70 @@ object MultimodalOps {
           .as("embedding"),
         (col("doc_id") % 5).cast("int").as("label"))
 
+  /** Deterministic, spec-correct PNG payloads derived from the fixture:
+    * the 8-byte PNG signature, a well-formed IHDR chunk (length 13,
+    * type "IHDR", 4-byte big-endian width/height, bit depth 8, a color
+    * type cycling grayscale/truecolor/RGBA, compression 0, filter 0,
+    * interlace cycling 0/1), then the doc's text bytes as stand-in
+    * chunk data. Docs with doc_id % 7 == 3 are TRUNCATED after the
+    * signature — the corrupt-input path [[mediaDims]] must survive.
+    * Binary is assembled with codegen'd column ops (unhex/lpad/hex):
+    * 4-byte big-endian int = unhex(lpad(hex(v), 8, '0')). */
+  def pngMediaTable(docs: DataFrame): DataFrame = {
+    def be4(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 8, "0"))
+    def be1(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 2, "0"))
+    val w = (col("doc_id") % 640 + 1).cast("long")
+    val h = (col("doc_id") % 480 + 1).cast("long")
+    val colorType = when(col("doc_id") % 3 === 0, 0L)
+      .when(col("doc_id") % 3 === 1, 2L).otherwise(6L)
+    val sig = unhex(lit("89504E470D0A1A0A"))
+    val ihdr = concat(
+      unhex(lit("0000000D")), // IHDR data length = 13
+      encode(lit("IHDR"), "UTF-8"),
+      be4(w), be4(h),
+      be1(lit(8L)), // bit depth
+      be1(colorType),
+      unhex(lit("0000")), // compression 0, filter 0
+      be1((col("doc_id") % 2).cast("long"))) // interlace
+    docs.select(
+      col("doc_id"),
+      when(col("doc_id") % 7 === 3, sig)
+        .otherwise(concat(sig, ihdr, encode(col("text"), "UTF-8"))).as("media"))
+  }
+
+  /** REAL image-header decode — not a stub: parses width, height, bit
+    * depth, channel count, and interlace method out of raw PNG bytes
+    * exactly per the PNG spec (ISO/IEC 15948: 8-byte signature, then
+    * the IHDR chunk — 4-byte big-endian length, 4-byte type, 13 data
+    * bytes starting with two 4-byte big-endian dimensions). Works on
+    * any real PNG file's bytes, guards on the signature + a complete
+    * IHDR (status 'corrupt' with null dims otherwise), and runs as
+    * pure codegen'd byte surgery (substring on binary is
+    * byte-addressed; hex→conv folds big-endian ints) — no UDF, no
+    * decode library. Channels follow the spec's color-type table:
+    * 0 gray→1, 2 truecolor→3, 3 indexed→1, 4 gray+alpha→2, 6 RGBA→4. */
+  def mediaDims(docs: DataFrame): DataFrame = {
+    val media = pngMediaTable(docs)
+    def beInt(start: Int, len: Int) =
+      conv(hex(expr(s"substring(media, $start, $len)")), 16, 10).cast("long")
+    val sigOk = upper(hex(expr("substring(media, 1, 8)"))) === "89504E470D0A1A0A"
+    val ihdrOk = expr("substring(media, 13, 4)") === encode(lit("IHDR"), "UTF-8") &&
+      length(col("media")) >= 29 && beInt(9, 4) === 13L
+    val colorType = beInt(26, 1)
+    val channels = when(colorType === 0L, 1L).when(colorType === 2L, 3L)
+      .when(colorType === 3L, 1L).when(colorType === 4L, 2L)
+      .when(colorType === 6L, 4L)
+    val ok = sigOk && ihdrOk
+    media.select(
+      col("doc_id"),
+      when(ok, beInt(17, 4)).as("width"),
+      when(ok, beInt(21, 4)).as("height"),
+      when(ok, beInt(25, 1)).as("bit_depth"),
+      when(ok, channels).as("channels"),
+      when(ok, beInt(29, 1)).as("interlace"),
+      when(ok, "png").otherwise("corrupt").as("status"))
+  }
+
   /** STUB decode + feature extraction over batches. The per-partition
     * iterator is where a real codec (JNI/FFI) would run once per executor
     * task; features here are a deterministic fake (header bytes + additive
@@ -128,6 +192,7 @@ object MultimodalPack extends QueryPack {
           coalesce(col("tb"), lit(0L)).as("total_bytes"))
     },
     "media_features" -> ((s, dir) => MultimodalOps.decodeFeatures(d(s, dir))),
+    "media_dims" -> ((s, dir) => MultimodalOps.mediaDims(d(s, dir))),
     "frame_dedup" -> ((s, dir) => MultimodalOps.frameDedup(d(s, dir)))
   )
 
@@ -156,6 +221,22 @@ object MultimodalPack extends QueryPack {
         |           range(1, octet_length(encode(text)) + 1),
         |           i -> CAST(('0x' || substring(hex(encode(text)), 2*i-1, 2)) AS BIGINT))),
         |         (a, b) -> (a*31 + b) % 1000000007) AS checksum
+        |FROM documents""".stripMargin,
+    // ground truth for the PNG parse: the header fields the engine must
+    // recover from the bytes are exactly the values the construction
+    // encoded — agreement proves the byte-level parse inverts a
+    // spec-correct PNG header, and the corrupt path degrades to nulls
+    "media_dims" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 7 = 3 THEN NULL ELSE CAST(doc_id % 640 + 1 AS BIGINT) END AS width,
+        |       CASE WHEN doc_id % 7 = 3 THEN NULL ELSE CAST(doc_id % 480 + 1 AS BIGINT) END AS height,
+        |       CASE WHEN doc_id % 7 = 3 THEN NULL ELSE CAST(8 AS BIGINT) END AS bit_depth,
+        |       CASE WHEN doc_id % 7 = 3 THEN NULL
+        |            WHEN doc_id % 3 = 0 THEN CAST(1 AS BIGINT)
+        |            WHEN doc_id % 3 = 1 THEN CAST(3 AS BIGINT)
+        |            ELSE CAST(4 AS BIGINT) END AS channels,
+        |       CASE WHEN doc_id % 7 = 3 THEN NULL ELSE CAST(doc_id % 2 AS BIGINT) END AS interlace,
+        |       CASE WHEN doc_id % 7 = 3 THEN 'corrupt' ELSE 'png' END AS status
         |FROM documents""".stripMargin,
     // the fixture's media bytes are UTF-8 of ASCII text, so md5 over the
     // text substring equals Spark's md5 over the binary frame slice

@@ -256,6 +256,36 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("packing assignment: no bin overflows the context, slots unique, waste reconciles with the plan") {
+    val out = CurationOps.packingAssign(docs).cache()
+    try {
+      // covers exactly the non-overflow docs, once each
+      val expected = CurationOps.lenBuckets(docs)
+        .filter(col("ctx") > 0).agg(sum("n_docs")).collect()(0).getLong(0)
+      assert(out.count() == expected)
+      assert(out.select("doc_id").distinct().count() == expected)
+      // a doc's padded slot stays inside the bin's context budget
+      assert(out.filter(col("bin_offset") + col("ctx") > CurationOps.PackContext).count() == 0)
+      assert(out.filter(col("n_toks") > col("ctx")).count() == 0, "doc longer than its slot")
+      assert(out.filter(col("pad") =!= col("ctx") - col("n_toks")).count() == 0)
+      // no two docs share a (class, bin, slot) cell
+      assert(out.groupBy("ctx", "bin_no", "slot").count().filter(col("count") > 1).count() == 0)
+      // bins fill densely: every bin except each class's last is full
+      val slotsPerBin = out.groupBy("ctx", "bin_no").agg(count(lit(1)).as("n"))
+      val lastBin = slotsPerBin.groupBy("ctx").agg(max("bin_no").as("last"))
+      assert(slotsPerBin.join(lastBin, "ctx")
+        .filter(col("bin_no") =!= col("last"))
+        .filter(col("n") =!= floor(lit(CurationOps.PackContext) / col("ctx")))
+        .count() == 0, "a non-final bin is underfilled")
+      // per-class padding waste reconciles with the lenBuckets plan
+      val gotWaste = out.groupBy("ctx").agg(sum("pad").as("w"))
+      val planWaste = CurationOps.lenBuckets(docs).filter(col("ctx") > 0)
+        .select(col("ctx"), col("waste"))
+      assert(gotWaste.join(planWaste, "ctx").filter(col("w") =!= col("waste")).count() == 0,
+        "assignment waste diverges from the packing plan")
+    } finally out.unpersist()
+  }
+
   test("chunking: windows tile each doc — start at 0, stride apart, clipped tail covers n") {
     import graft.functions.TextFunctions.tokens
     val docs = Tables.documents(spark, sf)
