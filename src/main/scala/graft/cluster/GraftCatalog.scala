@@ -143,5 +143,9 @@ object GraftCatalog {
     val (oldV, newV) = graft.operators.CurationOps.fixtureVersions(docs)
     graft.operators.CurationOps.corpusDiff(oldV, newV)
       .createOrReplaceTempView("corpus_diff")
+    graft.operators.CurationOps.packingAssign(docs)
+      .createOrReplaceTempView("packing_assign")
+    graft.operators.MultimodalOps.mediaDims(docs)
+      .createOrReplaceTempView("media_dims")
   }
 }

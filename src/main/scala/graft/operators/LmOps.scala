@@ -357,8 +357,8 @@ object LmOps {
     * kept iff the budget is not exhausted BEFORE it, so the boundary
     * doc itself is taken. */
   def dsirSelect(docs: DataFrame, budgetTokens: Long = 10000L): DataFrame = {
-    // cached: read by the band census, the boundary-band window, and the
-    // final status join
+    // cached: read by the bounds scalar and the qband projection (and
+    // measured faster than recomputing off the cached dsirWeights)
     val sel = graft.Caching.maybeCache(
       dsirWeights(docs).join(
         docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_toks")),

@@ -113,6 +113,14 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT COUNT(*) FROM (SELECT qid, COUNT(*) n, MAX(rnk) m FROM hard_negs " +
         "GROUP BY qid) WHERE n <> 5 OR m <> 5").collect()(0).getLong(0) == 0)
+    // round-9 views: no packed slot escapes its bin's context budget;
+    // the PNG parse yields dims exactly for the non-corrupt payloads
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM packing_assign WHERE bin_offset + ctx > " +
+        s"${graft.operators.CurationOps.PackContext}").collect()(0).getLong(0) == 0)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM media_dims WHERE (status = 'png') <> (width IS NOT NULL)")
+      .collect()(0).getLong(0) == 0)
   }
 
   test("compaction_weight resolves in SQL via session extensions") {
