@@ -147,5 +147,7 @@ object GraftCatalog {
       .createOrReplaceTempView("packing_assign")
     graft.operators.MultimodalOps.mediaDims(docs)
       .createOrReplaceTempView("media_dims")
+    graft.operators.MultimodalOps.mediaDimsMix(docs)
+      .createOrReplaceTempView("media_dims_mix")
   }
 }

@@ -95,7 +95,7 @@ object MultimodalOps {
     * signature — the corrupt-input path [[mediaDims]] must survive.
     * Binary is assembled with codegen'd column ops (unhex/lpad/hex):
     * 4-byte big-endian int = unhex(lpad(hex(v), 8, '0')). */
-  def pngMediaTable(docs: DataFrame): DataFrame = {
+  private[graft] def pngPayload: org.apache.spark.sql.Column = {
     def be4(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 8, "0"))
     def be1(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 2, "0"))
     val w = (col("doc_id") % 640 + 1).cast("long")
@@ -111,10 +111,34 @@ object MultimodalOps {
       be1(colorType),
       unhex(lit("0000")), // compression 0, filter 0
       be1((col("doc_id") % 2).cast("long"))) // interlace
-    docs.select(
-      col("doc_id"),
-      when(col("doc_id") % 7 === 3, sig)
-        .otherwise(concat(sig, ihdr, encode(col("text"), "UTF-8"))).as("media"))
+    when(col("doc_id") % 7 === 3, sig)
+      .otherwise(concat(sig, ihdr, encode(col("text"), "UTF-8")))
+  }
+
+  def pngMediaTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), pngPayload.as("media"))
+
+  /** Parsed-header struct for PNG bytes: fields (width, height,
+    * bit_depth, channels, interlace, status). See [[mediaDims]] for the
+    * spec walk-through; shared with [[mediaDimsMix]]'s dispatch path. */
+  private[graft] def pngDimsStruct(media: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def beInt(start: Int, len: Int) =
+      conv(hex(substring(media, start, len)), 16, 10).cast("long")
+    val sigOk = upper(hex(substring(media, 1, 8))) === "89504E470D0A1A0A"
+    val ihdrOk = substring(media, 13, 4) === encode(lit("IHDR"), "UTF-8") &&
+      length(media) >= 29 && beInt(9, 4) === 13L
+    val colorType = beInt(26, 1)
+    val channels = when(colorType === 0L, 1L).when(colorType === 2L, 3L)
+      .when(colorType === 3L, 1L).when(colorType === 4L, 2L)
+      .when(colorType === 6L, 4L)
+    val ok = sigOk && ihdrOk
+    struct(
+      when(ok, beInt(17, 4)).as("width"),
+      when(ok, beInt(21, 4)).as("height"),
+      when(ok, beInt(25, 1)).as("bit_depth"),
+      when(ok, channels).as("channels"),
+      when(ok, beInt(29, 1)).as("interlace"),
+      when(ok, "png").otherwise("corrupt").as("status"))
   }
 
   /** REAL image-header decode — not a stub: parses width, height, bit
@@ -129,25 +153,147 @@ object MultimodalOps {
     * decode library. Channels follow the spec's color-type table:
     * 0 gray→1, 2 truecolor→3, 3 indexed→1, 4 gray+alpha→2, 6 RGBA→4. */
   def mediaDims(docs: DataFrame): DataFrame = {
-    val media = pngMediaTable(docs)
-    def beInt(start: Int, len: Int) =
-      conv(hex(expr(s"substring(media, $start, $len)")), 16, 10).cast("long")
-    val sigOk = upper(hex(expr("substring(media, 1, 8)"))) === "89504E470D0A1A0A"
-    val ihdrOk = expr("substring(media, 13, 4)") === encode(lit("IHDR"), "UTF-8") &&
-      length(col("media")) >= 29 && beInt(9, 4) === 13L
-    val colorType = beInt(26, 1)
-    val channels = when(colorType === 0L, 1L).when(colorType === 2L, 3L)
-      .when(colorType === 3L, 1L).when(colorType === 4L, 2L)
-      .when(colorType === 6L, 4L)
-    val ok = sigOk && ihdrOk
-    media.select(
-      col("doc_id"),
-      when(ok, beInt(17, 4)).as("width"),
-      when(ok, beInt(21, 4)).as("height"),
-      when(ok, beInt(25, 1)).as("bit_depth"),
-      when(ok, channels).as("channels"),
-      when(ok, beInt(29, 1)).as("interlace"),
-      when(ok, "png").otherwise("corrupt").as("status"))
+    pngMediaTable(docs)
+      .select(col("doc_id"), pngDimsStruct(col("media")).as("d"))
+      .select(col("doc_id"), col("d.width").as("width"), col("d.height").as("height"),
+        col("d.bit_depth").as("bit_depth"), col("d.channels").as("channels"),
+        col("d.interlace").as("interlace"), col("d.status").as("status"))
+  }
+
+  /** Deterministic, spec-correct JPEG/JFIF payloads derived from the
+    * fixture (ITU-T T.81 / JFIF 1.02 byte layout): SOI, a JFIF APP0
+    * segment, a VARIABLE-LENGTH comment segment (payload doc_id%40+1
+    * bytes — so the SOF offset differs per row and a parser cannot
+    * assume fixed positions), an optional DQT stub every 5th doc (so
+    * the number of segments varies too), then a frame header: SOF0
+    * (baseline) when doc_id%4<2 else SOF2 (progressive), 8-bit
+    * precision, big-endian height=doc_id%480+1 / width=doc_id%640+1,
+    * and 1 (grayscale) or 3 (YCbCr) component specs, followed by the
+    * doc's text bytes as stand-in entropy-coded data. Docs with
+    * doc_id%7==3 are TRUNCATED after SOI — the corrupt-input path. */
+  private[graft] def jpegPayload: org.apache.spark.sql.Column = {
+    def be2(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 4, "0"))
+    val soi = unhex(lit("FFD8"))
+    // APP0: marker FFE0, len 16, "JFIF\0", version 1.02, units 0, 1x1 density, no thumb
+    val app0 = unhex(lit("FFE000104A46494600010200000100010000"))
+    val comLen = (col("doc_id") % 40 + 1).cast("long")
+    val com = concat(unhex(lit("FFFE")), be2(comLen + 2L),
+      unhex(repeat(lit("78"), comLen.cast("int"))))
+    val dqt = unhex(lit("FFDB0005010203")) // stub DQT: marker, len 5, 3 data bytes
+    val ncomp = when(col("doc_id") % 3 === 0, 1L).otherwise(3L)
+    val sofMarker = when(col("doc_id") % 4 < 2, lit("FFC0")).otherwise(lit("FFC2"))
+    val h = (col("doc_id") % 480 + 1).cast("long")
+    val w = (col("doc_id") % 640 + 1).cast("long")
+    // component specs (id, sampling, qtable): gray = (1,0x11,0); YCbCr = 2x2-subsampled luma
+    val comps = when(ncomp === 1L, lit("011100")).otherwise(lit("012200021101031101"))
+    val sof = concat(unhex(sofMarker), be2(lit(8L) + ncomp * 3L), unhex(lit("08")),
+      be2(h), be2(w), unhex(lpad(hex(ncomp), 2, "0")), unhex(comps))
+    val body = concat(soi, app0, com,
+      when(col("doc_id") % 5 === 0, dqt).otherwise(unhex(lit(""))),
+      sof, encode(col("text"), "UTF-8"))
+    when(col("doc_id") % 7 === 3, soi).otherwise(body)
+  }
+
+  def jpegMediaTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), jpegPayload.as("media"))
+
+  /** 1-based offset of the frame-header (SOFn) marker inside a JPEG byte
+    * stream, found by a REAL segment walk per ITU-T T.81 §B.1: starting
+    * after SOI, each marker segment is 0xFF, a marker byte, and a 2-byte
+    * big-endian length that INCLUDES the length field itself — the walk
+    * reads each length to find the next marker, so variable-length APP0/
+    * COM/DQT segments are traversed, never assumed. Bounded at `maxSegs`
+    * steps (a real header has ~4-10 segments before SOF; bounded ⇒ the
+    * expression tree is fixed-size and codegen-able at any data scale).
+    * Runs as a single codegen'd `aggregate` over a constant sequence
+    * threading (offset, found) state — no UDF. Sentinels: -1 = no SOF
+    * within budget, -2 = malformed/truncated stream. SOF markers are
+    * C0-CF minus DHT(C4)/JPG(C8)/DAC(CC) per the spec's marker table. */
+  private[graft] def jpegSofOffset(
+      media: org.apache.spark.sql.Column, maxSegs: Int = 8): org.apache.spark.sql.Column = {
+    def byteAt(p: org.apache.spark.sql.Column) =
+      conv(hex(substring(media, p.cast("int"), lit(1))), 16, 10).cast("long")
+    def be16(p: org.apache.spark.sql.Column) =
+      conv(hex(substring(media, p.cast("int"), lit(2))), 16, 10).cast("long")
+    val sofMarkers = Seq(0xC0L, 0xC1L, 0xC2L, 0xC3L, 0xC5L, 0xC6L, 0xC7L,
+      0xC9L, 0xCAL, 0xCBL, 0xCDL, 0xCEL, 0xCFL).map(lit)
+    aggregate(
+      sequence(lit(1), lit(maxSegs)),
+      struct(lit(3L).as("off"), lit(-1L).as("sof")),
+      (acc, _) => {
+        val off = acc.getField("off")
+        val sof = acc.getField("sof")
+        val bad = off.isNull || (off + 3L) > length(media) || byteAt(off) =!= 0xFFL
+        when(sof =!= -1L, acc) // found (>0) or already malformed (-2): hold state
+          .when(bad, struct(coalesce(off, lit(-1L)).as("off"), lit(-2L).as("sof")))
+          .when(byteAt(off + 1L).isin(sofMarkers: _*), struct(off.as("off"), off.as("sof")))
+          .otherwise(struct((off + 2L + be16(off + 2L)).as("off"), lit(-1L).as("sof")))
+      },
+      acc => acc.getField("sof"))
+  }
+
+  /** Parsed frame-header struct for JPEG bytes, same field shape as
+    * [[pngDimsStruct]] so the two dispatch under one `when` in
+    * [[mediaDimsMix]]. `interlace` carries the progressive flag (a
+    * progressive JPEG is the interlaced analog): 1 for SOF2/6/10/14. */
+  private[graft] def jpegDimsStruct(media: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def byteAt(p: org.apache.spark.sql.Column) =
+      conv(hex(substring(media, p.cast("int"), lit(1))), 16, 10).cast("long")
+    def be16(p: org.apache.spark.sql.Column) =
+      conv(hex(substring(media, p.cast("int"), lit(2))), 16, 10).cast("long")
+    val sofOff = jpegSofOffset(media)
+    val sigOk = upper(hex(substring(media, 1, 2))) === "FFD8"
+    val ok = sigOk && sofOff > 0L && (sofOff + 9L) <= length(media)
+    struct(
+      when(ok, be16(sofOff + 7L)).as("width"),
+      when(ok, be16(sofOff + 5L)).as("height"),
+      when(ok, byteAt(sofOff + 4L)).as("bit_depth"),
+      when(ok, byteAt(sofOff + 9L)).as("channels"),
+      when(ok, when(byteAt(sofOff + 1L).isin(0xC2L, 0xC6L, 0xCAL, 0xCEL), 1L)
+        .otherwise(0L)).as("interlace"),
+      when(ok, "jpeg").otherwise("corrupt").as("status"))
+  }
+
+  /** REAL JPEG frame-header decode via the segment walk above: width,
+    * height, bit depth (sample precision), component count, and the
+    * progressive flag, straight from the bytes — works on any baseline/
+    * progressive JFIF file's header, 'corrupt' with null dims on
+    * truncated streams. */
+  def jpegDims(docs: DataFrame): DataFrame = {
+    jpegMediaTable(docs)
+      .select(col("doc_id"), jpegDimsStruct(col("media")).as("d"))
+      .select(col("doc_id"), col("d.width").as("width"), col("d.height").as("height"),
+        col("d.bit_depth").as("bit_depth"), col("d.channels").as("channels"),
+        col("d.interlace").as("progressive"), col("d.status").as("status"))
+  }
+
+  /** Mixed-format media table: even docs carry PNG bytes, odd docs carry
+    * JPEG bytes — the realistic shape of a scraped image corpus where
+    * format is NOT a metadata column and must be sniffed per payload. */
+  def mixedMediaTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 2 === 0, pngPayload).otherwise(jpegPayload).as("media"))
+
+  /** Format dispatch on MAGIC BYTES (not metadata): PNG signature →
+    * PNG IHDR parse, JPEG SOI → SOF segment walk, anything else →
+    * corrupt. One pass, both parsers as codegen'd column expressions
+    * under a `when` — at 100 TB this is a scan-local projection with
+    * zero shuffles, the cheapest possible format census. */
+  def mediaDimsMix(docs: DataFrame): DataFrame = {
+    val m = mixedMediaTable(docs)
+    val isPng = upper(hex(substring(col("media"), 1, 8))) === "89504E470D0A1A0A"
+    val isJpg = upper(hex(substring(col("media"), 1, 2))) === "FFD8"
+    val nullDims = struct(
+      lit(null).cast("long").as("width"), lit(null).cast("long").as("height"),
+      lit(null).cast("long").as("bit_depth"), lit(null).cast("long").as("channels"),
+      lit(null).cast("long").as("interlace"), lit("corrupt").as("status"))
+    m.select(col("doc_id"),
+        when(isPng, pngDimsStruct(col("media")))
+          .when(isJpg, jpegDimsStruct(col("media")))
+          .otherwise(nullDims).as("d"))
+      .select(col("doc_id"), col("d.width").as("width"), col("d.height").as("height"),
+        col("d.bit_depth").as("bit_depth"), col("d.channels").as("channels"),
+        col("d.interlace").as("interlace"), col("d.status").as("status"))
   }
 
   /** STUB decode + feature extraction over batches. The per-partition
@@ -193,6 +339,8 @@ object MultimodalPack extends QueryPack {
     },
     "media_features" -> ((s, dir) => MultimodalOps.decodeFeatures(d(s, dir))),
     "media_dims" -> ((s, dir) => MultimodalOps.mediaDims(d(s, dir))),
+    "jpeg_dims" -> ((s, dir) => MultimodalOps.jpegDims(d(s, dir))),
+    "media_dims_mix" -> ((s, dir) => MultimodalOps.mediaDimsMix(d(s, dir))),
     "frame_dedup" -> ((s, dir) => MultimodalOps.frameDedup(d(s, dir)))
   )
 
@@ -237,6 +385,44 @@ object MultimodalPack extends QueryPack {
         |            ELSE CAST(4 AS BIGINT) END AS channels,
         |       CASE WHEN doc_id % 7 = 3 THEN NULL ELSE CAST(doc_id % 2 AS BIGINT) END AS interlace,
         |       CASE WHEN doc_id % 7 = 3 THEN 'corrupt' ELSE 'png' END AS status
+        |FROM documents""".stripMargin,
+    // ground truth for the JPEG segment walk, same construction-inversion
+    // contract as media_dims: the walk must traverse a variable-length COM
+    // (and every 5th doc an extra DQT) to land on SOF0/SOF2, so agreement
+    // proves the parser reads real segment lengths, not fixed offsets
+    "jpeg_dims" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 7 = 3 THEN NULL ELSE CAST(doc_id % 640 + 1 AS BIGINT) END AS width,
+        |       CASE WHEN doc_id % 7 = 3 THEN NULL ELSE CAST(doc_id % 480 + 1 AS BIGINT) END AS height,
+        |       CASE WHEN doc_id % 7 = 3 THEN NULL ELSE CAST(8 AS BIGINT) END AS bit_depth,
+        |       CASE WHEN doc_id % 7 = 3 THEN NULL
+        |            WHEN doc_id % 3 = 0 THEN CAST(1 AS BIGINT)
+        |            ELSE CAST(3 AS BIGINT) END AS channels,
+        |       CASE WHEN doc_id % 7 = 3 THEN NULL
+        |            WHEN doc_id % 4 < 2 THEN CAST(0 AS BIGINT)
+        |            ELSE CAST(1 AS BIGINT) END AS progressive,
+        |       CASE WHEN doc_id % 7 = 3 THEN 'corrupt' ELSE 'jpeg' END AS status
+        |FROM documents""".stripMargin,
+    // mixed corpus: even docs are PNG, odd are JPEG; the engine must sniff
+    // the magic bytes per payload and route to the right parser
+    "media_dims_mix" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 7 = 3 THEN NULL ELSE CAST(doc_id % 640 + 1 AS BIGINT) END AS width,
+        |       CASE WHEN doc_id % 7 = 3 THEN NULL ELSE CAST(doc_id % 480 + 1 AS BIGINT) END AS height,
+        |       CASE WHEN doc_id % 7 = 3 THEN NULL ELSE CAST(8 AS BIGINT) END AS bit_depth,
+        |       CASE WHEN doc_id % 7 = 3 THEN NULL
+        |            WHEN doc_id % 2 = 0 THEN (CASE WHEN doc_id % 3 = 0 THEN CAST(1 AS BIGINT)
+        |                                           WHEN doc_id % 3 = 1 THEN CAST(3 AS BIGINT)
+        |                                           ELSE CAST(4 AS BIGINT) END)
+        |            WHEN doc_id % 3 = 0 THEN CAST(1 AS BIGINT)
+        |            ELSE CAST(3 AS BIGINT) END AS channels,
+        |       CASE WHEN doc_id % 7 = 3 THEN NULL
+        |            WHEN doc_id % 2 = 0 THEN CAST(0 AS BIGINT)
+        |            WHEN doc_id % 4 < 2 THEN CAST(0 AS BIGINT)
+        |            ELSE CAST(1 AS BIGINT) END AS interlace,
+        |       CASE WHEN doc_id % 7 = 3 THEN 'corrupt'
+        |            WHEN doc_id % 2 = 0 THEN 'png'
+        |            ELSE 'jpeg' END AS status
         |FROM documents""".stripMargin,
     // the fixture's media bytes are UTF-8 of ASCII text, so md5 over the
     // text substring equals Spark's md5 over the binary frame slice

@@ -121,6 +121,12 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT COUNT(*) FROM media_dims WHERE (status = 'png') <> (width IS NOT NULL)")
       .collect()(0).getLong(0) == 0)
+    // the mixed view sniffs magic bytes: every row resolves to a real
+    // format or corrupt, and dims exist exactly for the parsed rows
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM media_dims_mix WHERE status NOT IN ('png','jpeg','corrupt')" +
+        " OR ((status <> 'corrupt') <> (width IS NOT NULL))")
+      .collect()(0).getLong(0) == 0)
   }
 
   test("compaction_weight resolves in SQL via session extensions") {

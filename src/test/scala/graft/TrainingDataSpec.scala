@@ -491,6 +491,33 @@ class TrainingDataSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("jpeg segment walk survives adversarial streams the fixture lacks") {
+    val s = spark
+    import s.implicits._
+    // hand-assembled byte streams (hex), 1 row each:
+    //  good:   SOI | APP0(len4,2 data) | COM(len5,3 data) | SOF0 h=2 w=3, 1 comp
+    //  noff:   SOI then garbage where a marker's 0xFF should be
+    //  nosof:  SOI then 9 consecutive COM segments — SOF beyond the walk budget
+    //  cutsof: SOI | SOF0 marker+length only, stream ends inside the header
+    val good = "FFD8" + "FFE000041111" + "FFFE0005222222" +
+      "FFC0000B08" + "0002" + "0003" + "01" + "011100"
+    val noff = "FFD8" + "00E000041111"
+    val nosof = "FFD8" + "FFFE00031A" * 9 + "FFC0000B0800020003" + "01011100"
+    val cutsof = "FFD8" + "FFC0000B"
+    val rows = Seq((1L, good), (2L, noff), (3L, nosof), (4L, cutsof))
+      .toDF("doc_id", "hex")
+      .select(col("doc_id"), unhex(col("hex")).as("media"))
+    val parsed = rows
+      .select(col("doc_id"), MultimodalOps.jpegDimsStruct(col("media")).as("d"))
+      .select(col("doc_id"), col("d.width"), col("d.height"), col("d.status"))
+      .orderBy("doc_id").collect()
+    assert(parsed(0).getLong(1) == 3L && parsed(0).getLong(2) == 2L &&
+      parsed(0).getString(3) == "jpeg")
+    assert(parsed(1).getString(3) == "corrupt")
+    assert(parsed(2).getString(3) == "corrupt") // budget exhausted, NOT a crash
+    assert(parsed(3).getString(3) == "corrupt") // truncated inside SOF header
+  }
+
   test("frame sampling reconstructs total byte counts") {
     val frames = MultimodalOps.frameSample(docs)
       .groupBy("doc_id").agg(sum("frame_bytes").as("total"))
