@@ -149,5 +149,7 @@ object GraftCatalog {
       .createOrReplaceTempView("media_dims")
     graft.operators.MultimodalOps.mediaDimsMix(docs)
       .createOrReplaceTempView("media_dims_mix")
+    graft.operators.MultimodalOps.wavDims(docs)
+      .createOrReplaceTempView("wav_dims")
   }
 }

@@ -296,6 +296,118 @@ object MultimodalOps {
         col("d.interlace").as("interlace"), col("d.status").as("status"))
   }
 
+  /** Deterministic, spec-correct WAV/RIFF payloads derived from the
+    * fixture (RIFF 1991 spec / WAVE format): "RIFF" + little-endian
+    * 32-bit size + "WAVE", a VARIABLE-LENGTH "JUNK" padding chunk
+    * (payload doc_id%20+1 bytes, odd sizes padded to the word boundary
+    * with the pad EXCLUDED from the size field, exactly per spec — so
+    * a chunk walk must apply the even-alignment rule to survive), an
+    * extra "LIST" chunk every 5th doc, then the canonical 16-byte
+    * "fmt " chunk (PCM, channels doc_id%2+1, sample rate cycling
+    * 8000/16000/44100, bit depth 8·(doc_id%4+1), derived byte rate and
+    * block align), and a "data" chunk wrapping the doc's text bytes.
+    * RIFF is LITTLE-endian throughout — the opposite byte order from
+    * the PNG/JPEG constructions, so the three parsers can't share a
+    * lucky codepath. Docs with doc_id%7==3 are TRUNCATED after "RIFF". */
+  private[graft] def wavPayload: org.apache.spark.sql.Column = {
+    def byteOf(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c.bitwiseAND(lit(255L))), 2, "0"))
+    def le16(c: org.apache.spark.sql.Column) = concat(byteOf(c), byteOf(shiftright(c, 8)))
+    def le32(c: org.apache.spark.sql.Column) =
+      concat(byteOf(c), byteOf(shiftright(c, 8)), byteOf(shiftright(c, 16)), byteOf(shiftright(c, 24)))
+    def tag(s: String) = encode(lit(s), "UTF-8")
+    val junkN = (col("doc_id") % 20 + 1).cast("long")
+    val junk = concat(tag("JUNK"), le32(junkN),
+      unhex(repeat(lit("4A"), junkN.cast("int"))),
+      when(junkN % 2 === 1, unhex(lit("00"))).otherwise(unhex(lit(""))))
+    val list = concat(tag("LIST"), le32(lit(4L)), tag("INFO"))
+    val hasList = col("doc_id") % 5 === 0
+    val channels = (col("doc_id") % 2 + 1).cast("long")
+    val sampleRate = when(col("doc_id") % 3 === 0, 8000L)
+      .when(col("doc_id") % 3 === 1, 16000L).otherwise(44100L)
+    val bytesPerSample = (col("doc_id") % 4 + 1).cast("long")
+    val blockAlign = channels * bytesPerSample
+    val fmt = concat(tag("fmt "), le32(lit(16L)),
+      le16(lit(1L)),             // PCM
+      le16(channels),
+      le32(sampleRate),
+      le32(sampleRate * blockAlign), // byte rate
+      le16(blockAlign),
+      le16(bytesPerSample * 8L)) // bits per sample
+    val dataLen = length(encode(col("text"), "UTF-8")).cast("long")
+    val data = concat(tag("data"), le32(dataLen), encode(col("text"), "UTF-8"))
+    val riffSize = lit(4L) + (lit(8L) + junkN + junkN % 2) +
+      when(hasList, 12L).otherwise(0L) + lit(24L) + (lit(8L) + dataLen)
+    val body = concat(tag("RIFF"), le32(riffSize), tag("WAVE"),
+      junk, when(hasList, list).otherwise(unhex(lit(""))), fmt, data)
+    when(col("doc_id") % 7 === 3, tag("RIFF")).otherwise(body)
+  }
+
+  def wavMediaTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), wavPayload.as("media"))
+
+  /** 1-based offset of the "fmt " chunk inside a RIFF/WAVE stream, by a
+    * REAL chunk walk: each RIFF chunk is a 4-byte ID, a 4-byte
+    * LITTLE-endian size, the payload, and a pad byte when the size is
+    * odd (pad excluded from the size field) — the walk reads each size
+    * and applies the alignment rule to reach the next chunk; unknown
+    * chunk types (JUNK, LIST, ...) are skipped BY SIZE, never assumed.
+    * Same bounded-`aggregate` construction as [[jpegSofOffset]];
+    * sentinels -1 = not found in budget, -2 = malformed/truncated. */
+  private[graft] def wavFmtOffset(
+      media: org.apache.spark.sql.Column, maxChunks: Int = 8): org.apache.spark.sql.Column = {
+    def byteAt(p: org.apache.spark.sql.Column) =
+      conv(hex(substring(media, p.cast("int"), lit(1))), 16, 10).cast("long")
+    def le32At(p: org.apache.spark.sql.Column) =
+      byteAt(p) + byteAt(p + 1L) * 256L + byteAt(p + 2L) * 65536L + byteAt(p + 3L) * 16777216L
+    aggregate(
+      sequence(lit(1), lit(maxChunks)),
+      struct(lit(13L).as("off"), lit(-1L).as("fmt")), // 13 = after RIFF+size+WAVE
+      (acc, _) => {
+        val off = acc.getField("off")
+        val fmt = acc.getField("fmt")
+        val bad = off.isNull || (off + 7L) > length(media)
+        val chunkSize = le32At(off + 4L)
+        when(fmt =!= -1L, acc)
+          .when(bad, struct(coalesce(off, lit(-1L)).as("off"), lit(-2L).as("fmt")))
+          .when(substring(media, off.cast("int"), lit(4)) === encode(lit("fmt "), "UTF-8"),
+            struct(off.as("off"), off.as("fmt")))
+          .otherwise(struct((off + 8L + chunkSize + chunkSize % 2L).as("off"), lit(-1L).as("fmt")))
+      },
+      acc => acc.getField("fmt"))
+  }
+
+  /** REAL audio-header decode: sample rate, channel count, bit depth,
+    * byte rate, and block align straight from WAV bytes via the RIFF
+    * chunk walk — works on any PCM WAV file's header, 'corrupt' with
+    * null fields on truncated or non-RIFF streams. Completes the
+    * modality set: PNG + JPEG (image, big-endian), WAV (audio,
+    * little-endian), all as scan-local codegen'd projections. */
+  def wavDims(docs: DataFrame): DataFrame = {
+    val media = col("media")
+    def byteAt(p: org.apache.spark.sql.Column) =
+      conv(hex(substring(media, p.cast("int"), lit(1))), 16, 10).cast("long")
+    def le16At(p: org.apache.spark.sql.Column) = byteAt(p) + byteAt(p + 1L) * 256L
+    def le32At(p: org.apache.spark.sql.Column) =
+      le16At(p) + le16At(p + 2L) * 65536L
+    val fmtOff = wavFmtOffset(media)
+    val riffOk = substring(media, 1, 4) === encode(lit("RIFF"), "UTF-8") &&
+      substring(media, 9, 4) === encode(lit("WAVE"), "UTF-8")
+    val ok = riffOk && fmtOff > 0L && (fmtOff + 23L) <= length(media) &&
+      le32At(fmtOff + 4L) >= 16L
+    wavMediaTable(docs)
+      .select(col("doc_id"), struct(
+        when(ok, le32At(fmtOff + 12L)).as("sample_rate"),
+        when(ok, le16At(fmtOff + 10L)).as("channels"),
+        when(ok, le16At(fmtOff + 22L)).as("bits"),
+        when(ok, le32At(fmtOff + 16L)).as("byte_rate"),
+        when(ok, le16At(fmtOff + 20L)).as("block_align"),
+        when(ok, "wav").otherwise("corrupt").as("status")).as("d"))
+      .select(col("doc_id"), col("d.sample_rate").as("sample_rate"),
+        col("d.channels").as("channels"), col("d.bits").as("bits"),
+        col("d.byte_rate").as("byte_rate"), col("d.block_align").as("block_align"),
+        col("d.status").as("status"))
+  }
+
   /** STUB decode + feature extraction over batches. The per-partition
     * iterator is where a real codec (JNI/FFI) would run once per executor
     * task; features here are a deterministic fake (header bytes + additive
@@ -341,6 +453,7 @@ object MultimodalPack extends QueryPack {
     "media_dims" -> ((s, dir) => MultimodalOps.mediaDims(d(s, dir))),
     "jpeg_dims" -> ((s, dir) => MultimodalOps.jpegDims(d(s, dir))),
     "media_dims_mix" -> ((s, dir) => MultimodalOps.mediaDimsMix(d(s, dir))),
+    "wav_dims" -> ((s, dir) => MultimodalOps.wavDims(d(s, dir))),
     "frame_dedup" -> ((s, dir) => MultimodalOps.frameDedup(d(s, dir)))
   )
 
@@ -423,6 +536,25 @@ object MultimodalPack extends QueryPack {
         |       CASE WHEN doc_id % 7 = 3 THEN 'corrupt'
         |            WHEN doc_id % 2 = 0 THEN 'png'
         |            ELSE 'jpeg' END AS status
+        |FROM documents""".stripMargin,
+    // ground truth for the RIFF chunk walk: the walk must skip a
+    // variable-length JUNK chunk (and every 5th doc a LIST chunk) with
+    // correct even-byte alignment to land on "fmt " — agreement proves a
+    // real little-endian chunk traversal, same contract as jpeg_dims
+    "wav_dims" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 7 = 3 THEN NULL
+        |            WHEN doc_id % 3 = 0 THEN CAST(8000 AS BIGINT)
+        |            WHEN doc_id % 3 = 1 THEN CAST(16000 AS BIGINT)
+        |            ELSE CAST(44100 AS BIGINT) END AS sample_rate,
+        |       CASE WHEN doc_id % 7 = 3 THEN NULL ELSE CAST(doc_id % 2 + 1 AS BIGINT) END AS channels,
+        |       CASE WHEN doc_id % 7 = 3 THEN NULL ELSE CAST((doc_id % 4 + 1) * 8 AS BIGINT) END AS bits,
+        |       CASE WHEN doc_id % 7 = 3 THEN NULL
+        |            ELSE CAST((CASE WHEN doc_id % 3 = 0 THEN 8000
+        |                            WHEN doc_id % 3 = 1 THEN 16000
+        |                            ELSE 44100 END) * (doc_id % 2 + 1) * (doc_id % 4 + 1) AS BIGINT) END AS byte_rate,
+        |       CASE WHEN doc_id % 7 = 3 THEN NULL ELSE CAST((doc_id % 2 + 1) * (doc_id % 4 + 1) AS BIGINT) END AS block_align,
+        |       CASE WHEN doc_id % 7 = 3 THEN 'corrupt' ELSE 'wav' END AS status
         |FROM documents""".stripMargin,
     // the fixture's media bytes are UTF-8 of ASCII text, so md5 over the
     // text substring equals Spark's md5 over the binary frame slice

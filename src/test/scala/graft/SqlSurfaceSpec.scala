@@ -127,6 +127,12 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT COUNT(*) FROM media_dims_mix WHERE status NOT IN ('png','jpeg','corrupt')" +
         " OR ((status <> 'corrupt') <> (width IS NOT NULL))")
       .collect()(0).getLong(0) == 0)
+    // wav parse internal consistency: the recovered PCM fields reconcile
+    // (byte rate = sample rate * block align) on every parsed row
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM wav_dims WHERE status = 'wav'" +
+        " AND byte_rate <> sample_rate * block_align")
+      .collect()(0).getLong(0) == 0)
   }
 
   test("compaction_weight resolves in SQL via session extensions") {

@@ -518,6 +518,39 @@ class TrainingDataSpec extends SparkSpec {
     assert(parsed(3).getString(3) == "corrupt") // truncated inside SOF header
   }
 
+  test("riff chunk walk honors odd-size padding and survives adversarial streams") {
+    val s = spark
+    import s.implicits._
+    def le32(n: Int) = f"${n & 0xff}%02X${(n >> 8) & 0xff}%02X${(n >> 16) & 0xff}%02X${(n >> 24) & 0xff}%02X"
+    def tag(t: String) = t.getBytes("US-ASCII").map(b => f"$b%02X").mkString
+    val fmtChunk = tag("fmt ") + le32(16) +
+      "0100" + "0200" + le32(22050) + le32(88200) + "0400" + "1000" // 2ch 22050Hz 16bit
+    // good: JUNK with ODD size 3 (pad byte follows, excluded from size) then fmt
+    val good = tag("RIFF") + le32(100) + tag("WAVE") +
+      tag("JUNK") + le32(3) + "AAAAAA" + "00" + fmtChunk
+    // nofmt: 9 JUNK chunks — fmt beyond the walk budget
+    val nofmt = tag("RIFF") + le32(100) + tag("WAVE") +
+      (tag("JUNK") + le32(2) + "BBBB") * 9 + fmtChunk
+    // cutfmt: stream ends inside the fmt payload
+    val cutfmt = tag("RIFF") + le32(100) + tag("WAVE") + tag("fmt ") + le32(16) + "0100"
+    // notriff: right sizes, wrong magic
+    val notriff = tag("RIFX") + le32(100) + tag("WAVE") + fmtChunk
+    val rows = Seq((1L, good), (2L, nofmt), (3L, cutfmt), (4L, notriff))
+      .toDF("doc_id", "hex")
+    val out = rows.select(col("doc_id"), unhex(col("hex")).as("media"))
+    val byteParsed = out.select(col("doc_id"),
+        MultimodalOps.wavFmtOffset(col("media")).as("fmt_off"),
+        length(col("media")).as("len"))
+      .orderBy("doc_id").collect()
+    // good: walk lands on fmt after the padded odd JUNK: 13 + 8 + 3 + 1 = 25
+    assert(byteParsed(0).getLong(1) == 25L)
+    assert(byteParsed(1).getLong(1) == -1L) // budget exhausted, NOT a crash
+    // cutfmt: the walk FINDS fmt (id readable) — wavDims' length guard
+    // is what rejects it; check the guard arithmetic here
+    assert(byteParsed(2).getLong(1) == 13L && byteParsed(2).getInt(2) < 13 + 23)
+    assert(byteParsed(3).getLong(1) == 13L) // walk is magic-agnostic; riffOk rejects
+  }
+
   test("frame sampling reconstructs total byte counts") {
     val frames = MultimodalOps.frameSample(docs)
       .groupBy("doc_id").agg(sum("frame_bytes").as("total"))
