@@ -382,8 +382,9 @@ object MultimodalOps {
     * null fields on truncated or non-RIFF streams. Completes the
     * modality set: PNG + JPEG (image, big-endian), WAV (audio,
     * little-endian), all as scan-local codegen'd projections. */
-  def wavDims(docs: DataFrame): DataFrame = {
-    val media = col("media")
+  /** Parsed PCM-header struct for WAV bytes: fields (sample_rate,
+    * channels, bits, byte_rate, block_align, status). */
+  private[graft] def wavDimsStruct(media: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     def byteAt(p: org.apache.spark.sql.Column) =
       conv(hex(substring(media, p.cast("int"), lit(1))), 16, 10).cast("long")
     def le16At(p: org.apache.spark.sql.Column) = byteAt(p) + byteAt(p + 1L) * 256L
@@ -394,18 +395,38 @@ object MultimodalOps {
       substring(media, 9, 4) === encode(lit("WAVE"), "UTF-8")
     val ok = riffOk && fmtOff > 0L && (fmtOff + 23L) <= length(media) &&
       le32At(fmtOff + 4L) >= 16L
+    struct(
+      when(ok, le32At(fmtOff + 12L)).as("sample_rate"),
+      when(ok, le16At(fmtOff + 10L)).as("channels"),
+      when(ok, le16At(fmtOff + 22L)).as("bits"),
+      when(ok, le32At(fmtOff + 16L)).as("byte_rate"),
+      when(ok, le16At(fmtOff + 20L)).as("block_align"),
+      when(ok, "wav").otherwise("corrupt").as("status"))
+  }
+
+  def wavDims(docs: DataFrame): DataFrame = {
     wavMediaTable(docs)
-      .select(col("doc_id"), struct(
-        when(ok, le32At(fmtOff + 12L)).as("sample_rate"),
-        when(ok, le16At(fmtOff + 10L)).as("channels"),
-        when(ok, le16At(fmtOff + 22L)).as("bits"),
-        when(ok, le32At(fmtOff + 16L)).as("byte_rate"),
-        when(ok, le16At(fmtOff + 20L)).as("block_align"),
-        when(ok, "wav").otherwise("corrupt").as("status")).as("d"))
+      .select(col("doc_id"), wavDimsStruct(col("media")).as("d"))
       .select(col("doc_id"), col("d.sample_rate").as("sample_rate"),
         col("d.channels").as("channels"), col("d.bits").as("bits"),
         col("d.byte_rate").as("byte_rate"), col("d.block_align").as("block_align"),
         col("d.status").as("status"))
+  }
+
+  /** Per-payload format verdict across ALL three parsers, dispatched on
+    * magic bytes: 'png'/'jpeg'/'wav' when the matching header parses,
+    * 'corrupt' when the magic is right but the header is not, 'unknown'
+    * when no magic matches. Stateless scan-local expression — shared by
+    * the batch census and the streaming ingest gate so the two can never
+    * disagree on a payload. */
+  private[graft] def sniffStatus(media: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val isPng = upper(hex(substring(media, 1, 8))) === "89504E470D0A1A0A"
+    val isJpg = upper(hex(substring(media, 1, 2))) === "FFD8"
+    val isRiff = substring(media, 1, 4) === encode(lit("RIFF"), "UTF-8")
+    when(isPng, pngDimsStruct(media).getField("status"))
+      .when(isJpg, jpegDimsStruct(media).getField("status"))
+      .when(isRiff, wavDimsStruct(media).getField("status"))
+      .otherwise("unknown")
   }
 
   /** STUB decode + feature extraction over batches. The per-partition

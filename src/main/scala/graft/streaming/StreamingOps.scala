@@ -169,6 +169,27 @@ object StreamingOps {
       .filter(col("n_rows") >= threshold)
       .select(unix_micros(col("w.start")).as("window_start_us"), col("key"), col("n_rows"))
 
+  /** At-ingest media QC gate — the stream twin of
+    * [[graft.operators.MultimodalOps.mediaDimsMix]]'s format census:
+    * each arriving payload is magic-sniffed and header-parsed with the
+    * SAME codegen'd expressions as the batch path
+    * ([[graft.operators.MultimodalOps.sniffStatus]] — a stateless
+    * per-row projection, so stream and batch can never disagree on a
+    * payload), then rolled into a per-window per-status count under the
+    * watermark. A scraped-media feed runs this ON ingest: a corrupt or
+    * unknown-format spike is known within a window, not after the
+    * nightly batch. State is |statuses|·|open windows| counters —
+    * bounded whatever the feed rate; the payload bytes never enter
+    * state. Input needs (media binary, ingest_ts). */
+  def mediaGateStream(media: DataFrame, watermark: String = "1 hour"): DataFrame =
+    media
+      .withWatermark("ingest_ts", watermark)
+      .select(col("ingest_ts"),
+        graft.operators.MultimodalOps.sniffStatus(col("media")).as("status"))
+      .groupBy(window(col("ingest_ts"), "1 hour").as("w"), col("status"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("status"), unix_micros(col("w.start")).as("window_start_us"), col("n"))
+
   /** Streaming ingest dedup for a document feed: keep the first document
     * per content fingerprint within the dedup window. The streaming face
     * of DedupOps.exact / incrDedup — the fingerprint is the SAME head key

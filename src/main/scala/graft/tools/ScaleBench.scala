@@ -32,11 +32,16 @@ object ScaleBench {
 
   /** The heavy families and why they're here: banded dedup pair
     * generation, SimHash banding, BM25 index ingest, the cross-doc and
-    * within-doc span censuses, KMV sketching, and the IVFADC ANN path. */
+    * within-doc span censuses, KMV sketching, the IVFADC ANN path, and
+    * the three census-window selectors (token_budget, dsir_select,
+    * packing_assign — the single-partition-window risk class this
+    * harness exists to catch) plus the media header walk (bounded
+    * `aggregate` expression at corpus scale). */
   val Families: Seq[String] = Seq(
     "dedup_minhash", "dedup_simhash", "bm25_ingest", "dup_spans",
     "intra_spans", "kmv_vocab", "kmv_overlap", "ivfpq_res_t",
-    "ann_ivf_probe2", "token_budget")
+    "ann_ivf_probe2", "token_budget", "dsir_select", "packing_assign",
+    "media_dims_mix")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -59,8 +64,18 @@ object ScaleBench {
     // ---- build the scaled tables (not timed) ----
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val embs = spark.read.parquet(s"$base/embeddings.parquet")
+    // family filter for incremental runs (comma-separated; default all)
+    val wanted = sys.env.get("SPARK_GRAFT_SCALE_FAMILIES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     def build(factor: Int): String = {
       val dir = s"$outRoot/x$factor"
+      // reuse a corpus built by a previous run in the same process tree:
+      // the construction is deterministic, so equal dirs hold equal data
+      if (sys.env.contains("SPARK_GRAFT_SCALE_REUSE") &&
+          scala.util.Try(spark.read.parquet(s"$dir/embeddings.parquet").schema).isSuccess) {
+        System.err.println(s"[scale-bench] reusing ${factor}x corpus at $dir")
+        return dir
+      }
       val scaledDocs = (0 until factor).map { i =>
         val reId = docs.withColumn("doc_id", col("doc_id") * factor.toLong + i)
         val varied =
@@ -99,7 +114,7 @@ object ScaleBench {
     }
     val (fLo, dLo) = dirs.head
     val (fHi, dHi) = dirs.last
-    val rows = Families.map { name =>
+    val rows = Families.filter(n => wanted.forall(_.contains(n))).map { name =>
       val t1 = timeOne(name, base)
       val tLo = timeOne(name, dLo)
       val tHi = timeOne(name, dHi)

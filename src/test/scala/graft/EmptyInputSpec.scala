@@ -68,6 +68,10 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextOps.langId(emptyDocs).count() == 0)
     assert(MultimodalOps.frameSample(emptyDocs).count() == 0)
     assert(MultimodalOps.frameDedup(emptyDocs).count() == 0)
+    assert(MultimodalOps.mediaDims(emptyDocs).count() == 0)
+    assert(MultimodalOps.jpegDims(emptyDocs).count() == 0)
+    assert(MultimodalOps.mediaDimsMix(emptyDocs).count() == 0)
+    assert(MultimodalOps.wavDims(emptyDocs).count() == 0)
   }
 
   test("ANN family returns empty on an empty vector table") {

@@ -643,6 +643,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("media ingest gate census matches the batch sniff exactly (stream twin)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.MultimodalOps
+    val docs = graft.sources.Tables.documents(s, sf)
+    // a three-format feed with injected garbage: PNG/JPEG from the mixed
+    // table, every 5th doc swapped to WAV, every 11th to non-media bytes
+    val feedDf = MultimodalOps.mixedMediaTable(docs).filter(col("doc_id") % 5 =!= 0)
+      .unionByName(MultimodalOps.wavMediaTable(docs).filter(col("doc_id") % 5 === 0))
+      .withColumn("media", when(col("doc_id") % 11 === 1,
+        encode(lit("not media at all"), "UTF-8")).otherwise(col("media")))
+    val ts = Timestamp.valueOf("2026-01-01 00:30:00")
+    val rows = feedDf.collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1), ts))
+    val input = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val q = StreamingOps.mediaGateStream(
+      input.toDF().toDF("doc_id", "media", "ingest_ts"))
+      .writeStream.format("memory").queryName("media_gate").outputMode("append").start()
+    try {
+      input.addData(rows.take(rows.length / 2).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(rows.length / 2).toSeq: _*)
+      q.processAllAvailable()
+      // flush row far ahead: advances the watermark, closes the window
+      input.addData((-1L, Array[Byte](0), Timestamp.valueOf("2030-01-01 00:00:00")))
+      q.processAllAvailable()
+      val got = s.sql(
+        "SELECT status, n FROM media_gate WHERE window_start_us = " +
+          "(SELECT MIN(window_start_us) FROM media_gate)")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val want = feedDf
+        .select(MultimodalOps.sniffStatus(col("media")).as("status"))
+        .groupBy("status").count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got == want, s"gate/batch sniff disagree: $got vs $want")
+      assert(got.keySet.contains("unknown") && got.keySet.intersect(
+        Set("png", "jpeg", "wav")).size == 3)
+    } finally q.stop()
+  }
+
   test("new-server watcher emits each server exactly once (O-58)") {
     val s = spark
     import s.implicits._
