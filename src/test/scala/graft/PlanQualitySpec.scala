@@ -205,6 +205,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"chunking shuffles:\n$plan")
   }
 
+  test("media header decodes are scan-local — zero exchanges, no UDF") {
+    for (q <- Seq("media_dims", "jpeg_dims", "media_dims_mix", "wav_dims")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("Exchange"), s"$q shuffles:\n$plan")
+      assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+        s"$q fell out of codegen into a UDF:\n$plan")
+    }
+  }
+
   test("operator cache registration honors the graft.cache.enabled opt-out") {
     import org.apache.spark.sql.graftbridge.CacheProbe
     // CacheManager matches by canonical plan, so earlier suites' entries
