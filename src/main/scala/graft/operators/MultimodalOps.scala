@@ -90,8 +90,9 @@ object MultimodalOps {
     * the 8-byte PNG signature, a well-formed IHDR chunk (length 13,
     * type "IHDR", 4-byte big-endian width/height, bit depth 8, a color
     * type cycling grayscale/truecolor/RGBA, compression 0, filter 0,
-    * interlace cycling 0/1), then the doc's text bytes as stand-in
-    * chunk data. Docs with doc_id % 7 == 3 are TRUNCATED after the
+    * interlace cycling 0/1, and the REAL 4-byte chunk CRC-32 over type
+    * + data per the spec), then the doc's text bytes as stand-in chunk
+    * data. Docs with doc_id % 7 == 3 are TRUNCATED after the
     * signature — the corrupt-input path [[mediaDims]] must survive.
     * Binary is assembled with codegen'd column ops (unhex/lpad/hex):
     * 4-byte big-endian int = unhex(lpad(hex(v), 8, '0')). */
@@ -103,14 +104,17 @@ object MultimodalOps {
     val colorType = when(col("doc_id") % 3 === 0, 0L)
       .when(col("doc_id") % 3 === 1, 2L).otherwise(6L)
     val sig = unhex(lit("89504E470D0A1A0A"))
-    val ihdr = concat(
-      unhex(lit("0000000D")), // IHDR data length = 13
+    val typeAndData = concat(
       encode(lit("IHDR"), "UTF-8"),
       be4(w), be4(h),
       be1(lit(8L)), // bit depth
       be1(colorType),
       unhex(lit("0000")), // compression 0, filter 0
       be1((col("doc_id") % 2).cast("long"))) // interlace
+    val ihdr = concat(
+      unhex(lit("0000000D")), // IHDR data length = 13
+      typeAndData,
+      be4(crc32(typeAndData))) // real chunk CRC (spec: over type + data)
     when(col("doc_id") % 7 === 3, sig)
       .otherwise(concat(sig, ihdr, encode(col("text"), "UTF-8")))
   }
