@@ -433,6 +433,20 @@ object MultimodalOps {
       .otherwise("unknown")
   }
 
+  /** Three-format corpus census: payloads cycle PNG/JPEG/WAV by doc_id%3
+    * with every 11th doc carrying non-media bytes (ASCII text behind an
+    * 'x' prefix so no magic can match by accident), and the per-payload
+    * verdict comes from [[sniffStatus]] — the full dispatch (three
+    * parsers + unknown) under the DuckDB oracle, not just a spec. */
+  def mediaSniff(docs: DataFrame): DataFrame = {
+    val payload = when(col("doc_id") % 11 === 1,
+        encode(concat(lit("x"), col("text")), "UTF-8"))
+      .when(col("doc_id") % 3 === 0, pngPayload)
+      .when(col("doc_id") % 3 === 1, jpegPayload)
+      .otherwise(wavPayload)
+    docs.select(col("doc_id"), sniffStatus(payload).as("status"))
+  }
+
   /** STUB decode + feature extraction over batches. The per-partition
     * iterator is where a real codec (JNI/FFI) would run once per executor
     * task; features here are a deterministic fake (header bytes + additive
@@ -479,6 +493,7 @@ object MultimodalPack extends QueryPack {
     "jpeg_dims" -> ((s, dir) => MultimodalOps.jpegDims(d(s, dir))),
     "media_dims_mix" -> ((s, dir) => MultimodalOps.mediaDimsMix(d(s, dir))),
     "wav_dims" -> ((s, dir) => MultimodalOps.wavDims(d(s, dir))),
+    "media_sniff" -> ((s, dir) => MultimodalOps.mediaSniff(d(s, dir))),
     "frame_dedup" -> ((s, dir) => MultimodalOps.frameDedup(d(s, dir)))
   )
 
@@ -580,6 +595,16 @@ object MultimodalPack extends QueryPack {
         |                            ELSE 44100 END) * (doc_id % 2 + 1) * (doc_id % 4 + 1) AS BIGINT) END AS byte_rate,
         |       CASE WHEN doc_id % 7 = 3 THEN NULL ELSE CAST((doc_id % 2 + 1) * (doc_id % 4 + 1) AS BIGINT) END AS block_align,
         |       CASE WHEN doc_id % 7 = 3 THEN 'corrupt' ELSE 'wav' END AS status
+        |FROM documents""".stripMargin,
+    // sniff dispatch ground truth: non-media rows ('x'-prefixed ASCII can
+    // match no magic) → unknown; truncated rows → corrupt; else by format
+    "media_sniff" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 11 = 1 THEN 'unknown'
+        |            WHEN doc_id % 7 = 3 THEN 'corrupt'
+        |            WHEN doc_id % 3 = 0 THEN 'png'
+        |            WHEN doc_id % 3 = 1 THEN 'jpeg'
+        |            ELSE 'wav' END AS status
         |FROM documents""".stripMargin,
     // the fixture's media bytes are UTF-8 of ASCII text, so md5 over the
     // text substring equals Spark's md5 over the binary frame slice

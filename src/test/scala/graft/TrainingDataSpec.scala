@@ -551,6 +551,35 @@ class TrainingDataSpec extends SparkSpec {
     assert(byteParsed(3).getLong(1) == 13L) // walk is magic-agnostic; riffOk rejects
   }
 
+  test("header parsers never throw on arbitrary bytes (scraped-data fuzz)") {
+    val s = spark
+    import s.implicits._
+    // 600 deterministic random streams: pure garbage, plus each magic
+    // followed by garbage (the adversarial case — the walk runs on it)
+    val rnd = new scala.util.Random(42)
+    def bytes(n: Int) = Array.fill(n)(rnd.nextInt(256).toByte)
+    val magics = Seq(
+      Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A),
+      Array[Byte](0xFF.toByte, 0xD8.toByte),
+      "RIFF".getBytes("US-ASCII"))
+    val streams = (0 until 300).map(i => (i.toLong, bytes(rnd.nextInt(64)))) ++
+      (0 until 300).map(i => ((300 + i).toLong,
+        magics(i % 3) ++ bytes(rnd.nextInt(48))))
+    val df = streams.toDF("doc_id", "media")
+    val parsed = df.select(col("doc_id"),
+        MultimodalOps.sniffStatus(col("media")).as("status"),
+        MultimodalOps.pngDimsStruct(col("media")).getField("width").as("pw"),
+        MultimodalOps.jpegDimsStruct(col("media")).getField("width").as("jw"),
+        MultimodalOps.wavDimsStruct(col("media")).getField("sample_rate").as("sr"))
+      .collect() // completing at all IS the no-throw property
+    assert(parsed.length == 600)
+    val statuses = parsed.map(_.getString(1)).toSet
+    assert(statuses.subsetOf(Set("png", "jpeg", "wav", "corrupt", "unknown")))
+    // garbage-after-magic rows must resolve (almost always corrupt, never
+    // unknown — the magic matched); pure-garbage rows can never parse
+    assert(parsed.filter(_.getLong(0) >= 300).forall(_.getString(1) != "unknown"))
+  }
+
   test("frame sampling reconstructs total byte counts") {
     val frames = MultimodalOps.frameSample(docs)
       .groupBy("doc_id").agg(sum("frame_bytes").as("total"))
