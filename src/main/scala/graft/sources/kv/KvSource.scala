@@ -134,7 +134,8 @@ object KvStore {
 class KvTable(
     tableName: String, tableSchema: StructType, partitions: Int,
     keyCol: Option[String] = None)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -165,6 +166,48 @@ class KvTable(
     KvStore.deleteWhere(tableName,
       row => filters.forall(f => KvFilterEval.eval(f, n => row(fieldIdx(n)))))
   }
+
+  // Row-level UPDATE / MERGE / unpushable DELETE
+  // (`SupportsRowLevelOperations`, group-based copy-on-write): Spark
+  // rewrites the command into ReplaceData — scan the affected groups
+  // through the op's scan, apply the actions, write the groups back
+  // through the op's write. This store has no finer replacement unit
+  // than the table (no files, no region snapshots), so the ONE correct
+  // group is the whole table: the op's ScanBuilder deliberately claims
+  // NO pushdown (a pushed condition would narrow the scan below group
+  // granularity and the replace would drop the unscanned rows) and the
+  // op's write commits with truncate semantics. Pushable DELETEs never
+  // reach this path — Spark prefers the metadata `deleteWhere` above.
+  // `MERGE INTO kvcat.t USING updates ...` is the connector face of an
+  // HBase checkAndMutate / bulk upsert batch.
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation = new KvRowLevelOperation(
+        tableName, tableSchema, partitions, info.command())
+    }
+}
+
+class KvRowLevelOperation(
+    table: String, full: StructType, partitions: Int,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"graftkv row-level $cmd on $table"
+
+  // whole-table group: a bare builder (no pushdown mixins, runtime
+  // filtering off) so the scan always reads every row of the group
+  // being replaced
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan =
+        new KvScan(table, full, full, Array.empty, partitions,
+          runtimeFilterable = false)
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new KvWrite(table, info.schema(), truncate = true)
+    }
 }
 
 /** Minimal DSv2 [[TableCatalog]] over [[KvStore]] — registered as
@@ -312,7 +355,8 @@ class KvScan(
     agg: Option[Aggregation] = None,
     limit: Option[Int] = None,
     topN: Option[(Seq[SortOrder], Int)] = None,
-    keyCol: Option[String] = None)
+    keyCol: Option[String] = None,
+    runtimeFilterable: Boolean = true)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportPartitioning with SupportsReportOrdering {
   // after a complete aggregate pushdown the scan's output IS the
@@ -346,9 +390,15 @@ class KvScan(
   // instead of after a full table ship.
   @volatile private var runtime: Array[Filter] = Array.empty
   // only columns in the scan's OUTPUT are claimable: Spark resolves these
-  // against the pruned relation, not the table schema
+  // against the pruned relation, not the table schema. Row-level-op scans
+  // claim NOTHING: advertising filterable columns makes Spark inject a
+  // runtime group-filter subquery, and a claimed filter would narrow the
+  // scan below the whole-table group granularity the replace write
+  // assumes — rows outside the filter would silently vanish from the
+  // rewritten table.
   override def filterAttributes(): Array[NamedReference] =
-    readSchema().fieldNames.map(Expressions.column)
+    if (!runtimeFilterable) Array.empty
+    else readSchema().fieldNames.map(Expressions.column)
   override def filter(filters: Array[Filter]): Unit = {
     runtime = filters.filter(KvFilterEval.supported)
     KvSource.lastRuntimeFilters = runtime.toSeq
@@ -694,11 +744,22 @@ class KvWriterFactory(writeSchema: StructType) extends DataWriterFactory {
 class KvDataWriter(writeSchema: StructType) extends DataWriter[InternalRow] {
   private val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
 
-  override def write(record: InternalRow): Unit =
+  override def write(record: InternalRow): Unit = {
+    // Row-level-op rewrites (ReplaceData) prepend a `__row_operation`
+    // metrics column to every row and — for connectors that declare no
+    // metadata attributes — hand the writer the UNPROJECTED row (plain
+    // DataWritingSparkTask ignores ReplaceDataProjections.rowProjection;
+    // only the metadata branch projects). The write schema stays the
+    // table schema, so the data columns are the TRAILING numFields-N:
+    // read with that offset, reject anything else loudly.
+    val off = record.numFields - writeSchema.length
+    require(off == 0 || off == 1,
+      s"graftkv writer: row has ${record.numFields} fields for schema ${writeSchema.simpleString}")
     buf += writeSchema.fields.zipWithIndex.map { case (f, i) =>
-      if (record.isNullAt(i)) null
-      else KvFilterEval.fromCatalyst(record.get(i, f.dataType))
+      if (record.isNullAt(i + off)) null
+      else KvFilterEval.fromCatalyst(record.get(i + off, f.dataType))
     }.toSeq
+  }
 
   override def commit(): WriterCommitMessage = KvCommit(buf.toSeq)
   override def abort(): Unit = ()

@@ -616,11 +616,17 @@ class SinksAndSourcesSpec extends SparkSpec {
       // range shape a real connector compiles — removes whole key groups
       spark.sql("DELETE FROM kvcat.mutlog WHERE region_id IN (1, 2, 3)")
       assert(spark.table("kvcat.mutlog").filter(col("region_id").isin(1L, 2L, 3L)).count() == 0)
-      // 5) an unpushable predicate fails LOUDLY instead of rewriting the
-      // table behind the connector's back
-      intercept[Exception] {
-        spark.sql("DELETE FROM kvcat.mutlog WHERE obs_id % 7 = 0")
-      }
+      // 5) an unpushable predicate falls back to the row-level
+      // copy-on-write rewrite (SupportsRowLevelOperations): the table is
+      // re-written through the connector's own scan + replace write —
+      // never behind its back — and exactly the matching rows disappear
+      val beforeRewrite = spark.table("kvcat.mutlog")
+        .select("obs_id").collect().map(_.getLong(0)).toSet
+      spark.sql("DELETE FROM kvcat.mutlog WHERE obs_id % 7 = 0")
+      val afterRewrite = spark.table("kvcat.mutlog")
+        .select("obs_id").collect().map(_.getLong(0)).toSet
+      assert(afterRewrite == beforeRewrite.filterNot(_ % 7 == 0),
+        "rewrite delete must drop exactly the matching rows")
       // 6) catalog contract: listTables/dropTable address the same store
       assert(spark.sql("SHOW TABLES IN kvcat").collect().map(_.getString(1)).contains("mutlog"))
       spark.sql("DROP TABLE kvcat.mutlog")
@@ -629,5 +635,37 @@ class SinksAndSourcesSpec extends SparkSpec {
       KvStore.clear()
       topo.unpersist()
     }
+  }
+
+  test("connector seam: graftkv UPDATE and MERGE INTO (row-level copy-on-write)") {
+    import graft.sources.kv.KvStore
+    val s = spark
+    import s.implicits._
+    try {
+      spark.conf.set("spark.sql.catalog.kvcat", "graft.sources.kv.KvCatalog")
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
+        .toDF("k", "name", "v")
+        .write.format("graftkv").mode("overwrite").save("upsert_t")
+      // UPDATE with an expression RHS — rewritten through the connector's
+      // scan + whole-group replace; untouched rows survive verbatim
+      spark.sql("UPDATE kvcat.upsert_t SET v = v + 1 WHERE k >= 3")
+      assert(spark.table("kvcat.upsert_t").orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+        Seq((1L, 10L), (2L, 20L), (3L, 31L), (4L, 41L)))
+      // MERGE INTO: the HBase bulk-upsert shape — update matched, delete
+      // on a matched condition, insert unmatched — one statement, one
+      // replace commit
+      Seq((2L, "B", 200L), (4L, "D", 400L), (5L, "E", 500L))
+        .toDF("k", "name", "v").createOrReplaceTempView("updates")
+      spark.sql(
+        """MERGE INTO kvcat.upsert_t t USING updates u ON t.k = u.k
+          |WHEN MATCHED AND u.v >= 400 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET t.name = u.name, t.v = u.v
+          |WHEN NOT MATCHED THEN INSERT (k, name, v) VALUES (u.k, u.name, u.v)
+          |""".stripMargin)
+      assert(spark.table("kvcat.upsert_t").orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+        Seq((1L, "a", 10L), (2L, "B", 200L), (3L, "c", 31L), (5L, "E", 500L)))
+    } finally KvStore.clear()
   }
 }
