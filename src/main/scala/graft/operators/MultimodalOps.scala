@@ -444,7 +444,14 @@ object MultimodalOps {
       .when(col("doc_id") % 3 === 0, pngPayload)
       .when(col("doc_id") % 3 === 1, jpegPayload)
       .otherwise(wavPayload)
-    docs.select(col("doc_id"), sniffStatus(payload).as("status"))
+    // the payload MUST materialize in its own projection: sniffStatus
+    // references `media` ~40 times across the three parsers, and
+    // inlining the construction into every reference re-builds the
+    // payload per reference per row (measured 60× slower). Two selects
+    // are safe — CollapseProject declines to inline a non-cheap
+    // expression with multiple references.
+    docs.select(col("doc_id"), payload.as("media"))
+      .select(col("doc_id"), sniffStatus(col("media")).as("status"))
   }
 
   /** STUB decode + feature extraction over batches. The per-partition
