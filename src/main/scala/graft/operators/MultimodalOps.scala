@@ -122,6 +122,18 @@ object MultimodalOps {
   def pngMediaTable(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), pngPayload.as("media"))
 
+  // shared byte-access combinators over a binary column (1-based
+  // positions, as substring on binary is byte-addressed): one set of
+  // big-endian and little-endian readers serving all three parsers
+  private def byteAt(media: org.apache.spark.sql.Column, p: org.apache.spark.sql.Column) =
+    conv(hex(substring(media, p.cast("int"), lit(1))), 16, 10).cast("long")
+  private def be16At(media: org.apache.spark.sql.Column, p: org.apache.spark.sql.Column) =
+    conv(hex(substring(media, p.cast("int"), lit(2))), 16, 10).cast("long")
+  private def le16At(media: org.apache.spark.sql.Column, p: org.apache.spark.sql.Column) =
+    byteAt(media, p) + byteAt(media, p + 1L) * 256L
+  private def le32At(media: org.apache.spark.sql.Column, p: org.apache.spark.sql.Column) =
+    le16At(media, p) + le16At(media, p + 2L) * 65536L
+
   /** Parsed-header struct for PNG bytes: fields (width, height,
     * bit_depth, channels, interlace, status). See [[mediaDims]] for the
     * spec walk-through; shared with [[mediaDimsMix]]'s dispatch path. */
@@ -215,10 +227,6 @@ object MultimodalOps {
     * C0-CF minus DHT(C4)/JPG(C8)/DAC(CC) per the spec's marker table. */
   private[graft] def jpegSofOffset(
       media: org.apache.spark.sql.Column, maxSegs: Int = 8): org.apache.spark.sql.Column = {
-    def byteAt(p: org.apache.spark.sql.Column) =
-      conv(hex(substring(media, p.cast("int"), lit(1))), 16, 10).cast("long")
-    def be16(p: org.apache.spark.sql.Column) =
-      conv(hex(substring(media, p.cast("int"), lit(2))), 16, 10).cast("long")
     val sofMarkers = Seq(0xC0L, 0xC1L, 0xC2L, 0xC3L, 0xC5L, 0xC6L, 0xC7L,
       0xC9L, 0xCAL, 0xCBL, 0xCDL, 0xCEL, 0xCFL).map(lit)
     aggregate(
@@ -227,11 +235,11 @@ object MultimodalOps {
       (acc, _) => {
         val off = acc.getField("off")
         val sof = acc.getField("sof")
-        val bad = off.isNull || (off + 3L) > length(media) || byteAt(off) =!= 0xFFL
+        val bad = off.isNull || (off + 3L) > length(media) || byteAt(media, off) =!= 0xFFL
         when(sof =!= -1L, acc) // found (>0) or already malformed (-2): hold state
           .when(bad, struct(coalesce(off, lit(-1L)).as("off"), lit(-2L).as("sof")))
-          .when(byteAt(off + 1L).isin(sofMarkers: _*), struct(off.as("off"), off.as("sof")))
-          .otherwise(struct((off + 2L + be16(off + 2L)).as("off"), lit(-1L).as("sof")))
+          .when(byteAt(media, off + 1L).isin(sofMarkers: _*), struct(off.as("off"), off.as("sof")))
+          .otherwise(struct((off + 2L + be16At(media, off + 2L)).as("off"), lit(-1L).as("sof")))
       },
       acc => acc.getField("sof"))
   }
@@ -239,21 +247,23 @@ object MultimodalOps {
   /** Parsed frame-header struct for JPEG bytes, same field shape as
     * [[pngDimsStruct]] so the two dispatch under one `when` in
     * [[mediaDimsMix]]. `interlace` carries the progressive flag (a
-    * progressive JPEG is the interlaced analog): 1 for SOF2/6/10/14. */
-  private[graft] def jpegDimsStruct(media: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    def byteAt(p: org.apache.spark.sql.Column) =
-      conv(hex(substring(media, p.cast("int"), lit(1))), 16, 10).cast("long")
-    def be16(p: org.apache.spark.sql.Column) =
-      conv(hex(substring(media, p.cast("int"), lit(2))), 16, 10).cast("long")
-    val sofOff = jpegSofOffset(media)
+    * progressive JPEG is the interlaced analog): 1 for SOF2/6/10/14.
+    * `sofOff` is the walk result from [[jpegSofOffset]] — callers MUST
+    * materialize it in its own projection first: the struct references
+    * it ~12 times, lambda-bearing expressions are excluded from
+    * subexpression elimination, and inlining would re-run the 8-step
+    * walk per reference per row (the media_sniff incident class). */
+  private[graft] def jpegDimsStruct(
+      media: org.apache.spark.sql.Column,
+      sofOff: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val sigOk = upper(hex(substring(media, 1, 2))) === "FFD8"
     val ok = sigOk && sofOff > 0L && (sofOff + 9L) <= length(media)
     struct(
-      when(ok, be16(sofOff + 7L)).as("width"),
-      when(ok, be16(sofOff + 5L)).as("height"),
-      when(ok, byteAt(sofOff + 4L)).as("bit_depth"),
-      when(ok, byteAt(sofOff + 9L)).as("channels"),
-      when(ok, when(byteAt(sofOff + 1L).isin(0xC2L, 0xC6L, 0xCAL, 0xCEL), 1L)
+      when(ok, be16At(media, sofOff + 7L)).as("width"),
+      when(ok, be16At(media, sofOff + 5L)).as("height"),
+      when(ok, byteAt(media, sofOff + 4L)).as("bit_depth"),
+      when(ok, byteAt(media, sofOff + 9L)).as("channels"),
+      when(ok, when(byteAt(media, sofOff + 1L).isin(0xC2L, 0xC6L, 0xCAL, 0xCEL), 1L)
         .otherwise(0L)).as("interlace"),
       when(ok, "jpeg").otherwise("corrupt").as("status"))
   }
@@ -265,7 +275,8 @@ object MultimodalOps {
     * truncated streams. */
   def jpegDims(docs: DataFrame): DataFrame = {
     jpegMediaTable(docs)
-      .select(col("doc_id"), jpegDimsStruct(col("media")).as("d"))
+      .select(col("doc_id"), col("media"), jpegSofOffset(col("media")).as("sof_off"))
+      .select(col("doc_id"), jpegDimsStruct(col("media"), col("sof_off")).as("d"))
       .select(col("doc_id"), col("d.width").as("width"), col("d.height").as("height"),
         col("d.bit_depth").as("bit_depth"), col("d.channels").as("channels"),
         col("d.interlace").as("progressive"), col("d.status").as("status"))
@@ -291,9 +302,13 @@ object MultimodalOps {
       lit(null).cast("long").as("width"), lit(null).cast("long").as("height"),
       lit(null).cast("long").as("bit_depth"), lit(null).cast("long").as("channels"),
       lit(null).cast("long").as("interlace"), lit("corrupt").as("status"))
-    m.select(col("doc_id"),
+    m.select(col("doc_id"), col("media"),
+        // the walk runs ONCE per row in its own projection; on non-JPEG
+        // bytes it terminates at the first malformed marker (-2)
+        when(isJpg, jpegSofOffset(col("media"))).otherwise(-2L).as("sof_off"))
+      .select(col("doc_id"),
         when(isPng, pngDimsStruct(col("media")))
-          .when(isJpg, jpegDimsStruct(col("media")))
+          .when(isJpg, jpegDimsStruct(col("media"), col("sof_off")))
           .otherwise(nullDims).as("d"))
       .select(col("doc_id"), col("d.width").as("width"), col("d.height").as("height"),
         col("d.bit_depth").as("bit_depth"), col("d.channels").as("channels"),
@@ -359,10 +374,7 @@ object MultimodalOps {
     * sentinels -1 = not found in budget, -2 = malformed/truncated. */
   private[graft] def wavFmtOffset(
       media: org.apache.spark.sql.Column, maxChunks: Int = 8): org.apache.spark.sql.Column = {
-    def byteAt(p: org.apache.spark.sql.Column) =
-      conv(hex(substring(media, p.cast("int"), lit(1))), 16, 10).cast("long")
-    def le32At(p: org.apache.spark.sql.Column) =
-      byteAt(p) + byteAt(p + 1L) * 256L + byteAt(p + 2L) * 65536L + byteAt(p + 3L) * 16777216L
+    def le32At(p: org.apache.spark.sql.Column) = MultimodalOps.le32At(media, p)
     aggregate(
       sequence(lit(1), lit(maxChunks)),
       struct(lit(13L).as("off"), lit(-1L).as("fmt")), // 13 = after RIFF+size+WAVE
@@ -380,56 +392,72 @@ object MultimodalOps {
       acc => acc.getField("fmt"))
   }
 
+  /** Parsed PCM-header struct for WAV bytes: fields (sample_rate,
+    * channels, bits, byte_rate, block_align, status). `fmtOff` is the
+    * walk result from [[wavFmtOffset]] — callers MUST materialize it in
+    * its own projection first (same re-evaluation hazard as
+    * [[jpegDimsStruct]]'s `sofOff`). */
+  private[graft] def wavDimsStruct(
+      media: org.apache.spark.sql.Column,
+      fmtOff: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val riffOk = substring(media, 1, 4) === encode(lit("RIFF"), "UTF-8") &&
+      substring(media, 9, 4) === encode(lit("WAVE"), "UTF-8")
+    val ok = riffOk && fmtOff > 0L && (fmtOff + 23L) <= length(media) &&
+      le32At(media, fmtOff + 4L) >= 16L
+    struct(
+      when(ok, le32At(media, fmtOff + 12L)).as("sample_rate"),
+      when(ok, le16At(media, fmtOff + 10L)).as("channels"),
+      when(ok, le16At(media, fmtOff + 22L)).as("bits"),
+      when(ok, le32At(media, fmtOff + 16L)).as("byte_rate"),
+      when(ok, le16At(media, fmtOff + 20L)).as("block_align"),
+      when(ok, "wav").otherwise("corrupt").as("status"))
+  }
+
   /** REAL audio-header decode: sample rate, channel count, bit depth,
     * byte rate, and block align straight from WAV bytes via the RIFF
     * chunk walk — works on any PCM WAV file's header, 'corrupt' with
     * null fields on truncated or non-RIFF streams. Completes the
     * modality set: PNG + JPEG (image, big-endian), WAV (audio,
     * little-endian), all as scan-local codegen'd projections. */
-  /** Parsed PCM-header struct for WAV bytes: fields (sample_rate,
-    * channels, bits, byte_rate, block_align, status). */
-  private[graft] def wavDimsStruct(media: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    def byteAt(p: org.apache.spark.sql.Column) =
-      conv(hex(substring(media, p.cast("int"), lit(1))), 16, 10).cast("long")
-    def le16At(p: org.apache.spark.sql.Column) = byteAt(p) + byteAt(p + 1L) * 256L
-    def le32At(p: org.apache.spark.sql.Column) =
-      le16At(p) + le16At(p + 2L) * 65536L
-    val fmtOff = wavFmtOffset(media)
-    val riffOk = substring(media, 1, 4) === encode(lit("RIFF"), "UTF-8") &&
-      substring(media, 9, 4) === encode(lit("WAVE"), "UTF-8")
-    val ok = riffOk && fmtOff > 0L && (fmtOff + 23L) <= length(media) &&
-      le32At(fmtOff + 4L) >= 16L
-    struct(
-      when(ok, le32At(fmtOff + 12L)).as("sample_rate"),
-      when(ok, le16At(fmtOff + 10L)).as("channels"),
-      when(ok, le16At(fmtOff + 22L)).as("bits"),
-      when(ok, le32At(fmtOff + 16L)).as("byte_rate"),
-      when(ok, le16At(fmtOff + 20L)).as("block_align"),
-      when(ok, "wav").otherwise("corrupt").as("status"))
-  }
-
   def wavDims(docs: DataFrame): DataFrame = {
     wavMediaTable(docs)
-      .select(col("doc_id"), wavDimsStruct(col("media")).as("d"))
+      .select(col("doc_id"), col("media"), wavFmtOffset(col("media")).as("fmt_off"))
+      .select(col("doc_id"), wavDimsStruct(col("media"), col("fmt_off")).as("d"))
       .select(col("doc_id"), col("d.sample_rate").as("sample_rate"),
         col("d.channels").as("channels"), col("d.bits").as("bits"),
         col("d.byte_rate").as("byte_rate"), col("d.block_align").as("block_align"),
         col("d.status").as("status"))
   }
 
+  /** The two walk offsets a sniff/parse projection needs, guarded by
+    * their magics so each walk only runs on bytes of its own format
+    * (on anything else it is skipped entirely, -2 = not applicable).
+    * Select these AS COLUMNS in their own projection before calling
+    * [[sniffStatus]] / the dims structs — see the re-evaluation note on
+    * [[jpegDimsStruct]]. */
+  private[graft] def walkOffsets(media: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = Seq(
+    when(upper(hex(substring(media, 1, 2))) === "FFD8", jpegSofOffset(media))
+      .otherwise(-2L).as("sof_off"),
+    when(substring(media, 1, 4) === encode(lit("RIFF"), "UTF-8"), wavFmtOffset(media))
+      .otherwise(-2L).as("fmt_off"))
+
   /** Per-payload format verdict across ALL three parsers, dispatched on
     * magic bytes: 'png'/'jpeg'/'wav' when the matching header parses,
     * 'corrupt' when the magic is right but the header is not, 'unknown'
     * when no magic matches. Stateless scan-local expression — shared by
     * the batch census and the streaming ingest gate so the two can never
-    * disagree on a payload. */
-  private[graft] def sniffStatus(media: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    * disagree on a payload. `sofOff`/`fmtOff` come from [[walkOffsets]]
+    * materialized in a prior projection. */
+  private[graft] def sniffStatus(
+      media: org.apache.spark.sql.Column,
+      sofOff: org.apache.spark.sql.Column,
+      fmtOff: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val isPng = upper(hex(substring(media, 1, 8))) === "89504E470D0A1A0A"
     val isJpg = upper(hex(substring(media, 1, 2))) === "FFD8"
     val isRiff = substring(media, 1, 4) === encode(lit("RIFF"), "UTF-8")
     when(isPng, pngDimsStruct(media).getField("status"))
-      .when(isJpg, jpegDimsStruct(media).getField("status"))
-      .when(isRiff, wavDimsStruct(media).getField("status"))
+      .when(isJpg, jpegDimsStruct(media, sofOff).getField("status"))
+      .when(isRiff, wavDimsStruct(media, fmtOff).getField("status"))
       .otherwise("unknown")
   }
 
@@ -444,14 +472,16 @@ object MultimodalOps {
       .when(col("doc_id") % 3 === 0, pngPayload)
       .when(col("doc_id") % 3 === 1, jpegPayload)
       .otherwise(wavPayload)
-    // the payload MUST materialize in its own projection: sniffStatus
-    // references `media` ~40 times across the three parsers, and
-    // inlining the construction into every reference re-builds the
-    // payload per reference per row (measured 60× slower). Two selects
-    // are safe — CollapseProject declines to inline a non-cheap
-    // expression with multiple references.
+    // the payload and the walk offsets MUST materialize in their own
+    // projections: sniffStatus references `media` ~40 times across the
+    // three parsers, and inlining the construction into every reference
+    // re-builds the payload per reference per row (measured 60× slower
+    // before this split). Staged selects are safe — CollapseProject
+    // declines to inline a non-cheap expression with multiple references.
     docs.select(col("doc_id"), payload.as("media"))
-      .select(col("doc_id"), sniffStatus(col("media")).as("status"))
+      .select(col("doc_id") +: col("media") +: walkOffsets(col("media")): _*)
+      .select(col("doc_id"),
+        sniffStatus(col("media"), col("sof_off"), col("fmt_off")).as("status"))
   }
 
   /** STUB decode + feature extraction over batches. The per-partition

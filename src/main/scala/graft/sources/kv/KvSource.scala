@@ -206,7 +206,8 @@ class KvRowLevelOperation(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def build(): Write = new KvWrite(table, info.schema(), truncate = true)
+      override def build(): Write =
+        new KvWrite(table, info.schema(), truncate = true, rowLevel = true)
     }
 }
 
@@ -716,16 +717,20 @@ class KvWriteBuilder(table: String, writeSchema: StructType)
   override def build(): Write = new KvWrite(table, writeSchema, doTruncate)
 }
 
-class KvWrite(table: String, writeSchema: StructType, truncate: Boolean) extends Write {
-  override def toBatch: BatchWrite = new KvBatchWrite(table, writeSchema, truncate)
+class KvWrite(
+    table: String, writeSchema: StructType, truncate: Boolean,
+    rowLevel: Boolean = false) extends Write {
+  override def toBatch: BatchWrite = new KvBatchWrite(table, writeSchema, truncate, rowLevel)
 }
 
 case class KvCommit(rows: Seq[Seq[Any]]) extends WriterCommitMessage
 
-class KvBatchWrite(table: String, writeSchema: StructType, truncate: Boolean)
+class KvBatchWrite(
+    table: String, writeSchema: StructType, truncate: Boolean,
+    rowLevel: Boolean = false)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new KvWriterFactory(writeSchema)
+    new KvWriterFactory(writeSchema, rowLevel)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val rows = messages.flatMap(_.asInstanceOf[KvCommit].rows).toSeq
@@ -736,12 +741,14 @@ class KvBatchWrite(table: String, writeSchema: StructType, truncate: Boolean)
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-class KvWriterFactory(writeSchema: StructType) extends DataWriterFactory {
+class KvWriterFactory(writeSchema: StructType, rowLevel: Boolean = false)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KvDataWriter(writeSchema)
+    new KvDataWriter(writeSchema, rowLevel)
 }
 
-class KvDataWriter(writeSchema: StructType) extends DataWriter[InternalRow] {
+class KvDataWriter(writeSchema: StructType, rowLevel: Boolean = false)
+    extends DataWriter[InternalRow] {
   private val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
 
   override def write(record: InternalRow): Unit = {
@@ -750,11 +757,14 @@ class KvDataWriter(writeSchema: StructType) extends DataWriter[InternalRow] {
     // metadata attributes — hand the writer the UNPROJECTED row (plain
     // DataWritingSparkTask ignores ReplaceDataProjections.rowProjection;
     // only the metadata branch projects). The write schema stays the
-    // table schema, so the data columns are the TRAILING numFields-N:
-    // read with that offset, reject anything else loudly.
+    // table schema, so on the ROW-LEVEL path the data columns are the
+    // TRAILING numFields-N. The flag comes from KvRowLevelOperation, so
+    // the normal append/truncate path keeps the strict arity invariant
+    // and a shape drift on either path fails loudly instead of shifting
+    // columns.
     val off = record.numFields - writeSchema.length
-    require(off == 0 || off == 1,
-      s"graftkv writer: row has ${record.numFields} fields for schema ${writeSchema.simpleString}")
+    require(if (rowLevel) off == 0 || off == 1 else off == 0,
+      s"graftkv writer: row has ${record.numFields} fields for schema ${writeSchema.simpleString} (rowLevel=$rowLevel)")
     buf += writeSchema.fields.zipWithIndex.map { case (f, i) =>
       if (record.isNullAt(i + off)) null
       else KvFilterEval.fromCatalyst(record.get(i + off, f.dataType))

@@ -181,14 +181,21 @@ object StreamingOps {
     * nightly batch. State is |statuses|·|open windows| counters —
     * bounded whatever the feed rate; the payload bytes never enter
     * state. Input needs (media binary, ingest_ts). */
-  def mediaGateStream(media: DataFrame, watermark: String = "1 hour"): DataFrame =
+  def mediaGateStream(media: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    import graft.operators.MultimodalOps
     media
       .withWatermark("ingest_ts", watermark)
-      .select(col("ingest_ts"),
-        graft.operators.MultimodalOps.sniffStatus(col("media")).as("status"))
-      .groupBy(window(col("ingest_ts"), "1 hour").as("w"), col("status"))
+      // walk offsets materialize once per row in their own projection
+      // (the jpegDimsStruct re-evaluation note); window width follows
+      // the watermark like the sibling ops, so a shorter watermark
+      // means proportionally faster spike detection
+      .select(col("ingest_ts") +: col("media") +: MultimodalOps.walkOffsets(col("media")): _*)
+      .select(col("ingest_ts"), MultimodalOps.sniffStatus(
+        col("media"), col("sof_off"), col("fmt_off")).as("status"))
+      .groupBy(window(col("ingest_ts"), watermark).as("w"), col("status"))
       .agg(count(lit(1)).as("n"))
       .select(col("status"), unix_micros(col("w.start")).as("window_start_us"), col("n"))
+  }
 
   /** Streaming ingest dedup for a document feed: keep the first document
     * per content fingerprint within the dedup window. The streaming face

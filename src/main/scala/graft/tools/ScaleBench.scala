@@ -64,15 +64,30 @@ object ScaleBench {
     // ---- build the scaled tables (not timed) ----
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val embs = spark.read.parquet(s"$base/embeddings.parquet")
-    // family filter for incremental runs (comma-separated; default all)
+    // family filter for incremental runs (comma-separated; default all).
+    // Unknown names fail fast: a typo must not silently bench nothing
+    // after minutes of corpus building.
     val wanted = sys.env.get("SPARK_GRAFT_SCALE_FAMILIES")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    wanted.foreach { w =>
+      val unknown = w.diff(Families.toSet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_SCALE_FAMILIES names not in Families: ${unknown.mkString(", ")}")
+    }
+    val baseDocCount = spark.read.parquet(s"$base/documents.parquet").count()
     def build(factor: Int): String = {
       val dir = s"$outRoot/x$factor"
-      // reuse a corpus built by a previous run in the same process tree:
-      // the construction is deterministic, so equal dirs hold equal data
-      if (sys.env.contains("SPARK_GRAFT_SCALE_REUSE") &&
-          scala.util.Try(spark.read.parquet(s"$dir/embeddings.parquet").schema).isSuccess) {
+      // reuse a corpus built by a previous run: the construction is
+      // deterministic, so a dir is valid iff it holds exactly
+      // base_docs x factor rows FOR THE CURRENT BASE — a stale corpus
+      // from a different SF (or a partial write) fails the count and is
+      // rebuilt, instead of silently skewing the exponents
+      val reusable = sys.env.contains("SPARK_GRAFT_SCALE_REUSE") &&
+        scala.util.Try(
+          spark.read.parquet(s"$dir/documents.parquet").count() == baseDocCount * factor &&
+            spark.read.parquet(s"$dir/embeddings.parquet").schema.nonEmpty
+        ).getOrElse(false)
+      if (reusable) {
         System.err.println(s"[scale-bench] reusing ${factor}x corpus at $dir")
         return dir
       }

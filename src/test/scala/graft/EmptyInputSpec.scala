@@ -72,6 +72,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(MultimodalOps.jpegDims(emptyDocs).count() == 0)
     assert(MultimodalOps.mediaDimsMix(emptyDocs).count() == 0)
     assert(MultimodalOps.wavDims(emptyDocs).count() == 0)
+    assert(MultimodalOps.mediaSniff(emptyDocs).count() == 0)
   }
 
   test("ANN family returns empty on an empty vector table") {

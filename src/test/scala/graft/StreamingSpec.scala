@@ -674,7 +674,9 @@ class StreamingSpec extends SparkSpec {
           "(SELECT MIN(window_start_us) FROM media_gate)")
         .collect().map(r => (r.getString(0), r.getLong(1))).toMap
       val want = feedDf
-        .select(MultimodalOps.sniffStatus(col("media")).as("status"))
+        .select(col("media") +: MultimodalOps.walkOffsets(col("media")): _*)
+        .select(MultimodalOps.sniffStatus(
+          col("media"), col("sof_off"), col("fmt_off")).as("status"))
         .groupBy("status").count()
         .collect().map(r => (r.getString(0), r.getLong(1))).toMap
       assert(got == want, s"gate/batch sniff disagree: $got vs $want")

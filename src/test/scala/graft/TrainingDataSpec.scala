@@ -508,7 +508,10 @@ class TrainingDataSpec extends SparkSpec {
       .toDF("doc_id", "hex")
       .select(col("doc_id"), unhex(col("hex")).as("media"))
     val parsed = rows
-      .select(col("doc_id"), MultimodalOps.jpegDimsStruct(col("media")).as("d"))
+      .select(col("doc_id"), col("media"),
+        MultimodalOps.jpegSofOffset(col("media")).as("sof_off"))
+      .select(col("doc_id"),
+        MultimodalOps.jpegDimsStruct(col("media"), col("sof_off")).as("d"))
       .select(col("doc_id"), col("d.width"), col("d.height"), col("d.status"))
       .orderBy("doc_id").collect()
     assert(parsed(0).getLong(1) == 3L && parsed(0).getLong(2) == 2L &&
@@ -566,11 +569,17 @@ class TrainingDataSpec extends SparkSpec {
       (0 until 300).map(i => ((300 + i).toLong,
         magics(i % 3) ++ bytes(rnd.nextInt(48))))
     val df = streams.toDF("doc_id", "media")
-    val parsed = df.select(col("doc_id"),
-        MultimodalOps.sniffStatus(col("media")).as("status"),
+    // UNGUARDED walks on purpose: every stream — garbage included — runs
+    // both segment walks, which is a stronger no-throw property than the
+    // production magic-guarded walkOffsets projection exercises
+    val parsed = df.select(col("doc_id"), col("media"),
+        MultimodalOps.jpegSofOffset(col("media")).as("sof_off"),
+        MultimodalOps.wavFmtOffset(col("media")).as("fmt_off"))
+      .select(col("doc_id"),
+        MultimodalOps.sniffStatus(col("media"), col("sof_off"), col("fmt_off")).as("status"),
         MultimodalOps.pngDimsStruct(col("media")).getField("width").as("pw"),
-        MultimodalOps.jpegDimsStruct(col("media")).getField("width").as("jw"),
-        MultimodalOps.wavDimsStruct(col("media")).getField("sample_rate").as("sr"))
+        MultimodalOps.jpegDimsStruct(col("media"), col("sof_off")).getField("width").as("jw"),
+        MultimodalOps.wavDimsStruct(col("media"), col("fmt_off")).getField("sample_rate").as("sr"))
       .collect() // completing at all IS the no-throw property
     assert(parsed.length == 600)
     val statuses = parsed.map(_.getString(1)).toSet
