@@ -99,8 +99,17 @@ object KvStore {
     tables.merge(name, (schema, rows.toVector),
       (old, add) => (old._1, old._2 ++ add._2))
 
-  def drop(name: String): Unit = tables.remove(name)
-  def clear(): Unit = tables.clear()
+  // clustering-key registry: recorded when a keyed write commits, so a
+  // CATALOG-addressed read (`kvcat.t`) re-plans the same
+  // KeyGroupedPartitioning as a path read with `graft.key` — the key is
+  // table layout, not a per-reader option, exactly as region boundaries
+  // belong to the table
+  private val keys = new ConcurrentHashMap[String, String]()
+  def setKey(name: String, key: String): Unit = keys.put(name, key)
+  def keyOf(name: String): Option[String] = Option(keys.get(name))
+
+  def drop(name: String): Unit = { tables.remove(name); keys.remove(name) }
+  def clear(): Unit = { tables.clear(); keys.clear() }
   def contains(name: String): Boolean = tables.containsKey(name)
   def tableNames(): Seq[String] = tables.keySet().asScala.toSeq.sorted
 
@@ -147,7 +156,8 @@ class KvTable(
       keyCol.filter(tableSchema.fieldNames.contains))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new KvWriteBuilder(tableName, info.schema())
+    new KvWriteBuilder(tableName, info.schema(),
+      keyCol.filter(info.schema().fieldNames.contains))
 
   // Row-level deletes (`SupportsDelete`): `DELETE FROM <kv table> WHERE
   // <pushable predicate>` resolves to one metadata-level deleteWhere on
@@ -241,7 +251,9 @@ class KvCatalog extends TableCatalog {
     if (!KvStore.contains(t))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         (ident.namespace() :+ ident.name()).toSeq)
-    new KvTable(t, KvStore.schemaOf(t), defaultPartitions)
+    // the recorded clustering key rides along, so catalog reads plan
+    // the same storage-partitioned joins as keyed path reads
+    new KvTable(t, KvStore.schemaOf(t), defaultPartitions, KvStore.keyOf(t))
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
@@ -710,24 +722,26 @@ object KvFilterEval {
   }
 }
 
-class KvWriteBuilder(table: String, writeSchema: StructType)
+class KvWriteBuilder(
+    table: String, writeSchema: StructType, keyCol: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
-  override def build(): Write = new KvWrite(table, writeSchema, doTruncate)
+  override def build(): Write = new KvWrite(table, writeSchema, doTruncate, keyCol = keyCol)
 }
 
 class KvWrite(
     table: String, writeSchema: StructType, truncate: Boolean,
-    rowLevel: Boolean = false) extends Write {
-  override def toBatch: BatchWrite = new KvBatchWrite(table, writeSchema, truncate, rowLevel)
+    rowLevel: Boolean = false, keyCol: Option[String] = None) extends Write {
+  override def toBatch: BatchWrite =
+    new KvBatchWrite(table, writeSchema, truncate, rowLevel, keyCol)
 }
 
 case class KvCommit(rows: Seq[Seq[Any]]) extends WriterCommitMessage
 
 class KvBatchWrite(
     table: String, writeSchema: StructType, truncate: Boolean,
-    rowLevel: Boolean = false)
+    rowLevel: Boolean = false, keyCol: Option[String] = None)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new KvWriterFactory(writeSchema, rowLevel)
@@ -736,6 +750,7 @@ class KvBatchWrite(
     val rows = messages.flatMap(_.asInstanceOf[KvCommit].rows).toSeq
     if (truncate || !KvStore.contains(table)) KvStore.put(table, writeSchema, rows)
     else KvStore.append(table, writeSchema, rows)
+    keyCol.foreach(KvStore.setKey(table, _))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()

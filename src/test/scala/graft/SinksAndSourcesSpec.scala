@@ -558,6 +558,27 @@ class SinksAndSourcesSpec extends SparkSpec {
         assert(keyed("spj_null").count() == 2L)
         assert(keyed("spj_null").filter(col("lang").isNull).count() == 1L)
       }
+      // the clustering key is TABLE LAYOUT, not a reader option: a keyed
+      // WRITE records it in the store, and catalog-addressed reads
+      // (`kvcat.t`) re-plan the same zero-exchange join without the
+      // reader re-declaring graft.key
+      spark.conf.set("spark.sql.catalog.kvcat", "graft.sources.kv.KvCatalog")
+      docsPq.write.format("graftkv").mode("overwrite")
+        .option(KvSource.KeyOption, "lang").save("spj_cat_fact")
+      keyed("spj_dim").write.format("graftkv").mode("overwrite")
+        .option(KvSource.KeyOption, "lang").save("spj_cat_dim")
+      withSQLConf(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+        val catJoined = spark.table("kvcat.spj_cat_fact")
+          .join(spark.table("kvcat.spj_cat_dim"), Seq("lang"))
+          .select(col("lang"), col("doc_id"), col("boost"))
+        val cplan = catJoined.queryExecution.executedPlan.toString
+        assert(!cplan.contains("Exchange"),
+          s"catalog-addressed keyed join must not shuffle:\n$cplan")
+        assert(catJoined.count() == docsPq.count())
+      }
       // sanity: without the key option the same join shuffles — the
       // no-exchange plan above is the REPORT's doing, not a fluke
       withSQLConf(
