@@ -140,6 +140,8 @@ object GraftCatalog {
       .createOrReplaceTempView("kmv_vocab")
     graft.operators.SketchOps.kmvSourceOverlap(docs)
       .createOrReplaceTempView("kmv_overlap")
+    graft.operators.SketchOps.cmsFreqAudit(docs)
+      .createOrReplaceTempView("cms_freq")
     val (oldV, newV) = graft.operators.CurationOps.fixtureVersions(docs)
     graft.operators.CurationOps.corpusDiff(oldV, newV)
       .createOrReplaceTempView("corpus_diff")

@@ -3,7 +3,7 @@ package graft.operators
 import graft.QueryPack
 import graft.functions.TextFunctions._
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -151,6 +151,77 @@ object SketchOps {
         when(col("est_union") === 0, lit(0L))
           .otherwise(floor(col("est_inter") * 10000.0 / col("est_union") + 0.5).cast("long")))
   }
+
+  // --------------------------------------------------------------------
+  // Count-Min sketch (Cormode & Muthukrishnan 2005) — the mergeable
+  // point-FREQUENCY estimator completing the sketch family next to KMV's
+  // distinct counts: depth d independent hash rows × width w counter
+  // buckets; update adds 1 to one bucket per row, estimate is the MIN
+  // over the d buckets a key hashes to. Always an OVERESTIMATE (other
+  // keys only ever add), within ε·N (ε = e/w) with probability 1−(1/e)^d.
+  // Mergeable by elementwise counter ADDITION (per-partition sketches
+  // combine associatively — at most d·w counter rows cross the wire per
+  // partition via the groupBy's map-side combine, whatever the corpus
+  // size), and deterministic (md5-derived row hashes), hence oracle-able
+  // bit-exact like KMV — unlike HLL/approx builtins.
+
+  /** Default Count-Min shape: 4 rows × 256 buckets = 1024 counters
+    * (~8 KB) — ε ≈ 1%, failure prob ≈ 2%. */
+  val CmsDepth = 4
+  val CmsWidth = 256
+
+  /** Row `i`'s bucket for a token: an independent md5-derived hash per
+    * sketch row (the row index is mixed into the hash INPUT, so no
+    * side-channel constant table — same trick as the minhash perms),
+    * folded into [0, width). */
+  private[graft] def cmsBucket(row: Int, tok: Column, width: Int): Column =
+    stableHash60(concat_ws(":", lit(row), tok)) % width
+
+  /** (row_id, bucket) cell per token OCCURRENCE per sketch row — the
+    * sketch's update stream. */
+  private[graft] def cmsCells(toks: DataFrame, depth: Int, width: Int): DataFrame =
+    toks.select(posexplode(array((0 until depth).map(i =>
+      cmsBucket(i, col("tok"), width)): _*)).as(Seq("row_id", "bucket")))
+
+  /** The sketch itself: ≤ depth·width counter rows. One corpus pass; the
+    * aggregation pre-combines to ≤ d·w cells per partition before the
+    * (only) shuffle. */
+  def cmsSketch(docs: DataFrame,
+      depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame =
+    cmsCells(docs.select(explode(tokens(col("text"))).as("tok")), depth, width)
+      .groupBy("row_id", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Self-auditing point-frequency estimates: per distinct token, the
+    * CMS estimate (min over its d buckets, probed by joining the
+    * BROADCAST d·w-row sketch) next to the exact count and the signed
+    * overestimate in e4 — the [[kmvVocabSketch]] audit shape. The exact
+    * column is the EVAL's doing (a vocab-sized groupBy); the production
+    * shape at 100 TB keeps only [[cmsSketch]] and probes it, which is
+    * the point of the sketch.
+    *
+    * The audit derives its sketch FROM the per-token exact counts it
+    * must compute anyway (counter = Σ n_exact of the tokens in the
+    * bucket — bit-identical to streaming occurrences, because CMS
+    * counters are linear in per-token occurrence counts), so the corpus
+    * is read once and the cell explode runs on the vocab, not the
+    * occurrence stream. */
+  def cmsFreqAudit(docs: DataFrame,
+      depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame = {
+    val tokCounts = graft.Caching.maybeCache(
+      docs.select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n_exact")))
+    def withCells(df: DataFrame): DataFrame =
+      df.select(col("tok"), col("n_exact"),
+        posexplode(array((0 until depth).map(i =>
+          cmsBucket(i, col("tok"), width)): _*)).as(Seq("row_id", "bucket")))
+    val sketch = withCells(tokCounts)
+      .groupBy("row_id", "bucket").agg(sum(col("n_exact")).as("cnt"))
+    withCells(tokCounts).join(broadcast(sketch), Seq("row_id", "bucket"))
+      .groupBy("tok", "n_exact").agg(min(col("cnt")).as("est_count"))
+      .select(col("tok"), col("n_exact"), col("est_count"),
+        floor((col("est_count") - col("n_exact")) * 10000.0 / col("n_exact") + 0.5)
+          .cast("long").as("over_e4"))
+  }
 }
 
 object SketchPack extends QueryPack {
@@ -163,7 +234,13 @@ object SketchPack extends QueryPack {
     // every sf), so these twins drive the ESTIMATOR branch — the k = 64
     // defaults saturate on the fixtures and only prove the exact mode
     "kmv_vocab8" -> ((s, dir) => SketchOps.kmvVocabSketch(d(s, dir), k = 8)),
-    "kmv_overlap8" -> ((s, dir) => SketchOps.kmvSourceOverlap(d(s, dir), k = 8))
+    "kmv_overlap8" -> ((s, dir) => SketchOps.kmvSourceOverlap(d(s, dir), k = 8)),
+    "cms_freq" -> ((s, dir) => SketchOps.cmsFreqAudit(d(s, dir))),
+    // width = 4 forces bucket collisions on the ~31-token fixture vocab,
+    // driving the OVERESTIMATE branch the 4×256 default never hits there
+    // (the kmv_vocab8 pattern: the non-default twin exercises the
+    // estimator, the default proves the clean mode)
+    "cms_freq_w4" -> ((s, dir) => SketchOps.cmsFreqAudit(d(s, dir), width = 4))
   )
 
   private val M = "1152921504606846976.0"
@@ -177,8 +254,37 @@ object SketchPack extends QueryPack {
     "kmv_vocab" -> kmvVocabSql(SketchOps.KmvK),
     "kmv_vocab8" -> kmvVocabSql(8),
     "kmv_overlap" -> kmvOverlapSql(SketchOps.KmvK),
-    "kmv_overlap8" -> kmvOverlapSql(8)
+    "kmv_overlap8" -> kmvOverlapSql(8),
+    "cms_freq" -> cmsFreqSql(SketchOps.CmsDepth, SketchOps.CmsWidth),
+    "cms_freq_w4" -> cmsFreqSql(SketchOps.CmsDepth, 4)
   )
+
+  /** Mirrors [[SketchOps.cmsFreqAudit]]: same md5-derived row hash
+    * (`md5(row_id || ':' || tok)` ≡ Spark's `concat_ws(":", ...)`), same
+    * bucket fold, same min-over-rows estimate. */
+  private def cmsFreqSql(depth: Int, width: Int): String =
+    s"""WITH occ AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |rws AS (SELECT unnest(range($depth)) AS row_id),
+       |cells AS (
+       |  SELECT r.row_id,
+       |         CAST(CAST(('0x' || substring(md5(r.row_id || ':' || o.tok), 18, 15)) AS UBIGINT) AS BIGINT) % $width AS bucket
+       |  FROM occ o CROSS JOIN rws r
+       |),
+       |sketch AS (SELECT row_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM cells GROUP BY row_id, bucket),
+       |probes AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_exact FROM occ GROUP BY tok),
+       |pb AS (
+       |  SELECT p.tok, p.n_exact, r.row_id,
+       |         CAST(CAST(('0x' || substring(md5(r.row_id || ':' || p.tok), 18, 15)) AS UBIGINT) AS BIGINT) % $width AS bucket
+       |  FROM probes p CROSS JOIN rws r
+       |),
+       |est AS (
+       |  SELECT pb.tok, pb.n_exact, MIN(s.cnt) AS est_count
+       |  FROM pb JOIN sketch s ON pb.row_id = s.row_id AND pb.bucket = s.bucket
+       |  GROUP BY pb.tok, pb.n_exact
+       |)
+       |SELECT tok, n_exact, est_count,
+       |       CAST(FLOOR((est_count - n_exact) * 10000.0 / n_exact + 0.5) AS BIGINT) AS over_e4
+       |FROM est""".stripMargin
 
   private def kmvVocabSql(K: Int): String = {
     def estSql(ku: String, kth: String): String = SketchPack.estSql(K)(ku, kth)

@@ -159,6 +159,7 @@ class EmptyInputSpec extends SparkSpec {
     val kv = SketchOps.kmvVocabSketch(emptyDocs).collect()
     assert(kv.length == 1 && kv(0).getLong(0) == 0 && kv(0).getLong(3) == 0)
     assert(SketchOps.kmvSourceOverlap(emptyDocs).count() == 0)
+    assert(SketchOps.cmsFreqAudit(emptyDocs).count() == 0)
     assert(CurationOps.corpusDiff(emptyDocs, emptyDocs).count() == 0)
   }
 

@@ -610,4 +610,28 @@ class TrainingDataSpec extends SparkSpec {
     assert(knn.filter(col("adist_q") < 0).count() == 0)
     codes.unpersist()
   }
+
+  test("count-min sketch: never underestimates, narrow width collides, merge = counter addition") {
+    import graft.operators.SketchOps
+    // the one-sided error guarantee: min-over-rows can only OVERcount
+    val audit = SketchOps.cmsFreqAudit(docs, width = 4).cache()
+    try {
+      assert(audit.filter(col("est_count") < col("n_exact")).count() == 0,
+        "CMS must never underestimate")
+      // pigeonhole: the fixture vocab into 4 buckets/row must collide in
+      // every row for some token, so at least one probe overestimates
+      assert(audit.filter(col("over_e4") > 0).count() > 0,
+        "width 4 must produce at least one collision overestimate")
+    } finally audit.unpersist()
+    // mergeability: the corpus sketch IS the elementwise counter sum of
+    // the halves' sketches — the per-partition combine the scale story
+    // rests on, asserted end-to-end
+    val whole = SketchOps.cmsSketch(docs)
+    val summed = SketchOps.cmsSketch(docs.filter(col("doc_id") % 2 === 0))
+      .union(SketchOps.cmsSketch(docs.filter(col("doc_id") % 2 =!= 0)))
+      .groupBy("row_id", "bucket").agg(sum(col("cnt")).as("scnt"))
+    val diff = whole.join(summed, Seq("row_id", "bucket"), "full_outer")
+      .filter(coalesce(col("cnt"), lit(0L)) =!= coalesce(col("scnt"), lit(0L)))
+    assert(diff.count() == 0, "CMS must merge by counter addition")
+  }
 }
