@@ -624,4 +624,36 @@ object StreamingOps {
           next
         })
   }
+
+  /** One counter cell of a streaming Count-Min sketch. */
+  case class CmsCell(row_id: Int, bucket: Int, cnt: Long)
+
+  /** Streaming Count-Min frequency sketch — the stream twin of
+    * [[graft.operators.SketchOps.cmsSketch]], continuous point-frequency
+    * monitoring at ingest (which tokens/keys are getting hot, without
+    * keeping a per-key counter table). State is keyed by COUNTER CELL
+    * (row, bucket): one long per key, so total state is depth·width
+    * longs FOREVER whatever the ingest volume — and because CMS counters
+    * are linear in occurrences, the stream's cumulative cells are
+    * EXACTLY the batch sketch over everything ingested so far (the
+    * differential the spec pins; same md5-derived [[SketchOps.cmsBucket]]
+    * hashing on both paths). Update mode re-emits the cells a trigger
+    * touched. */
+  def cmsFreqStream(docs: DataFrame,
+      depth: Int = graft.operators.SketchOps.CmsDepth,
+      width: Int = graft.operators.SketchOps.CmsWidth): Dataset[CmsCell] = {
+    import graft.functions.TextFunctions.tokens
+    import docs.sparkSession.implicits._
+    graft.operators.SketchOps.cmsCells(
+        docs.select(explode(tokens(col("text"))).as("tok")), depth, width)
+      .select(col("row_id").cast("int"), col("bucket").cast("int"))
+      .as[(Int, Int)]
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (cell: (Int, Int), occ: Iterator[(Int, Int)], state: GroupState[Long]) => {
+          val next = state.getOption.getOrElse(0L) + occ.size
+          state.update(next)
+          CmsCell(cell._1, cell._2, next)
+        })
+  }
 }

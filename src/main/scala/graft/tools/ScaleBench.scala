@@ -39,7 +39,7 @@ object ScaleBench {
     * `aggregate` expression at corpus scale). */
   val Families: Seq[String] = Seq(
     "dedup_minhash", "dedup_simhash", "bm25_ingest", "dup_spans",
-    "intra_spans", "kmv_vocab", "kmv_overlap", "ivfpq_res_t",
+    "intra_spans", "kmv_vocab", "kmv_overlap", "cms_freq", "ivfpq_res_t",
     "ann_ivf_probe2", "token_budget", "dsir_select", "packing_assign",
     "media_dims_mix")
 

@@ -289,6 +289,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CMS sketch: cumulative cells equal the batch sketch exactly") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val docs = graft.sources.Tables.documents(s, sf)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.cmsFreqStream(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cms_stream").outputMode("update").start()
+    try {
+      input.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      // latest state per cell = its max counter (counters only grow)
+      val streamed = s.sql(
+        "SELECT row_id, bucket, MAX(cnt) AS cnt FROM cms_stream GROUP BY row_id, bucket")
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      // CMS linearity: the cumulative stream cells ARE the batch sketch
+      val batch = graft.operators.SketchOps
+        .cmsSketch(graft.sources.Tables.documents(s, sf))
+        .collect().map(r => (r.getInt(0), r.getLong(1).toInt) -> r.getLong(2)).toMap
+      assert(streamed == batch, "streamed CMS cells must equal the batch sketch")
+    } finally q.stop()
+  }
+
   test("simhash near-dup stream flags an identical doc across batches on all 4 bands") {
     val s = spark
     import s.implicits._
