@@ -142,6 +142,8 @@ object GraftCatalog {
       .createOrReplaceTempView("kmv_overlap")
     graft.operators.SketchOps.cmsFreqAudit(docs)
       .createOrReplaceTempView("cms_freq")
+    graft.operators.SketchOps.cmsHeavyHitters(docs)
+      .createOrReplaceTempView("cms_heavy")
     val (oldV, newV) = graft.operators.CurationOps.fixtureVersions(docs)
     graft.operators.CurationOps.corpusDiff(oldV, newV)
       .createOrReplaceTempView("corpus_diff")

@@ -222,6 +222,28 @@ object SketchOps {
         floor((col("est_count") - col("n_exact")) * 10000.0 / col("n_exact") + 0.5)
           .cast("long").as("over_e4"))
   }
+
+  /** φ-heavy hitters SERVED FROM the sketch — the production CMS
+    * use-case (Cormode & Muthukrishnan §4): probe each candidate token
+    * against the broadcast sketch and keep those whose estimate clears
+    * φ·N total occurrences. CMS's one-sided error means NO FALSE
+    * NEGATIVES — a truly heavy token estimates ≥ its true count ≥ φ·N,
+    * so it always survives — while false positives are bounded by the
+    * ε·N overcount; `is_heavy` audits which survivors are truly heavy
+    * (integer-exact threshold arithmetic on both sides, so the oracle
+    * agrees bit-for-bit). Candidates here are the corpus vocab; at
+    * 100 TB the candidate set is whatever bounded key universe the
+    * caller probes (the sketch answers any key without having stored
+    * per-key state). */
+  def cmsHeavyHitters(docs: DataFrame, phiE4: Long = 300L,
+      depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame = {
+    val audit = cmsFreqAudit(docs, depth, width)
+    val total = audit.agg(sum(col("n_exact")).as("n_total"))
+    audit.crossJoin(broadcast(total))
+      .filter(col("est_count") * 10000L >= lit(phiE4) * col("n_total"))
+      .select(col("tok"), col("n_exact"), col("est_count"), col("n_total"),
+        (col("n_exact") * 10000L >= lit(phiE4) * col("n_total")).as("is_heavy"))
+  }
 }
 
 object SketchPack extends QueryPack {
@@ -240,7 +262,12 @@ object SketchPack extends QueryPack {
     // driving the OVERESTIMATE branch the 4×256 default never hits there
     // (the kmv_vocab8 pattern: the non-default twin exercises the
     // estimator, the default proves the clean mode)
-    "cms_freq_w4" -> ((s, dir) => SketchOps.cmsFreqAudit(d(s, dir), width = 4))
+    "cms_freq_w4" -> ((s, dir) => SketchOps.cmsFreqAudit(d(s, dir), width = 4)),
+    "cms_heavy" -> ((s, dir) => SketchOps.cmsHeavyHitters(d(s, dir))),
+    // at width 4 every counter holds ~N/4, so ALL candidates clear the
+    // 3% bar and is_heavy separates true hitters from the sketch's
+    // (bounded, one-sided) false positives — the FP path under the oracle
+    "cms_heavy_w4" -> ((s, dir) => SketchOps.cmsHeavyHitters(d(s, dir), width = 4))
   )
 
   private val M = "1152921504606846976.0"
@@ -256,8 +283,21 @@ object SketchPack extends QueryPack {
     "kmv_overlap" -> kmvOverlapSql(SketchOps.KmvK),
     "kmv_overlap8" -> kmvOverlapSql(8),
     "cms_freq" -> cmsFreqSql(SketchOps.CmsDepth, SketchOps.CmsWidth),
-    "cms_freq_w4" -> cmsFreqSql(SketchOps.CmsDepth, 4)
+    "cms_freq_w4" -> cmsFreqSql(SketchOps.CmsDepth, 4),
+    "cms_heavy" -> cmsHeavySql(SketchOps.CmsDepth, SketchOps.CmsWidth, 300L),
+    "cms_heavy_w4" -> cmsHeavySql(SketchOps.CmsDepth, 4, 300L)
   )
+
+  /** [[cmsFreqSql]] plus the φ·N threshold filter and the is_heavy
+    * audit — integer arithmetic only, mirroring
+    * [[SketchOps.cmsHeavyHitters]]. */
+  private def cmsHeavySql(depth: Int, width: Int, phiE4: Long): String =
+    s"""WITH est AS (${cmsFreqSql(depth, width)}),
+       |tot AS (SELECT CAST(SUM(n_exact) AS BIGINT) AS n_total FROM est)
+       |SELECT e.tok, e.n_exact, e.est_count, t.n_total,
+       |       e.n_exact * 10000 >= $phiE4 * t.n_total AS is_heavy
+       |FROM est e CROSS JOIN tot t
+       |WHERE e.est_count * 10000 >= $phiE4 * t.n_total""".stripMargin
 
   /** Mirrors [[SketchOps.cmsFreqAudit]]: same md5-derived row hash
     * (`md5(row_id || ':' || tok)` ≡ Spark's `concat_ws(":", ...)`), same

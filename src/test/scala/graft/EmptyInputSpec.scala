@@ -160,6 +160,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(kv.length == 1 && kv(0).getLong(0) == 0 && kv(0).getLong(3) == 0)
     assert(SketchOps.kmvSourceOverlap(emptyDocs).count() == 0)
     assert(SketchOps.cmsFreqAudit(emptyDocs).count() == 0)
+    assert(SketchOps.cmsHeavyHitters(emptyDocs).count() == 0)
     assert(CurationOps.corpusDiff(emptyDocs, emptyDocs).count() == 0)
   }
 

@@ -373,4 +373,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("partial_count") || plan.contains("partial_sum"),
       s"census must map-side combine:\n$plan")
   }
+
+  test("cms sketch: the probe joins the d·w-row sketch by broadcast, counters combine map-side") {
+    spark.catalog.clearCache()
+    val plan = physical(SparkEntry.queries("cms_freq")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the sketch probe must broadcast the counter table:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in cms_freq:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"counter cells must map-side combine before the shuffle:\n$plan")
+  }
 }

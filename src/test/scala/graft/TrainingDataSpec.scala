@@ -633,5 +633,18 @@ class TrainingDataSpec extends SparkSpec {
     val diff = whole.join(summed, Seq("row_id", "bucket"), "full_outer")
       .filter(coalesce(col("cnt"), lit(0L)) =!= coalesce(col("scnt"), lit(0L)))
     assert(diff.count() == 0, "CMS must merge by counter addition")
+    // heavy hitters: one-sided error ⇒ NO false negatives (every truly
+    // heavy token survives), and the survivor set is exactly
+    // truly-heavy ∪ flagged false positives
+    val hh = SketchOps.cmsHeavyHitters(docs, width = 4).cache()
+    try {
+      val nTotal = hh.select(col("n_total")).head.getLong(0)
+      val truly = SketchOps.cmsFreqAudit(docs, width = 4)
+        .filter(col("n_exact") * 10000L >= lit(300L) * lit(nTotal))
+      assert(truly.join(hh.select("tok"), Seq("tok"), "left_anti").count() == 0,
+        "a truly heavy token was dropped — violates the one-sided bound")
+      assert(hh.filter(!col("is_heavy")).count() == hh.count() - truly.count(),
+        "survivors must be exactly truly-heavy plus flagged false positives")
+    } finally hh.unpersist()
   }
 }
