@@ -149,6 +149,8 @@ object GraftCatalog {
       .createOrReplaceTempView("corpus_diff")
     graft.operators.CurationOps.packingAssign(docs)
       .createOrReplaceTempView("packing_assign")
+    graft.operators.CurationOps.allocSelect(docs)
+      .createOrReplaceTempView("alloc_select")
     graft.operators.MultimodalOps.mediaDims(docs)
       .createOrReplaceTempView("media_dims")
     graft.operators.MultimodalOps.mediaDimsMix(docs)

@@ -720,6 +720,54 @@ object CurationOps {
           .otherwise(col("s")).as("alloc_tokens"))
   }
 
+  /** Closes [[tokenAllocation]] into the per-source DOCUMENT selection a
+    * mixture pipeline consumes — the [[packingAssign]] /
+    * [[graft.operators.LmOps.dsirSelect]] closure pattern (a plan is not
+    * consumable until an operator emits the doc-level decision): within
+    * each source, take docs in the stable md5-priority order — bucket-
+    * major (bkt, pri, doc_id), [[tokenBudgetCut]]'s convention — until
+    * the source's water-filled `alloc_tokens` is reached, with
+    * [[tokenBudgetBoundary]]'s greedy convention (a doc is kept iff its
+    * source's budget is not exhausted BEFORE it, so the boundary doc is
+    * taken and per-source overshoot is bounded by one document).
+    *
+    * Scale shape: the cut is planned on a per-(source, md5-bucket)
+    * census — ≤1000 rows per source, windows PARTITIONED BY SOURCE, so
+    * no corpus total order and no single-partition window over anything
+    * corpus-sized; the verdicts frame (≤ |sources|·1000 rows, bounded by
+    * construction) broadcasts back onto the per-doc pass, and only the
+    * ≤1-per-source `partial` buckets (~0.1% of each source) resolve
+    * exactly within the bucket. */
+  def allocSelect(docs: DataFrame, budgetPct: Long = 50L): DataFrame = {
+    val alloc = tokenAllocation(docs, budgetPct)
+      .select(col("source"), col("alloc_tokens"))
+    val t = docs.select(
+      col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("n_toks"),
+      stableHash60(col("doc_id").cast("string")).as("pri"))
+      .withColumn("bkt", col("pri") % 1000L)
+    val census = t.groupBy("source", "bkt")
+      .agg(sum(col("n_toks")).as("bucket_tokens"))
+      .join(broadcast(alloc), "source")
+    val wb = Window.partitionBy("source").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val verdicts = census
+      .withColumn("cum_before", coalesce(sum(col("bucket_tokens")).over(wb), lit(0L)))
+      .select(col("source"), col("bkt"),
+        when(col("cum_before") + col("bucket_tokens") <= col("alloc_tokens"), "keep")
+          .when(col("cum_before") < col("alloc_tokens"), "partial")
+          .otherwise("drop").as("status"),
+        (col("alloc_tokens") - col("cum_before")).as("residual"))
+    val win = Window.partitionBy("source", "bkt").orderBy(col("pri"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.join(broadcast(verdicts), Seq("source", "bkt"))
+      .withColumn("cum_before_doc", coalesce(sum(col("n_toks")).over(win), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        when(col("status") === "keep", lit(true))
+          .when(col("status") === "drop", lit(false))
+          .otherwise(col("cum_before_doc") < col("residual")).as("kept"))
+  }
+
   /** Target token shares (e4) for [[mixPlan]]'s fixture run: an even
     * 2000 per language — unlisted languages get 0 (drop). */
   val MixTargetsE4: Seq[(String, Long)] =
@@ -1120,6 +1168,10 @@ object CurationPack extends QueryPack {
     // 99% budget: small sources saturate, so the oracle exercises the
     // water-level prefix logic, not just the proportional branch
     "mix_alloc99" -> ((s, dir) => CurationOps.tokenAllocation(d(s, dir), budgetPct = 99L)),
+    "alloc_select" -> ((s, dir) => CurationOps.allocSelect(d(s, dir))),
+    // 20% budget: no source saturates, every source gets a partial
+    // bucket — the boundary-resolution path in every partition
+    "alloc_select20" -> ((s, dir) => CurationOps.allocSelect(d(s, dir), budgetPct = 20L)),
     "temp_mix" -> ((s, dir) => CurationOps.temperatureMix(d(s, dir))),
     "temp_mix25" -> ((s, dir) => CurationOps.temperatureMix(d(s, dir), alphaQ = 1))
   )
@@ -1181,6 +1233,82 @@ object CurationPack extends QueryPack {
 
   /** Water-filling allocation mirrored in SQL, parameterized by the
     * budget percentage the way the Scala side's `budgetPct` knob is. */
+  /** Mirrors [[CurationOps.allocSelect]]: [[mixAllocSql]]'s water-fill
+    * chain as CTEs, then the per-(source, bucket) census verdicts and
+    * the within-partial-bucket greedy boundary. */
+  private def allocSelectSql(pct: Long): String =
+    s"""WITH sup AS (
+       |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS s,
+       |         CAST(1 AS BIGINT) AS w
+       |  FROM documents GROUP BY source
+       |),
+       |tot AS (SELECT CAST(SUM(s) AS BIGINT) AS st, CAST(SUM(w) AS BIGINT) AS wt FROM sup),
+       |wb AS (
+       |  SELECT sup.*, tot.st, tot.wt,
+       |         CAST(FLOOR(tot.st * $pct / 100.0) AS BIGINT) AS b
+       |  FROM sup, tot
+       |),
+       |cum AS (
+       |  SELECT *,
+       |         CAST(SUM(s) OVER (ORDER BY s / CAST(w AS DOUBLE), source
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sk,
+       |         CAST(SUM(w) OVER (ORDER BY s / CAST(w AS DOUBLE), source
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS wk
+       |  FROM wb
+       |),
+       |flg AS (
+       |  SELECT *, s * (wt - wk) <= (b - sk) * w AS saturated FROM cum
+       |),
+       |sat AS (
+       |  SELECT CAST(SUM(CASE WHEN saturated THEN s ELSE 0 END) AS BIGINT) AS ssat,
+       |         CAST(SUM(CASE WHEN saturated THEN w ELSE 0 END) AS BIGINT) AS wsat
+       |  FROM flg
+       |),
+       |alloc AS (
+       |  SELECT source,
+       |         CASE WHEN saturated THEN s
+       |              WHEN wt > wsat THEN CAST(FLOOR((b - ssat) / CAST(wt - wsat AS DOUBLE) * w + 0.5) AS BIGINT)
+       |              ELSE s END AS alloc_tokens
+       |  FROM flg, sat
+       |),
+       |t AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+       |         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 18, 15)) AS UBIGINT) AS BIGINT) AS pri
+       |  FROM documents
+       |),
+       |tb AS (SELECT *, pri % 1000 AS bkt FROM t),
+       |census AS (
+       |  SELECT source, bkt, CAST(SUM(n_toks) AS BIGINT) AS bucket_tokens
+       |  FROM tb GROUP BY source, bkt
+       |),
+       |v AS (
+       |  SELECT c.source, c.bkt, c.bucket_tokens, a.alloc_tokens,
+       |         COALESCE(SUM(c.bucket_tokens) OVER (PARTITION BY c.source ORDER BY c.bkt
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM census c JOIN alloc a USING (source)
+       |),
+       |vs AS (
+       |  SELECT source, bkt,
+       |         CASE WHEN cum_before + bucket_tokens <= alloc_tokens THEN 'keep'
+       |              WHEN cum_before < alloc_tokens THEN 'partial'
+       |              ELSE 'drop' END AS status,
+       |         alloc_tokens - cum_before AS residual
+       |  FROM v
+       |),
+       |j AS (
+       |  SELECT tb.doc_id, tb.source, tb.n_toks, vs.status, vs.residual,
+       |         COALESCE(SUM(tb.n_toks) OVER (PARTITION BY tb.source, tb.bkt
+       |           ORDER BY tb.pri, tb.doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before_doc
+       |  FROM tb JOIN vs ON tb.source = vs.source AND tb.bkt = vs.bkt
+       |)
+       |SELECT doc_id, source, n_toks,
+       |       CASE WHEN status = 'keep' THEN TRUE
+       |            WHEN status = 'drop' THEN FALSE
+       |            ELSE cum_before_doc < residual END AS kept
+       |FROM j""".stripMargin
+
   private def mixAllocSql(pct: Long): String =
     s"""WITH sup AS (
        |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS s,
@@ -1297,6 +1425,8 @@ object CurationPack extends QueryPack {
         |SELECT doc_id, lang, bucket FROM b WHERE bucket < rate""".stripMargin,
     "mix_alloc" -> mixAllocSql(50L),
     "mix_alloc99" -> mixAllocSql(99L),
+    "alloc_select" -> allocSelectSql(50L),
+    "alloc_select20" -> allocSelectSql(20L),
     "temp_mix" -> tempMixSql("sqrt(n_tokens / CAST(total AS DOUBLE))"),
     "temp_mix25" -> tempMixSql("sqrt(sqrt(n_tokens / CAST(total AS DOUBLE)))"),
     "curation_funnel" ->

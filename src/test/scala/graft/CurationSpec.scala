@@ -286,6 +286,47 @@ class CurationSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("alloc select: bounded-census cut equals the full-precision per-source greedy, overshoot <= boundary doc") {
+    import graft.functions.TextFunctions.{stableHash60, tokens}
+    for (pct <- Seq(20L, 50L)) {
+      val sel = CurationOps.allocSelect(docs, pct).cache()
+      try {
+        // one verdict per doc
+        assert(sel.count() == docs.count())
+        val alloc = CurationOps.tokenAllocation(docs, pct)
+          .select(col("source"), col("alloc_tokens"))
+        // full-precision reference: per source, greedy take in the exact
+        // (bkt, pri, doc_id) priority order — tokenBudgetCut's bucket-major
+        // convention — until the budget trips; the selection the bounded
+        // census must reproduce doc-for-doc
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("bkt"), col("pri"), col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val ref = docs.select(col("doc_id"), col("source"),
+            size(tokens(col("text"))).cast("long").as("n_toks"),
+            stableHash60(col("doc_id").cast("string")).as("pri"))
+          .withColumn("bkt", col("pri") % 1000L)
+          .join(alloc, "source")
+          .withColumn("cum", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+          .select(col("doc_id"), (col("cum") < col("alloc_tokens")).as("ref_kept"))
+        assert(sel.join(ref, "doc_id").filter(col("kept") =!= col("ref_kept")).count() == 0,
+          s"pct $pct: census cut diverges from the full-precision greedy")
+        // per-source kept tokens land in [alloc, alloc + boundary doc)
+        val got = sel.filter(col("kept")).groupBy("source")
+          .agg(sum(col("n_toks")).as("kept_toks"), max(col("n_toks")).as("max_doc"))
+          .join(alloc, "source")
+        assert(got.filter(col("kept_toks") >= col("alloc_tokens") + col("max_doc")).count() == 0,
+          s"pct $pct: overshoot exceeds one document")
+        val supply = docs.select(col("source"),
+            size(tokens(col("text"))).cast("long").as("n")).groupBy("source")
+          .agg(sum("n").as("supply"))
+        assert(got.join(supply, "source")
+          .filter(col("kept_toks") < least(col("alloc_tokens"), col("supply"))).count() == 0,
+          s"pct $pct: greedy left budget unfilled")
+      } finally sel.unpersist()
+    }
+  }
+
   test("chunking: windows tile each doc — start at 0, stride apart, clipped tail covers n") {
     import graft.functions.TextFunctions.tokens
     val docs = Tables.documents(spark, sf)

@@ -162,6 +162,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(SketchOps.cmsFreqAudit(emptyDocs).count() == 0)
     assert(SketchOps.cmsHeavyHitters(emptyDocs).count() == 0)
     assert(CurationOps.corpusDiff(emptyDocs, emptyDocs).count() == 0)
+    assert(CurationOps.allocSelect(emptyDocs).count() == 0)
   }
 
   test("as-of join with an empty right side left-joins nulls, empty left is empty") {
