@@ -1231,13 +1231,13 @@ object CurationPack extends QueryPack {
        |            END AS dup_e4
        |FROM ww""".stripMargin
 
-  /** Water-filling allocation mirrored in SQL, parameterized by the
-    * budget percentage the way the Scala side's `budgetPct` knob is. */
-  /** Mirrors [[CurationOps.allocSelect]]: [[mixAllocSql]]'s water-fill
-    * chain as CTEs, then the per-(source, bucket) census verdicts and
-    * the within-partial-bucket greedy boundary. */
-  private def allocSelectSql(pct: Long): String =
-    s"""WITH sup AS (
+  /** Water-filling allocation CTE chain (sup→tot→wb→cum→flg→sat→alloc),
+    * parameterized by the budget percentage the way the Scala side's
+    * `budgetPct` knob is — shared VERBATIM by [[mixAllocSql]] and
+    * [[allocSelectSql]] so the formula can only ever change in one
+    * place. */
+  private def waterFillCtes(pct: Long): String =
+    s"""sup AS (
        |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS s,
        |         CAST(1 AS BIGINT) AS w
        |  FROM documents GROUP BY source
@@ -1265,12 +1265,23 @@ object CurationPack extends QueryPack {
        |  FROM flg
        |),
        |alloc AS (
-       |  SELECT source,
+       |  SELECT source, s AS n_tokens, w AS weight, saturated,
        |         CASE WHEN saturated THEN s
        |              WHEN wt > wsat THEN CAST(FLOOR((b - ssat) / CAST(wt - wsat AS DOUBLE) * w + 0.5) AS BIGINT)
        |              ELSE s END AS alloc_tokens
        |  FROM flg, sat
-       |),
+       |)""".stripMargin
+
+  /** Water-filling allocation mirrored in SQL. */
+  private def mixAllocSql(pct: Long): String =
+    s"""WITH ${waterFillCtes(pct)}
+       |SELECT source, n_tokens, weight, saturated, alloc_tokens FROM alloc""".stripMargin
+
+  /** Mirrors [[CurationOps.allocSelect]]: the shared water-fill chain,
+    * then the per-(source, bucket) census verdicts and the
+    * within-partial-bucket greedy boundary. */
+  private def allocSelectSql(pct: Long): String =
+    s"""WITH ${waterFillCtes(pct)},
        |t AS (
        |  SELECT doc_id, source,
        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
@@ -1308,40 +1319,6 @@ object CurationPack extends QueryPack {
        |            WHEN status = 'drop' THEN FALSE
        |            ELSE cum_before_doc < residual END AS kept
        |FROM j""".stripMargin
-
-  private def mixAllocSql(pct: Long): String =
-    s"""WITH sup AS (
-       |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS s,
-       |         CAST(1 AS BIGINT) AS w
-       |  FROM documents GROUP BY source
-       |),
-       |tot AS (SELECT CAST(SUM(s) AS BIGINT) AS st, CAST(SUM(w) AS BIGINT) AS wt FROM sup),
-       |wb AS (
-       |  SELECT sup.*, tot.st, tot.wt,
-       |         CAST(FLOOR(tot.st * $pct / 100.0) AS BIGINT) AS b
-       |  FROM sup, tot
-       |),
-       |cum AS (
-       |  SELECT *,
-       |         CAST(SUM(s) OVER (ORDER BY s / CAST(w AS DOUBLE), source
-       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sk,
-       |         CAST(SUM(w) OVER (ORDER BY s / CAST(w AS DOUBLE), source
-       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS wk
-       |  FROM wb
-       |),
-       |flg AS (
-       |  SELECT *, s * (wt - wk) <= (b - sk) * w AS saturated FROM cum
-       |),
-       |sat AS (
-       |  SELECT CAST(SUM(CASE WHEN saturated THEN s ELSE 0 END) AS BIGINT) AS ssat,
-       |         CAST(SUM(CASE WHEN saturated THEN w ELSE 0 END) AS BIGINT) AS wsat
-       |  FROM flg
-       |)
-       |SELECT source, s AS n_tokens, w AS weight, saturated,
-       |       CASE WHEN saturated THEN s
-       |            WHEN wt > wsat THEN CAST(FLOOR((b - ssat) / CAST(wt - wsat AS DOUBLE) * w + 0.5) AS BIGINT)
-       |            ELSE s END AS alloc_tokens
-       |FROM flg, sat""".stripMargin
 
   override def oracles: Map[String, String] = Map(
     // fixture versions from md5 deciles: old = deciles != 0, new =

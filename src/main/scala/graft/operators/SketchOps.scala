@@ -177,11 +177,15 @@ object SketchOps {
   private[graft] def cmsBucket(row: Int, tok: Column, width: Int): Column =
     stableHash60(concat_ws(":", lit(row), tok)) % width
 
-  /** (row_id, bucket) cell per token OCCURRENCE per sketch row — the
-    * sketch's update stream. */
+  /** One (row_id, bucket) cell per input row per sketch row, appended to
+    * the input's own columns — the sketch's update stream (occurrences
+    * in) and the probe stream (distinct tokens in) both derive from this
+    * ONE expression, so the bucket scheme cannot diverge between the
+    * batch, audit, and stream paths. */
   private[graft] def cmsCells(toks: DataFrame, depth: Int, width: Int): DataFrame =
-    toks.select(posexplode(array((0 until depth).map(i =>
-      cmsBucket(i, col("tok"), width)): _*)).as(Seq("row_id", "bucket")))
+    toks.select(toks.columns.map(col).toSeq :+
+      posexplode(array((0 until depth).map(i =>
+        cmsBucket(i, col("tok"), width)): _*)).as(Seq("row_id", "bucket")): _*)
 
   /** The sketch itself: ≤ depth·width counter rows. One corpus pass; the
     * aggregation pre-combines to ≤ d·w cells per partition before the
@@ -210,13 +214,9 @@ object SketchOps {
     val tokCounts = graft.Caching.maybeCache(
       docs.select(explode(tokens(col("text"))).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("n_exact")))
-    def withCells(df: DataFrame): DataFrame =
-      df.select(col("tok"), col("n_exact"),
-        posexplode(array((0 until depth).map(i =>
-          cmsBucket(i, col("tok"), width)): _*)).as(Seq("row_id", "bucket")))
-    val sketch = withCells(tokCounts)
-      .groupBy("row_id", "bucket").agg(sum(col("n_exact")).as("cnt"))
-    withCells(tokCounts).join(broadcast(sketch), Seq("row_id", "bucket"))
+    val cells = cmsCells(tokCounts, depth, width)
+    val sketch = cells.groupBy("row_id", "bucket").agg(sum(col("n_exact")).as("cnt"))
+    cells.join(broadcast(sketch), Seq("row_id", "bucket"))
       .groupBy("tok", "n_exact").agg(min(col("cnt")).as("est_count"))
       .select(col("tok"), col("n_exact"), col("est_count"),
         floor((col("est_count") - col("n_exact")) * 10000.0 / col("n_exact") + 0.5)
@@ -237,7 +237,10 @@ object SketchOps {
     * per-key state). */
   def cmsHeavyHitters(docs: DataFrame, phiE4: Long = 300L,
       depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame = {
-    val audit = cmsFreqAudit(docs, depth, width)
+    // the audit frame is vocab-sized and read twice here (the total and
+    // the survivors), so it gets its own materialization — without it
+    // the probe join and min-aggregation run once per consumer
+    val audit = graft.Caching.maybeCache(cmsFreqAudit(docs, depth, width))
     val total = audit.agg(sum(col("n_exact")).as("n_total"))
     audit.crossJoin(broadcast(total))
       .filter(col("est_count") * 10000L >= lit(phiE4) * col("n_total"))

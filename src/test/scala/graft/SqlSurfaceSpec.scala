@@ -133,6 +133,20 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT COUNT(*) FROM wav_dims WHERE status = 'wav'" +
         " AND byte_rate <> sample_rate * block_align")
       .collect()(0).getLong(0) == 0)
+    // CMS audit: one-sided error on every probe row
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM cms_freq WHERE est_count < n_exact OR over_e4 < 0")
+      .collect()(0).getLong(0) == 0)
+    // heavy hitters: every survivor's estimate clears the default 3% bar
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM cms_heavy WHERE est_count * 10000 < 300 * n_total")
+      .collect()(0).getLong(0) == 0)
+    // alloc selection: one verdict per document, booleans only
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM alloc_select WHERE kept IS NULL")
+      .collect()(0).getLong(0) == 0)
+    assert(spark.sql("SELECT COUNT(*) FROM alloc_select").collect()(0).getLong(0) ==
+      spark.sql("SELECT COUNT(*) FROM documents").collect()(0).getLong(0))
   }
 
   test("compaction_weight resolves in SQL via session extensions") {
