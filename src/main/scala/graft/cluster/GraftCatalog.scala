@@ -151,6 +151,11 @@ object GraftCatalog {
       .createOrReplaceTempView("packing_assign")
     graft.operators.CurationOps.allocSelect(docs)
       .createOrReplaceTempView("alloc_select")
+    graft.operators.DataLayoutOps.exactQuantiles(
+      docs.select(org.apache.spark.sql.functions.size(
+        graft.functions.TextFunctions.tokens(
+          org.apache.spark.sql.functions.col("text"))).as("n_toks")), "n_toks")
+      .createOrReplaceTempView("len_quantiles")
     graft.operators.MultimodalOps.mediaDims(docs)
       .createOrReplaceTempView("media_dims")
     graft.operators.MultimodalOps.mediaDimsMix(docs)

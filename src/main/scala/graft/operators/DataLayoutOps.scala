@@ -280,6 +280,56 @@ object DataLayoutOps {
     * the lakehouse OPTIMIZE ZORDER contract. Returns the written
     * row count (recounted from the destination, [[graft.sources.BulkOps]]
     * write-verification convention). */
+  /** Exact corpus-wide rank-statistic quantiles WITHOUT a total sort:
+    * value_at_rank(ceil(q·n/100)) — the lower rank statistic, so every
+    * emitted value is an ACTUAL data value and integer-exact in both
+    * engines (no interpolation). [[AnalyzerOps.sizePercentiles]]'s
+    * `percentile` interpolates and buffers each group's values in
+    * memory; `percentile_approx` trades exactness for scale. This is
+    * the third option the reference's analyzer reports would need at
+    * corpus scale: exact AND distributed.
+    *
+    * The census pattern, order-preserving variant: a broadcast
+    * (lo, hi, n) row maps values into ≤1000 RANGE buckets, the
+    * ≤1000-row bucket census + one cumulative window locate each
+    * target rank's bucket, and only the target buckets' rows (~0.1% of
+    * the corpus each) are ranked exactly — linear passes only, nothing
+    * corpus-sized through one task, unlike a global `ORDER BY` whose
+    * final merge serializes. */
+  def exactQuantiles(df: DataFrame, valueCol: String,
+      qsE2: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val t = df.select(col(valueCol).cast("long").as("v"))
+    val bounds = t.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+      count(lit(1)).as("n_total"))
+    // integral DIV keeps the bucket fold exact at any long magnitude
+    // (a double quotient loses integer exactness past 2^52)
+    val bucketed = t.crossJoin(broadcast(bounds))
+      .withColumn("bkt",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(expr("((v - lo) * 1000L) DIV (hi - lo + 1L)")))
+      .select("v", "bkt")
+    val census = bucketed.groupBy("bkt").agg(count(lit(1)).as("c"))
+    val wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val cum = census.withColumn("cum_before",
+      coalesce(sum(col("c")).over(wb), lit(0L)))
+    // one row per requested quantile: its global target rank (integer
+    // ceil, mirrored by the oracle's `//`), then the bucket holding it
+    val targets = bounds
+      .select(col("n_total"), explode(lit(qsE2.toArray)).as("q_e2"))
+      .withColumn("rank", expr("(q_e2 * n_total + 99L) DIV 100L"))
+      .join(broadcast(cum),
+        col("cum_before") < col("rank") && col("rank") <= col("cum_before") + col("c"))
+      .select(col("q_e2"), col("rank"), col("n_total"), col("bkt"),
+        (col("rank") - col("cum_before")).as("in_bkt_rank"))
+    // exact rank inside the target bucket only; ties in v are harmless
+    // (sorting a multiset by value makes position → value deterministic)
+    val wv = Window.partitionBy("q_e2").orderBy("v")
+    bucketed.join(broadcast(targets), Seq("bkt"))
+      .withColumn("rn", row_number().over(wv))
+      .filter(col("rn") === col("in_bkt_rank"))
+      .select(col("q_e2"), col("rank"), col("n_total"), col("v").as("value"))
+  }
+
   def writeZordered(
       df: DataFrame, colA: String, colB: String,
       destPath: String, numFiles: Int = 8): Long = {
@@ -305,7 +355,11 @@ object DataLayoutPack extends QueryPack {
     "join_size" -> ((s, d) => DataLayoutOps.joinSizeEstimate(
       Tables.orders(s, d), "o_orderkey", Tables.lineitem(s, d), "l_orderkey")),
     "sort_bounds" -> ((s, d) => DataLayoutOps.sortBounds(
-      Tables.lineitem(s, d), "l_partkey", Seq("l_orderkey", "l_linenumber")))
+      Tables.lineitem(s, d), "l_partkey", Seq("l_orderkey", "l_linenumber"))),
+    "len_quantiles" -> ((s, d) => DataLayoutOps.exactQuantiles(
+      Tables.documents(s, d).select(
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("n_toks")),
+      "n_toks"))
   )
 
   /** The morton spread as literal SQL (same masks, `&`/`|`/`<<` on
@@ -333,6 +387,16 @@ object DataLayoutPack extends QueryPack {
   }
 
   override def oracles: Map[String, String] = Map(
+    // the oracle MAY total-sort (it's DuckDB on a fixture); the engine
+    // side must reach the same rank values through the bucket census
+    "len_quantiles" ->
+      s"""WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS v FROM documents),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM t),
+         |qs AS (SELECT unnest([50, 90, 99]) AS q_e2),
+         |k AS (SELECT q_e2, (q_e2 * n_total + 99) // 100 AS rank, n_total FROM qs, tot),
+         |r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM t)
+         |SELECT k.q_e2, k.rank, k.n_total, r.v AS value
+         |FROM k JOIN r ON r.rn = k.rank""".stripMargin,
     "zorder_bins" ->
       s"""WITH stats AS (
          |  SELECT MIN(l_partkey) AS a_min, MAX(l_partkey) AS a_max,

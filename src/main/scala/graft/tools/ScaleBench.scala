@@ -40,7 +40,7 @@ object ScaleBench {
   val Families: Seq[String] = Seq(
     "dedup_minhash", "dedup_simhash", "bm25_ingest", "dup_spans",
     "intra_spans", "kmv_vocab", "kmv_overlap", "cms_freq", "ivfpq_res_t",
-    "ann_ivf_probe2", "token_budget", "dsir_select", "packing_assign", "alloc_select",
+    "ann_ivf_probe2", "token_budget", "dsir_select", "packing_assign", "alloc_select", "len_quantiles",
     "media_dims_mix")
 
   def main(args: Array[String]): Unit = {

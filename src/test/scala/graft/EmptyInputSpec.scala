@@ -163,6 +163,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(SketchOps.cmsHeavyHitters(emptyDocs).count() == 0)
     assert(CurationOps.corpusDiff(emptyDocs, emptyDocs).count() == 0)
     assert(CurationOps.allocSelect(emptyDocs).count() == 0)
+    assert(DataLayoutOps.exactQuantiles(
+      emptyDocs.selectExpr("doc_id AS v"), "v").count() == 0)
   }
 
   test("as-of join with an empty right side left-joins nulls, empty left is empty") {

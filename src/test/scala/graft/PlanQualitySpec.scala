@@ -374,6 +374,15 @@ class PlanQualitySpec extends SparkSpec {
       s"census must map-side combine:\n$plan")
   }
 
+  test("exact quantiles: no corpus-wide range sort — the census locates, broadcasts resolve") {
+    spark.catalog.clearCache()
+    val plan = physical(SparkEntry.queries("len_quantiles")(spark, sf))
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"exact quantiles must never total-order the corpus:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"target buckets must reach the corpus by broadcast:\n$plan")
+  }
+
   test("cms sketch: the probe joins the d·w-row sketch by broadcast, counters combine map-side") {
     spark.catalog.clearCache()
     val plan = physical(SparkEntry.queries("cms_freq")(spark, sf))

@@ -260,4 +260,30 @@ class RetrievalLayoutSpec extends SparkSpec {
     assert(below >= (li.count() * 0.9).toLong,
       "sampled bounds must cover ~all of the key mass")
   }
+
+  test("exact quantiles: census path equals the total-sort rank statistic, incl. degenerate inputs") {
+    val s = spark
+    import s.implicits._
+    // a skewed long column with ties and range >> 1000 (so buckets fold
+    // many values and the boundary resolution has real work to do)
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select((col("l_orderkey") * col("l_linenumber")).cast("long").as("x"))
+    val qs = Seq(1, 25, 50, 75, 99, 100)
+    val got = graft.operators.DataLayoutOps.exactQuantiles(li, "x", qs)
+      .collect().map(r => r.getAs[Int]("q_e2") ->
+        (r.getAs[Long]("rank"), r.getAs[Long]("value"))).toMap
+    val n = li.count()
+    val sorted = li.orderBy("x").collect().map(_.getLong(0))
+    for (q <- qs) {
+      val rank = (q * n + 99) / 100
+      assert(got(q)._1 == rank, s"q=$q rank")
+      assert(got(q)._2 == sorted((rank - 1).toInt),
+        s"q=$q: census value != total-sort value at rank $rank")
+    }
+    // all-equal values: every quantile is that value (the hi==lo branch)
+    val const = Seq.fill(17)(42L).toDF("x")
+    val gc = graft.operators.DataLayoutOps.exactQuantiles(const, "x")
+    assert(gc.collect().forall(_.getAs[Long]("value") == 42L))
+    assert(gc.count() == 3)
+  }
 }

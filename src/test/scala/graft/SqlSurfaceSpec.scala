@@ -147,6 +147,13 @@ class SqlSurfaceSpec extends SparkSpec {
       .collect()(0).getLong(0) == 0)
     assert(spark.sql("SELECT COUNT(*) FROM alloc_select").collect()(0).getLong(0) ==
       spark.sql("SELECT COUNT(*) FROM documents").collect()(0).getLong(0))
+    // exact quantiles: monotone in q, ranks inside [1, n]
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM len_quantiles a JOIN len_quantiles b ON a.q_e2 < b.q_e2" +
+        " AND a.value > b.value").collect()(0).getLong(0) == 0)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM len_quantiles WHERE rank < 1 OR rank > n_total")
+      .collect()(0).getLong(0) == 0)
   }
 
   test("compaction_weight resolves in SQL via session extensions") {
