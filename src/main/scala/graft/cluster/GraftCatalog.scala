@@ -156,6 +156,13 @@ object GraftCatalog {
         graft.functions.TextFunctions.tokens(
           org.apache.spark.sql.functions.col("text"))).as("n_toks")), "n_toks")
       .createOrReplaceTempView("len_quantiles")
+    graft.operators.DataLayoutOps.exactQuantilesBy(
+      docs.select(org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.size(
+          graft.functions.TextFunctions.tokens(
+            org.apache.spark.sql.functions.col("text"))).as("n_toks")),
+      "lang", "n_toks")
+      .createOrReplaceTempView("len_quantiles_lang")
     graft.operators.MultimodalOps.mediaDims(docs)
       .createOrReplaceTempView("media_dims")
     graft.operators.MultimodalOps.mediaDimsMix(docs)

@@ -330,6 +330,52 @@ object DataLayoutOps {
       .select(col("q_e2"), col("rank"), col("n_total"), col("v").as("value"))
   }
 
+  /** Per-GROUP exact quantiles — the scale path that replaces
+    * `percentile`'s per-group value buffering (it holds every group
+    * value in executor memory; a skewed group OOMs) with
+    * [[exactQuantiles]]'s census: per-group (lo, hi, n) bounds join
+    * back by group, the (group, bucket) census is ≤1000 rows PER GROUP
+    * with the cumulative window partitioned BY GROUP, and each group's
+    * target buckets resolve exactly over ~0.1% of that group's rows.
+    * Same rank statistic, same integral arithmetic — the emitted value
+    * is an actual group value in both engines.
+    *
+    * Intended for BOUNDED group columns (lang, source, table — report
+    * dimensions): the broadcast frames are |groups| and ≤|groups|·1000
+    * rows. For a high-cardinality group key drop to [[skewCensus]]-style
+    * shuffled joins instead — a broadcast hint there would be the
+    * scale-killer the plan gates exist to reject. */
+  def exactQuantilesBy(df: DataFrame, groupCol: String, valueCol: String,
+      qsE2: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val t = df.select(col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
+    val bounds = t.groupBy("grp").agg(min(col("v")).as("lo"),
+      max(col("v")).as("hi"), count(lit(1)).as("n_total"))
+    val bucketed = t.join(broadcast(bounds), Seq("grp"))
+      .withColumn("bkt",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(expr("((v - lo) * 1000L) DIV (hi - lo + 1L)")))
+      .select("grp", "v", "bkt")
+    val census = bucketed.groupBy("grp", "bkt").agg(count(lit(1)).as("c"))
+    val wb = Window.partitionBy("grp").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = census.withColumn("cum_before",
+      coalesce(sum(col("c")).over(wb), lit(0L)))
+    val targets = bounds
+      .select(col("grp"), col("n_total"), explode(lit(qsE2.toArray)).as("q_e2"))
+      .withColumn("rank", expr("(q_e2 * n_total + 99L) DIV 100L"))
+      .join(broadcast(cum), Seq("grp"))
+      .filter(col("cum_before") < col("rank") &&
+        col("rank") <= col("cum_before") + col("c"))
+      .select(col("grp"), col("q_e2"), col("rank"), col("n_total"), col("bkt"),
+        (col("rank") - col("cum_before")).as("in_bkt_rank"))
+    val wv = Window.partitionBy("grp", "q_e2").orderBy("v")
+    bucketed.join(broadcast(targets), Seq("grp", "bkt"))
+      .withColumn("rn", row_number().over(wv))
+      .filter(col("rn") === col("in_bkt_rank"))
+      .select(col("grp").as(groupCol), col("q_e2"), col("rank"),
+        col("n_total"), col("v").as("value"))
+  }
+
   def writeZordered(
       df: DataFrame, colA: String, colB: String,
       destPath: String, numFiles: Int = 8): Long = {
@@ -359,7 +405,11 @@ object DataLayoutPack extends QueryPack {
     "len_quantiles" -> ((s, d) => DataLayoutOps.exactQuantiles(
       Tables.documents(s, d).select(
         size(graft.functions.TextFunctions.tokens(col("text"))).as("n_toks")),
-      "n_toks"))
+      "n_toks")),
+    "len_quantiles_lang" -> ((s, d) => DataLayoutOps.exactQuantilesBy(
+      Tables.documents(s, d).select(col("lang"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("n_toks")),
+      "lang", "n_toks"))
   )
 
   /** The morton spread as literal SQL (same masks, `&`/`|`/`<<` on
@@ -397,6 +447,14 @@ object DataLayoutPack extends QueryPack {
          |r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM t)
          |SELECT k.q_e2, k.rank, k.n_total, r.v AS value
          |FROM k JOIN r ON r.rn = k.rank""".stripMargin,
+    "len_quantiles_lang" ->
+      s"""WITH t AS (SELECT lang AS grp, CAST(len(string_split(text, ' ')) AS BIGINT) AS v FROM documents),
+         |tot AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_total FROM t GROUP BY grp),
+         |qs AS (SELECT unnest([50, 90, 99]) AS q_e2),
+         |k AS (SELECT tot.grp, q_e2, (q_e2 * n_total + 99) // 100 AS rank, n_total FROM qs, tot),
+         |r AS (SELECT grp, v, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v) AS rn FROM t)
+         |SELECT k.grp AS lang, k.q_e2, k.rank, k.n_total, r.v AS value
+         |FROM k JOIN r ON r.grp = k.grp AND r.rn = k.rank""".stripMargin,
     "zorder_bins" ->
       s"""WITH stats AS (
          |  SELECT MIN(l_partkey) AS a_min, MAX(l_partkey) AS a_max,

@@ -165,6 +165,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(CurationOps.allocSelect(emptyDocs).count() == 0)
     assert(DataLayoutOps.exactQuantiles(
       emptyDocs.selectExpr("doc_id AS v"), "v").count() == 0)
+    assert(DataLayoutOps.exactQuantilesBy(
+      emptyDocs.selectExpr("lang", "doc_id AS v"), "lang", "v").count() == 0)
   }
 
   test("as-of join with an empty right side left-joins nulls, empty left is empty") {

@@ -286,4 +286,24 @@ class RetrievalLayoutSpec extends SparkSpec {
     assert(gc.collect().forall(_.getAs[Long]("value") == 42L))
     assert(gc.count() == 3)
   }
+
+  test("grouped exact quantiles: per-group census equals per-group total-sort, groups independent") {
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("g"),
+        (col("l_orderkey") * col("l_linenumber")).cast("long").as("x"))
+    val qs = Seq(25, 50, 99)
+    val got = graft.operators.DataLayoutOps.exactQuantilesBy(li, "g", "x", qs)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Int]("q_e2")) ->
+        r.getAs[Long]("value")).toMap
+    val groups = li.select("g").distinct().collect().map(_.getString(0))
+    assert(got.size == groups.length * qs.length, "one row per (group, q)")
+    for (g <- groups) {
+      val sorted = li.filter(col("g") === g).orderBy("x").collect().map(_.getLong(1))
+      for (q <- qs) {
+        val rank = (q.toLong * sorted.length + 99) / 100
+        assert(got((g, q)) == sorted((rank - 1).toInt),
+          s"group $g q=$q: grouped census != that group's total-sort value")
+      }
+    }
+  }
 }
