@@ -270,6 +270,114 @@ object DataLayoutOps {
       .filter(col("n_shared_keys") > 0)
   }
 
+  /** Exact corpus-wide rank-statistic quantiles WITHOUT a total sort:
+    * value_at_rank(ceil(q·n/100)) — the lower rank statistic, so every
+    * emitted value is an ACTUAL data value and integer-exact in both
+    * engines (no interpolation). [[AnalyzerOps.sizePercentiles]]'s
+    * `percentile` interpolates and buffers each group's values in
+    * memory; `percentile_approx` trades exactness for scale. This is
+    * the third option the reference's analyzer reports would need at
+    * corpus scale: exact AND distributed. NULL values are excluded from
+    * the population (count and ranks) — the contract the oracle mirrors.
+    *
+    * The census pattern, order-preserving variant: a broadcast
+    * (lo, hi) row maps values into ≤1001 RANGE buckets (integral DIV by
+    * a precomputed width so every intermediate stays in long range —
+    * the input range itself must fit in a long), the small bucket
+    * census + one cumulative window locate each target rank's bucket,
+    * and the rank resolves inside the target buckets over their
+    * DISTINCT-VALUE census (repeated values collapse to one row, so a
+    * bucket holding one hot value — the skew case — resolves in O(1)
+    * rows; the residual concentration case is a bucket dense in
+    * distinct values, bounded by the bucket's range slice, where a
+    * recursive re-census is the documented extension). Linear passes
+    * only; no global `ORDER BY` whose final merge serializes. */
+  def exactQuantiles(df: DataFrame, valueCol: String,
+      qsE2: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val t = df.select(col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+    val bounds = t.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val bucketed = t.crossJoin(broadcast(bounds))
+      .withColumn("bkt", expr("(v - lo) DIV ((hi - lo) DIV 1000L + 1L)"))
+      .select("v", "bkt")
+    val census = bucketed.groupBy("bkt").agg(count(lit(1)).as("c"))
+    val wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val cum = census.withColumn("cum_before",
+      coalesce(sum(col("c")).over(wb), lit(0L)))
+    // n_total from the census itself — no second corpus aggregation
+    val totals = cum.agg(sum(col("c")).as("n_total"))
+    // one row per requested quantile: its global target rank (integer
+    // ceil, mirrored by the oracle's `//`), then the bucket holding it
+    val targets = totals
+      .select(col("n_total"), explode(lit(qsE2.toArray)).as("q_e2"))
+      .withColumn("rank", expr("(q_e2 * n_total + 99L) DIV 100L"))
+      .join(broadcast(cum),
+        col("cum_before") < col("rank") && col("rank") <= col("cum_before") + col("c"))
+      .select(col("q_e2"), col("rank"), col("n_total"), col("bkt"),
+        (col("rank") - col("cum_before")).as("in_bkt_rank"))
+    // resolve on the target bucket's distinct-value census (distributed
+    // groupBy; the window sees one row per distinct value, not per row)
+    val vcensus = bucketed.join(broadcast(targets), Seq("bkt"))
+      .groupBy("q_e2", "rank", "n_total", "in_bkt_rank", "v")
+      .agg(count(lit(1)).as("cv"))
+    val wv = Window.partitionBy("q_e2").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    vcensus.withColumn("cum_v", coalesce(sum(col("cv")).over(wv), lit(0L)))
+      .filter(col("cum_v") < col("in_bkt_rank") &&
+        col("in_bkt_rank") <= col("cum_v") + col("cv"))
+      .select(col("q_e2"), col("rank"), col("n_total"), col("v").as("value"))
+  }
+
+  /** Per-GROUP exact quantiles — the scale path that replaces
+    * `percentile`'s per-group value buffering (it holds every group
+    * value in executor memory; a skewed group OOMs) with
+    * [[exactQuantiles]]'s census: per-group (lo, hi) bounds join back
+    * by group, the (group, bucket) census is small PER GROUP with the
+    * cumulative window partitioned BY GROUP, and each group's target
+    * buckets resolve over their distinct-value census. Same rank
+    * statistic, same integral arithmetic, same NULL-exclusion contract
+    * (null groups and null values are dropped) — the emitted value is
+    * an actual group value in both engines.
+    *
+    * Intended for BOUNDED group columns (lang, source, table — report
+    * dimensions): the broadcast frames are |groups|- and census-sized.
+    * For a high-cardinality group key drop to [[skewCensus]]-style
+    * shuffled joins instead — a broadcast hint there would be the
+    * scale-killer the plan gates exist to reject. */
+  def exactQuantilesBy(df: DataFrame, groupCol: String, valueCol: String,
+      qsE2: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val t = df.select(col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
+      .filter(col("grp").isNotNull && col("v").isNotNull)
+    val bounds = t.groupBy("grp").agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val bucketed = t.join(broadcast(bounds), Seq("grp"))
+      .withColumn("bkt", expr("(v - lo) DIV ((hi - lo) DIV 1000L + 1L)"))
+      .select("grp", "v", "bkt")
+    val census = bucketed.groupBy("grp", "bkt").agg(count(lit(1)).as("c"))
+    val wb = Window.partitionBy("grp").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = census.withColumn("cum_before",
+      coalesce(sum(col("c")).over(wb), lit(0L)))
+    val totals = cum.groupBy("grp").agg(sum(col("c")).as("n_total"))
+    val targets = totals
+      .select(col("grp"), col("n_total"), explode(lit(qsE2.toArray)).as("q_e2"))
+      .withColumn("rank", expr("(q_e2 * n_total + 99L) DIV 100L"))
+      .join(broadcast(cum), Seq("grp"))
+      .filter(col("cum_before") < col("rank") &&
+        col("rank") <= col("cum_before") + col("c"))
+      .select(col("grp"), col("q_e2"), col("rank"), col("n_total"), col("bkt"),
+        (col("rank") - col("cum_before")).as("in_bkt_rank"))
+    val vcensus = bucketed.join(broadcast(targets), Seq("grp", "bkt"))
+      .groupBy("grp", "q_e2", "rank", "n_total", "in_bkt_rank", "v")
+      .agg(count(lit(1)).as("cv"))
+    val wv = Window.partitionBy("grp", "q_e2").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    vcensus.withColumn("cum_v", coalesce(sum(col("cv")).over(wv), lit(0L)))
+      .filter(col("cum_v") < col("in_bkt_rank") &&
+        col("in_bkt_rank") <= col("cum_v") + col("cv"))
+      .select(col("grp").as(groupCol), col("q_e2"), col("rank"),
+        col("n_total"), col("v").as("value"))
+  }
+
   /** Z-order-clustered rewrite: range-partition on the morton code into
     * `numFiles` files, sorted within each, written through the connector
     * seam. Each output file then covers one contiguous z-range — a
@@ -280,102 +388,6 @@ object DataLayoutOps {
     * the lakehouse OPTIMIZE ZORDER contract. Returns the written
     * row count (recounted from the destination, [[graft.sources.BulkOps]]
     * write-verification convention). */
-  /** Exact corpus-wide rank-statistic quantiles WITHOUT a total sort:
-    * value_at_rank(ceil(q·n/100)) — the lower rank statistic, so every
-    * emitted value is an ACTUAL data value and integer-exact in both
-    * engines (no interpolation). [[AnalyzerOps.sizePercentiles]]'s
-    * `percentile` interpolates and buffers each group's values in
-    * memory; `percentile_approx` trades exactness for scale. This is
-    * the third option the reference's analyzer reports would need at
-    * corpus scale: exact AND distributed.
-    *
-    * The census pattern, order-preserving variant: a broadcast
-    * (lo, hi, n) row maps values into ≤1000 RANGE buckets, the
-    * ≤1000-row bucket census + one cumulative window locate each
-    * target rank's bucket, and only the target buckets' rows (~0.1% of
-    * the corpus each) are ranked exactly — linear passes only, nothing
-    * corpus-sized through one task, unlike a global `ORDER BY` whose
-    * final merge serializes. */
-  def exactQuantiles(df: DataFrame, valueCol: String,
-      qsE2: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
-    val t = df.select(col(valueCol).cast("long").as("v"))
-    val bounds = t.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
-      count(lit(1)).as("n_total"))
-    // integral DIV keeps the bucket fold exact at any long magnitude
-    // (a double quotient loses integer exactness past 2^52)
-    val bucketed = t.crossJoin(broadcast(bounds))
-      .withColumn("bkt",
-        when(col("hi") === col("lo"), lit(0L))
-          .otherwise(expr("((v - lo) * 1000L) DIV (hi - lo + 1L)")))
-      .select("v", "bkt")
-    val census = bucketed.groupBy("bkt").agg(count(lit(1)).as("c"))
-    val wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    val cum = census.withColumn("cum_before",
-      coalesce(sum(col("c")).over(wb), lit(0L)))
-    // one row per requested quantile: its global target rank (integer
-    // ceil, mirrored by the oracle's `//`), then the bucket holding it
-    val targets = bounds
-      .select(col("n_total"), explode(lit(qsE2.toArray)).as("q_e2"))
-      .withColumn("rank", expr("(q_e2 * n_total + 99L) DIV 100L"))
-      .join(broadcast(cum),
-        col("cum_before") < col("rank") && col("rank") <= col("cum_before") + col("c"))
-      .select(col("q_e2"), col("rank"), col("n_total"), col("bkt"),
-        (col("rank") - col("cum_before")).as("in_bkt_rank"))
-    // exact rank inside the target bucket only; ties in v are harmless
-    // (sorting a multiset by value makes position → value deterministic)
-    val wv = Window.partitionBy("q_e2").orderBy("v")
-    bucketed.join(broadcast(targets), Seq("bkt"))
-      .withColumn("rn", row_number().over(wv))
-      .filter(col("rn") === col("in_bkt_rank"))
-      .select(col("q_e2"), col("rank"), col("n_total"), col("v").as("value"))
-  }
-
-  /** Per-GROUP exact quantiles — the scale path that replaces
-    * `percentile`'s per-group value buffering (it holds every group
-    * value in executor memory; a skewed group OOMs) with
-    * [[exactQuantiles]]'s census: per-group (lo, hi, n) bounds join
-    * back by group, the (group, bucket) census is ≤1000 rows PER GROUP
-    * with the cumulative window partitioned BY GROUP, and each group's
-    * target buckets resolve exactly over ~0.1% of that group's rows.
-    * Same rank statistic, same integral arithmetic — the emitted value
-    * is an actual group value in both engines.
-    *
-    * Intended for BOUNDED group columns (lang, source, table — report
-    * dimensions): the broadcast frames are |groups| and ≤|groups|·1000
-    * rows. For a high-cardinality group key drop to [[skewCensus]]-style
-    * shuffled joins instead — a broadcast hint there would be the
-    * scale-killer the plan gates exist to reject. */
-  def exactQuantilesBy(df: DataFrame, groupCol: String, valueCol: String,
-      qsE2: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
-    val t = df.select(col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
-    val bounds = t.groupBy("grp").agg(min(col("v")).as("lo"),
-      max(col("v")).as("hi"), count(lit(1)).as("n_total"))
-    val bucketed = t.join(broadcast(bounds), Seq("grp"))
-      .withColumn("bkt",
-        when(col("hi") === col("lo"), lit(0L))
-          .otherwise(expr("((v - lo) * 1000L) DIV (hi - lo + 1L)")))
-      .select("grp", "v", "bkt")
-    val census = bucketed.groupBy("grp", "bkt").agg(count(lit(1)).as("c"))
-    val wb = Window.partitionBy("grp").orderBy("bkt")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = census.withColumn("cum_before",
-      coalesce(sum(col("c")).over(wb), lit(0L)))
-    val targets = bounds
-      .select(col("grp"), col("n_total"), explode(lit(qsE2.toArray)).as("q_e2"))
-      .withColumn("rank", expr("(q_e2 * n_total + 99L) DIV 100L"))
-      .join(broadcast(cum), Seq("grp"))
-      .filter(col("cum_before") < col("rank") &&
-        col("rank") <= col("cum_before") + col("c"))
-      .select(col("grp"), col("q_e2"), col("rank"), col("n_total"), col("bkt"),
-        (col("rank") - col("cum_before")).as("in_bkt_rank"))
-    val wv = Window.partitionBy("grp", "q_e2").orderBy("v")
-    bucketed.join(broadcast(targets), Seq("grp", "bkt"))
-      .withColumn("rn", row_number().over(wv))
-      .filter(col("rn") === col("in_bkt_rank"))
-      .select(col("grp").as(groupCol), col("q_e2"), col("rank"),
-        col("n_total"), col("v").as("value"))
-  }
-
   def writeZordered(
       df: DataFrame, colA: String, colB: String,
       destPath: String, numFiles: Int = 8): Long = {

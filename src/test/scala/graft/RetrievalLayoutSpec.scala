@@ -285,6 +285,25 @@ class RetrievalLayoutSpec extends SparkSpec {
     val gc = graft.operators.DataLayoutOps.exactQuantiles(const, "x")
     assert(gc.collect().forall(_.getAs[Long]("value") == 42L))
     assert(gc.count() == 3)
+    // skew: one extreme outlier squeezes ~all mass into bucket 0, and a
+    // hot repeated value dominates it — the distinct-value census must
+    // still place the ranks exactly (this is the case a per-row window
+    // would funnel through one task)
+    val skew = (Seq.fill(500)(7L) ++ (1L to 100L) ++ Seq(1000000000000L)).toDF("x")
+    val gs = graft.operators.DataLayoutOps.exactQuantiles(skew, "x", Seq(50, 99, 100))
+      .collect().map(r => r.getAs[Int]("q_e2") -> r.getAs[Long]("value")).toMap
+    val sortedSkew = (Seq.fill(500)(7L) ++ (1L to 100L) ++ Seq(1000000000000L)).sorted
+    for (q <- Seq(50, 99, 100)) {
+      val rank = (q.toLong * sortedSkew.length + 99) / 100
+      assert(gs(q) == sortedSkew((rank - 1).toInt), s"skew q=$q")
+    }
+    // nulls are excluded from the population entirely
+    val withNulls = (Seq.fill(5)(Some(10L)) ++ Seq.fill(5)(None) ++ Seq(Some(20L)))
+      .toDF("x")
+    val gn = graft.operators.DataLayoutOps.exactQuantiles(withNulls, "x", Seq(50, 100))
+      .collect().map(r => r.getAs[Int]("q_e2") -> (r.getAs[Long]("rank"), r.getAs[Long]("n_total"), r.getAs[Long]("value"))).toMap
+    assert(gn(50) == ((3L, 6L, 10L)) && gn(100) == ((6L, 6L, 20L)),
+      s"null exclusion: $gn")
   }
 
   test("grouped exact quantiles: per-group census equals per-group total-sort, groups independent") {
