@@ -356,6 +356,14 @@ object LmOps {
     * convention matches [[CurationOps.tokenBudgetBoundary]]: a doc is
     * kept iff the budget is not exhausted BEFORE it, so the boundary
     * doc itself is taken. */
+  /** The band projection over an (imp_e6, lo, hi) frame: integral DIV
+    * (the [[DataLayoutOps.exactQuantiles]] convention), NOT Column `/` —
+    * true division yields a fractional DOUBLE, one band per distinct
+    * imp_e6, and the ≤1000 bound would be a no-op. qband is a LONG in
+    * [0, 1000), monotone in imp_e6, equal imps share a band. */
+  private[graft] def qbandCol: org.apache.spark.sql.Column =
+    expr("((imp_e6 - lo) * 1000L) DIV (hi - lo + 1L)")
+
   def dsirSelect(docs: DataFrame, budgetTokens: Long = 10000L): DataFrame = {
     // cached: read by the bounds scalar and the qband projection (and
     // measured faster than recomputing off the cached dsirWeights)
@@ -369,8 +377,7 @@ object LmOps {
     val bounds = sel.agg(min(col("imp_e6")).as("lo"), max(col("imp_e6")).as("hi"))
     val withQ = graft.Caching.maybeCache(
       sel.crossJoin(broadcast(bounds))
-        .withColumn("qband",
-          (col("imp_e6") - col("lo")) * 1000L / (col("hi") - col("lo") + 1L))
+        .withColumn("qband", qbandCol)
         .drop("lo", "hi"))
     val census = withQ.groupBy("qband").agg(sum(col("n_toks")).as("band_tokens"))
     val wb = Window.orderBy(col("qband").desc).rowsBetween(Window.unboundedPreceding, -1)

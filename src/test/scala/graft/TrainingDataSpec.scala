@@ -265,6 +265,26 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("dsir_select qband is integral and ≤1000 distinct even with all-distinct imps") {
+    import graft.operators.LmOps
+    import org.apache.spark.sql.types.LongType
+    // 50k DISTINCT imp_e6 values over a wide range: the census the
+    // cumulative window runs on must still be ≤1000 rows — the bound is
+    // BY CONSTRUCTION, not a property of the data (true division here
+    // would give one band per distinct imp: the r9 ADVICE regression)
+    val wide = spark.range(50000)
+      .select((col("id") * 7919L + 13L).as("imp_e6"))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(
+        spark.range(1).select(lit(13L).as("lo"), lit(49999L * 7919L + 13L).as("hi"))))
+      .select(LmOps.qbandCol.as("qband"))
+    assert(wide.schema("qband").dataType == LongType,
+      "qband must be integral (true division would make it DOUBLE)")
+    val bands = wide.agg(countDistinct(col("qband")).as("n"),
+      min(col("qband")).as("mn"), max(col("qband")).as("mx")).head
+    assert(bands.getLong(0) <= 1000L, s"census not bounded: ${bands.getLong(0)} bands")
+    assert(bands.getLong(1) >= 0L && bands.getLong(2) < 1000L)
+  }
+
   test("kmv sketches: saturated mode is exact, overlap matches true hash-set jaccard") {
     import graft.operators.SketchOps
     import graft.functions.TextFunctions.{stableHash60, tokens}
