@@ -285,21 +285,29 @@ object DataLayoutOps {
     * a precomputed width so every intermediate stays in long range —
     * the input range itself must fit in a long), the small bucket
     * census + one cumulative window locate each target rank's bucket,
-    * and the rank resolves inside the target buckets over their
-    * DISTINCT-VALUE census (repeated values collapse to one row, so a
-    * bucket holding one hot value — the skew case — resolves in O(1)
-    * rows; the residual concentration case is a bucket dense in
-    * distinct values, bounded by the bucket's range slice, where a
-    * recursive re-census is the documented extension). Linear passes
-    * only; no global `ORDER BY` whose final merge serializes. */
+    * then ONE recursion level re-censuses the target bucket into ≤1001
+    * SUB-buckets (sub-width = ceil(width/1000)) before the rank resolves
+    * over the target SUB-bucket's DISTINCT-VALUE census. Repeated values
+    * collapse to one census row (the skew case resolves in O(1) rows);
+    * a bucket DENSE in distinct values — an id-grade column where every
+    * value is distinct, the r9 watch item — now feeds the final window
+    * at most ceil(range/10⁶) rows instead of ceil(range/10³): at any
+    * realistic id range the resolve frame is ≤ thousands of rows through
+    * one window task, and both recursion levels are plan-identical
+    * narrow map + census passes. Linear passes only; no global
+    * `ORDER BY` whose final merge serializes. */
   def exactQuantiles(df: DataFrame, valueCol: String,
       qsE2: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
     val t = df.select(col(valueCol).cast("long").as("v"))
       .filter(col("v").isNotNull)
     val bounds = t.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    // both band levels are computed in the one narrow projection: bkt is
+    // the ≤1001-way range band, subb the ≤1001-way re-census WITHIN bkt
     val bucketed = t.crossJoin(broadcast(bounds))
-      .withColumn("bkt", expr("(v - lo) DIV ((hi - lo) DIV 1000L + 1L)"))
-      .select("v", "bkt")
+      .withColumn("w", expr("(hi - lo) DIV 1000L + 1L"))
+      .withColumn("bkt", expr("(v - lo) DIV w"))
+      .withColumn("subb", expr("(v - lo - bkt * w) DIV ((w - 1L) DIV 1000L + 1L)"))
+      .select("v", "bkt", "subb")
     val census = bucketed.groupBy("bkt").agg(count(lit(1)).as("c"))
     val wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
     val cum = census.withColumn("cum_before",
@@ -315,16 +323,32 @@ object DataLayoutOps {
         col("cum_before") < col("rank") && col("rank") <= col("cum_before") + col("c"))
       .select(col("q_e2"), col("rank"), col("n_total"), col("bkt"),
         (col("rank") - col("cum_before")).as("in_bkt_rank"))
-    // resolve on the target bucket's distinct-value census (distributed
-    // groupBy; the window sees one row per distinct value, not per row)
-    val vcensus = bucketed.join(broadcast(targets), Seq("bkt"))
-      .groupBy("q_e2", "rank", "n_total", "in_bkt_rank", "v")
+    // recursion level: census of the target bucket's ≤1001 sub-buckets
+    // locates the sub-bucket holding the in-bucket rank
+    val sub = bucketed.join(broadcast(targets.select("q_e2", "bkt")), Seq("bkt"))
+      .select("q_e2", "subb", "v")
+    val subCensus = sub.groupBy("q_e2", "subb").agg(count(lit(1)).as("sc"))
+    val ws = Window.partitionBy("q_e2").orderBy("subb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val subTargets = subCensus
+      .withColumn("cum_s", coalesce(sum(col("sc")).over(ws), lit(0L)))
+      .join(broadcast(targets.select("q_e2", "rank", "n_total", "in_bkt_rank")),
+        Seq("q_e2"))
+      .filter(col("cum_s") < col("in_bkt_rank") &&
+        col("in_bkt_rank") <= col("cum_s") + col("sc"))
+      .select(col("q_e2"), col("rank"), col("n_total"), col("subb"),
+        (col("in_bkt_rank") - col("cum_s")).as("in_sub_rank"))
+    // resolve on the target SUB-bucket's distinct-value census
+    // (distributed groupBy; the window sees one row per distinct value
+    // of a 1/10⁶ range slice, not per row)
+    val vcensus = sub.join(broadcast(subTargets), Seq("q_e2", "subb"))
+      .groupBy("q_e2", "rank", "n_total", "in_sub_rank", "v")
       .agg(count(lit(1)).as("cv"))
     val wv = Window.partitionBy("q_e2").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, -1)
     vcensus.withColumn("cum_v", coalesce(sum(col("cv")).over(wv), lit(0L)))
-      .filter(col("cum_v") < col("in_bkt_rank") &&
-        col("in_bkt_rank") <= col("cum_v") + col("cv"))
+      .filter(col("cum_v") < col("in_sub_rank") &&
+        col("in_sub_rank") <= col("cum_v") + col("cv"))
       .select(col("q_e2"), col("rank"), col("n_total"), col("v").as("value"))
   }
 
@@ -341,17 +365,39 @@ object DataLayoutOps {
     *
     * Intended for BOUNDED group columns (lang, source, table — report
     * dimensions): the broadcast frames are |groups|- and census-sized.
-    * For a high-cardinality group key drop to [[skewCensus]]-style
-    * shuffled joins instead — a broadcast hint there would be the
-    * scale-killer the plan gates exist to reject. */
+    * For a high-cardinality group key use [[exactQuantilesByShuffled]]
+    * — same algebra with every census join shuffled on the group key;
+    * a broadcast hint there would be the scale-killer the plan gates
+    * exist to reject. */
   def exactQuantilesBy(df: DataFrame, groupCol: String, valueCol: String,
-      qsE2: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+      qsE2: Seq[Int] = Seq(50, 90, 99)): DataFrame =
+    exactQuantilesByImpl(df, groupCol, valueCol, qsE2, bcast = true)
+
+  /** The high-cardinality-group twin of [[exactQuantilesBy]]: identical
+    * census algebra and identical output, but every (lo, hi) / census /
+    * target frame joins back to the rows by SHUFFLE on the group key
+    * (`shuffle_hash` hints pin the strategy past AQE's auto-broadcast) —
+    * a |groups|-sized broadcast of a user_id-grade key would be the
+    * driver-memory killer. All shuffles share one key (grp), so at
+    * 1000 executors the frames co-partition; the cumulative windows were
+    * already group-partitioned in both variants. */
+  def exactQuantilesByShuffled(df: DataFrame, groupCol: String, valueCol: String,
+      qsE2: Seq[Int] = Seq(50, 90, 99)): DataFrame =
+    exactQuantilesByImpl(df, groupCol, valueCol, qsE2, bcast = false)
+
+  private def exactQuantilesByImpl(df: DataFrame, groupCol: String,
+      valueCol: String, qsE2: Seq[Int], bcast: Boolean): DataFrame = {
+    // the one dial between the bounded-group and high-cardinality-group
+    // variants: how a small per-group frame meets the rows again
+    val side = (d: DataFrame) => if (bcast) broadcast(d) else d.hint("shuffle_hash")
     val t = df.select(col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
       .filter(col("grp").isNotNull && col("v").isNotNull)
     val bounds = t.groupBy("grp").agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
-    val bucketed = t.join(broadcast(bounds), Seq("grp"))
-      .withColumn("bkt", expr("(v - lo) DIV ((hi - lo) DIV 1000L + 1L)"))
-      .select("grp", "v", "bkt")
+    val bucketed = t.join(side(bounds), Seq("grp"))
+      .withColumn("w", expr("(hi - lo) DIV 1000L + 1L"))
+      .withColumn("bkt", expr("(v - lo) DIV w"))
+      .withColumn("subb", expr("(v - lo - bkt * w) DIV ((w - 1L) DIV 1000L + 1L)"))
+      .select("grp", "v", "bkt", "subb")
     val census = bucketed.groupBy("grp", "bkt").agg(count(lit(1)).as("c"))
     val wb = Window.partitionBy("grp").orderBy("bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -361,19 +407,34 @@ object DataLayoutOps {
     val targets = totals
       .select(col("grp"), col("n_total"), explode(lit(qsE2.toArray)).as("q_e2"))
       .withColumn("rank", expr("(q_e2 * n_total + 99L) DIV 100L"))
-      .join(broadcast(cum), Seq("grp"))
+      .join(side(cum), Seq("grp"))
       .filter(col("cum_before") < col("rank") &&
         col("rank") <= col("cum_before") + col("c"))
       .select(col("grp"), col("q_e2"), col("rank"), col("n_total"), col("bkt"),
         (col("rank") - col("cum_before")).as("in_bkt_rank"))
-    val vcensus = bucketed.join(broadcast(targets), Seq("grp", "bkt"))
-      .groupBy("grp", "q_e2", "rank", "n_total", "in_bkt_rank", "v")
+    // recursion level: the target bucket's ≤1001-way sub-bucket census
+    val sub = bucketed.join(side(targets.select("grp", "q_e2", "bkt")),
+        Seq("grp", "bkt"))
+      .select("grp", "q_e2", "subb", "v")
+    val subCensus = sub.groupBy("grp", "q_e2", "subb").agg(count(lit(1)).as("sc"))
+    val ws = Window.partitionBy("grp", "q_e2").orderBy("subb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val subTargets = subCensus
+      .withColumn("cum_s", coalesce(sum(col("sc")).over(ws), lit(0L)))
+      .join(side(targets.select("grp", "q_e2", "rank", "n_total", "in_bkt_rank")),
+        Seq("grp", "q_e2"))
+      .filter(col("cum_s") < col("in_bkt_rank") &&
+        col("in_bkt_rank") <= col("cum_s") + col("sc"))
+      .select(col("grp"), col("q_e2"), col("rank"), col("n_total"), col("subb"),
+        (col("in_bkt_rank") - col("cum_s")).as("in_sub_rank"))
+    val vcensus = sub.join(side(subTargets), Seq("grp", "q_e2", "subb"))
+      .groupBy("grp", "q_e2", "rank", "n_total", "in_sub_rank", "v")
       .agg(count(lit(1)).as("cv"))
     val wv = Window.partitionBy("grp", "q_e2").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, -1)
     vcensus.withColumn("cum_v", coalesce(sum(col("cv")).over(wv), lit(0L)))
-      .filter(col("cum_v") < col("in_bkt_rank") &&
-        col("in_bkt_rank") <= col("cum_v") + col("cv"))
+      .filter(col("cum_v") < col("in_sub_rank") &&
+        col("in_sub_rank") <= col("cum_v") + col("cv"))
       .select(col("grp").as(groupCol), col("q_e2"), col("rank"),
         col("n_total"), col("v").as("value"))
   }
@@ -421,7 +482,17 @@ object DataLayoutPack extends QueryPack {
     "len_quantiles_lang" -> ((s, d) => DataLayoutOps.exactQuantilesBy(
       Tables.documents(s, d).select(col("lang"),
         size(graft.functions.TextFunctions.tokens(col("text"))).as("n_toks")),
-      "lang", "n_toks"))
+      "lang", "n_toks")),
+    // dense-distinct adversary: every doc_id is distinct, so each range
+    // bucket holds ~n/1000 distinct values — exercises the recursion level
+    "id_quantiles" -> ((s, d) => DataLayoutOps.exactQuantiles(
+      Tables.documents(s, d), "doc_id")),
+    // user_id-grade group column through the SHUFFLED twin (floor(·100)
+    // — a double→long CAST rounds differently across engines, floor not)
+    "len_quantiles_user" -> ((s, d) => DataLayoutOps.exactQuantilesByShuffled(
+      Tables.events(s, d).select(col("user_id"),
+        floor(col("value") * 100).cast("long").as("value_e2")),
+      "user_id", "value_e2"))
   )
 
   /** The morton spread as literal SQL (same masks, `&`/`|`/`<<` on
@@ -459,6 +530,23 @@ object DataLayoutPack extends QueryPack {
          |r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM t)
          |SELECT k.q_e2, k.rank, k.n_total, r.v AS value
          |FROM k JOIN r ON r.rn = k.rank""".stripMargin,
+    "id_quantiles" ->
+      s"""WITH t AS (SELECT doc_id AS v FROM documents),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM t),
+         |qs AS (SELECT unnest([50, 90, 99]) AS q_e2),
+         |k AS (SELECT q_e2, (q_e2 * n_total + 99) // 100 AS rank, n_total FROM qs, tot),
+         |r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM t)
+         |SELECT k.q_e2, k.rank, k.n_total, r.v AS value
+         |FROM k JOIN r ON r.rn = k.rank""".stripMargin,
+    "len_quantiles_user" ->
+      s"""WITH t AS (SELECT user_id AS grp, CAST(FLOOR(value * 100) AS BIGINT) AS v
+         |           FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+         |tot AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_total FROM t GROUP BY grp),
+         |qs AS (SELECT unnest([50, 90, 99]) AS q_e2),
+         |k AS (SELECT tot.grp, q_e2, (q_e2 * n_total + 99) // 100 AS rank, n_total FROM qs, tot),
+         |r AS (SELECT grp, v, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v) AS rn FROM t)
+         |SELECT k.grp AS user_id, k.q_e2, k.rank, k.n_total, r.v AS value
+         |FROM k JOIN r ON r.grp = k.grp AND r.rn = k.rank""".stripMargin,
     "len_quantiles_lang" ->
       s"""WITH t AS (SELECT lang AS grp, CAST(len(string_split(text, ' ')) AS BIGINT) AS v FROM documents),
          |tot AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_total FROM t GROUP BY grp),

@@ -167,6 +167,8 @@ class EmptyInputSpec extends SparkSpec {
       emptyDocs.selectExpr("doc_id AS v"), "v").count() == 0)
     assert(DataLayoutOps.exactQuantilesBy(
       emptyDocs.selectExpr("lang", "doc_id AS v"), "lang", "v").count() == 0)
+    assert(DataLayoutOps.exactQuantilesByShuffled(
+      emptyDocs.selectExpr("lang", "doc_id AS v"), "lang", "v").count() == 0)
   }
 
   test("as-of join with an empty right side left-joins nulls, empty left is empty") {

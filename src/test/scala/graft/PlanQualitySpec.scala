@@ -383,6 +383,26 @@ class PlanQualitySpec extends SparkSpec {
       s"target buckets must reach the corpus by broadcast:\n$plan")
   }
 
+  test("id quantiles (dense-distinct adversary): still census-shaped, never a corpus sort") {
+    spark.catalog.clearCache()
+    val plan = physical(SparkEntry.queries("id_quantiles")(spark, sf))
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"exact quantiles must never total-order the corpus:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"target (sub-)buckets must reach the corpus by broadcast:\n$plan")
+  }
+
+  test("shuffled quantiles twin: NO broadcast anywhere — every census join shuffles on grp") {
+    spark.catalog.clearCache()
+    val plan = physical(SparkEntry.queries("len_quantiles_user")(spark, sf))
+    assert(!plan.contains("BroadcastExchange") && !plan.contains("BroadcastHashJoin"),
+      s"a |groups|-sized broadcast of a user_id-grade key is the scale-killer " +
+        s"this twin exists to avoid:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"must never total-order the corpus:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in len_quantiles_user:\n$plan")
+  }
+
   test("cms sketch: the probe joins the d·w-row sketch by broadcast, counters combine map-side") {
     spark.catalog.clearCache()
     val plan = physical(SparkEntry.queries("cms_freq")(spark, sf))

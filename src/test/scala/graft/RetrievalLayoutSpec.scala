@@ -306,6 +306,31 @@ class RetrievalLayoutSpec extends SparkSpec {
       s"null exclusion: $gn")
   }
 
+  test("exact quantiles dense-distinct adversary: all-distinct id column resolves through the sub-census") {
+    // the r9 watch item: every value distinct, range ≈ n, so EVERY range
+    // bucket is dense in distinct values (~n/1000 each). The recursion
+    // level must shrink the resolve frame to a 1/10⁶ range slice and the
+    // answer must still be the exact rank statistic.
+    val ids = spark.range(0, 60000).select((col("id") * 3L + 1L).as("x"))
+    val qs = Seq(1, 50, 99, 100)
+    val got = graft.operators.DataLayoutOps.exactQuantiles(ids, "x", qs)
+      .collect().map(r => r.getAs[Int]("q_e2") -> r.getAs[Long]("value")).toMap
+    for (q <- qs) {
+      val rank = (q.toLong * 60000 + 99) / 100
+      assert(got(q) == (rank - 1) * 3L + 1L, s"dense-distinct q=$q")
+    }
+  }
+
+  test("shuffled grouped quantiles twin: row-identical to the broadcast variant") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), floor(col("value") * 100).cast("long").as("v"))
+    val a = graft.operators.DataLayoutOps.exactQuantilesBy(ev, "user_id", "v")
+    val b = graft.operators.DataLayoutOps.exactQuantilesByShuffled(ev, "user_id", "v")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "shuffled twin must produce the identical result set")
+    assert(a.count() > 0)
+  }
+
   test("grouped exact quantiles: per-group census equals per-group total-sort, groups independent") {
     val li = graft.sources.Tables.lineitem(spark, sf)
       .select(col("l_returnflag").as("g"),
