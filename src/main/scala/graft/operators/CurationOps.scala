@@ -687,14 +687,28 @@ object CurationOps {
     *
     * Shape at 100 TB: one token-count groupBy builds the per-source
     * frame; everything after runs on |sources| rows (windows, prefix
-    * sums, one broadcast scalar join). Default weights are equal;
-    * `budgetPct` sets B as a percentage of the corpus total. */
-  def tokenAllocation(docs: DataFrame, budgetPct: Long = 50L): DataFrame = {
-    val supply = docs
+    * sums, one broadcast scalar join). `budgetPct` sets B as a
+    * percentage of the corpus total. `weights` is the public mixture
+    * dial (the contamination-membership convention: a DataFrame
+    * parameter, columns `(source, w)`): real mixtures weight sources
+    * unequally, so λ·w_i spreads the unsaturated budget in weight
+    * proportion. Sources absent from the frame (and the equal-weights
+    * default, `None`) get w = 1; weights are clamped to ≥ 1 — the
+    * positive-integer contract every prefix cross-product relies on. */
+  def tokenAllocation(docs: DataFrame, budgetPct: Long = 50L,
+      weights: Option[DataFrame] = None): DataFrame = {
+    val supply0 = docs
       .select(col("source"), size(tokens(col("text"))).cast("long").as("n"))
       .groupBy("source")
       .agg(sum(col("n")).as("s"))
-      .withColumn("w", lit(1L))
+    val supply = weights match {
+      case None => supply0.withColumn("w", lit(1L))
+      case Some(wdf) => supply0
+        .join(broadcast(wdf.select(col("source"), col("w").cast("long").as("w0"))),
+          Seq("source"), "left")
+        .withColumn("w", greatest(coalesce(col("w0"), lit(1L)), lit(1L)))
+        .drop("w0")
+    }
     val totals = supply.agg(
       sum(col("s")).as("st"), sum(col("w")).as("wt"))
     val withB = supply.crossJoin(broadcast(totals))
@@ -738,8 +752,9 @@ object CurationOps {
     * construction) broadcasts back onto the per-doc pass, and only the
     * ≤1-per-source `partial` buckets (~0.1% of each source) resolve
     * exactly within the bucket. */
-  def allocSelect(docs: DataFrame, budgetPct: Long = 50L): DataFrame = {
-    val alloc = tokenAllocation(docs, budgetPct)
+  def allocSelect(docs: DataFrame, budgetPct: Long = 50L,
+      weights: Option[DataFrame] = None): DataFrame = {
+    val alloc = tokenAllocation(docs, budgetPct, weights)
       .select(col("source"), col("alloc_tokens"))
     val t = docs.select(
       col("doc_id"), col("source"),
@@ -1168,6 +1183,10 @@ object CurationPack extends QueryPack {
     // 99% budget: small sources saturate, so the oracle exercises the
     // water-level prefix logic, not just the proportional branch
     "mix_alloc99" -> ((s, dir) => CurationOps.tokenAllocation(d(s, dir), budgetPct = 99L)),
+    "mix_alloc_w" -> ((s, dir) => CurationOps.tokenAllocation(d(s, dir),
+      weights = Some(CurationPack.weightsFixtureDf(s)))),
+    "alloc_select_w" -> ((s, dir) => CurationOps.allocSelect(d(s, dir),
+      weights = Some(CurationPack.weightsFixtureDf(s)))),
     "alloc_select" -> ((s, dir) => CurationOps.allocSelect(d(s, dir))),
     // 20% budget: no source saturates, every source gets a partial
     // bucket — the boundary-resolution path in every partition
@@ -1236,10 +1255,11 @@ object CurationPack extends QueryPack {
     * `budgetPct` knob is — shared VERBATIM by [[mixAllocSql]] and
     * [[allocSelectSql]] so the formula can only ever change in one
     * place. */
-  private def waterFillCtes(pct: Long): String =
+  private def waterFillCtes(pct: Long,
+      wExpr: String = "CAST(1 AS BIGINT)"): String =
     s"""sup AS (
        |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS s,
-       |         CAST(1 AS BIGINT) AS w
+       |         $wExpr AS w
        |  FROM documents GROUP BY source
        |),
        |tot AS (SELECT CAST(SUM(s) AS BIGINT) AS st, CAST(SUM(w) AS BIGINT) AS wt FROM sup),
@@ -1272,16 +1292,31 @@ object CurationPack extends QueryPack {
        |  FROM flg, sat
        |)""".stripMargin
 
+  /** The skewed-weights fixture for the `_w` twins: src0 5×, src1 3×,
+    * everything else the default 1 — also rendered as the oracle's CASE. */
+  private[graft] val WeightsFixture: Seq[(String, Long)] =
+    Seq("src0" -> 5L, "src1" -> 3L)
+
+  private[graft] def weightsFixtureDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    WeightsFixture.toDF("source", "w")
+  }
+
+  private def weightsFixtureSql: String =
+    "CAST(CASE source " +
+      WeightsFixture.map { case (src, w) => s"WHEN '$src' THEN $w" }.mkString(" ") +
+      " ELSE 1 END AS BIGINT)"
+
   /** Water-filling allocation mirrored in SQL. */
-  private def mixAllocSql(pct: Long): String =
-    s"""WITH ${waterFillCtes(pct)}
+  private def mixAllocSql(pct: Long, wExpr: String = "CAST(1 AS BIGINT)"): String =
+    s"""WITH ${waterFillCtes(pct, wExpr)}
        |SELECT source, n_tokens, weight, saturated, alloc_tokens FROM alloc""".stripMargin
 
   /** Mirrors [[CurationOps.allocSelect]]: the shared water-fill chain,
     * then the per-(source, bucket) census verdicts and the
     * within-partial-bucket greedy boundary. */
-  private def allocSelectSql(pct: Long): String =
-    s"""WITH ${waterFillCtes(pct)},
+  private def allocSelectSql(pct: Long, wExpr: String = "CAST(1 AS BIGINT)"): String =
+    s"""WITH ${waterFillCtes(pct, wExpr)},
        |t AS (
        |  SELECT doc_id, source,
        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
@@ -1402,6 +1437,8 @@ object CurationPack extends QueryPack {
         |SELECT doc_id, lang, bucket FROM b WHERE bucket < rate""".stripMargin,
     "mix_alloc" -> mixAllocSql(50L),
     "mix_alloc99" -> mixAllocSql(99L),
+    "mix_alloc_w" -> mixAllocSql(50L, weightsFixtureSql),
+    "alloc_select_w" -> allocSelectSql(50L, weightsFixtureSql),
     "alloc_select" -> allocSelectSql(50L),
     "alloc_select20" -> allocSelectSql(20L),
     "temp_mix" -> tempMixSql("sqrt(n_tokens / CAST(total AS DOUBLE))"),

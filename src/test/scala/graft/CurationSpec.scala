@@ -448,6 +448,42 @@ class CurationSpec extends SparkSpec {
     assert(fx.forall(r => r.getAs[Long]("alloc_tokens") <= r.getAs[Long]("n_tokens")))
   }
 
+  test("token allocation with skewed weights: unsaturated budget splits in weight proportion") {
+    val s = spark
+    import s.implicits._
+    val docs = (
+      Seq((1L, "a b c d e", "en", "tiny")) ++
+        (2L to 21L).map(i => (i, ("tok " * 50).trim, "en", "big1")) ++
+        (22L to 41L).map(i => (i, ("tok " * 50).trim, "en", "big2"))
+      ).toDF("doc_id", "text", "lang", "source")
+    // big1 3×, big2 default 1 (absent from the frame), tiny default 1
+    val w = Seq(("big1", 3L)).toDF("source", "w")
+    val out = CurationOps.tokenAllocation(docs, budgetPct = 50L, weights = Some(w))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // supplies 5/1000/1000, B = 1002: tiny saturates, λ = 997/4 = 249.25
+    assert(out("tiny").getAs[Boolean]("saturated") &&
+      out("tiny").getAs[Long]("alloc_tokens") == 5L)
+    assert(out("big1").getAs[Long]("weight") == 3L &&
+      out("big2").getAs[Long]("weight") == 1L)
+    assert(out("big1").getAs[Long]("alloc_tokens") == 748L, s"got ${out("big1")}")
+    assert(out("big2").getAs[Long]("alloc_tokens") == 249L, s"got ${out("big2")}")
+    val total = out.values.map(_.getAs[Long]("alloc_tokens")).sum
+    assert(math.abs(total - 1002L) <= 2L, s"budget met at skewed weights, got $total")
+    // saturation invariant survives skewed weights on the fixture corpus
+    val fx = CurationOps.tokenAllocation(Tables.documents(spark, sf),
+      weights = Some(graft.operators.CurationPack.weightsFixtureDf(spark))).collect()
+    assert(fx.forall(r => r.getAs[Long]("alloc_tokens") <= r.getAs[Long]("n_tokens")))
+    // the weighted doc-level closure never overshoots a source by more
+    // than its boundary doc
+    val sel = CurationOps.allocSelect(docs, budgetPct = 50L, weights = Some(w))
+      .filter(col("kept"))
+      .groupBy("source").agg(org.apache.spark.sql.functions.sum("n_toks").as("got"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sel("tiny") == 5L)
+    assert(sel("big1") <= 748L + 50L && sel("big2") <= 249L + 50L,
+      s"per-source overshoot bounded by one doc: $sel")
+  }
+
   test("cascade plan: a cheap high-rejection rule is scheduled first") {
     val s = spark
     import s.implicits._
