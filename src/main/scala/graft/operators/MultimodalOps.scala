@@ -484,17 +484,123 @@ object MultimodalOps {
         sniffStatus(col("media"), col("sof_off"), col("fmt_off")).as("status"))
   }
 
-  /** STUB decode + feature extraction over batches. The per-partition
-    * iterator is where a real codec (JNI/FFI) would run once per executor
-    * task; features here are a deterministic fake (header bytes + additive
-    * checksum) so the pipeline is testable end-to-end. */
+  /** Deterministic, spec-correct binary Netpbm payloads — P5 (grayscale)
+    * for even doc_ids, P6 (RGB) for odd: the ASCII header
+    * `P5\n<w> <h>\n255\n` (single-whitespace separators per the PNM
+    * spec) followed by w·h·ch RAW pixel bytes, one byte per sample,
+    * row-major, RGB interleaved for P6. Dims w = doc_id%8+1,
+    * h = doc_id%6+1; pixel byte j is (doc_id·31 + j·7) % 256 for P5 and
+    * (doc_id·17 + j·5) % 256 for P6 — closed forms the oracle mirrors
+    * without building bytes. Docs with doc_id % 7 == 3 are TRUNCATED
+    * after the magic — the corrupt path [[mediaPixels]] must survive.
+    * Assembled with codegen'd column ops (hex/lpad/unhex), no UDF. */
+  private[graft] def pnmPayload: org.apache.spark.sql.Column = {
+    val ch = when(col("doc_id") % 2 === 0, 1L).otherwise(3L)
+    val w = (col("doc_id") % 8 + 1).cast("long")
+    val h = (col("doc_id") % 6 + 1).cast("long")
+    val n = w * h * ch
+    val header = encode(concat(
+      when(ch === 1L, lit("P5")).otherwise(lit("P6")),
+      lit("\n"), w.cast("string"), lit(" "), h.cast("string"), lit("\n255\n")),
+      "UTF-8")
+    val pix = (j: org.apache.spark.sql.Column) =>
+      when(ch === 1L, pmod(col("doc_id") * 31 + j * 7, lit(256L)))
+        .otherwise(pmod(col("doc_id") * 17 + j * 5, lit(256L)))
+    val raster = unhex(array_join(
+      transform(sequence(lit(0L), n - 1L), j => lpad(hex(pix(j)), 2, "0")), ""))
+    when(col("doc_id") % 7 === 3, encode(lit("P5\n"), "UTF-8"))
+      .otherwise(concat(header, raster))
+  }
+
+  def pnmMediaTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), pnmPayload.as("media"))
+
+  /** Parse columns for raw PNM bytes: a REAL pixel-level decode, not a
+    * header skim — (status, width, height, channels) plus the per-channel
+    * sample arrays c0/c1/c2 decoded from the raster. The header is parsed
+    * by an anchored regex over the prefix decoded as ISO-8859-1 — the
+    * 1:1 byte↔char map, so arbitrary raster bytes behind the header can
+    * never raise MALFORMED_CHARACTER_CODING the way an ANSI-mode UTF-8
+    * decode would, ASCII header chars are unchanged, and the matched
+    * prefix's char length IS the raster's byte offset. Dimension fields
+    * are capped at 8 digits by the pattern — a cast that can never
+    * overflow under ANSI — and the guards (magic, maxval 255, dims ≥ 1,
+    * payload actually long enough for w·h·ch samples) gate EVERY
+    * raster-touching branch, so fuzzed headers with absurd dims are
+    * rejected before any array materializes. The raster walk itself is
+    * hex → per-sample conv over a sequence, channel-deinterleaved by
+    * j % ch — built-in higher-order functions, no UDF.
+    *
+    * Scale note: the walk materializes one n-sample array per image —
+    * exact and fine for the bounded-dim uncompressed formats this
+    * decodes; for megapixel rasters sample frames/tiles first
+    * ([[frameSample]]) rather than folding whole images through one row.
+    * Each array column materializes ONCE in its own projection
+    * ([[mediaSniff]]'s staged-select discipline) so the three stats per
+    * channel don't re-run the walk. */
+  private[graft] def pnmParseCols(media: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = {
+    val prefix = decode(substring(media, 1, 32), "ISO-8859-1")
+    val re = "^(P[56])\\s([0-9]{1,8})\\s([0-9]{1,8})\\s([0-9]{1,8})\\s"
+    val m0 = regexp_extract(prefix, re, 0)
+    val matched = m0 =!= ""
+    def grp(i: Int) = when(matched, regexp_extract(prefix, re, i).cast("long"))
+    val w = grp(2); val h = grp(3); val maxv = grp(4)
+    val magic = regexp_extract(prefix, re, 1)
+    val ch = when(magic === "P5", 1L).when(magic === "P6", 3L)
+    val n = w * h * ch
+    val off = length(m0) + 1L
+    val ok = matched && maxv === 255L && w >= 1L && h >= 1L &&
+      length(media) >= off + n - 1L
+    lazy val rhex = hex(media.substr(off.cast("int"), n.cast("int")))
+    def chan(k: Int) = {
+      val idx = filter(sequence(lit(0L), n - 1L), j => pmod(j, ch) === lit(k.toLong))
+      transform(idx, j =>
+        conv(substring(rhex, (j * 2 + 1).cast("int"), lit(2)), 16, 10).cast("long"))
+    }
+    Seq(
+      when(ok, when(ch === 1L, "pgm").otherwise("ppm")).otherwise("corrupt").as("status"),
+      when(ok, w).as("width"),
+      when(ok, h).as("height"),
+      when(ok, ch).as("channels"),
+      when(ok, chan(0)).as("c0"),
+      when(ok && ch === 3L, chan(1)).as("c1"),
+      when(ok && ch === 3L, chan(2)).as("c2"))
+  }
+
+  /** Pixel-level media decode — the end of the modality story: real
+    * bytes in ([[pnmPayload]] or any P5/P6 file), exact per-channel
+    * pixel statistics out (sum/min/max per channel — deterministic
+    * integer math, so the DuckDB oracle pins the decode bit-for-bit).
+    * Corrupt payloads degrade to a 'corrupt' status row with null stats,
+    * never an error. Two staged projections: the parse (arrays
+    * materialize once) and the stats fold. */
+  def mediaPixels(docs: DataFrame): DataFrame = {
+    def stats(c: String) = Seq(
+      aggregate(col(c), lit(0L), (a, x) => a + x).as(s"${c}_sum"),
+      array_min(col(c)).as(s"${c}_min"),
+      array_max(col(c)).as(s"${c}_max"))
+    pnmMediaTable(docs)
+      .select(col("doc_id") +: pnmParseCols(col("media")): _*)
+      .select(Seq(col("doc_id"), col("status"), col("width"), col("height"),
+        col("channels")) ++ stats("c0") ++ stats("c1") ++ stats("c2"): _*)
+  }
+
+  /** Decode + feature extraction over batches through the codec seam:
+    * the per-partition iterator is where a JNI/FFI codec for COMPRESSED
+    * formats would init once per executor task and decode per record —
+    * features here are the byte-level fold (length, header, polynomial
+    * checksum), all genuinely computed from the payload bytes. For the
+    * uncompressed formats the engine decodes natively, the real
+    * pixel-level path is [[mediaPixels]] (pure column expressions, no
+    * mapPartitions needed). */
   def decodeFeatures(docs: DataFrame): DataFrame = {
     val media = mediaTable(docs).select(col("doc_id"), col("media"))
     import media.sparkSession.implicits._
     media
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
-        // STUB: real impl = codec init once here, then per-record decode
+        // codec seam: a compressed-format decoder inits once here, then
+        // decodes per record (uncompressed formats: see mediaPixels)
         batch.map { case (id, bytes) =>
           // header as a hex string (not array<int>): scalar columns keep the
           // output sortable/hashable by generic row-comparison harnesses
@@ -531,6 +637,7 @@ object MultimodalPack extends QueryPack {
     "media_dims_mix" -> ((s, dir) => MultimodalOps.mediaDimsMix(d(s, dir))),
     "wav_dims" -> ((s, dir) => MultimodalOps.wavDims(d(s, dir))),
     "media_sniff" -> ((s, dir) => MultimodalOps.mediaSniff(d(s, dir))),
+    "media_pixels" -> ((s, dir) => MultimodalOps.mediaPixels(d(s, dir))),
     "frame_dedup" -> ((s, dir) => MultimodalOps.frameDedup(d(s, dir)))
   )
 
@@ -643,6 +750,48 @@ object MultimodalPack extends QueryPack {
         |            WHEN doc_id % 3 = 1 THEN 'jpeg'
         |            ELSE 'wav' END AS status
         |FROM documents""".stripMargin,
+    // closed-form mirror of the PNM fixture: the engine side builds and
+    // pixel-walks REAL P5/P6 bytes; the oracle recomputes the channel
+    // stats straight from the deterministic pixel formula — equality
+    // proves the byte walk (header offset, deinterleave, per-sample
+    // decode) is exact
+    "media_pixels" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch,
+        |         doc_id % 8 + 1 AS w, doc_id % 6 + 1 AS h,
+        |         doc_id % 7 = 3 AS trunc
+        |  FROM documents
+        |),
+        |v AS (
+        |  SELECT doc_id, ch, w, h, trunc,
+        |         list_transform(range(0, w * h * ch), j ->
+        |           CASE WHEN ch = 1 THEN (doc_id * 31 + j * 7) % 256
+        |                ELSE (doc_id * 17 + j * 5) % 256 END) AS px
+        |  FROM p
+        |),
+        |c AS (
+        |  SELECT doc_id, ch, w, h, trunc,
+        |         list_filter(px, (x, j) -> (j - 1) % ch = 0) AS c0,
+        |         CASE WHEN ch = 3 THEN list_filter(px, (x, j) -> (j - 1) % ch = 1) END AS c1,
+        |         CASE WHEN ch = 3 THEN list_filter(px, (x, j) -> (j - 1) % ch = 2) END AS c2
+        |  FROM v
+        |)
+        |SELECT doc_id,
+        |       CASE WHEN trunc THEN 'corrupt' WHEN ch = 1 THEN 'pgm' ELSE 'ppm' END AS status,
+        |       CASE WHEN NOT trunc THEN CAST(w AS BIGINT) END AS width,
+        |       CASE WHEN NOT trunc THEN CAST(h AS BIGINT) END AS height,
+        |       CASE WHEN NOT trunc THEN CAST(ch AS BIGINT) END AS channels,
+        |       CASE WHEN NOT trunc THEN CAST(list_aggregate(c0, 'sum') AS BIGINT) END AS c0_sum,
+        |       CASE WHEN NOT trunc THEN CAST(list_aggregate(c0, 'min') AS BIGINT) END AS c0_min,
+        |       CASE WHEN NOT trunc THEN CAST(list_aggregate(c0, 'max') AS BIGINT) END AS c0_max,
+        |       CASE WHEN NOT trunc THEN CAST(list_aggregate(c1, 'sum') AS BIGINT) END AS c1_sum,
+        |       CASE WHEN NOT trunc THEN CAST(list_aggregate(c1, 'min') AS BIGINT) END AS c1_min,
+        |       CASE WHEN NOT trunc THEN CAST(list_aggregate(c1, 'max') AS BIGINT) END AS c1_max,
+        |       CASE WHEN NOT trunc THEN CAST(list_aggregate(c2, 'sum') AS BIGINT) END AS c2_sum,
+        |       CASE WHEN NOT trunc THEN CAST(list_aggregate(c2, 'min') AS BIGINT) END AS c2_min,
+        |       CASE WHEN NOT trunc THEN CAST(list_aggregate(c2, 'max') AS BIGINT) END AS c2_max
+        |FROM c""".stripMargin,
     // the fixture's media bytes are UTF-8 of ASCII text, so md5 over the
     // text substring equals Spark's md5 over the binary frame slice
     "frame_dedup" ->

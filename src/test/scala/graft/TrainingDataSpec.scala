@@ -609,6 +609,54 @@ class TrainingDataSpec extends SparkSpec {
     assert(parsed.filter(_.getLong(0) >= 300).forall(_.getString(1) != "unknown"))
   }
 
+  test("pnm pixel decode: fuzzed bytes never throw; mutated well-formed payloads stay sane") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(43)
+    def bytes(n: Int) = Array.fill(n)(rnd.nextInt(256).toByte)
+    // garbage; magic+garbage (adversarial header digits reach the dim
+    // guards); and REAL payloads truncated at random byte lengths
+    def realPnm(id: Long): Array[Byte] = {
+      val ch = if (id % 2 == 0) 1 else 3
+      val w = (id % 8 + 1).toInt; val h = (id % 6 + 1).toInt
+      val head = s"P${if (ch == 1) 5 else 6}\n$w $h\n255\n".getBytes("US-ASCII")
+      val n = w * h * ch
+      val px = Array.tabulate(n)(j =>
+        (if (ch == 1) (id * 31 + j * 7) % 256 else (id * 17 + j * 5) % 256).toByte)
+      head ++ px
+    }
+    val streams =
+      (0 until 200).map(i => (i.toLong, bytes(rnd.nextInt(64)))) ++
+      (0 until 200).map(i => ((200 + i).toLong,
+        s"P${5 + i % 2}\n".getBytes("US-ASCII") ++ bytes(rnd.nextInt(48)))) ++
+      (0 until 200).map { i =>
+        val full = realPnm(400L + i)
+        ((400 + i).toLong, full.take(rnd.nextInt(full.length + 1)))
+      }
+    val df = streams.toDF("doc_id", "media")
+    val parsed = df
+      .select(col("doc_id") +: MultimodalOps.pnmParseCols(col("media")): _*)
+      .select(col("doc_id"), col("status"), col("width"), col("channels"),
+        array_min(col("c0")).as("c0_min"), array_max(col("c0")).as("c0_max"))
+      .collect() // completing at all IS the no-throw property
+    assert(parsed.length == 600)
+    assert(parsed.map(_.getString(1)).toSet.subsetOf(Set("pgm", "ppm", "corrupt")))
+    // any row that parsed must carry in-range samples and sane dims
+    parsed.filter(_.getString(1) != "corrupt").foreach { r =>
+      assert(!r.isNullAt(2) && r.getLong(2) >= 1L)
+      assert(r.getLong(4) >= 0L && r.getLong(5) <= 255L, s"sample out of range: $r")
+    }
+    // untruncated real payloads (take == full length) must parse clean —
+    // verified exactly via the closed pixel form on one known row
+    // 9997 % 7 != 3 (not the truncated branch) and odd → P6/RGB
+    val one = Seq(9997L).toDF("doc_id")
+    val got = MultimodalOps.mediaPixels(one).collect()(0)
+    assert(got.getAs[String]("status") == "ppm" && got.getAs[Long]("channels") == 3L)
+    val n = (9997 % 8 + 1) * (9997 % 6 + 1) * 3
+    val exp0 = (0 until n).filter(_ % 3 == 0).map(j => (9997L * 17 + j * 5) % 256)
+    assert(got.getAs[Long]("c0_sum") == exp0.sum && got.getAs[Long]("c0_min") == exp0.min)
+  }
+
   test("frame sampling reconstructs total byte counts") {
     val frames = MultimodalOps.frameSample(docs)
       .groupBy("doc_id").agg(sum("frame_bytes").as("total"))
