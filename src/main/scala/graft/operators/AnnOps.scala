@@ -902,6 +902,9 @@ object AnnPack extends QueryPack {
       PqOps.ivfPqResidualTrainedTopK(e(s, dir), trainPct = Some(50))),
     "ivfpqrests_recall" -> ((s, dir) => AnnOps.annRecall(e(s, dir), s, index = "ivfpq_res_ts")),
     "ivf_assign" -> ((s, dir) => AnnOps.ivfAssignIncremental(e(s, dir))),
+    // write-then-serve: the same answer as ivfpq_res_t, produced from the
+    // STORED index tables (equality with the fresh chain IS the claim)
+    "ann_served" -> ((s, dir) => AnnIndexOps.annServed(s, dir)),
     "ann_filtered" -> ((s, dir) => AnnOps.filteredTopK(e(s, dir))),
     "hard_negs" -> ((s, dir) => AnnOps.hardNegatives(e(s, dir))),
     "ann_trunc" -> ((s, dir) => AnnOps.truncTopK(e(s, dir))),
@@ -1600,6 +1603,14 @@ object AnnPack extends QueryPack {
          |$bruteCtes,
          |${recallTail("atop")}""".stripMargin,
     "ivfpq_res_t" ->
+      s"""WITH $ivfPqResTrainedCtes
+         |SELECT qid, vec_id, adist_q, CAST(rnk AS INTEGER) AS rnk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist_q, vec_id) AS rnk
+         |  FROM trscored
+         |) WHERE rnk <= 5""".stripMargin,
+    // the served-index search must return the fresh-build chain's answer
+    // bit-for-bit — same oracle as ivfpq_res_t BY DESIGN
+    "ann_served" ->
       s"""WITH $ivfPqResTrainedCtes
          |SELECT qid, vec_id, adist_q, CAST(rnk AS INTEGER) AS rnk FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist_q, vec_id) AS rnk

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** The persisted-index contract: write-then-serve equals the fresh-build
+  * chain, ingest is additive, and the served plan touches index tables
+  * only. */
+class AnnIndexSpec extends SparkSpec {
+
+  test("served search through a WRITTEN index equals the fresh ivfpq_res_t chain row-for-row") {
+    val got = AnnIndexOps.annServed(spark, sf)
+    val fresh = PqOps.ivfPqResidualTrainedTopK(Tables.embeddings(spark, sf))
+    assert(got.exceptAll(fresh).count() == 0 && fresh.exceptAll(got).count() == 0,
+      "stored-index serve must be bit-identical to the session build")
+    assert(got.count() == 50)
+  }
+
+  test("incremental add: batch encoded against the stored quantizer ≡ full re-encode") {
+    val emb = Tables.embeddings(spark, sf)
+    // quantizer trained on the OLD corpus only (the ingest contract)
+    val old = emb.filter(col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400)
+    val (cents, cb, postOld) = AnnIndexOps.buildIndex(old)
+    val together = postOld.unionByName(AnnIndexOps.appendBatch(batch, cents, cb))
+    val rebuilt = AnnIndexOps.encodeAgainst(emb, cents, cb)
+    assert(together.exceptAll(rebuilt).count() == 0 &&
+      rebuilt.exceptAll(together).count() == 0,
+      "append must produce exactly what a full re-encode against the stored quantizer would")
+    // every vector carries exactly one code per subspace
+    assert(rebuilt.groupBy("vec_id").count().filter(col("count") =!= 8).count() == 0)
+  }
+
+  test("served plan reads the stored index only — no embeddings scan, probed-list pruning") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_annidx_plan").toString
+    val emb = Tables.embeddings(spark, sf)
+    AnnIndexOps.writeIndex(emb, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      .toDF("vec_id", "embedding")
+    val served = AnnIndexOps.servedTopK(spark, dir, queries)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("embeddings.parquet"),
+      s"served search must not scan the corpus vectors:\n$plan")
+    assert(plan.contains("postings") && plan.contains("centroids") &&
+      plan.contains("codebook"), s"expected the three index scans:\n$plan")
+    // postings are partitioned by center: the probe join must reach the
+    // scan as DYNAMIC PARTITION PRUNING, so a probed search reads only
+    // the probed lists (the 100-TB read pattern), never the whole corpus
+    val formatted = served.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("dynamicpruning"),
+      s"posting scan must be dynamically partition-pruned by the probes:\n$formatted")
+    // and the answer from this handle matches the fresh chain too
+    val fresh = PqOps.ivfPqResidualTrainedTopK(emb)
+    assert(served.exceptAll(fresh).count() == 0 && fresh.exceptAll(served).count() == 0)
+  }
+}
