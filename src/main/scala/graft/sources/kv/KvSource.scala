@@ -88,15 +88,51 @@ object KvSource {
   @volatile var lastRuntimeFilters: Seq[Filter] = Nil
 }
 
-/** The backing store: table name -> (schema, rows of plain JVM values). */
+/** The backing store: table name -> (schema, rows of plain JVM values).
+  *
+  * Every stored row is STAMPED at write time with two tail values the
+  * schema doesn't know about — a wall-clock write timestamp and a
+  * store-monotonic sequence — the in-memory analogue of the HBase cell
+  * version (timestamp + mvcc sequence a real connector reads off each
+  * Cell; cf. the reference's MutationInfo bookkeeping around its
+  * buffered mutator). They surface to Spark as the `_ts`/`_seq`
+  * METADATA columns via `SupportsMetadataColumns`: invisible to `SELECT
+  * *`, served when named, so O-9 keep-latest can run on connector
+  * metadata instead of a schema column. `_seq` is the authoritative
+  * total order (timestamps can collide within a millisecond). */
 object KvStore {
   private val tables = new ConcurrentHashMap[String, (StructType, Vector[Seq[Any]])]()
 
+  /** Metadata column names + the stamped tail width. A table whose own
+    * schema claims one of these names keeps its data column — the
+    * metadata name is simply not advertised (Spark's documented
+    * conflict rule). */
+  val TsCol = "_ts"
+  val SeqCol = "_seq"
+  val MetaCols = 2
+
+  private val seqGen = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def stamp(rows: Seq[Seq[Any]]): Vector[Seq[Any]] = {
+    val now = System.currentTimeMillis()
+    rows.toVector.map(r => r :+ now :+ seqGen.incrementAndGet())
+  }
+
+  /** Column-name → stored-row index, with the metadata tail mapped
+    * behind the schema (unless shadowed by a real schema column) —
+    * the one lookup every reader and filter eval shares. */
+  def fieldIndex(schema: StructType): Map[String, Int] = {
+    val base = schema.fieldNames.zipWithIndex.toMap
+    base ++ Seq(TsCol, SeqCol).zipWithIndex.collect {
+      case (n, i) if !base.contains(n) => n -> (schema.length + i)
+    }
+  }
+
   def put(name: String, schema: StructType, rows: Seq[Seq[Any]]): Unit =
-    tables.put(name, (schema, rows.toVector))
+    tables.put(name, (schema, stamp(rows)))
 
   def append(name: String, schema: StructType, rows: Seq[Seq[Any]]): Unit =
-    tables.merge(name, (schema, rows.toVector),
+    tables.merge(name, (schema, stamp(rows)),
       (old, add) => (old._1, old._2 ++ add._2))
 
   // clustering-key registry: recorded when a keyed write commits, so a
@@ -144,9 +180,26 @@ class KvTable(
     tableName: String, tableSchema: StructType, partitions: Int,
     keyCol: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
+
+  // the cell-version face: `_ts`/`_seq` resolve when NAMED in a query,
+  // never appear in SELECT * — schema-name collisions drop the metadata
+  // column per Spark's conflict contract (the data column wins)
+  override def metadataColumns(): Array[MetadataColumn] = {
+    def m(n: String, c: String): MetadataColumn = new MetadataColumn {
+      override def name(): String = n
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = c
+    }
+    Seq(
+      KvStore.TsCol -> "cell write timestamp (epoch millis)",
+      KvStore.SeqCol -> "store-monotonic write sequence (the mvcc order)")
+      .collect { case (n, c) if !tableSchema.fieldNames.contains(n) => m(n, c) }
+      .toArray
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ).asJava
@@ -168,7 +221,7 @@ class KvTable(
   // the scan can also push are claimable — a real connector compiles
   // them to row-key ranges; Spark fails loudly on anything else instead
   // of silently rewriting the table.
-  private val fieldIdx = tableSchema.fieldNames.zipWithIndex.toMap
+  private val fieldIdx = KvStore.fieldIndex(tableSchema)
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(KvFilterEval.supported)
   override def deleteWhere(filters: Array[Filter]): Unit = {
@@ -345,7 +398,10 @@ class KvScanBuilder(
     aggregation.groupByExpressions().forall {
       case n: NamedReference => full.fieldNames.contains(n.fieldNames()(0))
       case _ => false
-    } && aggregation.aggregateExpressions().forall(aggCol(_).isDefined)
+    } && aggregation.aggregateExpressions().forall(
+      // schema columns only: an aggregate over a METADATA column (_ts/
+      // _seq) is not claimed — the sweep indexes by table schema
+      aggCol(_).exists(c => c == "*" || full.fieldNames.contains(c)))
 
   override def pushAggregation(aggregation: Aggregation): Boolean =
     if (!supportCompletePushDown(aggregation)) false
@@ -559,7 +615,7 @@ class KvReaderFactory(
 class KvAggReader(
     table: String, full: StructType, pushed: Array[Filter], agg: Aggregation)
     extends PartitionReader[InternalRow] {
-  private val fieldIdx = full.fieldNames.zipWithIndex.toMap
+  private val fieldIdx = KvStore.fieldIndex(full)
 
   private def colOf(f: AggregateFunc): String = f match {
     case _: CountStar => "*"
@@ -614,7 +670,7 @@ class KvPartitionReader(
     limit: Option[Int] = None, topN: Option[(Seq[SortOrder], Int)] = None,
     captured: Option[Array[Seq[Any]]] = None)
     extends PartitionReader[InternalRow] {
-  private val fieldIdx = full.fieldNames.zipWithIndex.toMap
+  private val fieldIdx = KvStore.fieldIndex(full)
   private val outIdx = required.fieldNames.map(fieldIdx)
 
   private val it: Iterator[Seq[Any]] = {

@@ -658,6 +658,62 @@ class SinksAndSourcesSpec extends SparkSpec {
     }
   }
 
+  test("connector seam: cell-version metadata columns — keep-latest over _seq ≡ schema-column path") {
+    import graft.sources.kv.KvStore
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    try {
+      spark.conf.set("spark.sql.catalog.kvcat", "graft.sources.kv.KvCatalog")
+      // a mutation log staged as two ordered writes: v1 for every key,
+      // then v2 for half of them — the schema `ts` column and the append
+      // order agree BY CONSTRUCTION, so the metadata path must reproduce
+      // the schema path exactly
+      (1L to 10L).map(k => (k, s"v1_$k", 100L)).toDF("k", "v", "ts")
+        .write.format("graftkv").mode("overwrite").save("verstore")
+      (1L to 5L).map(k => (k, s"v2_$k", 200L)).toDF("k", "v", "ts")
+        .write.format("graftkv").mode("append").save("verstore")
+      val tbl = spark.table("kvcat.verstore")
+      // SELECT * must NOT surface the metadata columns
+      assert(tbl.columns.toSeq == Seq("k", "v", "ts"))
+      // O-9 keep-latest over connector metadata (the HBase cell-version
+      // face): latest _seq per key — no schema timestamp needed at all
+      def latest(orderCol: String) = tbl
+        .select(col("k"), col("v"), col(orderCol).as("o"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("k").orderBy(col("o").desc)))
+        .filter(col("rn") === 1).select("k", "v")
+      val bySeq = latest("_seq").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val byTs = latest("ts").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(bySeq == byTs, "metadata keep-latest must equal the schema-column path")
+      assert(bySeq(1L) == "v2_1" && bySeq(10L) == "v1_10")
+      // the metadata columns are well-formed: _seq strictly monotone
+      // across the two appends, _ts a real epoch stamp
+      val meta = tbl.select(col("ts"), col("_seq"), col("_ts")).collect()
+      assert(meta.length == 15)
+      val maxV1 = meta.filter(_.getLong(0) == 100L).map(_.getLong(1)).max
+      val minV2 = meta.filter(_.getLong(0) == 200L).map(_.getLong(1)).min
+      assert(maxV1 < minV2, "append order must be visible as the _seq order")
+      assert(meta.map(_.getLong(1)).distinct.length == 15, "_seq must be unique")
+      assert(meta.forall(_.getLong(2) > 1500000000000L), "_ts must be epoch millis")
+      // pushdown still prunes: naming a metadata column routes through
+      // the same scan contract (required schema carries it)
+      val pruned = tbl.select(col("k"), col("_seq")).collect()
+      assert(pruned.length == 15)
+      assert(graft.sources.kv.KvSource.lastPrunedSchema.exists(
+        _.fieldNames.contains("_seq")))
+      // a table whose SCHEMA claims _ts keeps its data column: the
+      // metadata name is not advertised, SELECT resolves the data column
+      Seq((1L, 7L)).toDF("k", "_ts")
+        .write.format("graftkv").mode("overwrite").save("shadow")
+      val sh = spark.table("kvcat.shadow")
+      assert(sh.select(col("_ts")).collect().map(_.getLong(0)).toSeq == Seq(7L),
+        "a schema _ts column must shadow the metadata column")
+    } finally {
+      KvStore.clear()
+    }
+  }
+
   test("connector seam: graftkv UPDATE and MERGE INTO (row-level copy-on-write)") {
     import graft.sources.kv.KvStore
     val s = spark
