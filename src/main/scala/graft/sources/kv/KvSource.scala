@@ -291,19 +291,26 @@ class KvCatalog extends TableCatalog {
   }
   override def name(): String = catalogName
 
-  private def tableOf(ident: Identifier): String =
-    (ident.namespace() :+ ident.name()).mkString(".")
+  // the store is FLAT (one namespace): only a bare, dot-free name can
+  // resolve — a namespaced or dotted identifier would collide with the
+  // '.'-flattening some catalogs do, so it resolves to NOTHING instead
+  // of silently joining into an ambiguous store key
+  private def tableOf(ident: Identifier): Option[String] =
+    if (ident.namespace().nonEmpty || ident.name().contains(".")) None
+    else Some(ident.name())
 
+  // SHOW TABLES IN kvcat.ns must list nothing for a namespace that can
+  // never resolve — only the flat (empty) namespace holds tables
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    KvStore.tableNames()
+    if (namespace.nonEmpty) Array.empty
+    else KvStore.tableNames()
       .map(n => Identifier.of(Array.empty[String], n))
       .toArray
 
   override def loadTable(ident: Identifier): Table = {
-    val t = tableOf(ident)
-    if (!KvStore.contains(t))
+    val t = tableOf(ident).filter(KvStore.contains).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
-        (ident.namespace() :+ ident.name()).toSeq)
+        (ident.namespace() :+ ident.name()).toSeq))
     // the recorded clustering key rides along, so catalog reads plan
     // the same storage-partitioned joins as keyed path reads
     new KvTable(t, KvStore.schemaOf(t), defaultPartitions, KvStore.keyOf(t))
@@ -312,8 +319,10 @@ class KvCatalog extends TableCatalog {
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException("graftkv: alterTable not supported")
   override def dropTable(ident: Identifier): Boolean =
-    if (KvStore.contains(tableOf(ident))) { KvStore.drop(tableOf(ident)); true }
-    else false
+    tableOf(ident).filter(KvStore.contains) match {
+      case Some(t) => KvStore.drop(t); true
+      case None => false
+    }
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graftkv: renameTable not supported")
 }
@@ -836,6 +845,18 @@ class KvDataWriter(writeSchema: StructType, rowLevel: Boolean = false)
     val off = record.numFields - writeSchema.length
     require(if (rowLevel) off == 0 || off == 1 else off == 0,
       s"graftkv writer: row has ${record.numFields} fields for schema ${writeSchema.simpleString} (rowLevel=$rowLevel)")
+    if (off == 1) {
+      // belt-and-braces against SAME-ARITY shape drift (a future Spark
+      // appending rather than prepending the extra column would keep the
+      // arity but shift every data column): the skipped leading field
+      // must actually read as one of RowDeltaUtils' operation codes
+      import org.apache.spark.sql.catalyst.util.RowDeltaUtils
+      val op = record.getInt(0)
+      require(op >= RowDeltaUtils.DELETE_OPERATION &&
+        op <= RowDeltaUtils.WRITE_WITH_METADATA_OPERATION,
+        s"graftkv writer: leading field $op is not a __row_operation code — " +
+          "the row-level row shape has drifted; refusing to shift data columns")
+    }
     buf += writeSchema.fields.zipWithIndex.map { case (f, i) =>
       if (record.isNullAt(i + off)) null
       else KvFilterEval.fromCatalyst(record.get(i + off, f.dataType))

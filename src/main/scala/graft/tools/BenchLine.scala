@@ -56,16 +56,28 @@ object BenchLine {
       case s => s
     }
 
-  private def metaJson(meta: Option[BenchMeta]): String = meta match {
-    case None => ""
-    case Some(m) =>
-      val attr =
-        if (m.cacheAttrMb.isEmpty) ""
-        else m.cacheAttrMb.take(AttrTop)
-          .map { case (n, mb) => "\"" + n + "\":" + f1(mb) }
-          .mkString(""","attr":{""", ",", "}")
-      s""","probe":[${f3(m.probeBefore)},${f3(m.probeAfter)}],"pass3":${m.pass3}$attr"""
-  }
+  /** JSON string-escape for names that reach the line verbatim — attr
+    * keys are internal identifiers today, but one quote or backslash in
+    * a future name must not corrupt the archived artifact. */
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    }
+
+  private def metaJson(meta: Option[BenchMeta], withAttr: Boolean = true): String =
+    meta match {
+      case None => ""
+      case Some(m) =>
+        val attr =
+          if (m.cacheAttrMb.isEmpty || !withAttr) ""
+          else m.cacheAttrMb.take(AttrTop)
+            .map { case (n, mb) => "\"" + esc(n) + "\":" + f1(mb) }
+            .mkString(""","attr":{""", ",", "}")
+        s""","probe":[${f3(m.probeBefore)},${f3(m.probeAfter)}],"pass3":${m.pass3}$attr"""
+    }
 
   private def render(
       shown: Seq[(String, Double)],
@@ -110,6 +122,12 @@ object BenchLine {
       if (line.length <= maxLen) return line
       k += 1
     }
-    render(Nil, byTime, total, sfName, coarse = true, metaStr)
+    val minimal = render(Nil, byTime, total, sfName, coarse = true, metaStr)
+    if (minimal.length <= maxLen) return minimal
+    // final rung: the attr block is the only fixed-size meta that can
+    // still push a fully-folded line past maxLen — drop it last (probes
+    // and pass3 are the window evidence and always stay)
+    render(Nil, byTime, total, sfName, coarse = true,
+      metaJson(meta, withAttr = false))
   }
 }

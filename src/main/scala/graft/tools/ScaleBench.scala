@@ -75,6 +75,7 @@ object ScaleBench {
         s"SPARK_GRAFT_SCALE_FAMILIES names not in Families: ${unknown.mkString(", ")}")
     }
     val baseDocCount = spark.read.parquet(s"$base/documents.parquet").count()
+    val baseVecCount = spark.read.parquet(s"$base/embeddings.parquet").count()
     def build(factor: Int): String = {
       val dir = s"$outRoot/x$factor"
       // reuse a corpus built by a previous run: the construction is
@@ -85,7 +86,10 @@ object ScaleBench {
       val reusable = sys.env.contains("SPARK_GRAFT_SCALE_REUSE") &&
         scala.util.Try(
           spark.read.parquet(s"$dir/documents.parquet").count() == baseDocCount * factor &&
-            spark.read.parquet(s"$dir/embeddings.parquet").schema.nonEmpty
+            // the embeddings corpus gets the SAME exact-count gate — a
+            // schema-only check would silently reuse a stale or partial
+            // vector corpus and skew the ANN-family exponents
+            spark.read.parquet(s"$dir/embeddings.parquet").count() == baseVecCount * factor
         ).getOrElse(false)
       if (reusable) {
         System.err.println(s"[scale-bench] reusing ${factor}x corpus at $dir")
