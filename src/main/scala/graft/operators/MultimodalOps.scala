@@ -585,6 +585,41 @@ object MultimodalOps {
         col("channels")) ++ stats("c0") ++ stats("c1") ++ stats("c2"): _*)
   }
 
+  /** Perceptual image hash (aHash — average hash) over DECODED pixels:
+    * the image-dedup primitive the pixel decoder unlocks. Per image: the
+    * grayscale plane (c0 for P5; integer channel mean for P6), its
+    * integer mean, and one bit per pixel — set iff the pixel is brighter
+    * than the mean — folded into a LONG (row-major, bit j = pixel j; the
+    * fixture's rasters are ≤48 px so the hash never overflows 63 bits).
+    * Equal hashes ⇒ perceptually-identical images (the exact-dup class);
+    * a hamming-ball banded join is the documented near-dup extension,
+    * [[DedupOps]]' simhash machinery applied to this hash. All integer
+    * math (DIV means, no doubles) so the oracle pins it bit-for-bit;
+    * corrupt payloads carry a null hash. Scale shape: scan-local per-doc
+    * work then a map-side-combinable census — the media twin of
+    * [[graft.operators.TextOps.fingerprint]]. */
+  def mediaAHash(docs: DataFrame): DataFrame = {
+    val parsed = pnmMediaTable(docs)
+      .select(col("doc_id") +: pnmParseCols(col("media")): _*)
+    // the gray plane materializes in its own projection (the staged-
+    // select discipline: three downstream references must not re-run
+    // the channel zip)
+    val gray = parsed.select(
+      col("doc_id"), col("status"), col("width"), col("height"), col("channels"),
+      when(col("channels") === 1L, col("c0"))
+        .when(col("channels") === 3L,
+          expr("zip_with(zip_with(c0, c1, (x, y) -> x + y), c2, (s, z) -> (s + z) DIV 3L)"))
+        .as("g"))
+    gray
+      .withColumn("mean_px",
+        expr("aggregate(g, 0L, (a, x) -> a + x) DIV size(g)"))
+      .select(col("doc_id"), col("status"), col("width"), col("height"), col("channels"),
+        expr("""aggregate(sequence(0L, size(g) - 1L), 0L,
+                 (acc, j) -> acc + IF(element_at(g, cast(j + 1 AS int)) > mean_px,
+                                      shiftleft(1L, cast(j AS int)), 0L))""")
+          .as("ahash"))
+  }
+
   /** Decode + feature extraction over batches through the codec seam:
     * the per-partition iterator is where a JNI/FFI codec for COMPRESSED
     * formats would init once per executor task and decode per record —
@@ -638,6 +673,7 @@ object MultimodalPack extends QueryPack {
     "wav_dims" -> ((s, dir) => MultimodalOps.wavDims(d(s, dir))),
     "media_sniff" -> ((s, dir) => MultimodalOps.mediaSniff(d(s, dir))),
     "media_pixels" -> ((s, dir) => MultimodalOps.mediaPixels(d(s, dir))),
+    "media_ahash" -> ((s, dir) => MultimodalOps.mediaAHash(d(s, dir))),
     "frame_dedup" -> ((s, dir) => MultimodalOps.frameDedup(d(s, dir)))
   )
 
@@ -792,6 +828,44 @@ object MultimodalPack extends QueryPack {
         |       CASE WHEN NOT trunc THEN CAST(list_aggregate(c2, 'min') AS BIGINT) END AS c2_min,
         |       CASE WHEN NOT trunc THEN CAST(list_aggregate(c2, 'max') AS BIGINT) END AS c2_max
         |FROM c""".stripMargin,
+    // same closed-form mirror: gray plane, integer mean, one bit per
+    // brighter-than-mean pixel — DuckDB list indexes are 1-based, so the
+    // channel deinterleave reads px[3j+1..3j+3] and the bit index is j-1
+    "media_ahash" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch,
+        |         doc_id % 8 + 1 AS w, doc_id % 6 + 1 AS h,
+        |         doc_id % 7 = 3 AS trunc
+        |  FROM documents
+        |),
+        |v AS (
+        |  SELECT doc_id, ch, w, h, trunc,
+        |         list_transform(range(0, w * h * ch), j ->
+        |           CASE WHEN ch = 1 THEN (doc_id * 31 + j * 7) % 256
+        |                ELSE (doc_id * 17 + j * 5) % 256 END) AS px
+        |  FROM p
+        |),
+        |g AS (
+        |  SELECT doc_id, ch, w, h, trunc,
+        |         CASE WHEN ch = 1 THEN px
+        |              ELSE list_transform(range(0, w * h), j ->
+        |                     (px[3*j + 1] + px[3*j + 2] + px[3*j + 3]) // 3) END AS gr
+        |  FROM v
+        |),
+        |m AS (
+        |  SELECT doc_id, ch, w, h, trunc, gr,
+        |         list_aggregate(gr, 'sum') // len(gr) AS mean_px
+        |  FROM g
+        |)
+        |SELECT doc_id,
+        |       CASE WHEN trunc THEN 'corrupt' WHEN ch = 1 THEN 'pgm' ELSE 'ppm' END AS status,
+        |       CASE WHEN NOT trunc THEN CAST(w AS BIGINT) END AS width,
+        |       CASE WHEN NOT trunc THEN CAST(h AS BIGINT) END AS height,
+        |       CASE WHEN NOT trunc THEN CAST(ch AS BIGINT) END AS channels,
+        |       CASE WHEN NOT trunc THEN CAST(list_sum(list_transform(gr, (x, j) ->
+        |              CASE WHEN x > mean_px THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END)) AS BIGINT) END AS ahash
+        |FROM m""".stripMargin,
     // the fixture's media bytes are UTF-8 of ASCII text, so md5 over the
     // text substring equals Spark's md5 over the binary frame slice
     "frame_dedup" ->

@@ -41,7 +41,12 @@ object ScaleBench {
     "dedup_minhash", "dedup_simhash", "bm25_ingest", "dup_spans",
     "intra_spans", "kmv_vocab", "kmv_overlap", "cms_freq", "ivfpq_res_t",
     "ann_ivf_probe2", "token_budget", "dsir_select", "packing_assign", "alloc_select", "len_quantiles",
-    "media_dims_mix")
+    "media_dims_mix",
+    // round-10 tail: the grouped + dense-distinct + shuffled quantile
+    // censuses, the heavy-hitter sweep, the 20%-budget water-fill closure,
+    // the build-write-serve ANN cycle, and the pixel raster walk
+    "len_quantiles_lang", "len_quantiles_user", "id_quantiles",
+    "cms_heavy", "alloc_select20", "ann_served", "media_pixels")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -64,6 +69,7 @@ object ScaleBench {
     // ---- build the scaled tables (not timed) ----
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val embs = spark.read.parquet(s"$base/embeddings.parquet")
+    val evs = spark.read.parquet(s"$base/events.parquet")
     // family filter for incremental runs (comma-separated; default all).
     // Unknown names fail fast: a typo must not silently bench nothing
     // after minutes of corpus building.
@@ -76,6 +82,7 @@ object ScaleBench {
     }
     val baseDocCount = spark.read.parquet(s"$base/documents.parquet").count()
     val baseVecCount = spark.read.parquet(s"$base/embeddings.parquet").count()
+    val baseEvCount = spark.read.parquet(s"$base/events.parquet").count()
     def build(factor: Int): String = {
       val dir = s"$outRoot/x$factor"
       // reuse a corpus built by a previous run: the construction is
@@ -89,7 +96,8 @@ object ScaleBench {
             // the embeddings corpus gets the SAME exact-count gate — a
             // schema-only check would silently reuse a stale or partial
             // vector corpus and skew the ANN-family exponents
-            spark.read.parquet(s"$dir/embeddings.parquet").count() == baseVecCount * factor
+            spark.read.parquet(s"$dir/embeddings.parquet").count() == baseVecCount * factor &&
+            spark.read.parquet(s"$dir/events.parquet").count() == baseEvCount * factor
         ).getOrElse(false)
       if (reusable) {
         System.err.println(s"[scale-bench] reusing ${factor}x corpus at $dir")
@@ -109,9 +117,17 @@ object ScaleBench {
             transform(col("embedding"), x => x + lit((i * 1e-4).toFloat)))
       }.reduce(_ unionByName _)
       scaledEmbs.repartition(32).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      // events scale with the GROUP CARDINALITY growing too (user_id
+      // re-ids like doc_id) — the axis the shuffled quantile twin is for
+      val scaledEvs = (0 until factor).map { i =>
+        evs.withColumn("event_id", col("event_id") * factor.toLong + i)
+          .withColumn("user_id", col("user_id") * factor.toLong + i)
+      }.reduce(_ unionByName _)
+      scaledEvs.repartition(32).write.mode("overwrite").parquet(s"$dir/events.parquet")
       System.err.println(s"[scale-bench] built ${factor}x corpus at $dir: " +
         s"${spark.read.parquet(s"$dir/documents.parquet").count()} docs, " +
-        s"${spark.read.parquet(s"$dir/embeddings.parquet").count()} vectors")
+        s"${spark.read.parquet(s"$dir/embeddings.parquet").count()} vectors, " +
+        s"${spark.read.parquet(s"$dir/events.parquet").count()} events")
       dir
     }
     val dirs = factors.map(f => f -> build(f))

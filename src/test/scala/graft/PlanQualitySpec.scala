@@ -207,7 +207,7 @@ class PlanQualitySpec extends SparkSpec {
 
   test("media header decodes are scan-local — zero exchanges, no UDF") {
     for (q <- Seq("media_dims", "jpeg_dims", "media_dims_mix", "wav_dims", "media_sniff",
-        "media_pixels")) {
+        "media_pixels", "media_ahash")) {
       val plan = physical(SparkEntry.queries(q)(spark, sf))
       assert(!plan.contains("Exchange"), s"$q shuffles:\n$plan")
       assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
