@@ -308,7 +308,12 @@ object DataLayoutOps {
       .withColumn("bkt", expr("(v - lo) DIV w"))
       .withColumn("subb", expr("(v - lo - bkt * w) DIV ((w - 1L) DIV 1000L + 1L)"))
       .select("v", "bkt", "subb")
-    val census = bucketed.groupBy("bkt").agg(count(lit(1)).as("c"))
+    // ONE corpus aggregation feeds both census levels: the fine
+    // (bkt, subb) census (≤ ~10⁶ rows worst case — census-sized, never
+    // corpus-sized) rolls up to the ≤1001-row bucket census
+    val fineCensus = graft.Caching.maybeCache(
+      bucketed.groupBy("bkt", "subb").agg(count(lit(1)).as("sc")))
+    val census = fineCensus.groupBy("bkt").agg(sum(col("sc")).as("c"))
     val wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
     val cum = census.withColumn("cum_before",
       coalesce(sum(col("c")).over(wb), lit(0L)))
@@ -323,25 +328,21 @@ object DataLayoutOps {
         col("cum_before") < col("rank") && col("rank") <= col("cum_before") + col("c"))
       .select(col("q_e2"), col("rank"), col("n_total"), col("bkt"),
         (col("rank") - col("cum_before")).as("in_bkt_rank"))
-    // recursion level: census of the target bucket's ≤1001 sub-buckets
-    // locates the sub-bucket holding the in-bucket rank
-    val sub = bucketed.join(broadcast(targets.select("q_e2", "bkt")), Seq("bkt"))
-      .select("q_e2", "subb", "v")
-    val subCensus = sub.groupBy("q_e2", "subb").agg(count(lit(1)).as("sc"))
+    // recursion level on the FINE CENSUS (no corpus re-scan): the target
+    // bucket's ≤1001 sub-bucket counts locate the in-bucket rank
     val ws = Window.partitionBy("q_e2").orderBy("subb")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val subTargets = subCensus
+    val subTargets = fineCensus
+      .join(broadcast(targets), Seq("bkt"))
       .withColumn("cum_s", coalesce(sum(col("sc")).over(ws), lit(0L)))
-      .join(broadcast(targets.select("q_e2", "rank", "n_total", "in_bkt_rank")),
-        Seq("q_e2"))
       .filter(col("cum_s") < col("in_bkt_rank") &&
         col("in_bkt_rank") <= col("cum_s") + col("sc"))
-      .select(col("q_e2"), col("rank"), col("n_total"), col("subb"),
+      .select(col("q_e2"), col("rank"), col("n_total"), col("bkt"), col("subb"),
         (col("in_bkt_rank") - col("cum_s")).as("in_sub_rank"))
-    // resolve on the target SUB-bucket's distinct-value census
-    // (distributed groupBy; the window sees one row per distinct value
-    // of a 1/10⁶ range slice, not per row)
-    val vcensus = sub.join(broadcast(subTargets), Seq("q_e2", "subb"))
+    // resolve on the target SUB-bucket's distinct-value census — the one
+    // join back to the corpus rows (distributed groupBy; the window sees
+    // one row per distinct value of a 1/10⁶ range slice, not per row)
+    val vcensus = bucketed.join(broadcast(subTargets), Seq("bkt", "subb"))
       .groupBy("q_e2", "rank", "n_total", "in_sub_rank", "v")
       .agg(count(lit(1)).as("cv"))
     val wv = Window.partitionBy("q_e2").orderBy("v")
@@ -398,7 +399,11 @@ object DataLayoutOps {
       .withColumn("bkt", expr("(v - lo) DIV w"))
       .withColumn("subb", expr("(v - lo - bkt * w) DIV ((w - 1L) DIV 1000L + 1L)"))
       .select("grp", "v", "bkt", "subb")
-    val census = bucketed.groupBy("grp", "bkt").agg(count(lit(1)).as("c"))
+    // ONE corpus aggregation feeds both census levels (the corpus-wide
+    // variant's construction, partitioned by group)
+    val fineCensus = graft.Caching.maybeCache(
+      bucketed.groupBy("grp", "bkt", "subb").agg(count(lit(1)).as("sc")))
+    val census = fineCensus.groupBy("grp", "bkt").agg(sum(col("sc")).as("c"))
     val wb = Window.partitionBy("grp").orderBy("bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum = census.withColumn("cum_before",
@@ -412,22 +417,17 @@ object DataLayoutOps {
         col("rank") <= col("cum_before") + col("c"))
       .select(col("grp"), col("q_e2"), col("rank"), col("n_total"), col("bkt"),
         (col("rank") - col("cum_before")).as("in_bkt_rank"))
-    // recursion level: the target bucket's ≤1001-way sub-bucket census
-    val sub = bucketed.join(side(targets.select("grp", "q_e2", "bkt")),
-        Seq("grp", "bkt"))
-      .select("grp", "q_e2", "subb", "v")
-    val subCensus = sub.groupBy("grp", "q_e2", "subb").agg(count(lit(1)).as("sc"))
+    // recursion level on the FINE CENSUS (no corpus re-scan)
     val ws = Window.partitionBy("grp", "q_e2").orderBy("subb")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val subTargets = subCensus
+    val subTargets = fineCensus
+      .join(side(targets), Seq("grp", "bkt"))
       .withColumn("cum_s", coalesce(sum(col("sc")).over(ws), lit(0L)))
-      .join(side(targets.select("grp", "q_e2", "rank", "n_total", "in_bkt_rank")),
-        Seq("grp", "q_e2"))
       .filter(col("cum_s") < col("in_bkt_rank") &&
         col("in_bkt_rank") <= col("cum_s") + col("sc"))
-      .select(col("grp"), col("q_e2"), col("rank"), col("n_total"), col("subb"),
-        (col("in_bkt_rank") - col("cum_s")).as("in_sub_rank"))
-    val vcensus = sub.join(side(subTargets), Seq("grp", "q_e2", "subb"))
+      .select(col("grp"), col("q_e2"), col("rank"), col("n_total"), col("bkt"),
+        col("subb"), (col("in_bkt_rank") - col("cum_s")).as("in_sub_rank"))
+    val vcensus = bucketed.join(side(subTargets), Seq("grp", "bkt", "subb"))
       .groupBy("grp", "q_e2", "rank", "n_total", "in_sub_rank", "v")
       .agg(count(lit(1)).as("cv"))
     val wv = Window.partitionBy("grp", "q_e2").orderBy("v")

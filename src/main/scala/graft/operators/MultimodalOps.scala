@@ -620,6 +620,48 @@ object MultimodalOps {
           .as("ahash"))
   }
 
+  /** Perceptual NEAR-dup pairs over [[mediaAHash]] — [[DedupOps]]'
+    * banded-LSH machinery applied to the pixel hash: the 48-bit hash
+    * splits into 4 bands of 12 bits keyed WITH the image dims (different
+    * shapes never compare), candidates share ≥1 band, survivors verify
+    * by exact hamming distance. Pigeonhole: hamming ≤ maxHamming < 4
+    * differing bits can spoil at most maxHamming bands, so banding is
+    * EXACT-recall at the default threshold — the oracle is the plain
+    * quadratic self-join, and the banded plan must reproduce it.
+    * Buckets are capped at [[DedupOps.MaxBandBucket]] members (dropped
+    * whole, the [[DedupOps.capBuckets]] contract) so a degenerate
+    * corpus of identical images cannot square inside one bucket —
+    * identical-image groups a dropped bucket hides are still caught by
+    * grouping [[mediaAHash]] exactly. */
+  def ahashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"banding is exact-recall only for hamming < 4 bands, got $maxHamming")
+    val h = graft.Caching.maybeCache(
+      mediaAHash(docs)
+        .filter(col("status") =!= "corrupt")
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          col("ahash")))
+    val banded = h
+      .select(col("doc_id"), col("width"), col("height"), col("channels"),
+        col("ahash"), explode(lit((0 to 3).toArray)).as("band"))
+      .withColumn("bits", expr("shiftright(ahash, band * 12) & 4095L"))
+    val capped = DedupOps.capBuckets(banded,
+      Seq("width", "height", "channels", "band", "bits"))
+    val cand = capped.as("a").join(capped.as("b"),
+        col("a.width") === col("b.width") &&
+          col("a.height") === col("b.height") &&
+          col("a.channels") === col("b.channels") &&
+          col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Decode + feature extraction over batches through the codec seam:
     * the per-partition iterator is where a JNI/FFI codec for COMPRESSED
     * formats would init once per executor task and decode per record —
@@ -674,6 +716,7 @@ object MultimodalPack extends QueryPack {
     "media_sniff" -> ((s, dir) => MultimodalOps.mediaSniff(d(s, dir))),
     "media_pixels" -> ((s, dir) => MultimodalOps.mediaPixels(d(s, dir))),
     "media_ahash" -> ((s, dir) => MultimodalOps.mediaAHash(d(s, dir))),
+    "ahash_near_dups" -> ((s, dir) => MultimodalOps.ahashNearDups(d(s, dir))),
     "frame_dedup" -> ((s, dir) => MultimodalOps.frameDedup(d(s, dir)))
   )
 
@@ -866,6 +909,56 @@ object MultimodalPack extends QueryPack {
         |       CASE WHEN NOT trunc THEN CAST(list_sum(list_transform(gr, (x, j) ->
         |              CASE WHEN x > mean_px THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END)) AS BIGINT) END AS ahash
         |FROM m""".stripMargin,
+    // mirrors the full capped-banded chain (bands, bucket cap, hamming
+    // verify) — at the default threshold banding is exact-recall, so
+    // below the cap this equals the plain quadratic self-join
+    "ahash_near_dups" ->
+      s"""WITH p AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch,
+        |         doc_id % 8 + 1 AS w, doc_id % 6 + 1 AS h
+        |  FROM documents WHERE doc_id % 7 <> 3
+        |),
+        |v AS (
+        |  SELECT doc_id, ch, w, h,
+        |         list_transform(range(0, w * h * ch), j ->
+        |           CASE WHEN ch = 1 THEN (doc_id * 31 + j * 7) % 256
+        |                ELSE (doc_id * 17 + j * 5) % 256 END) AS px
+        |  FROM p
+        |),
+        |g AS (
+        |  SELECT doc_id, ch, w, h,
+        |         CASE WHEN ch = 1 THEN px
+        |              ELSE list_transform(range(0, w * h), j ->
+        |                     (px[3*j + 1] + px[3*j + 2] + px[3*j + 3]) // 3) END AS gr
+        |  FROM v
+        |),
+        |hh AS (
+        |  SELECT doc_id, ch, w, h,
+        |         CAST(list_sum(list_transform(gr, (x, j) ->
+        |           CASE WHEN x > list_aggregate(gr, 'sum') // len(gr)
+        |                THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END)) AS BIGINT) AS ahash
+        |  FROM g
+        |),
+        |banded AS (
+        |  SELECT doc_id, ch, w, h, ahash, j AS band, (ahash >> (j * 12)) & 4095 AS bits
+        |  FROM hh, range(0, 4) r(j)
+        |),
+        |capped AS (
+        |  SELECT * FROM (
+        |    SELECT *, COUNT(*) OVER (PARTITION BY w, h, ch, band, bits) AS bsz
+        |    FROM banded
+        |  ) WHERE bsz <= ${DedupOps.MaxBandBucket}
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.ahash AS ha, b.ahash AS hb
+        |  FROM capped a JOIN capped b
+        |    ON a.w = b.w AND a.h = b.h AND a.ch = b.ch
+        |   AND a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+        |)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin,
     // the fixture's media bytes are UTF-8 of ASCII text, so md5 over the
     // text substring equals Spark's md5 over the binary frame slice
     "frame_dedup" ->

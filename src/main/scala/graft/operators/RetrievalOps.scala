@@ -173,6 +173,46 @@ object RetrievalOps {
     val lens = postings.groupBy("doc_id").agg(sum(col("tf")).as("len"))
     rankFold(postings.filter(col("token").isin(terms: _*)), lens, terms, k)
   }
+  /** Write the inverted index through the bulk seam — the text side's
+    * [[graft.operators.AnnIndexOps.writeIndex]] twin: full-vocab
+    * postings plus the derived doc-length table (at 100 TB the lengths
+    * are index metadata you store once, not a per-query Σ tf re-roll of
+    * the full postings). */
+  def bm25WriteIndex(docs: DataFrame, dir: String): Unit = {
+    val idx = graft.Caching.maybeCache(bm25Index(docs))
+    graft.sources.BulkOps.writePath(idx, org.apache.spark.sql.SaveMode.Overwrite)
+      .save(s"$dir/postings")
+    graft.sources.BulkOps.writePath(
+        idx.groupBy("doc_id").agg(sum(col("tf")).as("len")),
+        org.apache.spark.sql.SaveMode.Overwrite)
+      .save(s"$dir/lens")
+  }
+
+  /** Serve BM25 from the STORED index: postings pruned to the query
+    * terms by a PUSHED filter (the scan ships |terms| posting lists, not
+    * the index), lengths and corpus stats from the stored length table —
+    * corpus TEXT is never touched at serve time. Identical scoring path
+    * as [[bm25TopK]] ([[rankFold]]), so the answer is bit-identical —
+    * that equality is the `bm25_served` oracle claim, exactly the
+    * [[bm25IngestTopK]] convention. */
+  def bm25ServedTopK(spark: SparkSession, dir: String,
+      terms: Seq[String] = DefaultTerms, k: Int = 10): DataFrame = {
+    require(terms.nonEmpty && terms.size <= MaxQueryTerms,
+      s"1..$MaxQueryTerms query terms, got ${terms.size}")
+    val postings = graft.sources.BulkOps.readPath(spark, s"$dir/postings")
+      .filter(col("token").isin(terms: _*))
+    val lens = graft.sources.BulkOps.readPath(spark, s"$dir/lens")
+    rankFold(postings, lens, terms, k)
+  }
+
+  /** The `bm25_served` fixture chain: index the corpus once into a fresh
+    * temp dir, then serve the default query from the stored tables. */
+  def bm25Served(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25idx").toString
+    bm25WriteIndex(Tables.documents(spark, sfDir), dir)
+    bm25ServedTopK(spark, dir)
+  }
+
   /** Query-table-driven BM25 — the decontamination-probe shape: a
     * benchmark's THOUSANDS of queries arrive as a (query_id, term) TABLE
     * and every query is scored per doc in one group-by, where
@@ -297,6 +337,7 @@ object RetrievalPack extends QueryPack {
       RetrievalOps.bm25TopKForQueries(docs, RetrievalOps.benchmarkQueries(docs))
     }),
     "bm25_ingest" -> ((s, d) => RetrievalOps.bm25IngestTopK(Tables.documents(s, d))),
+    "bm25_served" -> ((s, d) => RetrievalOps.bm25Served(s, d)),
     "phrase_hits" -> ((s, d) => RetrievalOps.phraseHits(Tables.documents(s, d))),
     "rrf_fusion" -> ((s, d) =>
       RetrievalOps.rrfFusion(Tables.documents(s, d), Tables.embeddings(s, d)))
@@ -357,6 +398,11 @@ object RetrievalPack extends QueryPack {
     // additivity of df and the corpus scalars), so its oracle IS the
     // batch chain — the equality is the correctness claim
     "bm25_ingest" ->
+      s"""WITH $bm25Ctes
+         |SELECT doc_id, n_terms, score_e4, rnk FROM ranked WHERE rnk <= 10""".stripMargin,
+    // served-from-stored-index must return the batch chain's answer
+    // bit-for-bit — same oracle BY DESIGN (the bm25_ingest convention)
+    "bm25_served" ->
       s"""WITH $bm25Ctes
          |SELECT doc_id, n_terms, score_e4, rnk FROM ranked WHERE rnk <= 10""".stripMargin,
     // query-table BM25: 50 fixture queries dealt round-robin from the

@@ -404,6 +404,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in len_quantiles_user:\n$plan")
   }
 
+  test("served BM25 reads the stored index only — token filter pushed, no text scan") {
+    spark.catalog.clearCache()
+    val plan = physical(SparkEntry.queries("bm25_served")(spark, sf))
+    assert(!plan.contains("documents.parquet"),
+      s"serve must not touch the corpus text:\n$plan")
+    assert(plan.contains("postings") && plan.contains("lens"),
+      s"expected the two stored index scans:\n$plan")
+    assert(plan.contains("PushedFilters: [In(token"),
+      s"the term filter must reach the postings scan:\n$plan")
+  }
+
   test("cms sketch: the probe joins the d·w-row sketch by broadcast, counters combine map-side") {
     spark.catalog.clearCache()
     val plan = physical(SparkEntry.queries("cms_freq")(spark, sf))

@@ -261,6 +261,15 @@ class RetrievalLayoutSpec extends SparkSpec {
       "sampled bounds must cover ~all of the key mass")
   }
 
+  test("served BM25 through a written index equals the text-fed chain row-for-row") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val got = graft.operators.RetrievalOps.bm25Served(spark, sf)
+    val fresh = graft.operators.RetrievalOps.bm25TopK(docs)
+    assert(got.exceptAll(fresh).count() == 0 && fresh.exceptAll(got).count() == 0,
+      "stored-index BM25 must be bit-identical to the text-fed build")
+    assert(got.count() == 10)
+  }
+
   test("exact quantiles: census path equals the total-sort rank statistic, incl. degenerate inputs") {
     val s = spark
     import s.implicits._

@@ -657,6 +657,30 @@ class TrainingDataSpec extends SparkSpec {
     assert(got.getAs[Long]("c0_sum") == exp0.sum && got.getAs[Long]("c0_min") == exp0.min)
   }
 
+  test("ahash near-dups: identical images pair at hamming 0; a degenerate bucket is capped, not squared") {
+    val s = spark
+    import s.implicits._
+    def docsFor(ids: Seq[Long]) = ids.toDF("doc_id")
+    // doc_ids ≡ (mod 768) share (w, h, ch) AND every pixel byte (768 is
+    // lcm of the dim moduli and a multiple of 256) — identical images.
+    // 768 % 7 = 5 and 2304 % 7 = 1: neither is the truncated class.
+    val pair = MultimodalOps.ahashNearDups(docsFor(Seq(768L, 2304L))).collect()
+    assert(pair.length == 1 && pair(0).getLong(2) == 0L,
+      s"identical images must pair at hamming 0: ${pair.mkString(", ")}")
+    // 200 identical images: ~171 non-corrupt land in ONE band bucket >
+    // MaxBandBucket — the bucket drops whole (0 pairs), never squares;
+    // the group is still recoverable by grouping mediaAHash exactly
+    val flood = docsFor((0L until 200L).map(_ * 768L))
+    assert(MultimodalOps.ahashNearDups(flood).count() == 0,
+      "an over-cap bucket must drop, not emit O(n²) pairs")
+    val groups = MultimodalOps.mediaAHash(flood)
+      .filter(col("status") =!= "corrupt")
+      .groupBy("width", "height", "channels", "ahash").count()
+      .collect()
+    assert(groups.length == 1 && groups(0).getLong(4) > DedupOps.MaxBandBucket,
+      "exact-hash grouping still sees the identical-image class")
+  }
+
   test("frame sampling reconstructs total byte counts") {
     val frames = MultimodalOps.frameSample(docs)
       .groupBy("doc_id").agg(sum("frame_bytes").as("total"))
