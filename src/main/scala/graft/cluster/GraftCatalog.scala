@@ -169,5 +169,9 @@ object GraftCatalog {
       .createOrReplaceTempView("media_dims_mix")
     graft.operators.MultimodalOps.wavDims(docs)
       .createOrReplaceTempView("wav_dims")
+    graft.operators.MultimodalOps.mediaPixels(docs)
+      .createOrReplaceTempView("media_pixels")
+    graft.operators.MultimodalOps.mediaAHash(docs)
+      .createOrReplaceTempView("media_ahash")
   }
 }

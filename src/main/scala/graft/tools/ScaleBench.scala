@@ -46,7 +46,8 @@ object ScaleBench {
     // censuses, the heavy-hitter sweep, the 20%-budget water-fill closure,
     // the build-write-serve ANN cycle, and the pixel raster walk
     "len_quantiles_lang", "len_quantiles_user", "id_quantiles",
-    "cms_heavy", "alloc_select20", "ann_served", "media_pixels")
+    "cms_heavy", "alloc_select20", "ann_served", "media_pixels",
+    "media_ahash", "ahash_near_dups", "bm25_served")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -169,6 +169,9 @@ class EmptyInputSpec extends SparkSpec {
       emptyDocs.selectExpr("lang", "doc_id AS v"), "lang", "v").count() == 0)
     assert(DataLayoutOps.exactQuantilesByShuffled(
       emptyDocs.selectExpr("lang", "doc_id AS v"), "lang", "v").count() == 0)
+    assert(MultimodalOps.mediaPixels(emptyDocs).count() == 0)
+    assert(MultimodalOps.mediaAHash(emptyDocs).count() == 0)
+    assert(MultimodalOps.ahashNearDups(emptyDocs).count() == 0)
   }
 
   test("as-of join with an empty right side left-joins nulls, empty left is empty") {

@@ -154,6 +154,22 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT COUNT(*) FROM len_quantiles WHERE rank < 1 OR rank > n_total")
       .collect()(0).getLong(0) == 0)
+    // pixel decode: samples live in [0, 255], stats exist iff parsed,
+    // and the channel stats reconcile (min <= sum/n <= max)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM media_pixels WHERE (status <> 'corrupt') <> (c0_sum IS NOT NULL)")
+      .collect()(0).getLong(0) == 0)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM media_pixels WHERE status <> 'corrupt' AND" +
+        " (c0_min < 0 OR c0_max > 255 OR c0_min * width * height > c0_sum" +
+        " OR c0_max * width * height < c0_sum)")
+      .collect()(0).getLong(0) == 0)
+    // aHash: a hash exists iff the image parsed, and it fits the pixel
+    // count (every set bit indexes a real pixel)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM media_ahash WHERE (status <> 'corrupt') <> (ahash IS NOT NULL)" +
+        " OR (status <> 'corrupt' AND ahash >= CAST(pow(2, width * height) AS BIGINT))")
+      .collect()(0).getLong(0) == 0)
   }
 
   test("compaction_weight resolves in SQL via session extensions") {
