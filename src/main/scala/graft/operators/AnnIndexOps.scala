@@ -112,6 +112,20 @@ object AnnIndexOps {
       .partitionBy("center").save(s"$dir/postings")
   }
 
+  /** Ingest INTO the stored index: encode the batch against the stored
+    * quantizer and APPEND the rows to the partitioned postings table —
+    * new rows land inside their coarse centers' directories, existing
+    * lists untouched, quantizer tables untouched. Serving from the dir
+    * afterwards is identical to serving from an index rebuilt over the
+    * union with the same (old-trained) quantizer — the
+    * [[encodeAgainst]] row-independence made durable. */
+  def appendToIndex(spark: SparkSession, dir: String, newVectors: DataFrame): Unit = {
+    val cents = BulkOps.readPath(spark, s"$dir/centroids")
+    val cb = BulkOps.readPath(spark, s"$dir/codebook")
+    BulkOps.writePath(appendBatch(newVectors, cents, cb), SaveMode.Append)
+      .partitionBy("center").save(s"$dir/postings")
+  }
+
   /** Read the stored artifacts back. The partition column comes back as
     * the discovery-inferred integer type — normalized to the written
     * LONG so served joins are type-identical to fresh ones. */

@@ -33,6 +33,39 @@ class AnnIndexSpec extends SparkSpec {
     assert(rebuilt.groupBy("vec_id").count().filter(col("count") =!= 8).count() == 0)
   }
 
+  test("append INTO the stored index: serving after the ingest equals a rebuild over the union") {
+    val emb = Tables.embeddings(spark, sf)
+    val old = emb.filter(col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400)
+    // index built (and its quantizer TRAINED) on the old corpus only
+    val dirA = Files.createTempDirectory("graft_annidx_a").toString
+    AnnIndexOps.writeIndex(old, dirA)
+    AnnIndexOps.appendToIndex(spark, dirA, batch)
+    // reference: the union encoded fresh against the SAME old-trained
+    // quantizer, written whole
+    val dirB = Files.createTempDirectory("graft_annidx_b").toString
+    val (cents, cb, _) = AnnIndexOps.buildIndex(old)
+    graft.sources.BulkOps.writePath(cents,
+      org.apache.spark.sql.SaveMode.Overwrite).save(s"$dirB/centroids")
+    graft.sources.BulkOps.writePath(cb,
+      org.apache.spark.sql.SaveMode.Overwrite).save(s"$dirB/codebook")
+    graft.sources.BulkOps.writePath(
+        AnnIndexOps.encodeAgainst(emb, cents, cb),
+        org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("center").save(s"$dirB/postings")
+    val s = spark
+    import s.implicits._
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      .toDF("vec_id", "embedding")
+    val a = AnnIndexOps.servedTopK(spark, dirA, queries)
+    val b = AnnIndexOps.servedTopK(spark, dirB, queries)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "appended index must serve exactly what a rebuilt-union index serves")
+    assert(a.count() == 50)
+  }
+
   test("served plan reads the stored index only — no embeddings scan, probed-list pruning") {
     val s = spark
     import s.implicits._
