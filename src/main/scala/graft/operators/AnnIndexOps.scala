@@ -176,17 +176,37 @@ object AnnIndexOps {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  // one stored index per corpus dir per JVM, under the operator-cache
+  // lifecycle: the index is DERIVED STATE built once and served many
+  // times (the entire point of persisting it) — with graft.cache.enabled
+  // off (ScaleBench) every call rebuilds, so scale runs keep measuring
+  // the full build-write-serve cycle
+  private val indexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Drop the per-JVM stored-index memo (the [[graft.Caching.release]]
+    * analogue for the on-disk derived state). */
+  def clearIndexMemo(): Unit = indexDirs.clear()
+
   /** The `ann_served` fixture chain: build + write the index into a
-    * fresh temp dir, collect the standard 10 query vectors into a LOCAL
-    * frame (bounded app input — the one deliberate driver materialization,
-    * |q| rows), and serve from the stored tables. The result must equal
-    * the fresh-build `ivfpq_res_t` chain row-for-row — that equality is
+    * fresh temp dir (memoized per corpus dir under the cache lifecycle),
+    * collect the standard 10 query vectors into a LOCAL frame (bounded
+    * app input — the one deliberate driver materialization, |q| rows),
+    * and serve from the stored tables. The result must equal the
+    * fresh-build `ivfpq_res_t` chain row-for-row — that equality is
     * the oracle. */
   def annServed(spark: SparkSession, sfDir: String,
       nQueries: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString
-    writeIndex(emb, dir)
+    val dir =
+      if (!spark.conf.get(graft.Caching.EnabledKey, "true").toBoolean) {
+        val d = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+        writeIndex(emb, d)
+        d
+      } else indexDirs.computeIfAbsent(sfDir, { _ =>
+        val d = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+        writeIndex(emb, d)
+        d
+      })
     val qrows = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding"))
       .collect()

@@ -205,11 +205,27 @@ object RetrievalOps {
     rankFold(postings, lens, terms, k)
   }
 
+  // one stored index per corpus dir per JVM — [[graft.operators
+  // .AnnIndexOps]]'s memo convention: derived state builds once and
+  // serves many times; with graft.cache.enabled off every call rebuilds
+  private val bm25IndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Drop the per-JVM stored-index memo. */
+  def clearIndexMemo(): Unit = bm25IndexDirs.clear()
+
   /** The `bm25_served` fixture chain: index the corpus once into a fresh
-    * temp dir, then serve the default query from the stored tables. */
+    * temp dir (memoized per corpus dir under the cache lifecycle), then
+    * serve the default query from the stored tables. */
   def bm25Served(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_bm25idx").toString
-    bm25WriteIndex(Tables.documents(spark, sfDir), dir)
+    def build(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bm25idx").toString
+      bm25WriteIndex(Tables.documents(spark, sfDir), dir)
+      dir
+    }
+    val dir =
+      if (!spark.conf.get(graft.Caching.EnabledKey, "true").toBoolean) build()
+      else bm25IndexDirs.computeIfAbsent(sfDir, _ => build())
     bm25ServedTopK(spark, dir)
   }
 
