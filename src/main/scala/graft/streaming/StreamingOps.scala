@@ -639,6 +639,30 @@ object StreamingOps {
     * differential the spec pins; same md5-derived [[SketchOps.cmsBucket]]
     * hashing on both paths). Update mode re-emits the cells a trigger
     * touched. */
+  /** Online ANN serving — the streaming face of
+    * [[graft.operators.AnnIndexOps.writeIndex]]: a stream of query
+    * vectors (vec_id, embedding) is scored per micro-batch against the
+    * STORED index via [[graft.operators.AnnIndexOps.servedTopK]], and
+    * each batch's top-k rows go to `emit`. Every query's result depends
+    * only on the index and its own vector, so results are
+    * batching-invariant — streamed answers equal the batch serve over
+    * the union, the differential the spec pins. The index tables load
+    * per batch through the same DPP-pruned read as batch serving;
+    * nothing about arrival order or batch boundaries can change a
+    * ranking. */
+  def annServeStream(
+      queries: DataFrame, indexDir: String, checkpoint: String,
+      emit: (DataFrame, Long) => Unit,
+      k: Int = 5, nprobe: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        emit(graft.operators.AnnIndexOps.servedTopK(
+          batch.sparkSession, indexDir, batch.toDF(), k, nprobe), batchId)
+      }
+      .start()
+
   def cmsFreqStream(docs: DataFrame,
       depth: Int = graft.operators.SketchOps.CmsDepth,
       width: Int = graft.operators.SketchOps.CmsWidth): Dataset[CmsCell] = {

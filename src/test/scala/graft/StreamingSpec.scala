@@ -198,6 +198,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("online ANN serving: streamed query batches equal the batch serve over the union") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_stream").toString
+    graft.operators.AnnIndexOps.writeIndex(emb, dir)
+    val qvecs = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val input = MemoryStream[(Long, Seq[Float])]
+    val df = input.toDF().toDF("vec_id", "embedding")
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Int)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ann_stream_ck").toString
+    val q = StreamingOps.annServeStream(df, dir, ckpt, (batch, _) =>
+      emitted.synchronized { emitted ++= batch.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))) })
+    try {
+      // two arbitrary batch boundaries — the ranking must not care
+      input.addData(qvecs.take(4): _*)
+      q.processAllAvailable()
+      input.addData(qvecs.drop(4): _*)
+      q.processAllAvailable()
+      val streamed = emitted.synchronized(emitted.toSet)
+      val batchAll = graft.operators.AnnIndexOps.servedTopK(
+          spark, dir, qvecs.toDF("vec_id", "embedding")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      assert(streamed == batchAll,
+        "per-batch online serving must be batching-invariant")
+      assert(streamed.size == 50)
+    } finally q.stop()
+  }
+
   test("ingest dedup stream keeps first doc per content fingerprint") {
     val s = spark
     import s.implicits._
