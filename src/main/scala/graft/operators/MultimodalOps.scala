@@ -633,9 +633,22 @@ object MultimodalOps {
     * corpus of identical images cannot square inside one bucket —
     * identical-image groups a dropped bucket hides are still caught by
     * grouping [[mediaAHash]] exactly. */
-  def ahashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 4,
-      s"banding is exact-recall only for hamming < 4 bands, got $maxHamming")
+  /** Bits covered by the banding: the fixture rasters are ≤ 48 px so the
+    * hash always fits; `bands` must divide this. */
+  val AHashBits = 48
+
+  def ahashNearDups(docs: DataFrame, maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    // the band structure is a PUBLIC dial (the minhash (numPerms,
+    // bandSize) convention): b bands of 48/b bits are exact-recall for
+    // any hamming radius < b, so DIFFERENT bandings at the same radius
+    // return the IDENTICAL verified pair set — banding is an
+    // implementation dial, not semantics (property-tested; the 8-band
+    // twin is oracled)
+    require(bands > 0 && AHashBits % bands == 0,
+      s"bands must divide $AHashBits, got $bands")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"banding is exact-recall only for hamming < $bands bands, got $maxHamming")
+    val bw = AHashBits / bands
     val h = graft.Caching.maybeCache(
       mediaAHash(docs)
         .filter(col("status") =!= "corrupt")
@@ -643,8 +656,9 @@ object MultimodalOps {
           col("ahash")))
     val banded = h
       .select(col("doc_id"), col("width"), col("height"), col("channels"),
-        col("ahash"), explode(lit((0 to 3).toArray)).as("band"))
-      .withColumn("bits", expr("shiftright(ahash, band * 12) & 4095L"))
+        col("ahash"), explode(lit((0 until bands).toArray)).as("band"))
+      .withColumn("bits",
+        expr(s"shiftright(ahash, band * $bw) & ${(1L << bw) - 1}L"))
     val capped = DedupOps.capBuckets(banded,
       Seq("width", "height", "channels", "band", "bits"))
     val cand = capped.as("a").join(capped.as("b"),
@@ -717,8 +731,64 @@ object MultimodalPack extends QueryPack {
     "media_pixels" -> ((s, dir) => MultimodalOps.mediaPixels(d(s, dir))),
     "media_ahash" -> ((s, dir) => MultimodalOps.mediaAHash(d(s, dir))),
     "ahash_near_dups" -> ((s, dir) => MultimodalOps.ahashNearDups(d(s, dir))),
+    "ahash_near_dups8" -> ((s, dir) =>
+      MultimodalOps.ahashNearDups(d(s, dir), maxHamming = 2, bands = 8)),
     "frame_dedup" -> ((s, dir) => MultimodalOps.frameDedup(d(s, dir)))
   )
+
+  /** The capped-banded perceptual near-dup chain as SQL, parameterized
+    * by the same (maxHamming, bands) dial as the Scala side — used by
+    * the default AND the non-default-banding twin. */
+  private def ahashNearDupsSql(maxHamming: Int, bands: Int): String = {
+    val bw = MultimodalOps.AHashBits / bands
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch,
+       |         doc_id % 8 + 1 AS w, doc_id % 6 + 1 AS h
+       |  FROM documents WHERE doc_id % 7 <> 3
+       |),
+       |v AS (
+       |  SELECT doc_id, ch, w, h,
+       |         list_transform(range(0, w * h * ch), j ->
+       |           CASE WHEN ch = 1 THEN (doc_id * 31 + j * 7) % 256
+       |                ELSE (doc_id * 17 + j * 5) % 256 END) AS px
+       |  FROM p
+       |),
+       |g AS (
+       |  SELECT doc_id, ch, w, h,
+       |         CASE WHEN ch = 1 THEN px
+       |              ELSE list_transform(range(0, w * h), j ->
+       |                     (px[3*j + 1] + px[3*j + 2] + px[3*j + 3]) // 3) END AS gr
+       |  FROM v
+       |),
+       |hh AS (
+       |  SELECT doc_id, ch, w, h,
+       |         CAST(list_sum(list_transform(gr, (x, j) ->
+       |           CASE WHEN x > list_aggregate(gr, 'sum') // len(gr)
+       |                THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END)) AS BIGINT) AS ahash
+       |  FROM g
+       |),
+       |banded AS (
+       |  SELECT doc_id, ch, w, h, ahash, j AS band,
+       |         (ahash >> (j * $bw)) & ${(1L << bw) - 1} AS bits
+       |  FROM hh, range(0, $bands) r(j)
+       |),
+       |capped AS (
+       |  SELECT * FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY w, h, ch, band, bits) AS bsz
+       |    FROM banded
+       |  ) WHERE bsz <= ${DedupOps.MaxBandBucket}
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.ahash AS ha, b.ahash AS hb
+       |  FROM capped a JOIN capped b
+       |    ON a.w = b.w AND a.h = b.h AND a.ch = b.ch
+       |   AND a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= $maxHamming""".stripMargin
+  }
 
   override def oracles: Map[String, String] = Map(
     "media_stats" ->
@@ -912,53 +982,10 @@ object MultimodalPack extends QueryPack {
     // mirrors the full capped-banded chain (bands, bucket cap, hamming
     // verify) — at the default threshold banding is exact-recall, so
     // below the cap this equals the plain quadratic self-join
-    "ahash_near_dups" ->
-      s"""WITH p AS (
-        |  SELECT doc_id,
-        |         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch,
-        |         doc_id % 8 + 1 AS w, doc_id % 6 + 1 AS h
-        |  FROM documents WHERE doc_id % 7 <> 3
-        |),
-        |v AS (
-        |  SELECT doc_id, ch, w, h,
-        |         list_transform(range(0, w * h * ch), j ->
-        |           CASE WHEN ch = 1 THEN (doc_id * 31 + j * 7) % 256
-        |                ELSE (doc_id * 17 + j * 5) % 256 END) AS px
-        |  FROM p
-        |),
-        |g AS (
-        |  SELECT doc_id, ch, w, h,
-        |         CASE WHEN ch = 1 THEN px
-        |              ELSE list_transform(range(0, w * h), j ->
-        |                     (px[3*j + 1] + px[3*j + 2] + px[3*j + 3]) // 3) END AS gr
-        |  FROM v
-        |),
-        |hh AS (
-        |  SELECT doc_id, ch, w, h,
-        |         CAST(list_sum(list_transform(gr, (x, j) ->
-        |           CASE WHEN x > list_aggregate(gr, 'sum') // len(gr)
-        |                THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END)) AS BIGINT) AS ahash
-        |  FROM g
-        |),
-        |banded AS (
-        |  SELECT doc_id, ch, w, h, ahash, j AS band, (ahash >> (j * 12)) & 4095 AS bits
-        |  FROM hh, range(0, 4) r(j)
-        |),
-        |capped AS (
-        |  SELECT * FROM (
-        |    SELECT *, COUNT(*) OVER (PARTITION BY w, h, ch, band, bits) AS bsz
-        |    FROM banded
-        |  ) WHERE bsz <= ${DedupOps.MaxBandBucket}
-        |),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         a.ahash AS ha, b.ahash AS hb
-        |  FROM capped a JOIN capped b
-        |    ON a.w = b.w AND a.h = b.h AND a.ch = b.ch
-        |   AND a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
-        |)
-        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
-        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin,
+    "ahash_near_dups" -> ahashNearDupsSql(maxHamming = 3, bands = 4),
+    // the non-default banding twin: 8 bands of 6 bits, radius 2 — a
+    // DIFFERENT band structure must return the identical verified set
+    "ahash_near_dups8" -> ahashNearDupsSql(maxHamming = 2, bands = 8),
     // the fixture's media bytes are UTF-8 of ASCII text, so md5 over the
     // text substring equals Spark's md5 over the binary frame slice
     "frame_dedup" ->

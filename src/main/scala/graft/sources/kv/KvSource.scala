@@ -99,7 +99,15 @@ object KvSource {
   * METADATA columns via `SupportsMetadataColumns`: invisible to `SELECT
   * *`, served when named, so O-9 keep-latest can run on connector
   * metadata instead of a schema column. `_seq` is the authoritative
-  * total order (timestamps can collide within a millisecond). */
+  * total order (timestamps can collide within a millisecond).
+  *
+  * Versioning granularity caveat: a row-level UPDATE/MERGE rewrites its
+  * whole GROUP through the copy-on-write path, and this store's one
+  * group is the table — so a rewrite re-stamps every surviving row
+  * (untouched rows included), unlike HBase, which preserves untouched
+  * cells' timestamps. That is the honest face of the documented
+  * "no finer replacement unit than the table" contract; metadata-level
+  * deletes and plain appends never re-stamp existing rows. */
 object KvStore {
   private val tables = new ConcurrentHashMap[String, (StructType, Vector[Seq[Any]])]()
 

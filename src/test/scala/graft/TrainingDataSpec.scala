@@ -679,6 +679,13 @@ class TrainingDataSpec extends SparkSpec {
       .collect()
     assert(groups.length == 1 && groups(0).getLong(4) > DedupOps.MaxBandBucket,
       "exact-hash grouping still sees the identical-image class")
+    // banding is an implementation dial, not semantics: at the same
+    // radius, 4 bands of 12 bits and 8 bands of 6 bits (both exact-recall
+    // for t < bands) must return the IDENTICAL verified pair set
+    val a = MultimodalOps.ahashNearDups(docs, maxHamming = 2, bands = 4)
+    val b = MultimodalOps.ahashNearDups(docs, maxHamming = 2, bands = 8)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "different band structures must agree on the verified pairs")
   }
 
   test("frame sampling reconstructs total byte counts") {
