@@ -99,6 +99,28 @@ object TextOps {
       md5(col("text")).as("fp"),
       md5(array_join(slice(tokens(col("text")), 1, 5), " ")).as("head_fp"),
       substring(md5(col("text")), 1, 8).as("fp_prefix"))
+
+  /** Unicode NFC canonicalization over the corpus — the normalization
+    * pass that must run BEFORE any byte-equality downstream (exact-dedup
+    * md5 keys, shingles, vocab counts, BM25 terms): web text arrives in
+    * mixed canonical forms, and `é` (U+00E9) vs `e`+U+0301 fragment every
+    * hash-keyed operator until composed. The fixture text is ASCII, so
+    * the query PLANTS mixed forms deterministically (decomposed on
+    * doc_id%3==0, precomposed on ==1, untouched otherwise) and
+    * normalizes through [[graft.functions.NormalizeNfc]] — a native
+    * codegen'd Expression whose JVM normalizer and DuckDB's
+    * `nfc_normalize` implement the same UAX #15 tables, so the oracle
+    * pins the canonicalization byte-for-byte. `changed` marks docs whose
+    * bytes moved (exactly the decomposed third). Scan-local, shuffle-free
+    * — the 100-TB shape of any per-doc scrub. */
+  def nfcNormalize(docs: DataFrame): DataFrame = {
+    val suffix = when(col("doc_id") % 3 === 0, lit("e\u0301")) // decomposed: e + combining acute
+      .when(col("doc_id") % 3 === 1, lit("\u00e9")) // precomposed
+      .otherwise(lit(""))
+    val mixed = concat(col("text"), suffix)
+    val norm = graft.functions.NormalizeNfc.nfc(mixed)
+    docs.select(col("doc_id"), norm.as("norm"), (mixed =!= norm).as("changed"))
+  }
 }
 
 object TextPack extends QueryPack {
@@ -109,10 +131,26 @@ object TextPack extends QueryPack {
     "text_quality" -> ((s, dir) => TextOps.quality(d(s, dir))),
     "lang_id" -> ((s, dir) => TextOps.langId(d(s, dir))),
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(d(s, dir))),
-    "lang_lengths" -> ((s, dir) => TextOps.langLengthStats(d(s, dir)))
+    "lang_lengths" -> ((s, dir) => TextOps.langLengthStats(d(s, dir))),
+    "nfc_norm" -> ((s, dir) => TextOps.nfcNormalize(d(s, dir)))
   )
 
   override def oracles: Map[String, String] = Map(
+    // chr(769) = U+0301 combining acute (decomposed), chr(233) = U+00E9
+    // (precomposed) — DuckDB's nfc_normalize and the JVM normalizer
+    // implement the same UAX #15 tables, so the bytes must agree exactly
+    "nfc_norm" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         text || CASE CAST(doc_id % 3 AS INT)
+        |                   WHEN 0 THEN 'e' || chr(769)
+        |                   WHEN 1 THEN chr(233)
+        |                   ELSE '' END AS mixed
+        |  FROM documents
+        |)
+        |SELECT doc_id, nfc_normalize(mixed) AS norm,
+        |       mixed <> nfc_normalize(mixed) AS changed
+        |FROM m""".stripMargin,
     "token_count" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,

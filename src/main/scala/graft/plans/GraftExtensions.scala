@@ -82,6 +82,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         "graft.functions.PlaneDot", "plane_dot"),
       arity("plane_dot", 2)(exprs => graft.functions.PlaneDot(exprs(0), exprs(1)))))
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("nfc"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.functions.NormalizeNfc", "nfc"),
+      arity("nfc", 1)(exprs => graft.functions.NormalizeNfc(exprs.head))))
     e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("compaction_weight"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         "graft.functions.CompactionWeightExpr", "compaction_weight"),

@@ -67,6 +67,32 @@ class CatalystExtensionsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("nfc expression: canonical composition, idempotence, fast path, SQL resolution") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.NormalizeNfc.nfc
+    val decomposed = "caf" + "e\u0301" // combining acute
+    val precomposed = "caf\u00e9"
+    assert(decomposed != precomposed, "fixture must start in distinct forms")
+    val df = Seq((1L, decomposed), (2L, precomposed), (3L, "plain ascii"))
+      .toDF("id", "t")
+    val out = df.select(col("id"), nfc(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // both forms compose to the same bytes; ASCII passes through
+    assert(out(1L) == precomposed && out(2L) == precomposed)
+    assert(out(3L) == "plain ascii")
+    // idempotent: nfc(nfc(x)) == nfc(x)
+    assert(df.filter(nfc(nfc(col("t"))) =!= nfc(col("t"))).count() == 0)
+    // null-safe
+    assert(Seq(Option.empty[String]).toDF("t")
+      .select(nfc(col("t")).as("n")).filter(col("n").isNotNull).count() == 0)
+    // resolves in SQL via session extensions, no manual registration
+    // (literals injected as Scala escapes: Spark's chr() is ASCII-mod-256,
+    // unlike DuckDB's codepoint chr — the oracle side uses DuckDB's)
+    assert(spark.sql(s"SELECT nfc('$decomposed') = '$precomposed'")
+      .collect()(0).getBoolean(0))
+  }
+
   test("optimizer rule derives size_mb >= 10 bound and pushes it to the parquet scan") {
     val dir = Files.createTempDirectory("graft_weight_push").toString
     graft.cluster.ClusterViews.regionMetrics(spark, sf).write.parquet(s"$dir/metrics")
