@@ -117,9 +117,14 @@ object TextOps {
     val suffix = when(col("doc_id") % 3 === 0, lit("e\u0301")) // decomposed: e + combining acute
       .when(col("doc_id") % 3 === 1, lit("\u00e9")) // precomposed
       .otherwise(lit(""))
-    val mixed = concat(col("text"), suffix)
-    val norm = graft.functions.NormalizeNfc.nfc(mixed)
-    docs.select(col("doc_id"), norm.as("norm"), (mixed =!= norm).as("changed"))
+    // staged selects (the mediaSniff discipline): the normalized string
+    // materializes ONCE — `changed` referencing the nfc subtree directly
+    // would re-run the normalizer per output column
+    docs.select(col("doc_id"), concat(col("text"), suffix).as("mixed"))
+      .select(col("doc_id"), col("mixed"),
+        graft.functions.NormalizeNfc.nfc(col("mixed")).as("norm"))
+      .select(col("doc_id"), col("norm"),
+        (col("mixed") =!= col("norm")).as("changed"))
   }
 }
 
