@@ -197,6 +197,39 @@ object CurationOps {
     * shuffle partition first and keep k per partition, so the global
     * window only ever sees k×partitions rows — no single-reducer
     * bottleneck at 100 TB vocab sizes. */
+  /** Per-source lexical diversity census: distinct unigrams / total
+    * tokens (the type-token ratio) and the bigram twin — the corpus
+    * health metric that catches template floods and synthetic loops
+    * BEFORE a model memorizes them: a source whose TTR collapses versus
+    * its peers is repeating itself, whatever the dedup keys say. Exact
+    * counts (one map-side-combinable distinct per source — |vocab|-sized
+    * state, not corpus-sized), e6-scaled integer ratios so both engines
+    * agree bit-for-bit. */
+  def diversityCensus(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("source"), explode(tokens(col("text"))).as("tok"))
+    // adjacent-pair bigrams via a shuffle-free array zip (no per-doc
+    // window); the greatest() guard keeps slice lengths legal on 1-token
+    // docs under ANSI
+    val t = tokens(col("text"))
+    val n1 = greatest(size(t) - 1, lit(0))
+    val bg = zip_with(slice(t, 1, n1), slice(t, 2, n1),
+      (a, b) => concat(a, lit(" "), b))
+    val bigrams = docs.select(col("source"), explode(bg).as("bg"))
+    val uni = toks.groupBy("source").agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("tok")).as("n_types"))
+    val bi = bigrams.groupBy("source").agg(
+      count(lit(1)).as("n_bigrams"),
+      countDistinct(col("bg")).as("n_bigram_types"))
+    uni.join(bi, Seq("source"), "left")
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        expr("n_types * 1000000L DIV n_tokens").as("ttr_e6"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_bigram_types"), lit(0L)).as("n_bigram_types"),
+        when(col("n_bigrams") > 0,
+          expr("n_bigram_types * 1000000L DIV n_bigrams")).as("bttr_e6"))
+  }
+
   def vocabTopGrams(docs: DataFrame, k: Int = 25): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     // cached: the unigram and bigram branches both read the token
@@ -1158,6 +1191,7 @@ object CurationPack extends QueryPack {
     "fluency" -> ((s, dir) => CurationOps.bigramFluency(d(s, dir))),
     "cross_doc" -> ((s, dir) => CurationOps.crossDocShared(d(s, dir))),
     "vocab_top" -> ((s, dir) => CurationOps.vocabTopGrams(d(s, dir))),
+    "diversity_census" -> ((s, dir) => CurationOps.diversityCensus(d(s, dir))),
     "splits" -> ((s, dir) => CurationOps.splitAssign(d(s, dir))),
     "corpus_diff" -> ((s, dir) => {
       val (o, n) = CurationOps.fixtureVersions(d(s, dir))
@@ -1435,6 +1469,29 @@ object CurationPack extends QueryPack {
         |  FROM documents
         |)
         |SELECT doc_id, lang, bucket FROM b WHERE bucket < rate""".stripMargin,
+    "diversity_census" ->
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |uni AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |         CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types
+        |  FROM toks GROUP BY source
+        |),
+        |bgl AS (
+        |  SELECT source,
+        |         unnest(list_transform(range(1, len(t)), j -> t[j] || ' ' || t[j+1])) AS bg
+        |  FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
+        |),
+        |bi AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |         CAST(COUNT(DISTINCT bg) AS BIGINT) AS n_bigram_types
+        |  FROM bgl GROUP BY source
+        |)
+        |SELECT u.source, n_tokens, n_types,
+        |       n_types * 1000000 // n_tokens AS ttr_e6,
+        |       COALESCE(n_bigrams, 0) AS n_bigrams,
+        |       COALESCE(n_bigram_types, 0) AS n_bigram_types,
+        |       CASE WHEN n_bigrams > 0 THEN n_bigram_types * 1000000 // n_bigrams END AS bttr_e6
+        |FROM uni u LEFT JOIN bi USING (source)""".stripMargin,
     "mix_alloc" -> mixAllocSql(50L),
     "mix_alloc99" -> mixAllocSql(99L),
     "mix_alloc_w" -> mixAllocSql(50L, weightsFixtureSql),
