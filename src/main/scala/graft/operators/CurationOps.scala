@@ -206,15 +206,19 @@ object CurationOps {
     * state, not corpus-sized), e6-scaled integer ratios so both engines
     * agree bit-for-bit. */
   def diversityCensus(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("source"), explode(tokens(col("text"))).as("tok"))
+    // one corpus tokenize feeds both branches (cached; uncached the
+    // parse would run once per branch)
+    val base = graft.Caching.maybeCache(
+      docs.select(col("source"), tokens(col("text")).as("t")))
+    val toks = base.select(col("source"), explode(col("t")).as("tok"))
     // adjacent-pair bigrams via a shuffle-free array zip (no per-doc
     // window); the greatest() guard keeps slice lengths legal on 1-token
     // docs under ANSI
-    val t = tokens(col("text"))
+    val t = col("t")
     val n1 = greatest(size(t) - 1, lit(0))
-    val bg = zip_with(slice(t, 1, n1), slice(t, 2, n1),
+    val bg = zip_with(slice(t, lit(1), n1), slice(t, lit(2), n1),
       (a, b) => concat(a, lit(" "), b))
-    val bigrams = docs.select(col("source"), explode(bg).as("bg"))
+    val bigrams = base.select(col("source"), explode(bg).as("bg"))
     val uni = toks.groupBy("source").agg(
       count(lit(1)).as("n_tokens"),
       countDistinct(col("tok")).as("n_types"))
