@@ -145,11 +145,15 @@ object AnnIndexOps {
     * lists. Output = [[PqOps.ivfPqResidualTrainedTopK]]'s exactly:
     * (qid, vec_id, adist_q, rnk). */
   def servedTopK(spark: SparkSession, dir: String, queries: DataFrame,
-      k: Int = 5, nprobe: Int = 2): DataFrame = {
+      k: Int = 5, nprobe: Int = 2, cacheQueryDims: Boolean = true): DataFrame = {
     val (cents, cb, postings) = readIndex(spark, dir)
-    // cached: the query dims feed both the probe ranking and the LUT
-    val qd = graft.Caching.maybeCache(
-      quantizedDims(queries).withColumnRenamed("vec_id", "qid"))
+    // cached: the query dims feed both the probe ranking and the LUT.
+    // Streaming serve passes cacheQueryDims=false — each micro-batch's
+    // plan is distinct and never reused, so a per-batch cache entry
+    // would accumulate forever; recomputing the bounded batch's dims
+    // twice is the cheaper trade there.
+    val qdRaw = quantizedDims(queries).withColumnRenamed("vec_id", "qid")
+    val qd = if (cacheQueryDims) graft.Caching.maybeCache(qdRaw) else qdRaw
     val dist = qd.join(broadcast(cents), Seq("dim"))
       .withColumn("d", col("xq") - col("centroid_q"))
       .groupBy("qid", "center")
@@ -199,11 +203,14 @@ object AnnIndexOps {
     val emb = Tables.embeddings(spark, sfDir)
     val dir =
       if (!spark.conf.get(graft.Caching.EnabledKey, "true").toBoolean) {
-        val d = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+        // no-cache posture: rebuild every call (scale runs measure the
+        // full cycle) but overwrite ONE scratch dir instead of leaking
+        // a full posting-table copy per bench pass
+        val d = graft.tools.IndexScratch.scratchFor("graft_annidx", sfDir)
         writeIndex(emb, d)
         d
       } else indexDirs.computeIfAbsent(sfDir, { _ =>
-        val d = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+        val d = graft.tools.IndexScratch.allocate("graft_annidx")
         writeIndex(emb, d)
         d
       })

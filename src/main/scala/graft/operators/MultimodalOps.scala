@@ -539,8 +539,14 @@ object MultimodalOps {
     * ([[mediaSniff]]'s staged-select discipline) so the three stats per
     * channel don't re-run the walk. */
   private[graft] def pnmParseCols(media: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = {
-    val prefix = decode(substring(media, 1, 32), "ISO-8859-1")
-    val re = "^(P[56])\\s([0-9]{1,8})\\s([0-9]{1,8})\\s([0-9]{1,8})\\s"
+    // 64-byte header window: worst-case dims ("P6\n99999999 99999999\n255\n")
+    // is 25 bytes, so runs of extra whitespace still fit with slack.
+    // Separators are \s+ (the spec allows any whitespace run); the final
+    // separator stays a SINGLE whitespace char — per spec exactly one
+    // char follows maxval before the raster. '#' comment lines are NOT
+    // supported and report 'corrupt' (documented limitation).
+    val prefix = decode(substring(media, 1, 64), "ISO-8859-1")
+    val re = "^(P[56])\\s+([0-9]{1,8})\\s+([0-9]{1,8})\\s+([0-9]{1,8})\\s"
     val m0 = regexp_extract(prefix, re, 0)
     val matched = m0 =!= ""
     def grp(i: Int) = when(matched, regexp_extract(prefix, re, i).cast("long"))
@@ -568,8 +574,9 @@ object MultimodalOps {
   }
 
   /** Pixel-level media decode — the end of the modality story: real
-    * bytes in ([[pnmPayload]] or any P5/P6 file), exact per-channel
-    * pixel statistics out (sum/min/max per channel — deterministic
+    * bytes in ([[pnmPayload]] or any comment-free P5/P6 file whose
+    * header fits the 64-byte window — '#' comment lines report
+    * 'corrupt'), exact per-channel pixel statistics out (sum/min/max per channel — deterministic
     * integer math, so the DuckDB oracle pins the decode bit-for-bit).
     * Corrupt payloads degrade to a 'corrupt' status row with null stats,
     * never an error. Two staged projections: the parse (arrays
@@ -643,7 +650,11 @@ object MultimodalOps {
     // any hamming radius < b, so DIFFERENT bandings at the same radius
     // return the IDENTICAL verified pair set — banding is an
     // implementation dial, not semantics (property-tested; the 8-band
-    // twin is oracled)
+    // twin is oracled). CAVEAT: the invariance holds only while no
+    // (dims, band, bits) bucket exceeds DedupOps.MaxBandBucket — capped
+    // buckets drop whole, and 12-bit vs 6-bit keys flood different
+    // buckets, so once the cap engages the candidate set (and thus the
+    // pair set) becomes banding-dependent
     require(bands > 0 && AHashBits % bands == 0,
       s"bands must divide $AHashBits, got $bands")
     require(maxHamming >= 0 && maxHamming < bands,

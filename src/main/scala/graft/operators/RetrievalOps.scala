@@ -218,14 +218,17 @@ object RetrievalOps {
     * temp dir (memoized per corpus dir under the cache lifecycle), then
     * serve the default query from the stored tables. */
   def bm25Served(spark: SparkSession, sfDir: String): DataFrame = {
-    def build(): String = {
-      val dir = java.nio.file.Files.createTempDirectory("graft_bm25idx").toString
+    def build(dir: String): String = {
       bm25WriteIndex(Tables.documents(spark, sfDir), dir)
       dir
     }
     val dir =
-      if (!spark.conf.get(graft.Caching.EnabledKey, "true").toBoolean) build()
-      else bm25IndexDirs.computeIfAbsent(sfDir, _ => build())
+      if (!spark.conf.get(graft.Caching.EnabledKey, "true").toBoolean)
+        // no-cache posture: rebuild every call into ONE reused scratch
+        // dir (overwrite in place) instead of leaking a copy per pass
+        build(graft.tools.IndexScratch.scratchFor("graft_bm25idx", sfDir))
+      else bm25IndexDirs.computeIfAbsent(sfDir,
+        _ => build(graft.tools.IndexScratch.allocate("graft_bm25idx")))
     bm25ServedTopK(spark, dir)
   }
 

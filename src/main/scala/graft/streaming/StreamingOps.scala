@@ -658,8 +658,11 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // cacheQueryDims=false: each batch's serve plan is unique, so a
+        // cache entry per trigger would grow executor storage unboundedly
         emit(graft.operators.AnnIndexOps.servedTopK(
-          batch.sparkSession, indexDir, batch.toDF(), k, nprobe), batchId)
+          batch.sparkSession, indexDir, batch.toDF(), k, nprobe,
+          cacheQueryDims = false), batchId)
       }
       .start()
 

@@ -1,0 +1,50 @@
+package graft.tools
+
+import java.nio.file.{Files, Path}
+import java.util.concurrent.ConcurrentHashMap
+
+/** Temp-directory lifecycle for stored-index fixtures.
+  *
+  * The served-index demo chains ([[graft.operators.AnnIndexOps.annServed]],
+  * [[graft.operators.RetrievalOps.bm25Served]]) write real on-disk index
+  * tables into temp dirs. Two leaks this utility closes:
+  *
+  *   - dirs were never deleted → every allocation is now registered with
+  *     one JVM shutdown hook that removes them recursively at exit;
+  *   - with `graft.cache.enabled=false` (the ScaleBench posture) every
+  *     call allocated a FRESH dir, so min-of-N bench passes wrote N full
+  *     posting-table copies → [[scratchFor]] hands back ONE reusable dir
+  *     per (prefix, key); each call still rebuilds and overwrites the
+  *     index in place, so scale runs keep measuring the full
+  *     build-write-serve cycle without accumulating copies.
+  */
+object IndexScratch {
+  private val allocated = ConcurrentHashMap.newKeySet[String]()
+  private val scratch = new ConcurrentHashMap[String, String]()
+
+  private lazy val hookInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      allocated.forEach(d => deleteRecursively(java.nio.file.Paths.get(d)))))
+    true
+  }
+
+  /** A fresh temp dir, deleted at JVM exit. */
+  def allocate(prefix: String): String = {
+    require(hookInstalled)
+    val d = Files.createTempDirectory(prefix).toString
+    allocated.add(d)
+    d
+  }
+
+  /** One reusable scratch dir per (prefix, key) — the no-cache rebuild
+    * path. Also deleted at JVM exit. */
+  def scratchFor(prefix: String, key: String): String =
+    scratch.computeIfAbsent(s"$prefix|$key", _ => allocate(prefix))
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      if (Files.isDirectory(p))
+        Files.list(p).forEach(deleteRecursively)
+      Files.deleteIfExists(p)
+    }
+}
