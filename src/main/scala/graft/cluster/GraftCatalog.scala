@@ -173,5 +173,7 @@ object GraftCatalog {
       .createOrReplaceTempView("media_pixels")
     graft.operators.MultimodalOps.mediaAHash(docs)
       .createOrReplaceTempView("media_ahash")
+    graft.operators.CurationOps.diversityCensus(docs)
+      .createOrReplaceTempView("diversity_census")
   }
 }

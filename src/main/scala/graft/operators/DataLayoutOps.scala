@@ -160,12 +160,18 @@ object DataLayoutOps {
     * repartition / sorted writer and every output file covers a disjoint
     * key range of near-equal weight.
     *
-    * Scale shape: the only total order is over the p% SAMPLE — the same
-    * concession Spark's own RangePartitioner makes (it collect()s its
-    * sample to the driver; this stays in an executor partition). Size
-    * `samplePct` so the sample fits one partition: at 100 TB with
-    * buckets in the thousands, 0.01% is plenty (the paper-standard
-    * sample bound depends on buckets, not corpus size). */
+    * Scale shape: NO single task ever holds the sample. The total order
+    * over the p% sample is computed DISTRIBUTED — a range shuffle on the
+    * full sort tuple, a per-range-partition row_number, and a broadcast
+    * prefix-offset census (one row per shuffle partition) turn into an
+    * exact global rank; the NTILE bucket is then pure arithmetic on
+    * (rank, n). The only unpartitioned window in the plan runs over the
+    * per-partition count census (≤ spark.sql.shuffle.partitions rows),
+    * never the sample itself — so the sample can be 10 GB across 1000
+    * executors and the plan shape is unchanged. Output is bit-identical
+    * to the single-window NTILE recipe (the oracle pins it): rows tied
+    * on the full tuple are interchangeable, so rank assignment across
+    * partition boundaries cannot change any bucket's (count, max key). */
   def sortBounds(
       df: DataFrame,
       keyCol: String,
@@ -175,12 +181,37 @@ object DataLayoutOps {
     require(idCols.nonEmpty, "need tiebreak id columns for a deterministic total order")
     val prio = graft.functions.TextFunctions.stableHash60(
       concat_ws("|", idCols.map(c => col(c).cast("string")): _*))
+    val sortCols = col("k") +: idCols.map(col)
     val sample = df
       .filter(prio % 100L < samplePct)
       .select((col(keyCol).as("k") +: idCols.map(col)): _*)
-    val w = Window.orderBy((col("k").asc +: idCols.map(col(_).asc)): _*)
-    sample
-      .withColumn("bucket", ntile(buckets).over(w).cast("long"))
+    // distributed exact global rank: disjoint key ranges per partition
+    // (ascending partition id = ascending range), local row_number
+    // inside each, plus the prefix sum of earlier partitions' counts
+    val parts = graft.Caching.maybeCache(
+      sample.repartitionByRange(sortCols: _*)
+        .withColumn("pid", spark_partition_id()))
+    val wLocal = Window.partitionBy("pid").orderBy(sortCols.map(_.asc): _*)
+    val ranked = parts.withColumn("lr", row_number().over(wLocal).cast("long"))
+    val wOff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts.groupBy("pid").agg(count(lit(1)).as("pc"))
+      .withColumn("off", coalesce(sum(col("pc")).over(wOff), lit(0L)))
+      .select(col("pid"), col("off"))
+    val totals = parts.agg(count(lit(1)).as("n"))
+    // NTILE(b) arithmetic on the global rank r of n rows: the first
+    // n % b buckets get ceil(n/b) rows, the rest floor(n/b). The when()
+    // guard keeps the floor-sized branch unevaluated when q = 0 (n < b),
+    // where every row lands in the ceil-sized region
+    ranked
+      .join(broadcast(offsets), Seq("pid"))
+      .crossJoin(broadcast(totals))
+      .withColumn("r", col("off") + col("lr"))
+      .withColumn("q", expr(s"n DIV ${buckets}L"))
+      .withColumn("rem", expr(s"n % ${buckets}L"))
+      .withColumn("cut", col("rem") * (col("q") + 1L))
+      .withColumn("bucket",
+        when(col("r") <= col("cut"), expr("(r - 1) DIV (q + 1) + 1"))
+          .otherwise(expr("rem + (r - cut - 1) DIV q + 1")))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_sample"), max(col("k")).as("upper_key"))
   }
@@ -475,6 +506,11 @@ object DataLayoutPack extends QueryPack {
       Tables.orders(s, d), "o_orderkey", Tables.lineitem(s, d), "l_orderkey")),
     "sort_bounds" -> ((s, d) => DataLayoutOps.sortBounds(
       Tables.lineitem(s, d), "l_partkey", Seq("l_orderkey", "l_linenumber"))),
+    // the documents-table twin: same boundary plan keyed on doc length —
+    // ScaleBench's family (the scaled corpora carry documents, not
+    // lineitem), and the length-skew case (massive key ties)
+    "sort_bounds_doc" -> ((s, d) => DataLayoutOps.sortBounds(
+      Tables.documents(s, d), "n_chars", Seq("doc_id"))),
     "len_quantiles" -> ((s, d) => DataLayoutOps.exactQuantiles(
       Tables.documents(s, d).select(
         size(graft.functions.TextFunctions.tokens(col("text"))).as("n_toks")),
@@ -600,6 +636,19 @@ object DataLayoutPack extends QueryPack {
         |),
         |t AS (
         |  SELECT k, NTILE(32) OVER (ORDER BY k, l_orderkey, l_linenumber) AS bucket FROM s
+        |)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_sample,
+        |       MAX(k) AS upper_key
+        |FROM t GROUP BY bucket""".stripMargin,
+    "sort_bounds_doc" ->
+      """WITH s AS (
+        |  SELECT n_chars AS k, doc_id
+        |  FROM documents
+        |  WHERE CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 18, 15)) AS UBIGINT) % 100 AS BIGINT) < 10
+        |),
+        |t AS (
+        |  SELECT k, NTILE(32) OVER (ORDER BY k, doc_id) AS bucket FROM s
         |)
         |SELECT CAST(bucket AS BIGINT) AS bucket,
         |       CAST(COUNT(*) AS BIGINT) AS n_sample,

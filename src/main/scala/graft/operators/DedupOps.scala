@@ -109,6 +109,31 @@ object DedupOps {
         (col("doc_id") === col("canonical_id")).as("is_canonical"))
   }
 
+  /** NFC-composed exact dedup — the proof that
+    * [[TextOps.normalizeAtIngest]] actually repairs byte-keyed dedup on
+    * mixed canonical forms. The fixture is ASCII, so the query PLANTS
+    * the hazard: every doc becomes a twin pair whose first token is
+    * "café" in DECOMPOSED form (e + U+0301) on the even id and
+    * PRECOMPOSED form (U+00E9) on the odd id. Raw md5 head keys see two
+    * different byte strings — [[exact]] on the planted frame finds NO
+    * cross-form pairs — while the ingest pass collapses each pair into
+    * one dup class (plus whatever same-head merges the raw corpus
+    * already had). Oracled via DuckDB's `nfc_normalize`, which
+    * implements the same UAX #15 tables as the JVM normalizer. */
+  def exactNfc(docs: DataFrame): DataFrame =
+    exact(TextOps.normalizeAtIngest(plantedNfcTwins(docs)))
+
+  /** The planted mixed-canonical-form corpus behind [[exactNfc]] \u2014
+    * exposed for the guard property (normalized dup classes must be a
+    * superset of raw-byte dup classes on this frame). */
+  private[graft] def plantedNfcTwins(docs: DataFrame): DataFrame = {
+    val dec = docs.select((col("doc_id") * 2).as("doc_id"),
+      concat(lit("cafe\u0301 "), col("text")).as("text"))
+    val pre = docs.select((col("doc_id") * 2 + 1).as("doc_id"),
+      concat(lit("caf\u00e9 "), col("text")).as("text"))
+    dec.unionByName(pre)
+  }
+
   /** Dev-tool hook (ProfileMinhash). */
   private[graft] def postingsForProfile(docs: DataFrame): DataFrame = shinglePostings(docs)
 
@@ -757,6 +782,7 @@ object DedupPack extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) => DedupOps.exact(d(s, dir))),
+    "dedup_exact_nfc" -> ((s, dir) => DedupOps.exactNfc(d(s, dir))),
     "dedup_jaccard" -> ((s, dir) => DedupOps.ngramJaccard(d(s, dir))),
     "dedup_jaccard64" -> ((s, dir) => DedupOps.ngramJaccard(d(s, dir), maxDf = 64L)),
     "dedup_containment" -> ((s, dir) => DedupOps.containmentDedup(d(s, dir))),
@@ -925,6 +951,27 @@ object DedupPack extends QueryPack {
         |  SELECT doc_id,
         |         md5(array_to_string((string_split(text, ' '))[1:5], ' ')) AS dup_key
         |  FROM documents
+        |),
+        |g AS (
+        |  SELECT doc_id, dup_key,
+        |         COUNT(*) OVER (PARTITION BY dup_key) AS group_sz,
+        |         MIN(doc_id) OVER (PARTITION BY dup_key) AS canonical_id
+        |  FROM keyed
+        |)
+        |SELECT doc_id, canonical_id, group_sz, doc_id = canonical_id AS is_canonical
+        |FROM g WHERE group_sz > 1""".stripMargin,
+    // chr(769) = U+0301 combining acute (decomposed), chr(233) = U+00E9
+    // (precomposed): the planted twins differ in bytes, agree after NFC
+    "dedup_exact_nfc" ->
+      """WITH planted AS (
+        |  SELECT doc_id * 2 AS doc_id, 'cafe' || chr(769) || ' ' || text AS text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1 AS doc_id, 'caf' || chr(233) || ' ' || text AS text FROM documents
+        |),
+        |keyed AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string((string_split(nfc_normalize(text), ' '))[1:5], ' ')) AS dup_key
+        |  FROM planted
         |),
         |g AS (
         |  SELECT doc_id, dup_key,

@@ -113,6 +113,22 @@ object TextOps {
     * pins the canonicalization byte-for-byte. `changed` marks docs whose
     * bytes moved (exactly the decomposed third). Scan-local, shuffle-free
     * — the 100-TB shape of any per-doc scrub. */
+  /** Opt-in normalize-at-ingest: the corpus with `text` replaced by its
+    * NFC form, every other column untouched. Compose this ONCE at the
+    * head of a pipeline and every byte-keyed operator downstream —
+    * [[graft.operators.DedupOps.exact]]'s md5 window keys,
+    * [[fingerprint]], shingle postings, vocab counts, BM25 terms —
+    * stops fragmenting on mixed canonical forms. Deliberately NOT the
+    * default: the stock fixtures are ASCII and the existing oracles pin
+    * raw bytes, so normalization stays a visible pipeline step (the
+    * byte-exactness discipline of the reference's key comparisons —
+    * api/merger/Merger.java:202 — applied at the right stage instead of
+    * silently everywhere). Scan-local and codegen'd
+    * ([[graft.functions.NormalizeNfc]] fast-paths already-normalized
+    * strings), so the pass adds no shuffle and no UDF boundary. */
+  def normalizeAtIngest(docs: DataFrame): DataFrame =
+    docs.withColumn("text", graft.functions.NormalizeNfc.nfc(col("text")))
+
   def nfcNormalize(docs: DataFrame): DataFrame = {
     val suffix = when(col("doc_id") % 3 === 0, lit("e\u0301")) // decomposed: e + combining acute
       .when(col("doc_id") % 3 === 1, lit("\u00e9")) // precomposed

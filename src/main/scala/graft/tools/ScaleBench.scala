@@ -47,7 +47,11 @@ object ScaleBench {
     // the build-write-serve ANN cycle, and the pixel raster walk
     "len_quantiles_lang", "len_quantiles_user", "id_quantiles",
     "cms_heavy", "alloc_select20", "ann_served", "media_pixels",
-    "media_ahash", "ahash_near_dups", "bm25_served")
+    "media_ahash", "ahash_near_dups", "bm25_served",
+    // round-11 tail: the distributed-rank boundary plan (documents twin —
+    // the scaled corpora carry documents, not lineitem), the per-source
+    // TTR census (|vocab|-sized distinct state), and the native NFC pass
+    "sort_bounds_doc", "diversity_census", "nfc_norm")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -49,6 +49,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(CurationOps.sourceCaps(emptyDocs).count() == 0)
     assert(CurationOps.stratifiedSample(emptyDocs).count() == 0)
     assert(CurationOps.vocabTopGrams(emptyDocs).count() == 0)
+    assert(CurationOps.diversityCensus(emptyDocs).count() == 0)
     assert(CurationOps.contamination(emptyDocs).count() == 0)
     assert(CurationOps.curated(emptyDocs).count() == 0)
     assert(CurationOps.bigramFluency(emptyDocs).count() == 0)

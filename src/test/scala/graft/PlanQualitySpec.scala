@@ -404,6 +404,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in len_quantiles_user:\n$plan")
   }
 
+  test("sort bounds: distributed rank — no unpartitioned window over the sample") {
+    spark.catalog.clearCache()
+    val plan = physical(SparkEntry.queries("sort_bounds")(spark, sf))
+    assert(plan.contains("Exchange rangepartitioning"),
+      s"the sample's total order must come from a range SHUFFLE, not one window task:\n$plan")
+    // every row_number window (the per-row rank over the sample) must be
+    // partitioned by pid; the only unpartitioned window allowed is the
+    // prefix-offset sum over the per-partition count census
+    plan.linesIterator.filter(_.contains("row_number()")).foreach { l =>
+      assert(l.contains("pid"),
+        s"sample-sized window must be partitioned by the range-partition id:\n$l\n$plan")
+    }
+  }
+
   test("served BM25 reads the stored index only — token filter pushed, no text scan") {
     spark.catalog.clearCache()
     val plan = physical(SparkEntry.queries("bm25_served")(spark, sf))

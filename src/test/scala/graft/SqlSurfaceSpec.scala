@@ -170,6 +170,16 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT COUNT(*) FROM media_ahash WHERE (status <> 'corrupt') <> (ahash IS NOT NULL)" +
         " OR (status <> 'corrupt' AND ahash >= CAST(pow(2, width * height) AS BIGINT))")
       .collect()(0).getLong(0) == 0)
+    // diversity census: the type-token ratio is a genuine ratio (types
+    // never exceed tokens, TTR in (0, 1e6]); bigram totals reconcile
+    // (bigrams = tokens - docs per source would need a doc count — the
+    // weaker invariant here: bigram count strictly below token count,
+    // bigram types never exceed bigram count)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM diversity_census WHERE n_types > n_tokens" +
+        " OR ttr_e6 <= 0 OR ttr_e6 > 1000000" +
+        " OR n_bigram_types > n_bigrams OR n_bigrams >= n_tokens")
+      .collect()(0).getLong(0) == 0)
   }
 
   test("compaction_weight resolves in SQL via session extensions") {

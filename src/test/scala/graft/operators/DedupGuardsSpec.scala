@@ -367,4 +367,45 @@ class DedupGuardsSpec extends SparkSpec {
     assert(out.filter(col("source_a") > col("source_b")).count() == 0,
       "matrix keys are unordered pairs (source_a <= source_b)")
   }
+
+  test("NFC ingest pass: normalized dup classes ⊇ raw-byte dup classes on planted mixed forms") {
+    noCache {
+      // base corpus where raw keys already have a dup class (two docs
+      // share a 5-token head) to prove the superset direction is real
+      val docs = mkDocs(Seq(
+        (0L, "alpha beta gamma delta epsilon one"),
+        (1L, "alpha beta gamma delta epsilon two"),
+        (2L, "zeta eta theta iota kappa three"),
+        (3L, "wholly distinct text body here four")))
+      val planted = DedupOps.plantedNfcTwins(docs)
+      def classes(df: DataFrame): Map[Long, Long] =
+        df.select(col("doc_id"), col("canonical_id")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val raw = classes(DedupOps.exact(planted))
+      val norm = classes(DedupOps.exact(TextOps.normalizeAtIngest(planted)))
+      // NFC is a function: byte-equal keys stay equal, so every raw dup
+      // class stays together (one normalized class per raw class —
+      // canonical ids may change as classes merge, membership may not)
+      raw.groupBy(_._2).values.foreach { cls =>
+        val ids = cls.keys.toSeq
+        assert(ids.forall(norm.contains),
+          s"raw-dup docs must stay dups after NFC: $ids vs $norm")
+        assert(ids.map(norm).toSet.size == 1,
+          s"normalization must never split a raw dup class: $ids → ${ids.map(norm)}")
+      }
+      // and the planted decomposed/precomposed twins collapse ONLY under
+      // the ingest pass: raw bytes differ on the first token, so no raw
+      // class ever spans an (even, odd) twin pair...
+      raw.groupBy(_._2).values.foreach { cls =>
+        assert(cls.keys.map(_ % 2).toSet.size == 1,
+          s"raw keys must fragment on mixed canonical forms, got $raw")
+      }
+      // ...while every normalized class contains its cross-form twin
+      // (doc 2k and 2k+1 share head tokens after NFC)
+      (0L until 4L).foreach { k =>
+        assert(norm.get(2 * k).nonEmpty && norm.get(2 * k) == norm.get(2 * k + 1),
+          s"twins ${2 * k}/${2 * k + 1} must land in one normalized class, got $norm")
+      }
+    }
+  }
 }
