@@ -53,7 +53,18 @@ object AnnIndexOps {
     * a batch encodes to the same rows whether it arrives alone or inside
     * a full rebuild. Nothing corpus-sized shuffles except the slim
     * (vec_id, dim, xq) stream into the two argmin aggregations. */
-  def encodeAgainst(vectors: DataFrame, centroids: DataFrame, cb: DataFrame): DataFrame = {
+  def encodeAgainst(vectors: DataFrame, centroids: DataFrame, cb: DataFrame): DataFrame =
+    encodeWithError(vectors, centroids, cb)
+      .select("center", "vec_id", "sub", "code")
+
+  /** [[encodeAgainst]] plus the per-subspace quantization error the
+    * argmin already computes (`err_q` = the winning code's residual
+    * distance) — the raw material of the drift monitor: summed per
+    * vector and censused per center it says how well the STORED
+    * quantizer still fits the data being coded. Same plan as
+    * [[encodeAgainst]] (Catalyst prunes `err_q` when unused). */
+  private[graft] def encodeWithError(
+      vectors: DataFrame, centroids: DataFrame, cb: DataFrame): DataFrame = {
     // cached: read by the assignment and again by the residual projection
     val q = graft.Caching.maybeCache(quantizedDims(vectors))
     val assign = q.join(broadcast(centroids), Seq("dim"))
@@ -76,8 +87,23 @@ object AnnIndexOps {
       // min(struct) argmin = codesForRes's (dist2_q, code) order
       .groupBy("vec_id", "center", "sub")
       .agg(min(struct(col("dist2_q"), col("code"))).as("best"))
-      .select(col("center"), col("vec_id"), col("sub"), col("best.code").as("code"))
+      .select(col("center"), col("vec_id"), col("sub"),
+        col("best.code").as("code"), col("best.dist2_q").as("err_q"))
   }
+
+  /** Per-center quantization-error census over coded rows: how many
+    * vectors each posting list holds and the total/worst per-vector
+    * error. Center-count-sized (never corpus-sized); corpus-level sums
+    * go through DECIMAL so a 100-TB census cannot overflow a long. */
+  private[graft] def errorCensus(coded: DataFrame): DataFrame =
+    coded
+      .groupBy("vec_id", "center")
+      .agg(sum(col("err_q")).as("verr"))
+      .groupBy("center")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("verr").cast("decimal(38,0)")).as("sum_err"),
+        max(col("verr")).as("max_err"))
 
   /** Build the three index artifacts from a corpus:
     * (centroids, codebook, postings). `trainPct` = Some(p) fits the
@@ -105,11 +131,23 @@ object AnnIndexOps {
     * the corpus). */
   def writeIndex(embeddings: DataFrame, dir: String,
       trainPct: Option[Int] = None): Unit = {
-    val (cents, cb, postings) = buildIndex(embeddings, trainPct)
+    val cents = coarseCentroids(embeddings)
+    val cb = PqOps.trainedResidualCodebook(embeddings, trainPct)
+    // one encode feeds both the postings write and the train-time error
+    // census (cached so the second write reads the materialization)
+    val coded = graft.Caching.maybeCache(encodeWithError(embeddings, cents, cb))
     BulkOps.writePath(cents, SaveMode.Overwrite).save(s"$dir/centroids")
     BulkOps.writePath(cb, SaveMode.Overwrite).save(s"$dir/codebook")
-    BulkOps.writePath(postings, SaveMode.Overwrite)
+    BulkOps.writePath(coded.select("center", "vec_id", "sub", "code"), SaveMode.Overwrite)
       .partitionBy("center").save(s"$dir/postings")
+    // the drift monitor's baseline: what "fits the quantizer" looked
+    // like at train time, per posting list
+    BulkOps.writePath(errorCensus(coded), SaveMode.Overwrite)
+      .save(s"$dir/err_census")
+    // a FRESH build invalidates any delete log from the dir's past life
+    // (the scratch-dir reuse path would otherwise mask live rows)
+    val (tp, fs) = hadoop(embeddings.sparkSession, s"$dir/tombstones")
+    if (fs.exists(tp)) fs.delete(tp, true)
   }
 
   /** Ingest INTO the stored index: encode the batch against the stored
@@ -125,6 +163,96 @@ object AnnIndexOps {
     BulkOps.writePath(appendBatch(newVectors, cents, cb), SaveMode.Append)
       .partitionBy("center").save(s"$dir/postings")
   }
+
+  /** Quantizer-drift monitor — the maintenance alarm for an append-only
+    * stored index: batches ingested via [[appendToIndex]] are coded
+    * against a quantizer trained on the ORIGINAL corpus, so recall
+    * degrades silently as the data distribution drifts. This reports,
+    * per posting list, the batch's quantization-error census against the
+    * STORED train-time census ([[writeIndex]]'s `err_census`):
+    * `drift_e4` = batch mean error / train mean error ×10⁴ — ~10000
+    * means the quantizer still fits; sustained growth says re-train and
+    * rebuild. Read-only (no index mutation); the expensive side is one
+    * encode of the BATCH, never a corpus re-scan. The write-then-serve
+    * precedent this completes pairs derived-state writes with retention
+    * maintenance (reference: api/meta/TechnicalMeta.java:167-186). */
+  def quantizerDrift(spark: SparkSession, dir: String, batch: DataFrame): DataFrame = {
+    val cents = BulkOps.readPath(spark, s"$dir/centroids")
+    val cb = BulkOps.readPath(spark, s"$dir/codebook")
+    val train = BulkOps.readPath(spark, s"$dir/err_census")
+      .select(col("center").cast("long").as("center"), col("n").as("n_train"),
+        col("sum_err").cast("decimal(38,0)").as("sum_train"), col("max_err").as("max_train"))
+    val bc = errorCensus(encodeWithError(batch, cents, cb))
+      .select(col("center"), col("n").as("n_batch"),
+        col("sum_err").as("sum_batch"), col("max_err").as("max_batch"))
+    // left from the stored census: every posting list reports, batchless
+    // centers as n_batch = 0 (assignment can never invent a center that
+    // is not in the stored centroid table)
+    train.join(bc, Seq("center"), "left")
+      .select(
+        col("center"),
+        col("n_train"),
+        expr("sum_train DIV n_train").as("mean_train"),
+        coalesce(col("n_batch"), lit(0L)).as("n_batch"),
+        when(col("n_batch") > 0, expr("sum_batch DIV n_batch")).as("mean_batch"),
+        when(col("n_batch") > 0 && col("sum_train") > 0,
+          expr("(sum_batch * n_train * 10000) DIV (sum_train * n_batch)")).as("drift_e4"),
+        col("max_train"),
+        col("max_batch"))
+  }
+
+  /** Delete vectors from the stored index — the HBase-delete shape:
+    * deletion WRITES A TOMBSTONE (an appended (vec_id) row under
+    * `tombstones/`), it does not rewrite posting lists. Serving masks
+    * tombstoned postings with a broadcast anti-join; the physical rows
+    * disappear at the next [[compactIndex]] (the major-compaction
+    * analogue, exactly the reference's delete-then-compact lifecycle).
+    * O(|ids|) write whatever the index size. */
+  def deleteFromIndex(spark: SparkSession, dir: String, ids: DataFrame): Unit =
+    BulkOps.writePath(ids.select(col("vec_id").cast("long")), SaveMode.Append)
+      .save(s"$dir/tombstones")
+
+  private def hadoop(spark: SparkSession, p: String) = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    (hp, hp.getFileSystem(spark.sparkContext.hadoopConfiguration))
+  }
+
+  private[graft] def tombstonesOpt(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val (tp, fs) = hadoop(spark, s"$dir/tombstones")
+    if (fs.exists(tp)) Some(BulkOps.readPath(spark, s"$dir/tombstones").select("vec_id"))
+    else None
+  }
+
+  /** Major compaction of the postings table: physically drop tombstoned
+    * rows and clear the tombstone log. The compacted table is written
+    * beside the live one (same center partitioning, so DPP-pruned serves
+    * are unchanged after the swap), then swapped in by filesystem rename
+    * — postings are never half-rewritten in place. Serve results are
+    * IDENTICAL before and after (the tombstone mask and the physical
+    * drop remove the same rows — the differential AnnIndexSpec pins);
+    * what compaction buys is the serve-time anti-join and the dead
+    * bytes. Returns false (no-op) when there is nothing to compact.
+    * The stored train-time `err_census` is deliberately untouched: it
+    * is the QUANTIZER's baseline, not a row census. */
+  def compactIndex(spark: SparkSession, dir: String): Boolean =
+    tombstonesOpt(spark, dir) match {
+      case None => false
+      case Some(tomb) =>
+        val postings = BulkOps.readPath(spark, s"$dir/postings")
+          .withColumn("center", col("center").cast("long"))
+        val keep = postings
+          .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+          .select("center", "vec_id", "sub", "code")
+        BulkOps.writePath(keep, SaveMode.Overwrite)
+          .partitionBy("center").save(s"$dir/postings_compact")
+        val (pp, fs) = hadoop(spark, s"$dir/postings")
+        val (cp, _) = hadoop(spark, s"$dir/postings_compact")
+        val (tp, _) = hadoop(spark, s"$dir/tombstones")
+        fs.delete(pp, true)
+        fs.rename(cp, pp)
+        fs.delete(tp, true)
+        true
+    }
 
   /** Read the stored artifacts back. The partition column comes back as
     * the discovery-inferred integer type — normalized to the written
@@ -170,8 +298,13 @@ object AnnIndexOps {
       .withColumn("d", col("xq") - col("centroid_q") - col("rc"))
       .groupBy("qid", "center", "sub", "code")
       .agg(sum(col("d") * col("d")).as("lut_q"))
-    val scored = postings
-      .join(broadcast(probes), Seq("center"))
+    // tombstone mask (deleteFromIndex log, if any): applied ABOVE the
+    // probe join so the DPP-pruned posting scan is untouched — the
+    // anti-join only ever sees the probed lists' rows
+    val probed0 = postings.join(broadcast(probes), Seq("center"))
+    val probed = tombstonesOpt(spark, dir)
+      .fold(probed0)(t => probed0.join(broadcast(t), Seq("vec_id"), "left_anti"))
+    val scored = probed
       .filter(col("vec_id") =!= col("qid"))
       .join(broadcast(lut), Seq("qid", "center", "sub", "code"))
       .groupBy("qid", "vec_id")
@@ -201,25 +334,90 @@ object AnnIndexOps {
   def annServed(spark: SparkSession, sfDir: String,
       nQueries: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    val dir =
-      if (!spark.conf.get(graft.Caching.EnabledKey, "true").toBoolean) {
-        // no-cache posture: rebuild every call (scale runs measure the
-        // full cycle) but overwrite ONE scratch dir instead of leaking
-        // a full posting-table copy per bench pass
-        val d = graft.tools.IndexScratch.scratchFor("graft_annidx", sfDir)
-        writeIndex(emb, d)
-        d
-      } else indexDirs.computeIfAbsent(sfDir, { _ =>
-        val d = graft.tools.IndexScratch.allocate("graft_annidx")
-        writeIndex(emb, d)
-        d
-      })
+    val dir = memoizedDir(spark, "graft_annidx", sfDir)(d => writeIndex(emb, d))
+    servedTopK(spark, dir, fixtureQueries(spark, emb, nQueries), k, nprobe)
+  }
+
+  /** The standard bounded query set of the served fixtures: the first
+    * `nQueries` vectors collected into a LOCAL frame (app input — the
+    * one deliberate driver materialization, |q| rows). */
+  private def fixtureQueries(spark: SparkSession, emb: DataFrame, nQueries: Int): DataFrame = {
     val qrows = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
       .toSeq
     import spark.implicits._
-    servedTopK(spark, dir, qrows.toDF("vec_id", "embedding"), k, nprobe)
+    qrows.toDF("vec_id", "embedding")
+  }
+
+  /** Build a dir through the index-memo lifecycle: with caching on, one
+    * build per (prefix, corpus) per JVM; with caching off, rebuild every
+    * call into one reused scratch dir. `build` must be idempotent under
+    * overwrite (writeIndex is). */
+  private def memoizedDir(spark: SparkSession, prefix: String, sfDir: String)
+      (build: String => Unit): String =
+    if (!spark.conf.get(graft.Caching.EnabledKey, "true").toBoolean) {
+      val d = graft.tools.IndexScratch.scratchFor(prefix, sfDir)
+      build(d)
+      d
+    } else indexDirs.computeIfAbsent(s"$prefix|$sfDir", { _ =>
+      val d = graft.tools.IndexScratch.allocate(prefix)
+      build(d)
+      d
+    })
+
+  /** The `ann_ingest` fixture chain — the APPEND path end-to-end: the
+    * index is built and its quantizer TRAINED on the stable md5 half of
+    * the corpus, the other half arrives later through [[appendToIndex]]
+    * (encoded against the STORED quantizer, posting lists extended in
+    * place), and the standard queries serve from the result. Must equal
+    * the half-fit full-encode chain — the DuckDB oracle fits centroids
+    * and codebook on the same md5 half and encodes everything, which is
+    * exactly what build-then-append materializes. */
+  def annIngestServed(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val half = graft.functions.TextFunctions.stableHash60(
+      col("vec_id").cast("string")) % 100L < 50L
+    val dir = memoizedDir(spark, "graft_annidx_ing", sfDir) { d =>
+      writeIndex(emb.filter(half), d)
+      appendToIndex(spark, d, emb.filter(!half))
+    }
+    servedTopK(spark, dir, fixtureQueries(spark, emb, nQueries), k, nprobe)
+  }
+
+  /** The `ann_deleted` fixture chain — the DELETE path end-to-end: full
+    * index, tombstone every (vec_id % 10 == 3) vector outside the query
+    * set, serve through the mask. The oracle is the fresh-build chain
+    * with the survivors only — tombstoned vectors must vanish and their
+    * top-k slots backfill. */
+  def annDeleted(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = memoizedDir(spark, "graft_annidx_del", sfDir) { d =>
+      writeIndex(emb, d)
+      deleteFromIndex(spark, d, emb
+        .filter(col("vec_id") % 10 === 3 && col("vec_id") >= nQueries)
+        .select("vec_id"))
+    }
+    servedTopK(spark, dir, fixtureQueries(spark, emb, nQueries), k, nprobe)
+  }
+
+  /** The `ann_drift` fixture chain — the maintenance alarm end-to-end:
+    * index trained on the stable md5 half, the held-out half plays the
+    * appended batch, [[quantizerDrift]] reports the per-posting-list
+    * error census against the stored train-time baseline. In
+    * distribution by construction, so drift_e4 hovers near 10⁴ — the
+    * DuckDB oracle pins the exact integer censuses, the spec pins the
+    * blow-up on an actually-shifted batch. */
+  def annDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val half = graft.functions.TextFunctions.stableHash60(
+      col("vec_id").cast("string")) % 100L < 50L
+    val dir = memoizedDir(spark, "graft_annidx_drf", sfDir) { d =>
+      writeIndex(emb.filter(half), d)
+    }
+    quantizerDrift(spark, dir, emb.filter(!half))
   }
 }

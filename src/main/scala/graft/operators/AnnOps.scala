@@ -905,6 +905,11 @@ object AnnPack extends QueryPack {
     // write-then-serve: the same answer as ivfpq_res_t, produced from the
     // STORED index tables (equality with the fresh chain IS the claim)
     "ann_served" -> ((s, dir) => AnnIndexOps.annServed(s, dir)),
+    // index maintenance faces: append-then-serve (quantizer fixed at the
+    // initial fit), tombstone-masked serve, and the drift health census
+    "ann_ingest" -> ((s, dir) => AnnIndexOps.annIngestServed(s, dir)),
+    "ann_deleted" -> ((s, dir) => AnnIndexOps.annDeleted(s, dir)),
+    "ann_drift" -> ((s, dir) => AnnIndexOps.annDrift(s, dir)),
     "ann_filtered" -> ((s, dir) => AnnOps.filteredTopK(e(s, dir))),
     "hard_negs" -> ((s, dir) => AnnOps.hardNegatives(e(s, dir))),
     "ann_trunc" -> ((s, dir) => AnnOps.truncTopK(e(s, dir))),
@@ -1103,8 +1108,15 @@ object AnnPack extends QueryPack {
     * 10 queries — mirrors [[PqOps.ivfPqResidualTopK]] defaults.
     * `trainPred` restricts the codebook FIT (rtrain) the way the Scala
     * side's trainPct md5 sample does; encoding stays full-corpus. */
-  private def ivfPqResCtesP(trainPred: String): String =
-    s"""${EmbeddingStatsPack.centroidSql},
+  // `centroidPred` restricts the COARSE-CENTROID fit (the stored-index
+  // half-fit ingest shape: quantizer trained on the initial corpus, the
+  // full corpus still quantized/encoded); default TRUE = fit on all.
+  private def ivfPqResCtesP(trainPred: String, centroidPred: String = "TRUE"): String =
+    s"""${EmbeddingStatsPack.quantSql},
+       |c AS (
+       |  SELECT label, dim, COUNT(*) AS n, CAST(SUM(xq) AS BIGINT) AS sum_q
+       |  FROM q WHERE $centroidPred GROUP BY label, dim
+       |),
        |cq AS (SELECT CAST(label AS BIGINT) AS center, dim,
        |              CAST(FLOOR(CAST(sum_q AS DOUBLE) / n + 0.5) AS BIGINT) AS centroid_q FROM c),
        |cdistf AS (
@@ -1171,8 +1183,8 @@ object AnnPack extends QueryPack {
     * means → re-encode) — mirrors [[PqOps.ivfPqResidualTrainedTopK]].
     * With a non-TRUE `trainPred` the Lloyd fit (td1/ta1/tcb) runs on the
     * sampled residuals only, like the seed; encoding (td2) stays full. */
-  private def ivfPqResTrainedCtesP(trainPred: String): String =
-    s"""${ivfPqResCtesP(trainPred)},
+  private def ivfPqResTrainedCtesP(trainPred: String, centroidPred: String = "TRUE"): String =
+    s"""${ivfPqResCtesP(trainPred, centroidPred)},
        |rsub AS (SELECT vec_id, label, dim, rq, (dim - 1) // 8 AS sub FROM res),
        |rtsub AS (SELECT vec_id, label, dim, rq, (dim - 1) // 8 AS sub FROM rtrain),
        |rcbs AS (SELECT code, dim, rc, (dim - 1) // 8 AS sub FROM rcb),
@@ -1616,6 +1628,58 @@ object AnnPack extends QueryPack {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist_q, vec_id) AS rnk
          |  FROM trscored
          |) WHERE rnk <= 5""".stripMargin,
+    // append path: build + TRAIN on the stable md5 half, append the rest
+    // through the stored quantizer — identical to fitting BOTH quantizer
+    // stages on the half and encoding everything
+    "ann_ingest" ->
+      s"""WITH ${ivfPqResTrainedCtesP(
+             EmbeddingStatsPack.vecSamplePred(50), EmbeddingStatsPack.vecSamplePred(50))}
+         |SELECT qid, vec_id, adist_q, CAST(rnk AS INTEGER) AS rnk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist_q, vec_id) AS rnk
+         |  FROM trscored
+         |) WHERE rnk <= 5""".stripMargin,
+    // delete path: the fresh chain minus the tombstoned band, slots
+    // backfilled by re-ranking the survivors
+    "ann_deleted" ->
+      s"""WITH $ivfPqResTrainedCtes
+         |SELECT qid, vec_id, adist_q, CAST(rnk AS INTEGER) AS rnk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist_q, vec_id) AS rnk
+         |  FROM trscored WHERE NOT (vec_id % 10 = 3 AND vec_id >= 10)
+         |) WHERE rnk <= 5""".stripMargin,
+    // drift health census: per-posting-list quantization error of the
+    // held-out half against the stored train-time baseline (integer
+    // censuses both sides; DuckDB's HUGEINT sums mirror the decimal path)
+    "ann_drift" ->
+      s"""WITH ${ivfPqResTrainedCtesP(
+             EmbeddingStatsPack.vecSamplePred(50), EmbeddingStatsPack.vecSamplePred(50))},
+         |errs AS (
+         |  SELECT vec_id, sub, MIN(dist2_q) AS e FROM td2 GROUP BY vec_id, sub
+         |),
+         |vtot AS (
+         |  SELECT e.vec_id, co.center, SUM(e.e) AS verr
+         |  FROM errs e JOIN corpusf co ON co.vec_id = e.vec_id
+         |  GROUP BY e.vec_id, co.center
+         |),
+         |tct AS (
+         |  SELECT center, CAST(COUNT(*) AS BIGINT) AS n_train,
+         |         SUM(verr) AS sum_train, CAST(MAX(verr) AS BIGINT) AS max_train
+         |  FROM vtot WHERE ${EmbeddingStatsPack.vecSamplePred(50)} GROUP BY center
+         |),
+         |tcb2 AS (
+         |  SELECT center, CAST(COUNT(*) AS BIGINT) AS n_batch,
+         |         SUM(verr) AS sum_batch, CAST(MAX(verr) AS BIGINT) AS max_batch
+         |  FROM vtot WHERE NOT (${EmbeddingStatsPack.vecSamplePred(50)}) GROUP BY center
+         |)
+         |SELECT t.center, t.n_train,
+         |       CAST(t.sum_train // t.n_train AS BIGINT) AS mean_train,
+         |       COALESCE(b.n_batch, CAST(0 AS BIGINT)) AS n_batch,
+         |       CASE WHEN b.n_batch > 0
+         |            THEN CAST(b.sum_batch // b.n_batch AS BIGINT) END AS mean_batch,
+         |       CASE WHEN b.n_batch > 0 AND t.sum_train > 0
+         |            THEN CAST((b.sum_batch * t.n_train * 10000) // (t.sum_train * b.n_batch) AS BIGINT)
+         |            END AS drift_e4,
+         |       t.max_train, b.max_batch
+         |FROM tct t LEFT JOIN tcb2 b ON t.center = b.center""".stripMargin,
     "ivfpqrest_recall" ->
       s"""WITH $ivfPqResTrainedCtes,
          |atop AS (

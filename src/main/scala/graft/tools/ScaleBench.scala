@@ -50,8 +50,11 @@ object ScaleBench {
     "media_ahash", "ahash_near_dups", "bm25_served",
     // round-11 tail: the distributed-rank boundary plan (documents twin —
     // the scaled corpora carry documents, not lineitem), the per-source
-    // TTR census (|vocab|-sized distinct state), and the native NFC pass
-    "sort_bounds_doc", "diversity_census", "nfc_norm")
+    // TTR census (|vocab|-sized distinct state), the native NFC pass,
+    // and the stored-index maintenance cycles (build-append-serve,
+    // tombstone-masked serve, drift census)
+    "sort_bounds_doc", "diversity_census", "nfc_norm",
+    "ann_ingest", "ann_deleted", "ann_drift")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -66,6 +66,78 @@ class AnnIndexSpec extends SparkSpec {
     assert(a.count() == 50)
   }
 
+  test("delete: tombstone-masked serve ≡ physically compacted serve ≡ encode-the-survivors") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val dir = Files.createTempDirectory("graft_annidx_del").toString
+    AnnIndexOps.writeIndex(emb, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      .toDF("vec_id", "embedding")
+    // delete a band of vectors that definitely held top-5 slots
+    val deadPred = col("vec_id") % 10 === 3 && col("vec_id") >= 10
+    AnnIndexOps.deleteFromIndex(spark, dir, emb.filter(deadPred).select("vec_id"))
+    val masked = AnnIndexOps.servedTopK(spark, dir, queries).cache()
+    assert(masked.filter(col("vec_id") % 10 === 3).count() == 0,
+      "no tombstoned vector may be served")
+    assert(masked.count() == 50, "k slots must backfill from surviving vectors")
+    // reference: an index whose POSTINGS are the survivors encoded
+    // against the SAME full-trained quantizer (encodeAgainst is
+    // row-independent, so this is exactly 'the rows minus the deleted')
+    val dirB = Files.createTempDirectory("graft_annidx_delb").toString
+    val (cents, cb, _) = AnnIndexOps.buildIndex(emb)
+    graft.sources.BulkOps.writePath(cents,
+      org.apache.spark.sql.SaveMode.Overwrite).save(s"$dirB/centroids")
+    graft.sources.BulkOps.writePath(cb,
+      org.apache.spark.sql.SaveMode.Overwrite).save(s"$dirB/codebook")
+    graft.sources.BulkOps.writePath(
+        AnnIndexOps.encodeAgainst(emb.filter(!deadPred), cents, cb),
+        org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("center").save(s"$dirB/postings")
+    val rebuilt = AnnIndexOps.servedTopK(spark, dirB, queries)
+    assert(masked.exceptAll(rebuilt).count() == 0 && rebuilt.exceptAll(masked).count() == 0,
+      "tombstone mask must serve exactly the survivor-encoded index")
+    // major compaction: physical drop, tombstone log cleared, serve unchanged
+    assert(AnnIndexOps.compactIndex(spark, dir), "tombstones present → compaction must run")
+    assert(AnnIndexOps.tombstonesOpt(spark, dir).isEmpty, "compaction clears the log")
+    val compacted = AnnIndexOps.servedTopK(spark, dir, queries)
+    assert(masked.exceptAll(compacted).count() == 0 && compacted.exceptAll(masked).count() == 0,
+      "compaction must not change a single served row")
+    assert(graft.sources.BulkOps.readPath(spark, s"$dir/postings")
+      .filter(col("vec_id") % 10 === 3 && col("vec_id") >= 10).count() == 0,
+      "compaction physically drops tombstoned postings")
+    assert(!AnnIndexOps.compactIndex(spark, dir), "nothing to compact → no-op")
+    masked.unpersist()
+  }
+
+  test("drift monitor: in-distribution batch reads ~1.0, a shifted batch reads high") {
+    val emb = Tables.embeddings(spark, sf)
+    val old = emb.filter(col("vec_id") < 400)
+    val dir = Files.createTempDirectory("graft_annidx_drift").toString
+    AnnIndexOps.writeIndex(old, dir)
+    // in-distribution: the held-out rest of the same corpus
+    val inDist = AnnIndexOps.quantizerDrift(spark, dir, emb.filter(col("vec_id") >= 400))
+      .filter(col("n_batch") > 0).cache()
+    assert(inDist.count() > 0)
+    val meanIn = inDist.agg(avg(col("drift_e4"))).collect()(0).getDouble(0)
+    assert(meanIn > 2000 && meanIn < 50000,
+      s"held-out same-distribution batch must read near 1.0 (e4), got $meanIn")
+    // drifted: the same batch shifted off the training manifold
+    val shifted = emb.filter(col("vec_id") >= 400)
+      .withColumn("embedding", transform(col("embedding"), x => x * 3.0f + 0.5f))
+    val drifted = AnnIndexOps.quantizerDrift(spark, dir, shifted)
+      .filter(col("n_batch") > 0)
+    val meanDrift = drifted.agg(avg(col("drift_e4"))).collect()(0).getDouble(0)
+    assert(meanDrift > 2 * meanIn,
+      s"a 3x+0.5 affine shift must blow up quantization error: $meanDrift vs $meanIn")
+    // census shape: one row per stored posting list, never corpus-sized
+    val nCenters = graft.sources.BulkOps.readPath(spark, s"$dir/err_census").count()
+    assert(inDist.count() <= nCenters)
+    inDist.unpersist()
+  }
+
   test("served plan reads the stored index only — no embeddings scan, probed-list pruning") {
     val s = spark
     import s.implicits._
