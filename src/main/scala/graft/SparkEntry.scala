@@ -43,7 +43,8 @@ object SparkEntry {
     graft.operators.DataLayoutPack,
     graft.operators.ScrubPack,
     graft.operators.LmPack,
-    graft.operators.SketchPack
+    graft.operators.SketchPack,
+    graft.operators.PngPack
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {

@@ -175,5 +175,7 @@ object GraftCatalog {
       .createOrReplaceTempView("media_ahash")
     graft.operators.CurationOps.diversityCensus(docs)
       .createOrReplaceTempView("diversity_census")
+    graft.operators.PngCodecOps.pngPixels(docs)
+      .createOrReplaceTempView("png_pixels")
   }
 }

@@ -54,7 +54,10 @@ object ScaleBench {
     // and the stored-index maintenance cycles (build-append-serve,
     // tombstone-masked serve, drift census)
     "sort_bounds_doc", "diversity_census", "nfc_norm",
-    "ann_ingest", "ann_deleted", "ann_drift")
+    "ann_ingest", "ann_deleted", "ann_drift",
+    // the real-codec decode (mapPartitions + JDK Inflater): pure map
+    // parallelism, expected ~linear in docs like the raster walks
+    "png_pixels")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

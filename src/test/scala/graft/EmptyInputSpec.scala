@@ -172,6 +172,7 @@ class EmptyInputSpec extends SparkSpec {
       emptyDocs.selectExpr("lang", "doc_id AS v"), "lang", "v").count() == 0)
     assert(MultimodalOps.mediaPixels(emptyDocs).count() == 0)
     assert(MultimodalOps.mediaAHash(emptyDocs).count() == 0)
+    assert(PngCodecOps.pngPixels(emptyDocs).count() == 0)
     assert(MultimodalOps.ahashNearDups(emptyDocs).count() == 0)
   }
 

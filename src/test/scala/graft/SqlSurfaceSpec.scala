@@ -170,6 +170,12 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT COUNT(*) FROM media_ahash WHERE (status <> 'corrupt') <> (ahash IS NOT NULL)" +
         " OR (status <> 'corrupt' AND ahash >= CAST(pow(2, width * height) AS BIGINT))")
       .collect()(0).getLong(0) == 0)
+    // the compressed-codec decode carries the exact mediaPixels contract
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM png_pixels WHERE (status <> 'corrupt') <> (c0_sum IS NOT NULL)" +
+        " OR (status <> 'corrupt' AND (c0_min < 0 OR c0_max > 255" +
+        " OR c0_min * width * height > c0_sum OR c0_max * width * height < c0_sum))")
+      .collect()(0).getLong(0) == 0)
     // diversity census: the type-token ratio is a genuine ratio (types
     // never exceed tokens, TTR in (0, 1e6]); bigram totals reconcile
     // (bigrams = tokens - docs per source would need a doc count — the
