@@ -64,9 +64,13 @@ object AnnIndexOps {
     * quantizer still fits the data being coded. Same plan as
     * [[encodeAgainst]] (Catalyst prunes `err_q` when unused). */
   private[graft] def encodeWithError(
-      vectors: DataFrame, centroids: DataFrame, cb: DataFrame): DataFrame = {
+      vectors: DataFrame, centroids: DataFrame, cb: DataFrame,
+      cacheDims: Boolean = true): DataFrame = {
     // cached: read by the assignment and again by the residual projection
-    val q = graft.Caching.maybeCache(quantizedDims(vectors))
+    // (streaming monitors pass cacheDims=false — a per-micro-batch cache
+    // entry would accumulate forever, the servedTopK convention)
+    val q0 = quantizedDims(vectors)
+    val q = if (cacheDims) graft.Caching.maybeCache(q0) else q0
     val assign = q.join(broadcast(centroids), Seq("dim"))
       .withColumn("d", col("xq") - col("centroid_q"))
       .groupBy("vec_id", "center")
@@ -176,13 +180,14 @@ object AnnIndexOps {
     * encode of the BATCH, never a corpus re-scan. The write-then-serve
     * precedent this completes pairs derived-state writes with retention
     * maintenance (reference: api/meta/TechnicalMeta.java:167-186). */
-  def quantizerDrift(spark: SparkSession, dir: String, batch: DataFrame): DataFrame = {
+  def quantizerDrift(spark: SparkSession, dir: String, batch: DataFrame,
+      cacheDims: Boolean = true): DataFrame = {
     val cents = BulkOps.readPath(spark, s"$dir/centroids")
     val cb = BulkOps.readPath(spark, s"$dir/codebook")
     val train = BulkOps.readPath(spark, s"$dir/err_census")
       .select(col("center").cast("long").as("center"), col("n").as("n_train"),
         col("sum_err").cast("decimal(38,0)").as("sum_train"), col("max_err").as("max_train"))
-    val bc = errorCensus(encodeWithError(batch, cents, cb))
+    val bc = errorCensus(encodeWithError(batch, cents, cb, cacheDims))
       .select(col("center"), col("n").as("n_batch"),
         col("sum_err").as("sum_batch"), col("max_err").as("max_batch"))
     // left from the stored census: every posting list reports, batchless

@@ -186,6 +186,9 @@ object RetrievalOps {
         idx.groupBy("doc_id").agg(sum(col("tf")).as("len")),
         org.apache.spark.sql.SaveMode.Overwrite)
       .save(s"$dir/lens")
+    // a fresh build invalidates any delete log from the dir's past life
+    if (graft.sources.BulkOps.fileExists(docs.sparkSession, s"$dir/tombstones"))
+      graft.sources.BulkOps.deletePath(docs.sparkSession, s"$dir/tombstones")
   }
 
   /** Serve BM25 from the STORED index: postings pruned to the query
@@ -199,11 +202,58 @@ object RetrievalOps {
       terms: Seq[String] = DefaultTerms, k: Int = 10): DataFrame = {
     require(terms.nonEmpty && terms.size <= MaxQueryTerms,
       s"1..$MaxQueryTerms query terms, got ${terms.size}")
-    val postings = graft.sources.BulkOps.readPath(spark, s"$dir/postings")
+    val postings0 = graft.sources.BulkOps.readPath(spark, s"$dir/postings")
       .filter(col("token").isin(terms: _*))
-    val lens = graft.sources.BulkOps.readPath(spark, s"$dir/lens")
+    val lens0 = graft.sources.BulkOps.readPath(spark, s"$dir/lens")
+    // tombstone mask ([[bm25DeleteDocs]] log, if any) on BOTH tables:
+    // df, n_docs and avgdl all recompute from the masked frames at serve
+    // time, so the masked serve is EXACTLY the survivor-corpus answer —
+    // not a stale-stats approximation
+    val (postings, lens) = bm25TombstonesOpt(spark, dir) match {
+      case None => (postings0, lens0)
+      case Some(t) => (
+        postings0.join(broadcast(t), Seq("doc_id"), "left_anti"),
+        lens0.join(broadcast(t), Seq("doc_id"), "left_anti"))
+    }
     rankFold(postings, lens, terms, k)
   }
+
+  /** Delete documents from the stored BM25 index — the same
+    * tombstone-then-compact lifecycle as
+    * [[AnnIndexOps.deleteFromIndex]]: O(|ids|) append, serve-time mask,
+    * physical drop at [[bm25CompactIndex]]. */
+  def bm25DeleteDocs(spark: SparkSession, dir: String, ids: DataFrame): Unit =
+    graft.sources.BulkOps.writePath(
+        ids.select(col("doc_id").cast("long")),
+        org.apache.spark.sql.SaveMode.Append)
+      .save(s"$dir/tombstones")
+
+  private def bm25TombstonesOpt(spark: SparkSession, dir: String): Option[DataFrame] =
+    if (graft.sources.BulkOps.fileExists(spark, s"$dir/tombstones"))
+      Some(graft.sources.BulkOps.readPath(spark, s"$dir/tombstones").select("doc_id"))
+    else None
+
+  /** Major compaction of the BM25 index: rewrite postings AND lens
+    * minus the tombstoned docs (written beside, swapped by rename),
+    * clear the log. Serve results identical before and after — the
+    * mask and the drop remove the same rows. Returns false on no-op. */
+  def bm25CompactIndex(spark: SparkSession, dir: String): Boolean =
+    bm25TombstonesOpt(spark, dir) match {
+      case None => false
+      case Some(tomb) =>
+        import graft.sources.BulkOps
+        Seq("postings", "lens").foreach { t =>
+          BulkOps.writePath(
+              BulkOps.readPath(spark, s"$dir/$t")
+                .join(broadcast(tomb), Seq("doc_id"), "left_anti"),
+              org.apache.spark.sql.SaveMode.Overwrite)
+            .save(s"$dir/${t}_compact")
+          BulkOps.deletePath(spark, s"$dir/$t")
+          BulkOps.renamePath(spark, s"$dir/${t}_compact", s"$dir/$t")
+        }
+        BulkOps.deletePath(spark, s"$dir/tombstones")
+        true
+    }
 
   // one stored index per corpus dir per JVM — [[graft.operators
   // .AnnIndexOps]]'s memo convention: derived state builds once and
@@ -229,6 +279,27 @@ object RetrievalOps {
         build(graft.tools.IndexScratch.scratchFor("graft_bm25idx", sfDir))
       else bm25IndexDirs.computeIfAbsent(sfDir,
         _ => build(graft.tools.IndexScratch.allocate("graft_bm25idx")))
+    bm25ServedTopK(spark, dir)
+  }
+
+  /** The `bm25_deleted` fixture chain — text-side deletion end-to-end:
+    * full stored index, tombstone every (doc_id % 10 == 3) document,
+    * serve the default query through the mask. The oracle is the batch
+    * BM25 chain over the SURVIVOR corpus — df and the corpus scalars
+    * must reflect the deletions exactly, not serve stale. */
+  def bm25Deleted(spark: SparkSession, sfDir: String): DataFrame = {
+    def build(dir: String): String = {
+      bm25WriteIndex(Tables.documents(spark, sfDir), dir)
+      bm25DeleteDocs(spark, dir,
+        Tables.documents(spark, sfDir)
+          .filter(col("doc_id") % 10 === 3).select("doc_id"))
+      dir
+    }
+    val dir =
+      if (!spark.conf.get(graft.Caching.EnabledKey, "true").toBoolean)
+        build(graft.tools.IndexScratch.scratchFor("graft_bm25idx_del", sfDir))
+      else bm25IndexDirs.computeIfAbsent(s"del|$sfDir",
+        _ => build(graft.tools.IndexScratch.allocate("graft_bm25idx_del")))
     bm25ServedTopK(spark, dir)
   }
 
@@ -357,6 +428,7 @@ object RetrievalPack extends QueryPack {
     }),
     "bm25_ingest" -> ((s, d) => RetrievalOps.bm25IngestTopK(Tables.documents(s, d))),
     "bm25_served" -> ((s, d) => RetrievalOps.bm25Served(s, d)),
+    "bm25_deleted" -> ((s, d) => RetrievalOps.bm25Deleted(s, d)),
     "phrase_hits" -> ((s, d) => RetrievalOps.phraseHits(Tables.documents(s, d))),
     "rrf_fusion" -> ((s, d) =>
       RetrievalOps.rrfFusion(Tables.documents(s, d), Tables.embeddings(s, d)))
@@ -366,12 +438,16 @@ object RetrievalPack extends QueryPack {
     * rrf_fusion oracles. DOUBLE casts keep DuckDB from computing the
     * constants in DECIMAL; the score tree mirrors the Spark expression
     * literally. */
-  private val bm25Ctes: String =
-    """lens AS (
-      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len FROM documents
+  // `docPred` restricts the corpus (the deletion oracle: survivor docs
+  // only, so df and the corpus scalars reflect the deletions exactly)
+  private def bm25CtesP(docPred: String): String =
+    s"""lens AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+      |  FROM documents WHERE $docPred
       |),
       |stats AS (SELECT COUNT(*) AS n_docs, SUM(len) AS total_len FROM lens),
-      |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |         FROM documents WHERE $docPred),
       |tf AS (
       |  SELECT doc_id, token, COUNT(*) AS tf FROM toks
       |  WHERE token IN ('join', 'merge', 'scan')
@@ -409,6 +485,8 @@ object RetrievalPack extends QueryPack {
       |  SELECT *, ROW_NUMBER() OVER (ORDER BY score_e4 DESC, doc_id) AS rnk FROM scored
       |)""".stripMargin
 
+  private val bm25Ctes: String = bm25CtesP("TRUE")
+
   override def oracles: Map[String, String] = Map(
     "bm25_topk" ->
       s"""WITH $bm25Ctes
@@ -423,6 +501,12 @@ object RetrievalPack extends QueryPack {
     // bit-for-bit — same oracle BY DESIGN (the bm25_ingest convention)
     "bm25_served" ->
       s"""WITH $bm25Ctes
+         |SELECT doc_id, n_terms, score_e4, rnk FROM ranked WHERE rnk <= 10""".stripMargin,
+    // deletion serves the SURVIVOR corpus exactly — df, n_docs and avgdl
+    // all recompute from the masked tables, so the oracle is the batch
+    // chain over the corpus minus the tombstoned band
+    "bm25_deleted" ->
+      s"""WITH ${bm25CtesP("doc_id % 10 <> 3")}
          |SELECT doc_id, n_terms, score_e4, rnk FROM ranked WHERE rnk <= 10""".stripMargin,
     // query-table BM25: 50 fixture queries dealt round-robin from the
     // df-ranked vocab; per-term e4 rounding BEFORE the per-query integer

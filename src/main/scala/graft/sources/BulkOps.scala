@@ -149,14 +149,21 @@ object BulkOps {
       .filter(datediff(lit(java.time.LocalDate.ofEpochDay(nowEpochDay.toLong).toString).cast("date"),
         col("snapshot_date")) <= maxAgeDays)
 
-  private def fileExists(spark: SparkSession, path: String): Boolean = {
+  private[graft] def fileExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  private def deletePath(spark: SparkSession, path: String): Unit = {
+  private[graft] def deletePath(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  /** Recursive rename (the compaction swap primitive). */
+  private[graft] def renamePath(spark: SparkSession, from: String, to: String): Unit = {
+    val f = new org.apache.hadoop.fs.Path(from)
+    val t = new org.apache.hadoop.fs.Path(to)
+    f.getFileSystem(spark.sparkContext.hadoopConfiguration).rename(f, t)
   }
 
   private def parent(path: String): String =

@@ -666,6 +666,29 @@ object StreamingOps {
       }
       .start()
 
+  /** Continuous quantizer-drift monitoring — the streaming face of
+    * [[graft.operators.AnnIndexOps.quantizerDrift]]: every micro-batch
+    * of ingested vectors is encoded against the STORED quantizer and its
+    * per-posting-list error census lands at `emit` next to the stored
+    * train-time baseline. This is the alarm wired to where it belongs —
+    * the same ingest stream that feeds [[annServeStream]]/appendToIndex:
+    * a batch that drifts off the training manifold reports high
+    * `drift_e4` in ITS OWN trigger, not at the next offline audit. Each
+    * report depends only on the index and that batch's rows (per-batch
+    * census by design — drift is a property of the arriving data);
+    * cacheDims=false so no per-trigger cache entries accumulate. */
+  def annDriftStream(
+      batches: DataFrame, indexDir: String, checkpoint: String,
+      emit: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    batches.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        emit(graft.operators.AnnIndexOps.quantizerDrift(
+          batch.sparkSession, indexDir, batch.toDF(), cacheDims = false), batchId)
+      }
+      .start()
+
   def cmsFreqStream(docs: DataFrame,
       depth: Int = graft.operators.SketchOps.CmsDepth,
       width: Int = graft.operators.SketchOps.CmsWidth): Dataset[CmsCell] = {

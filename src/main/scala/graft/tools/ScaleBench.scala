@@ -57,7 +57,9 @@ object ScaleBench {
     "ann_ingest", "ann_deleted", "ann_drift",
     // the real-codec decode (mapPartitions + JDK Inflater): pure map
     // parallelism, expected ~linear in docs like the raster walks
-    "png_pixels")
+    "png_pixels",
+    // text-side deletion: build + tombstone + masked serve
+    "bm25_deleted")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -270,6 +270,33 @@ class RetrievalLayoutSpec extends SparkSpec {
     assert(got.count() == 10)
   }
 
+  test("bm25 delete: masked serve ≡ survivor-corpus chain ≡ compacted serve; stats never stale") {
+    import graft.operators.RetrievalOps
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_del").toString
+    RetrievalOps.bm25WriteIndex(docs, dir)
+    val dead = docs.filter(col("doc_id") % 10 === 3).select("doc_id")
+    RetrievalOps.bm25DeleteDocs(spark, dir, dead)
+    val masked = RetrievalOps.bm25ServedTopK(spark, dir).cache()
+    assert(masked.filter(col("doc_id") % 10 === 3).count() == 0,
+      "no tombstoned doc may be served")
+    // the oracle-grade claim: df, n_docs and avgdl reflect the deletions —
+    // the masked serve equals the TEXT-FED chain over the survivors
+    val fresh = RetrievalOps.bm25TopK(docs.filter(col("doc_id") % 10 =!= 3))
+    assert(masked.exceptAll(fresh).count() == 0 && fresh.exceptAll(masked).count() == 0,
+      "masked serve must equal the survivor-corpus chain (stale stats would diverge)")
+    // major compaction: physical drop, log cleared, serve unchanged
+    assert(RetrievalOps.bm25CompactIndex(spark, dir))
+    val compacted = RetrievalOps.bm25ServedTopK(spark, dir)
+    assert(masked.exceptAll(compacted).count() == 0 && compacted.exceptAll(masked).count() == 0)
+    assert(graft.sources.BulkOps.readPath(spark, s"$dir/postings")
+      .filter(col("doc_id") % 10 === 3).count() == 0)
+    assert(graft.sources.BulkOps.readPath(spark, s"$dir/lens")
+      .filter(col("doc_id") % 10 === 3).count() == 0)
+    assert(!RetrievalOps.bm25CompactIndex(spark, dir), "nothing left → no-op")
+    masked.unpersist()
+  }
+
   test("exact quantiles: census path equals the total-sort rank statistic, incl. degenerate inputs") {
     val s = spark
     import s.implicits._

@@ -231,6 +231,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drift monitor: each trigger's report equals the batch census of its rows") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val half = org.apache.spark.sql.functions.col("vec_id") < 400
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift_stream").toString
+    graft.operators.AnnIndexOps.writeIndex(emb.filter(half), dir)
+    val rest = emb.filter(!half).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val input = MemoryStream[(Long, Seq[Float])]
+    val df = input.toDF().toDF("vec_id", "embedding")
+    type Report = Set[(Long, Long, Long)] // (center, n_batch, drift_e4)
+    val reports = scala.collection.mutable.ArrayBuffer.empty[Report]
+    def reportOf(d: org.apache.spark.sql.DataFrame): Report =
+      d.filter(org.apache.spark.sql.functions.col("n_batch") > 0).collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("n_batch"), r.getAs[Long]("drift_e4"))).toSet
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_drift_ck").toString
+    val q = StreamingOps.annDriftStream(df, dir, ckpt, (batch, _) =>
+      reports.synchronized { reports += reportOf(batch) })
+    try {
+      val (b1, b2) = rest.splitAt(rest.size / 2)
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val got = reports.synchronized(reports.toList)
+      assert(got.size == 2)
+      // per-trigger report ≡ the batch-path census over that trigger's rows
+      Seq(b1, b2).zip(got).foreach { case (rows, streamed) =>
+        val batchPath = reportOf(graft.operators.AnnIndexOps.quantizerDrift(
+          spark, dir, rows.toDF("vec_id", "embedding")))
+        assert(streamed == batchPath,
+          "streamed drift report must equal the batch census of the same rows")
+      }
+    } finally q.stop()
+  }
+
   test("ingest dedup stream keeps first doc per content fingerprint") {
     val s = spark
     import s.implicits._
