@@ -404,6 +404,47 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in len_quantiles_user:\n$plan")
   }
 
+  test("tombstone-masked serves keep their scan shapes: DPP on postings, no corpus scan") {
+    spark.catalog.clearCache()
+    graft.operators.AnnIndexOps.clearIndexMemo()
+    graft.operators.RetrievalOps.clearIndexMemo()
+    val annDel = SparkEntry.queries("ann_deleted")(spark, sf)
+    val annPlan = annDel.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(annPlan.contains("dynamicpruning"),
+      s"the tombstone mask must not break probe-side partition pruning:\n$annPlan")
+    assert(!annPlan.contains("embeddings.parquet"),
+      s"deleted serve must still never scan the corpus vectors:\n$annPlan")
+    assert(annPlan.contains("LeftAnti"),
+      s"the tombstone mask must be an anti-join, not a recomputation:\n$annPlan")
+    val bmDel = SparkEntry.queries("bm25_deleted")(spark, sf)
+    val bmPlan = bmDel.queryExecution.executedPlan.toString
+    assert(!bmPlan.contains("documents.parquet"),
+      s"deleted BM25 serve must not rescan corpus text:\n$bmPlan")
+    assert(bmPlan.contains("LeftAnti") && bmPlan.contains("BroadcastExchange"),
+      s"tombstones must mask by broadcast anti-join:\n$bmPlan")
+  }
+
+  test("diversity census: both branches read ONE cached corpus tokenize") {
+    spark.catalog.clearCache()
+    val exec0 = SparkEntry.queries("diversity_census")(spark, sf)
+      .queryExecution.executedPlan
+    val exec = exec0 match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    // the unigram and bigram branches must converge on the cached parse:
+    // every leaf is an InMemoryTableScan of the shared tokenize — the
+    // raw documents FileScan lives only inside the cached relation's
+    // build plan, never at the query's own leaves (which would mean a
+    // second corpus parse)
+    val leaves = exec.collectLeaves().map(_.getClass.getSimpleName)
+    assert(leaves.count(_.contains("InMemoryTableScan")) >= 2,
+      s"both census branches must read the cache, leaves: $leaves")
+    assert(!leaves.exists(_.contains("FileSourceScan")),
+      s"no branch may re-parse the corpus, leaves: $leaves")
+  }
+
   test("sort bounds: distributed rank — no unpartitioned window over the sample") {
     spark.catalog.clearCache()
     val plan = physical(SparkEntry.queries("sort_bounds")(spark, sf))
