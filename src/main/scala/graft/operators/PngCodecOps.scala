@@ -148,8 +148,14 @@ object PngCodecOps {
             w = u32(pos + 8).toInt; h = u32(pos + 12).toInt
             val bitDepth = bytes(pos + 16) & 0xff
             val colorType = bytes(pos + 17) & 0xff
+            // compression and filter METHOD bytes: only 0 is defined by
+            // the spec — a nonzero value means the IDAT stream is not
+            // zlib/filter-method-0, so decoding it would be garbage
+            val compression = bytes(pos + 18) & 0xff
+            val filterMethod = bytes(pos + 19) & 0xff
             val interlace = bytes(pos + 20) & 0xff
-            if (bitDepth != 8 || interlace != 0) return None
+            if (bitDepth != 8 || compression != 0 || filterMethod != 0 || interlace != 0)
+              return None
             ch = colorType match { case 0 => 1; case 2 => 3; case _ => return None }
             if (w < 1 || h < 1 || w.toLong * h * ch > MaxSamples) return None
             seenIhdr = true

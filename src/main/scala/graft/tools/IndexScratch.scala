@@ -43,8 +43,10 @@ object IndexScratch {
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      if (Files.isDirectory(p))
-        Files.list(p).forEach(deleteRecursively)
+      if (Files.isDirectory(p)) {
+        val children = Files.list(p)
+        try children.forEach(deleteRecursively) finally children.close()
+      }
       Files.deleteIfExists(p)
     }
 }
