@@ -270,6 +270,36 @@ class RetrievalLayoutSpec extends SparkSpec {
     assert(got.count() == 10)
   }
 
+  test("sort bounds: distributed NTILE equals the single-window reference on adversarial sizes") {
+    val s = spark
+    import s.implicits._
+    // n < buckets, n == buckets, n just over, heavy key ties, and a
+    // size that leaves a remainder (uneven tile widths)
+    for (n <- Seq(1, 5, 31, 32, 33, 100)) {
+      // keys with heavy ties (k = i % 7); ids unique
+      val rows = (0 until n).map(i => (i.toLong, (i % 7).toLong, i.toLong * 31 % n))
+      val df = rows.toDF("id", "k", "id2")
+        .select(col("k").as("key"), col("id"), col("id2"))
+      val got = graft.operators.DataLayoutOps
+        .sortBounds(df.withColumnRenamed("key", "kk"), "kk", Seq("id", "id2"),
+          buckets = 32, samplePct = 100)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // driver-side reference: plain NTILE over the total order
+      val sorted = rows.map { case (id, k, id2) => (k, id, id2) }.sorted
+      val b = 32
+      val q = sorted.size / b; val rem = sorted.size % b
+      def bucketOf(r: Int): Int = // r is 1-based rank
+        if (r <= rem * (q + 1)) (r - 1) / (q + 1) + 1
+        else rem + (r - rem * (q + 1) - 1) / q + 1
+      val expect = sorted.zipWithIndex
+        .map { case ((k, _, _), i) => (bucketOf(i + 1).toLong, k) }
+        .groupBy(_._1)
+        .map { case (bk, vs) => (bk, vs.size.toLong, vs.map(_._2).max) }
+        .toSet
+      assert(got == expect, s"n=$n: distributed NTILE diverged from the reference")
+    }
+  }
+
   test("bm25 delete: masked serve ≡ survivor-corpus chain ≡ compacted serve; stats never stale") {
     import graft.operators.RetrievalOps
     val docs = graft.sources.Tables.documents(spark, sf)
