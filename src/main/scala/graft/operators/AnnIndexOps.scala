@@ -250,11 +250,17 @@ object AnnIndexOps {
           .select("center", "vec_id", "sub", "code")
         BulkOps.writePath(keep, SaveMode.Overwrite)
           .partitionBy("center").save(s"$dir/postings_compact")
+        // crash-safe swap: the live table is renamed ASIDE (not deleted)
+        // before the compacted one takes its place, so a crash in the
+        // window leaves either the old table live or both tables on disk
+        // (postings_old + the compacted postings) — never zero copies
         val (pp, fs) = hadoop(spark, s"$dir/postings")
+        val (op, _) = hadoop(spark, s"$dir/postings_old")
         val (cp, _) = hadoop(spark, s"$dir/postings_compact")
         val (tp, _) = hadoop(spark, s"$dir/tombstones")
-        fs.delete(pp, true)
+        fs.rename(pp, op)
         fs.rename(cp, pp)
+        fs.delete(op, true)
         fs.delete(tp, true)
         true
     }

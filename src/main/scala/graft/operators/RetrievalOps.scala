@@ -248,8 +248,12 @@ object RetrievalOps {
                 .join(broadcast(tomb), Seq("doc_id"), "left_anti"),
               org.apache.spark.sql.SaveMode.Overwrite)
             .save(s"$dir/${t}_compact")
-          BulkOps.deletePath(spark, s"$dir/$t")
+          // crash-safe swap: rename the live table ASIDE before the
+          // compacted one takes its place — a crash in the window leaves
+          // a recoverable copy on disk, never zero copies
+          BulkOps.renamePath(spark, s"$dir/$t", s"$dir/${t}_old")
           BulkOps.renamePath(spark, s"$dir/${t}_compact", s"$dir/$t")
+          BulkOps.deletePath(spark, s"$dir/${t}_old")
         }
         BulkOps.deletePath(spark, s"$dir/tombstones")
         true
