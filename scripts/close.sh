@@ -22,9 +22,15 @@ for sf in 0.001 0.01 0.1; do
   out="/tmp/close_v$sf"
   rm -rf "$out"
   scripts/run.sh graft.Verify "/root/testdata/sf$sf" "$out" 2>"/tmp/close_verify_$sf.log"
-  python3 scripts/check.py "/root/testdata/sf$sf" "$out" | tail -3
-  python3 scripts/check.py "/root/testdata/sf$sf" "$out" | grep -q ", 0 fail" \
-    || { echo "close: FAIL at sf$sf"; exit 1; }
+  # capture once: run the oracle compare a single time, then both display
+  # and gate on the captured output (a piped grep -q under pipefail can
+  # also spuriously fail on SIGPIPE)
+  result=$(python3 scripts/check.py "/root/testdata/sf$sf" "$out")
+  echo "$result" | tail -3
+  case "$result" in
+    *", 0 fail"*) ;;
+    *) echo "close: FAIL at sf$sf"; exit 1 ;;
+  esac
 done
 
 echo "== close: 3/4 bench sf0.1"

@@ -150,8 +150,8 @@ object AnnIndexOps {
       .save(s"$dir/err_census")
     // a FRESH build invalidates any delete log from the dir's past life
     // (the scratch-dir reuse path would otherwise mask live rows)
-    val (tp, fs) = hadoop(embeddings.sparkSession, s"$dir/tombstones")
-    if (fs.exists(tp)) fs.delete(tp, true)
+    if (BulkOps.fileExists(embeddings.sparkSession, s"$dir/tombstones"))
+      BulkOps.deletePath(embeddings.sparkSession, s"$dir/tombstones")
   }
 
   /** Ingest INTO the stored index: encode the batch against the stored
@@ -193,15 +193,24 @@ object AnnIndexOps {
     // left from the stored census: every posting list reports, batchless
     // centers as n_batch = 0 (assignment can never invent a center that
     // is not in the stored centroid table)
+    // drift from the INTEGER MEANS, not the raw sums: per-vector means
+    // fit a long with 10⁴ headroom whatever the corpus size, whereas
+    // sum_batch·n_train·10⁴ can overflow decimal(38,0) at extreme corpus
+    // × drift combinations — i.e. the alarm would go dark (null) exactly
+    // when drift is largest. Cost: drift precision ~1/mean, negligible
+    // at real error magnitudes; the oracle mirrors the same arithmetic
     train.join(bc, Seq("center"), "left")
+      .withColumn("mean_train", expr("sum_train DIV n_train"))
+      .withColumn("mean_batch",
+        when(col("n_batch") > 0, expr("sum_batch DIV n_batch")))
       .select(
         col("center"),
         col("n_train"),
-        expr("sum_train DIV n_train").as("mean_train"),
+        col("mean_train"),
         coalesce(col("n_batch"), lit(0L)).as("n_batch"),
-        when(col("n_batch") > 0, expr("sum_batch DIV n_batch")).as("mean_batch"),
-        when(col("n_batch") > 0 && col("sum_train") > 0,
-          expr("(sum_batch * n_train * 10000) DIV (sum_train * n_batch)")).as("drift_e4"),
+        col("mean_batch"),
+        when(col("mean_batch").isNotNull && col("mean_train") > 0,
+          expr("mean_batch * 10000L DIV mean_train")).as("drift_e4"),
         col("max_train"),
         col("max_batch"))
   }
@@ -217,16 +226,10 @@ object AnnIndexOps {
     BulkOps.writePath(ids.select(col("vec_id").cast("long")), SaveMode.Append)
       .save(s"$dir/tombstones")
 
-  private def hadoop(spark: SparkSession, p: String) = {
-    val hp = new org.apache.hadoop.fs.Path(p)
-    (hp, hp.getFileSystem(spark.sparkContext.hadoopConfiguration))
-  }
-
-  private[graft] def tombstonesOpt(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val (tp, fs) = hadoop(spark, s"$dir/tombstones")
-    if (fs.exists(tp)) Some(BulkOps.readPath(spark, s"$dir/tombstones").select("vec_id"))
+  private[graft] def tombstonesOpt(spark: SparkSession, dir: String): Option[DataFrame] =
+    if (BulkOps.fileExists(spark, s"$dir/tombstones"))
+      Some(BulkOps.readPath(spark, s"$dir/tombstones").select("vec_id"))
     else None
-  }
 
   /** Major compaction of the postings table: physically drop tombstoned
     * rows and clear the tombstone log. The compacted table is written
@@ -239,7 +242,8 @@ object AnnIndexOps {
     * bytes. Returns false (no-op) when there is nothing to compact.
     * The stored train-time `err_census` is deliberately untouched: it
     * is the QUANTIZER's baseline, not a row census. */
-  def compactIndex(spark: SparkSession, dir: String): Boolean =
+  def compactIndex(spark: SparkSession, dir: String): Boolean = {
+    recoverSwap(spark, s"$dir/postings")
     tombstonesOpt(spark, dir) match {
       case None => false
       case Some(tomb) =>
@@ -248,22 +252,57 @@ object AnnIndexOps {
         val keep = postings
           .join(broadcast(tomb), Seq("vec_id"), "left_anti")
           .select("center", "vec_id", "sub", "code")
+        // a compaction that would empty the index is refused: a
+        // partitioned write of zero rows produces a directory with no
+        // data files, which no reader can infer a schema from — deleting
+        // EVERYTHING is "drop the index", not a maintenance operation
+        require(!keep.isEmpty,
+          s"compaction would empty $dir/postings — drop the index instead")
         BulkOps.writePath(keep, SaveMode.Overwrite)
           .partitionBy("center").save(s"$dir/postings_compact")
-        // crash-safe swap: the live table is renamed ASIDE (not deleted)
-        // before the compacted one takes its place, so a crash in the
-        // window leaves either the old table live or both tables on disk
-        // (postings_old + the compacted postings) — never zero copies
-        val (pp, fs) = hadoop(spark, s"$dir/postings")
-        val (op, _) = hadoop(spark, s"$dir/postings_old")
-        val (cp, _) = hadoop(spark, s"$dir/postings_compact")
-        val (tp, _) = hadoop(spark, s"$dir/tombstones")
-        fs.rename(pp, op)
-        fs.rename(cp, pp)
-        fs.delete(op, true)
-        fs.delete(tp, true)
+        swapCompacted(spark, s"$dir/postings")
+        BulkOps.deletePath(spark, s"$dir/tombstones")
         true
     }
+  }
+
+  /** Crash-safe swap of `<table>_compact` into `<table>`: the live table
+    * renames ASIDE first (never deleted while it is the only copy), and
+    * every rename result is CHECKED — a failed step aborts loudly before
+    * anything (tombstone logs included) is cleaned, because acting on an
+    * un-swapped compaction would silently resurrect deleted rows. */
+  private[operators] def swapCompacted(spark: SparkSession, table: String): Unit = {
+    require(BulkOps.renamePath(spark, table, s"${table}_old"),
+      s"compaction aborted: could not move $table aside")
+    require(BulkOps.renamePath(spark, s"${table}_compact", table),
+      s"compaction aborted mid-swap: $table is at ${table}_old, " +
+        s"the compacted copy at ${table}_compact — rerun to recover")
+    BulkOps.deletePath(spark, s"${table}_old")
+  }
+
+  /** Recovery preamble for [[swapCompacted]]'s crash window: if the live
+    * table is missing, complete the swap (compacted copy present) or
+    * roll back (old copy present); stale leftovers beside a LIVE table
+    * are superseded copies and are dropped so the next swap's renames
+    * cannot silently no-op against an existing destination. */
+  private[operators] def recoverSwap(spark: SparkSession, table: String): Unit = {
+    val live = BulkOps.fileExists(spark, table)
+    val old = BulkOps.fileExists(spark, s"${table}_old")
+    val cmp = BulkOps.fileExists(spark, s"${table}_compact")
+    if (!live) {
+      if (cmp) require(BulkOps.renamePath(spark, s"${table}_compact", table),
+        s"could not complete the crashed swap of $table")
+      else if (old) require(BulkOps.renamePath(spark, s"${table}_old", table),
+        s"could not roll back the crashed swap of $table")
+      else throw new IllegalStateException(s"$table missing and no recovery copy found")
+    }
+    if (BulkOps.fileExists(spark, table)) {
+      if (old && BulkOps.fileExists(spark, s"${table}_old"))
+        BulkOps.deletePath(spark, s"${table}_old")
+      if (cmp && BulkOps.fileExists(spark, s"${table}_compact"))
+        BulkOps.deletePath(spark, s"${table}_compact")
+    }
+  }
 
   /** Read the stored artifacts back. The partition column comes back as
     * the discovery-inferred integer type — normalized to the written

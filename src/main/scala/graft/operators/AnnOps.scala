@@ -1675,8 +1675,8 @@ object AnnPack extends QueryPack {
          |       COALESCE(b.n_batch, CAST(0 AS BIGINT)) AS n_batch,
          |       CASE WHEN b.n_batch > 0
          |            THEN CAST(b.sum_batch // b.n_batch AS BIGINT) END AS mean_batch,
-         |       CASE WHEN b.n_batch > 0 AND t.sum_train > 0
-         |            THEN CAST((b.sum_batch * t.n_train * 10000) // (t.sum_train * b.n_batch) AS BIGINT)
+         |       CASE WHEN b.n_batch > 0 AND (t.sum_train // t.n_train) > 0
+         |            THEN CAST((b.sum_batch // b.n_batch) * 10000 // (t.sum_train // t.n_train) AS BIGINT)
          |            END AS drift_e4,
          |       t.max_train, b.max_batch
          |FROM tct t LEFT JOIN tcb2 b ON t.center = b.center""".stripMargin,

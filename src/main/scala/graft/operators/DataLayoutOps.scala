@@ -187,10 +187,17 @@ object DataLayoutOps {
       .select((col(keyCol).as("k") +: idCols.map(col)): _*)
     // distributed exact global rank: disjoint key ranges per partition
     // (ascending partition id = ascending range), local row_number
-    // inside each, plus the prefix sum of earlier partitions' counts
-    val parts = graft.Caching.maybeCache(
-      sample.repartitionByRange(sortCols: _*)
-        .withColumn("pid", spark_partition_id()))
+    // inside each, plus the prefix sum of earlier partitions' counts.
+    // Cached UNCONDITIONALLY (not maybeCache): three consumers read this
+    // frame, and RangePartitioner samples its boundaries per
+    // instantiation — correctness of (lr, off, n) as one global rank
+    // requires all three to read the SAME shuffle materialization, not
+    // three re-sampled ones that exchange-reuse merely tends to unify.
+    // The frame is sample-sized (p% of slim key+id columns), so the
+    // entry is small whatever the corpus.
+    val parts = sample.repartitionByRange(sortCols: _*)
+      .withColumn("pid", spark_partition_id())
+      .cache()
     val wLocal = Window.partitionBy("pid").orderBy(sortCols.map(_.asc): _*)
     val ranked = parts.withColumn("lr", row_number().over(wLocal).cast("long"))
     val wOff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)

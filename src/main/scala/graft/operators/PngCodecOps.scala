@@ -174,7 +174,11 @@ object PngCodecOps {
       var got = 0
       while (got < expect && !inflater.finished()) {
         val n = inflater.inflate(filtered, got, expect - got)
-        if (n == 0 && inflater.needsInput()) { inflater.end(); return None }
+        // ANY zero-progress state bails — needsInput (truncated stream),
+        // needsDictionary (an FDICT zlib header: valid per RFC 1950 but
+        // undecodable without the preset dictionary PNG never uses), or
+        // anything else; a needsDictionary-only check would spin forever
+        if (n == 0) { inflater.end(); return None }
         got += n
       }
       inflater.end()
@@ -235,12 +239,24 @@ object PngCodecOps {
           case None => PngStats(id, "corrupt",
             None, None, None, None, None, None, None, None, None, None, None, None)
           case Some(d) =>
+            // one imperative pass over the samples, zero boxed
+            // intermediates — this is the per-image hot path and a
+            // MaxSamples raster is 4M elements
+            val ch = d.channels
+            val sums = new Array[Long](ch)
+            val mins = Array.fill(ch)(Long.MaxValue)
+            val maxs = Array.fill(ch)(Long.MinValue)
+            var j = 0
+            while (j < d.samples.length) {
+              val k = j % ch; val v = d.samples(j).toLong
+              sums(k) += v
+              if (v < mins(k)) mins(k) = v
+              if (v > maxs(k)) maxs(k) = v
+              j += 1
+            }
             def stats(k: Int): (Option[Long], Option[Long], Option[Long]) =
-              if (k >= d.channels) (None, None, None)
-              else {
-                val c = d.samples.indices.collect { case j if j % d.channels == k => d.samples(j).toLong }
-                (Some(c.sum), Some(c.min), Some(c.max))
-              }
+              if (k >= ch) (None, None, None)
+              else (Some(sums(k)), Some(mins(k)), Some(maxs(k)))
             val (s0, m0, x0) = stats(0); val (s1, m1, x1) = stats(1); val (s2, m2, x2) = stats(2)
             PngStats(id, "png", Some(d.width.toLong), Some(d.height.toLong),
               Some(d.channels.toLong), s0, m0, x0, s1, m1, x1, s2, m2, x2)

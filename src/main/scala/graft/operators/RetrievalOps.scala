@@ -237,27 +237,29 @@ object RetrievalOps {
     * minus the tombstoned docs (written beside, swapped by rename),
     * clear the log. Serve results identical before and after — the
     * mask and the drop remove the same rows. Returns false on no-op. */
-  def bm25CompactIndex(spark: SparkSession, dir: String): Boolean =
+  def bm25CompactIndex(spark: SparkSession, dir: String): Boolean = {
+    import graft.sources.BulkOps
+    Seq("postings", "lens").foreach(t => AnnIndexOps.recoverSwap(spark, s"$dir/$t"))
     bm25TombstonesOpt(spark, dir) match {
       case None => false
       case Some(tomb) =>
-        import graft.sources.BulkOps
         Seq("postings", "lens").foreach { t =>
-          BulkOps.writePath(
-              BulkOps.readPath(spark, s"$dir/$t")
-                .join(broadcast(tomb), Seq("doc_id"), "left_anti"),
-              org.apache.spark.sql.SaveMode.Overwrite)
+          val keep = BulkOps.readPath(spark, s"$dir/$t")
+            .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+          // an empty rewrite would leave a schema-less directory no
+          // reader can open — deleting every doc is "drop the index"
+          require(!keep.isEmpty,
+            s"compaction would empty $dir/$t — drop the index instead")
+          BulkOps.writePath(keep, org.apache.spark.sql.SaveMode.Overwrite)
             .save(s"$dir/${t}_compact")
-          // crash-safe swap: rename the live table ASIDE before the
-          // compacted one takes its place — a crash in the window leaves
-          // a recoverable copy on disk, never zero copies
-          BulkOps.renamePath(spark, s"$dir/$t", s"$dir/${t}_old")
-          BulkOps.renamePath(spark, s"$dir/${t}_compact", s"$dir/$t")
-          BulkOps.deletePath(spark, s"$dir/${t}_old")
+          // checked crash-safe swap (the AnnIndexOps primitive): rename
+          // aside, rename in, verify each step before anything is cleaned
+          AnnIndexOps.swapCompacted(spark, s"$dir/$t")
         }
         BulkOps.deletePath(spark, s"$dir/tombstones")
         true
     }
+  }
 
   // one stored index per corpus dir per JVM — [[graft.operators
   // .AnnIndexOps]]'s memo convention: derived state builds once and

@@ -100,19 +100,6 @@ object TextOps {
       md5(array_join(slice(tokens(col("text")), 1, 5), " ")).as("head_fp"),
       substring(md5(col("text")), 1, 8).as("fp_prefix"))
 
-  /** Unicode NFC canonicalization over the corpus — the normalization
-    * pass that must run BEFORE any byte-equality downstream (exact-dedup
-    * md5 keys, shingles, vocab counts, BM25 terms): web text arrives in
-    * mixed canonical forms, and `é` (U+00E9) vs `e`+U+0301 fragment every
-    * hash-keyed operator until composed. The fixture text is ASCII, so
-    * the query PLANTS mixed forms deterministically (decomposed on
-    * doc_id%3==0, precomposed on ==1, untouched otherwise) and
-    * normalizes through [[graft.functions.NormalizeNfc]] — a native
-    * codegen'd Expression whose JVM normalizer and DuckDB's
-    * `nfc_normalize` implement the same UAX #15 tables, so the oracle
-    * pins the canonicalization byte-for-byte. `changed` marks docs whose
-    * bytes moved (exactly the decomposed third). Scan-local, shuffle-free
-    * — the 100-TB shape of any per-doc scrub. */
   /** Opt-in normalize-at-ingest: the corpus with `text` replaced by its
     * NFC form, every other column untouched. Compose this ONCE at the
     * head of a pipeline and every byte-keyed operator downstream —
@@ -129,6 +116,19 @@ object TextOps {
   def normalizeAtIngest(docs: DataFrame): DataFrame =
     docs.withColumn("text", graft.functions.NormalizeNfc.nfc(col("text")))
 
+  /** Unicode NFC canonicalization over the corpus — the normalization
+    * pass that must run BEFORE any byte-equality downstream (exact-dedup
+    * md5 keys, shingles, vocab counts, BM25 terms): web text arrives in
+    * mixed canonical forms, and `é` (U+00E9) vs `e`+U+0301 fragment every
+    * hash-keyed operator until composed. The fixture text is ASCII, so
+    * the query PLANTS mixed forms deterministically (decomposed on
+    * doc_id%3==0, precomposed on ==1, untouched otherwise) and
+    * normalizes through [[graft.functions.NormalizeNfc]] — a native
+    * codegen'd Expression whose JVM normalizer and DuckDB's
+    * `nfc_normalize` implement the same UAX #15 tables, so the oracle
+    * pins the canonicalization byte-for-byte. `changed` marks docs whose
+    * bytes moved (exactly the decomposed third). Scan-local, shuffle-free
+    * — the 100-TB shape of any per-doc scrub. */
   def nfcNormalize(docs: DataFrame): DataFrame = {
     val suffix = when(col("doc_id") % 3 === 0, lit("e\u0301")) // decomposed: e + combining acute
       .when(col("doc_id") % 3 === 1, lit("\u00e9")) // precomposed

@@ -159,8 +159,11 @@ object BulkOps {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
-  /** Recursive rename (the compaction swap primitive). */
-  private[graft] def renamePath(spark: SparkSession, from: String, to: String): Unit = {
+  /** Recursive rename (the compaction swap primitive). Returns the
+    * filesystem's verdict — callers MUST check it: a false from a swap
+    * step means the swap did not happen, and acting as if it did (e.g.
+    * clearing a tombstone log) silently resurrects deleted rows. */
+  private[graft] def renamePath(spark: SparkSession, from: String, to: String): Boolean = {
     val f = new org.apache.hadoop.fs.Path(from)
     val t = new org.apache.hadoop.fs.Path(to)
     f.getFileSystem(spark.sparkContext.hadoopConfiguration).rename(f, t)
