@@ -112,6 +112,70 @@ class AnnIndexSpec extends SparkSpec {
     masked.unpersist()
   }
 
+  test("compaction crash windows: recoverSwap completes or rolls back; tombstones survive aborts") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    def freshIndex(): String = {
+      val dir = Files.createTempDirectory("graft_annidx_crash").toString
+      AnnIndexOps.writeIndex(emb, dir)
+      AnnIndexOps.deleteFromIndex(spark, dir,
+        emb.filter(col("vec_id") % 10 === 3 && col("vec_id") >= 10).select("vec_id"))
+      dir
+    }
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      .toDF("vec_id", "embedding")
+    def serve(dir: String) = AnnIndexOps.servedTopK(spark, dir, queries)
+    import graft.sources.BulkOps
+
+    // window 1: crash AFTER the live table moved aside, BEFORE the
+    // compacted copy landed → recoverSwap must roll back to the old copy
+    val d1 = freshIndex()
+    val expect = serve(d1).collect().toSet // masked serve (tombstones live)
+    assert(BulkOps.renamePath(spark, s"$d1/postings", s"$d1/postings_old"))
+    AnnIndexOps.recoverSwap(spark, s"$d1/postings")
+    assert(BulkOps.fileExists(spark, s"$d1/postings"))
+    assert(!BulkOps.fileExists(spark, s"$d1/postings_old"))
+    assert(serve(d1).collect().toSet == expect, "rollback must restore the masked serve")
+
+    // window 2: crash BETWEEN the two renames (old moved aside AND the
+    // compacted copy written) → recoverSwap must complete the swap; the
+    // tombstone log is still present, so the next compaction no-ops the
+    // same rows and serving stays identical
+    val d2 = freshIndex()
+    val expect2 = serve(d2).collect().toSet
+    val tomb = BulkOps.readPath(spark, s"$d2/tombstones")
+    val keep = BulkOps.readPath(spark, s"$d2/postings")
+      .withColumn("center", col("center").cast("long"))
+      .join(org.apache.spark.sql.functions.broadcast(tomb.select("vec_id")),
+        Seq("vec_id"), "left_anti")
+      .select("center", "vec_id", "sub", "code")
+    BulkOps.writePath(keep, org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("center").save(s"$d2/postings_compact")
+    assert(BulkOps.renamePath(spark, s"$d2/postings", s"$d2/postings_old"))
+    AnnIndexOps.recoverSwap(spark, s"$d2/postings")
+    assert(BulkOps.fileExists(spark, s"$d2/postings"))
+    assert(!BulkOps.fileExists(spark, s"$d2/postings_old") &&
+      !BulkOps.fileExists(spark, s"$d2/postings_compact"))
+    assert(serve(d2).collect().toSet == expect2,
+      "completed swap must serve the same masked answer")
+    // and a full compactIndex afterwards still converges (drops the log)
+    assert(AnnIndexOps.compactIndex(spark, d2))
+    assert(serve(d2).collect().toSet == expect2)
+
+    // stale leftover BESIDE a live table (crash after swap, before
+    // cleanup): superseded copies are dropped so the next swap's renames
+    // cannot no-op against an existing destination
+    val d3 = freshIndex()
+    BulkOps.writePath(BulkOps.readPath(spark, s"$d3/postings"),
+      org.apache.spark.sql.SaveMode.Overwrite).save(s"$d3/postings_old")
+    assert(AnnIndexOps.compactIndex(spark, d3), "compaction must run through the stale leftover")
+    assert(!BulkOps.fileExists(spark, s"$d3/postings_old"))
+    assert(!BulkOps.fileExists(spark, s"$d3/tombstones"))
+  }
+
   test("drift monitor: in-distribution batch reads ~1.0, a shifted batch reads high") {
     val emb = Tables.embeddings(spark, sf)
     val old = emb.filter(col("vec_id") < 400)
