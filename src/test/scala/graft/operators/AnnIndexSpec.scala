@@ -200,6 +200,14 @@ class AnnIndexSpec extends SparkSpec {
     val nCenters = graft.sources.BulkOps.readPath(spark, s"$dir/err_census").count()
     assert(inDist.count() <= nCenters)
     inDist.unpersist()
+    // an EMPTY batch (quiet ingest window): every stored list reports
+    // n_batch = 0 with null means — never an error, never a dropped row
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val quiet = AnnIndexOps.quantizerDrift(spark, dir, empty).collect()
+    assert(quiet.length == nCenters)
+    assert(quiet.forall(r => r.getAs[Long]("n_batch") == 0L && r.isNullAt(r.fieldIndex("drift_e4"))))
   }
 
   test("served plan reads the stored index only — no embeddings scan, probed-list pruning") {

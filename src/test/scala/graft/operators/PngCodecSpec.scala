@@ -62,6 +62,44 @@ class PngCodecSpec extends SparkSpec {
     assert(PngCodecOps.pngDecodeStats(fuzz).collect()(0).getString(1) == "corrupt")
   }
 
+  test("golden vector: a hand-assembled stored-deflate PNG decodes to the literal pixels") {
+    // 2x1 grayscale, filter 0, zlib STORED block — every payload byte
+    // below is hand-derived from RFC 1950/1951/2083, so this anchors the
+    // decoder against the specs themselves, not against our encoder:
+    //   raw scanline = [filter 0x00, 0x12, 0x34]
+    //   zlib = 78 01 | 01 03 00 FC FF | 00 12 34 | adler32 = 00 5B 00 47
+    //   (a: 1+0x00+0x12+0x34 = 0x47; b: 1+0x13+0x47 = 0x5B)
+    val z = Array[Int](0x78, 0x01, 0x01, 0x03, 0x00, 0xfc, 0xff,
+      0x00, 0x12, 0x34, 0x00, 0x5b, 0x00, 0x47).map(_.toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32
+      val t = typ.getBytes("US-ASCII"); crc.update(t); crc.update(data)
+      def be(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      be(data.length.toLong) ++ t ++ data ++ be(crc.getValue)
+    }
+    val ihdr = Array[Byte](0, 0, 0, 2, 0, 0, 0, 1, 8, 0, 0, 0, 0)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", z) ++ chunk("IEND", Array.empty)
+    val d = PngCodecOps.decodePng(png).getOrElse(fail("golden PNG rejected"))
+    assert((d.width, d.height, d.channels) == ((2, 1, 1)))
+    assert(d.samples.toSeq == Seq(0x12, 0x34), "literal pixels must round out of the stored block")
+    // and the independent reader agrees the bytes are a valid PNG
+    assert(imageIoPixels(png).exists(_._4.toSeq == Seq(0x12, 0x34)))
+  }
+
+  test("random byte streams never throw: pure garbage and magic-prefixed garbage") {
+    val rnd = new scala.util.Random(20260815L)
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    for (i <- 0 until 200) {
+      val body = new Array[Byte](rnd.nextInt(300))
+      rnd.nextBytes(body)
+      PngCodecOps.decodePng(body)              // pure garbage
+      PngCodecOps.decodePng(sig ++ body)       // valid signature, garbage chunks
+      assert(true)
+    }
+  }
+
   test("cross-codec differential: PNG stats equal the PNM expression decode on shared rasters") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val png = PngCodecOps.pngPixels(docs)
