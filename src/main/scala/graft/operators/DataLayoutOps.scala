@@ -171,7 +171,14 @@ object DataLayoutOps {
     * executors and the plan shape is unchanged. Output is bit-identical
     * to the single-window NTILE recipe (the oracle pins it): rows tied
     * on the full tuple are interchangeable, so rank assignment across
-    * partition boundaries cannot change any bucket's (count, max key). */
+    * partition boundaries cannot change any bucket's (count, max key).
+    *
+    * Cache note: the shuffled sample registers with the CacheManager
+    * UNCONDITIONALLY (outside the `graft.cache.enabled` opt-out) — this
+    * one is correctness, not performance: range boundaries are sampled
+    * per instantiation, and the rank is assembled from three reads that
+    * must see the same instantiation. The entry is sample-sized;
+    * [[graft.Caching.release]] drops it like any other. */
   def sortBounds(
       df: DataFrame,
       keyCol: String,
