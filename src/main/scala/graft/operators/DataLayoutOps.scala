@@ -230,6 +230,43 @@ object DataLayoutOps {
       .agg(count(lit(1)).as("n_sample"), max(col("k")).as("upper_key"))
   }
 
+  /** The boundary plan CONSUMED — [[sortBounds]]' plan→action closure
+    * (the packing_assign / alloc_select convention): write `df` as a
+    * range-partitioned, within-sorted table under `dir`, one directory
+    * per boundary bucket. Buckets come from the sampled NTILE plan; the
+    * ≤`buckets`-row boundary table is the one deliberate driver
+    * materialization (bounded by construction), folded into a literal
+    * cut-point array so per-row assignment is a codegen'd expression —
+    * no join, no second shuffle beyond the bucket repartition itself.
+    * Layout guarantee (spec-pinned): bucket key ranges never interleave
+    * (equal keys always land in one bucket; consecutive populated
+    * buckets satisfy max(i) ≤ min(i+1)), the last bucket is open-ended,
+    * and every input row lands exactly once. This is what a file-level
+    * min/max-stat reader needs for range pruning over the written
+    * table. */
+  def rangePartitionedWrite(
+      df: DataFrame,
+      keyCol: String,
+      idCols: Seq[String],
+      dir: String,
+      buckets: Int = 32,
+      samplePct: Long = 10): Unit = {
+    val uppers = sortBounds(df, keyCol, idCols, buckets, samplePct)
+      .orderBy("bucket").collect().map(_.getAs[Long]("upper_key"))
+    // cut points = every upper bound except the last (open-ended final
+    // bucket, as in any real range writer); bucket = 1 + #cuts < key
+    val cuts = uppers.dropRight(1)
+    val bucket =
+      if (cuts.isEmpty) lit(1)
+      else (size(filter(lit(cuts), c => c < col(keyCol).cast("long"))) + 1)
+    df.withColumn("range_bucket", bucket.cast("int"))
+      .repartition(math.max(buckets, 1), col("range_bucket"))
+      .sortWithinPartitions(
+        (col("range_bucket") +: col(keyCol) +: idCols.map(col)): _*)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("range_bucket").parquet(dir)
+  }
+
   /** Join-key skew census: the k heaviest keys of a column with their
     * row share and self-join pair contribution (n²) — the diagnostic a
     * 100-TB pipeline runs BEFORE picking a join strategy, since one key

@@ -110,6 +110,10 @@ class EmptyInputSpec extends SparkSpec {
       emptyLineitem, "l_orderkey", emptyLineitem, "l_orderkey").count() == 0)
     assert(DataLayoutOps.sortBounds(
       emptyLineitem, "l_partkey", Seq("l_orderkey", "l_suppkey")).count() == 0)
+    // the boundary-consuming writer must not throw on an empty corpus
+    DataLayoutOps.rangePartitionedWrite(
+      emptyLineitem, "l_partkey", Seq("l_orderkey", "l_suppkey"),
+      java.nio.file.Files.createTempDirectory("graft_rw_empty").toString, buckets = 4)
   }
 
   test("round-7 operators behave on empty inputs") {

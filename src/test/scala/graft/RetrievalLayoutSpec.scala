@@ -300,6 +300,34 @@ class RetrievalLayoutSpec extends SparkSpec {
     }
   }
 
+  test("range-partitioned write: buckets never interleave, equal keys stay together, rows conserved") {
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rangewrite").toString
+    graft.operators.DataLayoutOps.rangePartitionedWrite(
+      li, "l_partkey", Seq("l_orderkey", "l_linenumber"), dir, buckets = 8)
+    val back = spark.read.parquet(dir)
+    // every row lands exactly once
+    assert(back.count() == li.count())
+    assert(back.select("range_bucket").distinct().count() <= 8)
+    // per-bucket key ranges: consecutive populated buckets must satisfy
+    // max(i) <= min(i+1) — ranges may touch (boundary key) but never
+    // interleave, the property a min/max-stat range reader prunes on
+    val ranges = back.groupBy("range_bucket")
+      .agg(min("l_partkey").as("lo"), max("l_partkey").as("hi"))
+      .orderBy("range_bucket")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    ranges.sliding(2).foreach {
+      case Array((b1, _, hi1), (b2, lo2, _)) =>
+        assert(hi1 <= lo2, s"buckets $b1 and $b2 interleave: hi=$hi1 > lo=$lo2")
+      case _ => ()
+    }
+    // equal keys never split across buckets
+    val split = back.groupBy("l_partkey")
+      .agg(countDistinct("range_bucket").as("nb"))
+      .filter(col("nb") > 1).count()
+    assert(split == 0, "a key must never straddle bucket directories")
+  }
+
   test("bm25 delete: masked serve ≡ survivor-corpus chain ≡ compacted serve; stats never stale") {
     import graft.operators.RetrievalOps
     val docs = graft.sources.Tables.documents(spark, sf)
