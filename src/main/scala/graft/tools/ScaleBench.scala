@@ -59,7 +59,10 @@ object ScaleBench {
     // parallelism, expected ~linear in docs like the raster walks
     "png_pixels",
     // text-side deletion: build + tombstone + masked serve
-    "bm25_deleted")
+    "bm25_deleted",
+    // NFC-composed exact dedup: the normalize pass feeding a corpus-wide
+    // key shuffle (the planted frame is 2x the corpus by construction)
+    "dedup_exact_nfc")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
