@@ -355,6 +355,35 @@ class RetrievalLayoutSpec extends SparkSpec {
     masked.unpersist()
   }
 
+  test("bm25 compaction crash window: a mid-swap lens table recovers through the entry point") {
+    import graft.operators.RetrievalOps
+    import graft.sources.BulkOps
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_crash").toString
+    RetrievalOps.bm25WriteIndex(docs, dir)
+    RetrievalOps.bm25DeleteDocs(spark, dir,
+      docs.filter(col("doc_id") % 10 === 3).select("doc_id"))
+    val expect = RetrievalOps.bm25ServedTopK(spark, dir).collect().toSet
+    // simulate a crash between the lens swap's two renames: compacted
+    // copy written, live table moved aside — the state bm25CompactIndex
+    // must recover from before it proceeds
+    val tomb = BulkOps.readPath(spark, s"$dir/tombstones")
+    BulkOps.writePath(
+        BulkOps.readPath(spark, s"$dir/lens")
+          .join(org.apache.spark.sql.functions.broadcast(tomb.select("doc_id")),
+            Seq("doc_id"), "left_anti"),
+        org.apache.spark.sql.SaveMode.Overwrite)
+      .save(s"$dir/lens_compact")
+    assert(BulkOps.renamePath(spark, s"$dir/lens", s"$dir/lens_old"))
+    assert(RetrievalOps.bm25CompactIndex(spark, dir),
+      "compaction must recover the mid-swap lens table and run to completion")
+    assert(!BulkOps.fileExists(spark, s"$dir/lens_old") &&
+      !BulkOps.fileExists(spark, s"$dir/lens_compact") &&
+      !BulkOps.fileExists(spark, s"$dir/tombstones"))
+    val after = RetrievalOps.bm25ServedTopK(spark, dir).collect().toSet
+    assert(after == expect, "recovered + compacted serve must equal the masked serve")
+  }
+
   test("exact quantiles: census path equals the total-sort rank statistic, incl. degenerate inputs") {
     val s = spark
     import s.implicits._
