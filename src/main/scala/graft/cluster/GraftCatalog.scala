@@ -177,5 +177,9 @@ object GraftCatalog {
       .createOrReplaceTempView("diversity_census")
     graft.operators.PngCodecOps.pngPixels(docs)
       .createOrReplaceTempView("png_pixels")
+    graft.operators.DedupIndexOps.dedupServed(spark, sfDir)
+      .createOrReplaceTempView("dedup_served")
+    graft.operators.CurationOps.ppsSample(docs)
+      .createOrReplaceTempView("pps_sample")
   }
 }

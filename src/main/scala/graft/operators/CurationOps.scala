@@ -149,6 +149,61 @@ object CurationOps {
       .select(col("doc_id"), col("lang"), col("bucket"))
   }
 
+  /** Systematic PPS (probability-proportional-to-size) sample — the
+    * WEIGHTED companion of [[stratifiedSample]]: docs are selected with
+    * probability proportional to their token count, deterministically.
+    * The classic systematic estimator: lay the docs along a line in a
+    * stable pseudo-random order (md5 priority), each occupying a segment
+    * equal to its weight; drop pins at every multiple of
+    * step = totalTokens DIV k; a doc is selected iff a pin lands in its
+    * segment, with `n_hits` as its multiplicity (a doc heavier than the
+    * step straddles several pins — the calibration weight a resampling
+    * consumer divides by). All arithmetic is integral, so the selection
+    * is engine-exact; k is the target sample size (selected docs ≈ k,
+    * fewer when heavy docs absorb several pins).
+    *
+    * Scale shape (100 TB): the global cumulative weight is a DISTRIBUTED
+    * prefix sum — the [[DataLayoutOps.sortBounds]] rank construction
+    * applied to weights: a range shuffle on the priority order, a
+    * per-partition running sum, and a broadcast prefix-offset census
+    * (one row per shuffle partition). The only unpartitioned window runs
+    * over that census (≤ shuffle-partitions rows, plan-gated); no task
+    * ever holds the corpus, and the pin test is per-row arithmetic.
+    *
+    * Cache note: the shuffled frame registers with the CacheManager
+    * UNCONDITIONALLY (the sortBounds discipline — correctness, not
+    * performance): repartitionByRange samples its boundaries per
+    * instantiation, and the prefix assembly reads the frame three times
+    * (local sums, offsets, total); all three must see ONE
+    * materialization. The entry is slim (doc_id, w, pri per doc). */
+  def ppsSample(docs: DataFrame, k: Long = 200L): DataFrame = {
+    require(k > 0, s"sample size k must be positive, got $k")
+    val weighted = docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("w"),
+      stableHash60(col("doc_id").cast("string")).as("pri"))
+    val sortCols = Seq(col("pri"), col("doc_id"))
+    val parts = weighted.repartitionByRange(sortCols: _*)
+      .withColumn("pid", spark_partition_id())
+      .cache()
+    val wLocal = Window.partitionBy("pid").orderBy(sortCols.map(_.asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parts.withColumn("lc", sum(col("w")).over(wLocal))
+    val wOff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts.groupBy("pid").agg(sum(col("w")).as("pw"))
+      .withColumn("off", coalesce(sum(col("pw")).over(wOff), lit(0L)))
+      .select(col("pid"), col("off"))
+    val totals = parts.agg(sum(col("w")).as("total"))
+    local
+      .join(broadcast(offsets), Seq("pid"))
+      .crossJoin(broadcast(totals))
+      .withColumn("cum", col("off") + col("lc"))
+      .withColumn("step", greatest(expr(s"total DIV ${k}L"), lit(1L)))
+      .withColumn("n_hits", expr("cum DIV step - (cum - w) DIV step"))
+      .filter(col("n_hits") > 0)
+      .select(col("doc_id"), col("w"), col("cum"), col("n_hits"))
+  }
+
   /** Top-token repetition: the most frequent token per doc and its share
     * of all tokens (ties broken by token asc). One explode + one
     * aggregation; the window partitions by doc_id, so parallelism is
@@ -1190,6 +1245,10 @@ object CurationPack extends QueryPack {
     "contam_src" -> ((s, dir) => CurationOps.contamination(d(s, dir),
       benchDocs = Some(d(s, dir).filter(col("source") === "src19")))),
     "strat_sample" -> ((s, dir) => CurationOps.stratifiedSample(d(s, dir))),
+    "pps_sample" -> ((s, dir) => CurationOps.ppsSample(d(s, dir))),
+    // the sample-size dial at a non-default setting: 8x fewer pins,
+    // step 8x wider — heavy docs start absorbing several pins each
+    "pps_sample25" -> ((s, dir) => CurationOps.ppsSample(d(s, dir), k = 25L)),
     "rep_top_token" -> ((s, dir) => CurationOps.repTopToken(d(s, dir))),
     "rep_bigram_frac" -> ((s, dir) => CurationOps.repBigramFrac(d(s, dir))),
     "fluency" -> ((s, dir) => CurationOps.bigramFluency(d(s, dir))),
@@ -1393,7 +1452,29 @@ object CurationPack extends QueryPack {
        |            ELSE cum_before_doc < residual END AS kept
        |FROM j""".stripMargin
 
+  /** The PPS systematic sample, parameterized by the pin count the way
+    * the Scala side's `k` knob is: cumulative token weight over the md5
+    * priority order, pins at every multiple of step = total DIV k. */
+  private def ppsSampleSql(k: Long): String =
+    s"""WITH w AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+       |         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 18, 15)) AS UBIGINT) AS BIGINT) AS pri
+       |  FROM documents
+       |),
+       |c AS (
+       |  SELECT doc_id, w,
+       |         CAST(SUM(w) OVER (ORDER BY pri, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM w
+       |),
+       |s AS (SELECT CAST(GREATEST(SUM(w) // $k, 1) AS BIGINT) AS step FROM w)
+       |SELECT doc_id, w, cum, cum // step - (cum - w) // step AS n_hits
+       |FROM c CROSS JOIN s
+       |WHERE cum // step - (cum - w) // step > 0""".stripMargin
+
   override def oracles: Map[String, String] = Map(
+    "pps_sample" -> ppsSampleSql(200L),
+    "pps_sample25" -> ppsSampleSql(25L),
     // fixture versions from md5 deciles: old = deciles != 0, new =
     // deciles != 9 with 4-5 revised — full-outer md5 diff
     "corpus_diff" ->

@@ -1,0 +1,318 @@
+package graft.operators
+
+import graft.sources.{BulkOps, Tables}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The PERSISTED MinHash signature index — write-then-serve for the
+  * dedup family, completing the stored-index lifecycle the engine
+  * already gives ANN ([[AnnIndexOps]]) and BM25
+  * ([[RetrievalOps.bm25WriteIndex]]): at 100 TB you cannot re-shingle
+  * the corpus per ingest batch, so the per-doc MinHash signatures are
+  * computed ONCE, written through the bulk seam, and every arriving
+  * batch dedups against the STORED signatures with the corpus text
+  * untouched (the signature store [[DedupOps.incrNearDup]]'s scaladoc
+  * prices at 16 bytes/doc, made durable; cf. the reference's
+  * write-then-serve derived-state precedent,
+  * api/meta/TechnicalMeta.java:167-186, and its delete-then-compact
+  * lifecycle, api/compactor/CompactionTask.java:44-73).
+  *
+  * Artifacts under `dir`:
+  *   - `sigs` (band, sig, doc_id, pb): the banded LSH layout, written
+  *     PARTITIONED BY `pb` = crc32(sig) mod [[BucketParts]] — a serve
+  *     probes only the partitions its batch's signatures hash into
+  *     (a static In partition filter, the posting-list read pattern),
+  *     so a small ingest batch reads a few directories, never the index.
+  *   - `mins` (doc_id, k, mh): the slim per-permutation minima — the
+  *     16-bytes-per-doc signature store the similarity ESTIMATE reads
+  *     (runtime-pruned to candidate docs by a broadcast semi-join).
+  *   - `meta` (num_perms, band_size): the index is self-describing —
+  *     serves and appends read the dial from the index, so an index
+  *     written at 24/3 cannot be silently probed at 12/3.
+  *
+  * Serve semantics: candidates collide on a stored (band, sig) bucket
+  * (buckets over `bucketCap` members dropped whole — the
+  * [[DedupOps.capBuckets]] guard, recounted at serve over exactly the
+  * pruned read, which is exact per present bucket because `pb` is a
+  * function of `sig`); similarity is the SIGNATURE-AGREEMENT estimate
+  * est_e4 = |{k : mh_new[k] = mh_stored[k]}| · 10⁴ / K — at serve time
+  * there is no corpus text to verify exact Jaccard against, which is
+  * precisely the stored-signature trade (documented deviation from
+  * [[DedupOps.minhashLsh]]'s exact-verify; E[est] = Jaccard).
+  */
+object DedupIndexOps {
+
+  /** Partition count of the banded signature table. Fixed and small so
+    * a serve's In-pruning stays bounded: the batch can touch at most
+    * [[BucketParts]] directories however large it is, and each
+    * directory is itself hash-parallel inside. */
+  val BucketParts = 32
+
+  private def bandedWithPb(wide: DataFrame, numPerms: Int, bandSize: Int): DataFrame =
+    DedupOps.bandedFromWide(wide, numPerms, bandSize)
+      .withColumn("pb", pmod(crc32(col("sig")), lit(BucketParts.toLong)))
+
+  private def slimFromWide(wide: DataFrame, numPerms: Int): DataFrame = {
+    val kms = (0 until numPerms).map(k =>
+      struct(lit(k.toLong).as("k"), col(s"mh$k").as("mh")))
+    wide
+      .select(col("doc_id"), explode(array(kms: _*)).as("km"))
+      .select(col("doc_id"), col("km.k").as("k"), col("km.mh").as("mh"))
+  }
+
+  /** Write the signature index for `docs` under `dir`: one corpus
+    * aggregation feeds both artifacts (the wide minima frame is cached —
+    * the banded and slim writes are its only two consumers). Docs
+    * shorter than a shingle (< 3 tokens) have no signature and are
+    * absent, exactly as they are invisible to [[DedupOps.minhashLsh]].
+    * A fresh build invalidates any tombstone log from the dir's past
+    * life (the [[AnnIndexOps.writeIndex]] discipline). */
+  def writeIndex(docs: DataFrame, dir: String,
+      numPerms: Int = DedupOps.MinhashK, bandSize: Int = DedupOps.BandSize): Unit = {
+    require(numPerms > 0 && bandSize > 0 && numPerms % bandSize == 0,
+      s"numPerms ($numPerms) must be a positive multiple of bandSize ($bandSize)")
+    val spark = docs.sparkSession
+    val wide = graft.Caching.maybeCache(
+      DedupOps.minhashWide(DedupOps.shinglePostings(docs), numPerms))
+    val banded = bandedWithPb(wide, numPerms, bandSize)
+    // a partitioned write of zero rows produces a directory no reader
+    // can infer a schema from — an empty corpus is "no index", refused
+    // loudly rather than materialized unreadably
+    require(!wide.isEmpty,
+      s"writeIndex: no signable docs (every doc < 3 tokens?) — refusing to write an empty index at $dir")
+    BulkOps.writePath(banded, SaveMode.Overwrite).partitionBy("pb").save(s"$dir/sigs")
+    BulkOps.writePath(slimFromWide(wide, numPerms), SaveMode.Overwrite).save(s"$dir/mins")
+    import spark.implicits._
+    BulkOps.writePath(
+        Seq((numPerms.toLong, bandSize.toLong)).toDF("num_perms", "band_size"),
+        SaveMode.Overwrite)
+      .save(s"$dir/meta")
+    if (BulkOps.fileExists(spark, s"$dir/tombstones"))
+      BulkOps.deletePath(spark, s"$dir/tombstones")
+  }
+
+  private def readMeta(spark: SparkSession, dir: String): (Int, Int) = {
+    // one bounded row — the index's self-description
+    val r = BulkOps.readPath(spark, s"$dir/meta").select("num_perms", "band_size").head()
+    (r.getLong(0).toInt, r.getLong(1).toInt)
+  }
+
+  /** Ingest INTO the stored index: signature the new batch with the
+    * STORED dial and append to both tables — per-doc signatures are
+    * row-independent by construction, so the appended index is
+    * bit-identical to a full rebuild over the union (the
+    * [[AnnIndexOps.appendToIndex]] equality, which for signatures is
+    * exact rather than quantizer-relative). New rows land inside their
+    * `pb` directories; existing files untouched. */
+  def appendToIndex(spark: SparkSession, dir: String, newDocs: DataFrame): Unit = {
+    val (numPerms, bandSize) = readMeta(spark, dir)
+    val wide = graft.Caching.maybeCache(
+      DedupOps.minhashWide(DedupOps.shinglePostings(newDocs), numPerms))
+    BulkOps.writePath(bandedWithPb(wide, numPerms, bandSize), SaveMode.Append)
+      .partitionBy("pb").save(s"$dir/sigs")
+    BulkOps.writePath(slimFromWide(wide, numPerms), SaveMode.Append)
+      .save(s"$dir/mins")
+  }
+
+  /** Dedup an arriving batch against the STORED index: returns
+    * (doc_id, dup_of, est_e4) — batch docs whose estimated Jaccard
+    * against some indexed doc reaches `thresholdE4`, with the stored
+    * doc they collide with. Batch-internal duplicates are NOT reported
+    * (the [[DedupOps.incrNearDup]] contract: the index is the dedup
+    * authority, the batch dedups against it).
+    *
+    * Read shape at 100 TB: the batch's banded signatures are a bounded
+    * app input, broadcast against the stored `sigs` table — and the
+    * batch's distinct `pb` set (≤ [[BucketParts]] values by
+    * construction) is pushed as a STATIC In filter on the partition
+    * column (plan-gated), so the scan reads at most the batch's bucket
+    * directories. The `mins` read is semi-pruned to the
+    * candidate stored docs (bounded by bucketCap × batch bands). The
+    * corpus is never re-shingled, its text never read.
+    *
+    * Tombstone mask ([[deleteFromIndex]] log, if any) lands on the
+    * PRUNED sigs read — above the partition pruning, below the bucket
+    * recount, so a masked serve is EXACTLY the survivor-index answer
+    * (deleted docs neither produce candidates nor inflate a bucket
+    * toward the cap — not a stale-stats approximation). */
+  def servedDupes(spark: SparkSession, dir: String, batch: DataFrame,
+      thresholdE4: Long = 5000L, bucketCap: Long = DedupOps.MaxBandBucket,
+      cacheBatch: Boolean = true): DataFrame = {
+    val (numPerms, bandSize) = readMeta(spark, dir)
+    // cached: the batch minima feed the banded probe AND the agreement
+    // join (streaming callers pass cacheBatch=false — a per-micro-batch
+    // cache entry would accumulate forever, the servedTopK convention)
+    val wideB0 = DedupOps.minhashWide(DedupOps.shinglePostings(batch), numPerms)
+    val wideB = if (cacheBatch) graft.Caching.maybeCache(wideB0) else wideB0
+    val bBanded = bandedWithPb(wideB, numPerms, bandSize)
+    val bSlim = slimFromWide(wideB, numPerms)
+
+    // STATIC partition pruning, guaranteed by construction: the batch
+    // can hash into at most [[BucketParts]] buckets, so its distinct pb
+    // set is a bounded (≤32-value) app materialization — pushed as an In
+    // filter on the RAW partition column (before any cast, so it reaches
+    // the scan's PartitionFilters; plan-gated), rather than left to the
+    // optimizer's DPP cost heuristic. An empty batch prunes everything.
+    val pbs = bBanded.select("pb").distinct().collect().map(_.getLong(0).toInt)
+    // the partition column comes back discovery-inferred — normalized to
+    // the written LONG so the probe join is type-identical (the
+    // AnnIndexOps.readIndex convention)
+    val stored0 = BulkOps.readPath(spark, s"$dir/sigs")
+      .filter(col("pb").isin(pbs: _*))
+      .withColumn("pb", col("pb").cast("long"))
+    val storedMasked = tombstonesOpt(spark, dir)
+      .fold(stored0)(t => stored0.join(broadcast(t), Seq("doc_id"), "left_anti"))
+    val stored = storedMasked.select(
+      col("pb"), col("band"), col("sig"), col("doc_id").as("dup_of"))
+
+    // probe: distinct batch bucket keys, broadcast — inner join against
+    // distinct keys is the semi-join that DPP prunes the scan with
+    val keys = bBanded.select("pb", "band", "sig").distinct()
+    val pruned = stored.join(broadcast(keys), Seq("pb", "band", "sig"))
+    // serve-side bucket recount over exactly the pruned read: pb is a
+    // function of sig, so every (band, sig) group present is WHOLE and
+    // its count equals the full-index count — the cap is exact
+    val capped = DedupOps.capBuckets(pruned, Seq("band", "sig"), bucketCap)
+    val cand = capped
+      .join(broadcast(bBanded.select(col("pb"), col("band"), col("sig"), col("doc_id"))),
+        Seq("pb", "band", "sig"))
+      .select(col("doc_id"), col("dup_of"))
+      .distinct()
+
+    // agreement estimate from the stored slim signatures: K rows per
+    // candidate pair, stored side semi-pruned to candidate docs first
+    val mOld = BulkOps.readPath(spark, s"$dir/mins")
+      .select(col("doc_id").as("dup_of"), col("k"), col("mh").as("mh_old"))
+      .join(broadcast(cand.select("dup_of").distinct()), Seq("dup_of"), "left_semi")
+    cand
+      .join(mOld, Seq("dup_of"))
+      .join(broadcast(bSlim.select(col("doc_id"), col("k"), col("mh").as("mh_new"))),
+        Seq("doc_id", "k"))
+      .groupBy("doc_id", "dup_of")
+      .agg(sum(when(col("mh_old") === col("mh_new"), 1L).otherwise(0L)).as("agree"))
+      .withColumn("est_e4", expr(s"agree * 10000 DIV $numPerms"))
+      .filter(col("est_e4") >= thresholdE4)
+      .select(col("doc_id"), col("dup_of"), col("est_e4"))
+  }
+
+  /** Delete documents from the stored index — the HBase-delete shape
+    * shared with [[AnnIndexOps.deleteFromIndex]]: an O(|ids|) tombstone
+    * append, a serve-time broadcast mask, physical removal at the next
+    * [[compactIndex]]. */
+  def deleteFromIndex(spark: SparkSession, dir: String, ids: DataFrame): Unit =
+    BulkOps.writePath(ids.select(col("doc_id").cast("long")), SaveMode.Append)
+      .save(s"$dir/tombstones")
+
+  private def tombstonesOpt(spark: SparkSession, dir: String): Option[DataFrame] =
+    if (BulkOps.fileExists(spark, s"$dir/tombstones"))
+      Some(BulkOps.readPath(spark, s"$dir/tombstones").select("doc_id"))
+    else None
+
+  /** Major compaction: rewrite `sigs` (keeping its pb partitioning, so
+    * pruned serves are unchanged after the swap) and `mins` minus the
+    * tombstoned docs, swap each in crash-safely
+    * ([[AnnIndexOps.swapCompacted]] — rename aside, rename in, every
+    * step checked), clear the log. Serve results are identical before
+    * and after (mask and drop remove the same rows — the differential
+    * DedupIndexSpec pins). Returns false on no-op. */
+  def compactIndex(spark: SparkSession, dir: String): Boolean = {
+    Seq("sigs", "mins").foreach(t => AnnIndexOps.recoverSwap(spark, s"$dir/$t"))
+    tombstonesOpt(spark, dir) match {
+      case None => false
+      case Some(tomb) =>
+        Seq("sigs", "mins").foreach { t =>
+          val live = BulkOps.readPath(spark, s"$dir/$t")
+          val keep = live.join(broadcast(tomb), Seq("doc_id"), "left_anti")
+          require(!keep.isEmpty,
+            s"compaction would empty $dir/$t — drop the index instead")
+          val w =
+            if (t == "sigs")
+              BulkOps.writePath(
+                  keep.withColumn("pb", col("pb").cast("long")), SaveMode.Overwrite)
+                .partitionBy("pb")
+            else BulkOps.writePath(keep, SaveMode.Overwrite)
+          w.save(s"$dir/${t}_compact")
+          AnnIndexOps.swapCompacted(spark, s"$dir/$t")
+        }
+        BulkOps.deletePath(spark, s"$dir/tombstones")
+        true
+    }
+  }
+
+  // ---- fixture chains (driver-contract queries) --------------------
+
+  /** Fixture split: ~90% of docs are "the indexed corpus", the stable
+    * md5 10% bucket is "the arriving batch" — the
+    * [[RetrievalOps.bm25IngestTopK]] production shape (large stored
+    * corpus, small batch), on the [[CurationOps.splitAssign]] hash. */
+  private[graft] val ServeBucketPct = 10L
+
+  private[graft] def batchPred = graft.functions.TextFunctions.stableHash60(
+    col("doc_id").cast("string")) % 100L < ServeBucketPct
+
+  // one stored index per corpus dir per JVM — the AnnIndexOps memo
+  // convention: derived state builds once and serves many times; with
+  // graft.cache.enabled off every call rebuilds into one scratch dir
+  private val indexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Drop the per-JVM stored-index memo. */
+  def clearIndexMemo(): Unit = indexDirs.clear()
+
+  private def memoizedDir(spark: SparkSession, prefix: String, sfDir: String)
+      (build: String => Unit): String =
+    if (!spark.conf.get(graft.Caching.EnabledKey, "true").toBoolean) {
+      val d = graft.tools.IndexScratch.scratchFor(prefix, sfDir)
+      build(d)
+      d
+    } else indexDirs.computeIfAbsent(s"$prefix|$sfDir", { _ =>
+      val d = graft.tools.IndexScratch.allocate(prefix)
+      build(d)
+      d
+    })
+
+  /** The `dedup_served` fixture chain: index the 90% corpus once into a
+    * temp dir (memoized under the cache lifecycle), then dedup the 10%
+    * batch against the stored signatures. */
+  def dedupServed(spark: SparkSession, sfDir: String,
+      thresholdE4: Long = 5000L): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = memoizedDir(spark, "graft_dedupidx", sfDir)(d =>
+      writeIndex(docs.filter(!batchPred), d))
+    servedDupes(spark, dir, docs.filter(batchPred), thresholdE4)
+  }
+
+  /** The `dedup_served_ing` fixture chain — the APPEND path end-to-end:
+    * index half the corpus, append the other half through
+    * [[appendToIndex]], serve the batch. Per-doc signatures are
+    * row-independent, so the result must equal [[dedupServed]]'s
+    * exactly — same DuckDB oracle BY DESIGN (the bm25_ingest
+    * convention). */
+  def dedupIngestServed(spark: SparkSession, sfDir: String,
+      thresholdE4: Long = 5000L): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(!batchPred)
+    val half = graft.functions.TextFunctions.stableHash60(
+      concat(lit("ing|"), col("doc_id").cast("string"))) % 100L < 50L
+    val dir = memoizedDir(spark, "graft_dedupidx_ing", sfDir) { d =>
+      writeIndex(corpus.filter(half), d)
+      appendToIndex(spark, d, corpus.filter(!half))
+    }
+    servedDupes(spark, dir, docs.filter(batchPred), thresholdE4)
+  }
+
+  /** The `dedup_served_del` fixture chain — the DELETE path end-to-end:
+    * full corpus index, tombstone every (doc_id % 10 == 3) indexed doc,
+    * serve the batch through the mask. The oracle is the served chain
+    * over the SURVIVOR corpus — tombstoned docs must neither match nor
+    * count toward any bucket cap. */
+  def dedupDeleted(spark: SparkSession, sfDir: String,
+      thresholdE4: Long = 5000L): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = memoizedDir(spark, "graft_dedupidx_del", sfDir) { d =>
+      writeIndex(docs.filter(!batchPred), d)
+      deleteFromIndex(spark, d,
+        docs.filter(!batchPred).filter(col("doc_id") % 10 === 3).select("doc_id"))
+    }
+    servedDupes(spark, dir, docs.filter(batchPred), thresholdE4)
+  }
+}

@@ -357,9 +357,23 @@ object DedupOps {
       numPerms: Int = MinhashK, bandSize: Int = BandSize): DataFrame = {
     require(numPerms > 0 && bandSize > 0 && numPerms % bandSize == 0,
       s"numPerms ($numPerms) must be a positive multiple of bandSize ($bandSize)")
+    bandedFromWide(minhashWide(postings, numPerms), numPerms, bandSize)
+  }
+
+  /** The wide per-doc minima frame (doc_id, mh0..mh{K-1}) the banded
+    * layout derives from — exposed so [[DedupIndexOps]] can build both
+    * the banded candidate table and the slim per-permutation signature
+    * store from ONE corpus aggregation. */
+  private[operators] def minhashWide(postings: DataFrame, numPerms: Int): DataFrame = {
     val mins = (0 until numPerms).map(k =>
       min(minhashPerm(col("x31"), lit(k.toLong))).as(s"mh$k"))
-    val wide = postings.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    postings.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** (doc_id, band, sig) rows from the wide minima — a cheap per-doc
+    * explode of an inline array. */
+  private[operators] def bandedFromWide(
+      wide: DataFrame, numPerms: Int, bandSize: Int): DataFrame = {
     val bandStructs = (0 until numPerms / bandSize).map { b =>
       struct(
         lit(b.toLong).as("band"),
@@ -794,6 +808,9 @@ object DedupPack extends QueryPack {
     "dedup_simhash" -> ((s, dir) => DedupOps.simhashDedup(d(s, dir), s)),
     "longest_span" -> ((s, dir) => DedupOps.pairLongestSpan(d(s, dir))),
     "incr_dedup" -> ((s, dir) => DedupOps.incrDedup(d(s, dir), 25L)),
+    "dedup_served" -> ((s, dir) => DedupIndexOps.dedupServed(s, dir)),
+    "dedup_served_ing" -> ((s, dir) => DedupIndexOps.dedupIngestServed(s, dir)),
+    "dedup_served_del" -> ((s, dir) => DedupIndexOps.dedupDeleted(s, dir)),
     "incr_neardup" -> ((s, dir) => DedupOps.incrNearDup(d(s, dir), s, IncrNearDupWatermark)),
     "neardup_recall" -> ((s, dir) =>
       DedupOps.blockerPairRecall(d(s, dir), Tables.embeddings(s, dir), s)),
@@ -945,7 +962,54 @@ object DedupPack extends QueryPack {
        |FROM cum WHERE n_at_or_above <= $maxPairs
        |ORDER BY bin_lo_e4 LIMIT 1""".stripMargin
 
+  /** The stored-batch split of the served-index fixtures, in SQL: the
+    * stable md5 10% bucket is "the arriving batch", the rest "the
+    * indexed corpus" ([[DedupIndexOps.batchPred]]'s mirror). */
+  private val servedBatchSqlPred =
+    "CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 18, 15)) AS UBIGINT) AS BIGINT) % 100 < 10"
+
+  /** The served-dedup-index oracle: signatures for all docs (`mins` /
+    * `sigs` from the minhash CTEs), corpus side bucket-capped over the
+    * CORPUS rows only (the stored posting-list cap
+    * [[DedupIndexOps.servedDupes]] recounts at serve), candidates from
+    * the band join, similarity = signature agreement · 10⁴ / K —
+    * parameterized by the corpus predicate so the delete twin oracles
+    * as the survivor corpus, and shared verbatim by the append twin
+    * (per-doc signatures are row-independent, so build-then-append IS
+    * the full build — the bm25_ingest convention). */
+  private def servedIdxSql(corpusPred: String): String =
+    s"""WITH $postingsSql,
+       |$minhashSigSql,
+       |sigc AS (
+       |  SELECT doc_id, band, sig FROM (
+       |    SELECT s.doc_id, s.band, s.sig,
+       |           COUNT(*) OVER (PARTITION BY s.band, s.sig) AS bsz
+       |    FROM sigs s WHERE $corpusPred
+       |  ) WHERE bsz <= ${DedupOps.MaxBandBucket}
+       |),
+       |sigb AS (SELECT doc_id, band, sig FROM sigs WHERE $servedBatchSqlPred),
+       |cand AS (
+       |  SELECT DISTINCT b.doc_id AS doc_id, c.doc_id AS dup_of
+       |  FROM sigb b JOIN sigc c ON b.band = c.band AND b.sig = c.sig
+       |),
+       |agreed AS (
+       |  SELECT cand.doc_id, cand.dup_of,
+       |         CAST(SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS BIGINT) AS agree
+       |  FROM cand
+       |  JOIN mins ma ON ma.doc_id = cand.dup_of
+       |  JOIN mins mb ON mb.doc_id = cand.doc_id AND mb.k = ma.k
+       |  GROUP BY cand.doc_id, cand.dup_of
+       |)
+       |SELECT doc_id, dup_of, agree * 10000 // ${DedupOps.MinhashK} AS est_e4
+       |FROM agreed WHERE agree * 10000 // ${DedupOps.MinhashK} >= 5000""".stripMargin
+
   override def oracles: Map[String, String] = Map(
+    "dedup_served" -> servedIdxSql(s"NOT ($servedBatchSqlPred)"),
+    // append ≡ rebuild: same oracle BY DESIGN (per-doc signatures are
+    // row-independent — the bm25_ingest equality convention)
+    "dedup_served_ing" -> servedIdxSql(s"NOT ($servedBatchSqlPred)"),
+    "dedup_served_del" ->
+      servedIdxSql(s"NOT ($servedBatchSqlPred) AND doc_id % 10 <> 3"),
     "dedup_exact" ->
       """WITH keyed AS (
         |  SELECT doc_id,

@@ -62,7 +62,14 @@ object ScaleBench {
     "bm25_deleted",
     // NFC-composed exact dedup: the normalize pass feeding a corpus-wide
     // key shuffle (the planted frame is 2x the corpus by construction)
-    "dedup_exact_nfc")
+    "dedup_exact_nfc",
+    // the persisted dedup-signature index: full build-write-serve cycle
+    // (caching off, the ann_served convention) — signature groupBy +
+    // partitioned write + pruned batch serve
+    "dedup_served",
+    // the distributed corpus-wide prefix sum (range shuffle + census
+    // offsets) under the systematic PPS pin test
+    "pps_sample")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -142,6 +142,37 @@ class CurationSpec extends SparkSpec {
     assert(CurationOps.stratifiedSample(docs).exceptAll(out).count() == 0)
   }
 
+  test("PPS sample: pin accounting exact, heavy docs always selected, distributed ≡ one-window reference") {
+    import graft.functions.TextFunctions.{stableHash60, tokens}
+    val out = CurationOps.ppsSample(docs, k = 40L).cache()
+    val weighted = docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("w"),
+      stableHash60(col("doc_id").cast("string")).as("pri"))
+    val total = weighted.agg(sum(col("w"))).head().getLong(0)
+    val step = math.max(total / 40L, 1L)
+    // every pin lands in exactly one segment: Σ n_hits = total DIV step
+    assert(out.agg(sum(col("n_hits"))).head().getLong(0) == total / step,
+      "pin multiplicities must account for every pin exactly once")
+    // a doc at least one step wide cannot be missed
+    val heavy = weighted.filter(col("w") >= step).select("doc_id")
+    assert(heavy.join(out, Seq("doc_id"), "left_anti").count() == 0,
+      "every doc spanning a full step must absorb at least one pin")
+    // the distributed prefix sum equals the single-window reference
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pri"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val ref = weighted
+      .withColumn("cum", sum(col("w")).over(wAll))
+      .withColumn("n_hits", expr(s"cum DIV ${step}L - (cum - w) DIV ${step}L"))
+      .filter(col("n_hits") > 0)
+      .select(col("doc_id"), col("w"), col("cum"), col("n_hits"))
+    assert(out.exceptAll(ref).count() == 0 && ref.exceptAll(out).count() == 0,
+      "distributed prefix sum must reproduce the single-window cumulative weights")
+    out.unpersist()
+  }
+
   test("rep_top_token: ratio bounds and the top token really is the mode") {
     val out = CurationOps.repTopToken(docs).cache()
     assert(out.count() == docs.count())

@@ -459,6 +459,22 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("pps sample: distributed prefix sum — no unpartitioned window over the corpus") {
+    spark.catalog.clearCache()
+    val plan = physical(SparkEntry.queries("pps_sample")(spark, sf))
+    assert(plan.contains("Exchange rangepartitioning"),
+      s"the priority total order must come from a range SHUFFLE, not one window task:\n$plan")
+    // the per-row running sum must be partitioned by the range-partition
+    // id; the only unpartitioned window allowed is the prefix-offset sum
+    // over the per-partition weight census (≤ shuffle-partitions rows)
+    plan.linesIterator.filter(l => l.contains("Window") && l.contains("unboundedpreceding"))
+      .foreach { l =>
+        assert(l.contains("pid") || l.contains("pw"),
+          s"corpus-sized window must be partitioned by pid (census windows exempt):\n$l\n$plan")
+      }
+    assert(!plan.contains("CartesianProduct"), s"cartesian in pps_sample:\n$plan")
+  }
+
   test("served BM25 reads the stored index only — token filter pushed, no text scan") {
     spark.catalog.clearCache()
     val plan = physical(SparkEntry.queries("bm25_served")(spark, sf))

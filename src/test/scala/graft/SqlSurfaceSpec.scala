@@ -186,6 +186,20 @@ class SqlSurfaceSpec extends SparkSpec {
         " OR ttr_e6 <= 0 OR ttr_e6 > 1000000" +
         " OR n_bigram_types > n_bigrams OR n_bigrams >= n_tokens")
       .collect()(0).getLong(0) == 0)
+    // served dedup index: estimates bounded, only batch docs reported,
+    // and the view matches the Scala chain
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM dedup_served WHERE est_e4 < 5000 OR est_e4 > 10000")
+      .collect()(0).getLong(0) == 0)
+    assert(spark.sql("SELECT * FROM dedup_served").count() ==
+      graft.operators.DedupIndexOps.dedupServed(spark, sf).count())
+    // PPS sample: every selected doc carries ≥1 pin, cum strictly grows
+    // with doc order, and the view matches the Scala chain
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM pps_sample WHERE n_hits < 1 OR cum < w")
+      .collect()(0).getLong(0) == 0)
+    assert(spark.sql("SELECT * FROM pps_sample").count() ==
+      graft.operators.CurationOps.ppsSample(docs).count())
   }
 
   test("compaction_weight resolves in SQL via session extensions") {
