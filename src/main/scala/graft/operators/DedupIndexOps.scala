@@ -87,15 +87,24 @@ object DedupIndexOps {
         Seq((numPerms.toLong, bandSize.toLong)).toDF("num_perms", "band_size"),
         SaveMode.Overwrite)
       .save(s"$dir/meta")
+    metaMemo.put(dir, (numPerms, bandSize))
     if (BulkOps.fileExists(spark, s"$dir/tombstones"))
       BulkOps.deletePath(spark, s"$dir/tombstones")
   }
 
-  private def readMeta(spark: SparkSession, dir: String): (Int, Int) = {
-    // one bounded row — the index's self-description
-    val r = BulkOps.readPath(spark, s"$dir/meta").select("num_perms", "band_size").head()
-    (r.getLong(0).toInt, r.getLong(1).toInt)
-  }
+  // the (numPerms, bandSize) dial per index dir, read once per JVM: the
+  // meta row is immutable except under [[writeIndex]] (which re-primes
+  // it — appendToIndex preserves the dial by contract). Single-writer
+  // assumption, like the stored-index memos: an index rewritten at a
+  // different dial by ANOTHER process requires clearIndexMemo() here.
+  private val metaMemo = new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+
+  private def readMeta(spark: SparkSession, dir: String): (Int, Int) =
+    metaMemo.computeIfAbsent(dir, { _ =>
+      // one bounded row — the index's self-description
+      val r = BulkOps.readPath(spark, s"$dir/meta").select("num_perms", "band_size").head()
+      (r.getLong(0).toInt, r.getLong(1).toInt)
+    })
 
   /** Ingest INTO the stored index: signature the new batch with the
     * STORED dial and append to both tables — per-doc signatures are
@@ -173,11 +182,15 @@ object DedupIndexOps {
     // function of sig, so every (band, sig) group present is WHOLE and
     // its count equals the full-index count — the cap is exact
     val capped = DedupOps.capBuckets(pruned, Seq("band", "sig"), bucketCap)
-    val cand = capped
+    // cached under the same flag as the batch minima: the agreement
+    // stage reads the pair list twice (the mins semi-prune + the main
+    // join); uncached (streaming), each reference re-runs the band join
+    val cand0 = capped
       .join(broadcast(bBanded.select(col("pb"), col("band"), col("sig"), col("doc_id"))),
         Seq("pb", "band", "sig"))
       .select(col("doc_id"), col("dup_of"))
       .distinct()
+    val cand = if (cacheBatch) graft.Caching.maybeCache(cand0) else cand0
 
     // agreement estimate from the stored slim signatures: K rows per
     // candidate pair, stored side semi-pruned to candidate docs first
@@ -255,8 +268,9 @@ object DedupIndexOps {
   // graft.cache.enabled off every call rebuilds into one scratch dir
   private val indexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Drop the per-JVM stored-index memo. */
-  def clearIndexMemo(): Unit = indexDirs.clear()
+  /** Drop the per-JVM stored-index memos (fixture dirs AND per-dir
+    * dial rows). */
+  def clearIndexMemo(): Unit = { indexDirs.clear(); metaMemo.clear() }
 
   private def memoizedDir(spark: SparkSession, prefix: String, sfDir: String)
       (build: String => Unit): String =

@@ -666,6 +666,30 @@ object StreamingOps {
       }
       .start()
 
+  /** Online ingest-dedup from the STORED signature index — the dedup
+    * face of [[annServeStream]]: every arriving micro-batch of documents
+    * is deduped against the written index
+    * ([[graft.operators.DedupIndexOps.servedDupes]]) and its duplicate
+    * report lands at `emit` in its own trigger — the shape of a
+    * continuous ingest gate that drops corpus-duplicates before they
+    * land. Batching-invariant by construction (a doc's verdict depends
+    * only on the index and its own text, never on its batch-mates — the
+    * StreamingSpec differential); cacheBatch=false so no per-trigger
+    * cache entries accumulate (the [[annServeStream]] convention). */
+  def dedupServeStream(
+      docs: DataFrame, indexDir: String, checkpoint: String,
+      emit: (DataFrame, Long) => Unit,
+      thresholdE4: Long = 5000L): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        emit(graft.operators.DedupIndexOps.servedDupes(
+          batch.sparkSession, indexDir, batch.toDF(), thresholdE4,
+          cacheBatch = false), batchId)
+      }
+      .start()
+
   /** Continuous quantizer-drift monitoring — the streaming face of
     * [[graft.operators.AnnIndexOps.quantizerDrift]]: every micro-batch
     * of ingested vectors is encoded against the STORED quantizer and its

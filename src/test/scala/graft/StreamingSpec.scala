@@ -198,6 +198,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("online ingest-dedup: streamed doc batches equal the batch serve over the union") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val corpusPred = org.apache.spark.sql.functions.col("doc_id") >= 100
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream").toString
+    graft.operators.DedupIndexOps.writeIndex(docs.filter(corpusPred), dir)
+    val arriving = docs.filter(!corpusPred)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dedup_stream_ck").toString
+    val q = StreamingOps.dedupServeStream(df, dir, ckpt, (batch, _) =>
+      emitted.synchronized { emitted ++= batch.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))) })
+    try {
+      // two arbitrary batch boundaries — a doc's verdict must not care
+      input.addData(arriving.take(30): _*)
+      q.processAllAvailable()
+      input.addData(arriving.drop(30): _*)
+      q.processAllAvailable()
+      val streamed = emitted.synchronized(emitted.toSet)
+      val batchAll = graft.operators.DedupIndexOps.servedDupes(
+          spark, dir, arriving.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batchAll,
+        "per-batch online dedup must be batching-invariant")
+      assert(streamed.nonEmpty, "fixture batch must collide with the corpus somewhere")
+    } finally q.stop()
+  }
+
   test("online ANN serving: streamed query batches equal the batch serve over the union") {
     val s = spark
     import s.implicits._
