@@ -177,9 +177,12 @@ object GraftCatalog {
       .createOrReplaceTempView("diversity_census")
     graft.operators.PngCodecOps.pngPixels(docs)
       .createOrReplaceTempView("png_pixels")
-    graft.operators.DedupIndexOps.dedupServed(spark, sfDir)
-      .createOrReplaceTempView("dedup_served")
     graft.operators.CurationOps.ppsSample(docs)
       .createOrReplaceTempView("pps_sample")
+    // NOT here: the stored-index serve chains (dedup_served, ann_served,
+    // bm25_served) — every view in this catalog registers LAZILY (a plan,
+    // no jobs), while a served chain eagerly builds and writes its index
+    // at call time. SQL users register those ad hoc:
+    //   DedupIndexOps.dedupServed(spark, dir).createOrReplaceTempView(...)
   }
 }

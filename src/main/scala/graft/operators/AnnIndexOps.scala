@@ -242,27 +242,43 @@ object AnnIndexOps {
     * bytes. Returns false (no-op) when there is nothing to compact.
     * The stored train-time `err_census` is deliberately untouched: it
     * is the QUANTIZER's baseline, not a row census. */
-  def compactIndex(spark: SparkSession, dir: String): Boolean = {
-    recoverSwap(spark, s"$dir/postings")
-    tombstonesOpt(spark, dir) match {
-      case None => false
-      case Some(tomb) =>
-        val postings = BulkOps.readPath(spark, s"$dir/postings")
-          .withColumn("center", col("center").cast("long"))
-        val keep = postings
-          .join(broadcast(tomb), Seq("vec_id"), "left_anti")
-          .select("center", "vec_id", "sub", "code")
-        // a compaction that would empty the index is refused: a
-        // partitioned write of zero rows produces a directory with no
-        // data files, which no reader can infer a schema from — deleting
-        // EVERYTHING is "drop the index", not a maintenance operation
+  def compactIndex(spark: SparkSession, dir: String): Boolean =
+    compactTables(spark, dir, "vec_id", Seq(
+      ("postings", Seq("center"), df =>
+        df.withColumn("center", col("center").cast("long"))
+          .select("center", "vec_id", "sub", "code"))))
+
+  /** The SHARED delete-then-compact driver behind all three stored
+    * indexes ([[compactIndex]], [[RetrievalOps.bm25CompactIndex]],
+    * [[DedupIndexOps.compactIndex]]): recover any crashed swap on every
+    * table, then — if a tombstone log exists under `dir` — rewrite each
+    * table minus the tombstoned `idCol` rows BESIDE the live copy
+    * (preserving its partitioning), checked-swap it in
+    * ([[swapCompacted]] — rename aside, rename in, every step checked),
+    * and clear the log. Returns false on no-op. A compaction that would
+    * empty a table is refused: a partitioned write of zero rows produces
+    * a directory no reader can infer a schema from — deleting EVERYTHING
+    * is "drop the index", not a maintenance operation.
+    * `tables` = (name, partition columns, read normalizer). */
+  private[operators] def compactTables(
+      spark: SparkSession, dir: String, idCol: String,
+      tables: Seq[(String, Seq[String], DataFrame => DataFrame)]): Boolean = {
+    tables.foreach { case (t, _, _) => recoverSwap(spark, s"$dir/$t") }
+    if (!BulkOps.fileExists(spark, s"$dir/tombstones")) false
+    else {
+      val tomb = BulkOps.readPath(spark, s"$dir/tombstones").select(idCol)
+      tables.foreach { case (t, partCols, normalize) =>
+        val keep = normalize(BulkOps.readPath(spark, s"$dir/$t"))
+          .join(broadcast(tomb), Seq(idCol), "left_anti")
         require(!keep.isEmpty,
-          s"compaction would empty $dir/postings — drop the index instead")
-        BulkOps.writePath(keep, SaveMode.Overwrite)
-          .partitionBy("center").save(s"$dir/postings_compact")
-        swapCompacted(spark, s"$dir/postings")
-        BulkOps.deletePath(spark, s"$dir/tombstones")
-        true
+          s"compaction would empty $dir/$t — drop the index instead")
+        val w = BulkOps.writePath(keep, SaveMode.Overwrite)
+        (if (partCols.isEmpty) w else w.partitionBy(partCols: _*))
+          .save(s"$dir/${t}_compact")
+        swapCompacted(spark, s"$dir/$t")
+      }
+      BulkOps.deletePath(spark, s"$dir/tombstones")
+      true
     }
   }
 
@@ -363,16 +379,9 @@ object AnnIndexOps {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
-  // one stored index per corpus dir per JVM, under the operator-cache
-  // lifecycle: the index is DERIVED STATE built once and served many
-  // times (the entire point of persisting it) — with graft.cache.enabled
-  // off (ScaleBench) every call rebuilds, so scale runs keep measuring
-  // the full build-write-serve cycle
-  private val indexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** Drop the per-JVM stored-index memo (the [[graft.Caching.release]]
     * analogue for the on-disk derived state). */
-  def clearIndexMemo(): Unit = indexDirs.clear()
+  def clearIndexMemo(): Unit = graft.tools.IndexScratch.clearMemo("graft_annidx")
 
   /** The `ann_served` fixture chain: build + write the index into a
     * fresh temp dir (memoized per corpus dir under the cache lifecycle),
@@ -401,21 +410,11 @@ object AnnIndexOps {
     qrows.toDF("vec_id", "embedding")
   }
 
-  /** Build a dir through the index-memo lifecycle: with caching on, one
-    * build per (prefix, corpus) per JVM; with caching off, rebuild every
-    * call into one reused scratch dir. `build` must be idempotent under
-    * overwrite (writeIndex is). */
+  /** Build a dir through the shared index-memo lifecycle
+    * ([[graft.tools.IndexScratch.memoizedDir]]). */
   private def memoizedDir(spark: SparkSession, prefix: String, sfDir: String)
       (build: String => Unit): String =
-    if (!spark.conf.get(graft.Caching.EnabledKey, "true").toBoolean) {
-      val d = graft.tools.IndexScratch.scratchFor(prefix, sfDir)
-      build(d)
-      d
-    } else indexDirs.computeIfAbsent(s"$prefix|$sfDir", { _ =>
-      val d = graft.tools.IndexScratch.allocate(prefix)
-      build(d)
-      d
-    })
+    graft.tools.IndexScratch.memoizedDir(spark, prefix, sfDir)(build)
 
   /** The `ann_ingest` fixture chain — the APPEND path end-to-end: the
     * index is built and its quantizer TRAINED on the stable md5 half of

@@ -190,13 +190,18 @@ object CurationOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = parts.withColumn("lc", sum(col("w")).over(wLocal))
     val wOff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // one census pass carries BOTH the prefix offsets and the corpus
+    // total (a second unpartitioned window over the same ≤partitions
+    // rows) — deriving the total from the census instead of a third
+    // full aggregation over the cached corpus-sized frame
     val offsets = parts.groupBy("pid").agg(sum(col("w")).as("pw"))
       .withColumn("off", coalesce(sum(col("pw")).over(wOff), lit(0L)))
-      .select(col("pid"), col("off"))
-    val totals = parts.agg(sum(col("w")).as("total"))
+      .withColumn("total", sum(col("pw")).over(wAll))
+      .select(col("pid"), col("off"), col("total"))
     local
       .join(broadcast(offsets), Seq("pid"))
-      .crossJoin(broadcast(totals))
       .withColumn("cum", col("off") + col("lc"))
       .withColumn("step", greatest(expr(s"total DIV ${k}L"), lit(1L)))
       .withColumn("n_hits", expr("cum DIV step - (cum - w) DIV step"))
@@ -656,25 +661,66 @@ object CurationOps {
     * (doc_id, chunk_no, start_tok, n_toks); the final window is clipped,
     * never padded. Pure per-row arithmetic + one explode of a bounded
     * sequence — embarrassingly parallel, no shuffle at all at 100 TB. */
-  def chunked(docs: DataFrame, chunkTokens: Int = 32, stride: Int = 24): DataFrame = {
+  def chunked(docs: DataFrame, chunkTokens: Int = 32, stride: Int = 24): DataFrame =
+    chunkPlan(docs, chunkTokens, stride)
+      .select(col("doc_id"), col("chunk_no"), col("start_tok"), col("n_toks"))
+
+  /** The sliding-window chunk frame with the token array still attached
+    * — shared by [[chunked]] (which prunes `t` away) and [[chunkDedup]]
+    * (which hashes the chunk's own tokens). Per-doc map-side explode;
+    * nothing here shuffles. */
+  private def chunkPlan(docs: DataFrame, chunkTokens: Int, stride: Int): DataFrame = {
     require(chunkTokens > 0 && stride > 0, "chunkTokens and stride must be positive")
     // stride > chunkTokens would leave inter-window gaps AND break the
     // window-count formula (phantom tail chunks with non-positive
     // n_toks); gap-sampling is a different operator, not a chunker
     require(stride <= chunkTokens, s"stride ($stride) must not exceed chunkTokens ($chunkTokens)")
-    val n = size(tokens(col("text"))).cast("long")
+    val n = size(col("t")).cast("long")
     // number of stride steps: 1 window when n <= chunk, else enough that
     // the last window's start covers the tail: ceil((n - chunk) / stride)
     val extra = ceil((n - chunkTokens).cast("double") / stride).cast("long")
     val nChunks = when(n <= chunkTokens, 1L).otherwise(extra + 1L)
     docs
-      .select(col("doc_id"), n.as("n"), nChunks.as("nc"))
-      .select(col("doc_id"), col("n"),
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), n.as("n"), nChunks.as("nc"))
+      .select(col("doc_id"), col("t"), col("n"),
         explode(sequence(lit(0L), col("nc") - 1L)).as("chunk_no"))
       .select(
-        col("doc_id"), col("chunk_no"),
+        col("doc_id"), col("t"), col("chunk_no"),
         (col("chunk_no") * stride).as("start_tok"),
         least(lit(chunkTokens.toLong), col("n") - col("chunk_no") * stride).as("n_toks"))
+  }
+
+  /** Chunk-level exact dedup — [[DedupOps.exact]] at [[chunked]]'s
+    * granularity: two long docs sharing one verbatim window collide
+    * HERE even when whole-doc keys and whole-doc Jaccard both miss (the
+    * "dedup before packing" pass: duplicated training windows are what
+    * the model actually memorizes, per Lee et al.'s substring-dedup
+    * argument). Each chunk is keyed by the md5 of ITS OWN tokens;
+    * duplicate groups report the lexicographically-first (doc, chunk)
+    * as canonical. Scale shape: the chunk explode and md5 keying are
+    * map-side (the token array never survives the projection); the one
+    * shuffle is the 16-byte key window — the exact-dedup class at
+    * |chunks| ≈ n/stride rows per doc. */
+  def chunkDedup(docs: DataFrame, chunkTokens: Int = 32, stride: Int = 24): DataFrame = {
+    val keyed = chunkPlan(docs, chunkTokens, stride)
+      .select(col("doc_id"), col("chunk_no"),
+        md5(array_join(
+          slice(col("t"),
+            (col("chunk_no") * lit(stride.toLong) + 1L).cast("int"),
+            col("n_toks").cast("int")),
+          " ")).as("chunk_key"))
+    val w = Window.partitionBy("chunk_key")
+    keyed
+      .withColumn("group_sz", count(lit(1)).over(w))
+      .withColumn("canon", min(struct(col("doc_id"), col("chunk_no"))).over(w))
+      .filter(col("group_sz") > 1)
+      .select(
+        col("doc_id"), col("chunk_no"), col("group_sz"),
+        col("canon.doc_id").as("canon_doc"),
+        col("canon.chunk_no").as("canon_chunk"),
+        (col("doc_id") === col("canon.doc_id") &&
+          col("chunk_no") === col("canon.chunk_no")).as("is_canonical"))
   }
 
   /** Mixture-rebalance planner: given target token shares per language,
@@ -1267,6 +1313,7 @@ object CurationPack extends QueryPack {
     "curated" -> ((s, dir) => CurationOps.curated(d(s, dir))),
     "lang_mix" -> ((s, dir) => CurationOps.langMix(d(s, dir))),
     "chunks" -> ((s, dir) => CurationOps.chunked(d(s, dir))),
+    "chunk_dedup" -> ((s, dir) => CurationOps.chunkDedup(d(s, dir))),
     "mix_plan" -> ((s, dir) => CurationOps.mixPlan(d(s, dir))),
     "curriculum" -> ((s, dir) => CurationOps.qualityCurriculum(d(s, dir))),
     "source_drift" -> ((s, dir) => CurationOps.sourceQualityDrift(d(s, dir))),
@@ -1475,6 +1522,41 @@ object CurationPack extends QueryPack {
   override def oracles: Map[String, String] = Map(
     "pps_sample" -> ppsSampleSql(200L),
     "pps_sample25" -> ppsSampleSql(25L),
+    // DuckDB list slicing is 1-based end-INCLUSIVE, so the chunk window
+    // is t[i*stride+1 : i*stride+n_toks] — the same elements Spark's
+    // slice(t, i*stride+1, n_toks) takes
+    "chunk_dedup" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         |  FROM documents
+         |),
+         |c AS (
+         |  SELECT doc_id, t, n,
+         |         CASE WHEN n <= 32 THEN 1
+         |              ELSE CAST(CEIL((n - 32) / CAST(24 AS DOUBLE)) AS BIGINT) + 1 END AS nc
+         |  FROM tk
+         |),
+         |ch AS (
+         |  SELECT doc_id, CAST(r.i AS BIGINT) AS chunk_no,
+         |         md5(array_to_string(
+         |           t[CAST(r.i * 24 + 1 AS BIGINT):CAST(r.i * 24 + LEAST(32, n - r.i * 24) AS BIGINT)],
+         |           ' ')) AS chunk_key
+         |  FROM c, range(0, ${OracleLimits.MaxDocTokens}) r(i)
+         |  WHERE r.i < nc
+         |),
+         |g AS (
+         |  SELECT doc_id, chunk_no,
+         |         CAST(COUNT(*) OVER (PARTITION BY chunk_key) AS BIGINT) AS group_sz,
+         |         FIRST_VALUE(doc_id) OVER (PARTITION BY chunk_key ORDER BY doc_id, chunk_no
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS canon_doc,
+         |         FIRST_VALUE(chunk_no) OVER (PARTITION BY chunk_key ORDER BY doc_id, chunk_no
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS canon_chunk
+         |  FROM ch
+         |)
+         |SELECT doc_id, chunk_no, group_sz, canon_doc, canon_chunk,
+         |       doc_id = canon_doc AND chunk_no = canon_chunk AS is_canonical
+         |FROM g WHERE group_sz > 1""".stripMargin,
     // fixture versions from md5 deciles: old = deciles != 0, new =
     // deciles != 9 with 4-5 revised — full-outer md5 diff
     "corpus_diff" ->

@@ -112,11 +112,25 @@ object DedupIndexOps {
     * bit-identical to a full rebuild over the union (the
     * [[AnnIndexOps.appendToIndex]] equality, which for signatures is
     * exact rather than quantizer-relative). New rows land inside their
-    * `pb` directories; existing files untouched. */
+    * `pb` directories; existing files untouched.
+    *
+    * IDEMPOTENT under redelivery: doc_ids already present in the index
+    * are skipped (an at-least-once ingest pipeline redelivering an
+    * indexed doc must not write a SECOND signature set — duplicate mins
+    * rows would double agreement counts and push est_e4 past 10⁴). The
+    * guard is an anti-join against the k=0 slice of the stored `mins`
+    * (one row per indexed doc, a 1/K column-pruned read with the k
+    * filter pushed). The index is the authority on ids: a redelivered
+    * id with DIFFERENT text is still skipped, and a tombstoned id stays
+    * skipped (and masked) until [[compactIndex]] physically drops it —
+    * re-ingesting a deleted doc requires compacting first. */
   def appendToIndex(spark: SparkSession, dir: String, newDocs: DataFrame): Unit = {
     val (numPerms, bandSize) = readMeta(spark, dir)
+    val existing = BulkOps.readPath(spark, s"$dir/mins")
+      .filter(col("k") === 0).select("doc_id")
+    val fresh = newDocs.join(existing, Seq("doc_id"), "left_anti")
     val wide = graft.Caching.maybeCache(
-      DedupOps.minhashWide(DedupOps.shinglePostings(newDocs), numPerms))
+      DedupOps.minhashWide(DedupOps.shinglePostings(fresh), numPerms))
     BulkOps.writePath(bandedWithPb(wide, numPerms, bandSize), SaveMode.Append)
       .partitionBy("pb").save(s"$dir/sigs")
     BulkOps.writePath(slimFromWide(wide, numPerms), SaveMode.Append)
@@ -162,7 +176,7 @@ object DedupIndexOps {
     // filter on the RAW partition column (before any cast, so it reaches
     // the scan's PartitionFilters; plan-gated), rather than left to the
     // optimizer's DPP cost heuristic. An empty batch prunes everything.
-    val pbs = bBanded.select("pb").distinct().collect().map(_.getLong(0).toInt)
+    val pbs = bBanded.select("pb").distinct().collect().map(_.getLong(0).toInt).toSeq
     // the partition column comes back discovery-inferred — normalized to
     // the written LONG so the probe join is type-identical (the
     // AnnIndexOps.readIndex convention)
@@ -228,29 +242,10 @@ object DedupIndexOps {
     * step checked), clear the log. Serve results are identical before
     * and after (mask and drop remove the same rows — the differential
     * DedupIndexSpec pins). Returns false on no-op. */
-  def compactIndex(spark: SparkSession, dir: String): Boolean = {
-    Seq("sigs", "mins").foreach(t => AnnIndexOps.recoverSwap(spark, s"$dir/$t"))
-    tombstonesOpt(spark, dir) match {
-      case None => false
-      case Some(tomb) =>
-        Seq("sigs", "mins").foreach { t =>
-          val live = BulkOps.readPath(spark, s"$dir/$t")
-          val keep = live.join(broadcast(tomb), Seq("doc_id"), "left_anti")
-          require(!keep.isEmpty,
-            s"compaction would empty $dir/$t — drop the index instead")
-          val w =
-            if (t == "sigs")
-              BulkOps.writePath(
-                  keep.withColumn("pb", col("pb").cast("long")), SaveMode.Overwrite)
-                .partitionBy("pb")
-            else BulkOps.writePath(keep, SaveMode.Overwrite)
-          w.save(s"$dir/${t}_compact")
-          AnnIndexOps.swapCompacted(spark, s"$dir/$t")
-        }
-        BulkOps.deletePath(spark, s"$dir/tombstones")
-        true
-    }
-  }
+  def compactIndex(spark: SparkSession, dir: String): Boolean =
+    AnnIndexOps.compactTables(spark, dir, "doc_id", Seq(
+      ("sigs", Seq("pb"), df => df.withColumn("pb", col("pb").cast("long"))),
+      ("mins", Nil, (df: DataFrame) => df)))
 
   // ---- fixture chains (driver-contract queries) --------------------
 
@@ -263,26 +258,17 @@ object DedupIndexOps {
   private[graft] def batchPred = graft.functions.TextFunctions.stableHash60(
     col("doc_id").cast("string")) % 100L < ServeBucketPct
 
-  // one stored index per corpus dir per JVM — the AnnIndexOps memo
-  // convention: derived state builds once and serves many times; with
-  // graft.cache.enabled off every call rebuilds into one scratch dir
-  private val indexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Drop the per-JVM stored-index memos (fixture dirs AND per-dir
-    * dial rows). */
-  def clearIndexMemo(): Unit = { indexDirs.clear(); metaMemo.clear() }
+  /** Drop the per-JVM stored-index memos (fixture dirs — the shared
+    * [[graft.tools.IndexScratch.memoizedDir]] lifecycle — AND the
+    * per-dir dial rows). */
+  def clearIndexMemo(): Unit = {
+    graft.tools.IndexScratch.clearMemo("graft_dedupidx")
+    metaMemo.clear()
+  }
 
   private def memoizedDir(spark: SparkSession, prefix: String, sfDir: String)
       (build: String => Unit): String =
-    if (!spark.conf.get(graft.Caching.EnabledKey, "true").toBoolean) {
-      val d = graft.tools.IndexScratch.scratchFor(prefix, sfDir)
-      build(d)
-      d
-    } else indexDirs.computeIfAbsent(s"$prefix|$sfDir", { _ =>
-      val d = graft.tools.IndexScratch.allocate(prefix)
-      build(d)
-      d
-    })
+    graft.tools.IndexScratch.memoizedDir(spark, prefix, sfDir)(build)
 
   /** The `dedup_served` fixture chain: index the 90% corpus once into a
     * temp dir (memoized under the cache lifecycle), then dedup the 10%

@@ -237,54 +237,20 @@ object RetrievalOps {
     * minus the tombstoned docs (written beside, swapped by rename),
     * clear the log. Serve results identical before and after — the
     * mask and the drop remove the same rows. Returns false on no-op. */
-  def bm25CompactIndex(spark: SparkSession, dir: String): Boolean = {
-    import graft.sources.BulkOps
-    Seq("postings", "lens").foreach(t => AnnIndexOps.recoverSwap(spark, s"$dir/$t"))
-    bm25TombstonesOpt(spark, dir) match {
-      case None => false
-      case Some(tomb) =>
-        Seq("postings", "lens").foreach { t =>
-          val keep = BulkOps.readPath(spark, s"$dir/$t")
-            .join(broadcast(tomb), Seq("doc_id"), "left_anti")
-          // an empty rewrite would leave a schema-less directory no
-          // reader can open — deleting every doc is "drop the index"
-          require(!keep.isEmpty,
-            s"compaction would empty $dir/$t — drop the index instead")
-          BulkOps.writePath(keep, org.apache.spark.sql.SaveMode.Overwrite)
-            .save(s"$dir/${t}_compact")
-          // checked crash-safe swap (the AnnIndexOps primitive): rename
-          // aside, rename in, verify each step before anything is cleaned
-          AnnIndexOps.swapCompacted(spark, s"$dir/$t")
-        }
-        BulkOps.deletePath(spark, s"$dir/tombstones")
-        true
-    }
-  }
-
-  // one stored index per corpus dir per JVM — [[graft.operators
-  // .AnnIndexOps]]'s memo convention: derived state builds once and
-  // serves many times; with graft.cache.enabled off every call rebuilds
-  private val bm25IndexDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def bm25CompactIndex(spark: SparkSession, dir: String): Boolean =
+    AnnIndexOps.compactTables(spark, dir, "doc_id",
+      Seq(("postings", Nil, (df: DataFrame) => df), ("lens", Nil, (df: DataFrame) => df)))
 
   /** Drop the per-JVM stored-index memo. */
-  def clearIndexMemo(): Unit = bm25IndexDirs.clear()
+  def clearIndexMemo(): Unit = graft.tools.IndexScratch.clearMemo("graft_bm25idx")
 
   /** The `bm25_served` fixture chain: index the corpus once into a fresh
-    * temp dir (memoized per corpus dir under the cache lifecycle), then
-    * serve the default query from the stored tables. */
+    * temp dir (memoized per corpus dir under the shared
+    * [[graft.tools.IndexScratch.memoizedDir]] lifecycle), then serve the
+    * default query from the stored tables. */
   def bm25Served(spark: SparkSession, sfDir: String): DataFrame = {
-    def build(dir: String): String = {
-      bm25WriteIndex(Tables.documents(spark, sfDir), dir)
-      dir
-    }
-    val dir =
-      if (!spark.conf.get(graft.Caching.EnabledKey, "true").toBoolean)
-        // no-cache posture: rebuild every call into ONE reused scratch
-        // dir (overwrite in place) instead of leaking a copy per pass
-        build(graft.tools.IndexScratch.scratchFor("graft_bm25idx", sfDir))
-      else bm25IndexDirs.computeIfAbsent(sfDir,
-        _ => build(graft.tools.IndexScratch.allocate("graft_bm25idx")))
+    val dir = graft.tools.IndexScratch.memoizedDir(spark, "graft_bm25idx", sfDir)(
+      d => bm25WriteIndex(Tables.documents(spark, sfDir), d))
     bm25ServedTopK(spark, dir)
   }
 
@@ -294,18 +260,12 @@ object RetrievalOps {
     * BM25 chain over the SURVIVOR corpus — df and the corpus scalars
     * must reflect the deletions exactly, not serve stale. */
   def bm25Deleted(spark: SparkSession, sfDir: String): DataFrame = {
-    def build(dir: String): String = {
-      bm25WriteIndex(Tables.documents(spark, sfDir), dir)
-      bm25DeleteDocs(spark, dir,
+    val dir = graft.tools.IndexScratch.memoizedDir(spark, "graft_bm25idx_del", sfDir) { d =>
+      bm25WriteIndex(Tables.documents(spark, sfDir), d)
+      bm25DeleteDocs(spark, d,
         Tables.documents(spark, sfDir)
           .filter(col("doc_id") % 10 === 3).select("doc_id"))
-      dir
     }
-    val dir =
-      if (!spark.conf.get(graft.Caching.EnabledKey, "true").toBoolean)
-        build(graft.tools.IndexScratch.scratchFor("graft_bm25idx_del", sfDir))
-      else bm25IndexDirs.computeIfAbsent(s"del|$sfDir",
-        _ => build(graft.tools.IndexScratch.allocate("graft_bm25idx_del")))
     bm25ServedTopK(spark, dir)
   }
 

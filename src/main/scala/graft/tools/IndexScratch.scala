@@ -21,6 +21,32 @@ import java.util.concurrent.ConcurrentHashMap
 object IndexScratch {
   private val allocated = ConcurrentHashMap.newKeySet[String]()
   private val scratch = new ConcurrentHashMap[String, String]()
+  private val memo = new ConcurrentHashMap[String, String]()
+
+  /** The per-JVM stored-index memo shared by every served-index fixture
+    * chain (ANN / BM25 / dedup): derived state builds ONCE per
+    * (prefix, key) and serves many times — the entire point of
+    * persisting an index. With `graft.cache.enabled=false` (the
+    * ScaleBench posture) every call rebuilds into ONE reused scratch
+    * dir, so scale runs keep measuring the full build-write-serve cycle
+    * without accumulating copies. `build` must be idempotent under
+    * overwrite. */
+  def memoizedDir(spark: org.apache.spark.sql.SparkSession,
+      prefix: String, key: String)(build: String => Unit): String =
+    if (!spark.conf.get(graft.Caching.EnabledKey, "true").toBoolean) {
+      val d = scratchFor(prefix, key)
+      build(d)
+      d
+    } else memo.computeIfAbsent(s"$prefix|$key", { _ =>
+      val d = allocate(prefix)
+      build(d)
+      d
+    })
+
+  /** Drop memo entries whose prefix starts with `prefix` — the on-disk
+    * [[graft.Caching.release]] analogue, scoped per index family. */
+  def clearMemo(prefix: String): Unit =
+    memo.keySet.removeIf(_.startsWith(prefix))
 
   private lazy val hookInstalled: Boolean = {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.CurationOps
+import graft.operators.{CurationOps, DedupOps}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -170,6 +170,26 @@ class CurationSpec extends SparkSpec {
       .select(col("doc_id"), col("w"), col("cum"), col("n_hits"))
     assert(out.exceptAll(ref).count() == 0 && ref.exceptAll(out).count() == 0,
       "distributed prefix sum must reproduce the single-window cumulative weights")
+    out.unpersist()
+  }
+
+  test("chunk dedup: a shared stride-aligned window collides where whole-doc keys miss") {
+    val s = spark
+    import s.implicits._
+    // doc 1 = w1..w60 (3 chunks at stride 24); doc 2 = exactly doc 1's
+    // middle chunk (tokens 25..56) — different head fingerprints, so
+    // whole-doc exact dedup misses the overlap entirely
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val mid = (25 to 56).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, base), (2L, mid)).toDF("doc_id", "text")
+    assert(DedupOps.exact(df).count() == 0, "whole-doc keys must miss the partial overlap")
+    val out = CurationOps.chunkDedup(df).cache()
+    val hit = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(hit.toSet == Set(
+      (1L, 1L, 2L, 1L, 1L, true),
+      (2L, 0L, 2L, 1L, 1L, false)),
+      s"doc 1 chunk 1 and doc 2 chunk 0 must form one dup group, canonical (1,1): ${hit.mkString(", ")}")
     out.unpersist()
   }
 

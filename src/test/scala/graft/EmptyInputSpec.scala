@@ -44,6 +44,7 @@ class EmptyInputSpec extends SparkSpec {
   test("curation family returns empty on an empty corpus") {
     assert(CurationOps.gopherRules(emptyDocs).count() == 0)
     assert(CurationOps.chunked(emptyDocs).count() == 0)
+    assert(CurationOps.chunkDedup(emptyDocs).count() == 0)
     assert(CurationOps.mixPlan(emptyDocs).count() == 0)
     assert(CurationOps.langMix(emptyDocs).count() == 0)
     assert(CurationOps.sourceCaps(emptyDocs).count() == 0)

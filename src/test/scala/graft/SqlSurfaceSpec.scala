@@ -186,8 +186,11 @@ class SqlSurfaceSpec extends SparkSpec {
         " OR ttr_e6 <= 0 OR ttr_e6 > 1000000" +
         " OR n_bigram_types > n_bigrams OR n_bigrams >= n_tokens")
       .collect()(0).getLong(0) == 0)
-    // served dedup index: estimates bounded, only batch docs reported,
-    // and the view matches the Scala chain
+    // served dedup index: registered AD HOC (the catalog itself stays
+    // lazy — a served chain builds its index eagerly); estimates
+    // bounded, and the view matches the Scala chain
+    graft.operators.DedupIndexOps.dedupServed(spark, sf)
+      .createOrReplaceTempView("dedup_served")
     assert(spark.sql(
       "SELECT COUNT(*) FROM dedup_served WHERE est_e4 < 5000 OR est_e4 > 10000")
       .collect()(0).getLong(0) == 0)

@@ -34,6 +34,28 @@ class DedupIndexSpec extends SparkSpec {
     assert(b.count() > 0, "fixture batch must collide with the corpus somewhere")
   }
 
+  test("append is idempotent under redelivery: re-ingested doc_ids are skipped, estimates stay ≤ 10⁴") {
+    val corpus = docs.filter(col("doc_id") >= 100)
+    val batch = docs.filter(col("doc_id") < 100)
+    val dir = Files.createTempDirectory("graft_dedupidx_redeliver").toString
+    DedupIndexOps.writeIndex(corpus, dir)
+    val expect = DedupIndexOps.servedDupes(spark, dir, batch).collect().toSet
+    // an at-least-once pipeline redelivers a slice of the INDEXED corpus
+    // (and a fully-redelivered batch appends nothing — the empty-append
+    // path must not corrupt the partitioned table)
+    DedupIndexOps.appendToIndex(spark, dir, corpus.filter(col("doc_id") % 5 === 0))
+    DedupIndexOps.appendToIndex(spark, dir, corpus)
+    val mins = graft.sources.BulkOps.readPath(spark, s"$dir/mins")
+    assert(mins.groupBy("doc_id", "k").count().filter(col("count") > 1).count() == 0,
+      "a redelivered doc must not write a second signature set")
+    val afterDf = DedupIndexOps.servedDupes(spark, dir, batch).cache()
+    assert(afterDf.filter(col("est_e4") > 10000).count() == 0,
+      "agreement can never exceed the permutation count")
+    assert(afterDf.collect().toSet == expect,
+      "redelivery must not change a single served row")
+    afterDf.unpersist()
+  }
+
   test("delete: tombstone-masked serve ≡ survivor rebuild; compaction changes nothing, drops rows") {
     val corpus = docs.filter(col("doc_id") >= 100)
     val batch = docs.filter(col("doc_id") < 100)
