@@ -202,6 +202,11 @@ object DedupIndexOps {
     val cand0 = capped
       .join(broadcast(bBanded.select(col("pb"), col("band"), col("sig"), col("doc_id"))),
         Seq("pb", "band", "sig"))
+      // never match a doc to itself: in the incremental contract batch
+      // and index are id-disjoint, but a crash-rerun batch (whose
+      // survivors the previous attempt already appended) must not report
+      // every doc as its own duplicate
+      .filter(col("doc_id") =!= col("dup_of"))
       .select(col("doc_id"), col("dup_of"))
       .distinct()
     val cand = if (cacheBatch) graft.Caching.maybeCache(cand0) else cand0
@@ -220,6 +225,83 @@ object DedupIndexOps {
       .withColumn("est_e4", expr(s"agree * 10000 DIV $numPerms"))
       .filter(col("est_e4") >= thresholdE4)
       .select(col("doc_id"), col("dup_of"), col("est_e4"))
+  }
+
+  /** Within-batch duplicate pairs under the SAME signature semantics as
+    * the stored-index serve: banded collision (bucket-capped over the
+    * batch), agreement estimate ≥ threshold, oriented larger-id →
+    * smaller-id. Batch-sized everywhere. */
+  private def batchDupes(wide: DataFrame, numPerms: Int, bandSize: Int,
+      thresholdE4: Long, bucketCap: Long): DataFrame = {
+    val sigs = DedupOps.capBuckets(
+      DedupOps.bandedFromWide(wide, numPerms, bandSize), Seq("band", "sig"), bucketCap)
+    val cand = sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") > col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("dup_of"))
+      .distinct()
+    val slim = slimFromWide(wide, numPerms)
+    cand
+      .join(slim.select(col("doc_id").as("dup_of"), col("k"), col("mh").as("mh_old")),
+        Seq("dup_of"))
+      .join(slim.select(col("doc_id"), col("k"), col("mh").as("mh_new")),
+        Seq("doc_id", "k"))
+      .groupBy("doc_id", "dup_of")
+      .agg(sum(when(col("mh_old") === col("mh_new"), 1L).otherwise(0L)).as("agree"))
+      .withColumn("est_e4", expr(s"agree * 10000 DIV $numPerms"))
+      .filter(col("est_e4") >= thresholdE4)
+      .select(col("doc_id"), col("dup_of"), col("est_e4"))
+  }
+
+  /** The GATE-AND-INGEST composition — what a continuous ingest pipeline
+    * actually runs per batch: every arriving doc is deduped against the
+    * STORED index ([[servedDupes]]) and against its own batch-mates
+    * (same signature semantics, oriented toward the smaller id), the
+    * survivors are APPENDED to the index, and a complete per-doc report
+    * returns: `(doc_id, verdict, dup_of, est_e4)` with verdict ∈
+    * {dup_index, dup_batch, ingested} — index dups win over batch dups;
+    * within a class the best match is (highest est, then smallest
+    * dup_of). The batch rule is greedy pairwise: a doc with ANY
+    * smaller-id batch dup is dropped, even when that smaller doc was
+    * itself dropped as an index dup (the documented keep-first rule —
+    * cluster-exact keep is [[GraphOps.dedupKeep]]'s job, offline).
+    *
+    * The report is LOCAL-CHECKPOINTED (eagerly) before the append: its
+    * lineage must be truncated BEFORE the index mutates, or a lazy
+    * re-read would re-serve against an index that now contains the
+    * batch. Crash-rerun safe end-to-end: [[appendToIndex]] skips
+    * already-indexed ids, and [[servedDupes]] never matches a doc to
+    * itself. */
+  def gateAndIngest(spark: SparkSession, dir: String, batch: DataFrame,
+      thresholdE4: Long = 5000L, bucketCap: Long = DedupOps.MaxBandBucket): DataFrame = {
+    val (numPerms, bandSize) = readMeta(spark, dir)
+    val wide = DedupOps.minhashWide(DedupOps.shinglePostings(batch), numPerms)
+    def best(pairs: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("est_e4").desc, col("dup_of"))
+      pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("dup_of"), col("est_e4"))
+    }
+    val idx = best(servedDupes(spark, dir, batch, thresholdE4, bucketCap, cacheBatch = false))
+      .withColumnRenamed("dup_of", "i_dup").withColumnRenamed("est_e4", "i_est")
+    val intra = best(batchDupes(wide, numPerms, bandSize, thresholdE4, bucketCap))
+      .withColumnRenamed("dup_of", "b_dup").withColumnRenamed("est_e4", "b_est")
+    val report0 = batch.select(col("doc_id"))
+      .join(idx, Seq("doc_id"), "left")
+      .join(intra, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("i_dup").isNotNull, lit("dup_index"))
+          .when(col("b_dup").isNotNull, lit("dup_batch"))
+          .otherwise(lit("ingested")).as("verdict"),
+        coalesce(col("i_dup"), col("b_dup")).as("dup_of"),
+        coalesce(col("i_est"), col("b_est")).as("est_e4"))
+    val report = report0.localCheckpoint(true)
+    appendToIndex(spark, dir,
+      batch.join(report.filter(col("verdict") === "ingested").select("doc_id"),
+        Seq("doc_id"), "left_semi"))
+    report
   }
 
   /** Delete documents from the stored index — the HBase-delete shape
@@ -298,6 +380,21 @@ object DedupIndexOps {
       appendToIndex(spark, d, corpus.filter(!half))
     }
     servedDupes(spark, dir, docs.filter(batchPred), thresholdE4)
+  }
+
+  /** The `dedup_gate` fixture chain — [[gateAndIngest]] end-to-end.
+    * Deterministic per call BY REBUILDING: the gate mutates its index
+    * (that is its job), so the fixture rebuilds the corpus index fresh
+    * into one reused scratch dir every call — call N always gates the
+    * batch against exactly the corpus index, whatever earlier calls
+    * appended. (The memoized-dir lifecycle would hand call 2 an index
+    * already containing call 1's survivors.) */
+  def dedupGateReport(spark: SparkSession, sfDir: String,
+      thresholdE4: Long = 5000L): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val d = graft.tools.IndexScratch.scratchFor("graft_dedupidx_gate", sfDir)
+    writeIndex(docs.filter(!batchPred), d)
+    gateAndIngest(spark, d, docs.filter(batchPred), thresholdE4)
   }
 
   /** The `dedup_served_del` fixture chain — the DELETE path end-to-end:

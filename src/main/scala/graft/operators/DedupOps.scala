@@ -811,6 +811,7 @@ object DedupPack extends QueryPack {
     "dedup_served" -> ((s, dir) => DedupIndexOps.dedupServed(s, dir)),
     "dedup_served_ing" -> ((s, dir) => DedupIndexOps.dedupIngestServed(s, dir)),
     "dedup_served_del" -> ((s, dir) => DedupIndexOps.dedupDeleted(s, dir)),
+    "dedup_gate" -> ((s, dir) => DedupIndexOps.dedupGateReport(s, dir)),
     "incr_neardup" -> ((s, dir) => DedupOps.incrNearDup(d(s, dir), s, IncrNearDupWatermark)),
     "neardup_recall" -> ((s, dir) =>
       DedupOps.blockerPairRecall(d(s, dir), Tables.embeddings(s, dir), s)),
@@ -1003,7 +1004,84 @@ object DedupPack extends QueryPack {
        |SELECT doc_id, dup_of, agree * 10000 // ${DedupOps.MinhashK} AS est_e4
        |FROM agreed WHERE agree * 10000 // ${DedupOps.MinhashK} >= 5000""".stripMargin
 
+  /** The gate-and-ingest report oracle: the served-index chain (index
+    * dups) plus the batch self-join chain (within-batch dups, oriented
+    * larger → smaller id, capped over BATCH rows), folded into one
+    * verdict per batch doc with the index class winning and the best
+    * match per class = (highest est, smallest dup_of). */
+  private def gateSql: String = {
+    val corpusPred = s"NOT ($servedBatchSqlPred)"
+    s"""WITH $postingsSql,
+       |$minhashSigSql,
+       |sigc AS (
+       |  SELECT doc_id, band, sig FROM (
+       |    SELECT s.doc_id, s.band, s.sig,
+       |           COUNT(*) OVER (PARTITION BY s.band, s.sig) AS bsz
+       |    FROM sigs s WHERE $corpusPred
+       |  ) WHERE bsz <= ${DedupOps.MaxBandBucket}
+       |),
+       |sigb AS (SELECT doc_id, band, sig FROM sigs WHERE $servedBatchSqlPred),
+       |cand AS (
+       |  SELECT DISTINCT b.doc_id AS doc_id, c.doc_id AS dup_of
+       |  FROM sigb b JOIN sigc c ON b.band = c.band AND b.sig = c.sig
+       |),
+       |agreed AS (
+       |  SELECT cand.doc_id, cand.dup_of,
+       |         CAST(SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS BIGINT) AS agree
+       |  FROM cand
+       |  JOIN mins ma ON ma.doc_id = cand.dup_of
+       |  JOIN mins mb ON mb.doc_id = cand.doc_id AND mb.k = ma.k
+       |  GROUP BY cand.doc_id, cand.dup_of
+       |),
+       |ibest AS (
+       |  SELECT doc_id, dup_of AS i_dup, est_e4 AS i_est FROM (
+       |    SELECT doc_id, dup_of, agree * 10000 // ${DedupOps.MinhashK} AS est_e4,
+       |           ROW_NUMBER() OVER (PARTITION BY doc_id
+       |             ORDER BY agree * 10000 // ${DedupOps.MinhashK} DESC, dup_of) AS rn
+       |    FROM agreed WHERE agree * 10000 // ${DedupOps.MinhashK} >= 5000
+       |  ) WHERE rn = 1
+       |),
+       |sigbc AS (
+       |  SELECT doc_id, band, sig FROM (
+       |    SELECT s.doc_id, s.band, s.sig,
+       |           COUNT(*) OVER (PARTITION BY s.band, s.sig) AS bsz
+       |    FROM sigs s WHERE $servedBatchSqlPred
+       |  ) WHERE bsz <= ${DedupOps.MaxBandBucket}
+       |),
+       |bcand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS dup_of
+       |  FROM sigbc a JOIN sigbc b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id > b.doc_id
+       |),
+       |bagreed AS (
+       |  SELECT bcand.doc_id, bcand.dup_of,
+       |         CAST(SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS BIGINT) AS agree
+       |  FROM bcand
+       |  JOIN mins ma ON ma.doc_id = bcand.dup_of
+       |  JOIN mins mb ON mb.doc_id = bcand.doc_id AND mb.k = ma.k
+       |  GROUP BY bcand.doc_id, bcand.dup_of
+       |),
+       |bbest AS (
+       |  SELECT doc_id, dup_of AS b_dup, est_e4 AS b_est FROM (
+       |    SELECT doc_id, dup_of, agree * 10000 // ${DedupOps.MinhashK} AS est_e4,
+       |           ROW_NUMBER() OVER (PARTITION BY doc_id
+       |             ORDER BY agree * 10000 // ${DedupOps.MinhashK} DESC, dup_of) AS rn
+       |    FROM bagreed WHERE agree * 10000 // ${DedupOps.MinhashK} >= 5000
+       |  ) WHERE rn = 1
+       |)
+       |SELECT d.doc_id,
+       |       CASE WHEN i.i_dup IS NOT NULL THEN 'dup_index'
+       |            WHEN b.b_dup IS NOT NULL THEN 'dup_batch'
+       |            ELSE 'ingested' END AS verdict,
+       |       COALESCE(i.i_dup, b.b_dup) AS dup_of,
+       |       COALESCE(i.i_est, b.b_est) AS est_e4
+       |FROM (SELECT doc_id FROM documents WHERE $servedBatchSqlPred) d
+       |LEFT JOIN ibest i ON d.doc_id = i.doc_id
+       |LEFT JOIN bbest b ON d.doc_id = b.doc_id""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
+    "dedup_gate" -> gateSql,
     "dedup_served" -> servedIdxSql(s"NOT ($servedBatchSqlPred)"),
     // append ≡ rebuild: same oracle BY DESIGN (per-doc signatures are
     // row-independent — the bm25_ingest equality convention)

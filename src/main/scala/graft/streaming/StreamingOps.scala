@@ -690,6 +690,31 @@ object StreamingOps {
       }
       .start()
 
+  /** The gate-and-ingest composition as a CONTINUOUS pipeline
+    * ([[graft.operators.DedupIndexOps.gateAndIngest]] per trigger): each
+    * micro-batch is deduped against the stored index AND its own
+    * batch-mates, its survivors are APPENDED to the index, and the
+    * per-doc verdict report lands at `emit` — the index grows as the
+    * stream runs, so a doc duplicating anything already ingested
+    * (original corpus or an earlier batch's survivor) is flagged.
+    * Order-DEPENDENT by design — that is what an ingest gate is: batch
+    * boundaries decide dup_batch vs dup_index, never whether a
+    * duplicate escapes (the StreamingSpec invariant). Crash-rerun safe
+    * end-to-end: the report is checkpointed before the index mutates
+    * and the append skips already-indexed ids. */
+  def dedupIngestGateStream(
+      docs: DataFrame, indexDir: String, checkpoint: String,
+      emit: (DataFrame, Long) => Unit,
+      thresholdE4: Long = 5000L): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        emit(graft.operators.DedupIndexOps.gateAndIngest(
+          batch.sparkSession, indexDir, batch.toDF(), thresholdE4), batchId)
+      }
+      .start()
+
   /** Continuous quantizer-drift monitoring — the streaming face of
     * [[graft.operators.AnnIndexOps.quantizerDrift]]: every micro-batch
     * of ingested vectors is encoded against the STORED quantizer and its

@@ -198,6 +198,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gate-and-ingest stream: the index grows per trigger, duplicates never escape") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate_stream").toString
+    val corpusText = "a b c d e f g h"
+    val novelText = "x1 x2 x3 x4 x5 x6 x7 x8"
+    graft.operators.DedupIndexOps.writeIndex(
+      Seq((1000L, corpusText), (1001L, "p q r s t u v w")).toDF("doc_id", "text"), dir)
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val verdicts = scala.collection.mutable.Map.empty[Long, (String, Option[Long])]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_gate_stream_ck").toString
+    val q = StreamingOps.dedupIngestGateStream(df, dir, ckpt, (rep, _) =>
+      verdicts.synchronized { rep.collect().foreach(r => verdicts(r.getLong(0)) =
+        (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))) })
+    try {
+      // trigger 1: a corpus copy, a novel doc, and the novel doc's twin
+      input.addData((1L, corpusText), (2L, novelText), (3L, novelText))
+      q.processAllAvailable()
+      // trigger 2: a copy of trigger 1's INGESTED survivor — the index
+      // must have grown, so this is dup_index, not ingested
+      input.addData((4L, novelText))
+      q.processAllAvailable()
+      val got = verdicts.synchronized(verdicts.toMap)
+      assert(got(1L) == ("dup_index", Some(1000L)), s"corpus copy: ${got(1L)}")
+      assert(got(2L) == ("ingested", None), s"novel doc: ${got(2L)}")
+      assert(got(3L) == ("dup_batch", Some(2L)), s"within-batch twin: ${got(3L)}")
+      assert(got(4L) == ("dup_index", Some(2L)),
+        s"a later batch's copy must hit the GROWN index: ${got(4L)}")
+      // and only the survivor landed in the index
+      val minsDocs = graft.sources.BulkOps.readPath(spark, s"$dir/mins")
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(minsDocs == Set(1000L, 1001L, 2L),
+        s"exactly the gate survivors may be appended: $minsDocs")
+    } finally q.stop()
+  }
+
   test("online ingest-dedup: streamed doc batches equal the batch serve over the union") {
     val s = spark
     import s.implicits._
