@@ -160,11 +160,23 @@ object AnnIndexOps {
     * lists untouched, quantizer tables untouched. Serving from the dir
     * afterwards is identical to serving from an index rebuilt over the
     * union with the same (old-trained) quantizer — the
-    * [[encodeAgainst]] row-independence made durable. */
+    * [[encodeAgainst]] row-independence made durable.
+    *
+    * IDEMPOTENT under redelivery (the [[DedupIndexOps.appendToIndex]]
+    * discipline): vec_ids already present are skipped via an anti-join
+    * against the sub=0 slice of the stored postings (one row per
+    * indexed vector, a 1/M column-pruned read) — an at-least-once
+    * ingest pipeline redelivering an indexed vector must not write a
+    * second code set, which would double-score it in every ADC sum it
+    * reaches. A tombstoned vec_id stays skipped (and masked) until
+    * [[compactIndex]] drops it physically. */
   def appendToIndex(spark: SparkSession, dir: String, newVectors: DataFrame): Unit = {
     val cents = BulkOps.readPath(spark, s"$dir/centroids")
     val cb = BulkOps.readPath(spark, s"$dir/codebook")
-    BulkOps.writePath(appendBatch(newVectors, cents, cb), SaveMode.Append)
+    val existing = BulkOps.readPath(spark, s"$dir/postings")
+      .filter(col("sub") === 0).select("vec_id")
+    val fresh = newVectors.join(existing, Seq("vec_id"), "left_anti")
+    BulkOps.writePath(appendBatch(fresh, cents, cb), SaveMode.Append)
       .partitionBy("center").save(s"$dir/postings")
   }
 

@@ -715,6 +715,29 @@ object StreamingOps {
       }
       .start()
 
+  /** Vector ingest INTO the stored ANN index as a continuous pipeline —
+    * [[annDriftStream]]'s monitor and [[graft.operators.AnnIndexOps
+    * .appendToIndex]] fused per trigger: each micro-batch's
+    * quantizer-drift census lands at `emit` (the alarm fires in the
+    * ingesting trigger itself) and the batch is appended to the posting
+    * lists. The census depends only on the IMMUTABLE quantizer
+    * artifacts (centroids / codebook / stored err_census), so its lazy
+    * plan is unaffected by the append; crash-rerun safe because the
+    * append skips already-indexed vec_ids. */
+  def annIngestStream(
+      vectors: DataFrame, indexDir: String, checkpoint: String,
+      emit: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        emit(graft.operators.AnnIndexOps.quantizerDrift(
+          batch.sparkSession, indexDir, batch.toDF(), cacheDims = false), batchId)
+        graft.operators.AnnIndexOps.appendToIndex(
+          batch.sparkSession, indexDir, batch.toDF())
+      }
+      .start()
+
   /** Continuous quantizer-drift monitoring — the streaming face of
     * [[graft.operators.AnnIndexOps.quantizerDrift]]: every micro-batch
     * of ingested vectors is encoded against the STORED quantizer and its

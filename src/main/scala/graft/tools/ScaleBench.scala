@@ -69,7 +69,13 @@ object ScaleBench {
     "dedup_served",
     // the distributed corpus-wide prefix sum (range shuffle + census
     // offsets) under the systematic PPS pin test
-    "pps_sample")
+    "pps_sample",
+    // chunk-level exact dedup: the chunk explode (n/stride rows per doc)
+    // into one 16-byte-key window shuffle
+    "chunk_dedup",
+    // the full gate-and-ingest composition: fresh index build + batch
+    // gate (index serve + batch self-join) + survivor append, per call
+    "dedup_gate")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

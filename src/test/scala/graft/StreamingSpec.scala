@@ -303,6 +303,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ANN ingest stream: per-trigger drift alarm + append; the grown index serves the union") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val half = org.apache.spark.sql.functions.col("vec_id") < 400
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_ingest_stream").toString
+    graft.operators.AnnIndexOps.writeIndex(emb.filter(half), dir)
+    val rest = emb.filter(!half).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val input = MemoryStream[(Long, Seq[Float])]
+    val df = input.toDF().toDF("vec_id", "embedding")
+    var censusBatches = 0
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ann_ingest_ck").toString
+    val q = StreamingOps.annIngestStream(df, dir, ckpt, (census, _) =>
+      synchronized { if (census.filter(
+        org.apache.spark.sql.functions.col("n_batch") > 0).count() > 0) censusBatches += 1 })
+    try {
+      val (b1, b2) = rest.splitAt(rest.size / 2)
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      assert(censusBatches == 2, "the drift alarm must fire in every ingesting trigger")
+      // the grown index = writeIndex(half) + appendToIndex(rest), the
+      // batch path AnnIndexSpec pins ≡ a rebuild over the union
+      val postings = graft.sources.BulkOps.readPath(spark, s"$dir/postings")
+      assert(postings.select("vec_id").distinct().count() == emb.count(),
+        "every streamed vector must land in the posting lists exactly once")
+      assert(postings.groupBy("vec_id", "sub").count()
+        .filter(org.apache.spark.sql.functions.col("count") > 1).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming drift monitor: each trigger's report equals the batch census of its rows") {
     val s = spark
     import s.implicits._

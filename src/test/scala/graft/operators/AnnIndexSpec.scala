@@ -66,6 +66,30 @@ class AnnIndexSpec extends SparkSpec {
     assert(a.count() == 50)
   }
 
+  test("append is idempotent under redelivery: re-ingested vec_ids never double-code") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val dir = Files.createTempDirectory("graft_annidx_redeliver").toString
+    AnnIndexOps.writeIndex(emb.filter(col("vec_id") < 400), dir)
+    val batch = emb.filter(col("vec_id") >= 400)
+    AnnIndexOps.appendToIndex(spark, dir, batch)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      .toDF("vec_id", "embedding")
+    val expect = AnnIndexOps.servedTopK(spark, dir, queries).collect().toSet
+    // an at-least-once pipeline redelivers the batch (and a slice of the
+    // ORIGINAL corpus for good measure)
+    AnnIndexOps.appendToIndex(spark, dir, batch)
+    AnnIndexOps.appendToIndex(spark, dir, emb.filter(col("vec_id") % 3 === 0))
+    val postings = graft.sources.BulkOps.readPath(spark, s"$dir/postings")
+    assert(postings.groupBy("vec_id", "sub").count().filter(col("count") > 1).count() == 0,
+      "a redelivered vector must not write a second code set")
+    assert(AnnIndexOps.servedTopK(spark, dir, queries).collect().toSet == expect,
+      "redelivery must not change a single served row")
+  }
+
   test("delete: tombstone-masked serve ≡ physically compacted serve ≡ encode-the-survivors") {
     val s = spark
     import s.implicits._
