@@ -218,6 +218,46 @@ object RetrievalOps {
     rankFold(postings, lens, terms, k)
   }
 
+  /** Ingest INTO the stored BM25 index: the batch's postings and
+    * lengths APPEND to the stored tables. df / n_docs / avgdl recompute
+    * from the union at serve time ([[bm25ServedTopK]] reads whole
+    * tables), so the appended index serves EXACTLY what an index
+    * written over the union serves — [[bm25IngestTopK]]'s
+    * disjoint-union additivity made durable (and the oracle claim of
+    * `bm25_ing_served`). IDEMPOTENT under redelivery (the
+    * [[AnnIndexOps.appendToIndex]] discipline): doc_ids already in the
+    * index are skipped via an anti-join against the stored lens table
+    * (one row per indexed doc) — a redelivered doc must not double its
+    * tf rows and length. */
+  def bm25AppendDocs(spark: SparkSession, dir: String, newDocs: DataFrame): Unit = {
+    import graft.sources.BulkOps
+    val existing = BulkOps.readPath(spark, s"$dir/lens").select("doc_id")
+    val fresh = newDocs.join(existing, Seq("doc_id"), "left_anti")
+    // one delta index feeds both appends (cached: read twice)
+    val idx = graft.Caching.maybeCache(bm25Index(fresh))
+    BulkOps.writePath(idx, org.apache.spark.sql.SaveMode.Append)
+      .save(s"$dir/postings")
+    BulkOps.writePath(
+        idx.groupBy("doc_id").agg(sum(col("tf")).as("len")),
+        org.apache.spark.sql.SaveMode.Append)
+      .save(s"$dir/lens")
+  }
+
+  /** The `bm25_ing_served` fixture chain — the stored-index APPEND path
+    * end-to-end: index the stable md5 half, append the rest through
+    * [[bm25AppendDocs]], serve the default query. Postings and lengths
+    * are disjoint-union additive, so the result equals [[bm25Served]]'s
+    * exactly — same oracle BY DESIGN. */
+  def bm25IngestServed(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val half = stableHash60(concat(lit("bing|"), col("doc_id").cast("string"))) % 100L < 50L
+    val dir = graft.tools.IndexScratch.memoizedDir(spark, "graft_bm25idx_ing", sfDir) { d =>
+      bm25WriteIndex(docs.filter(half), d)
+      bm25AppendDocs(spark, d, docs.filter(!half))
+    }
+    bm25ServedTopK(spark, dir)
+  }
+
   /** Delete documents from the stored BM25 index — the same
     * tombstone-then-compact lifecycle as
     * [[AnnIndexOps.deleteFromIndex]]: O(|ids|) append, serve-time mask,
@@ -394,6 +434,7 @@ object RetrievalPack extends QueryPack {
     }),
     "bm25_ingest" -> ((s, d) => RetrievalOps.bm25IngestTopK(Tables.documents(s, d))),
     "bm25_served" -> ((s, d) => RetrievalOps.bm25Served(s, d)),
+    "bm25_ing_served" -> ((s, d) => RetrievalOps.bm25IngestServed(s, d)),
     "bm25_deleted" -> ((s, d) => RetrievalOps.bm25Deleted(s, d)),
     "phrase_hits" -> ((s, d) => RetrievalOps.phraseHits(Tables.documents(s, d))),
     "rrf_fusion" -> ((s, d) =>
@@ -466,6 +507,12 @@ object RetrievalPack extends QueryPack {
     // served-from-stored-index must return the batch chain's answer
     // bit-for-bit — same oracle BY DESIGN (the bm25_ingest convention)
     "bm25_served" ->
+      s"""WITH $bm25Ctes
+         |SELECT doc_id, n_terms, score_e4, rnk FROM ranked WHERE rnk <= 10""".stripMargin,
+    // append-into-the-stored-index serves the full-corpus answer
+    // bit-for-bit (postings and lengths are disjoint-union additive;
+    // stats recompute from the union tables) — same oracle BY DESIGN
+    "bm25_ing_served" ->
       s"""WITH $bm25Ctes
          |SELECT doc_id, n_terms, score_e4, rnk FROM ranked WHERE rnk <= 10""".stripMargin,
     // deletion serves the SURVIVOR corpus exactly — df, n_docs and avgdl

@@ -270,6 +270,32 @@ class RetrievalLayoutSpec extends SparkSpec {
     assert(got.count() == 10)
   }
 
+  test("BM25 append into the stored index ≡ rebuild over the union; redelivery appends nothing") {
+    import graft.operators.RetrievalOps
+    import graft.sources.BulkOps
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val oldSide = docs.filter(col("doc_id") >= 100)
+    val batch = docs.filter(col("doc_id") < 100)
+    val dirA = java.nio.file.Files.createTempDirectory("graft_bm25_app_a").toString
+    RetrievalOps.bm25WriteIndex(oldSide, dirA)
+    RetrievalOps.bm25AppendDocs(spark, dirA, batch)
+    val dirB = java.nio.file.Files.createTempDirectory("graft_bm25_app_b").toString
+    RetrievalOps.bm25WriteIndex(docs, dirB)
+    val a = RetrievalOps.bm25ServedTopK(spark, dirA)
+    val b = RetrievalOps.bm25ServedTopK(spark, dirB)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "appended BM25 index must serve exactly what a full-build index serves")
+    // redelivery: the same batch (and a slice of the original corpus)
+    // must not double any doc's tf rows or length
+    RetrievalOps.bm25AppendDocs(spark, dirA, batch)
+    RetrievalOps.bm25AppendDocs(spark, dirA, oldSide.filter(col("doc_id") % 3 === 0))
+    assert(BulkOps.readPath(spark, s"$dirA/lens")
+      .groupBy("doc_id").count().filter(col("count") > 1).count() == 0,
+      "a redelivered doc must not write a second length row")
+    val again = RetrievalOps.bm25ServedTopK(spark, dirA)
+    assert(again.exceptAll(b).count() == 0 && b.exceptAll(again).count() == 0)
+  }
+
   test("sort bounds: distributed NTILE equals the single-window reference on adversarial sizes") {
     val s = spark
     import s.implicits._
