@@ -173,9 +173,14 @@ object AnnIndexOps {
   def appendToIndex(spark: SparkSession, dir: String, newVectors: DataFrame): Unit = {
     val cents = BulkOps.readPath(spark, s"$dir/centroids")
     val cb = BulkOps.readPath(spark, s"$dir/codebook")
-    val existing = BulkOps.readPath(spark, s"$dir/postings")
+    // already-present ids of THIS batch (bounded by the batch): the
+    // sub=0 slice is scanned map-side against the broadcast batch ids —
+    // never a corpus-sized shuffle for a small ingest batch
+    val batchIds = newVectors.select("vec_id")
+    val present = BulkOps.readPath(spark, s"$dir/postings")
       .filter(col("sub") === 0).select("vec_id")
-    val fresh = newVectors.join(existing, Seq("vec_id"), "left_anti")
+      .join(broadcast(batchIds), Seq("vec_id"), "left_semi")
+    val fresh = newVectors.join(broadcast(present), Seq("vec_id"), "left_anti")
     BulkOps.writePath(appendBatch(fresh, cents, cb), SaveMode.Append)
       .partitionBy("center").save(s"$dir/postings")
   }

@@ -710,17 +710,13 @@ object CurationOps {
             (col("chunk_no") * lit(stride.toLong) + 1L).cast("int"),
             col("n_toks").cast("int")),
           " ")).as("chunk_key"))
-    val w = Window.partitionBy("chunk_key")
-    keyed
-      .withColumn("group_sz", count(lit(1)).over(w))
-      .withColumn("canon", min(struct(col("doc_id"), col("chunk_no"))).over(w))
-      .filter(col("group_sz") > 1)
+    DedupOps.dupGroups(keyed, "chunk_key", Seq("doc_id", "chunk_no"))
       .select(
         col("doc_id"), col("chunk_no"), col("group_sz"),
-        col("canon.doc_id").as("canon_doc"),
-        col("canon.chunk_no").as("canon_chunk"),
-        (col("doc_id") === col("canon.doc_id") &&
-          col("chunk_no") === col("canon.chunk_no")).as("is_canonical"))
+        col("__canon.doc_id").as("canon_doc"),
+        col("__canon.chunk_no").as("canon_chunk"),
+        (col("doc_id") === col("__canon.doc_id") &&
+          col("chunk_no") === col("__canon.chunk_no")).as("is_canonical"))
   }
 
   /** Mixture-rebalance planner: given target token shares per language,

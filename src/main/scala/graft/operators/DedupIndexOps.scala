@@ -118,22 +118,42 @@ object DedupIndexOps {
     * are skipped (an at-least-once ingest pipeline redelivering an
     * indexed doc must not write a SECOND signature set — duplicate mins
     * rows would double agreement counts and push est_e4 past 10⁴). The
-    * guard is an anti-join against the k=0 slice of the stored `mins`
-    * (one row per indexed doc, a 1/K column-pruned read with the k
-    * filter pushed). The index is the authority on ids: a redelivered
-    * id with DIFFERENT text is still skipped, and a tombstoned id stays
-    * skipped (and masked) until [[compactIndex]] physically drops it —
-    * re-ingesting a deleted doc requires compacting first. */
+    * guard is PER TABLE — each write anti-joins its OWN one-row-per-doc
+    * slice (sigs band=0 / mins k=0), so even a TORN append (crash
+    * between the two writes) self-heals on redelivery: the table that
+    * landed skips, the table that didn't catches up. Guard shape at
+    * 100 TB: the stored slice is semi-joined against the BROADCAST
+    * batch ids first (a map-side scan whose output is bounded by the
+    * batch), then the batch anti-joins that bounded set — never a
+    * corpus-sized shuffle. The index is the authority on ids: a
+    * redelivered id with DIFFERENT text is still skipped, and a
+    * tombstoned id stays skipped (and masked) until [[compactIndex]]
+    * physically drops it — re-ingesting a deleted doc requires
+    * compacting first. */
   def appendToIndex(spark: SparkSession, dir: String, newDocs: DataFrame): Unit = {
     val (numPerms, bandSize) = readMeta(spark, dir)
-    val existing = BulkOps.readPath(spark, s"$dir/mins")
-      .filter(col("k") === 0).select("doc_id")
-    val fresh = newDocs.join(existing, Seq("doc_id"), "left_anti")
+    val batchIds = newDocs.select("doc_id")
+    // ids of THIS batch already present in `table` (bounded by the
+    // batch), via the table's one-row-per-doc slice
+    def freshIds(table: String, oneRowPred: org.apache.spark.sql.Column): DataFrame = {
+      val present = BulkOps.readPath(spark, s"$dir/$table")
+        .filter(oneRowPred).select("doc_id")
+        .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
+      batchIds.join(broadcast(present), Seq("doc_id"), "left_anti")
+    }
+    // one batch signature pass feeds both table writes (each filtered
+    // to ITS OWN missing ids)
     val wide = graft.Caching.maybeCache(
-      DedupOps.minhashWide(DedupOps.shinglePostings(fresh), numPerms))
-    BulkOps.writePath(bandedWithPb(wide, numPerms, bandSize), SaveMode.Append)
+      DedupOps.minhashWide(DedupOps.shinglePostings(newDocs), numPerms))
+    BulkOps.writePath(
+        bandedWithPb(wide, numPerms, bandSize)
+          .join(broadcast(freshIds("sigs", col("band") === 0)), Seq("doc_id"), "left_semi"),
+        SaveMode.Append)
       .partitionBy("pb").save(s"$dir/sigs")
-    BulkOps.writePath(slimFromWide(wide, numPerms), SaveMode.Append)
+    BulkOps.writePath(
+        slimFromWide(wide, numPerms)
+          .join(broadcast(freshIds("mins", col("k") === 0)), Seq("doc_id"), "left_semi"),
+        SaveMode.Append)
       .save(s"$dir/mins")
   }
 

@@ -93,6 +93,20 @@ object DedupOps {
       .drop("__bsz")
   }
 
+  /** The exact-dup reporting convention shared by [[exact]] and
+    * [[CurationOps.chunkDedup]]: group `keyed` rows by `keyCol`, attach
+    * `group_sz` and the lexicographically-first `idCols` identity as
+    * `__canon` (a struct), keep only real duplicate groups. One window
+    * over the 16-byte-key shuffle. */
+  private[operators] def dupGroups(
+      keyed: DataFrame, keyCol: String, idCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+    keyed
+      .withColumn("group_sz", count(lit(1)).over(w))
+      .withColumn("__canon", min(struct(idCols.map(col): _*)).over(w))
+      .filter(col("group_sz") > 1)
+  }
+
   /** Exact dedup on a head fingerprint (first 5 tokens): duplicate groups
     * with a canonical (min) doc per group. One groupBy — the pattern that
     * dedups 100 TB in a single shuffle of 16-byte keys. */
@@ -100,13 +114,9 @@ object DedupOps {
     val keyed = docs.select(
       col("doc_id"),
       md5(array_join(slice(tokens(col("text")), 1, 5), " ")).as("dup_key"))
-    val w = Window.partitionBy("dup_key")
-    keyed
-      .withColumn("group_sz", count(lit(1)).over(w))
-      .withColumn("canonical_id", min(col("doc_id")).over(w))
-      .filter(col("group_sz") > 1)
-      .select(col("doc_id"), col("canonical_id"), col("group_sz"),
-        (col("doc_id") === col("canonical_id")).as("is_canonical"))
+    dupGroups(keyed, "dup_key", Seq("doc_id"))
+      .select(col("doc_id"), col("__canon.doc_id").as("canonical_id"), col("group_sz"),
+        (col("doc_id") === col("__canon.doc_id")).as("is_canonical"))
   }
 
   /** NFC-composed exact dedup — the proof that

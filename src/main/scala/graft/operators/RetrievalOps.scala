@@ -225,20 +225,31 @@ object RetrievalOps {
     * written over the union serves — [[bm25IngestTopK]]'s
     * disjoint-union additivity made durable (and the oracle claim of
     * `bm25_ing_served`). IDEMPOTENT under redelivery (the
-    * [[AnnIndexOps.appendToIndex]] discipline): doc_ids already in the
-    * index are skipped via an anti-join against the stored lens table
-    * (one row per indexed doc) — a redelivered doc must not double its
-    * tf rows and length. */
+    * [[graft.operators.DedupIndexOps.appendToIndex]] discipline): each
+    * table anti-joins ITS OWN already-present doc set, so a TORN append
+    * (crash between the postings and lens writes) self-heals on
+    * redelivery instead of doubling tf rows; the stored reads are
+    * semi-joined against the broadcast batch ids first, so a small
+    * batch never pays a corpus-sized shuffle. */
   def bm25AppendDocs(spark: SparkSession, dir: String, newDocs: DataFrame): Unit = {
     import graft.sources.BulkOps
-    val existing = BulkOps.readPath(spark, s"$dir/lens").select("doc_id")
-    val fresh = newDocs.join(existing, Seq("doc_id"), "left_anti")
-    // one delta index feeds both appends (cached: read twice)
-    val idx = graft.Caching.maybeCache(bm25Index(fresh))
-    BulkOps.writePath(idx, org.apache.spark.sql.SaveMode.Append)
+    val batchIds = newDocs.select("doc_id")
+    def freshIds(table: String): DataFrame = {
+      val present = BulkOps.readPath(spark, s"$dir/$table").select("doc_id")
+        .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
+        .distinct()
+      batchIds.join(broadcast(present), Seq("doc_id"), "left_anti")
+    }
+    // one delta index feeds both appends (cached; each write filters to
+    // its own table's missing ids)
+    val idx = graft.Caching.maybeCache(bm25Index(newDocs))
+    BulkOps.writePath(
+        idx.join(broadcast(freshIds("postings")), Seq("doc_id"), "left_semi"),
+        org.apache.spark.sql.SaveMode.Append)
       .save(s"$dir/postings")
     BulkOps.writePath(
-        idx.groupBy("doc_id").agg(sum(col("tf")).as("len")),
+        idx.join(broadcast(freshIds("lens")), Seq("doc_id"), "left_semi")
+          .groupBy("doc_id").agg(sum(col("tf")).as("len")),
         org.apache.spark.sql.SaveMode.Append)
       .save(s"$dir/lens")
   }

@@ -75,7 +75,10 @@ object ScaleBench {
     "chunk_dedup",
     // the full gate-and-ingest composition: fresh index build + batch
     // gate (index serve + batch self-join) + survivor append, per call
-    "dedup_gate")
+    "dedup_gate",
+    // BM25 stored-index ingest: build on half, append the rest (with the
+    // idempotence anti-join), term-pruned serve
+    "bm25_ing_served")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

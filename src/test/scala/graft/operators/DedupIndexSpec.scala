@@ -56,6 +56,38 @@ class DedupIndexSpec extends SparkSpec {
     afterDf.unpersist()
   }
 
+  test("TORN append self-heals: sigs landed, mins didn't, the redelivery completes both exactly") {
+    import graft.sources.BulkOps
+    import org.apache.spark.sql.SaveMode
+    val corpus = docs.filter(col("doc_id") >= 100)
+    val batch = docs.filter(col("doc_id") < 100)
+    val dir = Files.createTempDirectory("graft_dedupidx_torn").toString
+    DedupIndexOps.writeIndex(corpus, dir)
+    // simulate the crash window: the batch's SIGS rows land, the mins
+    // write never runs
+    val wide = DedupOps.minhashWide(DedupOps.shinglePostings(batch), DedupOps.MinhashK)
+    val banded = DedupOps.bandedFromWide(wide, DedupOps.MinhashK, DedupOps.BandSize)
+      .withColumn("pb", pmod(crc32(col("sig")), lit(DedupIndexOps.BucketParts.toLong)))
+    BulkOps.writePath(banded, SaveMode.Append).partitionBy("pb").save(s"$dir/sigs")
+    // the at-least-once redelivery
+    DedupIndexOps.appendToIndex(spark, dir, batch)
+    // reference: the same append on an untorn index
+    val ref = Files.createTempDirectory("graft_dedupidx_tornref").toString
+    DedupIndexOps.writeIndex(corpus, ref)
+    DedupIndexOps.appendToIndex(spark, ref, batch)
+    Seq("sigs", "mins").foreach { t =>
+      val a = BulkOps.readPath(spark, s"$dir/$t").withColumn("pb0", lit(0))
+        .drop("pb").drop("pb0")
+      val b = BulkOps.readPath(spark, s"$ref/$t").withColumn("pb0", lit(0))
+        .drop("pb").drop("pb0")
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"healed $t must equal the untorn append exactly")
+    }
+    assert(BulkOps.readPath(spark, s"$dir/sigs")
+      .groupBy("doc_id", "band").count().filter(col("count") > 1).count() == 0,
+      "the redelivery must not duplicate a single signature row")
+  }
+
   test("delete: tombstone-masked serve ≡ survivor rebuild; compaction changes nothing, drops rows") {
     val corpus = docs.filter(col("doc_id") >= 100)
     val batch = docs.filter(col("doc_id") < 100)
