@@ -294,16 +294,21 @@ object DedupIndexOps {
     * already-indexed ids, and [[servedDupes]] never matches a doc to
     * itself. */
   def gateAndIngest(spark: SparkSession, dir: String, batch: DataFrame,
-      thresholdE4: Long = 5000L, bucketCap: Long = DedupOps.MaxBandBucket): DataFrame = {
+      thresholdE4: Long = 5000L, bucketCap: Long = DedupOps.MaxBandBucket,
+      cacheBatch: Boolean = true): DataFrame = {
     val (numPerms, bandSize) = readMeta(spark, dir)
-    val wide = DedupOps.minhashWide(DedupOps.shinglePostings(batch), numPerms)
+    // cacheBatch: the fixture reuses one batch plan per call (entries
+    // converge); streaming passes false — per-trigger plans are distinct
+    // and a cache entry per trigger would accumulate forever
+    val wide0 = DedupOps.minhashWide(DedupOps.shinglePostings(batch), numPerms)
+    val wide = if (cacheBatch) graft.Caching.maybeCache(wide0) else wide0
     def best(pairs: DataFrame): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy(col("est_e4").desc, col("dup_of"))
       pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("doc_id"), col("dup_of"), col("est_e4"))
     }
-    val idx = best(servedDupes(spark, dir, batch, thresholdE4, bucketCap, cacheBatch = false))
+    val idx = best(servedDupes(spark, dir, batch, thresholdE4, bucketCap, cacheBatch))
       .withColumnRenamed("dup_of", "i_dup").withColumnRenamed("est_e4", "i_est")
     val intra = best(batchDupes(wide, numPerms, bandSize, thresholdE4, bucketCap))
       .withColumnRenamed("dup_of", "b_dup").withColumnRenamed("est_e4", "b_est")
@@ -403,18 +408,23 @@ object DedupIndexOps {
   }
 
   /** The `dedup_gate` fixture chain — [[gateAndIngest]] end-to-end.
-    * Deterministic per call BY REBUILDING: the gate mutates its index
-    * (that is its job), so the fixture rebuilds the corpus index fresh
-    * into one reused scratch dir every call — call N always gates the
-    * batch against exactly the corpus index, whatever earlier calls
-    * appended. (The memoized-dir lifecycle would hand call 2 an index
-    * already containing call 1's survivors.) */
+    * Deterministic per call WITHOUT a per-call rebuild: the gate mutates
+    * its index (that is its job), so a memoized dir would hand call 2 an
+    * index already containing call 1's survivors. Instead the PRISTINE
+    * corpus index builds once under the memo lifecycle and each call
+    * file-copies it into the working dir
+    * ([[graft.tools.IndexScratch.resetFromPristine]]) — call N always
+    * gates against exactly the corpus index, at file-copy cost. With
+    * caching off (ScaleBench) the pristine build itself reruns per call,
+    * so scale runs keep measuring the full build-gate-append cycle. */
   def dedupGateReport(spark: SparkSession, sfDir: String,
       thresholdE4: Long = 5000L): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val d = graft.tools.IndexScratch.scratchFor("graft_dedupidx_gate", sfDir)
-    writeIndex(docs.filter(!batchPred), d)
-    gateAndIngest(spark, d, docs.filter(batchPred), thresholdE4)
+    val pristine = memoizedDir(spark, "graft_dedupidx_gatep", sfDir)(d =>
+      writeIndex(docs.filter(!batchPred), d))
+    val work = graft.tools.IndexScratch.scratchFor("graft_dedupidx_gatew", sfDir)
+    graft.tools.IndexScratch.resetFromPristine(pristine, work)
+    gateAndIngest(spark, work, docs.filter(batchPred), thresholdE4)
   }
 
   /** The `dedup_served_del` fixture chain — the DELETE path end-to-end:

@@ -711,7 +711,8 @@ object StreamingOps {
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         emit(graft.operators.DedupIndexOps.gateAndIngest(
-          batch.sparkSession, indexDir, batch.toDF(), thresholdE4), batchId)
+          batch.sparkSession, indexDir, batch.toDF(), thresholdE4,
+          cacheBatch = false), batchId)
       }
       .start()
 

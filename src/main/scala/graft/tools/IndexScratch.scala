@@ -48,6 +48,25 @@ object IndexScratch {
   def clearMemo(prefix: String): Unit =
     memo.keySet.removeIf(_.startsWith(prefix))
 
+  /** Replace `dst` with a file-level copy of `src` — fixture machinery
+    * for MUTATING-operator chains: each call starts from a pristine
+    * index copy instead of paying a full rebuild, and the mutation never
+    * leaks into the next call. Driver-side local-fs walk: this moves
+    * index FILES (fixture-scale), it never computes over data. */
+  def resetFromPristine(src: String, dst: String): Unit = {
+    val from = java.nio.file.Paths.get(src)
+    val to = java.nio.file.Paths.get(dst)
+    deleteRecursively(to)
+    Files.createDirectories(to)
+    val walk = Files.walk(from)
+    try walk.forEach { p =>
+      val rel = to.resolve(from.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(rel)
+      else Files.copy(p, rel,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally walk.close()
+  }
+
   private lazy val hookInstalled: Boolean = {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       allocated.forEach(d => deleteRecursively(java.nio.file.Paths.get(d)))))
