@@ -86,6 +86,26 @@ class DedupIndexSpec extends SparkSpec {
     assert(BulkOps.readPath(spark, s"$dir/sigs")
       .groupBy("doc_id", "band").count().filter(col("count") > 1).count() == 0,
       "the redelivery must not duplicate a single signature row")
+
+    // the mirror window: MINS landed, sigs didn't — the redelivery must
+    // catch sigs up without doubling mins
+    val dir2 = Files.createTempDirectory("graft_dedupidx_torn2").toString
+    DedupIndexOps.writeIndex(corpus, dir2)
+    BulkOps.writePath(
+        wide.select(col("doc_id"),
+          org.apache.spark.sql.functions.explode(
+            org.apache.spark.sql.functions.array((0 until DedupOps.MinhashK).map(k =>
+              struct(lit(k.toLong).as("k"), col(s"mh$k").as("mh"))): _*)).as("km"))
+          .select(col("doc_id"), col("km.k").as("k"), col("km.mh").as("mh")),
+        SaveMode.Append)
+      .save(s"$dir2/mins")
+    DedupIndexOps.appendToIndex(spark, dir2, batch)
+    Seq("sigs", "mins").foreach { t =>
+      val a = BulkOps.readPath(spark, s"$dir2/$t").drop("pb")
+      val b = BulkOps.readPath(spark, s"$ref/$t").drop("pb")
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"healed $t (mins-first window) must equal the untorn append exactly")
+    }
   }
 
   test("delete: tombstone-masked serve ≡ survivor rebuild; compaction changes nothing, drops rows") {
