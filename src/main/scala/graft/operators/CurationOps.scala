@@ -209,6 +209,53 @@ object CurationOps {
       .select(col("doc_id"), col("w"), col("cum"), col("n_hits"))
   }
 
+  /** Per-source PPS sample — [[ppsSample]]'s GROUPED twin (the
+    * len_quantiles_user discipline): every source gets its own pin line
+    * with its own step = sourceTokens DIV kPerSource, so each source
+    * lands ≈ kPerSource docs regardless of its share of the corpus (the
+    * per-source quota shape [[sourceCaps]] enforces by count, here by
+    * token mass). SHUFFLED throughout — the range shuffle orders by
+    * (source, pri, id), per-row running sums partition by (source, pid),
+    * and the census offset/total windows partition BY SOURCE: unlike the
+    * corpus-wide twin there is NO unpartitioned window anywhere
+    * (plan-gated), so group count can grow with the corpus freely. The
+    * census itself is |sources|·|partitions| rows and is BROADCAST into
+    * the stitch join — right for a bounded source dimension (the
+    * [[sourceCaps]] contract); for a user-grade group key swap the
+    * broadcast for a plain (group, pid) join and pay the shuffle. */
+  def ppsSampleBySource(docs: DataFrame, kPerSource: Long = 50L): DataFrame = {
+    require(kPerSource > 0, s"per-source sample size must be positive, got $kPerSource")
+    val weighted = docs.select(
+      col("source"), col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("w"),
+      stableHash60(col("doc_id").cast("string")).as("pri"))
+    val sortCols = Seq(col("source"), col("pri"), col("doc_id"))
+    // cached unconditionally: the sortBounds/ppsSample discipline — the
+    // three census reads must see ONE range-shuffle instantiation
+    val parts = weighted.repartitionByRange(sortCols: _*)
+      .withColumn("pid", spark_partition_id())
+      .cache()
+    val wLocal = Window.partitionBy("source", "pid")
+      .orderBy(col("pri"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parts.withColumn("lc", sum(col("w")).over(wLocal))
+    val wOff = Window.partitionBy("source").orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy("source").orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = parts.groupBy("source", "pid").agg(sum(col("w")).as("pw"))
+      .withColumn("off", coalesce(sum(col("pw")).over(wOff), lit(0L)))
+      .withColumn("total", sum(col("pw")).over(wAll))
+      .select(col("source"), col("pid"), col("off"), col("total"))
+    local
+      .join(broadcast(offsets), Seq("source", "pid"))
+      .withColumn("cum", col("off") + col("lc"))
+      .withColumn("step", greatest(expr(s"total DIV ${kPerSource}L"), lit(1L)))
+      .withColumn("n_hits", expr("cum DIV step - (cum - w) DIV step"))
+      .filter(col("n_hits") > 0)
+      .select(col("source"), col("doc_id"), col("w"), col("cum"), col("n_hits"))
+  }
+
   /** Top-token repetition: the most frequent token per doc and its share
     * of all tokens (ties broken by token asc). One explode + one
     * aggregation; the window partitions by doc_id, so parallelism is
@@ -1291,6 +1338,7 @@ object CurationPack extends QueryPack {
     // the sample-size dial at a non-default setting: 8x fewer pins,
     // step 8x wider — heavy docs start absorbing several pins each
     "pps_sample25" -> ((s, dir) => CurationOps.ppsSample(d(s, dir), k = 25L)),
+    "pps_sample_src" -> ((s, dir) => CurationOps.ppsSampleBySource(d(s, dir))),
     "rep_top_token" -> ((s, dir) => CurationOps.repTopToken(d(s, dir))),
     "rep_bigram_frac" -> ((s, dir) => CurationOps.repBigramFrac(d(s, dir))),
     "fluency" -> ((s, dir) => CurationOps.bigramFluency(d(s, dir))),
@@ -1518,6 +1566,25 @@ object CurationPack extends QueryPack {
   override def oracles: Map[String, String] = Map(
     "pps_sample" -> ppsSampleSql(200L),
     "pps_sample25" -> ppsSampleSql(25L),
+    "pps_sample_src" ->
+      s"""WITH w AS (
+         |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+         |         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 18, 15)) AS UBIGINT) AS BIGINT) AS pri
+         |  FROM documents
+         |),
+         |c AS (
+         |  SELECT source, doc_id, w,
+         |         CAST(SUM(w) OVER (PARTITION BY source ORDER BY pri, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM w
+         |),
+         |s AS (
+         |  SELECT source, CAST(GREATEST(SUM(w) // 50, 1) AS BIGINT) AS step
+         |  FROM w GROUP BY source
+         |)
+         |SELECT c.source, doc_id, w, cum, cum // step - (cum - w) // step AS n_hits
+         |FROM c JOIN s ON c.source = s.source
+         |WHERE cum // step - (cum - w) // step > 0""".stripMargin,
     // DuckDB list slicing is 1-based end-INCLUSIVE, so the chunk window
     // is t[i*stride+1 : i*stride+n_toks] — the same elements Spark's
     // slice(t, i*stride+1, n_toks) takes

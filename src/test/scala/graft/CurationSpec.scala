@@ -193,6 +193,27 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("per-source PPS: each source's pins account exactly against its own step") {
+    import graft.functions.TextFunctions.tokens
+    val out = CurationOps.ppsSampleBySource(docs, kPerSource = 20L).cache()
+    val perSrc = docs
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("w"))
+      .groupBy("source").agg(sum(col("w")).as("total"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hits = out.groupBy("source").agg(sum(col("n_hits")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perSrc.foreach { case (src, total) =>
+      val step = math.max(total / 20L, 1L)
+      assert(hits.getOrElse(src, 0L) == total / step,
+        s"source $src: pins ${hits.get(src)} != ${total / step}")
+    }
+    // every source is represented — the per-source quota property the
+    // corpus-wide sample does NOT give (a tiny source can miss all
+    // global pins)
+    assert(hits.keySet == perSrc.keySet)
+    out.unpersist()
+  }
+
   test("rep_top_token: ratio bounds and the top token really is the mode") {
     val out = CurationOps.repTopToken(docs).cache()
     assert(out.count() == docs.count())

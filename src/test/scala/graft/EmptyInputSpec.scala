@@ -50,6 +50,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(CurationOps.sourceCaps(emptyDocs).count() == 0)
     assert(CurationOps.stratifiedSample(emptyDocs).count() == 0)
     assert(CurationOps.ppsSample(emptyDocs).count() == 0)
+    assert(CurationOps.ppsSampleBySource(emptyDocs).count() == 0)
     assert(CurationOps.vocabTopGrams(emptyDocs).count() == 0)
     assert(CurationOps.diversityCensus(emptyDocs).count() == 0)
     assert(CurationOps.contamination(emptyDocs).count() == 0)

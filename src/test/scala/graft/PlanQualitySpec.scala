@@ -473,6 +473,17 @@ class PlanQualitySpec extends SparkSpec {
           s"corpus-sized window must be partitioned by pid (census windows exempt):\n$l\n$plan")
       }
     assert(!plan.contains("CartesianProduct"), s"cartesian in pps_sample:\n$plan")
+    // the grouped twin goes further: NO unpartitioned window at all —
+    // every window (running sums AND census offsets) partitions by source
+    spark.catalog.clearCache()
+    val srcPlan = physical(SparkEntry.queries("pps_sample_src")(spark, sf))
+    assert(srcPlan.contains("Exchange rangepartitioning"),
+      s"the grouped prefix sum still range-shuffles:\n$srcPlan")
+    srcPlan.linesIterator.filter(l => l.contains("Window") && l.contains("unboundedpreceding"))
+      .foreach { l =>
+        assert(l.contains("source"),
+          s"every window in the grouped twin must partition by source:\n$l\n$srcPlan")
+      }
   }
 
   test("served BM25 reads the stored index only — token filter pushed, no text scan") {
