@@ -78,7 +78,12 @@ object ScaleBench {
     "dedup_gate",
     // BM25 stored-index ingest: build on half, append the rest (with the
     // idempotence anti-join), term-pruned serve
-    "bm25_ing_served")
+    "bm25_ing_served",
+    // the grouped PPS twin: per-source prefix sums (replicas keep the
+    // source dimension, so groups GROW ×factor in size at fixed count —
+    // the within-group scaling axis; group-count growth is events/user_id
+    // territory, measured by len_quantiles_user)
+    "pps_sample_src")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
