@@ -312,13 +312,19 @@ object DedupIndexOps {
       .withColumnRenamed("dup_of", "i_dup").withColumnRenamed("est_e4", "i_est")
     val intra = best(batchDupes(wide, numPerms, bandSize, thresholdE4, bucketCap))
       .withColumnRenamed("dup_of", "b_dup").withColumnRenamed("est_e4", "b_est")
+    // a doc below shingle width has NO signature: it cannot match, and
+    // the append cannot index it — its verdict says so honestly instead
+    // of claiming "ingested" for a doc the index will never hold
+    val signable = wide.select(col("doc_id"), lit(true).as("__sig"))
     val report0 = batch.select(col("doc_id"))
       .join(idx, Seq("doc_id"), "left")
       .join(intra, Seq("doc_id"), "left")
+      .join(signable, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         when(col("i_dup").isNotNull, lit("dup_index"))
           .when(col("b_dup").isNotNull, lit("dup_batch"))
+          .when(col("__sig").isNull, lit("unsignable"))
           .otherwise(lit("ingested")).as("verdict"),
         coalesce(col("i_dup"), col("b_dup")).as("dup_of"),
         coalesce(col("i_est"), col("b_est")).as("est_e4"))

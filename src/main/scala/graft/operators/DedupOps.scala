@@ -1082,12 +1082,14 @@ object DedupPack extends QueryPack {
        |SELECT d.doc_id,
        |       CASE WHEN i.i_dup IS NOT NULL THEN 'dup_index'
        |            WHEN b.b_dup IS NOT NULL THEN 'dup_batch'
+       |            WHEN sg.doc_id IS NULL THEN 'unsignable'
        |            ELSE 'ingested' END AS verdict,
        |       COALESCE(i.i_dup, b.b_dup) AS dup_of,
        |       COALESCE(i.i_est, b.b_est) AS est_e4
        |FROM (SELECT doc_id FROM documents WHERE $servedBatchSqlPred) d
        |LEFT JOIN ibest i ON d.doc_id = i.doc_id
-       |LEFT JOIN bbest b ON d.doc_id = b.doc_id""".stripMargin
+       |LEFT JOIN bbest b ON d.doc_id = b.doc_id
+       |LEFT JOIN (SELECT DISTINCT doc_id FROM sh) sg ON d.doc_id = sg.doc_id""".stripMargin
   }
 
   override def oracles: Map[String, String] = Map(

@@ -215,8 +215,9 @@ class StreamingSpec extends SparkSpec {
       verdicts.synchronized { rep.collect().foreach(r => verdicts(r.getLong(0)) =
         (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))) })
     try {
-      // trigger 1: a corpus copy, a novel doc, and the novel doc's twin
-      input.addData((1L, corpusText), (2L, novelText), (3L, novelText))
+      // trigger 1: a corpus copy, a novel doc, the novel doc's twin, and
+      // a sub-shingle doc the index can never hold
+      input.addData((1L, corpusText), (2L, novelText), (3L, novelText), (9L, "a b"))
       q.processAllAvailable()
       // trigger 2: a copy of trigger 1's INGESTED survivor — the index
       // must have grown, so this is dup_index, not ingested
@@ -228,6 +229,8 @@ class StreamingSpec extends SparkSpec {
       assert(got(3L) == ("dup_batch", Some(2L)), s"within-batch twin: ${got(3L)}")
       assert(got(4L) == ("dup_index", Some(2L)),
         s"a later batch's copy must hit the GROWN index: ${got(4L)}")
+      assert(got(9L) == ("unsignable", None),
+        s"a sub-shingle doc is not 'ingested' — the index cannot hold it: ${got(9L)}")
       // and only the survivor landed in the index
       val minsDocs = graft.sources.BulkOps.readPath(spark, s"$dir/mins")
         .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
