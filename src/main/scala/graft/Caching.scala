@@ -33,4 +33,23 @@ object Caching {
   /** Drop every cached plan in the session — the bulk lifecycle hook for
     * pipeline boundaries and in-place input rewrites. */
   def release(spark: SparkSession): Unit = spark.catalog.clearCache()
+
+  /** Materialize `df` exactly ONCE whatever the caching posture — for
+    * frames whose multiple readers REQUIRE one instantiation for
+    * correctness (a `repartitionByRange` re-samples its boundaries per
+    * materialization, so a rank assembled from three uncached reads
+    * would mix three different partitionings). With caching enabled this
+    * is a plain [[maybeCache]] registration (CacheManager reuse across
+    * sibling queries, dropped by [[release]]); with it disabled
+    * (the ScaleBench posture) it is an EAGER `localCheckpoint` — each
+    * call pays its own materialization (so a min-of-passes bench times
+    * compute, not a cache re-read) and the blocks release when the frame
+    * is garbage-collected instead of pinning a CacheManager entry per
+    * distinct input for the session's lifetime. The localCheckpoint
+    * branch trades lineage for determinism: an executor loss during that
+    * one query re-runs the query rather than silently re-sampling
+    * boundaries mid-plan. */
+  def pinForConsistency(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get(EnabledKey, "true").toBoolean) df.cache()
+    else df.localCheckpoint(true)
 }

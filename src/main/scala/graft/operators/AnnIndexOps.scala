@@ -148,10 +148,15 @@ object AnnIndexOps {
     // like at train time, per posting list
     BulkOps.writePath(errorCensus(coded), SaveMode.Overwrite)
       .save(s"$dir/err_census")
+    // the membership sidecar ([[IndexLifecycle]]): every indexed vec_id,
+    // the append-idempotence guard's pruned probe target
+    val spark = embeddings.sparkSession
+    IndexLifecycle.writeIds(spark, dir, "vec_id",
+      embeddings.select("vec_id"), embeddings.count())
     // a FRESH build invalidates any delete log from the dir's past life
     // (the scratch-dir reuse path would otherwise mask live rows)
-    if (BulkOps.fileExists(embeddings.sparkSession, s"$dir/tombstones"))
-      BulkOps.deletePath(embeddings.sparkSession, s"$dir/tombstones")
+    if (BulkOps.fileExists(spark, s"$dir/tombstones"))
+      BulkOps.deletePath(spark, s"$dir/tombstones")
   }
 
   /** Ingest INTO the stored index: encode the batch against the stored
@@ -162,27 +167,79 @@ object AnnIndexOps {
     * union with the same (old-trained) quantizer — the
     * [[encodeAgainst]] row-independence made durable.
     *
-    * IDEMPOTENT under redelivery (the [[DedupIndexOps.appendToIndex]]
-    * discipline): vec_ids already present are skipped via an anti-join
-    * against the sub=0 slice of the stored postings (one row per
-    * indexed vector, a 1/M column-pruned read) — an at-least-once
-    * ingest pipeline redelivering an indexed vector must not write a
-    * second code set, which would double-score it in every ADC sum it
-    * reaches. A tombstoned vec_id stays skipped (and masked) until
-    * [[compactIndex]] drops it physically. */
+    * IDEMPOTENT under redelivery via the [[IndexLifecycle]] protocol:
+    * already-committed vec_ids skip (an at-least-once ingest pipeline
+    * redelivering an indexed vector must not write a second code set,
+    * which would double-score it in every ADC sum it reaches). The
+    * steady-state guard is one ib-pruned sidecar probe — O(batch
+    * directories) of slim id rows, replacing the former per-batch sub=0
+    * slice read that scanned a 1/M column-pruned but still corpus-sized
+    * projection on every append. After a crash, the suspect ids — and
+    * only those — check the sub=0 slice. A tombstoned vec_id stays
+    * skipped (and masked) until [[compactIndex]] drops it physically. */
   def appendToIndex(spark: SparkSession, dir: String, newVectors: DataFrame): Unit = {
     val cents = BulkOps.readPath(spark, s"$dir/centroids")
     val cb = BulkOps.readPath(spark, s"$dir/codebook")
-    // already-present ids of THIS batch (bounded by the batch): the
-    // sub=0 slice is scanned map-side against the broadcast batch ids —
-    // never a corpus-sized shuffle for a small ingest batch
-    val batchIds = newVectors.select("vec_id")
-    val present = BulkOps.readPath(spark, s"$dir/postings")
-      .filter(col("sub") === 0).select("vec_id")
-      .join(broadcast(batchIds), Seq("vec_id"), "left_semi")
-    val fresh = newVectors.join(broadcast(present), Seq("vec_id"), "left_anti")
-    BulkOps.writePath(appendBatch(fresh, cents, cb), SaveMode.Append)
-      .partitionBy("center").save(s"$dir/postings")
+    IndexLifecycle.appendGuarded(spark, dir, "vec_id", newVectors.select("vec_id"), Seq(
+      IndexLifecycle.GuardedTable("postings", col("sub") === 0, fresh =>
+        BulkOps.writePath(
+            appendBatch(
+              newVectors.join(broadcast(fresh), Seq("vec_id"), "left_semi"), cents, cb),
+            SaveMode.Append)
+          .partitionBy("center").save(s"$dir/postings"))))
+  }
+
+  /** The drift REMEDY — retrain-and-swap, closing the maintenance loop
+    * that [[quantizerDrift]] opens: when the alarm fires, the stored
+    * index holds only CODES, so the fix is a fresh quantizer trained on
+    * the CURRENT corpus (the caller supplies it — the index cannot
+    * reconstruct vectors from codes), a full re-encode, and a crash-safe
+    * swap of all five artifacts via [[IndexLifecycle.rebuildTables]].
+    * Unlike compaction (row-identical rewrite, any old/new table mix
+    * serves the same answer), a rebuild's tables are only consistent
+    * TOGETHER — postings coded against the new codebook are garbage
+    * under the old centroids — so the swap is journaled (`rebuild_commit`
+    * marker) and rolls FORWARD on crash: before the marker the live
+    * index never changed; after it, recovery completes every remaining
+    * swap. Post-conditions: serving ≡ a fresh [[writeIndex]] over the
+    * surviving corpus (the differential AnnIndexSpec pins), the
+    * err_census baseline resets (so `drift_e4` returns to ~10⁴ for
+    * in-distribution batches — the round-trip test), tombstoned ids are
+    * consumed (the rebuild encodes survivors only, like a compaction),
+    * and the ids sidecar is rewritten from the corpus.
+    * Reference analogue: the rebuild-then-swap discipline of
+    * api/common/HBaseStaticHelper.java:41-78 (replaceTable with
+    * backup). */
+  /** Every artifact a [[rebuildIndex]] replaces — the consistency unit
+    * of the retrain-and-swap journal. */
+  private val RebuildSet =
+    Seq("centroids", "codebook", "postings", "err_census", "ids", "ids_meta")
+
+  def rebuildIndex(spark: SparkSession, dir: String, corpus: DataFrame,
+      trainPct: Option[Int] = None): Unit = {
+    val live = tombstonesOpt(spark, dir)
+      .fold(corpus)(t => corpus.join(broadcast(t), Seq("vec_id"), "left_anti"))
+    IndexLifecycle.rebuildTables(spark, dir, RebuildSet) {
+      val cents = coarseCentroids(live)
+      val cb = PqOps.trainedResidualCodebook(live, trainPct)
+      val coded = graft.Caching.maybeCache(encodeWithError(live, cents, cb))
+      BulkOps.writePath(cents, SaveMode.Overwrite).save(s"$dir/centroids_new")
+      BulkOps.writePath(cb, SaveMode.Overwrite).save(s"$dir/codebook_new")
+      BulkOps.writePath(coded.select("center", "vec_id", "sub", "code"), SaveMode.Overwrite)
+        .partitionBy("center").save(s"$dir/postings_new")
+      BulkOps.writePath(errorCensus(coded), SaveMode.Overwrite)
+        .save(s"$dir/err_census_new")
+      // the sidecar pair stages through a scratch dir: writeIds owns the
+      // (ids, ids_meta) layout, and the staged copies swap in atomically
+      // with the rest
+      IndexLifecycle.writeIds(spark, s"$dir/rebuild_stage", "vec_id",
+        live.select("vec_id"), live.count())
+      require(BulkOps.renamePath(spark, s"$dir/rebuild_stage/ids", s"$dir/ids_new") &&
+        BulkOps.renamePath(spark, s"$dir/rebuild_stage/ids_meta", s"$dir/ids_meta_new"),
+        s"rebuild: could not stage the ids sidecar under $dir")
+      BulkOps.deletePath(spark, s"$dir/rebuild_stage")
+    }
+    IndexLifecycle.clearIdsMemo()
   }
 
   /** Quantizer-drift monitor — the maintenance alarm for an append-only
@@ -248,93 +305,29 @@ object AnnIndexOps {
       Some(BulkOps.readPath(spark, s"$dir/tombstones").select("vec_id"))
     else None
 
-  /** Major compaction of the postings table: physically drop tombstoned
-    * rows and clear the tombstone log. The compacted table is written
-    * beside the live one (same center partitioning, so DPP-pruned serves
-    * are unchanged after the swap), then swapped in by filesystem rename
-    * — postings are never half-rewritten in place. Serve results are
-    * IDENTICAL before and after (the tombstone mask and the physical
-    * drop remove the same rows — the differential AnnIndexSpec pins);
-    * what compaction buys is the serve-time anti-join and the dead
-    * bytes. Returns false (no-op) when there is nothing to compact.
-    * The stored train-time `err_census` is deliberately untouched: it
-    * is the QUANTIZER's baseline, not a row census. */
-  def compactIndex(spark: SparkSession, dir: String): Boolean =
-    compactTables(spark, dir, "vec_id", Seq(
+  /** Major compaction of the postings table (and the ids sidecar):
+    * physically drop tombstoned rows and clear the tombstone log. The
+    * compacted table is written beside the live one (same center
+    * partitioning, so DPP-pruned serves are unchanged after the swap),
+    * then swapped in by checked filesystem rename — postings are never
+    * half-rewritten in place. Serve results are IDENTICAL before and
+    * after (the tombstone mask and the physical drop remove the same
+    * rows — the differential AnnIndexSpec pins); what compaction buys is
+    * the serve-time anti-join, the dead bytes, and re-ingestability of
+    * the deleted ids. Returns false (no-op) when there is nothing to
+    * compact. The stored train-time `err_census` is deliberately
+    * untouched: it is the QUANTIZER's baseline, not a row census —
+    * resetting it is [[rebuildIndex]]'s job. Machinery shared across all
+    * three stored indexes: [[IndexLifecycle.compactTables]]. */
+  def compactIndex(spark: SparkSession, dir: String): Boolean = {
+    // a crashed REBUILD recovers first (roll forward past its commit
+    // marker, or discard its staged copies) — compaction must never run
+    // against a half-swapped quantizer set
+    IndexLifecycle.recoverRebuild(spark, dir, RebuildSet)
+    IndexLifecycle.compactTables(spark, dir, "vec_id", Seq(
       ("postings", Seq("center"), df =>
         df.withColumn("center", col("center").cast("long"))
           .select("center", "vec_id", "sub", "code"))))
-
-  /** The SHARED delete-then-compact driver behind all three stored
-    * indexes ([[compactIndex]], [[RetrievalOps.bm25CompactIndex]],
-    * [[DedupIndexOps.compactIndex]]): recover any crashed swap on every
-    * table, then — if a tombstone log exists under `dir` — rewrite each
-    * table minus the tombstoned `idCol` rows BESIDE the live copy
-    * (preserving its partitioning), checked-swap it in
-    * ([[swapCompacted]] — rename aside, rename in, every step checked),
-    * and clear the log. Returns false on no-op. A compaction that would
-    * empty a table is refused: a partitioned write of zero rows produces
-    * a directory no reader can infer a schema from — deleting EVERYTHING
-    * is "drop the index", not a maintenance operation.
-    * `tables` = (name, partition columns, read normalizer). */
-  private[operators] def compactTables(
-      spark: SparkSession, dir: String, idCol: String,
-      tables: Seq[(String, Seq[String], DataFrame => DataFrame)]): Boolean = {
-    tables.foreach { case (t, _, _) => recoverSwap(spark, s"$dir/$t") }
-    if (!BulkOps.fileExists(spark, s"$dir/tombstones")) false
-    else {
-      val tomb = BulkOps.readPath(spark, s"$dir/tombstones").select(idCol)
-      tables.foreach { case (t, partCols, normalize) =>
-        val keep = normalize(BulkOps.readPath(spark, s"$dir/$t"))
-          .join(broadcast(tomb), Seq(idCol), "left_anti")
-        require(!keep.isEmpty,
-          s"compaction would empty $dir/$t — drop the index instead")
-        val w = BulkOps.writePath(keep, SaveMode.Overwrite)
-        (if (partCols.isEmpty) w else w.partitionBy(partCols: _*))
-          .save(s"$dir/${t}_compact")
-        swapCompacted(spark, s"$dir/$t")
-      }
-      BulkOps.deletePath(spark, s"$dir/tombstones")
-      true
-    }
-  }
-
-  /** Crash-safe swap of `<table>_compact` into `<table>`: the live table
-    * renames ASIDE first (never deleted while it is the only copy), and
-    * every rename result is CHECKED — a failed step aborts loudly before
-    * anything (tombstone logs included) is cleaned, because acting on an
-    * un-swapped compaction would silently resurrect deleted rows. */
-  private[operators] def swapCompacted(spark: SparkSession, table: String): Unit = {
-    require(BulkOps.renamePath(spark, table, s"${table}_old"),
-      s"compaction aborted: could not move $table aside")
-    require(BulkOps.renamePath(spark, s"${table}_compact", table),
-      s"compaction aborted mid-swap: $table is at ${table}_old, " +
-        s"the compacted copy at ${table}_compact — rerun to recover")
-    BulkOps.deletePath(spark, s"${table}_old")
-  }
-
-  /** Recovery preamble for [[swapCompacted]]'s crash window: if the live
-    * table is missing, complete the swap (compacted copy present) or
-    * roll back (old copy present); stale leftovers beside a LIVE table
-    * are superseded copies and are dropped so the next swap's renames
-    * cannot silently no-op against an existing destination. */
-  private[operators] def recoverSwap(spark: SparkSession, table: String): Unit = {
-    val live = BulkOps.fileExists(spark, table)
-    val old = BulkOps.fileExists(spark, s"${table}_old")
-    val cmp = BulkOps.fileExists(spark, s"${table}_compact")
-    if (!live) {
-      if (cmp) require(BulkOps.renamePath(spark, s"${table}_compact", table),
-        s"could not complete the crashed swap of $table")
-      else if (old) require(BulkOps.renamePath(spark, s"${table}_old", table),
-        s"could not roll back the crashed swap of $table")
-      else throw new IllegalStateException(s"$table missing and no recovery copy found")
-    }
-    if (BulkOps.fileExists(spark, table)) {
-      if (old && BulkOps.fileExists(spark, s"${table}_old"))
-        BulkOps.deletePath(spark, s"${table}_old")
-      if (cmp && BulkOps.fileExists(spark, s"${table}_compact"))
-        BulkOps.deletePath(spark, s"${table}_compact")
-    }
   }
 
   /** Read the stored artifacts back. The partition column comes back as
@@ -398,7 +391,10 @@ object AnnIndexOps {
 
   /** Drop the per-JVM stored-index memo (the [[graft.Caching.release]]
     * analogue for the on-disk derived state). */
-  def clearIndexMemo(): Unit = graft.tools.IndexScratch.clearMemo("graft_annidx")
+  def clearIndexMemo(): Unit = {
+    graft.tools.IndexScratch.clearMemo("graft_annidx")
+    IndexLifecycle.clearIdsMemo()
+  }
 
   /** The `ann_served` fixture chain: build + write the index into a
     * fresh temp dir (memoized per corpus dir under the cache lifecycle),
@@ -411,6 +407,21 @@ object AnnIndexOps {
       nQueries: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val dir = memoizedDir(spark, "graft_annidx", sfDir)(d => writeIndex(emb, d))
+    servedTopK(spark, dir, fixtureQueries(spark, emb, nQueries), k, nprobe)
+  }
+
+  /** The SERVE-ONLY twin of [[annServed]]: identical semantics (same
+    * oracle BY DESIGN), but the index builds through
+    * [[graft.tools.IndexScratch.prebuiltDir]] — memoized even in the
+    * no-cache ScaleBench posture — so a min-of-passes measurement times
+    * the DPP-pruned serve path alone against prebuilt stored tables.
+    * This is the per-query cost a serving deployment pays at 100 TB;
+    * `ann_served` keeps measuring the full build-write-serve cycle. */
+  def annServeOnly(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = graft.tools.IndexScratch.prebuiltDir(spark, "graft_annidx_so", sfDir)(d =>
+      writeIndex(emb, d))
     servedTopK(spark, dir, fixtureQueries(spark, emb, nQueries), k, nprobe)
   }
 

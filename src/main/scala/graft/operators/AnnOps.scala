@@ -905,6 +905,7 @@ object AnnPack extends QueryPack {
     // write-then-serve: the same answer as ivfpq_res_t, produced from the
     // STORED index tables (equality with the fresh chain IS the claim)
     "ann_served" -> ((s, dir) => AnnIndexOps.annServed(s, dir)),
+    "ann_serve_only" -> ((s, dir) => AnnIndexOps.annServeOnly(s, dir)),
     // index maintenance faces: append-then-serve (quantizer fixed at the
     // initial fit), tombstone-masked serve, and the drift health census
     "ann_ingest" -> ((s, dir) => AnnIndexOps.annIngestServed(s, dir)),
@@ -1623,6 +1624,14 @@ object AnnPack extends QueryPack {
     // the served-index search must return the fresh-build chain's answer
     // bit-for-bit — same oracle as ivfpq_res_t BY DESIGN
     "ann_served" ->
+      s"""WITH $ivfPqResTrainedCtes
+         |SELECT qid, vec_id, adist_q, CAST(rnk AS INTEGER) AS rnk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist_q, vec_id) AS rnk
+         |  FROM trscored
+         |) WHERE rnk <= 5""".stripMargin,
+    // the serve-only twin answers identically (same stored-index serve,
+    // index prebuilt outside the timer) — same oracle BY DESIGN
+    "ann_serve_only" ->
       s"""WITH $ivfPqResTrainedCtes
          |SELECT qid, vec_id, adist_q, CAST(rnk AS INTEGER) AS rnk FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist_q, vec_id) AS rnk

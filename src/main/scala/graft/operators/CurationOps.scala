@@ -170,12 +170,16 @@ object CurationOps {
     * over that census (≤ shuffle-partitions rows, plan-gated); no task
     * ever holds the corpus, and the pin test is per-row arithmetic.
     *
-    * Cache note: the shuffled frame registers with the CacheManager
-    * UNCONDITIONALLY (the sortBounds discipline — correctness, not
-    * performance): repartitionByRange samples its boundaries per
-    * instantiation, and the prefix assembly reads the frame three times
-    * (local sums, offsets, total); all three must see ONE
-    * materialization. The entry is slim (doc_id, w, pri per doc). */
+    * Cache note: the shuffled frame is pinned through
+    * [[graft.Caching.pinForConsistency]] (the sortBounds discipline —
+    * correctness, not performance): repartitionByRange samples its
+    * boundaries per instantiation, and the prefix assembly reads the
+    * frame three times (local sums, offsets, total); all three must see
+    * ONE materialization. Cached when the session allows (released by
+    * Caching.release); an eager GC-released localCheckpoint when it
+    * does not, so no-cache scale runs pay — and measure — the
+    * materialization per call instead of timing a cache re-read. The
+    * pinned frame is slim (doc_id, w, pri per doc). */
   def ppsSample(docs: DataFrame, k: Long = 200L): DataFrame = {
     require(k > 0, s"sample size k must be positive, got $k")
     val weighted = docs.select(
@@ -183,9 +187,9 @@ object CurationOps {
       size(tokens(col("text"))).cast("long").as("w"),
       stableHash60(col("doc_id").cast("string")).as("pri"))
     val sortCols = Seq(col("pri"), col("doc_id"))
-    val parts = weighted.repartitionByRange(sortCols: _*)
-      .withColumn("pid", spark_partition_id())
-      .cache()
+    val parts = graft.Caching.pinForConsistency(
+      weighted.repartitionByRange(sortCols: _*)
+        .withColumn("pid", spark_partition_id()))
     val wLocal = Window.partitionBy("pid").orderBy(sortCols.map(_.asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = parts.withColumn("lc", sum(col("w")).over(wLocal))
@@ -230,11 +234,11 @@ object CurationOps {
       size(tokens(col("text"))).cast("long").as("w"),
       stableHash60(col("doc_id").cast("string")).as("pri"))
     val sortCols = Seq(col("source"), col("pri"), col("doc_id"))
-    // cached unconditionally: the sortBounds/ppsSample discipline — the
-    // three census reads must see ONE range-shuffle instantiation
-    val parts = weighted.repartitionByRange(sortCols: _*)
-      .withColumn("pid", spark_partition_id())
-      .cache()
+    // pinned (cache or eager checkpoint): the sortBounds/ppsSample
+    // discipline — three census reads, ONE range-shuffle instantiation
+    val parts = graft.Caching.pinForConsistency(
+      weighted.repartitionByRange(sortCols: _*)
+        .withColumn("pid", spark_partition_id()))
     val wLocal = Window.partitionBy("source", "pid")
       .orderBy(col("pri"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -173,12 +173,15 @@ object DataLayoutOps {
     * on the full tuple are interchangeable, so rank assignment across
     * partition boundaries cannot change any bucket's (count, max key).
     *
-    * Cache note: the shuffled sample registers with the CacheManager
-    * UNCONDITIONALLY (outside the `graft.cache.enabled` opt-out) — this
-    * one is correctness, not performance: range boundaries are sampled
-    * per instantiation, and the rank is assembled from three reads that
-    * must see the same instantiation. The entry is sample-sized;
-    * [[graft.Caching.release]] drops it like any other. */
+    * Cache note: the shuffled sample is pinned through
+    * [[graft.Caching.pinForConsistency]] — this one is correctness, not
+    * performance: range boundaries are sampled per instantiation, and
+    * the rank is assembled from three reads that must see the same
+    * instantiation. Cached (sample-sized entry, dropped by
+    * [[graft.Caching.release]]) when the session allows; an eager
+    * GC-released localCheckpoint in the no-cache bench posture, so
+    * scale runs measure the materialization instead of a cache
+    * re-read. */
   def sortBounds(
       df: DataFrame,
       keyCol: String,
@@ -195,16 +198,16 @@ object DataLayoutOps {
     // distributed exact global rank: disjoint key ranges per partition
     // (ascending partition id = ascending range), local row_number
     // inside each, plus the prefix sum of earlier partitions' counts.
-    // Cached UNCONDITIONALLY (not maybeCache): three consumers read this
-    // frame, and RangePartitioner samples its boundaries per
-    // instantiation — correctness of (lr, off, n) as one global rank
-    // requires all three to read the SAME shuffle materialization, not
-    // three re-sampled ones that exchange-reuse merely tends to unify.
+    // Pinned via pinForConsistency: three consumers read this frame,
+    // and RangePartitioner samples its boundaries per instantiation —
+    // correctness of (lr, off, n) as one global rank requires all three
+    // to read the SAME shuffle materialization, not three re-sampled
+    // ones that exchange-reuse merely tends to unify.
     // The frame is sample-sized (p% of slim key+id columns), so the
     // entry is small whatever the corpus.
-    val parts = sample.repartitionByRange(sortCols: _*)
-      .withColumn("pid", spark_partition_id())
-      .cache()
+    val parts = graft.Caching.pinForConsistency(
+      sample.repartitionByRange(sortCols: _*)
+        .withColumn("pid", spark_partition_id()))
     val wLocal = Window.partitionBy("pid").orderBy(sortCols.map(_.asc): _*)
     val ranked = parts.withColumn("lr", row_number().over(wLocal).cast("long"))
     val wOff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)

@@ -18,17 +18,34 @@ import org.apache.spark.sql.functions._
   * lifecycle, api/compactor/CompactionTask.java:44-73).
   *
   * Artifacts under `dir`:
+  *   - `mins` (doc_id, k, mh, mb): the slim per-permutation minima the
+  *     similarity ESTIMATE reads, PARTITIONED BY
+  *     `mb` = doc_id mod `mins_parts` — a serve reads only the
+  *     directories its CANDIDATE docs hash into (the candidate set is
+  *     bounded by bucketCap × batch bands, so its distinct `mb` set is a
+  *     bounded static In partition filter, plan-gated). Written FIRST on
+  *     every mutation: a torn append that landed `mins` but not `sigs`
+  *     is structurally invisible to serves (a doc without banded rows
+  *     can never become a candidate).
   *   - `sigs` (band, sig, doc_id, pb): the banded LSH layout, written
-  *     PARTITIONED BY `pb` = crc32(sig) mod [[BucketParts]] — a serve
+  *     PARTITIONED BY `pb` = crc32(sig) mod `bucket_parts` — a serve
   *     probes only the partitions its batch's signatures hash into
-  *     (a static In partition filter, the posting-list read pattern),
-  *     so a small ingest batch reads a few directories, never the index.
-  *   - `mins` (doc_id, k, mh): the slim per-permutation minima — the
-  *     16-bytes-per-doc signature store the similarity ESTIMATE reads
-  *     (runtime-pruned to candidate docs by a broadcast semi-join).
-  *   - `meta` (num_perms, band_size): the index is self-describing —
-  *     serves and appends read the dial from the index, so an index
-  *     written at 24/3 cannot be silently probed at 12/3.
+  *     (a static In partition filter, the posting-list read pattern).
+  *     `bucket_parts` is a SIZED dial (~[[SigRowsPerPart]] banded rows
+  *     per directory, up to 4096), so a small batch's distinct-pb set is
+  *     a real fraction of the index, not a vacuous ceiling; a batch
+  *     large enough to hash into every bucket reads the whole sigs
+  *     table, which is then genuinely its working set.
+  *   - `meta` (num_perms, band_size, bucket_parts, mins_parts): the
+  *     index is self-describing — serves and appends read the dials from
+  *     the index, so an index written at 24/3 cannot be silently probed
+  *     at 12/3. Mutation paths re-read the stored row (never trusting
+  *     the per-JVM memo), so a dir rewritten at a different dial by
+  *     another process cannot corrupt an append.
+  *   - `ids` + `ids_meta` + `pending`: the [[IndexLifecycle]] membership
+  *     sidecar and append protocol (idempotence under redelivery,
+  *     crash-safe torn-append healing) — shared with the ANN and BM25
+  *     indexes.
   *
   * Serve semantics: candidates collide on a stored (band, sig) bucket
   * (buckets over `bucketCap` members dropped whole — the
@@ -42,15 +59,20 @@ import org.apache.spark.sql.functions._
   */
 object DedupIndexOps {
 
-  /** Partition count of the banded signature table. Fixed and small so
-    * a serve's In-pruning stays bounded: the batch can touch at most
-    * [[BucketParts]] directories however large it is, and each
-    * directory is itself hash-parallel inside. */
-  val BucketParts = 32
+  /** Banded rows per `sigs` bucket directory — the `bucket_parts`
+    * sizing target. */
+  val SigRowsPerPart = 1024L
 
-  private def bandedWithPb(wide: DataFrame, numPerms: Int, bandSize: Int): DataFrame =
-    DedupOps.bandedFromWide(wide, numPerms, bandSize)
-      .withColumn("pb", pmod(crc32(col("sig")), lit(BucketParts.toLong)))
+  /** Minima rows per `mins` directory — the `mins_parts` sizing
+    * target. */
+  val MinRowsPerPart = 4096L
+
+  /** The stored dial row: (numPerms, bandSize, bucketParts, minsParts). */
+  final case class IndexMeta(numPerms: Int, bandSize: Int, bucketParts: Int, minsParts: Int)
+
+  private def bandedWithPb(wide: DataFrame, meta: IndexMeta): DataFrame =
+    DedupOps.bandedFromWide(wide, meta.numPerms, meta.bandSize)
+      .withColumn("pb", pmod(crc32(col("sig")), lit(meta.bucketParts.toLong)))
 
   private def slimFromWide(wide: DataFrame, numPerms: Int): DataFrame = {
     val kms = (0 until numPerms).map(k =>
@@ -60,13 +82,20 @@ object DedupIndexOps {
       .select(col("doc_id"), col("km.k").as("k"), col("km.mh").as("mh"))
   }
 
+  private def slimWithMb(wide: DataFrame, meta: IndexMeta): DataFrame =
+    slimFromWide(wide, meta.numPerms)
+      .withColumn("mb", pmod(col("doc_id"), lit(meta.minsParts.toLong)))
+
   /** Write the signature index for `docs` under `dir`: one corpus
     * aggregation feeds both artifacts (the wide minima frame is cached —
     * the banded and slim writes are its only two consumers). Docs
     * shorter than a shingle (< 3 tokens) have no signature and are
-    * absent, exactly as they are invisible to [[DedupOps.minhashLsh]].
-    * A fresh build invalidates any tombstone log from the dir's past
-    * life (the [[AnnIndexOps.writeIndex]] discipline). */
+    * absent, exactly as they are invisible to [[DedupOps.minhashLsh]] —
+    * they still COMMIT to the ids sidecar (the index is the authority on
+    * ids), so a redelivered sub-shingle doc is skipped, not retried.
+    * A fresh build invalidates any tombstone log and pending protocol
+    * state from the dir's past life (the [[AnnIndexOps.writeIndex]]
+    * discipline). */
   def writeIndex(docs: DataFrame, dir: String,
       numPerms: Int = DedupOps.MinhashK, bandSize: Int = DedupOps.BandSize): Unit = {
     require(numPerms > 0 && bandSize > 0 && numPerms % bandSize == 0,
@@ -74,87 +103,99 @@ object DedupIndexOps {
     val spark = docs.sparkSession
     val wide = graft.Caching.maybeCache(
       DedupOps.minhashWide(DedupOps.shinglePostings(docs), numPerms))
-    val banded = bandedWithPb(wide, numPerms, bandSize)
-    // a partitioned write of zero rows produces a directory no reader
+    // the doc count sizes both partition dials (one aggregate over the
+    // cached build frame — build-time cost, paid once per index life).
+    // A partitioned write of zero rows produces a directory no reader
     // can infer a schema from — an empty corpus is "no index", refused
-    // loudly rather than materialized unreadably
-    require(!wide.isEmpty,
+    // loudly rather than materialized unreadably.
+    val n = wide.count()
+    require(n > 0,
       s"writeIndex: no signable docs (every doc < 3 tokens?) — refusing to write an empty index at $dir")
-    BulkOps.writePath(banded, SaveMode.Overwrite).partitionBy("pb").save(s"$dir/sigs")
-    BulkOps.writePath(slimFromWide(wide, numPerms), SaveMode.Overwrite).save(s"$dir/mins")
+    val bands = numPerms / bandSize
+    val meta = IndexMeta(numPerms, bandSize,
+      IndexLifecycle.sizedParts(n * bands, SigRowsPerPart, 32, 4096),
+      IndexLifecycle.sizedParts(n * numPerms, MinRowsPerPart, 16, 4096))
+    // mins first (the torn-order contract), each clustered by its
+    // partition value before the write so file count tracks directory
+    // count instead of tasks × directories
+    BulkOps.writePath(slimWithMb(wide, meta).repartition(col("mb")), SaveMode.Overwrite)
+      .partitionBy("mb").save(s"$dir/mins")
+    BulkOps.writePath(bandedWithPb(wide, meta).repartition(col("pb")), SaveMode.Overwrite)
+      .partitionBy("pb").save(s"$dir/sigs")
     import spark.implicits._
     BulkOps.writePath(
-        Seq((numPerms.toLong, bandSize.toLong)).toDF("num_perms", "band_size"),
+        Seq((numPerms.toLong, bandSize.toLong, meta.bucketParts.toLong, meta.minsParts.toLong))
+          .toDF("num_perms", "band_size", "bucket_parts", "mins_parts"),
         SaveMode.Overwrite)
       .save(s"$dir/meta")
-    metaMemo.put(dir, (numPerms, bandSize))
+    metaMemo.put(dir, meta)
+    IndexLifecycle.writeIds(spark, dir, "doc_id", docs.select("doc_id"), n)
     if (BulkOps.fileExists(spark, s"$dir/tombstones"))
       BulkOps.deletePath(spark, s"$dir/tombstones")
   }
 
-  // the (numPerms, bandSize) dial per index dir, read once per JVM: the
-  // meta row is immutable except under [[writeIndex]] (which re-primes
-  // it — appendToIndex preserves the dial by contract). Single-writer
-  // assumption, like the stored-index memos: an index rewritten at a
-  // different dial by ANOTHER process requires clearIndexMemo() here.
-  private val metaMemo = new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+  // the dial row per index dir, read once per JVM for SERVES; mutation
+  // paths ([[appendToIndex]], [[compactIndex]]) re-read the stored row
+  // and re-prime, so a stale memo can never corrupt the index — it can
+  // only mis-probe a serve in a multi-process deployment that rewrites
+  // dirs out-of-band (call [[clearIndexMemo]] there; see DEPLOY.md).
+  private val metaMemo = new java.util.concurrent.ConcurrentHashMap[String, IndexMeta]()
 
-  private def readMeta(spark: SparkSession, dir: String): (Int, Int) =
-    metaMemo.computeIfAbsent(dir, { _ =>
-      // one bounded row — the index's self-description
-      val r = BulkOps.readPath(spark, s"$dir/meta").select("num_perms", "band_size").head()
-      (r.getLong(0).toInt, r.getLong(1).toInt)
-    })
+  private def readMetaFresh(spark: SparkSession, dir: String): IndexMeta = {
+    val r = BulkOps.readPath(spark, s"$dir/meta")
+      .select("num_perms", "band_size", "bucket_parts", "mins_parts").head()
+    val m = IndexMeta(r.getLong(0).toInt, r.getLong(1).toInt,
+      r.getLong(2).toInt, r.getLong(3).toInt)
+    metaMemo.put(dir, m)
+    m
+  }
+
+  private def readMeta(spark: SparkSession, dir: String): IndexMeta =
+    metaMemo.computeIfAbsent(dir, _ => readMetaFresh(spark, dir))
 
   /** Ingest INTO the stored index: signature the new batch with the
-    * STORED dial and append to both tables — per-doc signatures are
-    * row-independent by construction, so the appended index is
-    * bit-identical to a full rebuild over the union (the
-    * [[AnnIndexOps.appendToIndex]] equality, which for signatures is
-    * exact rather than quantizer-relative). New rows land inside their
-    * `pb` directories; existing files untouched.
+    * STORED dial (re-read from the index, not the memo — a mutation must
+    * never trust a possibly-stale JVM cache) and append to both tables —
+    * per-doc signatures are row-independent by construction, so the
+    * appended index is bit-identical to a full rebuild over the union
+    * (the [[AnnIndexOps.appendToIndex]] equality, which for signatures
+    * is exact rather than quantizer-relative). New rows land inside
+    * their `mb`/`pb` directories; existing files untouched.
     *
-    * IDEMPOTENT under redelivery: doc_ids already present in the index
-    * are skipped (an at-least-once ingest pipeline redelivering an
-    * indexed doc must not write a SECOND signature set — duplicate mins
-    * rows would double agreement counts and push est_e4 past 10⁴). The
-    * guard is PER TABLE — each write anti-joins its OWN one-row-per-doc
-    * slice (sigs band=0 / mins k=0), so even a TORN append (crash
-    * between the two writes) self-heals on redelivery: the table that
-    * landed skips, the table that didn't catches up. Guard shape at
-    * 100 TB: the stored slice is semi-joined against the BROADCAST
-    * batch ids first (a map-side scan whose output is bounded by the
-    * batch), then the batch anti-joins that bounded set — never a
-    * corpus-sized shuffle. The index is the authority on ids: a
-    * redelivered id with DIFFERENT text is still skipped, and a
-    * tombstoned id stays skipped (and masked) until [[compactIndex]]
-    * physically drops it — re-ingesting a deleted doc requires
-    * compacting first. */
+    * IDEMPOTENT under redelivery and crash-safe under torn multi-table
+    * writes via the [[IndexLifecycle]] protocol: already-committed
+    * doc_ids skip (duplicate mins rows would double agreement counts and
+    * push est_e4 past 10⁴), the steady-state guard is one ib-pruned
+    * sidecar probe (O(batch directories), never a corpus-sized slice),
+    * and after a crash the suspect ids — and only those — check each
+    * table's one-row slice so the table that landed skips and the table
+    * that didn't catches up. `mins` writes before `sigs`, so the only
+    * observable torn state is mins-without-sigs, which no serve can see.
+    * The index is the authority on ids: a redelivered id with DIFFERENT
+    * text is still skipped, and a tombstoned id stays skipped until
+    * [[compactIndex]] physically drops it — re-ingesting a deleted doc
+    * requires compacting first. */
   def appendToIndex(spark: SparkSession, dir: String, newDocs: DataFrame): Unit = {
-    val (numPerms, bandSize) = readMeta(spark, dir)
-    val batchIds = newDocs.select("doc_id")
-    // ids of THIS batch already present in `table` (bounded by the
-    // batch), via the table's one-row-per-doc slice
-    def freshIds(table: String, oneRowPred: org.apache.spark.sql.Column): DataFrame = {
-      val present = BulkOps.readPath(spark, s"$dir/$table")
-        .filter(oneRowPred).select("doc_id")
-        .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
-      batchIds.join(broadcast(present), Seq("doc_id"), "left_anti")
-    }
+    val meta = readMetaFresh(spark, dir)
     // one batch signature pass feeds both table writes (each filtered
-    // to ITS OWN missing ids)
+    // to the protocol's fresh-id frame)
     val wide = graft.Caching.maybeCache(
-      DedupOps.minhashWide(DedupOps.shinglePostings(newDocs), numPerms))
-    BulkOps.writePath(
-        bandedWithPb(wide, numPerms, bandSize)
-          .join(broadcast(freshIds("sigs", col("band") === 0)), Seq("doc_id"), "left_semi"),
-        SaveMode.Append)
-      .partitionBy("pb").save(s"$dir/sigs")
-    BulkOps.writePath(
-        slimFromWide(wide, numPerms)
-          .join(broadcast(freshIds("mins", col("k") === 0)), Seq("doc_id"), "left_semi"),
-        SaveMode.Append)
-      .save(s"$dir/mins")
+      DedupOps.minhashWide(DedupOps.shinglePostings(newDocs), meta.numPerms))
+    IndexLifecycle.appendGuarded(spark, dir, "doc_id", newDocs.select("doc_id"), Seq(
+      IndexLifecycle.GuardedTable("mins", col("k") === 0, fresh =>
+        BulkOps.writePath(
+            slimWithMb(wide, meta)
+              .join(broadcast(fresh), Seq("doc_id"), "left_semi")
+              .repartition(col("mb")),
+            SaveMode.Append)
+          .partitionBy("mb").save(s"$dir/mins")),
+      IndexLifecycle.GuardedTable("sigs", col("band") === 0, fresh =>
+        BulkOps.writePath(
+            bandedWithPb(wide, meta)
+              .join(broadcast(fresh), Seq("doc_id"), "left_semi")
+              .repartition(col("pb")),
+            SaveMode.Append)
+          .partitionBy("pb").save(s"$dir/sigs"))))
   }
 
   /** Dedup an arriving batch against the STORED index: returns
@@ -164,14 +205,19 @@ object DedupIndexOps {
     * (the [[DedupOps.incrNearDup]] contract: the index is the dedup
     * authority, the batch dedups against it).
     *
-    * Read shape at 100 TB: the batch's banded signatures are a bounded
-    * app input, broadcast against the stored `sigs` table — and the
-    * batch's distinct `pb` set (≤ [[BucketParts]] values by
-    * construction) is pushed as a STATIC In filter on the partition
-    * column (plan-gated), so the scan reads at most the batch's bucket
-    * directories. The `mins` read is semi-pruned to the
-    * candidate stored docs (bounded by bucketCap × batch bands). The
-    * corpus is never re-shingled, its text never read.
+    * Read shape at 100 TB — BOTH index reads are partition-pruned by
+    * bounded app materializations (plan-gated):
+    *   - `sigs`: the batch's distinct `pb` set (≤ its banded-row count,
+    *     ≤ bucket_parts) pushes as a STATIC In filter on the partition
+    *     column, so the scan reads the batch's bucket directories — a
+    *     real fraction of the sized dial for an ingest-sized batch.
+    *   - `mins`: the CANDIDATE doc set (bounded by bucketCap × batch
+    *     bands — the cap guard, not an optimizer estimate) yields a
+    *     bounded distinct `mb` set, pushed the same way; a broadcast
+    *     semi-join prunes rows inside the read directories. The
+    *     agreement stage therefore reads candidate-doc signatures, not
+    *     the corpus's.
+    * The corpus is never re-shingled, its text never read.
     *
     * Tombstone mask ([[deleteFromIndex]] log, if any) lands on the
     * PRUNED sigs read — above the partition pruning, below the bucket
@@ -181,18 +227,17 @@ object DedupIndexOps {
   def servedDupes(spark: SparkSession, dir: String, batch: DataFrame,
       thresholdE4: Long = 5000L, bucketCap: Long = DedupOps.MaxBandBucket,
       cacheBatch: Boolean = true): DataFrame = {
-    val (numPerms, bandSize) = readMeta(spark, dir)
+    val meta = readMeta(spark, dir)
     // cached: the batch minima feed the banded probe AND the agreement
     // join (streaming callers pass cacheBatch=false — a per-micro-batch
     // cache entry would accumulate forever, the servedTopK convention)
-    val wideB0 = DedupOps.minhashWide(DedupOps.shinglePostings(batch), numPerms)
+    val wideB0 = DedupOps.minhashWide(DedupOps.shinglePostings(batch), meta.numPerms)
     val wideB = if (cacheBatch) graft.Caching.maybeCache(wideB0) else wideB0
-    val bBanded = bandedWithPb(wideB, numPerms, bandSize)
-    val bSlim = slimFromWide(wideB, numPerms)
+    val bBanded = bandedWithPb(wideB, meta)
+    val bSlim = slimFromWide(wideB, meta.numPerms)
 
-    // STATIC partition pruning, guaranteed by construction: the batch
-    // can hash into at most [[BucketParts]] buckets, so its distinct pb
-    // set is a bounded (≤32-value) app materialization — pushed as an In
+    // STATIC partition pruning, guaranteed by construction: the batch's
+    // distinct pb set is a bounded app materialization — pushed as an In
     // filter on the RAW partition column (before any cast, so it reaches
     // the scan's PartitionFilters; plan-gated), rather than left to the
     // optimizer's DPP cost heuristic. An empty batch prunes everything.
@@ -216,9 +261,11 @@ object DedupIndexOps {
     // function of sig, so every (band, sig) group present is WHOLE and
     // its count equals the full-index count — the cap is exact
     val capped = DedupOps.capBuckets(pruned, Seq("band", "sig"), bucketCap)
-    // cached under the same flag as the batch minima: the agreement
-    // stage reads the pair list twice (the mins semi-prune + the main
-    // join); uncached (streaming), each reference re-runs the band join
+    // materialized ONCE whatever the posture: the agreement stage reads
+    // the bounded pair list three times (the mb partition probe, the
+    // mins semi-prune, the main join). Cached when the session allows
+    // (cross-pass reuse); localCheckpoint (eager, GC-released — no
+    // CacheManager entry to accumulate per trigger) when it doesn't
     val cand0 = capped
       .join(broadcast(bBanded.select(col("pb"), col("band"), col("sig"), col("doc_id"))),
         Seq("pb", "band", "sig"))
@@ -229,20 +276,28 @@ object DedupIndexOps {
       .filter(col("doc_id") =!= col("dup_of"))
       .select(col("doc_id"), col("dup_of"))
       .distinct()
-    val cand = if (cacheBatch) graft.Caching.maybeCache(cand0) else cand0
+    val cand = if (cacheBatch) graft.Caching.maybeCache(cand0)
+      else cand0.localCheckpoint(true)
 
     // agreement estimate from the stored slim signatures: K rows per
-    // candidate pair, stored side semi-pruned to candidate docs first
+    // candidate pair. The candidate docs' distinct mb set (bounded by
+    // the capped candidate count) prunes the mins read to their
+    // directories; the broadcast semi-join prunes rows within them.
+    val candDups = cand.select("dup_of").distinct()
+    val mbs = candDups
+      .select(pmod(col("dup_of"), lit(meta.minsParts.toLong)).as("mb"))
+      .distinct().collect().map(_.getLong(0).toInt).toSeq
     val mOld = BulkOps.readPath(spark, s"$dir/mins")
+      .filter(col("mb").isin(mbs: _*))
       .select(col("doc_id").as("dup_of"), col("k"), col("mh").as("mh_old"))
-      .join(broadcast(cand.select("dup_of").distinct()), Seq("dup_of"), "left_semi")
+      .join(broadcast(candDups), Seq("dup_of"), "left_semi")
     cand
       .join(mOld, Seq("dup_of"))
       .join(broadcast(bSlim.select(col("doc_id"), col("k"), col("mh").as("mh_new"))),
         Seq("doc_id", "k"))
       .groupBy("doc_id", "dup_of")
       .agg(sum(when(col("mh_old") === col("mh_new"), 1L).otherwise(0L)).as("agree"))
-      .withColumn("est_e4", expr(s"agree * 10000 DIV $numPerms"))
+      .withColumn("est_e4", expr(s"agree * 10000 DIV ${meta.numPerms}"))
       .filter(col("est_e4") >= thresholdE4)
       .select(col("doc_id"), col("dup_of"), col("est_e4"))
   }
@@ -291,16 +346,16 @@ object DedupIndexOps {
     * lineage must be truncated BEFORE the index mutates, or a lazy
     * re-read would re-serve against an index that now contains the
     * batch. Crash-rerun safe end-to-end: [[appendToIndex]] skips
-    * already-indexed ids, and [[servedDupes]] never matches a doc to
+    * already-committed ids, and [[servedDupes]] never matches a doc to
     * itself. */
   def gateAndIngest(spark: SparkSession, dir: String, batch: DataFrame,
       thresholdE4: Long = 5000L, bucketCap: Long = DedupOps.MaxBandBucket,
       cacheBatch: Boolean = true): DataFrame = {
-    val (numPerms, bandSize) = readMeta(spark, dir)
+    val meta = readMeta(spark, dir)
     // cacheBatch: the fixture reuses one batch plan per call (entries
     // converge); streaming passes false — per-trigger plans are distinct
     // and a cache entry per trigger would accumulate forever
-    val wide0 = DedupOps.minhashWide(DedupOps.shinglePostings(batch), numPerms)
+    val wide0 = DedupOps.minhashWide(DedupOps.shinglePostings(batch), meta.numPerms)
     val wide = if (cacheBatch) graft.Caching.maybeCache(wide0) else wide0
     def best(pairs: DataFrame): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
@@ -310,7 +365,7 @@ object DedupIndexOps {
     }
     val idx = best(servedDupes(spark, dir, batch, thresholdE4, bucketCap, cacheBatch))
       .withColumnRenamed("dup_of", "i_dup").withColumnRenamed("est_e4", "i_est")
-    val intra = best(batchDupes(wide, numPerms, bandSize, thresholdE4, bucketCap))
+    val intra = best(batchDupes(wide, meta.numPerms, meta.bandSize, thresholdE4, bucketCap))
       .withColumnRenamed("dup_of", "b_dup").withColumnRenamed("est_e4", "b_est")
     // a doc below shingle width has NO signature: it cannot match, and
     // the append cannot index it — its verdict says so honestly instead
@@ -348,17 +403,19 @@ object DedupIndexOps {
       Some(BulkOps.readPath(spark, s"$dir/tombstones").select("doc_id"))
     else None
 
-  /** Major compaction: rewrite `sigs` (keeping its pb partitioning, so
-    * pruned serves are unchanged after the swap) and `mins` minus the
-    * tombstoned docs, swap each in crash-safely
-    * ([[AnnIndexOps.swapCompacted]] — rename aside, rename in, every
+  /** Major compaction: rewrite `mins` and `sigs` (each keeping its
+    * partitioning, so pruned serves are unchanged after the swap) and
+    * the ids sidecar minus the tombstoned docs, swap each in crash-safely
+    * ([[IndexLifecycle.swapCompacted]] — rename aside, rename in, every
     * step checked), clear the log. Serve results are identical before
     * and after (mask and drop remove the same rows — the differential
     * DedupIndexSpec pins). Returns false on no-op. */
-  def compactIndex(spark: SparkSession, dir: String): Boolean =
-    AnnIndexOps.compactTables(spark, dir, "doc_id", Seq(
-      ("sigs", Seq("pb"), df => df.withColumn("pb", col("pb").cast("long"))),
-      ("mins", Nil, (df: DataFrame) => df)))
+  def compactIndex(spark: SparkSession, dir: String): Boolean = {
+    readMetaFresh(spark, dir) // re-prime the dial memo while we hold the mutation
+    IndexLifecycle.compactTables(spark, dir, "doc_id", Seq(
+      ("mins", Seq("mb"), df => df.withColumn("mb", col("mb").cast("long"))),
+      ("sigs", Seq("pb"), df => df.withColumn("pb", col("pb").cast("long")))))
+  }
 
   // ---- fixture chains (driver-contract queries) --------------------
 
@@ -377,6 +434,7 @@ object DedupIndexOps {
   def clearIndexMemo(): Unit = {
     graft.tools.IndexScratch.clearMemo("graft_dedupidx")
     metaMemo.clear()
+    IndexLifecycle.clearIdsMemo()
   }
 
   private def memoizedDir(spark: SparkSession, prefix: String, sfDir: String)
@@ -390,6 +448,22 @@ object DedupIndexOps {
       thresholdE4: Long = 5000L): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val dir = memoizedDir(spark, "graft_dedupidx", sfDir)(d =>
+      writeIndex(docs.filter(!batchPred), d))
+    servedDupes(spark, dir, docs.filter(batchPred), thresholdE4)
+  }
+
+  /** The SERVE-ONLY twin of [[dedupServed]]: identical semantics (same
+    * oracle BY DESIGN), but the index builds through
+    * [[graft.tools.IndexScratch.prebuiltDir]] — memoized even in the
+    * no-cache ScaleBench posture — so a min-of-passes measurement times
+    * the SERVE path alone against a prebuilt index. This is the number
+    * an ingest pipeline actually pays per batch at 100 TB; the
+    * `dedup_served` family keeps measuring the full build-write-serve
+    * cycle. */
+  def dedupServeOnly(spark: SparkSession, sfDir: String,
+      thresholdE4: Long = 5000L): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = graft.tools.IndexScratch.prebuiltDir(spark, "graft_dedupidx_so", sfDir)(d =>
       writeIndex(docs.filter(!batchPred), d))
     servedDupes(spark, dir, docs.filter(batchPred), thresholdE4)
   }
@@ -429,7 +503,7 @@ object DedupIndexOps {
     val pristine = memoizedDir(spark, "graft_dedupidx_gatep", sfDir)(d =>
       writeIndex(docs.filter(!batchPred), d))
     val work = graft.tools.IndexScratch.scratchFor("graft_dedupidx_gatew", sfDir)
-    graft.tools.IndexScratch.resetFromPristine(pristine, work)
+    graft.tools.IndexScratch.resetFromPristine(spark, pristine, work)
     gateAndIngest(spark, work, docs.filter(batchPred), thresholdE4)
   }
 

@@ -819,6 +819,7 @@ object DedupPack extends QueryPack {
     "longest_span" -> ((s, dir) => DedupOps.pairLongestSpan(d(s, dir))),
     "incr_dedup" -> ((s, dir) => DedupOps.incrDedup(d(s, dir), 25L)),
     "dedup_served" -> ((s, dir) => DedupIndexOps.dedupServed(s, dir)),
+    "dedup_serve_only" -> ((s, dir) => DedupIndexOps.dedupServeOnly(s, dir)),
     "dedup_served_ing" -> ((s, dir) => DedupIndexOps.dedupIngestServed(s, dir)),
     "dedup_served_del" -> ((s, dir) => DedupIndexOps.dedupDeleted(s, dir)),
     "dedup_gate" -> ((s, dir) => DedupIndexOps.dedupGateReport(s, dir)),
@@ -1095,6 +1096,9 @@ object DedupPack extends QueryPack {
   override def oracles: Map[String, String] = Map(
     "dedup_gate" -> gateSql,
     "dedup_served" -> servedIdxSql(s"NOT ($servedBatchSqlPred)"),
+    // the serve-only twin answers identically (same stored-index serve,
+    // index prebuilt outside the timer) — same oracle BY DESIGN
+    "dedup_serve_only" -> servedIdxSql(s"NOT ($servedBatchSqlPred)"),
     // append ≡ rebuild: same oracle BY DESIGN (per-doc signatures are
     // row-independent — the bm25_ingest equality convention)
     "dedup_served_ing" -> servedIdxSql(s"NOT ($servedBatchSqlPred)"),

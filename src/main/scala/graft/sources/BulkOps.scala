@@ -33,7 +33,23 @@ object BulkOps {
 
   private[graft] def readPath(spark: SparkSession, path: String): DataFrame = {
     requirePathAddressed(spark)
+    readAudit.get.foreach(_ += path)
     spark.read.format(Tables.sourceFormat(spark)).options(Tables.sourceOptions(spark)).load(path)
+  }
+
+  // test seam: record every path [[readPath]] touches while `f` runs —
+  // the index specs use it to pin WHICH stored tables a lifecycle op
+  // reads (e.g. a steady-state append probes the ids sidecar and never
+  // a data table). Thread-local, so parallel suites don't cross-record.
+  private val readAudit =
+    new ThreadLocal[Option[scala.collection.mutable.ArrayBuffer[String]]] {
+      override def initialValue: Option[scala.collection.mutable.ArrayBuffer[String]] = None
+    }
+
+  private[graft] def recordReads[T](f: => T): Seq[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    readAudit.set(Some(buf))
+    try { f; buf.toSeq } finally readAudit.set(None)
   }
 
   private[graft] def writePath(df: DataFrame, mode: SaveMode): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {

@@ -48,23 +48,42 @@ object IndexScratch {
   def clearMemo(prefix: String): Unit =
     memo.keySet.removeIf(_.startsWith(prefix))
 
+  /** Build ONCE per (prefix, key) regardless of the caching posture —
+    * the SERVE-ONLY fixture seam: unlike [[memoizedDir]] (whose no-cache
+    * branch deliberately rebuilds per call so ScaleBench times the full
+    * build-write-serve cycle), a prebuilt dir persists across bench
+    * passes, so a min-of-passes measurement isolates the serve path
+    * against stored tables built outside the timer. `build` must be
+    * idempotent under overwrite. */
+  def prebuiltDir(spark: org.apache.spark.sql.SparkSession,
+      prefix: String, key: String)(build: String => Unit): String =
+    memo.computeIfAbsent(s"$prefix|$key", { _ =>
+      val d = allocate(prefix)
+      build(d)
+      d
+    })
+
   /** Replace `dst` with a file-level copy of `src` — fixture machinery
     * for MUTATING-operator chains: each call starts from a pristine
     * index copy instead of paying a full rebuild, and the mutation never
-    * leaks into the next call. Driver-side local-fs walk: this moves
-    * index FILES (fixture-scale), it never computes over data. */
-  def resetFromPristine(src: String, dst: String): Unit = {
-    val from = java.nio.file.Paths.get(src)
-    val to = java.nio.file.Paths.get(dst)
-    deleteRecursively(to)
-    Files.createDirectories(to)
-    val walk = Files.walk(from)
-    try walk.forEach { p =>
-      val rel = to.resolve(from.relativize(p).toString)
-      if (Files.isDirectory(p)) Files.createDirectories(rel)
-      else Files.copy(p, rel,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    } finally walk.close()
+    * leaks into the next call. Routed through the Hadoop filesystem of
+    * the paths (the BulkOps seam's addressing), so the copy follows the
+    * same `fs.*` configuration as every other index read/write instead
+    * of assuming local java.nio paths. Driver-side file move
+    * (fixture-scale); it never computes over data. */
+  def resetFromPristine(spark: org.apache.spark.sql.SparkSession,
+      src: String, dst: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val from = new org.apache.hadoop.fs.Path(src)
+    val to = new org.apache.hadoop.fs.Path(dst)
+    val srcFs = from.getFileSystem(conf)
+    val dstFs = to.getFileSystem(conf)
+    if (dstFs.exists(to)) dstFs.delete(to, true)
+    dstFs.mkdirs(to.getParent)
+    require(
+      org.apache.hadoop.fs.FileUtil.copy(srcFs, from, dstFs, to,
+        /* deleteSource = */ false, /* overwrite = */ true, conf),
+      s"resetFromPristine: copy $src -> $dst failed")
   }
 
   private lazy val hookInstalled: Boolean = {

@@ -83,7 +83,13 @@ object ScaleBench {
     // source dimension, so groups GROW ×factor in size at fixed count —
     // the within-group scaling axis; group-count growth is events/user_id
     // territory, measured by len_quantiles_user)
-    "pps_sample_src")
+    "pps_sample_src",
+    // round-12 tail: the SERVE-ONLY stored-index families — the index is
+    // prebuilt once per (prefix, dir) even with caching off
+    // (IndexScratch.prebuiltDir), so pass 1 pays build+serve, pass 2
+    // serves alone, and the min-of-passes convention isolates the serve
+    // path: near-flat is the claim for the pruned/DPP/term-pruned reads
+    "dedup_serve_only", "ann_serve_only", "bm25_serve_only")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

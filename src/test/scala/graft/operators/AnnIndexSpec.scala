@@ -159,7 +159,7 @@ class AnnIndexSpec extends SparkSpec {
     val d1 = freshIndex()
     val expect = serve(d1).collect().toSet // masked serve (tombstones live)
     assert(BulkOps.renamePath(spark, s"$d1/postings", s"$d1/postings_old"))
-    AnnIndexOps.recoverSwap(spark, s"$d1/postings")
+    IndexLifecycle.recoverSwap(spark, s"$d1/postings")
     assert(BulkOps.fileExists(spark, s"$d1/postings"))
     assert(!BulkOps.fileExists(spark, s"$d1/postings_old"))
     assert(serve(d1).collect().toSet == expect, "rollback must restore the masked serve")
@@ -179,7 +179,7 @@ class AnnIndexSpec extends SparkSpec {
     BulkOps.writePath(keep, org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("center").save(s"$d2/postings_compact")
     assert(BulkOps.renamePath(spark, s"$d2/postings", s"$d2/postings_old"))
-    AnnIndexOps.recoverSwap(spark, s"$d2/postings")
+    IndexLifecycle.recoverSwap(spark, s"$d2/postings")
     assert(BulkOps.fileExists(spark, s"$d2/postings"))
     assert(!BulkOps.fileExists(spark, s"$d2/postings_old") &&
       !BulkOps.fileExists(spark, s"$d2/postings_compact"))
@@ -198,6 +198,103 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndexOps.compactIndex(spark, d3), "compaction must run through the stale leftover")
     assert(!BulkOps.fileExists(spark, s"$d3/postings_old"))
     assert(!BulkOps.fileExists(spark, s"$d3/tombstones"))
+  }
+
+  test("append guard is sidecar-pruned: a steady-state append never scans the postings") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = Files.createTempDirectory("graft_annidx_guardplan").toString
+    AnnIndexOps.writeIndex(emb.filter(col("vec_id") < 400), dir)
+    // with no crash evidence, the idempotence guard must probe the ids
+    // sidecar and never the postings table (the r11 sub=0 slice read) —
+    // the quantizer tables are legitimately read (the encode needs them)
+    val audited = graft.sources.BulkOps.recordReads {
+      AnnIndexOps.appendToIndex(spark, dir, emb.filter(col("vec_id") >= 400))
+    }
+    val storedReads = audited.filter(_.startsWith(dir))
+    assert(storedReads.exists(_.contains("/ids")), s"guard must probe the sidecar: $storedReads")
+    assert(!storedReads.exists(_.endsWith("/postings")),
+      s"steady-state append must not read the postings: $storedReads")
+  }
+
+  test("rebuild (the drift remedy): retrain-and-swap ≡ fresh build; crash windows roll forward") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val half = col("vec_id") < 400
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      .toDF("vec_id", "embedding")
+    def serve(dir: String) = AnnIndexOps.servedTopK(spark, dir, queries)
+
+    // the drifted deployment: index trained on half, the affine-shifted
+    // rest ingested through the stored (now ill-fitting) quantizer
+    val shifted = emb.filter(!half)
+      .withColumn("embedding", transform(col("embedding"), x => x * 3.0f + 0.5f))
+      .withColumn("vec_id", col("vec_id") + 10000L)
+      .select("vec_id", "embedding", "label")
+    val union = emb.filter(half).select("vec_id", "embedding", "label").unionByName(shifted)
+    val dir = Files.createTempDirectory("graft_annidx_rebuild").toString
+    AnnIndexOps.writeIndex(emb.filter(half), dir)
+    AnnIndexOps.appendToIndex(spark, dir, shifted)
+    val before = AnnIndexOps.quantizerDrift(spark, dir, shifted)
+      .filter(col("n_batch") > 0)
+      .agg(avg(col("drift_e4"))).collect()(0).getDouble(0)
+    assert(before > 20000, s"the shifted ingest must read as drifted, got $before")
+
+    // the remedy: retrain on the CURRENT corpus and swap
+    AnnIndexOps.rebuildIndex(spark, dir, union)
+    // differential: serving ≡ a fresh writeIndex over the same corpus
+    val ref = Files.createTempDirectory("graft_annidx_rebuildref").toString
+    AnnIndexOps.writeIndex(union, ref)
+    val a = serve(dir)
+    val b = serve(ref)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "post-rebuild serve must equal a fresh-build serve row-for-row")
+    // round trip: the same batch against the RETRAINED baseline reads ~1.0
+    val after = AnnIndexOps.quantizerDrift(spark, dir, shifted)
+      .filter(col("n_batch") > 0)
+      .agg(avg(col("drift_e4"))).collect()(0).getDouble(0)
+    assert(after > 2000 && after < 50000,
+      s"drift must return to ~10^4 after the retrain, got $after (was $before)")
+    // and the rebuilt sidecar guards appends (redelivery appends nothing)
+    AnnIndexOps.appendToIndex(spark, dir, shifted)
+    assert(graft.sources.BulkOps.readPath(spark, s"$dir/postings")
+      .groupBy("vec_id", "sub").count().filter(col("count") > 1).count() == 0,
+      "the rebuilt index must keep the idempotence guard intact")
+
+    // crash windows. Before the commit marker: the live index never
+    // changed — the next lifecycle op discards the staged copies
+    val d1 = Files.createTempDirectory("graft_annidx_rbcrash1").toString
+    AnnIndexOps.writeIndex(emb.filter(half), d1)
+    val expect1 = serve(d1).collect().toSet
+    IndexLifecycle.crashAt = Some("rebuild_stage")
+    try intercept[IllegalStateException] {
+      AnnIndexOps.rebuildIndex(spark, d1, union)
+    } finally IndexLifecycle.crashAt = None
+    assert(serve(d1).collect().toSet == expect1,
+      "a crash before the commit marker must leave the live index untouched")
+    AnnIndexOps.compactIndex(spark, d1) // any lifecycle op — discards stale _new copies
+    assert(!graft.sources.BulkOps.fileExists(spark, s"$d1/postings_new"),
+      "recovery must discard the uncommitted staged tables")
+    assert(serve(d1).collect().toSet == expect1)
+
+    // after the marker (mid-swap or before any swap): recovery must land
+    // ALL-new (a mixed old/new quantizer state is the failure mode this
+    // journal exists to exclude) — the next lifecycle entry point rolls
+    // forward from the surviving _new copies
+    Seq("rebuild_commit", "rebuild_codebook").foreach { step =>
+      val d2 = Files.createTempDirectory(s"graft_annidx_rbcrash_$step").toString
+      AnnIndexOps.writeIndex(emb.filter(half), d2)
+      IndexLifecycle.crashAt = Some(step)
+      try intercept[IllegalStateException] {
+        AnnIndexOps.rebuildIndex(spark, d2, union)
+      } finally IndexLifecycle.crashAt = None
+      AnnIndexOps.compactIndex(spark, d2) // recovery preamble rolls the swap forward
+      val c = serve(d2)
+      assert(c.exceptAll(b).count() == 0 && b.exceptAll(c).count() == 0,
+        s"crash at '$step': recovery must complete the rebuild and serve the fresh-build answer")
+    }
   }
 
   test("drift monitor: in-distribution batch reads ~1.0, a shifted batch reads high") {

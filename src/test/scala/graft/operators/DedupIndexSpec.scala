@@ -56,55 +56,57 @@ class DedupIndexSpec extends SparkSpec {
     afterDf.unpersist()
   }
 
-  test("TORN append self-heals: sigs landed, mins didn't, the redelivery completes both exactly") {
+  test("TORN append self-heals: a crash at EVERY protocol step converges after one redelivery") {
     import graft.sources.BulkOps
-    import org.apache.spark.sql.SaveMode
     val corpus = docs.filter(col("doc_id") >= 100)
     val batch = docs.filter(col("doc_id") < 100)
-    val dir = Files.createTempDirectory("graft_dedupidx_torn").toString
-    DedupIndexOps.writeIndex(corpus, dir)
-    // simulate the crash window: the batch's SIGS rows land, the mins
-    // write never runs
-    val wide = DedupOps.minhashWide(DedupOps.shinglePostings(batch), DedupOps.MinhashK)
-    val banded = DedupOps.bandedFromWide(wide, DedupOps.MinhashK, DedupOps.BandSize)
-      .withColumn("pb", pmod(crc32(col("sig")), lit(DedupIndexOps.BucketParts.toLong)))
-    BulkOps.writePath(banded, SaveMode.Append).partitionBy("pb").save(s"$dir/sigs")
-    // the at-least-once redelivery
-    DedupIndexOps.appendToIndex(spark, dir, batch)
     // reference: the same append on an untorn index
     val ref = Files.createTempDirectory("graft_dedupidx_tornref").toString
     DedupIndexOps.writeIndex(corpus, ref)
     DedupIndexOps.appendToIndex(spark, ref, batch)
-    Seq("sigs", "mins").foreach { t =>
-      val a = BulkOps.readPath(spark, s"$dir/$t").withColumn("pb0", lit(0))
-        .drop("pb").drop("pb0")
-      val b = BulkOps.readPath(spark, s"$ref/$t").withColumn("pb0", lit(0))
-        .drop("pb").drop("pb0")
+    // crash windows, in protocol order: after the pending marker, after
+    // the mins write (sigs never lands — the torn state serves must
+    // never see a candidate from), after the sigs write (the sidecar
+    // commit never runs), after the sidecar append (the marker stays)
+    Seq("pending", "mins", "sigs", "ids").foreach { step =>
+      val dir = Files.createTempDirectory(s"graft_dedupidx_torn_$step").toString
+      DedupIndexOps.writeIndex(corpus, dir)
+      IndexLifecycle.crashAt = Some(step)
+      try intercept[IllegalStateException] {
+        DedupIndexOps.appendToIndex(spark, dir, batch)
+      } finally IndexLifecycle.crashAt = None
+      // mins-before-sigs: whatever the crash step, a serve between crash
+      // and redelivery must never report a half-appended doc (a doc
+      // without banded rows cannot become a candidate)
+      val midServe = DedupIndexOps.servedDupes(spark, dir,
+        docs.filter(col("doc_id") < 100 && col("doc_id") % 2 === 0))
+      val sigDocs = BulkOps.readPath(spark, s"$dir/sigs").select("doc_id").distinct()
+      assert(midServe.join(sigDocs, midServe("dup_of") === sigDocs("doc_id"), "left_anti")
+        .count() == 0,
+        s"crash at '$step': a serve may only match docs whose sigs landed")
+      // the at-least-once redelivery completes exactly the missing writes
+      DedupIndexOps.appendToIndex(spark, dir, batch)
+      Seq("sigs", "mins").foreach { t =>
+        val a = BulkOps.readPath(spark, s"$dir/$t").drop("pb").drop("mb")
+        val b = BulkOps.readPath(spark, s"$ref/$t").drop("pb").drop("mb")
+        assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+          s"healed $t after a crash at '$step' must equal the untorn append exactly")
+      }
+      assert(BulkOps.readPath(spark, s"$dir/sigs")
+        .groupBy("doc_id", "band").count().filter(col("count") > 1).count() == 0,
+        s"crash at '$step': the redelivery must not duplicate a signature row")
+      assert(BulkOps.readPath(spark, s"$dir/mins")
+        .groupBy("doc_id", "k").count().filter(col("count") > 1).count() == 0,
+        s"crash at '$step': the redelivery must not duplicate a minima row")
+      // protocol state converged: the crashed attempt's marker is gone
+      val leftover = new java.io.File(s"$dir/pending")
+      assert(!leftover.exists() || leftover.listFiles().forall(_.getName.startsWith("_")),
+        s"crash at '$step': one redelivery must resolve every pending marker")
+      // and the healed index serves exactly what the untorn one serves
+      val a = DedupIndexOps.servedDupes(spark, dir, docs.filter(col("doc_id") < 50))
+      val b = DedupIndexOps.servedDupes(spark, ref, docs.filter(col("doc_id") < 50))
       assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
-        s"healed $t must equal the untorn append exactly")
-    }
-    assert(BulkOps.readPath(spark, s"$dir/sigs")
-      .groupBy("doc_id", "band").count().filter(col("count") > 1).count() == 0,
-      "the redelivery must not duplicate a single signature row")
-
-    // the mirror window: MINS landed, sigs didn't — the redelivery must
-    // catch sigs up without doubling mins
-    val dir2 = Files.createTempDirectory("graft_dedupidx_torn2").toString
-    DedupIndexOps.writeIndex(corpus, dir2)
-    BulkOps.writePath(
-        wide.select(col("doc_id"),
-          org.apache.spark.sql.functions.explode(
-            org.apache.spark.sql.functions.array((0 until DedupOps.MinhashK).map(k =>
-              struct(lit(k.toLong).as("k"), col(s"mh$k").as("mh"))): _*)).as("km"))
-          .select(col("doc_id"), col("km.k").as("k"), col("km.mh").as("mh")),
-        SaveMode.Append)
-      .save(s"$dir2/mins")
-    DedupIndexOps.appendToIndex(spark, dir2, batch)
-    Seq("sigs", "mins").foreach { t =>
-      val a = BulkOps.readPath(spark, s"$dir2/$t").drop("pb")
-      val b = BulkOps.readPath(spark, s"$ref/$t").drop("pb")
-      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
-        s"healed $t (mins-first window) must equal the untorn append exactly")
+        s"crash at '$step': healed serve must equal the untorn serve")
     }
   }
 
@@ -198,8 +200,38 @@ class DedupIndexSpec extends SparkSpec {
     assert(sigsScan.contains("PartitionFilters") &&
       (sigsScan.contains("pb#") && (sigsScan.contains(" IN ") || sigsScan.contains("INSET"))),
       s"the sigs scan must carry the batch-bucket partition filter:\n$plan")
+    // the CANDIDATE docs' bucket set prunes the mins scan the same way —
+    // the agreement stage reads candidate-doc directories, never the
+    // whole signature store (the r11 weak-shape fix, plan-gated)
+    val minsScan = plan.linesIterator
+      .dropWhile(l => !(l.contains("FileScan") && l.contains("/mins")))
+      .take(1).mkString
+    // (a single-bucket candidate set folds `In` to an equality — both
+    // forms are the same static prune)
+    val minsPf = minsScan.dropWhile(_ != 'P')
+      .replaceAll(".*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+    assert(minsScan.contains("PartitionFilters") && minsPf.contains("mb#") &&
+      (minsPf.contains(" IN ") || minsPf.contains("INSET") || minsPf.contains("= ")),
+      s"the mins scan must carry the candidate-bucket partition filter:\n$plan")
     // and the twin is found through the pruned read
     assert(served.filter(col("dup_of") === 100 && col("est_e4") === 10000).count() == 1)
+  }
+
+  test("append guard is sidecar-pruned: a steady-state append never scans the data tables") {
+    val corpus = docs.filter(col("doc_id") >= 100)
+    val dir = Files.createTempDirectory("graft_dedupidx_guardplan").toString
+    DedupIndexOps.writeIndex(corpus.filter(col("doc_id") % 2 === 0), dir)
+    // audit the reads an append issues: with no crash evidence the guard
+    // must probe the ids sidecar (ib-pruned) and read NOTHING ELSE of
+    // the stored index — the r11 per-batch band=0/k=0 slice scans are
+    // exactly what this pins down as gone
+    val audited = graft.sources.BulkOps.recordReads {
+      DedupIndexOps.appendToIndex(spark, dir, corpus.filter(col("doc_id") % 2 === 1))
+    }
+    val storedReads = audited.filter(p => p.startsWith(dir))
+    assert(storedReads.exists(_.contains("/ids")), s"guard must probe the sidecar: $storedReads")
+    assert(!storedReads.exists(p => p.endsWith("/sigs") || p.endsWith("/mins")),
+      s"steady-state append must not read a data table: $storedReads")
   }
 
   test("guards: empty corpus refused, empty/short batches serve empty") {
