@@ -141,17 +141,23 @@ object DedupIndexOps {
   // dirs out-of-band (call [[clearIndexMemo]] there; see DEPLOY.md).
   private val metaMemo = new java.util.concurrent.ConcurrentHashMap[String, IndexMeta]()
 
-  private def readMetaFresh(spark: SparkSession, dir: String): IndexMeta = {
+  private def loadMeta(spark: SparkSession, dir: String): IndexMeta = {
     val r = BulkOps.readPath(spark, s"$dir/meta")
       .select("num_perms", "band_size", "bucket_parts", "mins_parts").head()
-    val m = IndexMeta(r.getLong(0).toInt, r.getLong(1).toInt,
+    IndexMeta(r.getLong(0).toInt, r.getLong(1).toInt,
       r.getLong(2).toInt, r.getLong(3).toInt)
+  }
+
+  private def readMetaFresh(spark: SparkSession, dir: String): IndexMeta = {
+    val m = loadMeta(spark, dir)
     metaMemo.put(dir, m)
     m
   }
 
   private def readMeta(spark: SparkSession, dir: String): IndexMeta =
-    metaMemo.computeIfAbsent(dir, _ => readMetaFresh(spark, dir))
+    // loadMeta, not readMetaFresh: a put() for the same key inside
+    // computeIfAbsent deadlocks the map ("recursive update")
+    metaMemo.computeIfAbsent(dir, _ => loadMeta(spark, dir))
 
   /** Ingest INTO the stored index: signature the new batch with the
     * STORED dial (re-read from the index, not the memo — a mutation must

@@ -296,6 +296,73 @@ class RetrievalLayoutSpec extends SparkSpec {
     assert(again.exceptAll(b).count() == 0 && b.exceptAll(again).count() == 0)
   }
 
+  test("BM25 torn append self-heals: a crash at every protocol step converges after one redelivery") {
+    import graft.operators.{IndexLifecycle, RetrievalOps}
+    import graft.sources.BulkOps
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val oldSide = docs.filter(col("doc_id") >= 100)
+    val batch = docs.filter(col("doc_id") < 100)
+    val ref = java.nio.file.Files.createTempDirectory("graft_bm25_tornref").toString
+    RetrievalOps.bm25WriteIndex(oldSide, ref)
+    RetrievalOps.bm25AppendDocs(spark, ref, batch)
+    val refServe = RetrievalOps.bm25ServedTopK(spark, ref)
+    // protocol order: pending marker, lens (FIRST — a torn doc with a
+    // length but no postings perturbs only the corpus scalars, never a
+    // term's df), postings, sidecar commit
+    Seq("pending", "lens", "postings", "ids").foreach { step =>
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_bm25_torn_$step").toString
+      RetrievalOps.bm25WriteIndex(oldSide, dir)
+      IndexLifecycle.crashAt = Some(step)
+      try intercept[IllegalStateException] {
+        RetrievalOps.bm25AppendDocs(spark, dir, batch)
+      } finally IndexLifecycle.crashAt = None
+      // lens-first order: between crash and redelivery no batch doc may
+      // carry postings without a length (the df-inflating torn state)
+      val p = BulkOps.readPath(spark, s"$dir/postings").select("doc_id").distinct()
+      val l = BulkOps.readPath(spark, s"$dir/lens").select("doc_id")
+      assert(p.join(l, Seq("doc_id"), "left_anti").count() == 0,
+        s"crash at '$step': a doc with postings must always have its length row")
+      RetrievalOps.bm25AppendDocs(spark, dir, batch)
+      Seq("postings", "lens").foreach { t =>
+        val a = BulkOps.readPath(spark, s"$dir/$t")
+        val b = BulkOps.readPath(spark, s"$ref/$t")
+        assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+          s"healed $t after a crash at '$step' must equal the untorn append exactly")
+      }
+      val served = RetrievalOps.bm25ServedTopK(spark, dir)
+      assert(served.exceptAll(refServe).count() == 0 &&
+        refServe.exceptAll(served).count() == 0,
+        s"crash at '$step': the healed index must serve the untorn answer")
+    }
+  }
+
+  test("dial staleness: an index rewritten out-of-band appends at the STORED dial, not the memo") {
+    import graft.operators.DedupIndexOps
+    import graft.sources.BulkOps
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") >= 100 && col("doc_id") % 2 === 0)
+    // prime the per-JVM memo at the 24/3 dial
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedupidx_dial").toString
+    DedupIndexOps.writeIndex(corpus, dir, numPerms = 24, bandSize = 3)
+    assert(DedupIndexOps.servedDupes(spark, dir,
+      docs.filter(col("doc_id") < 50)).columns.nonEmpty)
+    // ANOTHER process rewrites the dir at the default 12/3 dial — the
+    // memo in THIS JVM is now stale. Simulate with a file-level copy of
+    // a 12/3 index into the same path.
+    val other = java.nio.file.Files.createTempDirectory("graft_dedupidx_dial2").toString
+    DedupIndexOps.writeIndex(corpus, other, numPerms = 12, bandSize = 3)
+    graft.tools.IndexScratch.resetFromPristine(spark, other, dir)
+    // a MUTATION must read the stored meta fresh: the append signatures
+    // at 12/3 (the rewritten index's truth), never the memoized 24/3
+    DedupIndexOps.appendToIndex(spark, dir,
+      docs.filter(col("doc_id") >= 100 && col("doc_id") % 2 === 1))
+    val mins = BulkOps.readPath(spark, s"$dir/mins")
+    assert(mins.select(max(col("k"))).head().getLong(0) == 11,
+      "append must use the stored dial, not the stale memo")
+    assert(mins.groupBy("doc_id").count().filter(col("count") =!= 12).count() == 0,
+      "every doc must carry exactly the rewritten index's 12 minima")
+  }
+
   test("sort bounds: distributed NTILE equals the single-window reference on adversarial sizes") {
     val s = spark
     import s.implicits._

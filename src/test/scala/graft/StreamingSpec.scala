@@ -239,6 +239,72 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gate stream trigger replay: a mid-append crash replays to an exactly-once effect") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.IndexLifecycle
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate_replay").toString
+    val corpusText = "a b c d e f g h"
+    val novelText = "r1 r2 r3 r4 r5 r6 r7 r8"
+    graft.operators.DedupIndexOps.writeIndex(
+      Seq((1000L, corpusText), (1001L, "p q r s t u v w")).toDF("doc_id", "text"), dir)
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val verdicts = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_gate_replay_ck").toString
+    def start() = StreamingOps.dedupIngestGateStream(df, dir, ckpt, (rep, bid) =>
+      verdicts.synchronized { verdicts ++= rep.collect().map(r =>
+        (bid, r.getLong(0), r.getString(1))) })
+    // trigger 1 CRASHES inside the append after the mins write landed —
+    // the worst torn window: the report is already local-checkpointed
+    // (lineage truncated before the index mutates) but not yet emitted,
+    // and the derived state is half-written
+    IndexLifecycle.crashAt = Some("mins")
+    val q1 = start()
+    input.addData((1L, corpusText), (2L, novelText))
+    try intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    } finally { IndexLifecycle.crashAt = None; q1.stop() }
+    // between crash and replay, NOTHING half-appended may serve: doc 2's
+    // mins landed but its sigs did not, so it cannot be a candidate
+    val midServe = graft.operators.DedupIndexOps.servedDupes(
+      spark, dir, Seq((99L, novelText)).toDF("doc_id", "text"))
+    assert(midServe.count() == 0,
+      "a torn gate append must be invisible to serves until the replay")
+    // the restart REPLAYS the uncommitted trigger from the checkpoint
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // and a later trigger sees the (now committed) survivor
+      input.addData((3L, novelText))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = verdicts.synchronized(verdicts.toList)
+    // the sink sees each verdict exactly ONCE: emit runs after
+    // gateAndIngest returns, so the crashed trigger emitted nothing and
+    // the replay is the only emission — and its verdicts are the ones
+    // the untorn trigger would have produced (crash-rerun safety:
+    // served dupes never self-match, the append self-heals)
+    assert(got.count(v => v._2 == 1L && v._3 == "dup_index") == 1 &&
+      got.count(v => v._2 == 2L && v._3 == "ingested") == 1 &&
+      got.count(v => v._2 == 1L) == 1 && got.count(v => v._2 == 2L) == 1,
+      s"the replayed trigger must emit the untorn verdicts exactly once: $got")
+    assert(got.exists(v => v._2 == 3L && v._3 == "dup_index"),
+      s"the post-replay trigger must see the committed survivor: $got")
+    // exactly-once in effect: one signature set per doc, no leftovers
+    Seq(("mins", "k"), ("sigs", "band")).foreach { case (t, c) =>
+      assert(graft.sources.BulkOps.readPath(spark, s"$dir/$t")
+        .groupBy("doc_id", c).count()
+        .filter(org.apache.spark.sql.functions.col("count") > 1).count() == 0,
+        s"replay must not double a single $t row")
+    }
+    val minsDocs = graft.sources.BulkOps.readPath(spark, s"$dir/mins")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(minsDocs == Set(1000L, 1001L, 2L),
+      s"exactly the gate survivors may be committed: $minsDocs")
+  }
+
   test("online ingest-dedup: streamed doc batches equal the batch serve over the union") {
     val s = spark
     import s.implicits._

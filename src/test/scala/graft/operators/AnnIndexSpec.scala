@@ -200,6 +200,32 @@ class AnnIndexSpec extends SparkSpec {
     assert(!BulkOps.fileExists(spark, s"$d3/tombstones"))
   }
 
+  test("TORN append self-heals: a crash at every protocol step converges after one redelivery") {
+    import graft.sources.BulkOps
+    val emb = Tables.embeddings(spark, sf)
+    val old = emb.filter(col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400)
+    val ref = Files.createTempDirectory("graft_annidx_tornref").toString
+    AnnIndexOps.writeIndex(old, ref)
+    AnnIndexOps.appendToIndex(spark, ref, batch)
+    Seq("pending", "postings", "ids").foreach { step =>
+      val dir = Files.createTempDirectory(s"graft_annidx_torn_$step").toString
+      AnnIndexOps.writeIndex(old, dir)
+      IndexLifecycle.crashAt = Some(step)
+      try intercept[IllegalStateException] {
+        AnnIndexOps.appendToIndex(spark, dir, batch)
+      } finally IndexLifecycle.crashAt = None
+      AnnIndexOps.appendToIndex(spark, dir, batch)
+      val a = BulkOps.readPath(spark, s"$dir/postings").drop("center")
+      val b = BulkOps.readPath(spark, s"$ref/postings").drop("center")
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"healed postings after a crash at '$step' must equal the untorn append")
+      assert(BulkOps.readPath(spark, s"$dir/postings")
+        .groupBy("vec_id", "sub").count().filter(col("count") > 1).count() == 0,
+        s"crash at '$step': the redelivery must not double-code a vector")
+    }
+  }
+
   test("append guard is sidecar-pruned: a steady-state append never scans the postings") {
     val emb = Tables.embeddings(spark, sf)
     val dir = Files.createTempDirectory("graft_annidx_guardplan").toString
