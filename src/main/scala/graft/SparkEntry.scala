@@ -44,7 +44,8 @@ object SparkEntry {
     graft.operators.ScrubPack,
     graft.operators.LmPack,
     graft.operators.SketchPack,
-    graft.operators.PngPack
+    graft.operators.PngPack,
+    graft.operators.JpegPack
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {

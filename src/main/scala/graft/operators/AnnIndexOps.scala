@@ -178,8 +178,10 @@ object AnnIndexOps {
     * only those — check the sub=0 slice. A tombstoned vec_id stays
     * skipped (and masked) until [[compactIndex]] drops it physically. */
   def appendToIndex(spark: SparkSession, dir: String, newVectors: DataFrame): Unit = {
-    val cents = BulkOps.readPath(spark, s"$dir/centroids")
-    val cb = BulkOps.readPath(spark, s"$dir/codebook")
+    // the quantizer tables are immutable between builds/rebuilds (both
+    // of which invalidate), so the append can read them via the handles
+    val cents = IndexLifecycle.servingHandle(spark, dir, "centroids")
+    val cb = IndexLifecycle.servingHandle(spark, dir, "codebook")
     IndexLifecycle.appendGuarded(spark, dir, "vec_id", newVectors.select("vec_id"), Seq(
       IndexLifecycle.GuardedTable("postings", col("sub") === 0, fresh =>
         BulkOps.writePath(
@@ -256,9 +258,9 @@ object AnnIndexOps {
     * maintenance (reference: api/meta/TechnicalMeta.java:167-186). */
   def quantizerDrift(spark: SparkSession, dir: String, batch: DataFrame,
       cacheDims: Boolean = true): DataFrame = {
-    val cents = BulkOps.readPath(spark, s"$dir/centroids")
-    val cb = BulkOps.readPath(spark, s"$dir/codebook")
-    val train = BulkOps.readPath(spark, s"$dir/err_census")
+    val cents = IndexLifecycle.servingHandle(spark, dir, "centroids")
+    val cb = IndexLifecycle.servingHandle(spark, dir, "codebook")
+    val train = IndexLifecycle.servingHandle(spark, dir, "err_census")
       .select(col("center").cast("long").as("center"), col("n").as("n_train"),
         col("sum_err").cast("decimal(38,0)").as("sum_train"), col("max_err").as("max_train"))
     val bc = errorCensus(encodeWithError(batch, cents, cb, cacheDims))
@@ -334,9 +336,9 @@ object AnnIndexOps {
     * the discovery-inferred integer type — normalized to the written
     * LONG so served joins are type-identical to fresh ones. */
   def readIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
-    val cents = BulkOps.readPath(spark, s"$dir/centroids")
-    val cb = BulkOps.readPath(spark, s"$dir/codebook")
-    val postings = BulkOps.readPath(spark, s"$dir/postings")
+    val cents = IndexLifecycle.servingHandle(spark, dir, "centroids")
+    val cb = IndexLifecycle.servingHandle(spark, dir, "codebook")
+    val postings = IndexLifecycle.servingHandle(spark, dir, "postings")
       .withColumn("center", col("center").cast("long"))
     (cents, cb, postings)
   }

@@ -990,6 +990,12 @@ object DedupPack extends QueryPack {
     * (per-doc signatures are row-independent, so build-then-append IS
     * the full build — the bm25_ingest convention). */
   private def servedIdxSql(corpusPred: String): String =
+    servedIdxSqlB(corpusPred, servedBatchSqlPred)
+
+  /** [[servedIdxSql]] with an independent BATCH predicate — the
+    * serve-only twin caps its batch to a fixed id range (see
+    * [[DedupIndexOps.ServeOnlyIdCap]]). */
+  private def servedIdxSqlB(corpusPred: String, batchPred: String): String =
     s"""WITH $postingsSql,
        |$minhashSigSql,
        |sigc AS (
@@ -999,7 +1005,7 @@ object DedupPack extends QueryPack {
        |    FROM sigs s WHERE $corpusPred
        |  ) WHERE bsz <= ${DedupOps.MaxBandBucket}
        |),
-       |sigb AS (SELECT doc_id, band, sig FROM sigs WHERE $servedBatchSqlPred),
+       |sigb AS (SELECT doc_id, band, sig FROM sigs WHERE $batchPred),
        |cand AS (
        |  SELECT DISTINCT b.doc_id AS doc_id, c.doc_id AS dup_of
        |  FROM sigb b JOIN sigc c ON b.band = c.band AND b.sig = c.sig
@@ -1096,9 +1102,11 @@ object DedupPack extends QueryPack {
   override def oracles: Map[String, String] = Map(
     "dedup_gate" -> gateSql,
     "dedup_served" -> servedIdxSql(s"NOT ($servedBatchSqlPred)"),
-    // the serve-only twin answers identically (same stored-index serve,
-    // index prebuilt outside the timer) — same oracle BY DESIGN
-    "dedup_serve_only" -> servedIdxSql(s"NOT ($servedBatchSqlPred)"),
+    // the serve-only twin: same stored-index serve, index prebuilt
+    // outside the timer, batch capped to a FIXED id range so the scale
+    // family measures a constant batch against a growing index
+    "dedup_serve_only" -> servedIdxSqlB(s"NOT ($servedBatchSqlPred)",
+      s"($servedBatchSqlPred) AND doc_id < ${DedupIndexOps.ServeOnlyIdCap}"),
     // append ≡ rebuild: same oracle BY DESIGN (per-doc signatures are
     // row-independent — the bm25_ingest equality convention)
     "dedup_served_ing" -> servedIdxSql(s"NOT ($servedBatchSqlPred)"),

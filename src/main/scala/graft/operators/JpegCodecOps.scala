@@ -1,0 +1,736 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** REAL baseline-JPEG pixel decode — the closure of the one codec seam
+  * [[PngCodecOps]] left open: PNG got a real zlib decode in round 11 and
+  * its scaladoc documented JPEG's entropy-coded DCT data as the
+  * remaining honest boundary. This operator closes it for the
+  * grayscale baseline-sequential profile: a full marker walk
+  * (SOI/APPn/COM/DQT/SOF0/DHT/SOS/EOI), a REAL Huffman entropy decode
+  * (canonical tables rebuilt from the file's own DHT segments per the
+  * standard's Annex F decode procedure, MSB-first bit reader with
+  * 0xFF00 byte-unstuffing), DC prediction, run-length AC decode
+  * (EOB/ZRL), zigzag inverse, dequantization, and a separable IDCT —
+  * all through `mapPartitions` (the [[PngCodecOps]] argument verbatim:
+  * a bit-level stateful entropy stream does not belong in an expression
+  * tree; a per-partition loop over plain JVM code is the canonical
+  * batched-decode shape, scan-local, pure map parallelism at 100 TB).
+  *
+  * Honest scope, stated: baseline sequential, 8-bit, single-component
+  * grayscale AND 3-component 4:4:4 color (interleaved-MCU YCbCr with
+  * per-component quant/Huffman selectors and DC predictors, the JFIF
+  * YCbCr→RGB conversion at the end). CHROMA-SUBSAMPLED color (4:2:0 —
+  * the common camera layout, which needs fractional-block upsampling),
+  * progressive scans and restart markers return 'corrupt' rather than
+  * pretending — the same explicit-boundary discipline as
+  * [[MultimodalOps]]'s header walks, now moved one real layer deeper.
+  *
+  * Correctness is pinned twice, the [[PngCodecOps]] convention:
+  *   - the ORACLE fixtures are block-constant rasters (one value per
+  *     8×8 block, closed-form in (doc_id, bx, by)) encoded with a DC
+  *     quantization step of exactly 8 — a constant block's forward DCT
+  *     is DC = 8·(v−128) with zero AC energy, so quantization is
+  *     LOSSLESS for them and the decode must recover the formula
+  *     EXACTLY, through real Huffman bytes, real byte stuffing and real
+  *     DC prediction chains (the DuckDB oracle recomputes the stats
+  *     codec-free, as with `png_pixels`);
+  *   - JpegCodecSpec encodes fully-textured rasters (every AC path,
+  *     negative coefficients, ZRL runs) and cross-decodes them with
+  *     `javax.imageio` — an independent JPEG implementation — asserting
+  *     per-pixel agreement within ±2 (the IDCT is approximation-defined
+  *     by the standard: libjpeg's fixed-point islow vs this decoder's
+  *     double-precision transform may legitimately differ by ±1 each;
+  *     bit-exactness across implementations is NOT a JPEG property,
+  *     which is exactly why the oracle path uses the lossless
+  *     block-constant profile).
+  *
+  * The encoder writes its OWN canonical Huffman tables into DHT (12 DC
+  * categories at length 5, the 162 baseline AC symbols at length 8)
+  * rather than hard-coding the standard's example tables — any
+  * spec-valid table is a correct JPEG, the decoder must read tables
+  * from the file anyway (that is the load-bearing path for real-world
+  * files), and ImageIO accepting these files is the proof the encoding
+  * is standard-conformant. */
+object JpegCodecOps {
+
+  /** Dims guard before any allocation (the [[PngCodecOps.MaxSamples]]
+    * discipline). */
+  val MaxSamples: Long = 1L << 22
+
+  // ---- fixture shapes -------------------------------------------------
+
+  private[operators] def fixtureDims(docId: Long): (Int, Int) =
+    ((docId % 20 + 4).toInt, (docId % 14 + 4).toInt)
+
+  /** The closed-form block-constant sample: every pixel of block
+    * (bx, by) carries this value — lossless under a DC quant step of 8,
+    * so the decoded raster IS the formula. */
+  private[operators] def fixtureSample(docId: Long, bx: Int, by: Int): Int =
+    ((docId * 37 + bx * 11 + by * 23) % 256).toInt
+
+  /** The color twin's block-constant YCbCr planes (c = 0 Y, 1 Cb,
+    * 2 Cr) — fed to the encoder IN YCbCr (no RGB roundtrip), so the DCT
+    * path stays lossless and the only arithmetic between the formula
+    * and the decoded RGB is the spec-defined conversion the oracle
+    * mirrors. */
+  private[operators] def fixtureYcc(docId: Long, c: Int, bx: Int, by: Int): Int = c match {
+    case 0 => ((docId * 37 + bx * 11 + by * 23) % 256).toInt
+    case 1 => ((docId * 13 + bx * 7 + by * 5) % 256).toInt
+    case _ => ((docId * 29 + bx * 3 + by * 19) % 256).toInt
+  }
+
+  // ---- encoder (fixture-side; a real baseline JFIF writer) -----------
+
+  private val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Quantization table, zigzag order: DC step 8 (the lossless dial for
+    * block-constant fixtures), AC steps 16. */
+  private[operators] val QuantZig: Array[Int] =
+    Array.tabulate(64)(i => if (i == 0) 8 else 16)
+
+  // canonical Huffman tables the encoder writes into DHT:
+  // DC: 12 category symbols, all code length 5 (codes 00000..01011 —
+  // never the all-ones code). AC: the 162 baseline (run,size) symbols
+  // in standard symbol order, all code length 8 (codes 0..161).
+  private val DcBits: Array[Int] = { val b = new Array[Int](17); b(5) = 12; b }
+  private val DcVals: Array[Int] = (0 to 11).toArray
+  private val AcBits: Array[Int] = { val b = new Array[Int](17); b(8) = 162; b }
+  private val AcVals: Array[Int] = {
+    val syms = scala.collection.mutable.ArrayBuffer.empty[Int]
+    syms += 0x00 // EOB
+    for (r <- 0 to 15; s <- 1 to 10) syms += ((r << 4) | s)
+    syms += 0xF0 // ZRL
+    syms.toArray
+  }
+
+  /** Canonical code assignment (C.2): symbols in table order get
+    * increasing codes within increasing lengths. Returns
+    * symbol -> (code, length). */
+  private def canonicalCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var k = 0
+    val out = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+    for (len <- 1 to 16) {
+      for (_ <- 0 until bits(len)) {
+        out(vals(k)) = (code, len)
+        code += 1
+        k += 1
+      }
+      code <<= 1
+    }
+    out.toMap
+  }
+
+  private val DcCodes = canonicalCodes(DcBits, DcVals)
+  private val AcCodes = canonicalCodes(AcBits, AcVals)
+
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream
+    private var acc = 0
+    private var nbits = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1)
+        nbits += 1
+        if (nbits == 8) {
+          out.write(acc)
+          if (acc == 0xFF) out.write(0x00) // byte stuffing
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    def finish(): Array[Byte] = {
+      // pad the final partial byte with 1-bits (F.1.2.3)
+      if (nbits > 0) {
+        acc = (acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)
+        out.write(acc)
+        if (acc == 0xFF) out.write(0x00)
+      }
+      out.toByteArray
+    }
+  }
+
+  /** JPEG magnitude category (number of bits) of a value. */
+  private def category(v: Int): Int = {
+    var a = math.abs(v); var n = 0
+    while (a != 0) { a >>= 1; n += 1 }
+    n
+  }
+
+  /** Append `v` in the standard's signed-magnitude bit form: positive
+    * values verbatim, negative values as v-1 in `category(v)` low bits
+    * (F.1.2.1.1/F.12). */
+  private def putAmplitude(bw: BitWriter, v: Int): Unit = {
+    val t = category(v)
+    if (t > 0) bw.put(if (v >= 0) v else v + (1 << t) - 1, t)
+  }
+
+  private def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+    Array(0xFF.toByte, marker.toByte,
+      (((payload.length + 2) >> 8) & 0xff).toByte,
+      ((payload.length + 2) & 0xff).toByte) ++ payload
+
+  private def dhtPayload(tc: Int, th: Int, bits: Array[Int], vals: Array[Int]): Array[Byte] =
+    Array(((tc << 4) | th).toByte) ++
+      (1 to 16).map(l => bits(l).toByte).toArray ++ vals.map(_.toByte)
+
+  /** One block's forward DCT + quantize + entropy encode; returns the
+    * new DC predictor. */
+  private def encodeBlock(bw: BitWriter, s: Array[Array[Int]], pred: Int): Int = {
+    val coef = new Array[Int](64)
+    for (u <- 0 until 8; v <- 0 until 8) {
+      var acc = 0.0
+      for (y <- 0 until 8; x <- 0 until 8)
+        acc += s(y)(x) *
+          math.cos((2 * x + 1) * v * math.Pi / 16) *
+          math.cos((2 * y + 1) * u * math.Pi / 16)
+      val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+      val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
+      coef(u * 8 + v) = math.round(acc * cu * cv / 4).toInt
+    }
+    // quantize in zigzag order
+    val zz = Array.tabulate(64)(i =>
+      math.round(coef(ZigZag(i)).toDouble / QuantZig(i)).toInt)
+    // DC: category + amplitude of the prediction diff
+    val diff = zz(0) - pred
+    val (dcode, dlen) = DcCodes(category(diff))
+    bw.put(dcode, dlen)
+    putAmplitude(bw, diff)
+    // AC: run-length of zeros + category, EOB/ZRL
+    var k = 1
+    var run = 0
+    while (k < 64) {
+      if (zz(k) == 0) run += 1
+      else {
+        while (run > 15) { val (c, l) = AcCodes(0xF0); bw.put(c, l); run -= 16 }
+        val t = category(zz(k))
+        val (c, l) = AcCodes((run << 4) | t)
+        bw.put(c, l)
+        putAmplitude(bw, zz(k))
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) { val (c, l) = AcCodes(0x00); bw.put(c, l) }
+    zz(0)
+  }
+
+  /** Encode 8-bit component PLANES as a baseline JFIF file: forward DCT
+    * per 8×8 block (edge pixels replicated), 4:4:4 interleaved MCUs
+    * (one block per component, each with its own DC predictor),
+    * Huffman-encoded with the object's canonical tables. `ncomp` 1 =
+    * grayscale, 3 = YCbCr (JFIF semantics — `comp(c, x, y)` supplies
+    * the c-th COMPONENT value, already in YCbCr for color). A REAL,
+    * ImageIO-readable JPEG. */
+  private[operators] def encodeJpegPlanar(
+      w: Int, h: Int, ncomp: Int, comp: (Int, Int, Int) => Int): Array[Byte] = {
+    require(ncomp == 1 || ncomp == 3)
+    val bw = new BitWriter
+    val blocksX = (w + 7) / 8
+    val blocksY = (h + 7) / 8
+    val pred = new Array[Int](ncomp)
+    for (by <- 0 until blocksY; bx <- 0 until blocksX; c <- 0 until ncomp) {
+      val s = Array.tabulate(8, 8)((y, x) =>
+        comp(c, math.min(bx * 8 + x, w - 1), math.min(by * 8 + y, h - 1)) - 128)
+      pred(c) = encodeBlock(bw, s, pred(c))
+    }
+    val app0 = "JFIF".getBytes("US-ASCII") ++
+      Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+    val dqt = Array(0x00.toByte) ++ QuantZig.map(_.toByte)
+    val sof0 = Array[Byte](8,
+      ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+      ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+      ncomp.toByte) ++
+      (1 to ncomp).flatMap(id => Seq(id.toByte, 0x11.toByte, 0.toByte)).toArray
+    val sos = Array[Byte](ncomp.toByte) ++
+      (1 to ncomp).flatMap(id => Seq(id.toByte, 0x00.toByte)).toArray ++
+      Array[Byte](0, 63, 0)
+    Array(0xFF.toByte, 0xD8.toByte) ++ // SOI
+      seg(0xE0, app0) ++
+      seg(0xDB, dqt) ++
+      seg(0xC0, sof0) ++
+      seg(0xC4, dhtPayload(0, 0, DcBits, DcVals)) ++
+      seg(0xC4, dhtPayload(1, 0, AcBits, AcVals)) ++
+      seg(0xDA, sos) ++
+      bw.finish() ++
+      Array(0xFF.toByte, 0xD9.toByte) // EOI
+  }
+
+  /** Grayscale convenience face of [[encodeJpegPlanar]]. */
+  private[operators] def encodeJpeg(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] =
+    encodeJpegPlanar(w, h, 1, (_, x, y) => px(x, y))
+
+  /** RGB face: JFIF RGB→YCbCr (floor(x + 0.5) rounding — the repo's
+    * scaled-int convention), then the planar encoder. */
+  private[operators] def encodeJpegRgb(
+      w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] =
+    encodeJpegPlanar(w, h, 3, (c, x, y) => {
+      val (r, g, b) = rgb(x, y)
+      val v = c match {
+        case 0 => 0.299 * r + 0.587 * g + 0.114 * b
+        case 1 => -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+        case _ => 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+      }
+      math.max(0, math.min(255, math.floor(v + 0.5).toInt))
+    })
+
+  /** The block-constant ORACLE fixture for a doc (lossless by
+    * construction — see the object scaladoc), doc_id % 7 == 3 truncated
+    * mid-entropy-stream (the [[PngCodecOps.encodePng]] corrupt twist). */
+  private[operators] def encodeFixture(docId: Long): Array[Byte] = {
+    val (w, h) = fixtureDims(docId)
+    val whole = encodeJpeg(w, h, (x, y) => fixtureSample(docId, x / 8, y / 8))
+    if (docId % 7 == 3) whole.take(whole.length - math.min(whole.length, 12)) else whole
+  }
+
+  /** The COLOR oracle fixture: block-constant YCbCr planes through the
+    * 4:4:4 interleaved encoder; same corrupt twist. */
+  private[operators] def encodeColorFixture(docId: Long): Array[Byte] = {
+    val (w, h) = fixtureDims(docId)
+    val whole = encodeJpegPlanar(w, h, 3, (c, x, y) => fixtureYcc(docId, c, x / 8, y / 8))
+    if (docId % 7 == 3) whole.take(whole.length - math.min(whole.length, 12)) else whole
+  }
+
+  // ---- decoder (any grayscale baseline-sequential 8-bit JPEG) --------
+
+  private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    // Annex F decode tables: MINCODE/MAXCODE/VALPTR per code length
+    val minCode: Array[Int] = new Array[Int](17)
+    val maxCode: Array[Int] = Array.fill(17)(-1)
+    val valPtr: Array[Int] = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      for (l <- 1 to 16) {
+        if (bits(l) > 0) {
+          valPtr(l) = k
+          minCode(l) = code
+          code += bits(l); k += bits(l)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+      }
+    }
+    def value(len: Int, code: Int): Int = vals(valPtr(len) + code - minCode(len))
+  }
+
+  /** MSB-first entropy-segment reader with 0xFF byte-unstuffing; a
+    * marker (0xFF followed by non-zero) or end of data raises — decode
+    * treats that as corrupt unless the scan is already complete. */
+  private final class BitReader(bytes: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nbits = 0
+    def bit(): Int = {
+      if (nbits == 0) {
+        if (pos >= bytes.length) throw new java.io.EOFException
+        val b = bytes(pos) & 0xff
+        pos += 1
+        if (b == 0xFF) {
+          if (pos >= bytes.length) throw new java.io.EOFException
+          val next = bytes(pos) & 0xff
+          if (next != 0x00) throw new java.io.EOFException // a marker: scan over
+          pos += 1
+        }
+        acc = b; nbits = 8
+      }
+      nbits -= 1
+      (acc >> nbits) & 1
+    }
+    def bits(n: Int): Int = { var v = 0; var i = 0; while (i < n) { v = (v << 1) | bit(); i += 1 }; v }
+    def decode(t: HuffTable): Int = {
+      var len = 1
+      var code = bit()
+      while (len <= 16 && (t.maxCode(len) < 0 || code > t.maxCode(len))) {
+        code = (code << 1) | bit()
+        len += 1
+      }
+      if (len > 16) throw new java.io.EOFException // invalid code
+      t.value(len, code)
+    }
+  }
+
+  private def extend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  /** `channels` 1 = grayscale (samples = gray), 3 = color (samples =
+    * interleaved RGB after the JFIF YCbCr conversion). */
+  private[operators] case class Decoded(width: Int, height: Int, channels: Int, samples: Array[Int])
+
+  /** The decoder's YCbCr→RGB, one channel: floor(x + 0.5) rounding and
+    * 0..255 clamp — the exact arithmetic the color oracle mirrors in
+    * SQL (the conversion is spec-defined math, unlike the IDCT, so it
+    * CAN be closed-form). */
+  private[operators] def ycc(c: Int, y: Int, cb: Int, cr: Int): Int = {
+    val v = c match {
+      case 0 => y + 1.402 * (cr - 128)
+      case 1 => y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+      case _ => y + 1.772 * (cb - 128)
+    }
+    math.max(0, math.min(255, math.floor(v + 0.5).toInt))
+  }
+
+  /** Full decode or None (malformed anywhere; unsupported profiles —
+    * chroma subsampling, progressive, restart intervals, 16-bit quant —
+    * are honestly None, never a wrong answer). Never throws. */
+  private[operators] def decodeJpeg(bytes: Array[Byte]): Option[Decoded] =
+    try {
+      if (bytes.length < 4 || (bytes(0) & 0xff) != 0xFF || (bytes(1) & 0xff) != 0xD8)
+        return None
+      var pos = 2
+      var w = 0; var h = 0
+      var ncomp = 0
+      val compQuant = new Array[Int](3)
+      val compDc = new Array[Int](3)
+      val compAc = new Array[Int](3)
+      val dcTables = new Array[HuffTable](4)
+      val acTables = new Array[HuffTable](4)
+      val quants = new Array[Array[Int]](4)
+      var scanStart = -1
+      def u16(o: Int): Int = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+      while (scanStart < 0) {
+        // skip fill bytes, expect a marker
+        if (pos + 2 > bytes.length) return None
+        if ((bytes(pos) & 0xff) != 0xFF) return None
+        var m = bytes(pos + 1) & 0xff
+        while (m == 0xFF) { pos += 1; if (pos + 2 > bytes.length) return None; m = bytes(pos + 1) & 0xff }
+        pos += 2
+        m match {
+          case 0xD9 => return None // EOI before any scan
+          case 0xC0 => // baseline SOF
+            if (pos + 2 > bytes.length) return None
+            val len = u16(pos)
+            if (pos + len > bytes.length || len < 8) return None
+            val precision = bytes(pos + 2) & 0xff
+            h = u16(pos + 3); w = u16(pos + 5)
+            ncomp = bytes(pos + 7) & 0xff
+            // honest scope: 8-bit, 1 component (gray) or 3 at 4:4:4
+            // (YCbCr per JFIF); subsampled color is out (see scaladoc)
+            if (precision != 8 || (ncomp != 1 && ncomp != 3)) return None
+            if (len < 8 + 3 * ncomp) return None
+            for (c <- 0 until ncomp) {
+              val sampling = bytes(pos + 9 + 3 * c) & 0xff
+              if (sampling != 0x11) return None
+              compQuant(c) = bytes(pos + 10 + 3 * c) & 0xff
+              if (compQuant(c) > 3) return None
+            }
+            if (w < 1 || h < 1 || w.toLong * h * ncomp > MaxSamples) return None
+            pos += len
+          case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
+               0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
+            return None // extended/progressive/lossless/arithmetic: out of scope
+          case 0xC4 => // DHT (possibly several tables in one segment)
+            if (pos + 2 > bytes.length) return None
+            val len = u16(pos)
+            if (pos + len > bytes.length) return None
+            var o = pos + 2
+            while (o < pos + len) {
+              if (o + 17 > pos + len) return None
+              val tc = (bytes(o) >> 4) & 0x0f
+              val th = bytes(o) & 0x0f
+              if (tc > 1 || th > 3) return None
+              val bits = new Array[Int](17)
+              var total = 0
+              for (l <- 1 to 16) { bits(l) = bytes(o + l) & 0xff; total += bits(l) }
+              if (o + 17 + total > pos + len || total > 256) return None
+              val vals = Array.tabulate(total)(i => bytes(o + 17 + i) & 0xff)
+              val t = new HuffTable(bits, vals)
+              if (tc == 0) dcTables(th) = t else acTables(th) = t
+              o += 17 + total
+            }
+            pos += len
+          case 0xDB => // DQT (possibly several tables)
+            if (pos + 2 > bytes.length) return None
+            val len = u16(pos)
+            if (pos + len > bytes.length) return None
+            var o = pos + 2
+            while (o < pos + len) {
+              val pq = (bytes(o) >> 4) & 0x0f
+              val tq = bytes(o) & 0x0f
+              if (pq != 0 || tq > 3) return None // 16-bit tables out of scope
+              if (o + 65 > pos + len) return None
+              quants(tq) = Array.tabulate(64)(i => bytes(o + 1 + i) & 0xff)
+              o += 65
+            }
+            pos += len
+          case 0xDD => return None // restart intervals out of scope
+          case 0xDA => // SOS
+            if (pos + 2 > bytes.length) return None
+            val len = u16(pos)
+            if (pos + len > bytes.length || len < 6 + 2 * ncomp) return None
+            val ns = bytes(pos + 2) & 0xff
+            if (ns != ncomp || ncomp == 0) return None
+            for (c <- 0 until ncomp) {
+              compDc(c) = (bytes(pos + 4 + 2 * c) >> 4) & 0x0f
+              compAc(c) = bytes(pos + 4 + 2 * c) & 0x0f
+            }
+            val ss = bytes(pos + 3 + 2 * ncomp) & 0xff
+            val se = bytes(pos + 4 + 2 * ncomp) & 0xff
+            if (ss != 0 || se != 63) return None
+            scanStart = pos + len
+          case x if x >= 0xE0 && x <= 0xEF || x == 0xFE => // APPn / COM
+            if (pos + 2 > bytes.length) return None
+            val len = u16(pos)
+            if (pos + len > bytes.length) return None
+            pos += len
+          case _ => return None
+        }
+      }
+      if (w == 0) return None
+      val quant = Array.tabulate(ncomp)(c => quants(compQuant(c)))
+      val dcT = Array.tabulate(ncomp)(c => dcTables(compDc(c)))
+      val acT = Array.tabulate(ncomp)(c => acTables(compAc(c)))
+      if (quant.exists(_ == null) || dcT.exists(_ == null) || acT.exists(_ == null))
+        return None
+
+      val blocksX = (w + 7) / 8
+      val blocksY = (h + 7) / 8
+      // component planes, cropped at the end
+      val planes = Array.fill(ncomp)(new Array[Int](w * h))
+      val br = new BitReader(bytes, scanStart)
+      val pred = new Array[Int](ncomp)
+      val zz = new Array[Int](64)
+      val blk = new Array[Double](64)
+      // separable IDCT basis, precomputed once per image
+      val cosT = Array.tabulate(8, 8)((x, u) =>
+        (if (u == 0) 1.0 / math.sqrt(2) else 1.0) *
+          math.cos((2 * x + 1) * u * math.Pi / 16))
+      for (by <- 0 until blocksY; bx <- 0 until blocksX; c <- 0 until ncomp) {
+        java.util.Arrays.fill(zz, 0)
+        val t = br.decode(dcT(c))
+        pred(c) += extend(br.bits(t), t)
+        zz(0) = pred(c)
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val rs = br.decode(acT(c))
+          if (rs == 0x00) eob = true
+          else if (rs == 0xF0) k += 16
+          else {
+            k += (rs >> 4)
+            if (k > 63) return None
+            zz(k) = extend(br.bits(rs & 15), rs & 15)
+            k += 1
+          }
+        }
+        // dequant + inverse zigzag into natural order
+        java.util.Arrays.fill(blk, 0.0)
+        var i = 0
+        while (i < 64) { blk(ZigZag(i)) = zz(i).toDouble * quant(c)(i); i += 1 }
+        // separable IDCT: rows (over v) then columns (over u)
+        val tmp = new Array[Double](64)
+        for (u <- 0 until 8; x <- 0 until 8) {
+          var acc = 0.0
+          var v = 0
+          while (v < 8) { acc += blk(u * 8 + v) * cosT(x)(v); v += 1 }
+          tmp(u * 8 + x) = acc
+        }
+        for (x <- 0 until 8; y <- 0 until 8) {
+          var acc = 0.0
+          var u = 0
+          while (u < 8) { acc += tmp(u * 8 + x) * cosT(y)(u); u += 1 }
+          val px = math.round(acc / 4 + 128).toInt
+          val cx = bx * 8 + x; val cy = by * 8 + y
+          if (cx < w && cy < h)
+            planes(c)(cy * w + cx) = math.max(0, math.min(255, px))
+        }
+      }
+      if (ncomp == 1) Some(Decoded(w, h, 1, planes(0)))
+      else {
+        // JFIF 3-component = YCbCr: interleave as RGB
+        val out = new Array[Int](w * h * 3)
+        var j = 0
+        while (j < w * h) {
+          val y = planes(0)(j); val cb = planes(1)(j); val cr = planes(2)(j)
+          out(3 * j) = ycc(0, y, cb, cr)
+          out(3 * j + 1) = ycc(1, y, cb, cr)
+          out(3 * j + 2) = ycc(2, y, cb, cr)
+          j += 1
+        }
+        Some(Decoded(w, h, 3, out))
+      }
+    } catch { case _: Exception => None }
+
+  // ---- operators ------------------------------------------------------
+
+  /** (doc_id, media) table of real baseline JPEGs, one per fixture doc —
+    * the DCT sibling of [[PngCodecOps.pngMediaTable]];
+    * doc_id % 7 == 3 truncated mid-entropy-stream. */
+  def jpegMediaTable(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, encodeFixture(id))))
+      .toDF("doc_id", "media")
+  }
+
+  private case class JpegStats(
+      doc_id: Long, status: String,
+      width: Option[Long], height: Option[Long],
+      px_sum: Option[Long], px_min: Option[Long], px_max: Option[Long])
+
+  /** Pixel statistics from raw JPEG bytes — the [[PngCodecOps
+    * .pngDecodeStats]] contract on the DCT side: status + dims +
+    * sum/min/max through a REAL entropy decode. Malformed or
+    * out-of-scope payloads degrade to a 'corrupt' row, never an
+    * error. */
+  def jpegDecodeStats(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("doc_id").cast("long"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeJpeg(bytes) match {
+          case None => JpegStats(id, "corrupt", None, None, None, None, None)
+          case Some(d) =>
+            var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+            var j = 0
+            while (j < d.samples.length) {
+              val v = d.samples(j).toLong
+              sum += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              j += 1
+            }
+            JpegStats(id, "jpeg", Some(d.width.toLong), Some(d.height.toLong),
+              Some(sum), Some(mn), Some(mx))
+        }
+      })
+      .toDF()
+  }
+
+  /** The `jpeg_pixels` fixture chain: generate → decode, stats out. */
+  def jpegPixels(docs: DataFrame): DataFrame = jpegDecodeStats(jpegMediaTable(docs))
+
+  /** (doc_id, media) table of real 4:4:4 COLOR baseline JPEGs. */
+  def jpegRgbMediaTable(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, encodeColorFixture(id))))
+      .toDF("doc_id", "media")
+  }
+
+  private case class JpegRgbStats(
+      doc_id: Long, status: String,
+      width: Option[Long], height: Option[Long],
+      r_sum: Option[Long], r_min: Option[Long], r_max: Option[Long],
+      g_sum: Option[Long], g_min: Option[Long], g_max: Option[Long],
+      b_sum: Option[Long], b_min: Option[Long], b_max: Option[Long])
+
+  /** Per-channel RGB statistics from raw color-JPEG bytes — the
+    * three-channel face of [[jpegDecodeStats]] (the
+    * [[PngCodecOps.pngDecodeStats]] contract). Grayscale or
+    * out-of-scope payloads degrade to 'corrupt'. */
+  def jpegRgbDecodeStats(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("doc_id").cast("long"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeJpeg(bytes) match {
+          case Some(d) if d.channels == 3 =>
+            val sums = new Array[Long](3)
+            val mins = Array.fill(3)(Long.MaxValue)
+            val maxs = Array.fill(3)(Long.MinValue)
+            var j = 0
+            while (j < d.samples.length) {
+              val k = j % 3; val v = d.samples(j).toLong
+              sums(k) += v
+              if (v < mins(k)) mins(k) = v
+              if (v > maxs(k)) maxs(k) = v
+              j += 1
+            }
+            JpegRgbStats(id, "jpeg", Some(d.width.toLong), Some(d.height.toLong),
+              Some(sums(0)), Some(mins(0)), Some(maxs(0)),
+              Some(sums(1)), Some(mins(1)), Some(maxs(1)),
+              Some(sums(2)), Some(mins(2)), Some(maxs(2)))
+          case _ => JpegRgbStats(id, "corrupt", None, None,
+            None, None, None, None, None, None, None, None, None)
+        }
+      })
+      .toDF()
+  }
+
+  /** The `jpeg_pixels_rgb` fixture chain: generate → decode → convert,
+    * stats out. */
+  def jpegPixelsRgb(docs: DataFrame): DataFrame = jpegRgbDecodeStats(jpegRgbMediaTable(docs))
+}
+
+object JpegPack extends QueryPack {
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "jpeg_pixels" -> ((s, dir) => JpegCodecOps.jpegPixels(Tables.documents(s, dir))),
+    "jpeg_pixels_rgb" -> ((s, dir) => JpegCodecOps.jpegPixelsRgb(Tables.documents(s, dir))))
+
+  // codec-free oracle (the png_pixels convention): the block-constant
+  // fixtures are LOSSLESS under the DC-8 quant dial, so the expected
+  // stats are the closed-form formula — the engine must recover them
+  // through real Huffman bytes, byte stuffing and DC prediction
+  override def oracles: Map[String, String] = Map(
+    "jpeg_pixels" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         doc_id % 20 + 4 AS w, doc_id % 14 + 4 AS h,
+        |         doc_id % 7 = 3 AS trunc
+        |  FROM documents
+        |),
+        |v AS (
+        |  SELECT doc_id, w, h, trunc,
+        |         list_transform(range(0, w * h), j ->
+        |           (doc_id * 37 + ((j % w) // 8) * 11 + ((j // w) // 8) * 23) % 256) AS px
+        |  FROM p
+        |)
+        |SELECT doc_id,
+        |       CASE WHEN trunc THEN 'corrupt' ELSE 'jpeg' END AS status,
+        |       CASE WHEN NOT trunc THEN CAST(w AS BIGINT) END AS width,
+        |       CASE WHEN NOT trunc THEN CAST(h AS BIGINT) END AS height,
+        |       CASE WHEN NOT trunc THEN CAST(list_aggregate(px, 'sum') AS BIGINT) END AS px_sum,
+        |       CASE WHEN NOT trunc THEN CAST(list_aggregate(px, 'min') AS BIGINT) END AS px_min,
+        |       CASE WHEN NOT trunc THEN CAST(list_aggregate(px, 'max') AS BIGINT) END AS px_max
+        |FROM v""".stripMargin,
+    // the color twin: block-constant YCbCr planes are lossless through
+    // the DCT path, and the only arithmetic after them is the JFIF
+    // YCbCr->RGB conversion — spec-defined math mirrored here verbatim
+    // (floor(x + 0.5) + clamp, the repo's scaled-int convention)
+    "jpeg_pixels_rgb" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         doc_id % 20 + 4 AS w, doc_id % 14 + 4 AS h,
+        |         doc_id % 7 = 3 AS trunc
+        |  FROM documents
+        |),
+        |px AS (
+        |  SELECT doc_id, w, h, trunc, j,
+        |         (doc_id * 37 + ((j % w) // 8) * 11 + ((j // w) // 8) * 23) % 256 AS y,
+        |         (doc_id * 13 + ((j % w) // 8) * 7 + ((j // w) // 8) * 5) % 256 AS cb,
+        |         (doc_id * 29 + ((j % w) // 8) * 3 + ((j // w) // 8) * 19) % 256 AS cr
+        |  FROM p, LATERAL unnest(range(0, w * h)) AS t(j)
+        |),
+        |rgb AS (
+        |  SELECT doc_id, w, h, trunc,
+        |         GREATEST(0, LEAST(255, CAST(FLOOR(y + CAST(1.402 AS DOUBLE) * (cr - 128) + 0.5) AS BIGINT))) AS r,
+        |         GREATEST(0, LEAST(255, CAST(FLOOR(y - CAST(0.344136 AS DOUBLE) * (cb - 128) - CAST(0.714136 AS DOUBLE) * (cr - 128) + 0.5) AS BIGINT))) AS g,
+        |         GREATEST(0, LEAST(255, CAST(FLOOR(y + CAST(1.772 AS DOUBLE) * (cb - 128) + 0.5) AS BIGINT))) AS b
+        |  FROM px
+        |)
+        |SELECT doc_id,
+        |       CASE WHEN trunc THEN 'corrupt' ELSE 'jpeg' END AS status,
+        |       CASE WHEN NOT trunc THEN CAST(MAX(w) AS BIGINT) END AS width,
+        |       CASE WHEN NOT trunc THEN CAST(MAX(h) AS BIGINT) END AS height,
+        |       CASE WHEN NOT trunc THEN CAST(SUM(r) AS BIGINT) END AS r_sum,
+        |       CASE WHEN NOT trunc THEN CAST(MIN(r) AS BIGINT) END AS r_min,
+        |       CASE WHEN NOT trunc THEN CAST(MAX(r) AS BIGINT) END AS r_max,
+        |       CASE WHEN NOT trunc THEN CAST(SUM(g) AS BIGINT) END AS g_sum,
+        |       CASE WHEN NOT trunc THEN CAST(MIN(g) AS BIGINT) END AS g_min,
+        |       CASE WHEN NOT trunc THEN CAST(MAX(g) AS BIGINT) END AS g_max,
+        |       CASE WHEN NOT trunc THEN CAST(SUM(b) AS BIGINT) END AS b_sum,
+        |       CASE WHEN NOT trunc THEN CAST(MIN(b) AS BIGINT) END AS b_min,
+        |       CASE WHEN NOT trunc THEN CAST(MAX(b) AS BIGINT) END AS b_max
+        |FROM rgb GROUP BY doc_id, trunc""".stripMargin)
+}

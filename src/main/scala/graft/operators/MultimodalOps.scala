@@ -694,7 +694,11 @@ object MultimodalOps {
     * checksum), all genuinely computed from the payload bytes. For the
     * uncompressed formats the engine decodes natively, the real
     * pixel-level path is [[mediaPixels]] (pure column expressions, no
-    * mapPartitions needed). */
+    * mapPartitions needed); for the COMPRESSED formats the real decoders
+    * live behind this same seam shape — [[PngCodecOps]] (zlib + the five
+    * filters) and [[JpegCodecOps]] (baseline Huffman entropy decode +
+    * IDCT, grayscale profile) — so this fold remains the generic
+    * bytes-in features path, not a stand-in for a missing codec. */
   def decodeFeatures(docs: DataFrame): DataFrame = {
     val media = mediaTable(docs).select(col("doc_id"), col("media"))
     import media.sparkSession.implicits._

@@ -209,9 +209,9 @@ object RetrievalOps {
       terms: Seq[String] = DefaultTerms, k: Int = 10): DataFrame = {
     require(terms.nonEmpty && terms.size <= MaxQueryTerms,
       s"1..$MaxQueryTerms query terms, got ${terms.size}")
-    val postings0 = graft.sources.BulkOps.readPath(spark, s"$dir/postings")
+    val postings0 = IndexLifecycle.servingHandle(spark, dir, "postings")
       .filter(col("token").isin(terms: _*))
-    val lens0 = graft.sources.BulkOps.readPath(spark, s"$dir/lens")
+    val lens0 = IndexLifecycle.servingHandle(spark, dir, "lens")
     // tombstone mask ([[bm25DeleteDocs]] log, if any) on BOTH tables:
     // df, n_docs and avgdl all recompute from the masked frames at serve
     // time, so the masked serve is EXACTLY the survivor-corpus answer —

@@ -84,6 +84,9 @@ object IndexScratch {
       org.apache.hadoop.fs.FileUtil.copy(srcFs, from, dstFs, to,
         /* deleteSource = */ false, /* overwrite = */ true, conf),
       s"resetFromPristine: copy $src -> $dst failed")
+    // the copy replaced dst's files out-of-band of the lifecycle — any
+    // open serving handle on dst is now stale
+    graft.operators.IndexLifecycle.invalidateHandles(dst)
   }
 
   private lazy val hookInstalled: Boolean = {

@@ -89,7 +89,11 @@ object ScaleBench {
     // (IndexScratch.prebuiltDir), so pass 1 pays build+serve, pass 2
     // serves alone, and the min-of-passes convention isolates the serve
     // path: near-flat is the claim for the pruned/DPP/term-pruned reads
-    "dedup_serve_only", "ann_serve_only", "bm25_serve_only")
+    "dedup_serve_only", "ann_serve_only", "bm25_serve_only",
+    // the baseline-JPEG entropy decode (mapPartitions + own Huffman/IDCT):
+    // pure map parallelism, expected ~linear like png_pixels; the color
+    // twin adds the 3-component interleave + YCbCr conversion
+    "jpeg_pixels", "jpeg_pixels_rgb")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

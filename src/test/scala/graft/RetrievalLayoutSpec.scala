@@ -336,6 +336,22 @@ class RetrievalLayoutSpec extends SparkSpec {
     }
   }
 
+  test("BM25 append guard is sidecar-pruned: a steady-state append never scans the data tables") {
+    import graft.operators.RetrievalOps
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_guardplan").toString
+    RetrievalOps.bm25WriteIndex(docs.filter(col("doc_id") % 2 === 0), dir)
+    // with no crash evidence the guard must probe the ids sidecar and
+    // read NEITHER postings NOR lens — the r11 full-table distinct reads
+    val audited = graft.sources.BulkOps.recordReads {
+      RetrievalOps.bm25AppendDocs(spark, dir, docs.filter(col("doc_id") % 2 === 1))
+    }
+    val storedReads = audited.filter(_.startsWith(dir))
+    assert(storedReads.exists(_.contains("/ids")), s"guard must probe the sidecar: $storedReads")
+    assert(!storedReads.exists(p => p.endsWith("/postings") || p.endsWith("/lens")),
+      s"steady-state append must not read a data table: $storedReads")
+  }
+
   test("dial staleness: an index rewritten out-of-band appends at the STORED dial, not the memo") {
     import graft.operators.DedupIndexOps
     import graft.sources.BulkOps

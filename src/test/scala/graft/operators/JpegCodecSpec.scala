@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** The baseline-JPEG decoder's contract: exact on the lossless
+  * block-constant profile, ImageIO-agreeing (±2 — the IDCT is
+  * approximation-defined) on fully-textured rasters, and never throwing
+  * on malformed bytes. */
+class JpegCodecSpec extends SparkSpec {
+
+  private def imageIoDecode(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val out = new Array[Int](w * h)
+        val raster = img.getRaster
+        for (y <- 0 until h; x <- 0 until w) out(y * w + x) = raster.getSample(x, y, 0)
+        Some((w, h, out))
+      }
+    } catch { case _: Exception => None }
+
+  test("block-constant fixtures decode EXACTLY the closed-form raster (the lossless profile)") {
+    // every dims/truncation residue class; DC diffs in both signs
+    (0L until 160L).filter(_ % 7 != 3).foreach { id =>
+      val (w, h) = JpegCodecOps.fixtureDims(id)
+      val got = JpegCodecOps.decodeJpeg(JpegCodecOps.encodeFixture(id))
+      assert(got.isDefined, s"doc $id must decode")
+      val d = got.get
+      assert(d.width == w && d.height == h, s"doc $id dims")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(d.samples(y * w + x) == JpegCodecOps.fixtureSample(id, x / 8, y / 8),
+          s"doc $id pixel ($x,$y): DC-only blocks are lossless by construction")
+    }
+  }
+
+  test("cross-codec: ImageIO decodes our files and agrees within ±2 on textured rasters") {
+    // fully-textured rasters: every AC path (negative coefficients,
+    // zero runs, ZRL on sparse-tail blocks), byte stuffing in anger
+    var stuffed = 0
+    (1L to 40L).foreach { id =>
+      val w = (id % 21 + 4).toInt; val h = (id % 13 + 4).toInt
+      def px(x: Int, y: Int): Int = ((id * 31 + y * w * 7 + x * 7) % 256).toInt
+      val bytes = JpegCodecOps.encodeJpeg(w, h, px)
+      // count stuffed 0xFF00 pairs in the whole file (entropy stuffing)
+      stuffed += bytes.sliding(2).count(p => (p(0) & 0xff) == 0xFF && (p(1) & 0xff) == 0x00)
+      val ours = JpegCodecOps.decodeJpeg(bytes)
+      val theirs = imageIoDecode(bytes)
+      assert(ours.isDefined, s"our decoder must read our encoder (id $id)")
+      assert(theirs.isDefined, s"ImageIO must accept the file — the conformance proof (id $id)")
+      val (tw, th, tpx) = theirs.get
+      val d = ours.get
+      assert(d.width == tw && d.height == th)
+      var worst = 0
+      for (j <- d.samples.indices)
+        worst = math.max(worst, math.abs(d.samples(j) - tpx(j)))
+      assert(worst <= 2,
+        s"id $id: independent IDCTs may differ by rounding only, got max |diff| = $worst")
+    }
+    assert(stuffed > 0, "the fixture set must exercise 0xFF byte stuffing somewhere")
+  }
+
+  test("color fixtures decode EXACTLY formula ∘ conversion (lossless YCbCr planes)") {
+    (0L until 120L).filter(_ % 7 != 3).foreach { id =>
+      val (w, h) = JpegCodecOps.fixtureDims(id)
+      val got = JpegCodecOps.decodeJpeg(JpegCodecOps.encodeColorFixture(id))
+      assert(got.isDefined && got.get.channels == 3, s"doc $id must decode as color")
+      val d = got.get
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val yy = JpegCodecOps.fixtureYcc(id, 0, x / 8, y / 8)
+        val cb = JpegCodecOps.fixtureYcc(id, 1, x / 8, y / 8)
+        val cr = JpegCodecOps.fixtureYcc(id, 2, x / 8, y / 8)
+        assert(d.samples((y * w + x) * 3 + c) == JpegCodecOps.ycc(c, yy, cb, cr),
+          s"doc $id pixel ($x,$y) ch $c: the DCT path is lossless, the conversion exact")
+      }
+    }
+  }
+
+  private def imageIoDecodeRgb(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val out = new Array[Int](w * h * 3)
+        for (y <- 0 until h; x <- 0 until w) {
+          val p = img.getRGB(x, y)
+          out((y * w + x) * 3) = (p >> 16) & 0xff
+          out((y * w + x) * 3 + 1) = (p >> 8) & 0xff
+          out((y * w + x) * 3 + 2) = p & 0xff
+        }
+        Some((w, h, out))
+      }
+    } catch { case _: Exception => None }
+
+  test("cross-codec color: ImageIO agrees within ±3 on textured RGB rasters") {
+    // RGB->YCbCr->DCT->back: every stage approximation-defined except
+    // the entropy coding, so the tolerance adds the conversion's ±1
+    (1L to 25L).foreach { id =>
+      val w = (id % 19 + 4).toInt; val h = (id % 11 + 4).toInt
+      def rgb(x: Int, y: Int): (Int, Int, Int) = (
+        ((id * 31 + y * w + x) * 7 % 256).toInt,
+        ((id * 17 + y * w + x) * 5 % 256).toInt,
+        ((id * 23 + y * w + x) * 11 % 256).toInt)
+      val bytes = JpegCodecOps.encodeJpegRgb(w, h, rgb)
+      val ours = JpegCodecOps.decodeJpeg(bytes)
+      val theirs = imageIoDecodeRgb(bytes)
+      assert(ours.isDefined && ours.get.channels == 3, s"id $id must decode as color")
+      assert(theirs.isDefined, s"ImageIO must accept the color file (id $id)")
+      val (tw, th, tpx) = theirs.get
+      val d = ours.get
+      assert(d.width == tw && d.height == th)
+      var worst = 0
+      for (j <- d.samples.indices)
+        worst = math.max(worst, math.abs(d.samples(j) - tpx(j)))
+      assert(worst <= 3,
+        s"id $id: independent color pipelines may differ by rounding only, got $worst")
+    }
+  }
+
+  test("malformed bytes never throw: every truncation and every single-byte corruption") {
+    val whole = JpegCodecOps.encodeJpeg(12, 10, (x, y) => (x * 17 + y * 29) % 256)
+    // every truncation point: None or a well-formed partial refusal
+    (0 until whole.length).foreach { n =>
+      JpegCodecOps.decodeJpeg(whole.take(n)) // must not throw
+    }
+    // single-byte corruptions: never throw; most are None, a corrupted
+    // PIXEL byte may still decode (JPEG carries no payload checksum —
+    // that is the format's property, not the decoder's)
+    (0 until whole.length).foreach { i =>
+      val dup = whole.clone()
+      dup(i) = (dup(i) ^ 0x5a).toByte
+      JpegCodecOps.decodeJpeg(dup) // must not throw
+    }
+    // out-of-scope profiles are honest Nones: progressive SOF2 and a
+    // restart-interval DRI both refuse rather than mis-decode
+    val sof2 = whole.clone()
+    // find the SOF0 marker and rewrite it to SOF2
+    val sofAt = whole.indices.dropWhile(i =>
+      !((whole(i) & 0xff) == 0xFF && (whole(i + 1) & 0xff) == 0xC0)).head
+    sof2(sofAt + 1) = 0xC2.toByte
+    assert(JpegCodecOps.decodeJpeg(sof2).isEmpty, "progressive must refuse, not garble")
+  }
+
+  test("fixture chain: truncated docs degrade to corrupt rows; stats match the formula") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 60L).map(id => (id, s"doc $id")).toDF("doc_id", "text")
+    val rows = JpegCodecOps.jpegPixels(docs).collect()
+    assert(rows.length == 60)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 7 == 3) assert(r.getString(1) == "corrupt" && r.isNullAt(4),
+        s"doc $id must be the corrupt twist")
+      else {
+        val (w, h) = JpegCodecOps.fixtureDims(id)
+        val expect = (for (y <- 0 until h; x <- 0 until w)
+          yield JpegCodecOps.fixtureSample(id, x / 8, y / 8).toLong).sum
+        assert(r.getString(1) == "jpeg" && r.getLong(2) == w && r.getLong(3) == h &&
+          r.getLong(4) == expect, s"doc $id stats must match the closed form")
+      }
+    }
+  }
+}
