@@ -20,12 +20,15 @@ import org.apache.spark.sql.functions._
   * tree; a per-partition loop over plain JVM code is the canonical
   * batched-decode shape, scan-local, pure map parallelism at 100 TB).
   *
-  * Honest scope, stated: baseline sequential, 8-bit, single-component
-  * grayscale AND 3-component 4:4:4 color (interleaved-MCU YCbCr with
-  * per-component quant/Huffman selectors and DC predictors, the JFIF
-  * YCbCr→RGB conversion at the end). CHROMA-SUBSAMPLED color (4:2:0 —
-  * the common camera layout, which needs fractional-block upsampling),
-  * progressive scans and restart markers return 'corrupt' rather than
+  * Honest scope, stated: baseline sequential, 8-bit — single-component
+  * grayscale, 3-component 4:4:4 color, and 3-component 4:2:0
+  * CHROMA-SUBSAMPLED color (the common camera layout: Y at 2×2, chroma
+  * at 1×1, four-luma-block MCUs, nearest-neighbor chroma upsampling) —
+  * with RESTART INTERVALS (DRI/RSTn: byte-aligned marker consumption,
+  * DC predictors reset per interval). Per-component quant/Huffman
+  * selectors and DC predictors throughout; the JFIF YCbCr→RGB
+  * conversion at the end. Progressive scans, arithmetic coding, 16-bit
+  * quant tables and other sampling grids return 'corrupt' rather than
   * pretending — the same explicit-boundary discipline as
   * [[MultimodalOps]]'s header walks, now moved one real layer deeper.
   *
@@ -149,15 +152,18 @@ object JpegCodecOps {
         i -= 1
       }
     }
-    def finish(): Array[Byte] = {
-      // pad the final partial byte with 1-bits (F.1.2.3)
+    /** Pad the current partial byte with 1-bits (F.1.2.3) — before a
+      * restart marker or the end of the scan. */
+    def align(): Unit =
       if (nbits > 0) {
         acc = (acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)
         out.write(acc)
         if (acc == 0xFF) out.write(0x00)
+        acc = 0; nbits = 0
       }
-      out.toByteArray
-    }
+    /** Emit a marker pair UNSTUFFED (markers are not entropy data). */
+    def marker(m: Int): Unit = { align(); out.write(0xFF); out.write(m) }
+    def finish(): Array[Byte] = { align(); out.toByteArray }
   }
 
   /** JPEG magnitude category (number of bits) of a value. */
@@ -184,19 +190,31 @@ object JpegCodecOps {
     Array(((tc << 4) | th).toByte) ++
       (1 to 16).map(l => bits(l).toByte).toArray ++ vals.map(_.toByte)
 
+  // cos((2x+1)uπ/16) with the C(u) normalizer folded in — shared by the
+  // separable FDCT (encoder) and IDCT (decoder); computed once per JVM
+  private[operators] val CosT: Array[Array[Double]] = Array.tabulate(8, 8)((x, u) =>
+    (if (u == 0) 1.0 / math.sqrt(2) else 1.0) *
+      math.cos((2 * x + 1) * u * math.Pi / 16))
+
   /** One block's forward DCT + quantize + entropy encode; returns the
-    * new DC predictor. */
+    * new DC predictor. Separable transform over the precomputed basis
+    * (2·8³ multiplies per block — a per-element cos() here dominated
+    * the whole fixture encode). */
   private def encodeBlock(bw: BitWriter, s: Array[Array[Int]], pred: Int): Int = {
     val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    // rows first: tmp(u, x) = Σ_y s(y)(x) · cosT(y)(u)
+    for (u <- 0 until 8; x <- 0 until 8) {
+      var acc = 0.0
+      var y = 0
+      while (y < 8) { acc += s(y)(x) * CosT(y)(u); y += 1 }
+      tmp(u * 8 + x) = acc
+    }
     for (u <- 0 until 8; v <- 0 until 8) {
       var acc = 0.0
-      for (y <- 0 until 8; x <- 0 until 8)
-        acc += s(y)(x) *
-          math.cos((2 * x + 1) * v * math.Pi / 16) *
-          math.cos((2 * y + 1) * u * math.Pi / 16)
-      val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
-      val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
-      coef(u * 8 + v) = math.round(acc * cu * cv / 4).toInt
+      var x = 0
+      while (x < 8) { acc += tmp(u * 8 + x) * CosT(x)(v); x += 1 }
+      coef(u * 8 + v) = math.round(acc / 4).toInt
     }
     // quantize in zigzag order
     val zz = Array.tabulate(64)(i =>
@@ -233,16 +251,47 @@ object JpegCodecOps {
     * the c-th COMPONENT value, already in YCbCr for color). A REAL,
     * ImageIO-readable JPEG. */
   private[operators] def encodeJpegPlanar(
-      w: Int, h: Int, ncomp: Int, comp: (Int, Int, Int) => Int): Array[Byte] = {
+      w: Int, h: Int, ncomp: Int, comp: (Int, Int, Int) => Int): Array[Byte] =
+    encodeJpegSampled(w, h,
+      (0 until ncomp).map(c => (((x: Int, y: Int) => comp(c, x, y)), 1, 1)))
+
+  /** The general baseline writer: per-component PLANES at their own
+    * resolution with (Hi, Vi) sampling factors — 4:4:4 is all (1,1),
+    * 4:2:0 is Y (2,2) + chroma (1,1) at half resolution — interleaved
+    * per MCU in sampling order, optional restart intervals (DRI + RSTn
+    * every `restartInterval` MCUs, DC predictors reset, entropy stream
+    * byte-aligned around each marker). */
+  private[operators] def encodeJpegSampled(
+      w: Int, h: Int, comps: Seq[((Int, Int) => Int, Int, Int)],
+      restartInterval: Int = 0): Array[Byte] = {
+    val ncomp = comps.size
     require(ncomp == 1 || ncomp == 3)
+    val hMax = comps.map(_._2).max
+    val vMax = comps.map(_._3).max
+    // component plane dims (A.1.1: ceil of the sampled fraction)
+    def pw(c: Int): Int = (w * comps(c)._2 + hMax - 1) / hMax
+    def ph(c: Int): Int = (h * comps(c)._3 + vMax - 1) / vMax
     val bw = new BitWriter
-    val blocksX = (w + 7) / 8
-    val blocksY = (h + 7) / 8
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
     val pred = new Array[Int](ncomp)
-    for (by <- 0 until blocksY; bx <- 0 until blocksX; c <- 0 until ncomp) {
-      val s = Array.tabulate(8, 8)((y, x) =>
-        comp(c, math.min(bx * 8 + x, w - 1), math.min(by * 8 + y, h - 1)) - 128)
-      pred(c) = encodeBlock(bw, s, pred(c))
+    var mcu = 0
+    for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        bw.marker(0xD0 + ((mcu / restartInterval - 1) % 8))
+        java.util.Arrays.fill(pred, 0)
+      }
+      for (c <- 0 until ncomp) {
+        val (plane, hi, vi) = comps(c)
+        for (v <- 0 until vi; hh <- 0 until hi) {
+          val bx = (mx * hi + hh) * 8
+          val by = (my * vi + v) * 8
+          val s = Array.tabulate(8, 8)((y, x) =>
+            plane(math.min(bx + x, pw(c) - 1), math.min(by + y, ph(c) - 1)) - 128)
+          pred(c) = encodeBlock(bw, s, pred(c))
+        }
+      }
+      mcu += 1
     }
     val app0 = "JFIF".getBytes("US-ASCII") ++
       Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
@@ -251,20 +300,34 @@ object JpegCodecOps {
       ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
       ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
       ncomp.toByte) ++
-      (1 to ncomp).flatMap(id => Seq(id.toByte, 0x11.toByte, 0.toByte)).toArray
+      (0 until ncomp).flatMap(c => Seq((c + 1).toByte,
+        ((comps(c)._2 << 4) | comps(c)._3).toByte, 0.toByte)).toArray
     val sos = Array[Byte](ncomp.toByte) ++
       (1 to ncomp).flatMap(id => Seq(id.toByte, 0x00.toByte)).toArray ++
       Array[Byte](0, 63, 0)
+    val dri: Array[Byte] =
+      if (restartInterval > 0)
+        seg(0xDD, Array(((restartInterval >> 8) & 0xff).toByte,
+          (restartInterval & 0xff).toByte))
+      else Array.empty
     Array(0xFF.toByte, 0xD8.toByte) ++ // SOI
       seg(0xE0, app0) ++
       seg(0xDB, dqt) ++
       seg(0xC0, sof0) ++
       seg(0xC4, dhtPayload(0, 0, DcBits, DcVals)) ++
       seg(0xC4, dhtPayload(1, 0, AcBits, AcVals)) ++
+      dri ++
       seg(0xDA, sos) ++
       bw.finish() ++
       Array(0xFF.toByte, 0xD9.toByte) // EOI
   }
+
+  /** The 4:2:0 face: a full-resolution luma plane and HALF-resolution
+    * chroma planes (the common camera layout). */
+  private[operators] def encodeJpeg420(w: Int, h: Int,
+      yP: (Int, Int) => Int, cbP: (Int, Int) => Int, crP: (Int, Int) => Int,
+      restartInterval: Int = 0): Array[Byte] =
+    encodeJpegSampled(w, h, Seq((yP, 2, 2), (cbP, 1, 1), (crP, 1, 1)), restartInterval)
 
   /** Grayscale convenience face of [[encodeJpegPlanar]]. */
   private[operators] def encodeJpeg(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] =
@@ -298,6 +361,33 @@ object JpegCodecOps {
   private[operators] def encodeColorFixture(docId: Long): Array[Byte] = {
     val (w, h) = fixtureDims(docId)
     val whole = encodeJpegPlanar(w, h, 3, (c, x, y) => fixtureYcc(docId, c, x / 8, y / 8))
+    if (docId % 7 == 3) whole.take(whole.length - math.min(whole.length, 12)) else whole
+  }
+
+  /** Larger dims for the 4:2:0 fixture — several MCUs per image, so the
+    * four-block luma interleave, the chroma subsampling AND the restart
+    * cadence all carry weight. */
+  private[operators] def fixtureDims420(docId: Long): (Int, Int) =
+    ((docId % 40 + 8).toInt, (docId % 28 + 8).toInt)
+
+  /** Every third doc carries a 2-MCU restart interval — RSTn markers,
+    * predictor resets and the byte-aligned marker consumption are all
+    * under the ORACLE, not just the spec. */
+  private[operators] def fixtureRestart(docId: Long): Int =
+    if (docId % 3 == 1) 2 else 0
+
+  /** The 4:2:0 oracle fixture: luma block-constant per 8×8, chroma
+    * block-constant per 16×16 MACROBLOCK (so each half-resolution
+    * chroma block is constant → the DCT path stays lossless AND
+    * nearest-neighbor upsampling reproduces the constant exactly);
+    * same corrupt twist. */
+  private[operators] def encode420Fixture(docId: Long): Array[Byte] = {
+    val (w, h) = fixtureDims420(docId)
+    val whole = encodeJpeg420(w, h,
+      (x, y) => fixtureYcc(docId, 0, x / 8, y / 8),
+      (x2, y2) => fixtureYcc(docId, 1, x2 / 8, y2 / 8),
+      (x2, y2) => fixtureYcc(docId, 2, x2 / 8, y2 / 8),
+      fixtureRestart(docId))
     if (docId % 7 == 3) whole.take(whole.length - math.min(whole.length, 12)) else whole
   }
 
@@ -356,6 +446,15 @@ object JpegCodecOps {
       if (len > 16) throw new java.io.EOFException // invalid code
       t.value(len, code)
     }
+    /** Discard the partial byte and consume the expected RSTn marker
+      * (the encoder byte-aligned around it); anything else is corrupt. */
+    def expectRestart(n: Int): Unit = {
+      nbits = 0
+      if (pos + 2 > bytes.length || (bytes(pos) & 0xff) != 0xFF ||
+          (bytes(pos + 1) & 0xff) != 0xD0 + n)
+        throw new java.io.EOFException
+      pos += 2
+    }
   }
 
   private def extend(v: Int, t: Int): Int =
@@ -388,7 +487,10 @@ object JpegCodecOps {
       var pos = 2
       var w = 0; var h = 0
       var ncomp = 0
+      var restart = 0
       val compQuant = new Array[Int](3)
+      val compH = new Array[Int](3)
+      val compV = new Array[Int](3)
       val compDc = new Array[Int](3)
       val compAc = new Array[Int](3)
       val dcTables = new Array[HuffTable](4)
@@ -412,16 +514,24 @@ object JpegCodecOps {
             val precision = bytes(pos + 2) & 0xff
             h = u16(pos + 3); w = u16(pos + 5)
             ncomp = bytes(pos + 7) & 0xff
-            // honest scope: 8-bit, 1 component (gray) or 3 at 4:4:4
-            // (YCbCr per JFIF); subsampled color is out (see scaladoc)
+            // honest scope: 8-bit; 1 component (gray), 3 at 4:4:4, or 3
+            // at 4:2:0 (Y 2×2 + chroma 1×1 — the common camera layout,
+            // nearest-neighbor upsampled). Other sampling grids refuse.
             if (precision != 8 || (ncomp != 1 && ncomp != 3)) return None
             if (len < 8 + 3 * ncomp) return None
             for (c <- 0 until ncomp) {
               val sampling = bytes(pos + 9 + 3 * c) & 0xff
-              if (sampling != 0x11) return None
+              compH(c) = (sampling >> 4) & 0x0f
+              compV(c) = sampling & 0x0f
               compQuant(c) = bytes(pos + 10 + 3 * c) & 0xff
               if (compQuant(c) > 3) return None
             }
+            val layoutOk =
+              (ncomp == 1 && compH(0) == 1 && compV(0) == 1) ||
+                (ncomp == 3 && (0 until 3).forall(c => compH(c) == 1 && compV(c) == 1)) ||
+                (ncomp == 3 && compH(0) == 2 && compV(0) == 2 &&
+                  (1 until 3).forall(c => compH(c) == 1 && compV(c) == 1))
+            if (!layoutOk) return None
             if (w < 1 || h < 1 || w.toLong * h * ncomp > MaxSamples) return None
             pos += len
           case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
@@ -461,7 +571,12 @@ object JpegCodecOps {
               o += 65
             }
             pos += len
-          case 0xDD => return None // restart intervals out of scope
+          case 0xDD => // DRI: restart interval in MCUs
+            if (pos + 2 > bytes.length) return None
+            val len = u16(pos)
+            if (pos + len > bytes.length || len < 4) return None
+            restart = u16(pos + 2)
+            pos += len
           case 0xDA => // SOS
             if (pos + 2 > bytes.length) return None
             val len = u16(pos)
@@ -491,68 +606,84 @@ object JpegCodecOps {
       if (quant.exists(_ == null) || dcT.exists(_ == null) || acT.exists(_ == null))
         return None
 
-      val blocksX = (w + 7) / 8
-      val blocksY = (h + 7) / 8
-      // component planes, cropped at the end
-      val planes = Array.fill(ncomp)(new Array[Int](w * h))
+      val hMax = (0 until ncomp).map(compH).max
+      val vMax = (0 until ncomp).map(compV).max
+      // component planes at their OWN resolution (A.1.1), cropped later
+      val pw = Array.tabulate(ncomp)(c => (w * compH(c) + hMax - 1) / hMax)
+      val ph = Array.tabulate(ncomp)(c => (h * compV(c) + vMax - 1) / vMax)
+      val planes = Array.tabulate(ncomp)(c => new Array[Int](pw(c) * ph(c)))
+      val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+      val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
       val br = new BitReader(bytes, scanStart)
       val pred = new Array[Int](ncomp)
       val zz = new Array[Int](64)
       val blk = new Array[Double](64)
-      // separable IDCT basis, precomputed once per image
-      val cosT = Array.tabulate(8, 8)((x, u) =>
-        (if (u == 0) 1.0 / math.sqrt(2) else 1.0) *
-          math.cos((2 * x + 1) * u * math.Pi / 16))
-      for (by <- 0 until blocksY; bx <- 0 until blocksX; c <- 0 until ncomp) {
-        java.util.Arrays.fill(zz, 0)
-        val t = br.decode(dcT(c))
-        pred(c) += extend(br.bits(t), t)
-        zz(0) = pred(c)
-        var k = 1
-        var eob = false
-        while (k < 64 && !eob) {
-          val rs = br.decode(acT(c))
-          if (rs == 0x00) eob = true
-          else if (rs == 0xF0) k += 16
-          else {
-            k += (rs >> 4)
-            if (k > 63) return None
-            zz(k) = extend(br.bits(rs & 15), rs & 15)
-            k += 1
+      val cosT = CosT // the shared separable basis
+      var mcu = 0
+      for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+        if (restart > 0 && mcu > 0 && mcu % restart == 0) {
+          br.expectRestart((mcu / restart - 1) % 8)
+          java.util.Arrays.fill(pred, 0)
+        }
+        for (c <- 0 until ncomp; v <- 0 until compV(c); hh <- 0 until compH(c)) {
+          java.util.Arrays.fill(zz, 0)
+          val t = br.decode(dcT(c))
+          pred(c) += extend(br.bits(t), t)
+          zz(0) = pred(c)
+          var k = 1
+          var eob = false
+          while (k < 64 && !eob) {
+            val rs = br.decode(acT(c))
+            if (rs == 0x00) eob = true
+            else if (rs == 0xF0) k += 16
+            else {
+              k += (rs >> 4)
+              if (k > 63) return None
+              zz(k) = extend(br.bits(rs & 15), rs & 15)
+              k += 1
+            }
+          }
+          // dequant + inverse zigzag into natural order
+          java.util.Arrays.fill(blk, 0.0)
+          var i = 0
+          while (i < 64) { blk(ZigZag(i)) = zz(i).toDouble * quant(c)(i); i += 1 }
+          // separable IDCT: rows (over v) then columns (over u)
+          val tmp = new Array[Double](64)
+          for (u <- 0 until 8; x <- 0 until 8) {
+            var acc = 0.0
+            var vv = 0
+            while (vv < 8) { acc += blk(u * 8 + vv) * cosT(x)(vv); vv += 1 }
+            tmp(u * 8 + x) = acc
+          }
+          val baseX = (mx * compH(c) + hh) * 8
+          val baseY = (my * compV(c) + v) * 8
+          for (x <- 0 until 8; y <- 0 until 8) {
+            var acc = 0.0
+            var u = 0
+            while (u < 8) { acc += tmp(u * 8 + x) * cosT(y)(u); u += 1 }
+            val px = math.round(acc / 4 + 128).toInt
+            val cx = baseX + x; val cy = baseY + y
+            if (cx < pw(c) && cy < ph(c))
+              planes(c)(cy * pw(c) + cx) = math.max(0, math.min(255, px))
           }
         }
-        // dequant + inverse zigzag into natural order
-        java.util.Arrays.fill(blk, 0.0)
-        var i = 0
-        while (i < 64) { blk(ZigZag(i)) = zz(i).toDouble * quant(c)(i); i += 1 }
-        // separable IDCT: rows (over v) then columns (over u)
-        val tmp = new Array[Double](64)
-        for (u <- 0 until 8; x <- 0 until 8) {
-          var acc = 0.0
-          var v = 0
-          while (v < 8) { acc += blk(u * 8 + v) * cosT(x)(v); v += 1 }
-          tmp(u * 8 + x) = acc
-        }
-        for (x <- 0 until 8; y <- 0 until 8) {
-          var acc = 0.0
-          var u = 0
-          while (u < 8) { acc += tmp(u * 8 + x) * cosT(y)(u); u += 1 }
-          val px = math.round(acc / 4 + 128).toInt
-          val cx = bx * 8 + x; val cy = by * 8 + y
-          if (cx < w && cy < h)
-            planes(c)(cy * w + cx) = math.max(0, math.min(255, px))
-        }
+        mcu += 1
       }
       if (ncomp == 1) Some(Decoded(w, h, 1, planes(0)))
       else {
-        // JFIF 3-component = YCbCr: interleave as RGB
+        // JFIF 3-component = YCbCr: upsample chroma to full resolution
+        // (nearest-neighbor — the sampled coordinate per A.1.1) and
+        // interleave as RGB
         val out = new Array[Int](w * h * 3)
+        def sample(c: Int, x: Int, y: Int): Int =
+          planes(c)((y * compV(c) / vMax) * pw(c) + (x * compH(c) / hMax))
         var j = 0
         while (j < w * h) {
-          val y = planes(0)(j); val cb = planes(1)(j); val cr = planes(2)(j)
-          out(3 * j) = ycc(0, y, cb, cr)
-          out(3 * j + 1) = ycc(1, y, cb, cr)
-          out(3 * j + 2) = ycc(2, y, cb, cr)
+          val x = j % w; val y = j / w
+          val yv = sample(0, x, y); val cb = sample(1, x, y); val cr = sample(2, x, y)
+          out(3 * j) = ycc(0, yv, cb, cr)
+          out(3 * j + 1) = ycc(1, yv, cb, cr)
+          out(3 * j + 2) = ycc(2, yv, cb, cr)
           j += 1
         }
         Some(Decoded(w, h, 3, out))
@@ -661,12 +792,26 @@ object JpegCodecOps {
   /** The `jpeg_pixels_rgb` fixture chain: generate → decode → convert,
     * stats out. */
   def jpegPixelsRgb(docs: DataFrame): DataFrame = jpegRgbDecodeStats(jpegRgbMediaTable(docs))
+
+  /** The `jpeg_pixels_420` fixture chain: 4:2:0 subsampled color with
+    * restart intervals on every third doc — generate → decode →
+    * upsample → convert, stats out (same output contract as the 4:4:4
+    * twin). */
+  def jpegPixels420(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    jpegRgbDecodeStats(
+      docs.select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, encode420Fixture(id))))
+        .toDF("doc_id", "media"))
+  }
 }
 
 object JpegPack extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "jpeg_pixels" -> ((s, dir) => JpegCodecOps.jpegPixels(Tables.documents(s, dir))),
-    "jpeg_pixels_rgb" -> ((s, dir) => JpegCodecOps.jpegPixelsRgb(Tables.documents(s, dir))))
+    "jpeg_pixels_rgb" -> ((s, dir) => JpegCodecOps.jpegPixelsRgb(Tables.documents(s, dir))),
+    "jpeg_pixels_420" -> ((s, dir) => JpegCodecOps.jpegPixels420(Tables.documents(s, dir))))
 
   // codec-free oracle (the png_pixels convention): the block-constant
   // fixtures are LOSSLESS under the DC-8 quant dial, so the expected
@@ -710,6 +855,45 @@ object JpegPack extends QueryPack {
         |         (doc_id * 37 + ((j % w) // 8) * 11 + ((j // w) // 8) * 23) % 256 AS y,
         |         (doc_id * 13 + ((j % w) // 8) * 7 + ((j // w) // 8) * 5) % 256 AS cb,
         |         (doc_id * 29 + ((j % w) // 8) * 3 + ((j // w) // 8) * 19) % 256 AS cr
+        |  FROM p, LATERAL unnest(range(0, w * h)) AS t(j)
+        |),
+        |rgb AS (
+        |  SELECT doc_id, w, h, trunc,
+        |         GREATEST(0, LEAST(255, CAST(FLOOR(y + CAST(1.402 AS DOUBLE) * (cr - 128) + 0.5) AS BIGINT))) AS r,
+        |         GREATEST(0, LEAST(255, CAST(FLOOR(y - CAST(0.344136 AS DOUBLE) * (cb - 128) - CAST(0.714136 AS DOUBLE) * (cr - 128) + 0.5) AS BIGINT))) AS g,
+        |         GREATEST(0, LEAST(255, CAST(FLOOR(y + CAST(1.772 AS DOUBLE) * (cb - 128) + 0.5) AS BIGINT))) AS b
+        |  FROM px
+        |)
+        |SELECT doc_id,
+        |       CASE WHEN trunc THEN 'corrupt' ELSE 'jpeg' END AS status,
+        |       CASE WHEN NOT trunc THEN CAST(MAX(w) AS BIGINT) END AS width,
+        |       CASE WHEN NOT trunc THEN CAST(MAX(h) AS BIGINT) END AS height,
+        |       CASE WHEN NOT trunc THEN CAST(SUM(r) AS BIGINT) END AS r_sum,
+        |       CASE WHEN NOT trunc THEN CAST(MIN(r) AS BIGINT) END AS r_min,
+        |       CASE WHEN NOT trunc THEN CAST(MAX(r) AS BIGINT) END AS r_max,
+        |       CASE WHEN NOT trunc THEN CAST(SUM(g) AS BIGINT) END AS g_sum,
+        |       CASE WHEN NOT trunc THEN CAST(MIN(g) AS BIGINT) END AS g_min,
+        |       CASE WHEN NOT trunc THEN CAST(MAX(g) AS BIGINT) END AS g_max,
+        |       CASE WHEN NOT trunc THEN CAST(SUM(b) AS BIGINT) END AS b_sum,
+        |       CASE WHEN NOT trunc THEN CAST(MIN(b) AS BIGINT) END AS b_min,
+        |       CASE WHEN NOT trunc THEN CAST(MAX(b) AS BIGINT) END AS b_max
+        |FROM rgb GROUP BY doc_id, trunc""".stripMargin,
+    // the 4:2:0 twin: luma per 8×8 block, chroma per 16×16 MACROBLOCK
+    // (each half-res chroma block is constant, so subsampling AND the
+    // nearest-neighbor upsample are exact), restart intervals on every
+    // third doc — RSTn consumption is under this oracle too
+    "jpeg_pixels_420" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         doc_id % 40 + 8 AS w, doc_id % 28 + 8 AS h,
+        |         doc_id % 7 = 3 AS trunc
+        |  FROM documents
+        |),
+        |px AS (
+        |  SELECT doc_id, w, h, trunc, j,
+        |         (doc_id * 37 + ((j % w) // 8) * 11 + ((j // w) // 8) * 23) % 256 AS y,
+        |         (doc_id * 13 + ((j % w) // 16) * 7 + ((j // w) // 16) * 5) % 256 AS cb,
+        |         (doc_id * 29 + ((j % w) // 16) * 3 + ((j // w) // 16) * 19) % 256 AS cr
         |  FROM p, LATERAL unnest(range(0, w * h)) AS t(j)
         |),
         |rgb AS (

@@ -93,7 +93,10 @@ object ScaleBench {
     // the baseline-JPEG entropy decode (mapPartitions + own Huffman/IDCT):
     // pure map parallelism, expected ~linear like png_pixels; the color
     // twin adds the 3-component interleave + YCbCr conversion
-    "jpeg_pixels", "jpeg_pixels_rgb")
+    "jpeg_pixels", "jpeg_pixels_rgb",
+    // the subsampled profile: 4 luma blocks + 2 chroma per MCU, restart
+    // markers on a third of the docs, nearest-neighbor upsample
+    "jpeg_pixels_420")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -119,6 +119,56 @@ class JpegCodecSpec extends SparkSpec {
     }
   }
 
+  test("4:2:0 fixtures decode EXACTLY formula ∘ conversion, restart intervals included") {
+    var withRestart = 0
+    (0L until 90L).filter(_ % 7 != 3).foreach { id =>
+      val (w, h) = JpegCodecOps.fixtureDims420(id)
+      if (JpegCodecOps.fixtureRestart(id) > 0) withRestart += 1
+      val got = JpegCodecOps.decodeJpeg(JpegCodecOps.encode420Fixture(id))
+      assert(got.isDefined && got.get.channels == 3, s"doc $id must decode as 4:2:0 color")
+      val d = got.get
+      assert(d.width == w && d.height == h)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val yy = JpegCodecOps.fixtureYcc(id, 0, x / 8, y / 8)
+        val cb = JpegCodecOps.fixtureYcc(id, 1, x / 16, y / 16)
+        val cr = JpegCodecOps.fixtureYcc(id, 2, x / 16, y / 16)
+        assert(d.samples((y * w + x) * 3 + c) == JpegCodecOps.ycc(c, yy, cb, cr),
+          s"doc $id pixel ($x,$y) ch $c: macroblock-constant chroma is lossless " +
+            s"through subsampling AND nearest upsampling")
+      }
+    }
+    assert(withRestart > 10, "the fixture set must exercise restart intervals")
+  }
+
+  test("cross-codec 4:2:0: ImageIO agrees within ±3 on textured luma with flat chroma") {
+    // textured LUMA exercises every entropy path; chroma is GLOBALLY
+    // constant per image so libjpeg's fancy (triangular) upsampler and
+    // this decoder's nearest-neighbor agree exactly (interpolating a
+    // constant is the constant) — a boundary-free differential. Both
+    // with and without restart intervals.
+    (1L to 20L).foreach { id =>
+      val w = (id % 37 + 10).toInt; val h = (id % 23 + 10).toInt
+      val cw = (w + 1) / 2; val ch = (h + 1) / 2
+      val cb0 = ((id * 53) % 256).toInt; val cr0 = ((id * 71) % 256).toInt
+      val bytes = JpegCodecOps.encodeJpeg420(w, h,
+        (x, y) => ((id * 31 + y * w + x) * 7 % 256).toInt,
+        (_, _) => cb0, (_, _) => cr0,
+        restartInterval = if (id % 2 == 0) 1 else 0)
+      val ours = JpegCodecOps.decodeJpeg(bytes)
+      val theirs = imageIoDecodeRgb(bytes)
+      assert(ours.isDefined && ours.get.channels == 3, s"id $id must decode")
+      assert(theirs.isDefined, s"ImageIO must accept the 4:2:0 file (id $id)")
+      val (tw, th, tpx) = theirs.get
+      assert(ours.get.width == tw && ours.get.height == th)
+      var worst = 0
+      for (j <- ours.get.samples.indices)
+        worst = math.max(worst, math.abs(ours.get.samples(j) - tpx(j)))
+      assert(worst <= 3,
+        s"id $id: flat-chroma 4:2:0 pipelines may differ by rounding only, got $worst")
+      assert(cw * ch > 0)
+    }
+  }
+
   test("malformed bytes never throw: every truncation and every single-byte corruption") {
     val whole = JpegCodecOps.encodeJpeg(12, 10, (x, y) => (x * 17 + y * 29) % 256)
     // every truncation point: None or a well-formed partial refusal
