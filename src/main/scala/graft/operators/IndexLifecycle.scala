@@ -194,7 +194,11 @@ object IndexLifecycle {
   /** The guarded multi-table append — protocol in the object scaladoc.
     * `batchIds` must be bounded app input (an ingest batch); its
     * materializations here (classification, marker, sidecar) are all
-    * O(batch). */
+    * O(batch). SINGLE WRITER per index dir (the reference's admin-lock
+    * discipline, api/runner/StaticConnector.java's one-connection
+    * model): two concurrent appends could both classify an id as fresh
+    * and double-write its rows — serializing mutations is the caller's
+    * deployment contract; concurrent SERVES are safe throughout. */
   def appendGuarded(spark: SparkSession, dir: String, idCol: String,
       batchIds0: DataFrame, tables: Seq[GuardedTable]): Unit = {
     require(BulkOps.fileExists(spark, s"$dir/ids"),
@@ -372,7 +376,11 @@ object IndexLifecycle {
     *
     * Crash before 3: next preamble discards the stale `_new` copies —
     * the live index never changed. Crash after 3: next preamble
-    * completes every remaining swap from the surviving `_new` copies. */
+    * completes every remaining swap from the surviving `_new` copies.
+    * Between a mid-swap crash and that recovery, serves FAIL LOUDLY
+    * (renamed-away table paths) rather than answer from a mixed
+    * quantizer state — run any lifecycle entry point (compact/rebuild)
+    * to recover before serving. */
   private[operators] def rebuildTables(
       spark: SparkSession, dir: String, tables: Seq[String])(stage: => Unit): Unit = {
     recoverRebuild(spark, dir, tables)

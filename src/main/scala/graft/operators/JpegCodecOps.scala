@@ -719,7 +719,11 @@ object JpegCodecOps {
     media.select(col("doc_id").cast("long"), col("media")).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         decodeJpeg(bytes) match {
+          // a color payload in the GRAY stats path is a contract breach,
+          // not a decodable gray image — corrupt, never mixed-channel math
           case None => JpegStats(id, "corrupt", None, None, None, None, None)
+          case Some(d) if d.channels != 1 =>
+            JpegStats(id, "corrupt", None, None, None, None, None)
           case Some(d) =>
             var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
             var j = 0
