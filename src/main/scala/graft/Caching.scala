@@ -46,9 +46,11 @@ object Caching {
     * compute, not a cache re-read) and the blocks release when the frame
     * is garbage-collected instead of pinning a CacheManager entry per
     * distinct input for the session's lifetime. The localCheckpoint
-    * branch trades lineage for determinism: an executor loss during that
-    * one query re-runs the query rather than silently re-sampling
-    * boundaries mid-plan. */
+    * branch trades RESILIENCE for determinism: checkpoint blocks are not
+    * recomputable (the lineage is truncated), so an executor loss after
+    * materialization FAILS the job — resubmit it and the frame
+    * materializes afresh. What can never happen is a silent partial
+    * re-sample of boundaries mid-plan. */
   def pinForConsistency(df: DataFrame): DataFrame =
     if (df.sparkSession.conf.get(EnabledKey, "true").toBoolean) df.cache()
     else df.localCheckpoint(true)

@@ -129,7 +129,10 @@ object DedupIndexOps {
         SaveMode.Overwrite)
       .save(s"$dir/meta")
     metaMemo.put(dir, meta)
-    IndexLifecycle.writeIds(spark, dir, "doc_id", docs.select("doc_id"), n)
+    // the sidecar commits EVERY doc id (unsignable docs too — the index
+    // is the authority on ids, so their redelivery skips), so its dial
+    // sizes from the FULL doc count, not the signable count
+    IndexLifecycle.writeIds(spark, dir, "doc_id", docs.select("doc_id"), docs.count())
     if (BulkOps.fileExists(spark, s"$dir/tombstones"))
       BulkOps.deletePath(spark, s"$dir/tombstones")
   }

@@ -146,6 +146,11 @@ object IndexLifecycle {
     * partition dial. */
   def writeIds(spark: SparkSession, dir: String, idCol: String,
       ids: DataFrame, expectedN: Long): Unit = {
+    // a partitioned write of zero rows produces a directory no reader
+    // can infer a schema from — an empty corpus is "no index", refused
+    // loudly here so every index family inherits the guard
+    require(expectedN > 0,
+      s"writeIds: empty id set — refusing to write an unreadable sidecar at $dir")
     val parts = sizedParts(expectedN, IdsRowsPerPart, IdsMinParts, IdsMaxParts)
     BulkOps.writePath(withIb(ids, idCol, parts).repartition(col("ib")), SaveMode.Overwrite)
       .partitionBy("ib").save(s"$dir/ids")
@@ -163,10 +168,12 @@ object IndexLifecycle {
     * driver materialization, ≤ id_parts longs) push as a static In
     * filter on the partition column, so a small batch reads only its own
     * sidecar directories. Candidates must be bounded app input (an
-    * ingest batch). */
+    * ingest batch). `parts` is the sidecar dial the caller read — a
+    * MUTATION passes the freshly-read stored value ([[appendGuarded]]
+    * reads it once at entry), never a memo that another process's
+    * rewrite could have staled. */
   def committedIds(spark: SparkSession, dir: String, idCol: String,
-      candidates: DataFrame): DataFrame = {
-    val parts = idPartsMemo(spark, dir)
+      candidates: DataFrame, parts: Int): DataFrame = {
     val ibs = candidates
       .select(pmod(col(idCol).cast("long"), lit(parts.toLong)).as("ib"))
       .distinct().collect().map(_.getLong(0))
@@ -203,6 +210,14 @@ object IndexLifecycle {
       batchIds0: DataFrame, tables: Seq[GuardedTable]): Unit = {
     require(BulkOps.fileExists(spark, s"$dir/ids"),
       s"no ids sidecar under $dir — appends require an index written by this lifecycle")
+    // the stored dial, read FRESH before any probe: marker resolution
+    // and batch classification must bucket at the dial the sidecar is
+    // actually partitioned by — a memoized dial staled by an
+    // out-of-band rewrite would probe the wrong directories, classify
+    // committed ids as fresh and double-write their rows. Step 5's
+    // sidecar append reuses the same value (single writer: nothing can
+    // legally change it mid-append).
+    val parts = readIdParts(spark, dir)
     // lineage truncated once: the batch id set is read by every step
     // below, and it must be ONE set throughout (bounded, O(batch))
     val batchIds = batchIds0.select(col(idCol).cast("long").as(idCol))
@@ -214,7 +229,7 @@ object IndexLifecycle {
       else Seq.empty
     val unresolved: Seq[(String, DataFrame)] = markers.flatMap { m =>
       val pids = BulkOps.readPath(spark, m).select(col(idCol).cast("long").as(idCol))
-      val open = pids.join(broadcast(committedIds(spark, dir, idCol, pids)),
+      val open = pids.join(broadcast(committedIds(spark, dir, idCol, pids, parts)),
         Seq(idCol), "left_anti").localCheckpoint(true)
       if (open.isEmpty) { BulkOps.deletePath(spark, m); None } else Some((m, open))
     }
@@ -222,7 +237,7 @@ object IndexLifecycle {
 
     // step 2: classify — committed ids skip everything
     val toCommit = batchIds
-      .join(broadcast(committedIds(spark, dir, idCol, batchIds)), Seq(idCol), "left_anti")
+      .join(broadcast(committedIds(spark, dir, idCol, batchIds, parts)), Seq(idCol), "left_anti")
       .localCheckpoint(true)
     if (toCommit.isEmpty) return
     val suspects = suspectPool
@@ -250,8 +265,8 @@ object IndexLifecycle {
         maybeCrash(t.name)
       }
 
-      // step 5: commit point — the ids enter the sidecar
-      val parts = readIdParts(spark, dir)
+      // step 5: commit point — the ids enter the sidecar (at the dial
+      // read at entry — the one the probes above classified against)
       BulkOps.writePath(withIb(toCommit, idCol, parts).repartition(col("ib")), SaveMode.Append)
         .partitionBy("ib").save(s"$dir/ids")
       maybeCrash("ids")

@@ -478,8 +478,9 @@ object JpegCodecOps {
   }
 
   /** Full decode or None (malformed anywhere; unsupported profiles —
-    * chroma subsampling, progressive, restart intervals, 16-bit quant —
-    * are honestly None, never a wrong answer). Never throws. */
+    * progressive/extended/lossless/arithmetic scans, 16-bit quant
+    * tables, sampling grids other than gray / 4:4:4 / 4:2:0 — are
+    * honestly None, never a wrong answer). Never throws. */
   private[operators] def decodeJpeg(bytes: Array[Byte]): Option[Decoded] =
     try {
       if (bytes.length < 4 || (bytes(0) & 0xff) != 0xFF || (bytes(1) & 0xff) != 0xD8)
@@ -540,7 +541,9 @@ object JpegCodecOps {
           case 0xC4 => // DHT (possibly several tables in one segment)
             if (pos + 2 > bytes.length) return None
             val len = u16(pos)
-            if (pos + len > bytes.length) return None
+            // len counts its own two bytes: < 2 is spec-invalid, and
+            // advancing by it would loop forever on a crafted stream
+            if (len < 2 || pos + len > bytes.length) return None
             var o = pos + 2
             while (o < pos + len) {
               if (o + 17 > pos + len) return None
@@ -560,7 +563,7 @@ object JpegCodecOps {
           case 0xDB => // DQT (possibly several tables)
             if (pos + 2 > bytes.length) return None
             val len = u16(pos)
-            if (pos + len > bytes.length) return None
+            if (len < 2 || pos + len > bytes.length) return None
             var o = pos + 2
             while (o < pos + len) {
               val pq = (bytes(o) >> 4) & 0x0f
@@ -594,7 +597,7 @@ object JpegCodecOps {
           case x if x >= 0xE0 && x <= 0xEF || x == 0xFE => // APPn / COM
             if (pos + 2 > bytes.length) return None
             val len = u16(pos)
-            if (pos + len > bytes.length) return None
+            if (len < 2 || pos + len > bytes.length) return None
             pos += len
           case _ => return None
         }

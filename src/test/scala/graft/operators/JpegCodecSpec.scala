@@ -193,6 +193,31 @@ class JpegCodecSpec extends SparkSpec {
     assert(JpegCodecOps.decodeJpeg(sof2).isEmpty, "progressive must refuse, not garble")
   }
 
+  test("zero-length segments refuse instead of spinning the marker walk") {
+    // a segment length counts its own two bytes, so len == 0 is
+    // spec-invalid AND advances pos by nothing — without the < 2 guard
+    // the marker walk loops forever (the XOR corruption sweep above can
+    // never produce a zero length, hence this targeted construction)
+    val com0 = Array(0xFF, 0xD8, 0xFF, 0xFE, 0x00, 0x00, 0x12, 0x34).map(_.toByte)
+    assert(JpegCodecOps.decodeJpeg(com0).isEmpty, "SOI + zero-length COM must refuse")
+    // and mid-stream: zero each real segment's length field in turn
+    // (DQT, DHT, APPn, COM are the cases with no segment-specific
+    // minimum; SOF/SOS/DRI already had one)
+    val whole = JpegCodecOps.encodeJpeg(12, 10, (x, y) => (x * 17 + y * 29) % 256)
+    val lenMarkers = Set(0xC4, 0xDB, 0xFE) ++ (0xE0 to 0xEF)
+    var zeroed = 0
+    (0 until whole.length - 3).foreach { i =>
+      if ((whole(i) & 0xff) == 0xFF && lenMarkers.contains(whole(i + 1) & 0xff)) {
+        val dup = whole.clone()
+        dup(i + 2) = 0; dup(i + 3) = 0
+        assert(JpegCodecOps.decodeJpeg(dup).isEmpty,
+          f"zeroed length of marker FF${whole(i + 1) & 0xff}%02X at $i must refuse")
+        zeroed += 1
+      }
+    }
+    assert(zeroed > 0, "the fixture must contain at least one length-bearing segment")
+  }
+
   test("fixture chain: truncated docs degrade to corrupt rows; stats match the formula") {
     val s = spark
     import s.implicits._
