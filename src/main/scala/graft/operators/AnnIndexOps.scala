@@ -135,6 +135,9 @@ object AnnIndexOps {
     * the corpus). */
   def writeIndex(embeddings: DataFrame, dir: String,
       trainPct: Option[Int] = None): Unit = {
+    // single-writer from the FIRST table write of the build (writeIds
+    // renews the same lease)
+    IndexLifecycle.acquireLease(embeddings.sparkSession, dir)
     val cents = coarseCentroids(embeddings)
     val cb = PqOps.trainedResidualCodebook(embeddings, trainPct)
     // one encode feeds both the postings write and the train-time error
@@ -188,7 +191,12 @@ object AnnIndexOps {
             appendBatch(
               newVectors.join(broadcast(fresh), Seq("vec_id"), "left_semi"), cents, cb),
             SaveMode.Append)
-          .partitionBy("center").save(s"$dir/postings"))))
+          // direct partitioned append, NOT a delta segment: posting
+          // directories are the ~|centroids| coarse centers, so the
+          // per-directory write fan-out is bounded and small (measured
+          // flat at 100×) — a delta would buy nothing here
+          .partitionBy("center").save(s"$dir/postings"),
+        mutates = Seq("postings"))))
   }
 
   /** The drift REMEDY — retrain-and-swap, closing the maintenance loop
@@ -303,9 +311,9 @@ object AnnIndexOps {
       .save(s"$dir/tombstones")
 
   private[graft] def tombstonesOpt(spark: SparkSession, dir: String): Option[DataFrame] =
-    if (BulkOps.fileExists(spark, s"$dir/tombstones"))
-      Some(BulkOps.readPath(spark, s"$dir/tombstones").select("vec_id"))
-    else None
+    // file-based (a fold consumes exactly its journaled tombstone FILES,
+    // which can leave a file-less dir no reader could infer schema from)
+    IndexLifecycle.flatLogOpt(spark, dir, "tombstones").map(_.select("vec_id"))
 
   /** Major compaction of the postings table (and the ids sidecar):
     * physically drop tombstoned rows and clear the tombstone log. The
@@ -426,6 +434,35 @@ object AnnIndexOps {
       writeIndex(emb, d))
     servedTopK(spark, dir, fixtureQueries(spark, emb, nQueries), k, nprobe)
   }
+
+  /** The APPEND-ONLY twin of [[annIngestServed]]: index prebuilt once
+    * ([[graft.tools.IndexScratch.prebuiltDir]], outside every timer),
+    * each call appends a FIXED batch of vectors under fresh pass-offset
+    * ids, so a min-of-passes measurement times the ingest cadence alone:
+    * encode-against-stored-quantizer + the guarded-append protocol
+    * against a growing index. Returns the sidecar read-back of the
+    * batch's ids ([[IndexLifecycle.committedProbe]]) mapped to original
+    * ids — an append that lost ids shrinks it. */
+  def annAppendOnly(spark: SparkSession, sfDir: String, nBatch: Int = 200): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = graft.tools.IndexScratch.prebuiltDir(spark, "graft_annidx_ao", sfDir)(d =>
+      writeIndex(emb, d))
+    val base = graft.tools.IndexScratch.AppendIdBase
+    val pass = graft.tools.IndexScratch.passNumber(s"ann_ao|$sfDir")
+    val rows = annAoBatchMemo.computeIfAbsent(sfDir, _ =>
+      emb.filter(col("vec_id") < nBatch)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq)
+    import spark.implicits._
+    val batch = rows.map { case (id, v) => (id + base * pass, v) }
+      .toDF("vec_id", "embedding")
+    appendToIndex(spark, dir, batch)
+    IndexLifecycle.committedProbe(spark, dir, "vec_id", batch.select("vec_id"))
+      .select((col("vec_id") % base).as("vec_id"))
+  }
+
+  private val annAoBatchMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Float])]]()
 
   /** The standard bounded query set of the served fixtures: the first
     * `nQueries` vectors collected into a LOCAL frame (app input — the

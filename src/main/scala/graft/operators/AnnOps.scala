@@ -909,6 +909,7 @@ object AnnPack extends QueryPack {
     // index maintenance faces: append-then-serve (quantizer fixed at the
     // initial fit), tombstone-masked serve, and the drift health census
     "ann_ingest" -> ((s, dir) => AnnIndexOps.annIngestServed(s, dir)),
+    "ann_append_only" -> ((s, dir) => AnnIndexOps.annAppendOnly(s, dir)),
     "ann_deleted" -> ((s, dir) => AnnIndexOps.annDeleted(s, dir)),
     "ann_drift" -> ((s, dir) => AnnIndexOps.annDrift(s, dir)),
     "ann_filtered" -> ((s, dir) => AnnOps.filteredTopK(e(s, dir))),
@@ -1637,6 +1638,9 @@ object AnnPack extends QueryPack {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist_q, vec_id) AS rnk
          |  FROM trscored
          |) WHERE rnk <= 5""".stripMargin,
+    // append-only: the returned frame is the sidecar read-back of the
+    // appended batch — every id of the fixed 200-vector batch, once
+    "ann_append_only" -> "SELECT vec_id FROM embeddings WHERE vec_id < 200",
     // append path: build + TRAIN on the stable md5 half, append the rest
     // through the stored quantizer — identical to fitting BOTH quantizer
     // stages on the half and encoding everything

@@ -820,6 +820,8 @@ object DedupPack extends QueryPack {
     "incr_dedup" -> ((s, dir) => DedupOps.incrDedup(d(s, dir), 25L)),
     "dedup_served" -> ((s, dir) => DedupIndexOps.dedupServed(s, dir)),
     "dedup_serve_only" -> ((s, dir) => DedupIndexOps.dedupServeOnly(s, dir)),
+    "dedup_append_only" -> ((s, dir) => DedupIndexOps.dedupAppendOnly(s, dir)),
+    "dedup_gate_only" -> ((s, dir) => DedupIndexOps.dedupGateOnly(s, dir)),
     "dedup_served_ing" -> ((s, dir) => DedupIndexOps.dedupIngestServed(s, dir)),
     "dedup_served_del" -> ((s, dir) => DedupIndexOps.dedupDeleted(s, dir)),
     "dedup_gate" -> ((s, dir) => DedupIndexOps.dedupGateReport(s, dir)),
@@ -837,9 +839,12 @@ object DedupPack extends QueryPack {
     "sweep_threshold25" -> ((s, dir) => DedupOps.sweepThreshold(d(s, dir), maxPairs = 25L))
   )
 
-  /** Shared SQL: distinct (doc_id, 31-bit shingle hash) postings. */
-  private[operators] val postingsSql =
-    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  /** Shared SQL: distinct (doc_id, 31-bit shingle hash) postings —
+    * parameterized by the document relation so fixture oracles can feed
+    * a transformed CTE (the gate-only twin unions a pass-suffixed batch
+    * over the corpus). */
+  private[operators] def postingsSqlFrom(rel: String): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $rel),
       |sh AS (
       |  SELECT DISTINCT doc_id,
       |         CAST(CAST(('0x' || substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 18, 15)) AS UBIGINT)
@@ -848,6 +853,8 @@ object DedupPack extends QueryPack {
       |  WHERE i + 2 <= len(t)
       |),
       |sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id)""".stripMargin
+
+  private[operators] val postingsSql = postingsSqlFrom("documents")
 
   /** Fixture watermark for incr_neardup: docs below are "the corpus",
     * docs at/above are "the new batch". */
@@ -1026,9 +1033,17 @@ object DedupPack extends QueryPack {
     * larger → smaller id, capped over BATCH rows), folded into one
     * verdict per batch doc with the index class winning and the best
     * match per class = (highest est, smallest dup_of). */
-  private def gateSql: String = {
-    val corpusPred = s"NOT ($servedBatchSqlPred)"
-    s"""WITH $postingsSql,
+  private def gateSql: String =
+    gateSqlFor("", "documents", s"NOT ($servedBatchSqlPred)", servedBatchSqlPred)
+
+  /** The gate report body, parameterized: `prelude` injects extra CTEs
+    * before the postings chain, `rel` is the document relation, and the
+    * two predicates split it into the corpus (index) and batch sides —
+    * shared by the standard gate oracle and the gate-only twin (which
+    * unions a pass-suffixed, id-offset batch over the corpus). */
+  private def gateSqlFor(prelude: String, rel: String,
+      corpusPred: String, batchPred: String): String =
+    s"""WITH $prelude${postingsSqlFrom(rel)},
        |$minhashSigSql,
        |sigc AS (
        |  SELECT doc_id, band, sig FROM (
@@ -1037,7 +1052,7 @@ object DedupPack extends QueryPack {
        |    FROM sigs s WHERE $corpusPred
        |  ) WHERE bsz <= ${DedupOps.MaxBandBucket}
        |),
-       |sigb AS (SELECT doc_id, band, sig FROM sigs WHERE $servedBatchSqlPred),
+       |sigb AS (SELECT doc_id, band, sig FROM sigs WHERE $batchPred),
        |cand AS (
        |  SELECT DISTINCT b.doc_id AS doc_id, c.doc_id AS dup_of
        |  FROM sigb b JOIN sigc c ON b.band = c.band AND b.sig = c.sig
@@ -1062,7 +1077,7 @@ object DedupPack extends QueryPack {
        |  SELECT doc_id, band, sig FROM (
        |    SELECT s.doc_id, s.band, s.sig,
        |           COUNT(*) OVER (PARTITION BY s.band, s.sig) AS bsz
-       |    FROM sigs s WHERE $servedBatchSqlPred
+       |    FROM sigs s WHERE $batchPred
        |  ) WHERE bsz <= ${DedupOps.MaxBandBucket}
        |),
        |bcand AS (
@@ -1093,10 +1108,31 @@ object DedupPack extends QueryPack {
        |            ELSE 'ingested' END AS verdict,
        |       COALESCE(i.i_dup, b.b_dup) AS dup_of,
        |       COALESCE(i.i_est, b.b_est) AS est_e4
-       |FROM (SELECT doc_id FROM documents WHERE $servedBatchSqlPred) d
+       |FROM (SELECT doc_id FROM $rel WHERE $batchPred) d
        |LEFT JOIN ibest i ON d.doc_id = i.doc_id
        |LEFT JOIN bbest b ON d.doc_id = b.doc_id
        |LEFT JOIN (SELECT DISTINCT doc_id FROM sh) sg ON d.doc_id = sg.doc_id""".stripMargin
+
+  /** The gate-only oracle: the corpus plus the pass-1 batch — the capped
+    * 10%-bucket slice with ids offset by
+    * [[graft.tools.IndexScratch.AppendIdBase]] and every token suffixed
+    * `g1` — as one relation, gated by id range. Mirrors
+    * [[DedupIndexOps.dedupGateOnly]]'s first call in a JVM exactly (the
+    * only call the Verify harness makes; later bench passes suffix g2,
+    * g3, … and are timing-only). */
+  private def gateOnlySql: String = {
+    val base = graft.tools.IndexScratch.AppendIdBase
+    val prelude =
+      s"""docs2 AS (
+         |  SELECT doc_id, text FROM documents WHERE NOT ($servedBatchSqlPred)
+         |  UNION ALL
+         |  SELECT doc_id + $base AS doc_id,
+         |         regexp_replace(text, '(\\S+)', '\\1g1', 'g') AS text
+         |  FROM documents
+         |  WHERE ($servedBatchSqlPred) AND doc_id < ${DedupIndexOps.ServeOnlyIdCap}
+         |),
+         |""".stripMargin
+    gateSqlFor(prelude, "docs2", s"doc_id < $base", s"doc_id >= $base")
   }
 
   override def oracles: Map[String, String] = Map(
@@ -1107,6 +1143,12 @@ object DedupPack extends QueryPack {
     // family measures a constant batch against a growing index
     "dedup_serve_only" -> servedIdxSqlB(s"NOT ($servedBatchSqlPred)",
       s"($servedBatchSqlPred) AND doc_id < ${DedupIndexOps.ServeOnlyIdCap}"),
+    // append-only: the returned frame is the sidecar read-back of the
+    // appended batch — every id of the capped batch, exactly once
+    "dedup_append_only" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE ($servedBatchSqlPred) AND doc_id < ${DedupIndexOps.ServeOnlyIdCap}""".stripMargin,
+    "dedup_gate_only" -> gateOnlySql,
     // append ≡ rebuild: same oracle BY DESIGN (per-doc signatures are
     // row-independent — the bm25_ingest equality convention)
     "dedup_served_ing" -> servedIdxSql(s"NOT ($servedBatchSqlPred)"),

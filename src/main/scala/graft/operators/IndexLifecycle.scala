@@ -20,13 +20,23 @@ import org.apache.spark.sql.functions._
   * `ib = id mod id_parts` (the dial stored in `dir/ids_meta` — the
   * sidecar is self-describing like the dedup index's meta row). It holds
   * every COMMITTED id: an id is committed iff all of the index's data
-  * tables hold its rows. Append-time idempotence probes the sidecar with
-  * the batch's distinct `ib` set as a static In partition filter — a
-  * small batch reads a few sidecar directories (8 bytes/id each), never
-  * a corpus-sized data-table slice. This replaces the per-batch
-  * one-row-slice reads (sigs band=0 / postings sub=0 / bm25 distinct)
-  * that were O(index) I/O on every ingest batch: worst case (a batch
-  * touching every ib) the guard reads the full sidecar, which is
+  * tables hold its rows. Append-time idempotence probes the sidecar by
+  * FILE SELECTION against a per-JVM directory listing memo: the batch's
+  * distinct `ib` set picks exactly its own sidecar directories' files —
+  * a small batch reads a few directories (8 bytes/id each), never a
+  * corpus-sized data-table slice. The listing memo is built once (one
+  * full directory walk per JVM per dir) and REFRESHED IN PLACE after
+  * each append (re-listing only the batch's own directories), so the
+  * steady-state ingest cadence never re-pays partition discovery — the
+  * cost class the serving handles eliminated from serves. The probe
+  * additionally pushes the batch's [min, max] id range as a data
+  * filter, so parquet row-group stats prune WITHIN the selected files:
+  * a monotone-id ingest (the production shape) skips every file of an
+  * older id range even when a wide batch touches all `ib` buckets.
+  * This replaces the per-batch one-row-slice reads (sigs band=0 /
+  * postings sub=0 / bm25 distinct) that were O(index) I/O on every
+  * ingest batch: worst case (a batch spanning the full id range AND
+  * every ib) the guard reads the full sidecar, which is
   * ~numPerms·|sig| (dedup), M·|code| (ANN) or |postings| (BM25) times
   * smaller than the slice it replaces.
   *
@@ -51,8 +61,15 @@ import org.apache.spark.sql.functions._
   *      batch). Table order is chosen by each index so its torn states
   *      are structurally invisible to serves (e.g. dedup writes `mins`
   *      before `sigs`: a half-appended doc can never become a
-  *      candidate).
-  *   5. append the to-commit ids to the sidecar — the commit point.
+  *      candidate). Writes land as DELTA SEGMENTS (`<table>_delta`,
+  *      one small unpartitioned file set per batch) rather than fanning
+  *      one tiny file into every touched partition directory — measured
+  *      ~11 ms per directory at local[32] and the small-files explosion
+  *      at a 100-TB ingest cadence; serves union base ∪ delta
+  *      ([[tableWithDelta]]) and compaction folds segments into the
+  *      partitioned base ([[compactTables]]).
+  *   5. append the to-commit ids to the sidecar's delta — the commit
+  *      point.
   *   6. delete this batch's marker.
   *
   * Crash anywhere: the marker survives, the ids stay out of the sidecar,
@@ -87,10 +104,11 @@ object IndexLifecycle {
   val IdsMinParts = 16
   val IdsMaxParts = 4096
 
-  // id_parts per sidecar dir, read once per JVM for PROBES; mutation
-  // paths ([[appendGuarded]], compaction) re-read the stored row and
-  // re-prime, so a dir rewritten at a different dial by another process
-  // cannot corrupt an append (the dedup meta-dial discipline).
+  // id_parts per sidecar dir, memoized for the day someone adds a pure
+  // probe path; every MUTATION re-reads the stored row at entry
+  // ([[appendGuarded]]) and re-primes, so a dir rewritten at a different
+  // dial by another process cannot corrupt an append (the dedup
+  // meta-dial discipline, regression-tested in IndexLifecycleSpec).
   private val idsMetaMemo = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   private def readIdParts(spark: SparkSession, dir: String): Int = {
@@ -99,17 +117,184 @@ object IndexLifecycle {
     n
   }
 
-  private def idPartsMemo(spark: SparkSession, dir: String): Int = {
-    val cached = idsMetaMemo.get(dir)
-    if (cached != null) cached.intValue() else readIdParts(spark, dir)
-  }
-
   /** Drop the per-JVM sidecar-dial memos (multi-process deployments that
     * rebuild an index dir out-of-band call this before serving from it
     * again — see DEPLOY.md). */
   def clearIdsMemo(): Unit = {
     idsMetaMemo.clear()
+    idsListingMemo.clear()
     handles.clear()
+  }
+
+  // ---- sidecar file-listing memo (the flat append-path probe) ----------
+
+  /** One sidecar's file inventory at a dial: `ib → data files` for the
+    * partitioned BASE plus the flat DELTA segment files ([[appendGuarded]]
+    * step 5 appends land in `ids_delta` — one small unpartitioned
+    * segment per batch, folded into the base by compaction). Probes
+    * select files straight from this inventory instead of constructing
+    * a DataFrame over the partitioned directory tree — at 4096
+    * directories that construction's discovery walk was ~6 s at the
+    * 100× corpus, paid per APPEND (the serve side's identical cost is
+    * already behind [[servingHandle]]; appends mutate the sidecar, so
+    * they need this refresh-in-place inventory instead of a frozen
+    * handle). */
+  private final case class IdsListing(parts: Int,
+      files: Map[Long, Seq[String]], delta: Seq[String])
+  private val idsListingMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, IdsListing]()
+  /** Test seam: counts FULL directory walks (memo misses). */
+  private[graft] val idsFullListings = new java.util.concurrent.atomic.AtomicLong()
+
+  private def hadoopFs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** List the data files of the selected (or all) `ib=` directories. */
+  private def listIbDirs(spark: SparkSession, dir: String,
+      ibs: Option[Seq[Long]]): Map[Long, Seq[String]] = {
+    val base = new org.apache.hadoop.fs.Path(s"$dir/ids")
+    val f = hadoopFs(spark, base)
+    val dirPaths: Seq[(Long, org.apache.hadoop.fs.Path)] = ibs match {
+      case Some(sel) => sel.flatMap { ib =>
+        val p = new org.apache.hadoop.fs.Path(base, s"ib=$ib")
+        if (f.exists(p)) Some(ib -> p) else None
+      }
+      case None =>
+        idsFullListings.incrementAndGet()
+        f.listStatus(base).toSeq.filter(_.isDirectory).flatMap { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("ib=")) Some(n.stripPrefix("ib=").toLong -> st.getPath)
+          else None
+        }
+    }
+    dirPaths.map { case (ib, p) =>
+      ib -> f.listStatus(p).toSeq
+        .filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+        .map(_.getPath.toString)
+    }.toMap
+  }
+
+  /** The data files of one flat (unpartitioned) directory, or empty if
+    * it does not exist — the delta-segment listing. */
+  private def listFlatDir(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = hadoopFs(spark, p)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(_.getPath.toString)
+  }
+
+  /** The memoized inventory — full walk only on a miss or a dial change;
+    * [[appendGuarded]] refreshes it in place after its sidecar append
+    * (re-listing only the one-directory delta). */
+  private def idsListing(spark: SparkSession, dir: String, parts: Int): IdsListing = {
+    val cached = idsListingMemo.get(dir)
+    if (cached != null && cached.parts == parts) cached
+    else {
+      val l = IdsListing(parts, listIbDirs(spark, dir, None),
+        listFlatDir(spark, s"$dir/ids_delta"))
+      idsListingMemo.put(dir, l)
+      l
+    }
+  }
+
+  // ---- single-writer lease ----------------------------------------------
+
+  /** Mutation-lease TTL — the reference's admin-lock discipline (an
+    * HBase lock row with a 4000 s TTL, pid owner, re-acquire-if-own:
+    * api/meta/TableLock.java:40-81, renewed by the owning process,
+    * api/meta/TechnicalMetaUpdater.java:29-54). A crashed writer's lease
+    * frees itself when the TTL lapses. */
+  val LeaseTtlMs: Long = 4000L * 1000L
+
+  /** Process-stable owner id: `pid@host` plus a per-JVM nonce (a reused
+    * pid after a host reboot must not look like the old owner). */
+  private[graft] val jvmOwner: String =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
+      "#" + java.util.UUID.randomUUID().toString.take(8)
+
+  /** Test seam: impersonate another process's owner id. */
+  @volatile private[graft] var ownerOverride: Option[String] = None
+  private def leaseOwner: String = ownerOverride.getOrElse(jvmOwner)
+
+  private def leaseFile(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/lease")
+
+  private def readLease(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[(String, Long)] =
+    if (!f.exists(p)) None
+    else scala.util.Try {
+      val in = f.open(p)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val lines = txt.split('\n')
+      (lines(0), lines(1).trim.toLong)
+    }.toOption // unreadable/corrupt = no valid holder: the takeover path re-creates
+
+  private def writeLease(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, overwrite: Boolean, expiry: Long): Unit = {
+    val out = f.create(p, overwrite)
+    try out.write(s"$leaseOwner\n$expiry\n".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Acquire or renew `dir`'s single-writer mutation lease — the FIRST
+    * step of every mutation entry point ([[writeIds]]/[[appendGuarded]]/
+    * [[compactTables]]/[[rebuildTables]] and each index's `writeIndex`).
+    * Two concurrent appenders could both classify an id as fresh and
+    * double-write its rows, so the second writer must refuse LOUDLY —
+    * this enforces what used to be a trust-based deployment contract.
+    * Held-and-live by another owner → IllegalStateException; expired or
+    * absent → takeover via create-exclusive (atomic on HDFS and local
+    * filesystems) plus a confirming re-read for stores whose create is
+    * weaker. Renewals rewrite in place (only the owner may). `ttlMs` is
+    * a test seam; production uses the [[LeaseTtlMs]] discipline.
+    * Tombstone APPENDS stay lock-free by design: each is an O(|ids|)
+    * new-file append consumed atomically by the next leased compaction. */
+  private[graft] def acquireLease(spark: SparkSession, dir: String,
+      ttlMs: Long = LeaseTtlMs): Unit = {
+    val p = leaseFile(dir)
+    val f = hadoopFs(spark, p)
+    val now = System.currentTimeMillis()
+    readLease(f, p) match {
+      case Some((owner, _)) if owner == leaseOwner =>
+        writeLease(f, p, overwrite = true, now + ttlMs)
+      case Some((owner, expiry)) if expiry > now =>
+        throw new IllegalStateException(
+          s"index mutation refused: $dir is leased to $owner for another " +
+            s"${(expiry - now) / 1000} s — mutations are single-writer per index " +
+            "dir (a crashed writer's lease expires after its TTL; see DEPLOY.md)")
+      case stale =>
+        if (stale.isDefined || f.exists(p)) f.delete(p, false)
+        try writeLease(f, p, overwrite = false, now + ttlMs)
+        catch {
+          case e: java.io.IOException => throw new IllegalStateException(
+            s"index mutation refused: lost the lease race for $dir", e)
+        }
+        readLease(f, p) match {
+          case Some((o, _)) if o == leaseOwner => ()
+          case got => throw new IllegalStateException(
+            s"index mutation refused: lost the lease race for $dir (holder: $got)")
+        }
+    }
+  }
+
+  /** Drop `dir`'s lease if this owner holds it — optional (an unreleased
+    * lease expires by TTL), for writers that hand an index off early. */
+  def releaseLease(spark: SparkSession, dir: String): Unit = {
+    val p = leaseFile(dir)
+    val f = hadoopFs(spark, p)
+    readLease(f, p) match {
+      case Some((o, _)) if o == leaseOwner => f.delete(p, false)
+      case _ => ()
+    }
   }
 
   // ---- serving handles -------------------------------------------------
@@ -132,9 +317,43 @@ object IndexLifecycle {
   def servingHandle(spark: SparkSession, dir: String, table: String): DataFrame =
     handles.computeIfAbsent(s"$dir/$table", p => BulkOps.readPath(spark, p))
 
-  /** Drop every handle under `dir` — called by every mutation path. */
-  def invalidateHandles(dir: String): Unit =
+  /** Base ∪ delta view of a stored table for SERVES: appends land as
+    * small unpartitioned segments under `<table>_delta` (one directory
+    * — no per-batch file fan-out across the partitioned tree, no
+    * small-files explosion at an ingest cadence), and compaction folds
+    * them into the base. `view` applies the serve's own pruning
+    * projection to EACH side (the base side's partition-column filters
+    * prune directories; the delta side's same filters prune row groups
+    * of what is at most a few batches of rows between folds). The
+    * existence check re-runs per serve because mutations create/delete
+    * the delta dir; both handles stay open-once. */
+  def tableWithDelta(spark: SparkSession, dir: String, table: String)(
+      view: DataFrame => DataFrame): DataFrame = {
+    val base = view(servingHandle(spark, dir, table))
+    // presence = data files, not the directory: a fold deletes exactly
+    // the segment files it journaled, which can leave a file-less dir
+    // no reader could infer a schema from
+    if (listFlatDir(spark, s"$dir/${table}_delta").isEmpty) base
+    else base.unionByName(view(servingHandle(spark, dir, s"${table}_delta")))
+  }
+
+  /** The rows of a flat side log (tombstones, a delta) as Some(df), or
+    * None when it holds no data files — file-based, so a dir emptied by
+    * a file-level fold never breaks schema inference. */
+  def flatLogOpt(spark: SparkSession, dir: String, table: String): Option[DataFrame] = {
+    val files = listFlatDir(spark, s"$dir/$table")
+    if (files.isEmpty) None else Some(spark.read.parquet(files: _*))
+  }
+
+  /** Drop every handle under `dir` — called by every mutation path (and
+    * by out-of-band fixture copies). The sidecar file inventory drops
+    * with them: anything that invalidates a serve handle may also have
+    * changed the sidecar's files. [[appendGuarded]] re-primes its own
+    * refreshed inventory AFTER this drop on the success path. */
+  def invalidateHandles(dir: String): Unit = {
     handles.keySet.removeIf(k => k.startsWith(dir + "/") || k == dir)
+    idsListingMemo.remove(dir)
+  }
 
   private def withIb(ids: DataFrame, idCol: String, parts: Int): DataFrame =
     ids.select(col(idCol).cast("long").as(idCol))
@@ -151,6 +370,7 @@ object IndexLifecycle {
     // loudly here so every index family inherits the guard
     require(expectedN > 0,
       s"writeIds: empty id set — refusing to write an unreadable sidecar at $dir")
+    acquireLease(spark, dir)
     val parts = sizedParts(expectedN, IdsRowsPerPart, IdsMinParts, IdsMaxParts)
     BulkOps.writePath(withIb(ids, idCol, parts).repartition(col("ib")), SaveMode.Overwrite)
       .partitionBy("ib").save(s"$dir/ids")
@@ -161,34 +381,79 @@ object IndexLifecycle {
     invalidateHandles(dir)
     if (BulkOps.fileExists(spark, s"$dir/pending"))
       BulkOps.deletePath(spark, s"$dir/pending")
+    // a fresh build supersedes any delta segments from the dir's past
+    // life (their rows belong to the replaced index)
+    if (BulkOps.fileExists(spark, s"$dir/ids_delta"))
+      BulkOps.deletePath(spark, s"$dir/ids_delta")
   }
 
   /** The ids of `candidates` already committed to the index — the
     * sidecar probe: the candidate set's distinct `ib` values (a bounded
-    * driver materialization, ≤ id_parts longs) push as a static In
-    * filter on the partition column, so a small batch reads only its own
-    * sidecar directories. Candidates must be bounded app input (an
+    * driver materialization, ≤ id_parts longs) select exactly their own
+    * directories' files from the memoized inventory (no partition
+    * discovery), and the candidates' [min, max] id range pushes as a
+    * data filter so parquet row-group stats prune within those files —
+    * a monotone-id ingest skips every older file even when its batch
+    * touches all `ib` buckets. Candidates must be bounded app input (an
     * ingest batch). `parts` is the sidecar dial the caller read — a
     * MUTATION passes the freshly-read stored value ([[appendGuarded]]
     * reads it once at entry), never a memo that another process's
     * rewrite could have staled. */
   def committedIds(spark: SparkSession, dir: String, idCol: String,
       candidates: DataFrame, parts: Int): DataFrame = {
-    val ibs = candidates
-      .select(pmod(col(idCol).cast("long"), lit(parts.toLong)).as("ib"))
-      .distinct().collect().map(_.getLong(0))
-    BulkOps.readPath(spark, s"$dir/ids")
-      .filter(col("ib").isin(ibs: _*))
-      .select(col(idCol).cast("long").as(idCol))
-      .join(broadcast(candidates.select(col(idCol).cast("long").as(idCol))),
-        Seq(idCol), "left_semi")
+    val ids = candidates.select(col(idCol).cast("long").as(idCol))
+      .distinct().collect().map(_.getLong(0)).toIndexedSeq
+    import spark.implicits._
+    committedOf(spark, dir, idCol, ids, parts).toSeq.toDF(idCol)
   }
+
+  /** The driver-resident probe behind [[committedIds]]: which of `ids`
+    * (bounded app input) are committed. ONE Spark job — the candidate
+    * set's ib buckets and [min, max] range compute locally. */
+  private def committedOf(spark: SparkSession, dir: String, idCol: String,
+      ids: Seq[Long], parts: Int): Set[Long] = {
+    if (ids.isEmpty) return Set.empty
+    val files = {
+      val l = idsListing(spark, dir, parts)
+      val ibs = ids.map(i => math.floorMod(i, parts.toLong)).distinct
+      // base files of the batch's own buckets + EVERY delta segment
+      // (each is one batch's worth of ids — small until the next fold)
+      ibs.sorted.flatMap(ib => l.files.getOrElse(ib, Nil)) ++ l.delta
+    }
+    if (files.isEmpty) return Set.empty
+    import spark.implicits._
+    spark.read
+      .schema(new org.apache.spark.sql.types.StructType()
+        .add(idCol, org.apache.spark.sql.types.LongType))
+      .parquet(files: _*)
+      .filter(col(idCol).between(lit(ids.min), lit(ids.max)))
+      .join(broadcast(ids.toDF(idCol)), Seq(idCol), "left_semi")
+      .collect().map(_.getLong(0)).toSet
+  }
+
+  /** [[committedIds]] at the freshly-read stored dial — the public
+    * membership probe for verification chains and fixtures (mutations
+    * run inside [[appendGuarded]], which reads the dial once itself). */
+  def committedProbe(spark: SparkSession, dir: String, idCol: String,
+      candidates: DataFrame): DataFrame =
+    committedIds(spark, dir, idCol, candidates, readIdParts(spark, dir))
 
   /** One data table under the guarded-append protocol: `oneRowPred`
     * selects a one-row-per-id slice (the suspect-path presence check);
     * `write` must APPEND exactly the rows of the fresh-id frame it is
-    * handed. Declaration order = write order. */
-  final case class GuardedTable(name: String, oneRowPred: Column, write: DataFrame => Unit)
+    * handed. Declaration order = write order. `mutates` names the
+    * tables the write actually touches (default: the delta view and,
+    * conservatively, the base) — [[appendGuarded]] drops exactly those
+    * serving handles, so a serve-after-append cadence keeps its
+    * open-once handles on the untouched partitioned base (re-opening a
+    * 4096-directory table is the ~6 s discovery cost the handles exist
+    * to avoid — measured dominating the gate-and-ingest cycle at the
+    * 100× corpus before this). */
+  final case class GuardedTable(name: String, oneRowPred: Column,
+      write: DataFrame => Unit, mutates: Seq[String] = Nil) {
+    def mutatedTables: Seq[String] =
+      if (mutates.nonEmpty) mutates else Seq(name, s"${name}_delta")
+  }
 
   /** Crash-window fault injection for the lifecycle specs: the step name
     * at which the next [[appendGuarded]] throws (a table name, "pending"
@@ -201,15 +466,25 @@ object IndexLifecycle {
   /** The guarded multi-table append — protocol in the object scaladoc.
     * `batchIds` must be bounded app input (an ingest batch); its
     * materializations here (classification, marker, sidecar) are all
-    * O(batch). SINGLE WRITER per index dir (the reference's admin-lock
-    * discipline, api/runner/StaticConnector.java's one-connection
-    * model): two concurrent appends could both classify an id as fresh
-    * and double-write its rows — serializing mutations is the caller's
-    * deployment contract; concurrent SERVES are safe throughout. */
+    * O(batch). SINGLE WRITER per index dir, ENFORCED by
+    * [[acquireLease]] (the reference's admin-lock discipline,
+    * api/meta/TableLock.java:40-81): two concurrent appends could both
+    * classify an id as fresh and double-write its rows, so a second
+    * live writer refuses loudly instead of corrupting counts;
+    * concurrent SERVES are safe throughout. */
   def appendGuarded(spark: SparkSession, dir: String, idCol: String,
       batchIds0: DataFrame, tables: Seq[GuardedTable]): Unit = {
     require(BulkOps.fileExists(spark, s"$dir/ids"),
       s"no ids sidecar under $dir — appends require an index written by this lifecycle")
+    // a crashed fold/rebuild left its roll-forward journal: recovery
+    // will consume exactly the files the journal names, so new segments
+    // must not land beside them — refuse until a compact/rebuild entry
+    // point has rolled the journal forward (the rebuild serve contract)
+    require(!BulkOps.fileExists(spark, s"$dir/fold_commit") &&
+        !BulkOps.fileExists(spark, s"$dir/rebuild_commit"),
+      s"a crashed maintenance operation left its journal under $dir — run the " +
+        "index's compact/rebuild entry point to recover before appending")
+    acquireLease(spark, dir)
     // the stored dial, read FRESH before any probe: marker resolution
     // and batch classification must bucket at the dial the sidecar is
     // actually partitioned by — a memoized dial staled by an
@@ -218,35 +493,47 @@ object IndexLifecycle {
     // sidecar append reuses the same value (single writer: nothing can
     // legally change it mid-append).
     val parts = readIdParts(spark, dir)
-    // lineage truncated once: the batch id set is read by every step
-    // below, and it must be ONE set throughout (bounded, O(batch))
-    val batchIds = batchIds0.select(col(idCol).cast("long").as(idCol))
-      .distinct().localCheckpoint(true)
+    import spark.implicits._
+    // the batch id set is BOUNDED app input (an ingest batch), so the
+    // protocol state lives DRIVER-RESIDENT: collect once, and every
+    // downstream use (classification, marker, sidecar segment, the
+    // per-table broadcast semi-joins) works from the same local set —
+    // deterministic across its many reads with no checkpoint, and each
+    // protocol step costs exactly one Spark job
+    val batchSeq = graft.tools.Prof("append:batch-collect")(
+      batchIds0.select(col(idCol).cast("long").as(idCol))
+        .distinct().collect().map(_.getLong(0)).toIndexedSeq)
+    if (batchSeq.isEmpty) return
 
     // step 1: resolve old markers; leftovers are the suspect pool
     val markers =
       if (BulkOps.fileExists(spark, s"$dir/pending")) listChildren(spark, s"$dir/pending")
       else Seq.empty
-    val unresolved: Seq[(String, DataFrame)] = markers.flatMap { m =>
-      val pids = BulkOps.readPath(spark, m).select(col(idCol).cast("long").as(idCol))
-      val open = pids.join(broadcast(committedIds(spark, dir, idCol, pids, parts)),
-        Seq(idCol), "left_anti").localCheckpoint(true)
+    val unresolved: Seq[(String, Set[Long])] = markers.flatMap { m =>
+      val pids = BulkOps.readPath(spark, m)
+        .select(col(idCol).cast("long").as(idCol))
+        .collect().map(_.getLong(0)).toIndexedSeq
+      val open = pids.toSet -- committedOf(spark, dir, idCol, pids, parts)
       if (open.isEmpty) { BulkOps.deletePath(spark, m); None } else Some((m, open))
     }
-    val suspectPool: Option[DataFrame] = unresolved.map(_._2).reduceOption(_ unionByName _)
+    val suspectPool: Set[Long] = unresolved.flatMap(_._2).toSet
 
     // step 2: classify — committed ids skip everything
-    val toCommit = batchIds
-      .join(broadcast(committedIds(spark, dir, idCol, batchIds, parts)), Seq(idCol), "left_anti")
-      .localCheckpoint(true)
-    if (toCommit.isEmpty) return
-    val suspects = suspectPool
-      .map(p => toCommit.join(broadcast(p), Seq(idCol), "left_semi").localCheckpoint(true))
-      .filter(!_.isEmpty)
+    val toCommitSeq = graft.tools.Prof("append:classify")(
+      batchSeq.filterNot(committedOf(spark, dir, idCol, batchSeq, parts)))
+    if (toCommitSeq.isEmpty) return
+    val toCommit = toCommitSeq.toDF(idCol)
+    val suspects: Option[Set[Long]] =
+      Some(suspectPool.intersect(toCommitSeq.toSet)).filter(_.nonEmpty)
 
     // step 3: pending marker (the ids this append intends to commit)
     val marker = s"$dir/pending/p_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    BulkOps.writePath(toCommit, SaveMode.Overwrite).save(marker)
+    BulkOps.writePath(toCommit.repartition(1), SaveMode.Overwrite).save(marker)
+    // the post-append sidecar inventory: set only when step 5 completed
+    // AND its incremental re-list ran — any crash leaves it None, so the
+    // finally below drops the memo and the next append re-walks the tree
+    // (which then SEES whatever the crashed write left behind)
+    var refreshed: Option[IdsListing] = None
     try {
       maybeCrash("pending")
 
@@ -256,31 +543,62 @@ object IndexLifecycle {
         val fresh = suspects match {
           case None => toCommit
           case Some(s) =>
-            val present = BulkOps.readPath(spark, s"$dir/${t.name}")
+            // the presence check must see delta segments too — a crashed
+            // append's rows land there, not in the partitioned base
+            val sDf = s.toSeq.toDF(idCol)
+            val baseIds = BulkOps.readPath(spark, s"$dir/${t.name}")
               .filter(t.oneRowPred).select(col(idCol).cast("long").as(idCol))
-              .join(broadcast(s), Seq(idCol), "left_semi").distinct()
-            toCommit.join(broadcast(present), Seq(idCol), "left_anti")
+            val deltaPath = s"$dir/${t.name}_delta"
+            val allIds =
+              if (!BulkOps.fileExists(spark, deltaPath)) baseIds
+              else baseIds.unionByName(BulkOps.readPath(spark, deltaPath)
+                .filter(t.oneRowPred).select(col(idCol).cast("long").as(idCol)))
+            val present = allIds
+              .join(broadcast(sDf), Seq(idCol), "left_semi")
+              .collect().map(_.getLong(0)).toSet
+            toCommitSeq.filterNot(present).toDF(idCol)
         }
-        t.write(fresh)
+        graft.tools.Prof(s"append:write-${t.name}")(t.write(fresh))
         maybeCrash(t.name)
       }
 
-      // step 5: commit point — the ids enter the sidecar (at the dial
-      // read at entry — the one the probes above classified against)
-      BulkOps.writePath(withIb(toCommit, idCol, parts).repartition(col("ib")), SaveMode.Append)
-        .partitionBy("ib").save(s"$dir/ids")
+      // step 5: commit point — the ids enter the sidecar, as ONE small
+      // delta segment (a per-batch partitioned append would fan out one
+      // tiny file per touched ib directory — measured ~11 ms per
+      // directory at local[32], and the small-files explosion at 100 TB;
+      // compaction folds segments into the ib-partitioned base)
+      graft.tools.Prof("append:write-ids")(
+        BulkOps.writePath(toCommit.repartition(1), SaveMode.Append)
+          .save(s"$dir/ids_delta"))
       maybeCrash("ids")
+      // refresh the file inventory IN PLACE: only the one-directory
+      // delta gained a segment — the steady-state append cadence never
+      // re-walks the partitioned directory tree
+      graft.tools.Prof("append:refresh-inventory") {
+        refreshed = Some(idsListing(spark, dir, parts)
+          .copy(delta = listFlatDir(spark, s"$dir/ids_delta")))
+      }
 
       // step 6: this append's marker is done, and so is any older marker
       // whose open ids this append just committed — a single redelivery
       // fully converges the protocol state (markers for ids NOT in this
       // batch stay for their own later delivery)
       BulkOps.deletePath(spark, marker)
+      val committed = toCommitSeq.toSet
       unresolved.foreach { case (m, open) =>
-        if (open.join(broadcast(toCommit), Seq(idCol), "left_anti").isEmpty)
-          BulkOps.deletePath(spark, m)
+        if (open.subsetOf(committed)) BulkOps.deletePath(spark, m)
       }
-    } finally invalidateHandles(dir) // even a crashed append: re-list next serve
+    } finally {
+      // a delta append never touches the partitioned base tables — drop
+      // only the handles this append actually mutated (each table's
+      // declared set plus the sidecar delta), even on a crash
+      (tables.flatMap(_.mutatedTables) :+ "ids_delta").distinct
+        .foreach(t => handles.remove(s"$dir/$t"))
+      refreshed match {
+        case Some(l) => idsListingMemo.put(dir, l)
+        case None => idsListingMemo.remove(dir) // crashed: re-walk next probe
+      }
+    }
   }
 
   private def listChildren(spark: SparkSession, path: String): Seq[String] = {
@@ -291,46 +609,152 @@ object IndexLifecycle {
   }
 
   /** The SHARED delete-then-compact driver behind all three stored
-    * indexes: recover any crashed swap on every table, then — if a
-    * tombstone log exists under `dir` — rewrite each table minus the
+    * indexes — now also the DELTA FOLD (appends land as small
+    * unpartitioned `<table>_delta` segments; this is where they merge
+    * into the partitioned base). Runs when a tombstone log OR any delta
+    * segment exists: rewrite each table as base ∪ delta minus the
     * tombstoned `idCol` rows BESIDE the live copy (preserving its
-    * partitioning), checked-swap it in ([[swapCompacted]] — rename
-    * aside, rename in, every step checked), and clear the log. The ids
-    * SIDECAR is compacted with the data tables (a tombstoned id leaves
-    * the sidecar exactly when its rows leave the index, so re-ingesting
-    * a deleted doc becomes possible after compaction — the documented
-    * contract). Returns false on no-op. A compaction that would empty a
-    * table is refused: a partitioned write of zero rows produces a
-    * directory no reader can infer a schema from — deleting EVERYTHING
-    * is "drop the index", not a maintenance operation.
+    * partitioning), journal the fold (`fold_commit` — the roll-FORWARD
+    * point, the [[rebuildTables]] discipline: fold moves rows BETWEEN
+    * tables, so per-table recovery alone cannot decide whether a delta
+    * was consumed), then per table delete its delta and checked-swap the
+    * compacted copy in. The ids SIDECAR folds with the data tables (a
+    * tombstoned id leaves the sidecar exactly when its rows leave the
+    * index, so re-ingesting a deleted doc becomes possible after
+    * compaction — the documented contract). Returns false on no-op.
+    * A compaction that would empty a table is refused: a partitioned
+    * write of zero rows produces a directory no reader can infer a
+    * schema from — deleting EVERYTHING is "drop the index", not a
+    * maintenance operation.
     * `tables` = (name, partition columns, read normalizer). */
   private[operators] def compactTables(
       spark: SparkSession, dir: String, idCol: String,
       tables: Seq[(String, Seq[String], DataFrame => DataFrame)]): Boolean = {
+    acquireLease(spark, dir)
     val withIds: Seq[(String, Seq[String], DataFrame => DataFrame)] =
       if (BulkOps.fileExists(spark, s"$dir/ids"))
         tables :+ (("ids", Seq("ib"), (df: DataFrame) =>
           df.withColumn("ib", col("ib").cast("long"))))
       else tables
+    val names = withIds.map(_._1)
+    // roll a crashed fold forward FIRST (its journal decides whether the
+    // compacted copies committed), then legacy per-table swap recovery
+    recoverFold(spark, dir, names)
     withIds.foreach { case (t, _, _) => recoverSwap(spark, s"$dir/$t") }
-    if (!BulkOps.fileExists(spark, s"$dir/tombstones")) false
+    // the CONSUMED FILES, listed eagerly: tombstone appends are
+    // lock-free by design, so a tombstone (or, after a crash + lease
+    // takeover, a delta segment) arriving later must SURVIVE this fold —
+    // the journal names exactly these files and both the normal path and
+    // recovery delete exactly these, never a whole directory
+    val segs: Map[String, Seq[String]] =
+      names.map(t => t -> listFlatDir(spark, s"$dir/${t}_delta")).toMap
+    val tombFiles = listFlatDir(spark, s"$dir/tombstones")
+    if (tombFiles.isEmpty && segs.values.forall(_.isEmpty)) false
     else {
-      val tomb = BulkOps.readPath(spark, s"$dir/tombstones").select(idCol)
+      val tomb =
+        if (tombFiles.isEmpty) None
+        else Some(spark.read.parquet(tombFiles: _*).select(idCol))
+      lazy val idParts = readIdParts(spark, dir)
       withIds.foreach { case (t, partCols, normalize) =>
-        val keep = normalize(BulkOps.readPath(spark, s"$dir/$t"))
-          .join(broadcast(tomb), Seq(idCol), "left_anti")
+        val base = normalize(BulkOps.readPath(spark, s"$dir/$t"))
+        val full =
+          if (segs(t).isEmpty) base
+          else {
+            val d0 = spark.read.parquet(segs(t): _*)
+            // the ids delta is flat (idCol only) — bucket it at the
+            // stored dial before it joins the partitioned base
+            val d = if (t == "ids")
+              d0.withColumn("ib", pmod(col(idCol).cast("long"), lit(idParts.toLong)))
+            else d0
+            base.unionByName(normalize(d))
+          }
+        val keep = tomb.fold(full)(tb => full.join(broadcast(tb), Seq(idCol), "left_anti"))
         require(!keep.isEmpty,
           s"compaction would empty $dir/$t — drop the index instead")
         val w = BulkOps.writePath(keep, SaveMode.Overwrite)
         (if (partCols.isEmpty) w else w.partitionBy(partCols: _*))
           .save(s"$dir/${t}_compact")
-        swapCompacted(spark, s"$dir/$t")
       }
-      BulkOps.deletePath(spark, s"$dir/tombstones")
+      // the fold journal — the point of no return: from here, recovery
+      // COMPLETES every remaining file deletion and swap; before it,
+      // stale _compact copies discard (the live base+delta are intact)
+      BulkOps.writePath(
+          { import spark.implicits._
+            (segs.toSeq.flatMap { case (t, fs) => fs.map(f => (t, f)) } ++
+              tombFiles.map(f => ("tombstones", f))).toDF("log", "file") },
+          SaveMode.Overwrite)
+        .save(s"$dir/fold_commit")
+      maybeCrash("fold_commit")
+      withIds.foreach { case (t, _, _) =>
+        // consumed segments first: their rows live in the compacted
+        // copy, so a crash window can only UNDER-report the freshest
+        // appends to in-flight serves — never double-count rows, which
+        // would corrupt the signature-agreement estimates; recovery
+        // closes the window at the next lifecycle entry point
+        segs(t).foreach(f => deleteFile(spark, f))
+        dropLogDirIfEmpty(spark, s"$dir/${t}_delta")
+        maybeCrash(s"fold_delta_$t")
+        swapCompacted(spark, s"$dir/$t")
+        maybeCrash(s"fold_swap_$t")
+      }
+      tombFiles.foreach(f => deleteFile(spark, f))
+      dropLogDirIfEmpty(spark, s"$dir/tombstones")
+      BulkOps.deletePath(spark, s"$dir/fold_commit")
       invalidateHandles(dir)
       true
     }
   }
+
+  private def deleteFile(spark: SparkSession, file: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val f = hadoopFs(spark, p)
+    if (f.exists(p)) f.delete(p, false)
+  }
+
+  /** Drop a side-log dir once its data files are consumed: only
+    * bookkeeping children (`_SUCCESS`) may remain, and the final delete
+    * is NON-recursive — a racing lock-free tombstone append (or its
+    * in-flight `_temporary`) keeps the dir alive, never gets deleted. */
+  private def dropLogDirIfEmpty(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = hadoopFs(spark, p)
+    if (f.exists(p) && listFlatDir(spark, path).isEmpty) {
+      f.listStatus(p)
+        .filter { st =>
+          val n = st.getPath.getName
+          st.isFile && (n.startsWith("_") || n.startsWith("."))
+        }
+        .foreach(st => f.delete(st.getPath, false))
+      try f.delete(p, false)
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** [[compactTables]]'s crash recovery: with a `fold_commit` journal
+    * present the compacted copies are the committed truth — delete
+    * exactly the journaled consumed files and complete every remaining
+    * swap (roll forward); without one, leftover `_compact` copies beside
+    * a live table are a fold that never committed and discard via the
+    * legacy [[recoverSwap]] (base + deltas are intact — nothing lost).
+    * Files appended AFTER the journal (late tombstones; post-takeover
+    * delta segments) are not in it and survive untouched. */
+  private[operators] def recoverFold(
+      spark: SparkSession, dir: String, tables: Seq[String]): Unit =
+    if (BulkOps.fileExists(spark, s"$dir/fold_commit")) {
+      val consumed = BulkOps.readPath(spark, s"$dir/fold_commit")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      consumed.foreach { case (_, f) => deleteFile(spark, f) }
+      tables.foreach { t =>
+        dropLogDirIfEmpty(spark, s"$dir/${t}_delta")
+        if (BulkOps.fileExists(spark, s"$dir/$t") &&
+            BulkOps.fileExists(spark, s"$dir/${t}_compact"))
+          swapCompacted(spark, s"$dir/$t")
+        else recoverSwap(spark, s"$dir/$t")
+      }
+      dropLogDirIfEmpty(spark, s"$dir/tombstones")
+      BulkOps.deletePath(spark, s"$dir/fold_commit")
+      invalidateHandles(dir)
+    }
 
   /** Crash-safe swap of `<table>_compact` into `<table>`: the live table
     * renames ASIDE first (never deleted while it is the only copy), and
@@ -353,6 +777,10 @@ object IndexLifecycle {
     * cannot silently no-op against an existing destination. */
   private[operators] def recoverSwap(spark: SparkSession, table: String): Unit = {
     handles.remove(table)
+    // a recovered ids swap changed the sidecar's files outside
+    // appendGuarded's refresh path — drop its inventory
+    if (table.endsWith("/ids"))
+      idsListingMemo.remove(table.stripSuffix("/ids"))
     val live = BulkOps.fileExists(spark, table)
     val old = BulkOps.fileExists(spark, s"${table}_old")
     val cmp = BulkOps.fileExists(spark, s"${table}_compact")
@@ -398,13 +826,21 @@ object IndexLifecycle {
     * to recover before serving. */
   private[operators] def rebuildTables(
       spark: SparkSession, dir: String, tables: Seq[String])(stage: => Unit): Unit = {
+    acquireLease(spark, dir)
     recoverRebuild(spark, dir, tables)
+    // tombstone files consumed by THIS rebuild, listed before the stage:
+    // deletes are lock-free appends, so a tombstone arriving later must
+    // survive (it re-applies idempotently at the next compaction) — the
+    // journal names exactly these files and only these delete post-swap
+    val tombFiles = listFlatDir(spark, s"$dir/tombstones")
     stage
     tables.foreach(t => require(BulkOps.fileExists(spark, s"$dir/${t}_new"),
       s"rebuild stage must write $dir/${t}_new"))
     maybeCrash("rebuild_stage")
     BulkOps.writePath(
-        { import spark.implicits._; Seq(tables.mkString(",")).toDF("tables") },
+        { import spark.implicits._
+          (Seq(("tables", tables.mkString(","))) ++
+            tombFiles.map(f => ("tombstones", f))).toDF("log", "file") },
         SaveMode.Overwrite)
       .save(s"$dir/rebuild_commit")
     maybeCrash("rebuild_commit")
@@ -412,8 +848,17 @@ object IndexLifecycle {
       swapInNew(spark, s"$dir/$t")
       maybeCrash(s"rebuild_$t")
     }
-    if (BulkOps.fileExists(spark, s"$dir/tombstones"))
-      BulkOps.deletePath(spark, s"$dir/tombstones")
+    // the rebuild re-derived everything from the CURRENT corpus: delta
+    // segments of the replaced tables are superseded rows of a dead
+    // index generation — drop them (no new ones can exist: appends held
+    // the lease out during the rebuild and refuse while the journal is
+    // present), and consume exactly the journaled tombstone files (a
+    // late lock-free tombstone survives for the next compaction)
+    tables.foreach { t =>
+      if (BulkOps.fileExists(spark, s"$dir/${t}_delta"))
+        BulkOps.deletePath(spark, s"$dir/${t}_delta")
+    }
+    tombFiles.foreach(f => deleteFile(spark, f))
     BulkOps.deletePath(spark, s"$dir/rebuild_commit")
     invalidateHandles(dir)
   }
@@ -449,9 +894,15 @@ object IndexLifecycle {
   private[operators] def recoverRebuild(
       spark: SparkSession, dir: String, tables: Seq[String]): Unit = {
     if (BulkOps.fileExists(spark, s"$dir/rebuild_commit")) {
+      val consumedTombs = BulkOps.readPath(spark, s"$dir/rebuild_commit")
+        .filter(col("log") === "tombstones")
+        .select("file").collect().map(_.getString(0))
       tables.foreach(t => swapInNew(spark, s"$dir/$t"))
-      if (BulkOps.fileExists(spark, s"$dir/tombstones"))
-        BulkOps.deletePath(spark, s"$dir/tombstones")
+      tables.foreach { t =>
+        if (BulkOps.fileExists(spark, s"$dir/${t}_delta"))
+          BulkOps.deletePath(spark, s"$dir/${t}_delta")
+      }
+      consumedTombs.foreach(f => deleteFile(spark, f))
       BulkOps.deletePath(spark, s"$dir/rebuild_commit")
       invalidateHandles(dir)
     } else {

@@ -179,6 +179,9 @@ object RetrievalOps {
     * are index metadata you store once, not a per-query Σ tf re-roll of
     * the full postings). */
   def bm25WriteIndex(docs: DataFrame, dir: String): Unit = {
+    // single-writer from the FIRST table write of the build (writeIds
+    // renews the same lease)
+    IndexLifecycle.acquireLease(docs.sparkSession, dir)
     val idx = graft.Caching.maybeCache(bm25Index(docs))
     val lens = graft.Caching.maybeCache(
       idx.groupBy("doc_id").agg(sum(col("tf")).as("len")))
@@ -248,18 +251,23 @@ object RetrievalOps {
     // one delta index feeds both appends (cached; each write filters to
     // the protocol's fresh-id frame)
     val idx = graft.Caching.maybeCache(bm25Index(newDocs))
+    // direct single-directory appends, NOT delta segments: both tables
+    // are unpartitioned, so there is no per-directory write fan-out for
+    // a delta to avoid
     IndexLifecycle.appendGuarded(spark, dir, "doc_id", newDocs.select("doc_id"), Seq(
       IndexLifecycle.GuardedTable("lens", lit(true), fresh =>
         BulkOps.writePath(
             idx.join(broadcast(fresh), Seq("doc_id"), "left_semi")
               .groupBy("doc_id").agg(sum(col("tf")).as("len")),
             org.apache.spark.sql.SaveMode.Append)
-          .save(s"$dir/lens")),
+          .save(s"$dir/lens"),
+        mutates = Seq("lens")),
       IndexLifecycle.GuardedTable("postings", lit(true), fresh =>
         BulkOps.writePath(
             idx.join(broadcast(fresh), Seq("doc_id"), "left_semi"),
             org.apache.spark.sql.SaveMode.Append)
-          .save(s"$dir/postings"))))
+          .save(s"$dir/postings"),
+        mutates = Seq("postings"))))
   }
 
   /** The `bm25_ing_served` fixture chain — the stored-index APPEND path
@@ -288,9 +296,9 @@ object RetrievalOps {
       .save(s"$dir/tombstones")
 
   private def bm25TombstonesOpt(spark: SparkSession, dir: String): Option[DataFrame] =
-    if (graft.sources.BulkOps.fileExists(spark, s"$dir/tombstones"))
-      Some(graft.sources.BulkOps.readPath(spark, s"$dir/tombstones").select("doc_id"))
-    else None
+    // file-based (a fold consumes exactly its journaled tombstone FILES,
+    // which can leave a file-less dir no reader could infer schema from)
+    IndexLifecycle.flatLogOpt(spark, dir, "tombstones").map(_.select("doc_id"))
 
   /** Major compaction of the BM25 index: rewrite postings, lens and the
     * ids sidecar minus the tombstoned docs (written beside, swapped by
@@ -328,6 +336,35 @@ object RetrievalOps {
       d => bm25WriteIndex(Tables.documents(spark, sfDir), d))
     bm25ServedTopK(spark, dir)
   }
+
+  /** The APPEND-ONLY twin of [[bm25IngestServed]]: index prebuilt once
+    * ([[graft.tools.IndexScratch.prebuiltDir]], outside every timer),
+    * each call appends a FIXED ~200-doc batch under fresh pass-offset
+    * ids, so a min-of-passes measurement times the ingest cadence alone:
+    * batch tokenize + the guarded-append protocol (lens before postings)
+    * against a growing index. Returns the sidecar read-back of the
+    * batch's ids ([[graft.operators.IndexLifecycle.committedProbe]])
+    * mapped to original ids — an append that lost ids shrinks it. */
+  def bm25AppendOnly(spark: SparkSession, sfDir: String, nBatch: Int = 200): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = graft.tools.IndexScratch.prebuiltDir(spark, "graft_bm25idx_ao", sfDir)(
+      d => bm25WriteIndex(docs, d))
+    val base = graft.tools.IndexScratch.AppendIdBase
+    val pass = graft.tools.IndexScratch.passNumber(s"bm25_ao|$sfDir")
+    val rows = bm25AoBatchMemo.computeIfAbsent(sfDir, _ =>
+      docs.filter(col("doc_id") < nBatch)
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq)
+    import spark.implicits._
+    val batch = rows.map { case (id, text) => (id + base * pass, text) }
+      .toDF("doc_id", "text")
+    bm25AppendDocs(spark, dir, batch)
+    IndexLifecycle.committedProbe(spark, dir, "doc_id", batch.select("doc_id"))
+      .select((col("doc_id") % base).as("doc_id"))
+  }
+
+  private val bm25AoBatchMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, String)]]()
 
   /** The `bm25_deleted` fixture chain — text-side deletion end-to-end:
     * full stored index, tombstone every (doc_id % 10 == 3) document,
@@ -471,6 +508,7 @@ object RetrievalPack extends QueryPack {
     "bm25_served" -> ((s, d) => RetrievalOps.bm25Served(s, d)),
     "bm25_serve_only" -> ((s, d) => RetrievalOps.bm25ServeOnly(s, d)),
     "bm25_ing_served" -> ((s, d) => RetrievalOps.bm25IngestServed(s, d)),
+    "bm25_append_only" -> ((s, d) => RetrievalOps.bm25AppendOnly(s, d)),
     "bm25_deleted" -> ((s, d) => RetrievalOps.bm25Deleted(s, d)),
     "phrase_hits" -> ((s, d) => RetrievalOps.phraseHits(Tables.documents(s, d))),
     "rrf_fusion" -> ((s, d) =>
@@ -556,6 +594,9 @@ object RetrievalPack extends QueryPack {
     "bm25_ing_served" ->
       s"""WITH $bm25Ctes
          |SELECT doc_id, n_terms, score_e4, rnk FROM ranked WHERE rnk <= 10""".stripMargin,
+    // append-only: the returned frame is the sidecar read-back of the
+    // appended batch — every id of the fixed ~200-doc batch, once
+    "bm25_append_only" -> "SELECT doc_id FROM documents WHERE doc_id < 200",
     // deletion serves the SURVIVOR corpus exactly — df, n_docs and avgdl
     // all recompute from the masked tables, so the oracle is the batch
     // chain over the corpus minus the tombstoned band

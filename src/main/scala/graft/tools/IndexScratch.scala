@@ -22,6 +22,21 @@ object IndexScratch {
   private val allocated = ConcurrentHashMap.newKeySet[String]()
   private val scratch = new ConcurrentHashMap[String, String]()
   private val memo = new ConcurrentHashMap[String, String]()
+  private val passCounters =
+    new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  /** Id-space stride between append-only bench passes: each pass offsets
+    * its batch ids by `pass × AppendIdBase`, far above any fixture
+    * corpus id, so every pass appends genuinely FRESH ids to the shared
+    * prebuilt index (a min-of-passes measurement then times the append
+    * path alone — never the idempotent skip of a redelivered batch). */
+  val AppendIdBase: Long = 1L << 40
+
+  /** Monotone per-(family, corpus) pass number for the append-only
+    * fixture chains. */
+  def passNumber(key: String): Long =
+    passCounters.computeIfAbsent(key,
+      _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
 
   /** The per-JVM stored-index memo shared by every served-index fixture
     * chain (ANN / BM25 / dedup): derived state builds ONCE per

@@ -96,7 +96,18 @@ object ScaleBench {
     "jpeg_pixels", "jpeg_pixels_rgb",
     // the subsampled profile: 4 luma blocks + 2 chroma per MCU, restart
     // markers on a third of the docs, nearest-neighbor upsample
-    "jpeg_pixels_420")
+    "jpeg_pixels_420",
+    // round-13 tail: the APPEND-ONLY stored-index families — prebuilt
+    // index (outside the timer), a FIXED batch appended under fresh
+    // pass-offset ids per call, so min-of-passes times the guarded
+    // append alone (inventory-pruned sidecar probe + table appends +
+    // in-place inventory refresh): near-flat is the claim, against the
+    // former per-batch partition-discovery walk
+    "dedup_append_only", "ann_append_only", "bm25_append_only",
+    // the gate marginal-cost twin: gate + survivor-append of a fixed
+    // content-disjoint batch against a prebuilt index (dedup_gate keeps
+    // measuring the full build-gate-append cycle)
+    "dedup_gate_only")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

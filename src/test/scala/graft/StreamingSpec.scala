@@ -231,9 +231,10 @@ class StreamingSpec extends SparkSpec {
         s"a later batch's copy must hit the GROWN index: ${got(4L)}")
       assert(got(9L) == ("unsignable", None),
         s"a sub-shingle doc is not 'ingested' — the index cannot hold it: ${got(9L)}")
-      // and only the survivor landed in the index
-      val minsDocs = graft.sources.BulkOps.readPath(spark, s"$dir/mins")
-        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      // and only the survivor landed in the index (base ∪ delta — the
+      // streamed appends live in delta segments until a fold)
+      val minsDocs = graft.TestTables.fullTable(spark, dir, "mins", Seq("doc_id"))
+        .distinct().collect().map(_.getLong(0)).toSet
       assert(minsDocs == Set(1000L, 1001L, 2L),
         s"exactly the gate survivors may be appended: $minsDocs")
     } finally q.stop()
@@ -293,14 +294,15 @@ class StreamingSpec extends SparkSpec {
     assert(got.exists(v => v._2 == 3L && v._3 == "dup_index"),
       s"the post-replay trigger must see the committed survivor: $got")
     // exactly-once in effect: one signature set per doc, no leftovers
+    // (base ∪ delta — streamed appends live in delta segments)
     Seq(("mins", "k"), ("sigs", "band")).foreach { case (t, c) =>
-      assert(graft.sources.BulkOps.readPath(spark, s"$dir/$t")
+      assert(graft.TestTables.fullTable(spark, dir, t, Seq("doc_id", c))
         .groupBy("doc_id", c).count()
         .filter(org.apache.spark.sql.functions.col("count") > 1).count() == 0,
         s"replay must not double a single $t row")
     }
-    val minsDocs = graft.sources.BulkOps.readPath(spark, s"$dir/mins")
-      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val minsDocs = graft.TestTables.fullTable(spark, dir, "mins", Seq("doc_id"))
+      .distinct().collect().map(_.getLong(0)).toSet
     assert(minsDocs == Set(1000L, 1001L, 2L),
       s"exactly the gate survivors may be committed: $minsDocs")
   }

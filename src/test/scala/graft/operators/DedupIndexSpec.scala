@@ -45,7 +45,7 @@ class DedupIndexSpec extends SparkSpec {
     // path must not corrupt the partitioned table)
     DedupIndexOps.appendToIndex(spark, dir, corpus.filter(col("doc_id") % 5 === 0))
     DedupIndexOps.appendToIndex(spark, dir, corpus)
-    val mins = graft.sources.BulkOps.readPath(spark, s"$dir/mins")
+    val mins = graft.TestTables.fullTable(spark, dir, "mins", Seq("doc_id", "k"))
     assert(mins.groupBy("doc_id", "k").count().filter(col("count") > 1).count() == 0,
       "a redelivered doc must not write a second signature set")
     val afterDf = DedupIndexOps.servedDupes(spark, dir, batch).cache()
@@ -80,22 +80,23 @@ class DedupIndexSpec extends SparkSpec {
       // without banded rows cannot become a candidate)
       val midServe = DedupIndexOps.servedDupes(spark, dir,
         docs.filter(col("doc_id") < 100 && col("doc_id") % 2 === 0))
-      val sigDocs = BulkOps.readPath(spark, s"$dir/sigs").select("doc_id").distinct()
+      val sigDocs = graft.TestTables.fullTable(spark, dir, "sigs", Seq("doc_id")).distinct()
       assert(midServe.join(sigDocs, midServe("dup_of") === sigDocs("doc_id"), "left_anti")
         .count() == 0,
         s"crash at '$step': a serve may only match docs whose sigs landed")
       // the at-least-once redelivery completes exactly the missing writes
       DedupIndexOps.appendToIndex(spark, dir, batch)
-      Seq("sigs", "mins").foreach { t =>
-        val a = BulkOps.readPath(spark, s"$dir/$t").drop("pb").drop("mb")
-        val b = BulkOps.readPath(spark, s"$ref/$t").drop("pb").drop("mb")
-        assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
-          s"healed $t after a crash at '$step' must equal the untorn append exactly")
-      }
-      assert(BulkOps.readPath(spark, s"$dir/sigs")
+      Seq(("sigs", Seq("doc_id", "band", "sig")), ("mins", Seq("doc_id", "k", "mh")))
+        .foreach { case (t, cols) =>
+          val a = graft.TestTables.fullTable(spark, dir, t, cols)
+          val b = graft.TestTables.fullTable(spark, ref, t, cols)
+          assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+            s"healed $t after a crash at '$step' must equal the untorn append exactly")
+        }
+      assert(graft.TestTables.fullTable(spark, dir, "sigs", Seq("doc_id", "band"))
         .groupBy("doc_id", "band").count().filter(col("count") > 1).count() == 0,
         s"crash at '$step': the redelivery must not duplicate a signature row")
-      assert(BulkOps.readPath(spark, s"$dir/mins")
+      assert(graft.TestTables.fullTable(spark, dir, "mins", Seq("doc_id", "k"))
         .groupBy("doc_id", "k").count().filter(col("count") > 1).count() == 0,
         s"crash at '$step': the redelivery must not duplicate a minima row")
       // protocol state converged: the crashed attempt's marker is gone
@@ -164,7 +165,7 @@ class DedupIndexSpec extends SparkSpec {
     DedupIndexOps.writeIndex(corpus, dir, numPerms = 24, bandSize = 3)
     DedupIndexOps.appendToIndex(spark, dir,
       docs.filter(col("doc_id") >= 100 && col("doc_id") % 2 === 1))
-    val mins = graft.sources.BulkOps.readPath(spark, s"$dir/mins")
+    val mins = graft.TestTables.fullTable(spark, dir, "mins", Seq("doc_id", "k"))
     assert(mins.select(max(col("k"))).head().getLong(0) == 23,
       "append must signature at the STORED dial, not the default")
     assert(mins.groupBy("doc_id").count().filter(col("count") =!= 24).count() == 0)
