@@ -466,13 +466,18 @@ object AnnIndexOps {
 
   /** The standard bounded query set of the served fixtures: the first
     * `nQueries` vectors collected into a LOCAL frame (app input — the
-    * one deliberate driver materialization, |q| rows). */
-  private def fixtureQueries(spark: SparkSession, emb: DataFrame, nQueries: Int): DataFrame = {
-    val qrows = emb.filter(col("vec_id") < nQueries)
+    * one deliberate driver materialization, |q| rows). The row form
+    * feeds the streaming twin's MemoryStream. */
+  private[graft] def fixtureQueryRows(spark: SparkSession, emb: DataFrame,
+      nQueries: Int): Seq[(Long, Seq[Float])] =
+    emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
       .toSeq
+
+  private def fixtureQueries(spark: SparkSession, emb: DataFrame, nQueries: Int): DataFrame = {
+    val qrows = fixtureQueryRows(spark, emb, nQueries)
     import spark.implicits._
     qrows.toDF("vec_id", "embedding")
   }

@@ -910,6 +910,8 @@ object AnnPack extends QueryPack {
     // initial fit), tombstone-masked serve, and the drift health census
     "ann_ingest" -> ((s, dir) => AnnIndexOps.annIngestServed(s, dir)),
     "ann_append_only" -> ((s, dir) => AnnIndexOps.annAppendOnly(s, dir)),
+    "ann_serve_stream" -> ((s, dir) =>
+      graft.streaming.StreamingOps.annServeStreamOnly(s, dir)),
     "ann_deleted" -> ((s, dir) => AnnIndexOps.annDeleted(s, dir)),
     "ann_drift" -> ((s, dir) => AnnIndexOps.annDrift(s, dir)),
     "ann_filtered" -> ((s, dir) => AnnOps.filteredTopK(e(s, dir))),
@@ -1641,6 +1643,14 @@ object AnnPack extends QueryPack {
     // append-only: the returned frame is the sidecar read-back of the
     // appended batch — every id of the fixed 200-vector batch, once
     "ann_append_only" -> "SELECT vec_id FROM embeddings WHERE vec_id < 200",
+    // the streaming serve is stateless per trigger, so its answer IS the
+    // batch serve's — same oracle as ann_serve_only BY DESIGN
+    "ann_serve_stream" ->
+      s"""WITH $ivfPqResTrainedCtes
+         |SELECT qid, vec_id, adist_q, CAST(rnk AS INTEGER) AS rnk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist_q, vec_id) AS rnk
+         |  FROM trscored
+         |) WHERE rnk <= 5""".stripMargin,
     // append path: build + TRAIN on the stable md5 half, append the rest
     // through the stored quantizer — identical to fitting BOTH quantizer
     // stages on the half and encoding everything

@@ -629,9 +629,10 @@ object DedupIndexOps {
   }
 
   /** The shared fixed-size batch of the serve-only / append-only /
-    * gate-only fixtures: the capped slice of the 10% bucket, extracted
-    * ONCE per corpus (bounded app input — see [[dedupServeOnly]]). */
-  private def serveOnlyBatch(spark: SparkSession, sfDir: String): Seq[(Long, String)] =
+    * gate-only fixtures (and their streaming twins): the capped slice of
+    * the 10% bucket, extracted ONCE per corpus (bounded app input — see
+    * [[dedupServeOnly]]). */
+  private[graft] def serveOnlyBatch(spark: SparkSession, sfDir: String): Seq[(Long, String)] =
     serveOnlyBatchMemo.computeIfAbsent(sfDir, _ =>
       Tables.documents(spark, sfDir)
         .filter(batchPred && col("doc_id") < ServeOnlyIdCap)

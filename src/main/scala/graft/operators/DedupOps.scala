@@ -822,6 +822,8 @@ object DedupPack extends QueryPack {
     "dedup_serve_only" -> ((s, dir) => DedupIndexOps.dedupServeOnly(s, dir)),
     "dedup_append_only" -> ((s, dir) => DedupIndexOps.dedupAppendOnly(s, dir)),
     "dedup_gate_only" -> ((s, dir) => DedupIndexOps.dedupGateOnly(s, dir)),
+    "dedup_gate_stream" -> ((s, dir) =>
+      graft.streaming.StreamingOps.dedupGateStreamOnly(s, dir)),
     "dedup_served_ing" -> ((s, dir) => DedupIndexOps.dedupIngestServed(s, dir)),
     "dedup_served_del" -> ((s, dir) => DedupIndexOps.dedupDeleted(s, dir)),
     "dedup_gate" -> ((s, dir) => DedupIndexOps.dedupGateReport(s, dir)),
@@ -1120,14 +1122,19 @@ object DedupPack extends QueryPack {
     * [[DedupIndexOps.dedupGateOnly]]'s first call in a JVM exactly (the
     * only call the Verify harness makes; later bench passes suffix g2,
     * g3, … and are timing-only). */
-  private def gateOnlySql: String = {
+  private def gateOnlySql: String = gateOnlySqlFor("g1")
+
+  /** [[gateOnlySql]] with the pass-1 token suffix parameterized — the
+    * STREAMING twin suffixes `s1` so its batch content is disjoint from
+    * the batch twin's (each family mutates its own prebuilt index). */
+  private def gateOnlySqlFor(suffix: String): String = {
     val base = graft.tools.IndexScratch.AppendIdBase
     val prelude =
       s"""docs2 AS (
          |  SELECT doc_id, text FROM documents WHERE NOT ($servedBatchSqlPred)
          |  UNION ALL
          |  SELECT doc_id + $base AS doc_id,
-         |         regexp_replace(text, '(\\S+)', '\\1g1', 'g') AS text
+         |         regexp_replace(text, '(\\S+)', '\\1$suffix', 'g') AS text
          |  FROM documents
          |  WHERE ($servedBatchSqlPred) AND doc_id < ${DedupIndexOps.ServeOnlyIdCap}
          |),
@@ -1149,6 +1156,9 @@ object DedupPack extends QueryPack {
       s"""SELECT doc_id FROM documents
          |WHERE ($servedBatchSqlPred) AND doc_id < ${DedupIndexOps.ServeOnlyIdCap}""".stripMargin,
     "dedup_gate_only" -> gateOnlySql,
+    // the streaming twin's trigger runs the same gate over the same
+    // batch (suffix s1 instead of g1) — same oracle shape BY DESIGN
+    "dedup_gate_stream" -> gateOnlySqlFor("s1"),
     // append ≡ rebuild: same oracle BY DESIGN (per-doc signatures are
     // row-independent — the bm25_ingest equality convention)
     "dedup_served_ing" -> servedIdxSql(s"NOT ($servedBatchSqlPred)"),

@@ -25,12 +25,18 @@ import org.apache.spark.sql.functions._
   * CHROMA-SUBSAMPLED color (the common camera layout: Y at 2×2, chroma
   * at 1×1, four-luma-block MCUs, nearest-neighbor chroma upsampling) —
   * with RESTART INTERVALS (DRI/RSTn: byte-aligned marker consumption,
-  * DC predictors reset per interval). Per-component quant/Huffman
-  * selectors and DC predictors throughout; the JFIF YCbCr→RGB
-  * conversion at the end. Progressive scans, arithmetic coding, 16-bit
-  * quant tables and other sampling grids return 'corrupt' rather than
-  * pretending — the same explicit-boundary discipline as
-  * [[MultimodalOps]]'s header walks, now moved one real layer deeper.
+  * DC predictors reset per interval). PROGRESSIVE (SOF2) decodes under
+  * the SPECTRAL-SELECTION scope (round 13): any number of DC/AC scans
+  * with Ah = Al = 0 accumulate coefficients per block across scans
+  * (interleaved DC scans, single-component AC band scans with general
+  * EOBRUN runs, per-scan restart intervals), reconstructed once at
+  * EOI; successive-approximation scans (Ah or Al nonzero — they change
+  * every scan's bit semantics), subsampled progressive, arithmetic
+  * coding, 16-bit quant tables and other sampling grids return
+  * 'corrupt' rather than pretending — the same explicit-boundary
+  * discipline as [[MultimodalOps]]'s header walks, now moved one real
+  * layer deeper. Per-component quant/Huffman selectors and DC
+  * predictors throughout; the JFIF YCbCr→RGB conversion at the end.
   *
   * Correctness is pinned twice, the [[PngCodecOps]] convention:
   *   - the ORACLE fixtures are block-constant rasters (one value per
@@ -200,7 +206,9 @@ object JpegCodecOps {
     * new DC predictor. Separable transform over the precomputed basis
     * (2·8³ multiplies per block — a per-element cos() here dominated
     * the whole fixture encode). */
-  private def encodeBlock(bw: BitWriter, s: Array[Array[Int]], pred: Int): Int = {
+  /** Forward DCT + quantize of one 8×8 sample block, zigzag order —
+    * shared by the baseline block encoder and the progressive scans. */
+  private def quantizedBlock(s: Array[Array[Int]]): Array[Int] = {
     val coef = new Array[Int](64)
     val tmp = new Array[Double](64)
     // rows first: tmp(u, x) = Σ_y s(y)(x) · cosT(y)(u)
@@ -216,15 +224,23 @@ object JpegCodecOps {
       while (x < 8) { acc += tmp(u * 8 + x) * CosT(x)(v); x += 1 }
       coef(u * 8 + v) = math.round(acc / 4).toInt
     }
-    // quantize in zigzag order
-    val zz = Array.tabulate(64)(i =>
+    Array.tabulate(64)(i =>
       math.round(coef(ZigZag(i)).toDouble / QuantZig(i)).toInt)
-    // DC: category + amplitude of the prediction diff
-    val diff = zz(0) - pred
+  }
+
+  /** The DC half of a block's entropy encode: category + amplitude of
+    * the prediction diff. */
+  private def encodeDcDiff(bw: BitWriter, dc: Int, pred: Int): Unit = {
+    val diff = dc - pred
     val (dcode, dlen) = DcCodes(category(diff))
     bw.put(dcode, dlen)
     putAmplitude(bw, diff)
-    // AC: run-length of zeros + category, EOB/ZRL
+  }
+
+  /** The AC half: run-length of zeros + category, EOB/ZRL (in a
+    * progressive AC-first scan the EOB symbol means EOBRUN = 1 — same
+    * bits, so baseline and progressive share this). */
+  private def encodeAcRun(bw: BitWriter, zz: Array[Int]): Unit = {
     var k = 1
     var run = 0
     while (k < 64) {
@@ -240,6 +256,16 @@ object JpegCodecOps {
       k += 1
     }
     if (run > 0) { val (c, l) = AcCodes(0x00); bw.put(c, l) }
+  }
+
+  /** One block's forward DCT + quantize + entropy encode; returns the
+    * new DC predictor. Separable transform over the precomputed basis
+    * (2·8³ multiplies per block — a per-element cos() here dominated
+    * the whole fixture encode). */
+  private def encodeBlock(bw: BitWriter, s: Array[Array[Int]], pred: Int): Int = {
+    val zz = quantizedBlock(s)
+    encodeDcDiff(bw, zz(0), pred)
+    encodeAcRun(bw, zz)
     zz(0)
   }
 
@@ -346,6 +372,76 @@ object JpegCodecOps {
       }
       math.max(0, math.min(255, math.floor(v + 0.5).toInt))
     })
+
+  /** Encode component PLANES as a PROGRESSIVE (SOF2) JFIF file using
+    * SPECTRAL SELECTION only (Ah = Al = 0 in every scan — no
+    * successive-approximation passes): scan 1 carries every component's
+    * DC coefficients interleaved, then one non-interleaved AC scan per
+    * component covering the full 1..63 band (G.1 scan rules: an AC scan
+    * holds exactly one component). All components at (1, 1) sampling
+    * (gray / 4:4:4 — the progressive decode scope). Each block's EOB is
+    * written as the plain EOB symbol (EOBRUN = 1 — spec-valid; the
+    * DECODER handles general EOBRUN runs, which other encoders emit).
+    * A REAL, ImageIO-readable progressive JPEG. */
+  private[operators] def encodeJpegProgressive(
+      w: Int, h: Int, ncomp: Int, comp: (Int, Int, Int) => Int): Array[Byte] = {
+    require(ncomp == 1 || ncomp == 3)
+    val bX = (w + 7) / 8
+    val bY = (h + 7) / 8
+    def quantZz(c: Int, bx: Int, by: Int): Array[Int] = {
+      val s = Array.tabulate(8, 8)((y, x) =>
+        comp(c, math.min(bx * 8 + x, w - 1), math.min(by * 8 + y, h - 1)) - 128)
+      quantizedBlock(s)
+    }
+    // scan 1: DC, all components interleaved (at (1,1) sampling one MCU
+    // is one block per component)
+    val dcBw = new BitWriter
+    val pred = new Array[Int](ncomp)
+    for (by <- 0 until bY; bx <- 0 until bX; c <- 0 until ncomp) {
+      val zz = quantZz(c, bx, by)
+      encodeDcDiff(dcBw, zz(0), pred(c))
+      pred(c) = zz(0)
+    }
+    // AC scans: one per component, full band, blocks in raster order
+    val acScanBits = (0 until ncomp).map { c =>
+      val abw = new BitWriter
+      for (by <- 0 until bY; bx <- 0 until bX)
+        encodeAcRun(abw, quantZz(c, bx, by))
+      abw.finish()
+    }
+    val app0 = "JFIF".getBytes("US-ASCII") ++
+      Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+    val dqt = Array(0x00.toByte) ++ QuantZig.map(_.toByte)
+    val sof2 = Array[Byte](8,
+      ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+      ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+      ncomp.toByte) ++
+      (0 until ncomp).flatMap(c =>
+        Seq((c + 1).toByte, 0x11.toByte, 0.toByte)).toArray
+    val dcSos = Array[Byte](ncomp.toByte) ++
+      (1 to ncomp).flatMap(id => Seq(id.toByte, 0x00.toByte)).toArray ++
+      Array[Byte](0, 0, 0) // Ss = 0, Se = 0, AhAl = 0
+    def acSos(c: Int) = Array[Byte](1, (c + 1).toByte, 0x00.toByte, 1, 63, 0)
+    Array(0xFF.toByte, 0xD8.toByte) ++
+      seg(0xE0, app0) ++
+      seg(0xDB, dqt) ++
+      seg(0xC2, sof2) ++
+      seg(0xC4, dhtPayload(0, 0, DcBits, DcVals)) ++
+      seg(0xC4, dhtPayload(1, 0, AcBits, AcVals)) ++
+      seg(0xDA, dcSos) ++ dcBw.finish() ++
+      (0 until ncomp).flatMap(c => seg(0xDA, acSos(c)) ++ acScanBits(c)).toArray ++
+      Array(0xFF.toByte, 0xD9.toByte)
+  }
+
+  /** The progressive ORACLE fixture: the SAME block-constant formula
+    * (and dims and corrupt twist) as [[encodeFixture]], through the
+    * SOF2 spectral-selection pipeline — same oracle BY DESIGN. */
+  private[operators] def encodeProgressiveFixture(docId: Long): Array[Byte] = {
+    val (w, h) = fixtureDims(docId)
+    val whole = encodeJpegProgressive(w, h, 1,
+      (_, x, y) => fixtureSample(docId, x / 8, y / 8))
+    if (docId % 7 == 3) whole.take(whole.length - math.min(whole.length, 12)) else whole
+  }
 
   /** The block-constant ORACLE fixture for a doc (lossless by
     * construction — see the object scaladoc), doc_id % 7 == 3 truncated
@@ -478,9 +574,11 @@ object JpegCodecOps {
   }
 
   /** Full decode or None (malformed anywhere; unsupported profiles —
-    * progressive/extended/lossless/arithmetic scans, 16-bit quant
-    * tables, sampling grids other than gray / 4:4:4 / 4:2:0 — are
-    * honestly None, never a wrong answer). Never throws. */
+    * extended/lossless/arithmetic scans, successive-approximation
+    * progressive, 16-bit quant tables, sampling grids other than
+    * gray / 4:4:4 / 4:2:0 baseline or gray / 4:4:4 progressive — are
+    * honestly None, never a wrong answer). Never throws. SOF2 streams
+    * take the [[decodeProgressive]] multi-scan path. */
   private[operators] def decodeJpeg(bytes: Array[Byte]): Option[Decoded] =
     try {
       if (bytes.length < 4 || (bytes(0) & 0xff) != 0xFF || (bytes(1) & 0xff) != 0xD8)
@@ -535,9 +633,13 @@ object JpegCodecOps {
             if (!layoutOk) return None
             if (w < 1 || h < 1 || w.toLong * h * ncomp > MaxSamples) return None
             pos += len
-          case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
+          case 0xC2 =>
+            // progressive DCT: its own multi-scan walk (spectral
+            // selection; successive approximation refuses in there)
+            return decodeProgressive(bytes)
+          case 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
                0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
-            return None // extended/progressive/lossless/arithmetic: out of scope
+            return None // extended/lossless/arithmetic: out of scope
           case 0xC4 => // DHT (possibly several tables in one segment)
             if (pos + 2 > bytes.length) return None
             val len = u16(pos)
@@ -693,6 +795,258 @@ object JpegCodecOps {
       }
     } catch { case _: Exception => None }
 
+  /** PROGRESSIVE (SOF2) decode — the spectral-selection scope: any
+    * number of DC/AC scans with Ah = Al = 0 (successive-approximation
+    * scans refuse honestly — they change every scan's bit semantics),
+    * all components at (1, 1) sampling (gray / 4:4:4), restart
+    * intervals honored per scan, general EOBRUN runs in AC scans.
+    * Coefficients ACCUMULATE across scans into per-block zigzag
+    * buffers; reconstruction (dequant + IDCT + the JFIF YCbCr
+    * conversion) runs once at EOI. Never throws — malformed anywhere
+    * is None. */
+  private def decodeProgressive(bytes: Array[Byte]): Option[Decoded] =
+    try {
+      if (bytes.length < 4 || (bytes(0) & 0xff) != 0xFF || (bytes(1) & 0xff) != 0xD8)
+        return None
+      var pos = 2
+      var w = 0; var h = 0
+      var ncomp = 0
+      var restart = 0
+      var bX = 0; var bY = 0
+      val compId = new Array[Int](3)
+      val compQuant = new Array[Int](3)
+      val dcTables = new Array[HuffTable](4)
+      val acTables = new Array[HuffTable](4)
+      val quants = new Array[Array[Int]](4)
+      // per component: blocks in raster order, each a 64-coef zigzag buf
+      var coef: Array[Array[Array[Int]]] = null
+      def u16(o: Int): Int = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+      while (true) {
+        if (pos + 2 > bytes.length) return None
+        if ((bytes(pos) & 0xff) != 0xFF) return None
+        var m = bytes(pos + 1) & 0xff
+        while (m == 0xFF) { pos += 1; if (pos + 2 > bytes.length) return None; m = bytes(pos + 1) & 0xff }
+        pos += 2
+        m match {
+          case 0xD9 => // EOI: reconstruct from the accumulated coefficients
+            if (coef == null || w == 0) return None
+            return reconstructProgressive(w, h, ncomp, bX, bY, coef,
+              (0 until ncomp).map(c => quants(compQuant(c))).toArray)
+          case 0xC2 => // SOF2
+            if (pos + 2 > bytes.length) return None
+            val len = u16(pos)
+            if (pos + len > bytes.length || len < 8) return None
+            val precision = bytes(pos + 2) & 0xff
+            h = u16(pos + 3); w = u16(pos + 5)
+            ncomp = bytes(pos + 7) & 0xff
+            if (precision != 8 || (ncomp != 1 && ncomp != 3)) return None
+            if (len < 8 + 3 * ncomp) return None
+            for (c <- 0 until ncomp) {
+              compId(c) = bytes(pos + 8 + 3 * c) & 0xff
+              val sampling = bytes(pos + 9 + 3 * c) & 0xff
+              // progressive scope: (1,1) sampling only — subsampled
+              // progressive refuses honestly
+              if (sampling != 0x11) return None
+              compQuant(c) = bytes(pos + 10 + 3 * c) & 0xff
+              if (compQuant(c) > 3) return None
+            }
+            if (w < 1 || h < 1 || w.toLong * h * ncomp > MaxSamples) return None
+            bX = (w + 7) / 8; bY = (h + 7) / 8
+            if (bX.toLong * bY * 64 * ncomp > MaxSamples * 8) return None
+            coef = Array.fill(ncomp, bX * bY)(new Array[Int](64))
+            pos += len
+          case 0xC0 | 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
+               0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
+            return None // a second frame type mid-stream: malformed
+          case 0xC4 =>
+            if (pos + 2 > bytes.length) return None
+            val len = u16(pos)
+            if (len < 2 || pos + len > bytes.length) return None
+            var o = pos + 2
+            while (o < pos + len) {
+              if (o + 17 > pos + len) return None
+              val tc = (bytes(o) >> 4) & 0x0f
+              val th = bytes(o) & 0x0f
+              if (tc > 1 || th > 3) return None
+              val bits = new Array[Int](17)
+              var total = 0
+              for (l <- 1 to 16) { bits(l) = bytes(o + l) & 0xff; total += bits(l) }
+              if (o + 17 + total > pos + len || total > 256) return None
+              val vals = Array.tabulate(total)(i => bytes(o + 17 + i) & 0xff)
+              val t = new HuffTable(bits, vals)
+              if (tc == 0) dcTables(th) = t else acTables(th) = t
+              o += 17 + total
+            }
+            pos += len
+          case 0xDB =>
+            if (pos + 2 > bytes.length) return None
+            val len = u16(pos)
+            if (len < 2 || pos + len > bytes.length) return None
+            var o = pos + 2
+            while (o < pos + len) {
+              val pq = (bytes(o) >> 4) & 0x0f
+              val tq = bytes(o) & 0x0f
+              if (pq != 0 || tq > 3) return None
+              if (o + 65 > pos + len) return None
+              quants(tq) = Array.tabulate(64)(i => bytes(o + 1 + i) & 0xff)
+              o += 65
+            }
+            pos += len
+          case 0xDD =>
+            if (pos + 2 > bytes.length) return None
+            val len = u16(pos)
+            if (pos + len > bytes.length || len < 4) return None
+            restart = u16(pos + 2)
+            pos += len
+          case 0xDA => // one scan of the progression
+            if (coef == null) return None
+            if (pos + 2 > bytes.length) return None
+            val len = u16(pos)
+            if (pos + len > bytes.length || len < 6) return None
+            val ns = bytes(pos + 2) & 0xff
+            if (ns < 1 || ns > ncomp || len < 6 + 2 * ns) return None
+            // scan components resolve against the FRAME's ids
+            val scanComp = new Array[Int](ns)
+            val scanDc = new Array[Int](ns)
+            val scanAc = new Array[Int](ns)
+            for (i <- 0 until ns) {
+              val id = bytes(pos + 3 + 2 * i) & 0xff
+              val c = (0 until ncomp).find(compId(_) == id).getOrElse(return None)
+              scanComp(i) = c
+              scanDc(i) = (bytes(pos + 4 + 2 * i) >> 4) & 0x0f
+              scanAc(i) = bytes(pos + 4 + 2 * i) & 0x0f
+            }
+            val ss = bytes(pos + 3 + 2 * ns) & 0xff
+            val se = bytes(pos + 4 + 2 * ns) & 0xff
+            val ahal = bytes(pos + 5 + 2 * ns) & 0xff
+            // honest scope boundary: successive approximation (Ah or
+            // Al nonzero) changes every scan's bit semantics — refuse
+            if (ahal != 0) return None
+            val br = new BitReader(bytes, pos + len)
+            if (ss == 0) {
+              // DC scan: interleaved over the shared (1,1) block grid
+              if (se != 0) return None
+              val dcT = scanDc.map(i => dcTables(i))
+              if (dcT.exists(_ == null)) return None
+              val pred = new Array[Int](ns)
+              var mcu = 0
+              for (by <- 0 until bY; bx <- 0 until bX) {
+                if (restart > 0 && mcu > 0 && mcu % restart == 0) {
+                  br.expectRestart((mcu / restart - 1) % 8)
+                  java.util.Arrays.fill(pred, 0)
+                }
+                for (i <- 0 until ns) {
+                  val t = br.decode(dcT(i))
+                  pred(i) += extend(br.bits(t), t)
+                  coef(scanComp(i))(by * bX + bx)(0) = pred(i)
+                }
+                mcu += 1
+              }
+            } else {
+              // AC scan: exactly one component (G.1), EOBRUN semantics
+              if (ns != 1 || se < ss || se > 63) return None
+              val acT = acTables(scanAc(0))
+              if (acT == null) return None
+              val cc = scanComp(0)
+              var eobrun = 0
+              var mcu = 0
+              for (by <- 0 until bY; bx <- 0 until bX) {
+                if (restart > 0 && mcu > 0 && mcu % restart == 0) {
+                  br.expectRestart((mcu / restart - 1) % 8)
+                  eobrun = 0
+                }
+                val zz = coef(cc)(by * bX + bx)
+                if (eobrun > 0) eobrun -= 1
+                else {
+                  var k = ss
+                  while (k <= se) {
+                    val rs = br.decode(acT)
+                    val r = rs >> 4
+                    val sA = rs & 15
+                    if (sA == 0) {
+                      if (r == 15) k += 16 // ZRL
+                      else {
+                        // EOB run: 2^r blocks (this one + eobrun more),
+                        // plus r appended magnitude bits
+                        eobrun = (1 << r) - 1
+                        if (r > 0) eobrun += br.bits(r)
+                        k = se + 1
+                      }
+                    } else {
+                      k += r
+                      if (k > se) return None
+                      zz(k) = extend(br.bits(sA), sA)
+                      k += 1
+                    }
+                  }
+                }
+                mcu += 1
+              }
+            }
+            // the scan's entropy bytes end here — resync to the next
+            // marker (skip pad bits and 0xFF fill bytes)
+            pos = br.pos
+            while (pos + 1 < bytes.length &&
+                !((bytes(pos) & 0xff) == 0xFF && (bytes(pos + 1) & 0xff) != 0x00))
+              pos += 1
+            if (pos + 1 >= bytes.length) return None
+          case x if x >= 0xE0 && x <= 0xEF || x == 0xFE =>
+            if (pos + 2 > bytes.length) return None
+            val len = u16(pos)
+            if (len < 2 || pos + len > bytes.length) return None
+            pos += len
+          case _ => return None
+        }
+      }
+      None // unreachable
+    } catch { case _: Exception => None }
+
+  /** Dequant + IDCT + plane assembly for the progressive path — the
+    * baseline reconstruction over accumulated (1,1)-sampled blocks. */
+  private def reconstructProgressive(w: Int, h: Int, ncomp: Int,
+      bX: Int, bY: Int, coef: Array[Array[Array[Int]]],
+      quant: Array[Array[Int]]): Option[Decoded] = {
+    if (quant.exists(_ == null)) return None
+    val planes = Array.fill(ncomp)(new Array[Int](w * h))
+    val blk = new Array[Double](64)
+    val cosT = CosT
+    for (c <- 0 until ncomp; by <- 0 until bY; bx <- 0 until bX) {
+      val zz = coef(c)(by * bX + bx)
+      java.util.Arrays.fill(blk, 0.0)
+      var i = 0
+      while (i < 64) { blk(ZigZag(i)) = zz(i).toDouble * quant(c)(i); i += 1 }
+      val tmp = new Array[Double](64)
+      for (u <- 0 until 8; x <- 0 until 8) {
+        var acc = 0.0
+        var vv = 0
+        while (vv < 8) { acc += blk(u * 8 + vv) * cosT(x)(vv); vv += 1 }
+        tmp(u * 8 + x) = acc
+      }
+      for (x <- 0 until 8; y <- 0 until 8) {
+        var acc = 0.0
+        var u = 0
+        while (u < 8) { acc += tmp(u * 8 + x) * cosT(y)(u); u += 1 }
+        val px = math.round(acc / 4 + 128).toInt
+        val cx = bx * 8 + x; val cy = by * 8 + y
+        if (cx < w && cy < h)
+          planes(c)(cy * w + cx) = math.max(0, math.min(255, px))
+      }
+    }
+    if (ncomp == 1) Some(Decoded(w, h, 1, planes(0)))
+    else {
+      val out = new Array[Int](w * h * 3)
+      var j = 0
+      while (j < w * h) {
+        val yv = planes(0)(j); val cb = planes(1)(j); val cr = planes(2)(j)
+        out(3 * j) = ycc(0, yv, cb, cr)
+        out(3 * j + 1) = ycc(1, yv, cb, cr)
+        out(3 * j + 2) = ycc(2, yv, cb, cr)
+        j += 1
+      }
+      Some(Decoded(w, h, 3, out))
+    }
+  }
+
   // ---- operators ------------------------------------------------------
 
   /** (doc_id, media) table of real baseline JPEGs, one per fixture doc —
@@ -746,6 +1100,19 @@ object JpegCodecOps {
 
   /** The `jpeg_pixels` fixture chain: generate → decode, stats out. */
   def jpegPixels(docs: DataFrame): DataFrame = jpegDecodeStats(jpegMediaTable(docs))
+
+  /** The PROGRESSIVE twin of [[jpegPixels]]: the same block-constant
+    * rasters through the SOF2 spectral-selection pipeline (interleaved
+    * DC scan + per-component AC band scans), decoded by the multi-scan
+    * coefficient-accumulation path — same oracle BY DESIGN. */
+  def jpegPixelsProg(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    jpegDecodeStats(
+      docs.select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, encodeProgressiveFixture(id))))
+        .toDF("doc_id", "media"))
+  }
 
   /** (doc_id, media) table of real 4:4:4 COLOR baseline JPEGs. */
   def jpegRgbMediaTable(docs: DataFrame): DataFrame = {
@@ -818,15 +1185,18 @@ object JpegPack extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "jpeg_pixels" -> ((s, dir) => JpegCodecOps.jpegPixels(Tables.documents(s, dir))),
     "jpeg_pixels_rgb" -> ((s, dir) => JpegCodecOps.jpegPixelsRgb(Tables.documents(s, dir))),
-    "jpeg_pixels_420" -> ((s, dir) => JpegCodecOps.jpegPixels420(Tables.documents(s, dir))))
+    "jpeg_pixels_420" -> ((s, dir) => JpegCodecOps.jpegPixels420(Tables.documents(s, dir))),
+    "jpeg_pixels_prog" -> ((s, dir) => JpegCodecOps.jpegPixelsProg(Tables.documents(s, dir))))
 
   // codec-free oracle (the png_pixels convention): the block-constant
   // fixtures are LOSSLESS under the DC-8 quant dial, so the expected
   // stats are the closed-form formula — the engine must recover them
   // through real Huffman bytes, byte stuffing and DC prediction
-  override def oracles: Map[String, String] = Map(
-    "jpeg_pixels" ->
-      """WITH p AS (
+  /** The gray closed-form oracle — shared by the baseline and
+    * PROGRESSIVE profiles (same formula, same dims, same corrupt twist;
+    * only the scan structure differs, which is exactly the claim). */
+  private val grayPixelsSql: String =
+    """WITH p AS (
         |  SELECT doc_id,
         |         doc_id % 20 + 4 AS w, doc_id % 14 + 4 AS h,
         |         doc_id % 7 = 3 AS trunc
@@ -845,7 +1215,11 @@ object JpegPack extends QueryPack {
         |       CASE WHEN NOT trunc THEN CAST(list_aggregate(px, 'sum') AS BIGINT) END AS px_sum,
         |       CASE WHEN NOT trunc THEN CAST(list_aggregate(px, 'min') AS BIGINT) END AS px_min,
         |       CASE WHEN NOT trunc THEN CAST(list_aggregate(px, 'max') AS BIGINT) END AS px_max
-        |FROM v""".stripMargin,
+        |FROM v""".stripMargin
+
+  override def oracles: Map[String, String] = Map(
+    "jpeg_pixels" -> grayPixelsSql,
+    "jpeg_pixels_prog" -> grayPixelsSql,
     // the color twin: block-constant YCbCr planes are lossless through
     // the DCT path, and the only arithmetic after them is the JFIF
     // YCbCr->RGB conversion — spec-defined math mirrored here verbatim

@@ -107,7 +107,15 @@ object ScaleBench {
     // the gate marginal-cost twin: gate + survivor-append of a fixed
     // content-disjoint batch against a prebuilt index (dedup_gate keeps
     // measuring the full build-gate-append cycle)
-    "dedup_gate_only")
+    "dedup_gate_only",
+    // the STREAMING serve-only twins: one MemoryStream trigger through
+    // the real foreachBatch machinery against a prebuilt index — the
+    // per-trigger cadence cost, measured rather than inherited from the
+    // batch twins
+    "dedup_gate_stream", "ann_serve_stream",
+    // progressive-JPEG decode (multi-scan coefficient accumulation):
+    // the same per-doc codec floor class as jpeg_pixels
+    "jpeg_pixels_prog")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -193,6 +193,80 @@ class JpegCodecSpec extends SparkSpec {
     assert(JpegCodecOps.decodeJpeg(sof2).isEmpty, "progressive must refuse, not garble")
   }
 
+  test("PROGRESSIVE block-constant fixtures decode EXACTLY the closed form " +
+      "through the multi-scan path") {
+    (0L until 160L).filter(_ % 7 != 3).foreach { id =>
+      val (w, h) = JpegCodecOps.fixtureDims(id)
+      val got = JpegCodecOps.decodeJpeg(JpegCodecOps.encodeProgressiveFixture(id))
+      assert(got.isDefined, s"doc $id must decode progressively")
+      val d = got.get
+      assert(d.width == w && d.height == h && d.channels == 1, s"doc $id dims")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(d.samples(y * w + x) == JpegCodecOps.fixtureSample(id, x / 8, y / 8),
+          s"doc $id pixel ($x,$y): DC scan + zero-AC band scans are lossless")
+    }
+  }
+
+  test("progressive cross-codec: ImageIO agrees within ±2 gray / ±3 color on textured rasters") {
+    (1L to 25L).foreach { id =>
+      val w = (id % 21 + 4).toInt; val h = (id % 13 + 4).toInt
+      def px(x: Int, y: Int): Int = ((id * 31 + y * w * 7 + x * 7) % 256).toInt
+      val bytes = JpegCodecOps.encodeJpegProgressive(w, h, 1, (_, x, y) => px(x, y))
+      val ours = JpegCodecOps.decodeJpeg(bytes)
+      val theirs = imageIoDecode(bytes)
+      assert(ours.isDefined, s"our decoder must read our progressive encoder (id $id)")
+      assert(theirs.isDefined, s"ImageIO must accept the progressive file (id $id)")
+      val (tw, th, tpx) = theirs.get
+      assert(ours.get.width == tw && ours.get.height == th)
+      var worst = 0
+      for (j <- ours.get.samples.indices)
+        worst = math.max(worst, math.abs(ours.get.samples(j) - tpx(j)))
+      assert(worst <= 2, s"id $id: gray progressive differs by $worst")
+    }
+    // the 4:4:4 color face: textured luma, gently-varying chroma
+    (1L to 10L).foreach { id =>
+      val w = (id % 17 + 6).toInt; val h = (id % 11 + 6).toInt
+      def comp(c: Int, x: Int, y: Int): Int = c match {
+        case 0 => ((id * 31 + y * w * 7 + x * 7) % 256).toInt
+        case 1 => ((id * 5 + (x / 8) * 3 + (y / 8) * 11) % 256).toInt
+        case _ => ((id * 9 + (x / 8) * 13 + (y / 8) * 5) % 256).toInt
+      }
+      val bytes = JpegCodecOps.encodeJpegProgressive(w, h, 3, comp)
+      val ours = JpegCodecOps.decodeJpeg(bytes)
+      val theirs = imageIoDecodeRgb(bytes)
+      assert(ours.isDefined && theirs.isDefined, s"color progressive id $id")
+      var worst = 0
+      for (j <- ours.get.samples.indices)
+        worst = math.max(worst, math.abs(ours.get.samples(j) - theirs.get._3(j)))
+      assert(worst <= 3, s"id $id: color progressive differs by $worst")
+    }
+  }
+
+  test("progressive malformed bytes never throw; successive approximation refuses") {
+    val whole = JpegCodecOps.encodeJpegProgressive(12, 10, 1,
+      (_, x, y) => (x * 17 + y * 29) % 256)
+    (0 until whole.length).foreach { n =>
+      JpegCodecOps.decodeJpeg(whole.take(n)) // must not throw
+    }
+    (0 until whole.length).foreach { i =>
+      val dup = whole.clone()
+      dup(i) = (dup(i) ^ 0x5a).toByte
+      JpegCodecOps.decodeJpeg(dup) // must not throw
+    }
+    // flip the FIRST scan's AhAl byte to Al = 1 (a successive-
+    // approximation progression) — out of scope, must refuse honestly.
+    // SOS layout: FF DA len ns (id,tsel)*ns Ss Se AhAl
+    val sosAt = whole.indices.dropWhile(i =>
+      !((whole(i) & 0xff) == 0xFF && (whole(i + 1) & 0xff) == 0xDA)).head
+    val ns = whole(sosAt + 4) & 0xff
+    val ahalAt = sosAt + 4 + 1 + 2 * ns + 2
+    val sa = whole.clone()
+    sa(ahalAt) = 0x01.toByte
+    assert(JpegCodecOps.decodeJpeg(sa).isEmpty,
+      "successive approximation must refuse, not garble")
+    assert(JpegCodecOps.decodeJpeg(whole).isDefined, "the untouched file decodes")
+  }
+
   test("zero-length segments refuse instead of spinning the marker walk") {
     // a segment length counts its own two bytes, so len == 0 is
     // spec-invalid AND advances pos by nothing — without the < 2 guard
