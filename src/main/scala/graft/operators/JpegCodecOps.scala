@@ -25,14 +25,17 @@ import org.apache.spark.sql.functions._
   * CHROMA-SUBSAMPLED color (the common camera layout: Y at 2×2, chroma
   * at 1×1, four-luma-block MCUs, nearest-neighbor chroma upsampling) —
   * with RESTART INTERVALS (DRI/RSTn: byte-aligned marker consumption,
-  * DC predictors reset per interval). PROGRESSIVE (SOF2) decodes under
-  * the SPECTRAL-SELECTION scope (round 13): any number of DC/AC scans
-  * with Ah = Al = 0 accumulate coefficients per block across scans
-  * (interleaved DC scans, single-component AC band scans with general
-  * EOBRUN runs, per-scan restart intervals), reconstructed once at
-  * EOI; successive-approximation scans (Ah or Al nonzero — they change
-  * every scan's bit semantics), subsampled progressive, arithmetic
-  * coding, 16-bit quant tables and other sampling grids return
+  * DC predictors reset per interval). PROGRESSIVE (SOF2) decodes the
+  * FULL real-world scope (round 13): SPECTRAL SELECTION (any number of
+  * DC/AC band scans accumulating coefficients per block, general
+  * EOBRUN runs, per-scan restart intervals) AND SUCCESSIVE
+  * APPROXIMATION (point-transformed first scans, one-bit DC
+  * refinements, the G.1.2.3 AC correction procedure), over the same
+  * gray / 4:4:4 / 4:2:0 grids as the baseline path — the exact
+  * feature set libjpeg's standard progression emits, proven by
+  * decoding ImageIO-WRITTEN progressive files in the spec.
+  * Reconstruction runs once at EOI; arithmetic coding, 16-bit quant
+  * tables and other sampling grids return
   * 'corrupt' rather than pretending — the same explicit-boundary
   * discipline as [[MultimodalOps]]'s header walks, now moved one real
   * layer deeper. Per-component quant/Huffman selectors and DC
@@ -433,6 +436,198 @@ object JpegCodecOps {
       Array(0xFF.toByte, 0xD9.toByte)
   }
 
+  /** Encode component PLANES as a SUCCESSIVE-APPROXIMATION progressive
+    * (SOF2) JFIF file — the profile real-world progressive files
+    * actually use (libjpeg's `jpeg_simple_progression` shape): a DC
+    * first scan at point transform Al = 1, per-component AC first scans
+    * over split bands (1..5, 6..63) at Al = 1, then the matching AC
+    * REFINEMENT scans (Ah = 1, Al = 0 — newly-nonzero coefficients as
+    * (run, 1) symbols with sign bits, correction bits for every
+    * passed-over nonzero-history coefficient, per G.1.2.3) and a DC
+    * refinement scan (one appended bit per block). Arbitrary sampling
+    * grids within the decode scope (gray / 4:4:4 / 4:2:0); optional
+    * restart intervals in EVERY scan (per-scan RSTn numbering, MCU =
+    * one block in non-interleaved scans). Each AC-refine block flushes
+    * its correction buffer at an EOB (EOBRUN = 1) only when positions
+    * remain past the last newly-nonzero coefficient — an EOB after the
+    * band is exhausted would desync the decoder, which stops reading
+    * symbols at Se. A REAL, ImageIO-readable progressive JPEG. */
+  private[operators] def encodeJpegProgressiveSA(
+      w: Int, h: Int, comps: Seq[((Int, Int) => Int, Int, Int)],
+      restartInterval: Int = 0): Array[Byte] = {
+    val ncomp = comps.size
+    require(ncomp == 1 || ncomp == 3)
+    val hMax = comps.map(_._2).max
+    val vMax = comps.map(_._3).max
+    def pw(c: Int): Int = (w * comps(c)._2 + hMax - 1) / hMax
+    def ph(c: Int): Int = (h * comps(c)._3 + vMax - 1) / vMax
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    // padded (MCU-multiple) block grid per component — interleaved DC
+    // scans cover it; non-interleaved AC scans cover only the
+    // component's own ceil grid (A.2.2/G.1), indexed into the same rows
+    def bW(c: Int): Int = mcusX * comps(c)._2
+    def bH(c: Int): Int = mcusY * comps(c)._3
+    def cBW(c: Int): Int = (pw(c) + 7) / 8
+    def cBH(c: Int): Int = (ph(c) + 7) / 8
+    // forward DCT + quantize once, padded grid, zigzag order
+    val coefs: Array[Array[Array[Int]]] = Array.tabulate(ncomp) { c =>
+      val plane = comps(c)._1
+      Array.tabulate(bW(c) * bH(c)) { bi =>
+        val bx = (bi % bW(c)) * 8; val by = (bi / bW(c)) * 8
+        quantizedBlock(Array.tabulate(8, 8)((y, x) =>
+          plane(math.min(bx + x, pw(c) - 1), math.min(by + y, ph(c) - 1)) - 128))
+      }
+    }
+    def restartIfDue(bw2: BitWriter, mcu: Int): Unit =
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0)
+        bw2.marker(0xD0 + ((mcu / restartInterval - 1) % 8))
+    // DC first scan: all components interleaved, diffs of the
+    // POINT-TRANSFORMED values (arithmetic shift — two's complement
+    // carries the refinement bit of negative values correctly)
+    def dcFirstScan(al: Int): Array[Byte] = {
+      val bw2 = new BitWriter
+      val pred = new Array[Int](ncomp)
+      var mcu = 0
+      for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw2.marker(0xD0 + ((mcu / restartInterval - 1) % 8))
+          java.util.Arrays.fill(pred, 0)
+        }
+        for (c <- 0 until ncomp; v <- 0 until comps(c)._3; hh <- 0 until comps(c)._2) {
+          val bi = (my * comps(c)._3 + v) * bW(c) + mx * comps(c)._2 + hh
+          val dc = coefs(c)(bi)(0) >> al
+          encodeDcDiff(bw2, dc, pred(c))
+          pred(c) = dc
+        }
+        mcu += 1
+      }
+      bw2.finish()
+    }
+    // DC refinement: one raw bit per block, interleaved MCU order
+    def dcRefineScan(al: Int): Array[Byte] = {
+      val bw2 = new BitWriter
+      var mcu = 0
+      for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+        restartIfDue(bw2, mcu)
+        for (c <- 0 until ncomp; v <- 0 until comps(c)._3; hh <- 0 until comps(c)._2) {
+          val bi = (my * comps(c)._3 + v) * bW(c) + mx * comps(c)._2 + hh
+          bw2.put((coefs(c)(bi)(0) >> al) & 1, 1)
+        }
+        mcu += 1
+      }
+      bw2.finish()
+    }
+    // AC first scan at point transform Al: magnitudes |v| >> Al, zeros
+    // are whatever vanishes at this precision; EOBRUN = 1 per block
+    def acFirstScan(c: Int, ss: Int, se: Int, al: Int): Array[Byte] = {
+      val bw2 = new BitWriter
+      var mcu = 0
+      for (by <- 0 until cBH(c); bx <- 0 until cBW(c)) {
+        restartIfDue(bw2, mcu)
+        val zz = coefs(c)(by * bW(c) + bx)
+        var run = 0
+        var k = ss
+        while (k <= se) {
+          val t = math.abs(zz(k)) >> al
+          if (t == 0) run += 1
+          else {
+            while (run > 15) { val (zc, zl) = AcCodes(0xF0); bw2.put(zc, zl); run -= 16 }
+            val cat = category(t)
+            val (cc2, l2) = AcCodes((run << 4) | cat)
+            bw2.put(cc2, l2)
+            putAmplitude(bw2, if (zz(k) < 0) -t else t)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) { val (ec, el) = AcCodes(0x00); bw2.put(ec, el) }
+        mcu += 1
+      }
+      bw2.finish()
+    }
+    // AC refinement (G.1.2.3): run counts coefficients that are zero at
+    // THIS precision too; nonzero-history coefficients contribute
+    // buffered correction bits (flushed after the next symbol + sign,
+    // in position order — the order the decoder consumes them)
+    def acRefineScan(c: Int, ss: Int, se: Int, al: Int): Array[Byte] = {
+      val bw2 = new BitWriter
+      var mcu = 0
+      for (by <- 0 until cBH(c); bx <- 0 until cBW(c)) {
+        restartIfDue(bw2, mcu)
+        val zz = coefs(c)(by * bW(c) + bx)
+        var run = 0
+        val corr = scala.collection.mutable.ArrayBuffer.empty[Int]
+        def flush(): Unit = { corr.foreach(b => bw2.put(b, 1)); corr.clear() }
+        var k = ss
+        while (k <= se) {
+          val a = math.abs(zz(k))
+          val t = a >> al
+          if (t == 0) run += 1
+          else {
+            // drain pending ZRLs at ANY nonzero coefficient — before
+            // buffering its correction bit — so every buffered bit's
+            // position stays within ≤15 zeros of the last flush point
+            // (the decoder's ZRL walk spans exactly 16 zero-history
+            // positions; a bit buffered further out would desync)
+            while (run > 15) {
+              val (zc, zl) = AcCodes(0xF0); bw2.put(zc, zl); flush(); run -= 16
+            }
+            if (t > 1) corr += (t & 1) // history nonzero: correction bit
+            else { // t == 1 ⇒ history zero: newly nonzero at this precision
+              val (cc2, l2) = AcCodes((run << 4) | 1)
+              bw2.put(cc2, l2)
+              putAmplitude(bw2, if (zz(k) < 0) -1 else 1) // the sign bit
+              flush()
+              run = 0
+            }
+          }
+          k += 1
+        }
+        if (run > 0 || corr.nonEmpty) {
+          val (ec, el) = AcCodes(0x00); bw2.put(ec, el); flush()
+        }
+        mcu += 1
+      }
+      bw2.finish()
+    }
+    val app0 = "JFIF".getBytes("US-ASCII") ++
+      Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+    val dqt = Array(0x00.toByte) ++ QuantZig.map(_.toByte)
+    val sof2 = Array[Byte](8,
+      ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+      ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+      ncomp.toByte) ++
+      (0 until ncomp).flatMap(c => Seq((c + 1).toByte,
+        ((comps(c)._2 << 4) | comps(c)._3).toByte, 0.toByte)).toArray
+    def sosHdr(ids: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Array[Byte] =
+      Array[Byte](ids.size.toByte) ++
+        ids.flatMap(id => Seq(id.toByte, 0x00.toByte)).toArray ++
+        Array[Byte](ss.toByte, se.toByte, (((ah << 4) | al) & 0xff).toByte)
+    val dri: Array[Byte] =
+      if (restartInterval > 0)
+        seg(0xDD, Array(((restartInterval >> 8) & 0xff).toByte,
+          (restartInterval & 0xff).toByte))
+      else Array.empty
+    val allIds = (1 to ncomp).toSeq
+    Array(0xFF.toByte, 0xD8.toByte) ++
+      seg(0xE0, app0) ++
+      seg(0xDB, dqt) ++
+      seg(0xC2, sof2) ++
+      seg(0xC4, dhtPayload(0, 0, DcBits, DcVals)) ++
+      seg(0xC4, dhtPayload(1, 0, AcBits, AcVals)) ++
+      dri ++
+      seg(0xDA, sosHdr(allIds, 0, 0, 0, 1)) ++ dcFirstScan(1) ++
+      (0 until ncomp).flatMap(c =>
+        seg(0xDA, sosHdr(Seq(c + 1), 1, 5, 0, 1)) ++ acFirstScan(c, 1, 5, 1) ++
+          seg(0xDA, sosHdr(Seq(c + 1), 6, 63, 0, 1)) ++ acFirstScan(c, 6, 63, 1)).toArray ++
+      (0 until ncomp).flatMap(c =>
+        seg(0xDA, sosHdr(Seq(c + 1), 1, 5, 1, 0)) ++ acRefineScan(c, 1, 5, 0) ++
+          seg(0xDA, sosHdr(Seq(c + 1), 6, 63, 1, 0)) ++ acRefineScan(c, 6, 63, 0)).toArray ++
+      seg(0xDA, sosHdr(allIds, 0, 0, 1, 0)) ++ dcRefineScan(0) ++
+      Array(0xFF.toByte, 0xD9.toByte)
+  }
+
   /** The progressive ORACLE fixture: the SAME block-constant formula
     * (and dims and corrupt twist) as [[encodeFixture]], through the
     * SOF2 spectral-selection pipeline — same oracle BY DESIGN. */
@@ -440,6 +635,40 @@ object JpegCodecOps {
     val (w, h) = fixtureDims(docId)
     val whole = encodeJpegProgressive(w, h, 1,
       (_, x, y) => fixtureSample(docId, x / 8, y / 8))
+    if (docId % 7 == 3) whole.take(whole.length - math.min(whole.length, 12)) else whole
+  }
+
+  /** The SUCCESSIVE-APPROXIMATION progressive oracle fixture: the same
+    * block-constant gray formula through the SA script (DC at Al = 1 +
+    * refinement, split AC bands at Al = 1 + refinements). A constant
+    * block's DC is exact under the DC-8 dial, the point transform
+    * splits it losslessly across first + refinement scans (arithmetic
+    * shift down, appended bit back up), and the AC band is all zero in
+    * every scan — so the full progression is lossless and the decode
+    * must still recover the formula EXACTLY. Every third doc adds a
+    * 2-MCU restart cadence across ALL scans; same corrupt twist. */
+  private[operators] def encodeProgressiveSAFixture(docId: Long): Array[Byte] = {
+    val (w, h) = fixtureDims(docId)
+    val whole = encodeJpegProgressiveSA(w, h,
+      Seq(((((x: Int, y: Int) => fixtureSample(docId, x / 8, y / 8))), 1, 1)),
+      fixtureRestart(docId))
+    if (docId % 7 == 3) whole.take(whole.length - math.min(whole.length, 12)) else whole
+  }
+
+  /** The SUBSAMPLED-progressive oracle fixture: the 4:2:0 macroblock
+    * layout (luma per 8×8, chroma per 16×16 — lossless through
+    * subsampling and nearest upsampling) through the SA progressive
+    * script: interleaved four-luma DC MCUs, per-component AC scans over
+    * each component's OWN block grid, refinement scans, restart
+    * cadence on every third doc. Shares `jpeg_pixels_420`'s oracle BY
+    * DESIGN — only the scan structure differs, which is the claim. */
+  private[operators] def encodeProg420Fixture(docId: Long): Array[Byte] = {
+    val (w, h) = fixtureDims420(docId)
+    val whole = encodeJpegProgressiveSA(w, h, Seq(
+      (((x: Int, y: Int) => fixtureYcc(docId, 0, x / 8, y / 8)), 2, 2),
+      (((x2: Int, y2: Int) => fixtureYcc(docId, 1, x2 / 8, y2 / 8)), 1, 1),
+      (((x2: Int, y2: Int) => fixtureYcc(docId, 2, x2 / 8, y2 / 8)), 1, 1)),
+      fixtureRestart(docId))
     if (docId % 7 == 3) whole.take(whole.length - math.min(whole.length, 12)) else whole
   }
 
@@ -574,11 +803,11 @@ object JpegCodecOps {
   }
 
   /** Full decode or None (malformed anywhere; unsupported profiles —
-    * extended/lossless/arithmetic scans, successive-approximation
-    * progressive, 16-bit quant tables, sampling grids other than
-    * gray / 4:4:4 / 4:2:0 baseline or gray / 4:4:4 progressive — are
-    * honestly None, never a wrong answer). Never throws. SOF2 streams
-    * take the [[decodeProgressive]] multi-scan path. */
+    * extended/lossless/arithmetic scans, 16-bit quant tables, sampling
+    * grids other than gray / 4:4:4 / 4:2:0 — are honestly None, never
+    * a wrong answer). Never throws. SOF2 streams take the
+    * [[decodeProgressive]] multi-scan path (spectral selection AND
+    * successive approximation). */
   private[operators] def decodeJpeg(bytes: Array[Byte]): Option[Decoded] =
     try {
       if (bytes.length < 4 || (bytes(0) & 0xff) != 0xFF || (bytes(1) & 0xff) != 0xD8)
@@ -795,15 +1024,21 @@ object JpegCodecOps {
       }
     } catch { case _: Exception => None }
 
-  /** PROGRESSIVE (SOF2) decode — the spectral-selection scope: any
-    * number of DC/AC scans with Ah = Al = 0 (successive-approximation
-    * scans refuse honestly — they change every scan's bit semantics),
-    * all components at (1, 1) sampling (gray / 4:4:4), restart
-    * intervals honored per scan, general EOBRUN runs in AC scans.
+  /** PROGRESSIVE (SOF2) decode — spectral selection AND successive
+    * approximation, over the same sampling grids as the baseline path
+    * (gray / 4:4:4 / 4:2:0). DC scans interleave over MCUs when Ns > 1
+    * and walk the component's own block grid when Ns = 1; AC scans are
+    * always single-component (G.1). First scans (Ah = 0) store
+    * point-transformed coefficients shifted back up by Al; refinement
+    * scans (Ah > 0) append one DC bit per block or run the G.1.2.3 AC
+    * correction procedure (newly-nonzero ±1·2^Al coefficients,
+    * correction bits for every passed-over nonzero-history
+    * coefficient, EOB runs refining the rest of the band). Restart
+    * intervals honored per scan, tables re-definable between scans.
     * Coefficients ACCUMULATE across scans into per-block zigzag
-    * buffers; reconstruction (dequant + IDCT + the JFIF YCbCr
-    * conversion) runs once at EOI. Never throws — malformed anywhere
-    * is None. */
+    * buffers; reconstruction (dequant + IDCT + upsampling + the JFIF
+    * YCbCr conversion) runs once at EOI. Never throws — malformed
+    * anywhere is None. */
   private def decodeProgressive(bytes: Array[Byte]): Option[Decoded] =
     try {
       if (bytes.length < 4 || (bytes(0) & 0xff) != 0xFF || (bytes(1) & 0xff) != 0xD8)
@@ -812,13 +1047,19 @@ object JpegCodecOps {
       var w = 0; var h = 0
       var ncomp = 0
       var restart = 0
-      var bX = 0; var bY = 0
       val compId = new Array[Int](3)
       val compQuant = new Array[Int](3)
+      val compH = new Array[Int](3)
+      val compV = new Array[Int](3)
+      var pw: Array[Int] = null; var ph: Array[Int] = null
+      var bW: Array[Int] = null; var bH: Array[Int] = null
+      var cBW: Array[Int] = null; var cBH: Array[Int] = null
+      var mcusX = 0; var mcusY = 0
       val dcTables = new Array[HuffTable](4)
       val acTables = new Array[HuffTable](4)
       val quants = new Array[Array[Int]](4)
-      // per component: blocks in raster order, each a 64-coef zigzag buf
+      // per component: blocks in raster order over the PADDED
+      // (MCU-multiple) grid, each a 64-coef zigzag buffer
       var coef: Array[Array[Array[Int]]] = null
       def u16(o: Int): Int = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
       while (true) {
@@ -830,7 +1071,8 @@ object JpegCodecOps {
         m match {
           case 0xD9 => // EOI: reconstruct from the accumulated coefficients
             if (coef == null || w == 0) return None
-            return reconstructProgressive(w, h, ncomp, bX, bY, coef,
+            return reconstructProgressive(w, h, ncomp, compH, compV,
+              pw, ph, bW, cBW, cBH, coef,
               (0 until ncomp).map(c => quants(compQuant(c))).toArray)
           case 0xC2 => // SOF2
             if (pos + 2 > bytes.length) return None
@@ -844,16 +1086,32 @@ object JpegCodecOps {
             for (c <- 0 until ncomp) {
               compId(c) = bytes(pos + 8 + 3 * c) & 0xff
               val sampling = bytes(pos + 9 + 3 * c) & 0xff
-              // progressive scope: (1,1) sampling only — subsampled
-              // progressive refuses honestly
-              if (sampling != 0x11) return None
+              compH(c) = (sampling >> 4) & 0x0f
+              compV(c) = sampling & 0x0f
               compQuant(c) = bytes(pos + 10 + 3 * c) & 0xff
               if (compQuant(c) > 3) return None
             }
+            // the baseline path's grids: gray, 4:4:4, 4:2:0
+            val layoutOk =
+              (ncomp == 1 && compH(0) == 1 && compV(0) == 1) ||
+                (ncomp == 3 && (0 until 3).forall(c => compH(c) == 1 && compV(c) == 1)) ||
+                (ncomp == 3 && compH(0) == 2 && compV(0) == 2 &&
+                  (1 until 3).forall(c => compH(c) == 1 && compV(c) == 1))
+            if (!layoutOk) return None
             if (w < 1 || h < 1 || w.toLong * h * ncomp > MaxSamples) return None
-            bX = (w + 7) / 8; bY = (h + 7) / 8
-            if (bX.toLong * bY * 64 * ncomp > MaxSamples * 8) return None
-            coef = Array.fill(ncomp, bX * bY)(new Array[Int](64))
+            val hMax = (0 until ncomp).map(compH).max
+            val vMax = (0 until ncomp).map(compV).max
+            pw = Array.tabulate(ncomp)(c => (w * compH(c) + hMax - 1) / hMax)
+            ph = Array.tabulate(ncomp)(c => (h * compV(c) + vMax - 1) / vMax)
+            mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+            mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+            bW = Array.tabulate(ncomp)(c => mcusX * compH(c))
+            bH = Array.tabulate(ncomp)(c => mcusY * compV(c))
+            cBW = Array.tabulate(ncomp)(c => (pw(c) + 7) / 8)
+            cBH = Array.tabulate(ncomp)(c => (ph(c) + 7) / 8)
+            if ((0 until ncomp).map(c => bW(c).toLong * bH(c) * 64).sum > MaxSamples * 8)
+              return None
+            coef = Array.tabulate(ncomp)(c => Array.fill(bW(c) * bH(c))(new Array[Int](64)))
             pos += len
           case 0xC0 | 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
                0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
@@ -919,43 +1177,66 @@ object JpegCodecOps {
             val ss = bytes(pos + 3 + 2 * ns) & 0xff
             val se = bytes(pos + 4 + 2 * ns) & 0xff
             val ahal = bytes(pos + 5 + 2 * ns) & 0xff
-            // honest scope boundary: successive approximation (Ah or
-            // Al nonzero) changes every scan's bit semantics — refuse
-            if (ahal != 0) return None
+            val ah = (ahal >> 4) & 0x0f
+            val al = ahal & 0x0f
+            if (al > 13 || ah > 13) return None
             val br = new BitReader(bytes, pos + len)
             if (ss == 0) {
-              // DC scan: interleaved over the shared (1,1) block grid
+              // DC scan: interleaved MCU walk when Ns > 1,
+              // the component's own block grid when Ns = 1 (A.2)
               if (se != 0) return None
               val dcT = scanDc.map(i => dcTables(i))
-              if (dcT.exists(_ == null)) return None
+              if (ah == 0 && dcT.exists(_ == null)) return None
               val pred = new Array[Int](ns)
-              var mcu = 0
-              for (by <- 0 until bY; bx <- 0 until bX) {
-                if (restart > 0 && mcu > 0 && mcu % restart == 0) {
-                  br.expectRestart((mcu / restart - 1) % 8)
-                  java.util.Arrays.fill(pred, 0)
-                }
-                for (i <- 0 until ns) {
+              // one block of one scan component: first scans accumulate
+              // point-transformed prediction; refinements append a bit
+              def dcBlock(i: Int, bi: Int): Unit =
+                if (ah == 0) {
                   val t = br.decode(dcT(i))
                   pred(i) += extend(br.bits(t), t)
-                  coef(scanComp(i))(by * bX + bx)(0) = pred(i)
+                  coef(scanComp(i))(bi)(0) = pred(i) << al
+                } else if (br.bit() != 0)
+                  coef(scanComp(i))(bi)(0) |= (1 << al)
+              var mcu = 0
+              if (ns > 1) {
+                for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+                  if (restart > 0 && mcu > 0 && mcu % restart == 0) {
+                    br.expectRestart((mcu / restart - 1) % 8)
+                    java.util.Arrays.fill(pred, 0)
+                  }
+                  for (i <- 0 until ns) {
+                    val c = scanComp(i)
+                    for (v <- 0 until compV(c); hh <- 0 until compH(c))
+                      dcBlock(i, (my * compV(c) + v) * bW(c) + mx * compH(c) + hh)
+                  }
+                  mcu += 1
                 }
-                mcu += 1
+              } else {
+                val c = scanComp(0)
+                for (by <- 0 until cBH(c); bx <- 0 until cBW(c)) {
+                  if (restart > 0 && mcu > 0 && mcu % restart == 0) {
+                    br.expectRestart((mcu / restart - 1) % 8)
+                    java.util.Arrays.fill(pred, 0)
+                  }
+                  dcBlock(0, by * bW(c) + bx)
+                  mcu += 1
+                }
               }
-            } else {
-              // AC scan: exactly one component (G.1), EOBRUN semantics
+            } else if (ah == 0) {
+              // AC first scan: one component (G.1), EOBRUN semantics,
+              // decoded magnitudes shifted up by the point transform
               if (ns != 1 || se < ss || se > 63) return None
               val acT = acTables(scanAc(0))
               if (acT == null) return None
               val cc = scanComp(0)
               var eobrun = 0
               var mcu = 0
-              for (by <- 0 until bY; bx <- 0 until bX) {
+              for (by <- 0 until cBH(cc); bx <- 0 until cBW(cc)) {
                 if (restart > 0 && mcu > 0 && mcu % restart == 0) {
                   br.expectRestart((mcu / restart - 1) % 8)
                   eobrun = 0
                 }
-                val zz = coef(cc)(by * bX + bx)
+                val zz = coef(cc)(by * bW(cc) + bx)
                 if (eobrun > 0) eobrun -= 1
                 else {
                   var k = ss
@@ -975,7 +1256,85 @@ object JpegCodecOps {
                     } else {
                       k += r
                       if (k > se) return None
-                      zz(k) = extend(br.bits(sA), sA)
+                      zz(k) = extend(br.bits(sA), sA) << al
+                      k += 1
+                    }
+                  }
+                }
+                mcu += 1
+              }
+            } else {
+              // AC REFINEMENT scan (G.1.2.3): newly-nonzero
+              // coefficients arrive as (run, 1) symbols with a sign
+              // bit; every nonzero-history coefficient passed over
+              // contributes one correction bit (moving its magnitude
+              // up by 2^Al when set); an EOB run refines the rest of
+              // the band in this block and `eobrun` more whole blocks
+              if (ns != 1 || se < ss || se > 63) return None
+              val acT = acTables(scanAc(0))
+              if (acT == null) return None
+              val cc = scanComp(0)
+              val p1 = 1 << al
+              def refineOne(zz: Array[Int], k: Int): Unit =
+                if (br.bit() != 0 && (zz(k) & p1) == 0)
+                  zz(k) += (if (zz(k) >= 0) p1 else -p1)
+              var eobrun = 0
+              var mcu = 0
+              for (by <- 0 until cBH(cc); bx <- 0 until cBW(cc)) {
+                if (restart > 0 && mcu > 0 && mcu % restart == 0) {
+                  br.expectRestart((mcu / restart - 1) % 8)
+                  eobrun = 0
+                }
+                val zz = coef(cc)(by * bW(cc) + bx)
+                var k = ss
+                if (eobrun > 0) {
+                  // a running EOB covers this whole block: correction
+                  // bits for every nonzero coefficient of the band
+                  while (k <= se) {
+                    if (zz(k) != 0) refineOne(zz, k)
+                    k += 1
+                  }
+                  eobrun -= 1
+                } else {
+                  var eob = false
+                  while (k <= se && !eob) {
+                    val rs = br.decode(acT)
+                    var r = rs >> 4
+                    val sA = rs & 15
+                    var newval = 0
+                    if (sA == 0) {
+                      if (r < 15) { // EOB run begins (0 MORE whole blocks
+                        // for r = 0 — the CURRENT block's tail is still
+                        // refined below, unconditionally)
+                        eobrun = (1 << r) - 1
+                        if (r > 0) eobrun += br.bits(r)
+                        eob = true
+                      }
+                      // r == 15: ZRL — skip 16 zero-history positions
+                    } else {
+                      if (sA != 1) return None // refinement magnitudes are ±1
+                      newval = if (br.bit() != 0) p1 else -p1
+                    }
+                    if (!eob) {
+                      // advance past r zero-history positions, refining
+                      // nonzero-history coefficients along the way
+                      var placed = false
+                      while (k <= se && !placed) {
+                        if (zz(k) != 0) refineOne(zz, k)
+                        else if (r == 0) {
+                          if (newval != 0) zz(k) = newval
+                          placed = true
+                        } else r -= 1
+                        k += 1
+                      }
+                      if (newval != 0 && !placed) return None // ran off the band
+                    }
+                  }
+                  if (eob) {
+                    // the current block's remaining band: correction
+                    // bits for its nonzero coefficients
+                    while (k <= se) {
+                      if (zz(k) != 0) refineOne(zz, k)
                       k += 1
                     }
                   }
@@ -1001,17 +1360,25 @@ object JpegCodecOps {
       None // unreachable
     } catch { case _: Exception => None }
 
-  /** Dequant + IDCT + plane assembly for the progressive path — the
-    * baseline reconstruction over accumulated (1,1)-sampled blocks. */
+  /** Dequant + IDCT + plane assembly + upsampling for the progressive
+    * path — the baseline reconstruction over accumulated SAMPLED
+    * component planes (blocks of the component's own ceil grid, indexed
+    * into the padded coefficient rows; padded-only blocks carry no
+    * visible pixels). */
   private def reconstructProgressive(w: Int, h: Int, ncomp: Int,
-      bX: Int, bY: Int, coef: Array[Array[Array[Int]]],
+      compH: Array[Int], compV: Array[Int],
+      pw: Array[Int], ph: Array[Int], bW: Array[Int],
+      cBW: Array[Int], cBH: Array[Int],
+      coef: Array[Array[Array[Int]]],
       quant: Array[Array[Int]]): Option[Decoded] = {
     if (quant.exists(_ == null)) return None
-    val planes = Array.fill(ncomp)(new Array[Int](w * h))
+    val hMax = (0 until ncomp).map(compH).max
+    val vMax = (0 until ncomp).map(compV).max
+    val planes = Array.tabulate(ncomp)(c => new Array[Int](pw(c) * ph(c)))
     val blk = new Array[Double](64)
     val cosT = CosT
-    for (c <- 0 until ncomp; by <- 0 until bY; bx <- 0 until bX) {
-      val zz = coef(c)(by * bX + bx)
+    for (c <- 0 until ncomp; by <- 0 until cBH(c); bx <- 0 until cBW(c)) {
+      val zz = coef(c)(by * bW(c) + bx)
       java.util.Arrays.fill(blk, 0.0)
       var i = 0
       while (i < 64) { blk(ZigZag(i)) = zz(i).toDouble * quant(c)(i); i += 1 }
@@ -1028,16 +1395,21 @@ object JpegCodecOps {
         while (u < 8) { acc += tmp(u * 8 + x) * cosT(y)(u); u += 1 }
         val px = math.round(acc / 4 + 128).toInt
         val cx = bx * 8 + x; val cy = by * 8 + y
-        if (cx < w && cy < h)
-          planes(c)(cy * w + cx) = math.max(0, math.min(255, px))
+        if (cx < pw(c) && cy < ph(c))
+          planes(c)(cy * pw(c) + cx) = math.max(0, math.min(255, px))
       }
     }
     if (ncomp == 1) Some(Decoded(w, h, 1, planes(0)))
     else {
+      // upsample chroma to full resolution (nearest-neighbor, A.1.1)
+      // and interleave as RGB — the baseline path verbatim
       val out = new Array[Int](w * h * 3)
+      def sample(c: Int, x: Int, y: Int): Int =
+        planes(c)((y * compV(c) / vMax) * pw(c) + (x * compH(c) / hMax))
       var j = 0
       while (j < w * h) {
-        val yv = planes(0)(j); val cb = planes(1)(j); val cr = planes(2)(j)
+        val x = j % w; val y = j / w
+        val yv = sample(0, x, y); val cb = sample(1, x, y); val cr = sample(2, x, y)
         out(3 * j) = ycc(0, yv, cb, cr)
         out(3 * j + 1) = ycc(1, yv, cb, cr)
         out(3 * j + 2) = ycc(2, yv, cb, cr)
@@ -1114,6 +1486,20 @@ object JpegCodecOps {
         .toDF("doc_id", "media"))
   }
 
+  /** The SUCCESSIVE-APPROXIMATION twin of [[jpegPixelsProg]]: the same
+    * block-constant rasters through the SA script (point-transformed
+    * first scans + refinement scans, restart cadence on every third
+    * doc), decoded by the G.1.2 refinement path — same oracle BY
+    * DESIGN. */
+  def jpegPixelsProgSa(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    jpegDecodeStats(
+      docs.select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, encodeProgressiveSAFixture(id))))
+        .toDF("doc_id", "media"))
+  }
+
   /** (doc_id, media) table of real 4:4:4 COLOR baseline JPEGs. */
   def jpegRgbMediaTable(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
@@ -1179,6 +1565,20 @@ object JpegCodecOps {
         .mapPartitions(_.map(id => (id, encode420Fixture(id))))
         .toDF("doc_id", "media"))
   }
+
+  /** The SUBSAMPLED-PROGRESSIVE chain: the 4:2:0 macroblock fixtures
+    * through the SA progressive script — interleaved four-luma DC
+    * MCUs, per-component AC scans over each component's own grid,
+    * refinements, restart cadence — sharing `jpeg_pixels_420`'s
+    * oracle BY DESIGN. */
+  def jpegPixelsProg420(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    jpegRgbDecodeStats(
+      docs.select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, encodeProg420Fixture(id))))
+        .toDF("doc_id", "media"))
+  }
 }
 
 object JpegPack extends QueryPack {
@@ -1186,7 +1586,9 @@ object JpegPack extends QueryPack {
     "jpeg_pixels" -> ((s, dir) => JpegCodecOps.jpegPixels(Tables.documents(s, dir))),
     "jpeg_pixels_rgb" -> ((s, dir) => JpegCodecOps.jpegPixelsRgb(Tables.documents(s, dir))),
     "jpeg_pixels_420" -> ((s, dir) => JpegCodecOps.jpegPixels420(Tables.documents(s, dir))),
-    "jpeg_pixels_prog" -> ((s, dir) => JpegCodecOps.jpegPixelsProg(Tables.documents(s, dir))))
+    "jpeg_pixels_prog" -> ((s, dir) => JpegCodecOps.jpegPixelsProg(Tables.documents(s, dir))),
+    "jpeg_pixels_prog_sa" -> ((s, dir) => JpegCodecOps.jpegPixelsProgSa(Tables.documents(s, dir))),
+    "jpeg_pixels_prog_420" -> ((s, dir) => JpegCodecOps.jpegPixelsProg420(Tables.documents(s, dir))))
 
   // codec-free oracle (the png_pixels convention): the block-constant
   // fixtures are LOSSLESS under the DC-8 quant dial, so the expected
@@ -1220,6 +1622,10 @@ object JpegPack extends QueryPack {
   override def oracles: Map[String, String] = Map(
     "jpeg_pixels" -> grayPixelsSql,
     "jpeg_pixels_prog" -> grayPixelsSql,
+    // successive approximation: the point transform splits each
+    // lossless DC across first + refinement scans — the closed form is
+    // unchanged, which is exactly the claim
+    "jpeg_pixels_prog_sa" -> grayPixelsSql,
     // the color twin: block-constant YCbCr planes are lossless through
     // the DCT path, and the only arithmetic after them is the JFIF
     // YCbCr->RGB conversion — spec-defined math mirrored here verbatim
@@ -1263,7 +1669,14 @@ object JpegPack extends QueryPack {
     // (each half-res chroma block is constant, so subsampling AND the
     // nearest-neighbor upsample are exact), restart intervals on every
     // third doc — RSTn consumption is under this oracle too
-    "jpeg_pixels_420" ->
+    "jpeg_pixels_420" -> px420Sql,
+    // subsampled PROGRESSIVE: the same macroblock rasters through the
+    // SA multi-scan pipeline — shared oracle BY DESIGN
+    "jpeg_pixels_prog_420" -> px420Sql)
+
+  /** The 4:2:0 closed-form oracle — shared by the baseline and
+    * SA-progressive subsampled profiles. */
+  private val px420Sql: String =
       """WITH p AS (
         |  SELECT doc_id,
         |         doc_id % 40 + 8 AS w, doc_id % 28 + 8 AS h,
@@ -1297,5 +1710,5 @@ object JpegPack extends QueryPack {
         |       CASE WHEN NOT trunc THEN CAST(SUM(b) AS BIGINT) END AS b_sum,
         |       CASE WHEN NOT trunc THEN CAST(MIN(b) AS BIGINT) END AS b_min,
         |       CASE WHEN NOT trunc THEN CAST(MAX(b) AS BIGINT) END AS b_max
-        |FROM rgb GROUP BY doc_id, trunc""".stripMargin)
+        |FROM rgb GROUP BY doc_id, trunc""".stripMargin
 }

@@ -242,7 +242,7 @@ class JpegCodecSpec extends SparkSpec {
     }
   }
 
-  test("progressive malformed bytes never throw; successive approximation refuses") {
+  test("progressive malformed bytes never throw (spectral and SA files alike)") {
     val whole = JpegCodecOps.encodeJpegProgressive(12, 10, 1,
       (_, x, y) => (x * 17 + y * 29) % 256)
     (0 until whole.length).foreach { n =>
@@ -253,18 +253,172 @@ class JpegCodecSpec extends SparkSpec {
       dup(i) = (dup(i) ^ 0x5a).toByte
       JpegCodecOps.decodeJpeg(dup) // must not throw
     }
-    // flip the FIRST scan's AhAl byte to Al = 1 (a successive-
-    // approximation progression) — out of scope, must refuse honestly.
-    // SOS layout: FF DA len ns (id,tsel)*ns Ss Se AhAl
-    val sosAt = whole.indices.dropWhile(i =>
-      !((whole(i) & 0xff) == 0xFF && (whole(i + 1) & 0xff) == 0xDA)).head
-    val ns = whole(sosAt + 4) & 0xff
-    val ahalAt = sosAt + 4 + 1 + 2 * ns + 2
-    val sa = whole.clone()
-    sa(ahalAt) = 0x01.toByte
-    assert(JpegCodecOps.decodeJpeg(sa).isEmpty,
-      "successive approximation must refuse, not garble")
     assert(JpegCodecOps.decodeJpeg(whole).isDefined, "the untouched file decodes")
+    // the same sweeps over a successive-approximation file with
+    // restart intervals — every truncation and single-byte corruption
+    // walks the refinement paths too
+    val sa = JpegCodecOps.encodeJpegProgressiveSA(13, 11,
+      Seq(((((x: Int, y: Int) => (x * 17 + y * 29) % 256)), 1, 1)),
+      restartInterval = 1)
+    (0 until sa.length).foreach { n =>
+      JpegCodecOps.decodeJpeg(sa.take(n)) // must not throw
+    }
+    (0 until sa.length).foreach { i =>
+      val dup = sa.clone()
+      dup(i) = (dup(i) ^ 0x5a).toByte
+      JpegCodecOps.decodeJpeg(dup) // must not throw
+    }
+    assert(JpegCodecOps.decodeJpeg(sa).isDefined, "the untouched SA file decodes")
+  }
+
+  test("SA block-constant fixtures decode EXACTLY: the point transform splits " +
+      "each DC losslessly across first + refinement scans") {
+    var withRestart = 0
+    (0L until 160L).filter(_ % 7 != 3).foreach { id =>
+      val (w, h) = JpegCodecOps.fixtureDims(id)
+      if (JpegCodecOps.fixtureRestart(id) > 0) withRestart += 1
+      val got = JpegCodecOps.decodeJpeg(JpegCodecOps.encodeProgressiveSAFixture(id))
+      assert(got.isDefined, s"doc $id must decode through the SA path")
+      val d = got.get
+      assert(d.width == w && d.height == h && d.channels == 1, s"doc $id dims")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(d.samples(y * w + x) == JpegCodecOps.fixtureSample(id, x / 8, y / 8),
+          s"doc $id pixel ($x,$y): shift-down + appended-bit must reassemble the DC")
+    }
+    assert(withRestart > 10, "the SA fixture set must exercise restart intervals")
+  }
+
+  test("SUBSAMPLED-progressive fixtures decode EXACTLY: interleaved DC MCUs + " +
+      "per-component AC grids + refinements over the 4:2:0 layout") {
+    (0L until 90L).filter(_ % 7 != 3).foreach { id =>
+      val (w, h) = JpegCodecOps.fixtureDims420(id)
+      val got = JpegCodecOps.decodeJpeg(JpegCodecOps.encodeProg420Fixture(id))
+      assert(got.isDefined && got.get.channels == 3, s"doc $id must decode as 4:2:0 SA")
+      val d = got.get
+      assert(d.width == w && d.height == h)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val yy = JpegCodecOps.fixtureYcc(id, 0, x / 8, y / 8)
+        val cb = JpegCodecOps.fixtureYcc(id, 1, x / 16, y / 16)
+        val cr = JpegCodecOps.fixtureYcc(id, 2, x / 16, y / 16)
+        assert(d.samples((y * w + x) * 3 + c) == JpegCodecOps.ycc(c, yy, cb, cr),
+          s"doc $id pixel ($x,$y) ch $c: macroblock chroma stays lossless through " +
+            s"the progressive 4:2:0 pipeline")
+      }
+    }
+  }
+
+  test("SA cross-codec: ImageIO reads OUR successive-approximation files " +
+      "(textured gray ±2, 4:4:4 color ±3, 4:2:0 flat-chroma ±3)") {
+    (1L to 25L).foreach { id =>
+      val w = (id % 21 + 4).toInt; val h = (id % 13 + 4).toInt
+      val bytes = JpegCodecOps.encodeJpegProgressiveSA(w, h,
+        Seq(((((x: Int, y: Int) => ((id * 31 + y * w * 7 + x * 7) % 256).toInt)), 1, 1)),
+        restartInterval = if (id % 2 == 0) 1 else 0)
+      val ours = JpegCodecOps.decodeJpeg(bytes)
+      val theirs = imageIoDecode(bytes)
+      assert(ours.isDefined, s"our decoder must read our SA encoder (id $id)")
+      assert(theirs.isDefined, s"ImageIO must accept the SA file — conformance (id $id)")
+      val (tw, th, tpx) = theirs.get
+      assert(ours.get.width == tw && ours.get.height == th)
+      var worst = 0
+      for (j <- ours.get.samples.indices)
+        worst = math.max(worst, math.abs(ours.get.samples(j) - tpx(j)))
+      assert(worst <= 2, s"id $id: gray SA differs by $worst")
+    }
+    (1L to 8L).foreach { id =>
+      val w = (id % 17 + 6).toInt; val h = (id % 11 + 6).toInt
+      def comp(c: Int)(x: Int, y: Int): Int = c match {
+        case 0 => ((id * 31 + y * w * 7 + x * 7) % 256).toInt
+        case 1 => ((id * 5 + (x / 8) * 3 + (y / 8) * 11) % 256).toInt
+        case _ => ((id * 9 + (x / 8) * 13 + (y / 8) * 5) % 256).toInt
+      }
+      val bytes = JpegCodecOps.encodeJpegProgressiveSA(w, h,
+        Seq((comp(0) _, 1, 1), (comp(1) _, 1, 1), (comp(2) _, 1, 1)))
+      val ours = JpegCodecOps.decodeJpeg(bytes)
+      val theirs = imageIoDecodeRgb(bytes)
+      assert(ours.isDefined && theirs.isDefined, s"color SA id $id")
+      var worst = 0
+      for (j <- ours.get.samples.indices)
+        worst = math.max(worst, math.abs(ours.get.samples(j) - theirs.get._3(j)))
+      assert(worst <= 3, s"id $id: 4:4:4 SA differs by $worst")
+    }
+    // subsampled SA: textured luma, GLOBALLY flat chroma (interpolating
+    // vs nearest upsamplers agree exactly on a constant)
+    (1L to 8L).foreach { id =>
+      val w = (id % 37 + 10).toInt; val h = (id % 23 + 10).toInt
+      val cb0 = ((id * 53) % 256).toInt; val cr0 = ((id * 71) % 256).toInt
+      val bytes = JpegCodecOps.encodeJpegProgressiveSA(w, h, Seq(
+        ((((x: Int, y: Int) => ((id * 31 + y * w + x) * 7 % 256).toInt)), 2, 2),
+        ((((_: Int, _: Int) => cb0)), 1, 1),
+        ((((_: Int, _: Int) => cr0)), 1, 1)),
+        restartInterval = if (id % 2 == 0) 2 else 0)
+      val ours = JpegCodecOps.decodeJpeg(bytes)
+      val theirs = imageIoDecodeRgb(bytes)
+      assert(ours.isDefined && ours.get.channels == 3, s"id $id must decode")
+      assert(theirs.isDefined, s"ImageIO must accept the subsampled SA file (id $id)")
+      var worst = 0
+      for (j <- ours.get.samples.indices)
+        worst = math.max(worst, math.abs(ours.get.samples(j) - theirs.get._3(j)))
+      assert(worst <= 3, s"id $id: 4:2:0 SA differs by $worst")
+    }
+  }
+
+  private def imageIoEncodeProgressive(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val baos = new java.io.ByteArrayOutputStream
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    writer.dispose(); ios.close()
+    baos.toByteArray
+  }
+
+  test("REAL-WORLD progressive: ImageIO-WRITTEN files (libjpeg's standard SA " +
+      "script — an independent encoder) decode and agree with ImageIO's own read") {
+    // gray: sampling (1,1), scans DC@Al=1, AC 1-5@Al=2, AC 6-63@Al=2,
+    // AC refine Ah=2→Al=1, DC refine, AC refine Ah=1→Al=0 (probed)
+    (1L to 15L).foreach { id =>
+      val w = (id % 29 + 8).toInt; val h = (id % 19 + 8).toInt
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, ((id * 31 + y * w * 7 + x * 7) % 256).toInt)
+      val bytes = imageIoEncodeProgressive(img)
+      val ours = JpegCodecOps.decodeJpeg(bytes)
+      val theirs = imageIoDecode(bytes)
+      assert(ours.isDefined, s"id $id: must decode a real libjpeg-script progressive file")
+      assert(theirs.isDefined)
+      val (tw, th, tpx) = theirs.get
+      assert(ours.get.width == tw && ours.get.height == th)
+      var worst = 0
+      for (j <- ours.get.samples.indices)
+        worst = math.max(worst, math.abs(ours.get.samples(j) - tpx(j)))
+      assert(worst <= 2, s"id $id: real-world gray progressive differs by $worst")
+    }
+    // color: ImageIO writes 4:2:0 progressive (sampling 22/11/11 —
+    // probed); R=G=B content keeps chroma flat at 128 so the
+    // interpolating-vs-nearest upsampler difference vanishes
+    (1L to 10L).foreach { id =>
+      val w = (id % 37 + 10).toInt; val h = (id % 23 + 10).toInt
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = ((id * 31 + y * w + x) * 7 % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bytes = imageIoEncodeProgressive(img)
+      val ours = JpegCodecOps.decodeJpeg(bytes)
+      val theirs = imageIoDecodeRgb(bytes)
+      assert(ours.isDefined && ours.get.channels == 3,
+        s"id $id: must decode a real 4:2:0 SA progressive file")
+      assert(theirs.isDefined)
+      var worst = 0
+      for (j <- ours.get.samples.indices)
+        worst = math.max(worst, math.abs(ours.get.samples(j) - theirs.get._3(j)))
+      assert(worst <= 3, s"id $id: real-world 4:2:0 progressive differs by $worst")
+    }
   }
 
   test("zero-length segments refuse instead of spinning the marker walk") {
