@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
   * format (PNM rasters, PNG/JPEG/WAV headers) with pure codegen'd
   * expressions, and documented that zlib-compressed pixel data stays
   * JVM-side. This operator is that JVM side, done honestly: a full
-  * non-interlaced 8-bit PNG pixel decode — chunk walk with CRC checks,
-  * multi-IDAT zlib inflate (`java.util.zip.Inflater`, in the JDK — no
-  * new dependency), and scanline reconstruction for ALL FIVE filter
-  * types (None/Sub/Up/Average/Paeth, RFC 2083 §6) — run through
-  * `mapPartitions`.
+  * 8-bit PNG pixel decode — chunk walk with CRC checks, multi-IDAT
+  * zlib inflate (`java.util.zip.Inflater`, in the JDK — no new
+  * dependency), scanline reconstruction for ALL FIVE filter types
+  * (None/Sub/Up/Average/Paeth, RFC 2083 §6), color types 0/2/3/4/6
+  * (gray, RGB, PLTE-paletted, gray+alpha, RGBA) and BOTH interlace
+  * methods (none and Adam7: seven independently-filtered passes
+  * scattered on the standard grid — round 13) — run through
+  * `mapPartitions`. Sub-8-bit and 16-bit depths stay honest refusals.
   *
   * Why mapPartitions and not an Expression: DEFLATE is a bit-level
   * stateful stream (dynamic Huffman tables, 32 KiB back-references);
@@ -67,34 +70,54 @@ object PngCodecOps {
     be32(data.length.toLong) ++ t ++ data ++ be32(crc.getValue)
   }
 
-  /** One real PNG file for a fixture doc: 8-bit gray (colorType 0) or
-    * RGB (colorType 2), scanlines filtered with type (docId + row) % 5
-    * (real filter arithmetic, so the decoder's reconstruction of all
-    * five paths is load-bearing), zlib-deflated, IDAT split in two when
-    * it is big enough to exercise multi-chunk concatenation. */
-  private[operators] def encodePng(docId: Long): Array[Byte] = {
-    val (w, h, ch) = fixtureDims(docId)
-    val stride = w * ch
-    val raw = Array.tabulate(h * stride)(j => fixtureSample(docId, ch, j.toLong).toByte)
-    val filtered = new Array[Byte](h * (1 + stride))
-    for (row <- 0 until h) {
-      val f = ((docId + row) % 5).toInt
-      filtered(row * (1 + stride)) = f.toByte
-      for (i <- 0 until stride) {
-        val x = raw(row * stride + i) & 0xff
-        val a = if (i >= ch) raw(row * stride + i - ch) & 0xff else 0
-        val b = if (row > 0) raw((row - 1) * stride + i) & 0xff else 0
-        val c = if (row > 0 && i >= ch) raw((row - 1) * stride + i - ch) & 0xff else 0
-        val pred = f match {
-          case 0 => 0
-          case 1 => a
-          case 2 => b
-          case 3 => (a + b) / 2
-          case 4 => paeth(a, b, c)
+  /** The GENERAL 8-bit PNG writer behind every fixture: color types
+    * 0/2/3/4/6, optional Adam7 interlacing (each pass an
+    * independently-filtered sub-image), per-row filter type cycling
+    * (filterSeed + row) % 5 so all five reconstruction paths stay
+    * load-bearing, zlib-deflated, IDAT split in two when big enough to
+    * exercise multi-chunk concatenation. `raw` holds the image's raw
+    * channel bytes (palette INDICES for color type 3) row-major at
+    * full resolution; `palette` is the PLTE payload (RGB triples) for
+    * type 3. A REAL, ImageIO-readable PNG. */
+  private[operators] def encodePngGeneric(
+      w: Int, h: Int, colorType: Int, raw: Array[Byte],
+      palette: Array[Byte], interlace: Boolean, filterSeed: Long): Array[Byte] = {
+    val ch = colorType match { case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4 }
+    require(raw.length == w * h * ch)
+    val filteredOut = new java.io.ByteArrayOutputStream
+    def filterSub(samples: Array[Byte], sw: Int, sh: Int): Unit = {
+      val stride = sw * ch
+      for (row <- 0 until sh) {
+        val f = ((filterSeed + row) % 5).toInt
+        filteredOut.write(f)
+        for (i <- 0 until stride) {
+          val x = samples(row * stride + i) & 0xff
+          val a = if (i >= ch) samples(row * stride + i - ch) & 0xff else 0
+          val b = if (row > 0) samples((row - 1) * stride + i) & 0xff else 0
+          val c = if (row > 0 && i >= ch) samples((row - 1) * stride + i - ch) & 0xff else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => a
+            case 2 => b
+            case 3 => (a + b) / 2
+            case 4 => paeth(a, b, c)
+          }
+          filteredOut.write((x - pred) & 0xff)
         }
-        filtered(row * (1 + stride) + i + 1) = ((x - pred) & 0xff).toByte
       }
     }
+    if (!interlace) filterSub(raw, w, h)
+    else for ((x0, y0, dx, dy) <- Adam7) {
+      val sw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val sh = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      if (sw > 0 && sh > 0) {
+        val sub = new Array[Byte](sw * sh * ch)
+        for (j <- 0 until sh; i <- 0 until sw; c <- 0 until ch)
+          sub((j * sw + i) * ch + c) = raw(((y0 + j * dy) * w + (x0 + i * dx)) * ch + c)
+        filterSub(sub, sw, sh)
+      }
+    }
+    val filtered = filteredOut.toByteArray
     val deflater = new java.util.zip.Deflater
     deflater.setInput(filtered)
     deflater.finish()
@@ -104,12 +127,95 @@ object PngCodecOps {
     deflater.end()
     val z = buf.take(zlen)
     val ihdr = be32(w.toLong) ++ be32(h.toLong) ++
-      Array[Byte](8, if (ch == 1) 0 else 2, 0, 0, 0)
+      Array[Byte](8, colorType.toByte, 0, 0, if (interlace) 1 else 0)
+    val plte: Array[Byte] =
+      if (colorType == 3) chunk("PLTE", palette) else Array.empty
     val idats =
       if (z.length > 32) chunk("IDAT", z.take(z.length / 2)) ++ chunk("IDAT", z.drop(z.length / 2))
       else chunk("IDAT", z)
-    val whole = Signature ++ chunk("IHDR", ihdr) ++ idats ++ chunk("IEND", Array.empty)
+    Signature ++ chunk("IHDR", ihdr) ++ plte ++ idats ++ chunk("IEND", Array.empty)
+  }
+
+  /** One real PNG file for a fixture doc: 8-bit gray (colorType 0) or
+    * RGB (colorType 2), scanlines filtered with type (docId + row) % 5
+    * (real filter arithmetic, so the decoder's reconstruction of all
+    * five paths is load-bearing), zlib-deflated, IDAT split in two when
+    * it is big enough to exercise multi-chunk concatenation. */
+  private[operators] def encodePng(docId: Long): Array[Byte] = {
+    val (w, h, ch) = fixtureDims(docId)
+    val raw = Array.tabulate(h * w * ch)(j => fixtureSample(docId, ch, j.toLong).toByte)
+    val whole = encodePngGeneric(w, h, if (ch == 1) 0 else 2, raw,
+      Array.empty, interlace = false, filterSeed = docId)
     // the corrupt twist: a mid-IDAT truncation — inflate cannot finish
+    if (docId % 7 == 3) whole.take(whole.length - math.min(whole.length, 24)) else whole
+  }
+
+  // ---- round-13 profile fixtures: Adam7 / palette / alpha ------------
+
+  /** Larger dims for the INTERLACED fixture — several Adam7 passes
+    * non-empty per image, so the per-pass predictor reset and the
+    * scatter grid both carry weight. */
+  private[operators] def fixtureDimsI7(docId: Long): (Int, Int, Int) =
+    ((docId % 12 + 5).toInt, (docId % 10 + 5).toInt, if (docId % 2 == 0) 1 else 3)
+
+  /** The Adam7 fixture: the same closed-form rasters as [[encodePng]]
+    * (interlacing reorders the WIRE bytes, not the raster — which is
+    * exactly the claim the shared oracle pins), gray/RGB by parity,
+    * same corrupt twist. */
+  private[operators] def encodeI7Fixture(docId: Long): Array[Byte] = {
+    val (w, h, ch) = fixtureDimsI7(docId)
+    val raw = Array.tabulate(h * w * ch)(j => fixtureSample(docId, ch, j.toLong).toByte)
+    val whole = encodePngGeneric(w, h, if (ch == 1) 0 else 2, raw,
+      Array.empty, interlace = true, filterSeed = docId)
+    if (docId % 7 == 3) whole.take(whole.length - math.min(whole.length, 24)) else whole
+  }
+
+  private[operators] def fixtureDimsPal(docId: Long): (Int, Int) =
+    ((docId % 9 + 2).toInt, (docId % 7 + 2).toInt)
+
+  /** Palette size 2..255 — every size class including the 2-entry
+    * minimum and near-full tables. */
+  private[operators] def fixturePalSize(docId: Long): Int = (docId % 254 + 2).toInt
+
+  private[operators] def fixturePalEntry(docId: Long, i: Int, c: Int): Int = c match {
+    case 0 => ((docId * 7 + i * 3) % 256).toInt
+    case 1 => ((docId * 11 + i * 5) % 256).toInt
+    case _ => ((docId * 13 + i * 9) % 256).toInt
+  }
+
+  private[operators] def fixturePalIndex(docId: Long, j: Long, npal: Int): Int =
+    ((docId * 31 + j * 7) % npal).toInt
+
+  /** The PALETTED fixture (colorType 3): closed-form PLTE triples and
+    * closed-form index raster; every fifth doc ALSO interlaced (the
+    * combination is a real-world shape); same corrupt twist. */
+  private[operators] def encodePalFixture(docId: Long): Array[Byte] = {
+    val (w, h) = fixtureDimsPal(docId)
+    val npal = fixturePalSize(docId)
+    val palette = Array.tabulate(npal * 3)(i => fixturePalEntry(docId, i / 3, i % 3).toByte)
+    val raw = Array.tabulate(w * h)(j => fixturePalIndex(docId, j.toLong, npal).toByte)
+    val whole = encodePngGeneric(w, h, 3, raw, palette,
+      interlace = docId % 5 == 2, filterSeed = docId)
+    if (docId % 7 == 3) whole.take(whole.length - math.min(whole.length, 24)) else whole
+  }
+
+  private[operators] def fixtureDimsAlpha(docId: Long): (Int, Int, Int) =
+    ((docId % 8 + 2).toInt, (docId % 6 + 2).toInt, if (docId % 2 == 0) 2 else 4)
+
+  /** The alpha fixtures' closed-form interleaved sample (ch = 2
+    * gray+alpha, 4 RGBA). */
+  private[operators] def fixtureAlphaSample(docId: Long, ch: Int, j: Long): Int =
+    if (ch == 2) ((docId * 23 + j * 3) % 256).toInt
+    else ((docId * 19 + j * 11) % 256).toInt
+
+  /** The ALPHA fixture: gray+alpha (colorType 4) on even docs, RGBA
+    * (colorType 6) on odd; every third doc interlaced; same corrupt
+    * twist. */
+  private[operators] def encodeAlphaFixture(docId: Long): Array[Byte] = {
+    val (w, h, ch) = fixtureDimsAlpha(docId)
+    val raw = Array.tabulate(w * h * ch)(j => fixtureAlphaSample(docId, ch, j.toLong).toByte)
+    val whole = encodePngGeneric(w, h, if (ch == 2) 4 else 6, raw,
+      Array.empty, interlace = docId % 3 == 1, filterSeed = docId)
     if (docId % 7 == 3) whole.take(whole.length - math.min(whole.length, 24)) else whole
   }
 
@@ -119,17 +225,40 @@ object PngCodecOps {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  // ---- decode (any non-interlaced 8-bit gray/RGB PNG) ----
+  // ---- decode (any 8-bit PNG: gray/RGB/palette/alpha, Adam7 or not) --
 
   private[operators] case class Decoded(width: Int, height: Int, channels: Int, samples: Array[Int])
 
+  /** The Adam7 pass grid: (xStart, yStart, xStep, yStep) per pass
+    * (RFC 2083 §2.6) — shared by the encoder and decoder. */
+  private[operators] val Adam7: Seq[(Int, Int, Int, Int)] = Seq(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Raw (pre-palette) channel count per color type; -1 = unsupported. */
+  private def rawChannels(colorType: Int): Int = colorType match {
+    case 0 => 1 // gray
+    case 2 => 3 // RGB
+    case 3 => 1 // palette indices
+    case 4 => 2 // gray + alpha
+    case 6 => 4 // RGBA
+    case _ => -1
+  }
+
   /** Full decode or None (malformed anywhere: signature, chunk CRC,
-    * header guards, inflate failure, short raster). Never throws. */
+    * header guards, inflate failure, short raster, palette index out
+    * of range). 8-bit depth, color types 0/2/3/4/6, interlace methods
+    * 0 and 1 (Adam7: each pass is an independently-filtered sub-image
+    * — predictor context resets per pass — scattered into the full
+    * raster on the standard grid). Palette files expand through PLTE
+    * to 3-channel output. Never throws. */
   private[operators] def decodePng(bytes: Array[Byte]): Option[Decoded] =
     try {
       if (bytes.length < 8 || !bytes.take(8).sameElements(Signature)) return None
       var pos = 8
-      var w = 0; var h = 0; var ch = 0; var seenIhdr = false; var seenIend = false
+      var w = 0; var h = 0; var colorType = -1; var interlace = 0
+      var seenIhdr = false; var seenIend = false
+      var palette: Array[Byte] = null
       val idat = new java.io.ByteArrayOutputStream
       def u32(o: Int): Long =
         ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
@@ -147,18 +276,22 @@ object PngCodecOps {
             if (len != 13) return None
             w = u32(pos + 8).toInt; h = u32(pos + 12).toInt
             val bitDepth = bytes(pos + 16) & 0xff
-            val colorType = bytes(pos + 17) & 0xff
+            colorType = bytes(pos + 17) & 0xff
             // compression and filter METHOD bytes: only 0 is defined by
             // the spec — a nonzero value means the IDAT stream is not
             // zlib/filter-method-0, so decoding it would be garbage
             val compression = bytes(pos + 18) & 0xff
             val filterMethod = bytes(pos + 19) & 0xff
-            val interlace = bytes(pos + 20) & 0xff
-            if (bitDepth != 8 || compression != 0 || filterMethod != 0 || interlace != 0)
+            interlace = bytes(pos + 20) & 0xff
+            if (bitDepth != 8 || compression != 0 || filterMethod != 0 || interlace > 1)
               return None
-            ch = colorType match { case 0 => 1; case 2 => 3; case _ => return None }
-            if (w < 1 || h < 1 || w.toLong * h * ch > MaxSamples) return None
+            if (rawChannels(colorType) < 0) return None
+            val outCh = if (colorType == 3) 3 else rawChannels(colorType)
+            if (w < 1 || h < 1 || w.toLong * h * outCh > MaxSamples) return None
             seenIhdr = true
+          case "PLTE" =>
+            if (len % 3 != 0 || len == 0 || len > 256 * 3) return None
+            palette = java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + len.toInt)
           case "IDAT" => idat.write(bytes, pos + 8, len.toInt)
           case "IEND" => seenIend = true
           case _ => () // ancillary chunks skip (CRC already verified)
@@ -166,8 +299,17 @@ object PngCodecOps {
         pos += 12 + len.toInt
       }
       if (!seenIhdr) return None
-      val stride = w * ch
-      val expect = h * (1 + stride)
+      val rawCh = rawChannels(colorType)
+      // pass layout: one full-frame pass (interlace 0) or the seven
+      // Adam7 sub-images (empty passes contribute no scanlines)
+      val passes: Seq[(Int, Int, Int, Int, Int, Int)] =
+        if (interlace == 0) Seq((0, 0, 1, 1, w, h))
+        else Adam7.map { case (x0, y0, dx, dy) =>
+          val sw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+          val sh = if (h > y0) (h - y0 + dy - 1) / dy else 0
+          (x0, y0, dx, dy, sw, sh)
+        }.filter(p => p._5 > 0 && p._6 > 0)
+      val expect = passes.map { case (_, _, _, _, sw, sh) => sh * (1 + sw * rawCh) }.sum
       val inflater = new java.util.zip.Inflater
       inflater.setInput(idat.toByteArray)
       val filtered = new Array[Byte](expect)
@@ -183,26 +325,52 @@ object PngCodecOps {
       }
       inflater.end()
       if (got < expect) return None
-      val out = new Array[Int](h * stride)
-      for (row <- 0 until h) {
-        val f = filtered(row * (1 + stride)) & 0xff
-        if (f > 4) return None
-        for (i <- 0 until stride) {
-          val x = filtered(row * (1 + stride) + i + 1) & 0xff
-          val a = if (i >= ch) out(row * stride + i - ch) else 0
-          val b = if (row > 0) out((row - 1) * stride + i) else 0
-          val c = if (row > 0 && i >= ch) out((row - 1) * stride + i - ch) else 0
-          val pred = f match {
-            case 0 => 0
-            case 1 => a
-            case 2 => b
-            case 3 => (a + b) / 2
-            case 4 => paeth(a, b, c)
+      // defilter each pass independently and scatter onto the raster
+      val raw = new Array[Int](w * h * rawCh)
+      var off = 0
+      for ((x0, y0, dx, dy, sw, sh) <- passes) {
+        val stride = sw * rawCh
+        val sub = new Array[Int](sh * stride)
+        for (row <- 0 until sh) {
+          val f = filtered(off) & 0xff
+          off += 1
+          if (f > 4) return None
+          for (i <- 0 until stride) {
+            val x = filtered(off) & 0xff
+            off += 1
+            val a = if (i >= rawCh) sub(row * stride + i - rawCh) else 0
+            val b = if (row > 0) sub((row - 1) * stride + i) else 0
+            val c = if (row > 0 && i >= rawCh) sub((row - 1) * stride + i - rawCh) else 0
+            val pred = f match {
+              case 0 => 0
+              case 1 => a
+              case 2 => b
+              case 3 => (a + b) / 2
+              case 4 => paeth(a, b, c)
+            }
+            sub(row * stride + i) = (x + pred) & 0xff
           }
-          out(row * stride + i) = (x + pred) & 0xff
         }
+        for (j <- 0 until sh; i <- 0 until sw; c <- 0 until rawCh)
+          raw(((y0 + j * dy) * w + (x0 + i * dx)) * rawCh + c) = sub((j * sw + i) * rawCh + c)
       }
-      Some(Decoded(w, h, ch, out))
+      if (colorType == 3) {
+        // palette expansion: indices through PLTE to RGB (a missing
+        // palette or an out-of-range index is malformed, per the spec)
+        if (palette == null) return None
+        val npal = palette.length / 3
+        val out = new Array[Int](w * h * 3)
+        var j = 0
+        while (j < w * h) {
+          val idx = raw(j)
+          if (idx >= npal) return None
+          out(3 * j) = palette(3 * idx) & 0xff
+          out(3 * j + 1) = palette(3 * idx + 1) & 0xff
+          out(3 * j + 2) = palette(3 * idx + 2) & 0xff
+          j += 1
+        }
+        Some(Decoded(w, h, 3, out))
+      } else Some(Decoded(w, h, rawCh, raw))
     } catch { case _: Exception => None }
 
   // ---- operators ----
@@ -267,13 +435,85 @@ object PngCodecOps {
 
   /** The `png_pixels` fixture chain: generate → decode, stats out. */
   def pngPixels(docs: DataFrame): DataFrame = pngDecodeStats(pngMediaTable(docs))
+
+  private def fixtureChain(docs: DataFrame, enc: Long => Array[Byte]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, enc(id))))
+      .toDF("doc_id", "media")
+  }
+
+  /** The ADAM7 chain: interlaced gray/RGB fixtures → decode (per-pass
+    * defilter + scatter), stats out — same output contract as
+    * `png_pixels`. */
+  def pngPixelsI7(docs: DataFrame): DataFrame =
+    pngDecodeStats(fixtureChain(docs, encodeI7Fixture))
+
+  /** The PALETTE chain: colorType-3 fixtures (closed-form PLTE +
+    * closed-form indices, some interlaced) → decode → palette
+    * expansion, 3-channel stats out. */
+  def pngPixelsPal(docs: DataFrame): DataFrame =
+    pngDecodeStats(fixtureChain(docs, encodePalFixture))
+
+  private case class Png4Stats(
+      doc_id: Long, status: String,
+      width: Option[Long], height: Option[Long], channels: Option[Long],
+      c0_sum: Option[Long], c0_min: Option[Long], c0_max: Option[Long],
+      c1_sum: Option[Long], c1_min: Option[Long], c1_max: Option[Long],
+      c2_sum: Option[Long], c2_min: Option[Long], c2_max: Option[Long],
+      c3_sum: Option[Long], c3_min: Option[Long], c3_max: Option[Long])
+
+  /** The four-channel face of [[pngDecodeStats]] — alpha profiles
+    * (gray+alpha ch 2, RGBA ch 4) need a c3 column the three-channel
+    * contract lacks. */
+  def pngDecodeStats4(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("doc_id").cast("long"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodePng(bytes) match {
+          case None => Png4Stats(id, "corrupt", None, None, None,
+            None, None, None, None, None, None, None, None, None, None, None, None)
+          case Some(d) =>
+            val ch = d.channels
+            val sums = new Array[Long](ch)
+            val mins = Array.fill(ch)(Long.MaxValue)
+            val maxs = Array.fill(ch)(Long.MinValue)
+            var j = 0
+            while (j < d.samples.length) {
+              val k = j % ch; val v = d.samples(j).toLong
+              sums(k) += v
+              if (v < mins(k)) mins(k) = v
+              if (v > maxs(k)) maxs(k) = v
+              j += 1
+            }
+            def st(k: Int): (Option[Long], Option[Long], Option[Long]) =
+              if (k >= ch) (None, None, None)
+              else (Some(sums(k)), Some(mins(k)), Some(maxs(k)))
+            val (s0, m0, x0) = st(0); val (s1, m1, x1) = st(1)
+            val (s2, m2, x2) = st(2); val (s3, m3, x3) = st(3)
+            Png4Stats(id, "png", Some(d.width.toLong), Some(d.height.toLong),
+              Some(ch.toLong), s0, m0, x0, s1, m1, x1, s2, m2, x2, s3, m3, x3)
+        }
+      })
+      .toDF()
+  }
+
+  /** The ALPHA chain: gray+alpha / RGBA fixtures (some interlaced) →
+    * decode, four-channel stats out. */
+  def pngPixelsRgba(docs: DataFrame): DataFrame =
+    pngDecodeStats4(fixtureChain(docs, encodeAlphaFixture))
 }
 
 object PngPack extends QueryPack {
   private def d(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "png_pixels" -> ((s, dir) => PngCodecOps.pngPixels(d(s, dir))))
+    "png_pixels" -> ((s, dir) => PngCodecOps.pngPixels(d(s, dir))),
+    "png_pixels_i7" -> ((s, dir) => PngCodecOps.pngPixelsI7(d(s, dir))),
+    "png_pixels_pal" -> ((s, dir) => PngCodecOps.pngPixelsPal(d(s, dir))),
+    "png_pixels_rgba" -> ((s, dir) => PngCodecOps.pngPixelsRgba(d(s, dir))))
 
   // the oracle never touches a codec: the fixture rasters are closed-form
   // in doc_id (the media_pixels formulas), so the expected stats are
@@ -316,5 +556,127 @@ object PngPack extends QueryPack {
         |       CASE WHEN NOT trunc THEN CAST(list_aggregate(c2, 'sum') AS BIGINT) END AS c2_sum,
         |       CASE WHEN NOT trunc THEN CAST(list_aggregate(c2, 'min') AS BIGINT) END AS c2_min,
         |       CASE WHEN NOT trunc THEN CAST(list_aggregate(c2, 'max') AS BIGINT) END AS c2_max
+        |FROM c""".stripMargin,
+    // the Adam7 twin: interlacing reorders the WIRE bytes, not the
+    // raster — the same closed form at the interlaced dims class is
+    // exactly the claim (per-pass defilter + scatter must reassemble it)
+    "png_pixels_i7" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch,
+        |         doc_id % 12 + 5 AS w, doc_id % 10 + 5 AS h,
+        |         doc_id % 7 = 3 AS trunc
+        |  FROM documents
+        |),
+        |v AS (
+        |  SELECT doc_id, ch, w, h, trunc,
+        |         list_transform(range(0, w * h * ch), j ->
+        |           CASE WHEN ch = 1 THEN (doc_id * 31 + j * 7) % 256
+        |                ELSE (doc_id * 17 + j * 5) % 256 END) AS px
+        |  FROM p
+        |),
+        |c AS (
+        |  SELECT doc_id, ch, w, h, trunc,
+        |         list_filter(px, (x, j) -> (j - 1) % ch = 0) AS c0,
+        |         CASE WHEN ch = 3 THEN list_filter(px, (x, j) -> (j - 1) % ch = 1) END AS c1,
+        |         CASE WHEN ch = 3 THEN list_filter(px, (x, j) -> (j - 1) % ch = 2) END AS c2
+        |  FROM v
+        |)
+        |SELECT doc_id,
+        |       CASE WHEN trunc THEN 'corrupt' ELSE 'png' END AS status,
+        |       CASE WHEN NOT trunc THEN CAST(w AS BIGINT) END AS width,
+        |       CASE WHEN NOT trunc THEN CAST(h AS BIGINT) END AS height,
+        |       CASE WHEN NOT trunc THEN CAST(ch AS BIGINT) END AS channels,
+        |       CASE WHEN NOT trunc THEN CAST(list_aggregate(c0, 'sum') AS BIGINT) END AS c0_sum,
+        |       CASE WHEN NOT trunc THEN CAST(list_aggregate(c0, 'min') AS BIGINT) END AS c0_min,
+        |       CASE WHEN NOT trunc THEN CAST(list_aggregate(c0, 'max') AS BIGINT) END AS c0_max,
+        |       CASE WHEN NOT trunc THEN CAST(list_aggregate(c1, 'sum') AS BIGINT) END AS c1_sum,
+        |       CASE WHEN NOT trunc THEN CAST(list_aggregate(c1, 'min') AS BIGINT) END AS c1_min,
+        |       CASE WHEN NOT trunc THEN CAST(list_aggregate(c1, 'max') AS BIGINT) END AS c1_max,
+        |       CASE WHEN NOT trunc THEN CAST(list_aggregate(c2, 'sum') AS BIGINT) END AS c2_sum,
+        |       CASE WHEN NOT trunc THEN CAST(list_aggregate(c2, 'min') AS BIGINT) END AS c2_min,
+        |       CASE WHEN NOT trunc THEN CAST(list_aggregate(c2, 'max') AS BIGINT) END AS c2_max
+        |FROM c""".stripMargin,
+    // the palette twin: closed-form PLTE triples indexed by a
+    // closed-form raster — the decode must reassemble indices through
+    // real deflate + filters (some docs interlaced on top) and expand
+    // them through the stored palette
+    "png_pixels_pal" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         doc_id % 9 + 2 AS w, doc_id % 7 + 2 AS h,
+        |         doc_id % 254 + 2 AS npal,
+        |         doc_id % 7 = 3 AS trunc
+        |  FROM documents
+        |),
+        |px AS (
+        |  SELECT doc_id, w, h, trunc, j,
+        |         (doc_id * 31 + j * 7) % npal AS idx
+        |  FROM p, LATERAL unnest(range(0, w * h)) AS t(j)
+        |),
+        |rgb AS (
+        |  SELECT doc_id, w, h, trunc,
+        |         (doc_id * 7 + idx * 3) % 256 AS r,
+        |         (doc_id * 11 + idx * 5) % 256 AS g,
+        |         (doc_id * 13 + idx * 9) % 256 AS b
+        |  FROM px
+        |)
+        |SELECT doc_id,
+        |       CASE WHEN trunc THEN 'corrupt' ELSE 'png' END AS status,
+        |       CASE WHEN NOT trunc THEN CAST(MAX(w) AS BIGINT) END AS width,
+        |       CASE WHEN NOT trunc THEN CAST(MAX(h) AS BIGINT) END AS height,
+        |       CASE WHEN NOT trunc THEN CAST(3 AS BIGINT) END AS channels,
+        |       CASE WHEN NOT trunc THEN CAST(SUM(r) AS BIGINT) END AS c0_sum,
+        |       CASE WHEN NOT trunc THEN CAST(MIN(r) AS BIGINT) END AS c0_min,
+        |       CASE WHEN NOT trunc THEN CAST(MAX(r) AS BIGINT) END AS c0_max,
+        |       CASE WHEN NOT trunc THEN CAST(SUM(g) AS BIGINT) END AS c1_sum,
+        |       CASE WHEN NOT trunc THEN CAST(MIN(g) AS BIGINT) END AS c1_min,
+        |       CASE WHEN NOT trunc THEN CAST(MAX(g) AS BIGINT) END AS c1_max,
+        |       CASE WHEN NOT trunc THEN CAST(SUM(b) AS BIGINT) END AS c2_sum,
+        |       CASE WHEN NOT trunc THEN CAST(MIN(b) AS BIGINT) END AS c2_min,
+        |       CASE WHEN NOT trunc THEN CAST(MAX(b) AS BIGINT) END AS c2_max
+        |FROM rgb GROUP BY doc_id, trunc""".stripMargin,
+    // the alpha twin: gray+alpha (ch 2) / RGBA (ch 4) interleaved
+    // closed forms, four-channel stats (c2/c3 null at ch 2)
+    "png_pixels_rgba" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 4 END AS ch,
+        |         doc_id % 8 + 2 AS w, doc_id % 6 + 2 AS h,
+        |         doc_id % 7 = 3 AS trunc
+        |  FROM documents
+        |),
+        |v AS (
+        |  SELECT doc_id, ch, w, h, trunc,
+        |         list_transform(range(0, w * h * ch), j ->
+        |           CASE WHEN ch = 2 THEN (doc_id * 23 + j * 3) % 256
+        |                ELSE (doc_id * 19 + j * 11) % 256 END) AS px
+        |  FROM p
+        |),
+        |c AS (
+        |  SELECT doc_id, ch, w, h, trunc,
+        |         list_filter(px, (x, j) -> (j - 1) % ch = 0) AS c0,
+        |         list_filter(px, (x, j) -> (j - 1) % ch = 1) AS c1,
+        |         CASE WHEN ch = 4 THEN list_filter(px, (x, j) -> (j - 1) % ch = 2) END AS c2,
+        |         CASE WHEN ch = 4 THEN list_filter(px, (x, j) -> (j - 1) % ch = 3) END AS c3
+        |  FROM v
+        |)
+        |SELECT doc_id,
+        |       CASE WHEN trunc THEN 'corrupt' ELSE 'png' END AS status,
+        |       CASE WHEN NOT trunc THEN CAST(w AS BIGINT) END AS width,
+        |       CASE WHEN NOT trunc THEN CAST(h AS BIGINT) END AS height,
+        |       CASE WHEN NOT trunc THEN CAST(ch AS BIGINT) END AS channels,
+        |       CASE WHEN NOT trunc THEN CAST(list_aggregate(c0, 'sum') AS BIGINT) END AS c0_sum,
+        |       CASE WHEN NOT trunc THEN CAST(list_aggregate(c0, 'min') AS BIGINT) END AS c0_min,
+        |       CASE WHEN NOT trunc THEN CAST(list_aggregate(c0, 'max') AS BIGINT) END AS c0_max,
+        |       CASE WHEN NOT trunc THEN CAST(list_aggregate(c1, 'sum') AS BIGINT) END AS c1_sum,
+        |       CASE WHEN NOT trunc THEN CAST(list_aggregate(c1, 'min') AS BIGINT) END AS c1_min,
+        |       CASE WHEN NOT trunc THEN CAST(list_aggregate(c1, 'max') AS BIGINT) END AS c1_max,
+        |       CASE WHEN NOT trunc THEN CAST(list_aggregate(c2, 'sum') AS BIGINT) END AS c2_sum,
+        |       CASE WHEN NOT trunc THEN CAST(list_aggregate(c2, 'min') AS BIGINT) END AS c2_min,
+        |       CASE WHEN NOT trunc THEN CAST(list_aggregate(c2, 'max') AS BIGINT) END AS c2_max,
+        |       CASE WHEN NOT trunc THEN CAST(list_aggregate(c3, 'sum') AS BIGINT) END AS c3_sum,
+        |       CASE WHEN NOT trunc THEN CAST(list_aggregate(c3, 'min') AS BIGINT) END AS c3_min,
+        |       CASE WHEN NOT trunc THEN CAST(list_aggregate(c3, 'max') AS BIGINT) END AS c3_max
         |FROM c""".stripMargin)
 }

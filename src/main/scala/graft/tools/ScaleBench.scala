@@ -115,7 +115,15 @@ object ScaleBench {
     "dedup_gate_stream", "ann_serve_stream",
     // progressive-JPEG decode (multi-scan coefficient accumulation):
     // the same per-doc codec floor class as jpeg_pixels
-    "jpeg_pixels_prog")
+    "jpeg_pixels_prog",
+    // successive-approximation progressive (point-transformed first
+    // scans + the G.1.2.3 refinement walk) and the subsampled
+    // progressive profile — both still the per-doc codec floor class
+    "jpeg_pixels_prog_sa", "jpeg_pixels_prog_420",
+    // the round-13 PNG profile completions (Adam7 per-pass defilter +
+    // scatter, PLTE expansion, alpha channels): png_pixels' per-doc
+    // inflate floor class
+    "png_pixels_i7", "png_pixels_pal", "png_pixels_rgba")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -118,4 +118,93 @@ class PngCodecSpec extends SparkSpec {
         s"column $c: compressed and uncompressed decodes disagree")
     }
   }
+
+  test("Adam7 fixtures decode EXACTLY the closed form and match ImageIO " +
+      "pixel-for-pixel (per-pass defilter + scatter)") {
+    var checked = 0
+    (0L until 120L).filterNot(_ % 7 == 3).foreach { id =>
+      val bytes = PngCodecOps.encodeI7Fixture(id)
+      val (w, h, ch) = PngCodecOps.fixtureDimsI7(id)
+      val got = PngCodecOps.decodePng(bytes)
+        .getOrElse(fail(s"doc $id: our decoder rejected a valid interlaced PNG"))
+      assert((got.width, got.height, got.channels) == ((w, h, ch)), s"doc $id dims")
+      for (j <- got.samples.indices)
+        assert(got.samples(j) == PngCodecOps.fixtureSample(id, ch, j.toLong),
+          s"doc $id sample $j: interlacing must not change the raster")
+      val (tw, th, tch, ref) = imageIoPixels(bytes)
+        .getOrElse(fail(s"doc $id: ImageIO rejected the interlaced PNG — encoder broken"))
+      assert((tw, th, tch) == ((w, h, ch)))
+      assert(got.samples.sameElements(ref), s"doc $id: pixel mismatch vs ImageIO")
+      checked += 1
+    }
+    assert(checked > 100)
+  }
+
+  test("palette fixtures expand EXACTLY through PLTE; ImageIO's expansion agrees") {
+    var interlaced = 0
+    (0L until 120L).filterNot(_ % 7 == 3).foreach { id =>
+      val bytes = PngCodecOps.encodePalFixture(id)
+      val (w, h) = PngCodecOps.fixtureDimsPal(id)
+      val npal = PngCodecOps.fixturePalSize(id)
+      if (id % 5 == 2) interlaced += 1
+      val got = PngCodecOps.decodePng(bytes)
+        .getOrElse(fail(s"doc $id: our decoder rejected a valid paletted PNG"))
+      assert((got.width, got.height, got.channels) == ((w, h, 3)), s"doc $id dims")
+      for (j <- 0 until w * h; c <- 0 until 3) {
+        val idx = PngCodecOps.fixturePalIndex(id, j.toLong, npal)
+        assert(got.samples(3 * j + c) == PngCodecOps.fixturePalEntry(id, idx, c),
+          s"doc $id pixel $j ch $c: palette expansion must be exact")
+      }
+      // ImageIO expands palettes through getRGB (its raster holds indices)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"doc $id: ImageIO rejected the paletted PNG")
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = img.getRGB(x, y)
+        val j = y * w + x
+        assert(got.samples(3 * j) == ((p >> 16) & 0xff) &&
+          got.samples(3 * j + 1) == ((p >> 8) & 0xff) &&
+          got.samples(3 * j + 2) == (p & 0xff),
+          s"doc $id ($x,$y): expansion disagrees with ImageIO")
+      }
+    }
+    assert(interlaced > 15, "the palette set must include interlaced docs")
+  }
+
+  test("alpha fixtures (gray+alpha / RGBA) decode EXACTLY and match ImageIO") {
+    (0L until 120L).filterNot(_ % 7 == 3).foreach { id =>
+      val bytes = PngCodecOps.encodeAlphaFixture(id)
+      val (w, h, ch) = PngCodecOps.fixtureDimsAlpha(id)
+      val got = PngCodecOps.decodePng(bytes)
+        .getOrElse(fail(s"doc $id: our decoder rejected a valid alpha PNG"))
+      assert((got.width, got.height, got.channels) == ((w, h, ch)), s"doc $id dims")
+      for (j <- got.samples.indices)
+        assert(got.samples(j) == PngCodecOps.fixtureAlphaSample(id, ch, j.toLong),
+          s"doc $id sample $j")
+      val (tw, th, tch, ref) = imageIoPixels(bytes)
+        .getOrElse(fail(s"doc $id: ImageIO rejected the alpha PNG"))
+      assert((tw, th, tch) == ((w, h, ch)))
+      assert(got.samples.sameElements(ref), s"doc $id: pixel mismatch vs ImageIO")
+    }
+  }
+
+  test("new-profile malformed payloads degrade to None, never throw; " +
+      "out-of-range palette indices refuse") {
+    // sweeps over an interlaced file and a paletted-interlaced file
+    Seq(PngCodecOps.encodeI7Fixture(11L), PngCodecOps.encodePalFixture(7L),
+        PngCodecOps.encodeAlphaFixture(9L)).foreach { good =>
+      for (i <- good.indices) {
+        val bad = good.clone(); bad(i) = (bad(i) ^ 0x5a).toByte
+        PngCodecOps.decodePng(bad) // must not throw
+      }
+      for (n <- 0 to good.length) PngCodecOps.decodePng(good.take(n))
+    }
+    // an index raster that exceeds the stored palette is malformed, not
+    // a garbage expansion: 2-entry palette, indices up to 5
+    val raw = Array.tabulate(6 * 4)(j => (j % 6).toByte)
+    val palette = Array.tabulate(2 * 3)(i => (i * 40).toByte)
+    val overflow = PngCodecOps.encodePngGeneric(6, 4, 3, raw, palette,
+      interlace = false, filterSeed = 0L)
+    assert(PngCodecOps.decodePng(overflow).isEmpty,
+      "palette-index overflow must refuse")
+  }
 }
