@@ -9,15 +9,18 @@ import org.apache.spark.sql.functions._
   * one deliberate seam: [[MultimodalOps]] decodes every uncompressed
   * format (PNM rasters, PNG/JPEG/WAV headers) with pure codegen'd
   * expressions, and documented that zlib-compressed pixel data stays
-  * JVM-side. This operator is that JVM side, done honestly: a full
-  * 8-bit PNG pixel decode — chunk walk with CRC checks, multi-IDAT
+  * JVM-side. This operator is that JVM side, done honestly: a FULL
+  * static-PNG pixel decode — chunk walk with CRC checks, multi-IDAT
   * zlib inflate (`java.util.zip.Inflater`, in the JDK — no new
-  * dependency), scanline reconstruction for ALL FIVE filter types
-  * (None/Sub/Up/Average/Paeth, RFC 2083 §6), color types 0/2/3/4/6
-  * (gray, RGB, PLTE-paletted, gray+alpha, RGBA) and BOTH interlace
-  * methods (none and Adam7: seven independently-filtered passes
-  * scattered on the standard grid — round 13) — run through
-  * `mapPartitions`. Sub-8-bit and 16-bit depths stay honest refusals.
+  * dependency), byte-level scanline reconstruction for ALL FIVE
+  * filter types (None/Sub/Up/Average/Paeth at the bpp offset,
+  * RFC 2083 §6), color types 0/2/3/4/6 (gray, RGB, PLTE-paletted,
+  * gray+alpha, RGBA), EVERY spec-valid bit depth (gray 1/2/4/8/16,
+  * palette 1/2/4/8, RGB/alpha 8/16 — sub-byte samples MSB-first with
+  * per-scanline padding, 16-bit big-endian, reported RAW) and BOTH
+  * interlace methods (none and Adam7: seven independently-filtered
+  * passes scattered on the standard grid — round 13) — run through
+  * `mapPartitions`.
   *
   * Why mapPartitions and not an Expression: DEFLATE is a bit-level
   * stateful stream (dynamic Huffman tables, 32 KiB back-references);
@@ -70,31 +73,55 @@ object PngCodecOps {
     be32(data.length.toLong) ++ t ++ data ++ be32(crc.getValue)
   }
 
-  /** The GENERAL 8-bit PNG writer behind every fixture: color types
-    * 0/2/3/4/6, optional Adam7 interlacing (each pass an
-    * independently-filtered sub-image), per-row filter type cycling
-    * (filterSeed + row) % 5 so all five reconstruction paths stay
-    * load-bearing, zlib-deflated, IDAT split in two when big enough to
-    * exercise multi-chunk concatenation. `raw` holds the image's raw
-    * channel bytes (palette INDICES for color type 3) row-major at
+  /** The GENERAL PNG writer behind every fixture: color types
+    * 0/2/3/4/6 at every spec-valid bit depth (gray 1/2/4/8/16, palette
+    * 1/2/4/8, RGB/alpha 8/16), optional Adam7 interlacing (each pass
+    * an independently-filtered sub-image with its OWN scanline byte
+    * padding), per-row filter type cycling (filterSeed + row) % 5 so
+    * all five reconstruction paths stay load-bearing (filters operate
+    * on BYTES with the bpp offset, RFC 2083 §6), zlib-deflated, IDAT
+    * split in two when big enough to exercise multi-chunk
+    * concatenation. `samples` holds the image's raw channel SAMPLES
+    * (0..2^depth−1; palette INDICES for color type 3) row-major at
     * full resolution; `palette` is the PLTE payload (RGB triples) for
     * type 3. A REAL, ImageIO-readable PNG. */
   private[operators] def encodePngGeneric(
-      w: Int, h: Int, colorType: Int, raw: Array[Byte],
-      palette: Array[Byte], interlace: Boolean, filterSeed: Long): Array[Byte] = {
+      w: Int, h: Int, colorType: Int, samples: Array[Int],
+      palette: Array[Byte], interlace: Boolean, filterSeed: Long,
+      depth: Int = 8): Array[Byte] = {
     val ch = colorType match { case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4 }
-    require(raw.length == w * h * ch)
+    require(samples.length == w * h * ch)
+    val bpp = math.max(1, ch * depth / 8)
     val filteredOut = new java.io.ByteArrayOutputStream
-    def filterSub(samples: Array[Byte], sw: Int, sh: Int): Unit = {
-      val stride = sw * ch
+    def filterSub(sub: Array[Int], sw: Int, sh: Int): Unit = {
+      // pack each row's samples to bytes (MSB-first within a byte for
+      // sub-8-bit, big-endian pairs for 16), then filter the BYTES
+      val sbw = (sw * ch * depth + 7) / 8
+      val packed = new Array[Byte](sh * sbw)
+      for (row <- 0 until sh) {
+        var acc = 0; var nbits = 0; var o = row * sbw
+        for (i <- 0 until sw * ch) {
+          val v = sub(row * sw * ch + i)
+          if (depth == 16) {
+            packed(o) = ((v >> 8) & 0xff).toByte; packed(o + 1) = (v & 0xff).toByte
+            o += 2
+          } else if (depth == 8) {
+            packed(o) = (v & 0xff).toByte; o += 1
+          } else {
+            acc = (acc << depth) | (v & ((1 << depth) - 1)); nbits += depth
+            if (nbits == 8) { packed(o) = acc.toByte; o += 1; acc = 0; nbits = 0 }
+          }
+        }
+        if (nbits > 0) packed(o) = (acc << (8 - nbits)).toByte
+      }
       for (row <- 0 until sh) {
         val f = ((filterSeed + row) % 5).toInt
         filteredOut.write(f)
-        for (i <- 0 until stride) {
-          val x = samples(row * stride + i) & 0xff
-          val a = if (i >= ch) samples(row * stride + i - ch) & 0xff else 0
-          val b = if (row > 0) samples((row - 1) * stride + i) & 0xff else 0
-          val c = if (row > 0 && i >= ch) samples((row - 1) * stride + i - ch) & 0xff else 0
+        for (i <- 0 until sbw) {
+          val x = packed(row * sbw + i) & 0xff
+          val a = if (i >= bpp) packed(row * sbw + i - bpp) & 0xff else 0
+          val b = if (row > 0) packed((row - 1) * sbw + i) & 0xff else 0
+          val c = if (row > 0 && i >= bpp) packed((row - 1) * sbw + i - bpp) & 0xff else 0
           val pred = f match {
             case 0 => 0
             case 1 => a
@@ -106,14 +133,14 @@ object PngCodecOps {
         }
       }
     }
-    if (!interlace) filterSub(raw, w, h)
+    if (!interlace) filterSub(samples, w, h)
     else for ((x0, y0, dx, dy) <- Adam7) {
       val sw = if (w > x0) (w - x0 + dx - 1) / dx else 0
       val sh = if (h > y0) (h - y0 + dy - 1) / dy else 0
       if (sw > 0 && sh > 0) {
-        val sub = new Array[Byte](sw * sh * ch)
+        val sub = new Array[Int](sw * sh * ch)
         for (j <- 0 until sh; i <- 0 until sw; c <- 0 until ch)
-          sub((j * sw + i) * ch + c) = raw(((y0 + j * dy) * w + (x0 + i * dx)) * ch + c)
+          sub((j * sw + i) * ch + c) = samples(((y0 + j * dy) * w + (x0 + i * dx)) * ch + c)
         filterSub(sub, sw, sh)
       }
     }
@@ -127,7 +154,7 @@ object PngCodecOps {
     deflater.end()
     val z = buf.take(zlen)
     val ihdr = be32(w.toLong) ++ be32(h.toLong) ++
-      Array[Byte](8, colorType.toByte, 0, 0, if (interlace) 1 else 0)
+      Array[Byte](depth.toByte, colorType.toByte, 0, 0, if (interlace) 1 else 0)
     val plte: Array[Byte] =
       if (colorType == 3) chunk("PLTE", palette) else Array.empty
     val idats =
@@ -143,7 +170,7 @@ object PngCodecOps {
     * it is big enough to exercise multi-chunk concatenation. */
   private[operators] def encodePng(docId: Long): Array[Byte] = {
     val (w, h, ch) = fixtureDims(docId)
-    val raw = Array.tabulate(h * w * ch)(j => fixtureSample(docId, ch, j.toLong).toByte)
+    val raw = Array.tabulate(h * w * ch)(j => fixtureSample(docId, ch, j.toLong))
     val whole = encodePngGeneric(w, h, if (ch == 1) 0 else 2, raw,
       Array.empty, interlace = false, filterSeed = docId)
     // the corrupt twist: a mid-IDAT truncation — inflate cannot finish
@@ -164,7 +191,7 @@ object PngCodecOps {
     * same corrupt twist. */
   private[operators] def encodeI7Fixture(docId: Long): Array[Byte] = {
     val (w, h, ch) = fixtureDimsI7(docId)
-    val raw = Array.tabulate(h * w * ch)(j => fixtureSample(docId, ch, j.toLong).toByte)
+    val raw = Array.tabulate(h * w * ch)(j => fixtureSample(docId, ch, j.toLong))
     val whole = encodePngGeneric(w, h, if (ch == 1) 0 else 2, raw,
       Array.empty, interlace = true, filterSeed = docId)
     if (docId % 7 == 3) whole.take(whole.length - math.min(whole.length, 24)) else whole
@@ -193,7 +220,7 @@ object PngCodecOps {
     val (w, h) = fixtureDimsPal(docId)
     val npal = fixturePalSize(docId)
     val palette = Array.tabulate(npal * 3)(i => fixturePalEntry(docId, i / 3, i % 3).toByte)
-    val raw = Array.tabulate(w * h)(j => fixturePalIndex(docId, j.toLong, npal).toByte)
+    val raw = Array.tabulate(w * h)(j => fixturePalIndex(docId, j.toLong, npal))
     val whole = encodePngGeneric(w, h, 3, raw, palette,
       interlace = docId % 5 == 2, filterSeed = docId)
     if (docId % 7 == 3) whole.take(whole.length - math.min(whole.length, 24)) else whole
@@ -213,9 +240,59 @@ object PngCodecOps {
     * twist. */
   private[operators] def encodeAlphaFixture(docId: Long): Array[Byte] = {
     val (w, h, ch) = fixtureDimsAlpha(docId)
-    val raw = Array.tabulate(w * h * ch)(j => fixtureAlphaSample(docId, ch, j.toLong).toByte)
+    val raw = Array.tabulate(w * h * ch)(j => fixtureAlphaSample(docId, ch, j.toLong))
     val whole = encodePngGeneric(w, h, if (ch == 2) 4 else 6, raw,
       Array.empty, interlace = docId % 3 == 1, filterSeed = docId)
+    if (docId % 7 == 3) whole.take(whole.length - math.min(whole.length, 24)) else whole
+  }
+
+  /** Gray bit-depth cycle 1/2/4/16 by doc residue (8 is the base
+    * fixture's own class). */
+  private[operators] def fixtureDepth(docId: Long): Int =
+    Array(1, 2, 4, 16)((docId % 4).toInt)
+
+  private[operators] def fixtureDimsDepth(docId: Long): (Int, Int) =
+    ((docId % 10 + 3).toInt, (docId % 8 + 3).toInt)
+
+  /** The depth fixtures' closed-form sample, 0..2^depth−1. */
+  private[operators] def fixtureDepthSample(docId: Long, depth: Int, j: Long): Int =
+    ((docId * 31 + j * 7) % (1L << depth)).toInt
+
+  /** The BIT-DEPTH fixture: grayscale at 1/2/4/16 bits per sample —
+    * sub-byte rows pack MSB-first with per-scanline (and, on the
+    * interlaced third, per-PASS) byte padding; 16-bit samples are
+    * big-endian pairs with bpp = 2 filters. Same corrupt twist. */
+  private[operators] def encodeDepthFixture(docId: Long): Array[Byte] = {
+    val depth = fixtureDepth(docId)
+    val (w, h) = fixtureDimsDepth(docId)
+    val raw = Array.tabulate(w * h)(j => fixtureDepthSample(docId, depth, j.toLong))
+    val whole = encodePngGeneric(w, h, 0, raw, Array.empty,
+      interlace = docId % 3 == 1, filterSeed = docId, depth = depth)
+    if (docId % 7 == 3) whole.take(whole.length - math.min(whole.length, 24)) else whole
+  }
+
+  /** Sub-byte palette depth cycle 1/2/4 and a size within the depth's
+    * index space (2..2^depth). */
+  private[operators] def fixturePal4Depth(docId: Long): Int =
+    Array(1, 2, 4)((docId % 3).toInt)
+
+  private[operators] def fixturePal4Size(docId: Long): Int = {
+    val depth = fixturePal4Depth(docId)
+    ((docId % ((1 << depth) - 1)) + 2).toInt
+  }
+
+  /** The SUB-BYTE PALETTE fixture (the classic icon shape: 1/2/4-bit
+    * indices through a small PLTE), every fifth doc interlaced; same
+    * palette-entry closed forms as [[encodePalFixture]]; same corrupt
+    * twist. */
+  private[operators] def encodePal4Fixture(docId: Long): Array[Byte] = {
+    val depth = fixturePal4Depth(docId)
+    val (w, h) = ((docId % 11 + 2).toInt, (docId % 9 + 2).toInt)
+    val npal = fixturePal4Size(docId)
+    val palette = Array.tabulate(npal * 3)(i => fixturePalEntry(docId, i / 3, i % 3).toByte)
+    val raw = Array.tabulate(w * h)(j => fixturePalIndex(docId, j.toLong, npal))
+    val whole = encodePngGeneric(w, h, 3, raw, palette,
+      interlace = docId % 5 == 2, filterSeed = docId, depth = depth)
     if (docId % 7 == 3) whole.take(whole.length - math.min(whole.length, 24)) else whole
   }
 
@@ -245,18 +322,31 @@ object PngCodecOps {
     case _ => -1
   }
 
+  /** Spec-valid (colorType, bitDepth) combinations (RFC 2083 §4.1.1). */
+  private def depthOk(colorType: Int, depth: Int): Boolean = colorType match {
+    case 0 => depth == 1 || depth == 2 || depth == 4 || depth == 8 || depth == 16
+    case 3 => depth == 1 || depth == 2 || depth == 4 || depth == 8
+    case 2 | 4 | 6 => depth == 8 || depth == 16
+    case _ => false
+  }
+
   /** Full decode or None (malformed anywhere: signature, chunk CRC,
     * header guards, inflate failure, short raster, palette index out
-    * of range). 8-bit depth, color types 0/2/3/4/6, interlace methods
-    * 0 and 1 (Adam7: each pass is an independently-filtered sub-image
-    * — predictor context resets per pass — scattered into the full
-    * raster on the standard grid). Palette files expand through PLTE
-    * to 3-channel output. Never throws. */
+    * of range). EVERY spec-valid (color type, depth) pair — gray
+    * 1/2/4/8/16, palette 1/2/4/8, RGB and alpha profiles 8/16 — and
+    * interlace methods 0 and 1 (Adam7: each pass is an
+    * independently-filtered sub-image with its own scanline byte
+    * padding — predictor context resets per pass — scattered into the
+    * full raster on the standard grid). Filters operate on bytes with
+    * the bpp offset; sub-byte samples unpack MSB-first, 16-bit
+    * big-endian (samples reported RAW, 0..2^depth−1 — the ImageIO
+    * convention, proven in the spec). Palette files expand through
+    * PLTE to 3-channel output. Never throws. */
   private[operators] def decodePng(bytes: Array[Byte]): Option[Decoded] =
     try {
       if (bytes.length < 8 || !bytes.take(8).sameElements(Signature)) return None
       var pos = 8
-      var w = 0; var h = 0; var colorType = -1; var interlace = 0
+      var w = 0; var h = 0; var colorType = -1; var interlace = 0; var depth = 8
       var seenIhdr = false; var seenIend = false
       var palette: Array[Byte] = null
       val idat = new java.io.ByteArrayOutputStream
@@ -275,7 +365,7 @@ object PngCodecOps {
           case "IHDR" =>
             if (len != 13) return None
             w = u32(pos + 8).toInt; h = u32(pos + 12).toInt
-            val bitDepth = bytes(pos + 16) & 0xff
+            depth = bytes(pos + 16) & 0xff
             colorType = bytes(pos + 17) & 0xff
             // compression and filter METHOD bytes: only 0 is defined by
             // the spec — a nonzero value means the IDAT stream is not
@@ -283,9 +373,9 @@ object PngCodecOps {
             val compression = bytes(pos + 18) & 0xff
             val filterMethod = bytes(pos + 19) & 0xff
             interlace = bytes(pos + 20) & 0xff
-            if (bitDepth != 8 || compression != 0 || filterMethod != 0 || interlace > 1)
+            if (compression != 0 || filterMethod != 0 || interlace > 1)
               return None
-            if (rawChannels(colorType) < 0) return None
+            if (!depthOk(colorType, depth)) return None
             val outCh = if (colorType == 3) 3 else rawChannels(colorType)
             if (w < 1 || h < 1 || w.toLong * h * outCh > MaxSamples) return None
             seenIhdr = true
@@ -309,7 +399,9 @@ object PngCodecOps {
           val sh = if (h > y0) (h - y0 + dy - 1) / dy else 0
           (x0, y0, dx, dy, sw, sh)
         }.filter(p => p._5 > 0 && p._6 > 0)
-      val expect = passes.map { case (_, _, _, _, sw, sh) => sh * (1 + sw * rawCh) }.sum
+      val bpp = math.max(1, rawCh * depth / 8)
+      def sbwOf(sw: Int): Int = (sw * rawCh * depth + 7) / 8
+      val expect = passes.map { case (_, _, _, _, sw, sh) => sh * (1 + sbwOf(sw)) }.sum
       val inflater = new java.util.zip.Inflater
       inflater.setInput(idat.toByteArray)
       val filtered = new Array[Byte](expect)
@@ -325,22 +417,23 @@ object PngCodecOps {
       }
       inflater.end()
       if (got < expect) return None
-      // defilter each pass independently and scatter onto the raster
+      // defilter each pass independently (BYTE-level predictors at the
+      // bpp offset), unpack its samples, scatter onto the raster
       val raw = new Array[Int](w * h * rawCh)
       var off = 0
       for ((x0, y0, dx, dy, sw, sh) <- passes) {
-        val stride = sw * rawCh
-        val sub = new Array[Int](sh * stride)
+        val sbw = sbwOf(sw)
+        val unfiltered = new Array[Int](sh * sbw)
         for (row <- 0 until sh) {
           val f = filtered(off) & 0xff
           off += 1
           if (f > 4) return None
-          for (i <- 0 until stride) {
+          for (i <- 0 until sbw) {
             val x = filtered(off) & 0xff
             off += 1
-            val a = if (i >= rawCh) sub(row * stride + i - rawCh) else 0
-            val b = if (row > 0) sub((row - 1) * stride + i) else 0
-            val c = if (row > 0 && i >= rawCh) sub((row - 1) * stride + i - rawCh) else 0
+            val a = if (i >= bpp) unfiltered(row * sbw + i - bpp) else 0
+            val b = if (row > 0) unfiltered((row - 1) * sbw + i) else 0
+            val c = if (row > 0 && i >= bpp) unfiltered((row - 1) * sbw + i - bpp) else 0
             val pred = f match {
               case 0 => 0
               case 1 => a
@@ -348,11 +441,23 @@ object PngCodecOps {
               case 3 => (a + b) / 2
               case 4 => paeth(a, b, c)
             }
-            sub(row * stride + i) = (x + pred) & 0xff
+            unfiltered(row * sbw + i) = (x + pred) & 0xff
           }
         }
-        for (j <- 0 until sh; i <- 0 until sw; c <- 0 until rawCh)
-          raw(((y0 + j * dy) * w + (x0 + i * dx)) * rawCh + c) = sub((j * sw + i) * rawCh + c)
+        // unpack row-aligned samples and scatter
+        for (j <- 0 until sh; i <- 0 until sw; c <- 0 until rawCh) {
+          val si = i * rawCh + c // sample index within the row
+          val v =
+            if (depth == 16) {
+              val o = j * sbw + si * 2
+              (unfiltered(o) << 8) | unfiltered(o + 1)
+            } else if (depth == 8) unfiltered(j * sbw + si)
+            else {
+              val bit = si * depth
+              (unfiltered(j * sbw + bit / 8) >> (8 - depth - bit % 8)) & ((1 << depth) - 1)
+            }
+          raw(((y0 + j * dy) * w + (x0 + i * dx)) * rawCh + c) = v
+        }
       }
       if (colorType == 3) {
         // palette expansion: indices through PLTE to RGB (a missing
@@ -504,6 +609,17 @@ object PngCodecOps {
     * decode, four-channel stats out. */
   def pngPixelsRgba(docs: DataFrame): DataFrame =
     pngDecodeStats4(fixtureChain(docs, encodeAlphaFixture))
+
+  /** The BIT-DEPTH chain: gray at 1/2/4/16 bits (some interlaced) —
+    * sub-byte unpack and 16-bit assembly under the oracle; 16-bit
+    * stats range over 0..65535. */
+  def pngPixelsDepth(docs: DataFrame): DataFrame =
+    pngDecodeStats(fixtureChain(docs, encodeDepthFixture))
+
+  /** The SUB-BYTE PALETTE chain: 1/2/4-bit indices through small
+    * PLTEs (some interlaced), expanded to RGB stats. */
+  def pngPixelsPal4(docs: DataFrame): DataFrame =
+    pngDecodeStats(fixtureChain(docs, encodePal4Fixture))
 }
 
 object PngPack extends QueryPack {
@@ -513,7 +629,9 @@ object PngPack extends QueryPack {
     "png_pixels" -> ((s, dir) => PngCodecOps.pngPixels(d(s, dir))),
     "png_pixels_i7" -> ((s, dir) => PngCodecOps.pngPixelsI7(d(s, dir))),
     "png_pixels_pal" -> ((s, dir) => PngCodecOps.pngPixelsPal(d(s, dir))),
-    "png_pixels_rgba" -> ((s, dir) => PngCodecOps.pngPixelsRgba(d(s, dir))))
+    "png_pixels_rgba" -> ((s, dir) => PngCodecOps.pngPixelsRgba(d(s, dir))),
+    "png_pixels_depth" -> ((s, dir) => PngCodecOps.pngPixelsDepth(d(s, dir))),
+    "png_pixels_pal4" -> ((s, dir) => PngCodecOps.pngPixelsPal4(d(s, dir))))
 
   // the oracle never touches a codec: the fixture rasters are closed-form
   // in doc_id (the media_pixels formulas), so the expected stats are
@@ -678,5 +796,76 @@ object PngPack extends QueryPack {
         |       CASE WHEN NOT trunc THEN CAST(list_aggregate(c3, 'sum') AS BIGINT) END AS c3_sum,
         |       CASE WHEN NOT trunc THEN CAST(list_aggregate(c3, 'min') AS BIGINT) END AS c3_min,
         |       CASE WHEN NOT trunc THEN CAST(list_aggregate(c3, 'max') AS BIGINT) END AS c3_max
-        |FROM c""".stripMargin)
+        |FROM c""".stripMargin,
+    // the bit-depth twin: gray samples 0..2^d−1 at d = 1/2/4/16 — the
+    // decode must recover the closed form through sub-byte MSB-first
+    // unpacking / big-endian 16-bit assembly, byte-level bpp filters,
+    // and per-pass padding on the interlaced third
+    "png_pixels_depth" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 4
+        |              WHEN 2 THEN 16 ELSE 65536 END AS modv,
+        |         doc_id % 10 + 3 AS w, doc_id % 8 + 3 AS h,
+        |         doc_id % 7 = 3 AS trunc
+        |  FROM documents
+        |),
+        |v AS (
+        |  SELECT doc_id, w, h, trunc,
+        |         list_transform(range(0, w * h), j ->
+        |           (doc_id * 31 + j * 7) % modv) AS px
+        |  FROM p
+        |)
+        |SELECT doc_id,
+        |       CASE WHEN trunc THEN 'corrupt' ELSE 'png' END AS status,
+        |       CASE WHEN NOT trunc THEN CAST(w AS BIGINT) END AS width,
+        |       CASE WHEN NOT trunc THEN CAST(h AS BIGINT) END AS height,
+        |       CASE WHEN NOT trunc THEN CAST(1 AS BIGINT) END AS channels,
+        |       CASE WHEN NOT trunc THEN CAST(list_aggregate(px, 'sum') AS BIGINT) END AS c0_sum,
+        |       CASE WHEN NOT trunc THEN CAST(list_aggregate(px, 'min') AS BIGINT) END AS c0_min,
+        |       CASE WHEN NOT trunc THEN CAST(list_aggregate(px, 'max') AS BIGINT) END AS c0_max,
+        |       CAST(NULL AS BIGINT) AS c1_sum, CAST(NULL AS BIGINT) AS c1_min,
+        |       CAST(NULL AS BIGINT) AS c1_max, CAST(NULL AS BIGINT) AS c2_sum,
+        |       CAST(NULL AS BIGINT) AS c2_min, CAST(NULL AS BIGINT) AS c2_max
+        |FROM v""".stripMargin,
+    // the sub-byte palette twin: 1/2/4-bit indices (npal = 2..2^d)
+    // through the shared palette-entry closed forms
+    "png_pixels_pal4" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 15 END AS npmod,
+        |         doc_id % 11 + 2 AS w, doc_id % 9 + 2 AS h,
+        |         doc_id % 7 = 3 AS trunc
+        |  FROM documents
+        |),
+        |p2 AS (
+        |  SELECT doc_id, w, h, trunc, doc_id % npmod + 2 AS npal FROM p
+        |),
+        |px AS (
+        |  SELECT doc_id, w, h, trunc,
+        |         (doc_id * 31 + j * 7) % npal AS idx
+        |  FROM p2, LATERAL unnest(range(0, w * h)) AS t(j)
+        |),
+        |rgb AS (
+        |  SELECT doc_id, w, h, trunc,
+        |         (doc_id * 7 + idx * 3) % 256 AS r,
+        |         (doc_id * 11 + idx * 5) % 256 AS g,
+        |         (doc_id * 13 + idx * 9) % 256 AS b
+        |  FROM px
+        |)
+        |SELECT doc_id,
+        |       CASE WHEN trunc THEN 'corrupt' ELSE 'png' END AS status,
+        |       CASE WHEN NOT trunc THEN CAST(MAX(w) AS BIGINT) END AS width,
+        |       CASE WHEN NOT trunc THEN CAST(MAX(h) AS BIGINT) END AS height,
+        |       CASE WHEN NOT trunc THEN CAST(3 AS BIGINT) END AS channels,
+        |       CASE WHEN NOT trunc THEN CAST(SUM(r) AS BIGINT) END AS c0_sum,
+        |       CASE WHEN NOT trunc THEN CAST(MIN(r) AS BIGINT) END AS c0_min,
+        |       CASE WHEN NOT trunc THEN CAST(MAX(r) AS BIGINT) END AS c0_max,
+        |       CASE WHEN NOT trunc THEN CAST(SUM(g) AS BIGINT) END AS c1_sum,
+        |       CASE WHEN NOT trunc THEN CAST(MIN(g) AS BIGINT) END AS c1_min,
+        |       CASE WHEN NOT trunc THEN CAST(MAX(g) AS BIGINT) END AS c1_max,
+        |       CASE WHEN NOT trunc THEN CAST(SUM(b) AS BIGINT) END AS c2_sum,
+        |       CASE WHEN NOT trunc THEN CAST(MIN(b) AS BIGINT) END AS c2_min,
+        |       CASE WHEN NOT trunc THEN CAST(MAX(b) AS BIGINT) END AS c2_max
+        |FROM rgb GROUP BY doc_id, trunc""".stripMargin)
 }

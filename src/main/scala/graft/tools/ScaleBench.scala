@@ -121,9 +121,10 @@ object ScaleBench {
     // progressive profile — both still the per-doc codec floor class
     "jpeg_pixels_prog_sa", "jpeg_pixels_prog_420",
     // the round-13 PNG profile completions (Adam7 per-pass defilter +
-    // scatter, PLTE expansion, alpha channels): png_pixels' per-doc
-    // inflate floor class
-    "png_pixels_i7", "png_pixels_pal", "png_pixels_rgba")
+    // scatter, PLTE expansion, alpha channels, 1/2/4/16 bit depths):
+    // png_pixels' per-doc inflate floor class
+    "png_pixels_i7", "png_pixels_pal", "png_pixels_rgba",
+    "png_pixels_depth", "png_pixels_pal4")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -16,7 +16,10 @@ class PngCodecSpec extends SparkSpec {
     if (img == null) None
     else {
       val w = img.getWidth; val h = img.getHeight
-      val ch = img.getColorModel.getNumComponents
+      // raster BANDS, not color-model components: sub-byte gray PNGs
+      // arrive as IndexColorModel images (3 components, 1 band) whose
+      // single band holds the raw sample
+      val ch = img.getRaster.getNumBands
       val out = new Array[Int](w * h * ch)
       val raster = img.getRaster
       for (y <- 0 until h; x <- 0 until w; k <- 0 until ch)
@@ -200,11 +203,90 @@ class PngCodecSpec extends SparkSpec {
     }
     // an index raster that exceeds the stored palette is malformed, not
     // a garbage expansion: 2-entry palette, indices up to 5
-    val raw = Array.tabulate(6 * 4)(j => (j % 6).toByte)
+    val raw = Array.tabulate(6 * 4)(j => j % 6)
     val palette = Array.tabulate(2 * 3)(i => (i * 40).toByte)
     val overflow = PngCodecOps.encodePngGeneric(6, 4, 3, raw, palette,
       interlace = false, filterSeed = 0L)
     assert(PngCodecOps.decodePng(overflow).isEmpty,
       "palette-index overflow must refuse")
+  }
+
+  test("bit-depth fixtures (gray 1/2/4/16) decode EXACTLY and match ImageIO raw samples") {
+    var sixteen = 0; var interlacedSub = 0
+    (0L until 120L).filterNot(_ % 7 == 3).foreach { id =>
+      val depth = PngCodecOps.fixtureDepth(id)
+      val (w, h) = PngCodecOps.fixtureDimsDepth(id)
+      if (depth == 16) sixteen += 1
+      if (depth < 8 && id % 3 == 1) interlacedSub += 1
+      val bytes = PngCodecOps.encodeDepthFixture(id)
+      val got = PngCodecOps.decodePng(bytes)
+        .getOrElse(fail(s"doc $id (depth $depth): our decoder rejected a valid PNG"))
+      assert((got.width, got.height, got.channels) == ((w, h, 1)), s"doc $id dims")
+      for (j <- got.samples.indices)
+        assert(got.samples(j) == PngCodecOps.fixtureDepthSample(id, depth, j.toLong),
+          s"doc $id depth $depth sample $j")
+      // ImageIO reports RAW samples at every depth (probed: 4-bit 0..15,
+      // 16-bit 0..65535) — exact differential
+      val (tw, th, tch, ref) = imageIoPixels(bytes)
+        .getOrElse(fail(s"doc $id: ImageIO rejected the depth-$depth PNG"))
+      assert((tw, th, tch) == ((w, h, 1)))
+      assert(got.samples.sameElements(ref), s"doc $id depth $depth: mismatch vs ImageIO")
+    }
+    assert(sixteen > 20 && interlacedSub > 5,
+      "the set must cover 16-bit and interlaced sub-byte docs")
+  }
+
+  test("sub-byte palette fixtures (1/2/4-bit indices) expand EXACTLY; ImageIO agrees") {
+    (0L until 120L).filterNot(_ % 7 == 3).foreach { id =>
+      val depth = PngCodecOps.fixturePal4Depth(id)
+      val npal = PngCodecOps.fixturePal4Size(id)
+      val (w, h) = ((id % 11 + 2).toInt, (id % 9 + 2).toInt)
+      val bytes = PngCodecOps.encodePal4Fixture(id)
+      val got = PngCodecOps.decodePng(bytes)
+        .getOrElse(fail(s"doc $id (pal depth $depth): decoder rejected a valid PNG"))
+      assert((got.width, got.height, got.channels) == ((w, h, 3)), s"doc $id dims")
+      for (j <- 0 until w * h; c <- 0 until 3) {
+        val idx = PngCodecOps.fixturePalIndex(id, j.toLong, npal)
+        assert(got.samples(3 * j + c) == PngCodecOps.fixturePalEntry(id, idx, c),
+          s"doc $id pixel $j ch $c (depth $depth, npal $npal)")
+      }
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"doc $id: ImageIO rejected the sub-byte paletted PNG")
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = img.getRGB(x, y); val j = y * w + x
+        assert(got.samples(3 * j) == ((p >> 16) & 0xff) &&
+          got.samples(3 * j + 1) == ((p >> 8) & 0xff) &&
+          got.samples(3 * j + 2) == (p & 0xff),
+          s"doc $id ($x,$y): expansion disagrees with ImageIO")
+      }
+    }
+  }
+
+  test("depth malformed sweeps never throw; invalid (type, depth) pairs refuse") {
+    Seq(PngCodecOps.encodeDepthFixture(2L),  // 16-bit, non-interlaced
+        PngCodecOps.encodeDepthFixture(4L),  // 1-bit, interlaced
+        PngCodecOps.encodePal4Fixture(2L)).foreach { good => // 4-bit pal, interlaced
+      for (i <- good.indices) {
+        val bad = good.clone(); bad(i) = (bad(i) ^ 0x5a).toByte
+        PngCodecOps.decodePng(bad) // must not throw
+      }
+      for (n <- 0 to good.length) PngCodecOps.decodePng(good.take(n))
+    }
+    // spec-invalid combos must refuse via the header guard, not garble:
+    // rewrite a valid gray-16 IHDR to RGB-4 (type 2 allows only 8/16)
+    val base = PngCodecOps.encodeDepthFixture(2L)
+    val ihdrAt = 8 + 8 // signature + len/type of IHDR
+    val bad = base.clone()
+    bad(ihdrAt + 8) = 4 // depth
+    bad(ihdrAt + 9) = 2 // colorType RGB
+    // fix the CRC so the depth guard itself is what trips
+    val crc = new java.util.zip.CRC32
+    crc.update(bad, 8 + 4, 4 + 13)
+    val v = crc.getValue
+    bad(8 + 8 + 13) = ((v >> 24) & 0xff).toByte
+    bad(8 + 8 + 13 + 1) = ((v >> 16) & 0xff).toByte
+    bad(8 + 8 + 13 + 2) = ((v >> 8) & 0xff).toByte
+    bad(8 + 8 + 13 + 3) = (v & 0xff).toByte
+    assert(PngCodecOps.decodePng(bad).isEmpty, "RGB at depth 4 must refuse")
   }
 }
