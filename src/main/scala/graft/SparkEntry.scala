@@ -45,7 +45,8 @@ object SparkEntry {
     graft.operators.LmPack,
     graft.operators.SketchPack,
     graft.operators.PngPack,
-    graft.operators.JpegPack
+    graft.operators.JpegPack,
+    graft.operators.WavPack
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {

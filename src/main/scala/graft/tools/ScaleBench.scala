@@ -124,7 +124,10 @@ object ScaleBench {
     // scatter, PLTE expansion, alpha channels, 1/2/4/16 bit depths):
     // png_pixels' per-doc inflate floor class
     "png_pixels_i7", "png_pixels_pal", "png_pixels_rgba",
-    "png_pixels_depth", "png_pixels_pal4")
+    "png_pixels_depth", "png_pixels_pal4",
+    // real PCM sample decode (chunk walk + byte assembly at 8/16/24/32
+    // bits): the audio member of the per-doc codec floor class
+    "wav_pcm")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
