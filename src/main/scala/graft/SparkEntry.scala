@@ -46,7 +46,8 @@ object SparkEntry {
     graft.operators.SketchPack,
     graft.operators.PngPack,
     graft.operators.JpegPack,
-    graft.operators.WavPack
+    graft.operators.WavPack,
+    graft.operators.PhashPack
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {

@@ -127,7 +127,11 @@ object ScaleBench {
     "png_pixels_depth", "png_pixels_pal4",
     // real PCM sample decode (chunk walk + byte assembly at 8/16/24/32
     // bits): the audio member of the per-doc codec floor class
-    "wav_pcm")
+    "wav_pcm",
+    // perceptual near-dup: per-doc PNG decode + integer DCT (the codec
+    // floor class) then ONE narrow (band, bits)-keyed shuffle — the
+    // minhash-LSH scale shape applied to image structure
+    "phash_near_dups")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
