@@ -222,11 +222,73 @@ object WavCodecOps {
         .mapPartitions(_.map(id => (id, encodeWav(id))))
         .toDF("doc_id", "media"))
   }
+
+  private case class WavFeatures(
+      doc_id: Long, status: String,
+      sq_sum: Option[Long], zcr: Option[Long],
+      peak: Option[Long], clipped: Option[Long])
+
+  /** Channel-0 audio-QUALITY features over the decoded samples — the
+    * curation primitives an audio pipeline filters on (the audio twin
+    * of [[graft.operators.TextOps]]' quality scores): silence shows as
+    * near-zero energy, noise as a high zero-crossing rate, hard
+    * clipping as samples pinned at the width's extremes. ALL INTEGER
+    * so the oracle is exact:
+    *   - `sq_sum`: sum of squares of the samples NORMALIZED to 16-bit
+    *     precision (floor-divide wider widths by 2^(bits−16); center
+    *     and scale 8-bit by (v−128)·256) — energy needs no more
+    *     precision and the normalized squares cannot overflow a Long;
+    *   - `zcr`: count of sign changes between CONSECUTIVE channel-0
+    *     samples (sign = normalized value ≥ 0);
+    *   - `peak`: max |normalized|;
+    *   - `clipped`: count of ORIGINAL samples pinned at the width's
+    *     min/max representable value (0/255 unsigned at 8 bits,
+    *     ±2^(bits−1) signed above). */
+  def wavFeatures(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        decodeWav(encodeWav(id)) match {
+          case None => WavFeatures(id, "corrupt", None, None, None, None)
+          case Some(d) =>
+            val (sq, zcr, peak, clip) = featuresOf(d)
+            WavFeatures(id, "wav", Some(sq), Some(zcr), Some(peak), Some(clip))
+        }
+      })
+      .toDF()
+  }
+
+  /** The feature kernel over a decoded stream: (sq_sum, zcr, peak,
+    * clipped) per the [[wavFeatures]] contract. */
+  private[operators] def featuresOf(d: WavDecoded): (Long, Long, Long, Long) = {
+    val maxv = if (d.bits == 8) 255L else (1L << (d.bits - 1)) - 1
+    val minv = if (d.bits == 8) 0L else -(1L << (d.bits - 1))
+    var sq = 0L; var zcr = 0L; var peak = 0L; var clip = 0L
+    var prevNonNeg = true; var first = true
+    var f = 0
+    while (f < d.frames) {
+      val v = d.samples(f * d.channels) // channel 0
+      val n = // normalize to 16-bit precision (floor semantics)
+        if (d.bits == 8) (v - 128) * 256
+        else Math.floorDiv(v, 1L << (d.bits - 16))
+      sq += n * n
+      val a = math.abs(n)
+      if (a > peak) peak = a
+      if (v == maxv || v == minv) clip += 1
+      val nonNeg = n >= 0
+      if (!first && nonNeg != prevNonNeg) zcr += 1
+      prevNonNeg = nonNeg; first = false
+      f += 1
+    }
+    (sq, zcr, peak, clip)
+  }
 }
 
 object WavPack extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "wav_pcm" -> ((s, dir) => WavCodecOps.wavPcm(Tables.documents(s, dir))))
+    "wav_pcm" -> ((s, dir) => WavCodecOps.wavPcm(Tables.documents(s, dir))),
+    "wav_features" -> ((s, dir) => WavCodecOps.wavFeatures(Tables.documents(s, dir))))
 
   // codec-free oracle: the closed-form raw pattern re-centered for
   // signed widths, per-channel stats over interleaved index parity
@@ -265,5 +327,54 @@ object WavPack extends QueryPack {
         |       CASE WHEN NOT trunc AND MAX(ch) = 2 THEN CAST(SUM(val) FILTER (WHERE j % ch = 1) AS BIGINT) END AS c1_sum,
         |       CASE WHEN NOT trunc AND MAX(ch) = 2 THEN CAST(MIN(val) FILTER (WHERE j % ch = 1) AS BIGINT) END AS c1_min,
         |       CASE WHEN NOT trunc AND MAX(ch) = 2 THEN CAST(MAX(val) FILTER (WHERE j % ch = 1) AS BIGINT) END AS c1_max
-        |FROM sv GROUP BY doc_id, trunc""".stripMargin)
+        |FROM sv GROUP BY doc_id, trunc""".stripMargin,
+    // the quality features mirrored integer-for-integer: 16-bit
+    // normalization by floor division (DuckDB // floors, matching
+    // Math.floorDiv), sign changes by LAG over channel-0 time order,
+    // clipping against the width's representable extremes
+    "wav_features" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 16 WHEN 2 THEN 24 ELSE 32 END AS bits,
+        |         doc_id % 2 + 1 AS ch,
+        |         doc_id % 50 + 5 AS frames,
+        |         doc_id % 7 = 3 AS trunc
+        |  FROM documents
+        |),
+        |v AS (
+        |  SELECT doc_id, bits, ch, trunc, j,
+        |         (doc_id * 37 + j * 13) % (1::BIGINT << bits) AS raw
+        |  FROM p, LATERAL unnest(range(0, frames * ch)) AS t(j)
+        |  WHERE j % ch = 0
+        |),
+        |sv AS (
+        |  SELECT doc_id, bits, trunc, j,
+        |         CASE WHEN bits = 8 THEN raw
+        |              WHEN raw >= (1::BIGINT << (bits - 1)) THEN raw - (1::BIGINT << bits)
+        |              ELSE raw END AS val
+        |  FROM v
+        |),
+        |n AS (
+        |  SELECT doc_id, bits, trunc, j, val,
+        |         CASE WHEN bits = 8 THEN (val - 128) * 256
+        |              ELSE val // (1::BIGINT << (bits - 16)) END AS nv
+        |  FROM sv
+        |),
+        |w AS (
+        |  SELECT doc_id, bits, trunc, val, nv,
+        |         lag(nv) OVER (PARTITION BY doc_id ORDER BY j) AS pv
+        |  FROM n
+        |)
+        |SELECT doc_id,
+        |       CASE WHEN trunc THEN 'corrupt' ELSE 'wav' END AS status,
+        |       CASE WHEN NOT trunc THEN CAST(SUM(nv * nv) AS BIGINT) END AS sq_sum,
+        |       CASE WHEN NOT trunc THEN CAST(SUM(CASE WHEN pv IS NOT NULL
+        |            AND ((nv >= 0) != (pv >= 0)) THEN 1 ELSE 0 END) AS BIGINT) END AS zcr,
+        |       CASE WHEN NOT trunc THEN CAST(MAX(ABS(nv)) AS BIGINT) END AS peak,
+        |       CASE WHEN NOT trunc THEN CAST(SUM(CASE
+        |            WHEN bits = 8 AND (val = 0 OR val = 255) THEN 1
+        |            WHEN bits > 8 AND (val = (1::BIGINT << (bits - 1)) - 1
+        |                            OR val = -(1::BIGINT << (bits - 1))) THEN 1
+        |            ELSE 0 END) AS BIGINT) END AS clipped
+        |FROM w GROUP BY doc_id, trunc""".stripMargin)
 }

@@ -83,6 +83,34 @@ class WavCodecSpec extends SparkSpec {
     assert(WavCodecOps.decodeWav(torn).isEmpty, "a partial frame must refuse")
   }
 
+  test("quality features: silence, alternation, and clipping read as designed") {
+    import WavCodecOps.WavDecoded
+    // digital silence at 16 bits: zero energy, zero crossings, no clip
+    val silence = WavDecoded(1, 8000, 16, 10, Array.fill(10)(0L))
+    assert(WavCodecOps.featuresOf(silence) == ((0L, 0L, 0L, 0L)))
+    // a full-scale alternating square wave: every step crosses, every
+    // sample is pinned at a representable extreme
+    val sqw = WavDecoded(1, 8000, 16, 8,
+      Array.tabulate(8)(i => if (i % 2 == 0) 32767L else -32768L))
+    val (sq, zcr, peak, clip) = WavCodecOps.featuresOf(sqw)
+    assert(zcr == 7 && clip == 8 && peak == 32768)
+    assert(sq == 4L * 32767L * 32767L + 4L * 32768L * 32768L)
+    // 8-bit silence sits at the 128 center (zero normalized), and the
+    // unsigned extremes count as clipped
+    val s8 = WavDecoded(1, 8000, 8, 6, Array[Long](128, 128, 255, 0, 128, 128))
+    val (sq8, z8, p8, c8) = WavCodecOps.featuresOf(s8)
+    assert(c8 == 2 && p8 == 32768 && z8 == 2)
+    assert(sq8 == 127L * 256 * 127 * 256 + 128L * 256 * 128 * 256)
+    // stereo: only channel 0 feeds the features
+    val st = WavDecoded(2, 8000, 16, 4,
+      Array[Long](100, -30000, 100, -30000, 100, -30000, 100, -30000))
+    assert(WavCodecOps.featuresOf(st)._2 == 0, "channel-1 swings must not count")
+    // 32-bit normalization floors toward negative infinity (Math.floorDiv)
+    val neg = WavDecoded(1, 8000, 32, 2, Array[Long](-65537L, 65535L))
+    val (sqn, zn, pn, _) = WavCodecOps.featuresOf(neg)
+    assert(zn == 1 && pn == 2 && sqn == 4 + 0) // -65537/65536 floors to -2; 65535/65536 to 0
+  }
+
   test("fixture chain: truncated docs degrade to corrupt rows; stats match the formula") {
     val s = spark
     import s.implicits._
