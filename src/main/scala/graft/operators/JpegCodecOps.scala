@@ -864,7 +864,7 @@ object JpegCodecOps {
             pos += len
           case 0xC2 =>
             // progressive DCT: its own multi-scan walk (spectral
-            // selection; successive approximation refuses in there)
+            // selection AND successive approximation, gray/4:4:4/4:2:0)
             return decodeProgressive(bytes)
           case 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
                0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
@@ -1432,7 +1432,8 @@ object JpegCodecOps {
       .toDF("doc_id", "media")
   }
 
-  private case class JpegStats(
+  // public for codegen: see WavCodecOps.WavPcmStats
+  case class JpegStats(
       doc_id: Long, status: String,
       width: Option[Long], height: Option[Long],
       px_sum: Option[Long], px_min: Option[Long], px_max: Option[Long])
@@ -1509,7 +1510,8 @@ object JpegCodecOps {
       .toDF("doc_id", "media")
   }
 
-  private case class JpegRgbStats(
+  // public for codegen: see WavCodecOps.WavPcmStats
+  case class JpegRgbStats(
       doc_id: Long, status: String,
       width: Option[Long], height: Option[Long],
       r_sum: Option[Long], r_min: Option[Long], r_max: Option[Long],

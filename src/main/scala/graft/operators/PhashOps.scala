@@ -127,7 +127,10 @@ object PhashOps {
     bands
   }
 
-  private case class PhashRow(
+  // public for codegen: a private case class has package-private
+  // accessors Janino cannot see, demoting the query to interpreted
+  // row serialization (see WavCodecOps.WavPcmStats)
+  case class PhashRow(
       doc_id: Long, status: String,
       b0: Option[Long], b1: Option[Long], b2: Option[Long], b3: Option[Long])
 

@@ -491,7 +491,8 @@ object PngCodecOps {
       .toDF("doc_id", "media")
   }
 
-  private case class PngStats(
+  // public for codegen: see WavCodecOps.WavPcmStats
+  case class PngStats(
       doc_id: Long, status: String,
       width: Option[Long], height: Option[Long], channels: Option[Long],
       c0_sum: Option[Long], c0_min: Option[Long], c0_max: Option[Long],
@@ -561,7 +562,8 @@ object PngCodecOps {
   def pngPixelsPal(docs: DataFrame): DataFrame =
     pngDecodeStats(fixtureChain(docs, encodePalFixture))
 
-  private case class Png4Stats(
+  // public for codegen: see WavCodecOps.WavPcmStats
+  case class Png4Stats(
       doc_id: Long, status: String,
       width: Option[Long], height: Option[Long], channels: Option[Long],
       c0_sum: Option[Long], c0_min: Option[Long], c0_max: Option[Long],

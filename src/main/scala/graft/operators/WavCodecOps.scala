@@ -170,7 +170,12 @@ object WavCodecOps {
 
   // ---- operators ----
 
-  private case class WavPcmStats(
+  // Encoder row types are PUBLIC on purpose: a `private` case class
+  // compiles to package-private accessors, which Janino's generated
+  // projection class (loaded outside the package) cannot see — Spark
+  // then falls back to interpreted row serialization for the whole
+  // query. Public keeps the mapPartitions output inside codegen.
+  case class WavPcmStats(
       doc_id: Long, status: String,
       channels: Option[Long], sample_rate: Option[Long],
       bits: Option[Long], n_frames: Option[Long],
@@ -223,7 +228,8 @@ object WavCodecOps {
         .toDF("doc_id", "media"))
   }
 
-  private case class WavFeatures(
+  // public for codegen: see the WavPcmStats note
+  case class WavFeatures(
       doc_id: Long, status: String,
       sq_sum: Option[Long], zcr: Option[Long],
       peak: Option[Long], clipped: Option[Long])

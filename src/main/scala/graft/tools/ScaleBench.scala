@@ -128,6 +128,9 @@ object ScaleBench {
     // real PCM sample decode (chunk walk + byte assembly at 8/16/24/32
     // bits): the audio member of the per-doc codec floor class
     "wav_pcm",
+    // audio quality features (energy/ZCR/peak/clipping over the same
+    // decode): the same per-doc floor, a second pass shape over PCM
+    "wav_features",
     // perceptual near-dup: per-doc PNG decode + integer DCT (the codec
     // floor class) then ONE narrow (band, bits)-keyed shuffle — the
     // minhash-LSH scale shape applied to image structure
