@@ -47,7 +47,8 @@ object SparkEntry {
     graft.operators.PngPack,
     graft.operators.JpegPack,
     graft.operators.WavPack,
-    graft.operators.PhashPack
+    graft.operators.PhashPack,
+    graft.operators.AudioFpPack
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {

@@ -134,7 +134,10 @@ object ScaleBench {
     // perceptual near-dup: per-doc PNG decode + integer DCT (the codec
     // floor class) then ONE narrow (band, bits)-keyed shuffle — the
     // minhash-LSH scale shape applied to image structure
-    "phash_near_dups")
+    "phash_near_dups",
+    // the audio twin: per-doc WAV decode + framed band energies +
+    // double-difference bits, same narrow banded shuffle
+    "audio_near_dups")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

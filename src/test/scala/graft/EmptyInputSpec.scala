@@ -183,6 +183,15 @@ class EmptyInputSpec extends SparkSpec {
     assert(MultimodalOps.ahashNearDups(emptyDocs).count() == 0)
   }
 
+  test("perceptual near-dup and PCM families return empty on an empty corpus") {
+    assert(PhashOps.phashHashes(emptyDocs).count() == 0)
+    assert(PhashOps.phashNearDups(emptyDocs).count() == 0)
+    assert(AudioFpOps.audioHashes(emptyDocs).count() == 0)
+    assert(AudioFpOps.audioNearDups(emptyDocs).count() == 0)
+    assert(WavCodecOps.wavPcm(emptyDocs).count() == 0)
+    assert(WavCodecOps.wavFeatures(emptyDocs).count() == 0)
+  }
+
   test("as-of join with an empty right side left-joins nulls, empty left is empty") {
     val s = spark
     import s.implicits._
