@@ -48,7 +48,8 @@ object SparkEntry {
     graft.operators.JpegPack,
     graft.operators.WavPack,
     graft.operators.PhashPack,
-    graft.operators.AudioFpPack
+    graft.operators.AudioFpPack,
+    graft.operators.AviPack
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {

@@ -137,7 +137,11 @@ object ScaleBench {
     "phash_near_dups",
     // the audio twin: per-doc WAV decode + framed band energies +
     // double-difference bits, same narrow banded shuffle
-    "audio_near_dups")
+    "audio_near_dups",
+    // video: AVI container walk + every-2nd-frame MJPEG decode — the
+    // frame-sample pipeline, scan-local per doc (the codec floor class
+    // times the sampled-frame count)
+    "avi_frames")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
