@@ -49,7 +49,8 @@ object SparkEntry {
     graft.operators.WavPack,
     graft.operators.PhashPack,
     graft.operators.AudioFpPack,
-    graft.operators.AviPack
+    graft.operators.AviPack,
+    graft.operators.VideoDupPack
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {

@@ -72,15 +72,13 @@ object AviCodecOps {
   private def list(formType: String, children: Array[Byte]): Array[Byte] =
     chunk("LIST", cc(formType) ++ children)
 
-  /** One real AVI file: hdrl (avih + vids/MJPG strl), a JUNK chunk on
-    * every 5th doc (odd-sized — the pad-rule exercise), movi with one
-    * '00dc' MJPEG chunk per frame, and an idx1 keyframe index.
-    * doc_id % 7 == 3 truncated (the corrupt twist: the RIFF size
-    * outruns the buffer, which the walk refuses up front). */
-  private[operators] def encodeAviFixture(docId: Long): Array[Byte] = {
-    val (w, h) = fixtureDims(docId)
-    val n = fixtureFrames(docId)
-    val usPf = fixtureUsPf(docId)
+  /** Assemble a complete AVI RIFF form: hdrl (avih + vids/MJPG strl),
+    * an optional JUNK chunk (odd-sized — the pad-rule exercise), movi
+    * with one '00dc' chunk per frame, and an idx1 keyframe index. */
+  private[operators] def assembleAvi(
+      w: Int, h: Int, usPf: Long, frames: IndexedSeq[Array[Byte]],
+      junkLen: Int): Array[Byte] = {
+    val n = frames.length
     val avih = le(usPf, 4) ++ le(0, 4) ++ le(0, 4) ++ le(0x10, 4) ++
       le(n.toLong, 4) ++ le(0, 4) ++ le(1, 4) ++ le(0, 4) ++
       le(w.toLong, 4) ++ le(h.toLong, 4) ++ le(0, 16)
@@ -92,15 +90,25 @@ object AviCodecOps {
     val hdrl = list("hdrl",
       chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
     val junk =
-      if (docId % 5 == 0) chunk("JUNK", Array.fill(((docId % 9) + 1).toInt)(0x4A.toByte))
+      if (junkLen > 0) chunk("JUNK", Array.fill(junkLen)(0x4A.toByte))
       else Array.empty[Byte]
-    val frames = (0 until n).map(i => frameBytes(docId, i))
     val movi = list("movi", frames.map(f => chunk("00dc", f)).reduce(_ ++ _))
     val idx1 = chunk("idx1", frames.zipWithIndex.map { case (f, i) =>
       cc("00dc") ++ le(0x10, 4) ++ le(4L + 8 * i, 4) ++ le(f.length.toLong, 4)
     }.reduce(_ ++ _))
     val body = cc("AVI ") ++ hdrl ++ junk ++ movi ++ idx1
-    val whole = cc("RIFF") ++ le(body.length.toLong, 4) ++ body
+    cc("RIFF") ++ le(body.length.toLong, 4) ++ body
+  }
+
+  /** One real AVI file per doc (JUNK on every 5th doc); doc_id % 7 == 3
+    * truncated (the corrupt twist: the RIFF size outruns the buffer,
+    * which the walk refuses up front). */
+  private[operators] def encodeAviFixture(docId: Long): Array[Byte] = {
+    val (w, h) = fixtureDims(docId)
+    val n = fixtureFrames(docId)
+    val whole = assembleAvi(w, h, fixtureUsPf(docId),
+      (0 until n).map(i => frameBytes(docId, i)),
+      if (docId % 5 == 0) ((docId % 9) + 1).toInt else 0)
     if (docId % 7 == 3) whole.take(whole.length - 9) else whole
   }
 
@@ -251,6 +259,133 @@ object AviCodecOps {
       })
       .toDF()
   }
+  // ---- video perceptual near-dup (frame-aligned pHash) ---------------
+
+  private[operators] def vidFam(docId: Long): Long = docId / 4
+
+  /** Family-derived dims/frame count so members ALIGN frame-for-frame
+    * (a near-dup video has the same length and shape — re-encodes and
+    * brightness-shifted copies, not arbitrary cuts). Dims are BLOCK
+    * multiples: the frame rasters are 8×8-block-constant (the JPEG
+    * lossless profile) but textured ACROSS blocks, which is what the
+    * 32×32-resampled pHash DCT sees. */
+  private[operators] def vidDims(docId: Long): (Int, Int) = {
+    val fam = vidFam(docId)
+    (8 * ((fam % 4) + 4).toInt, 8 * ((fam % 3) + 4).toInt)
+  }
+
+  private[operators] def vidFrames(docId: Long): Int = ((vidFam(docId) % 4) + 3).toInt
+
+  /** Block (bx, by) of frame i: the [[PhashOps]] textured-base recipe
+    * (family-dependent spatial frequencies + a cross term) at BLOCK
+    * granularity, with a per-frame term; member m adds the global
+    * brightness shift and sparse noise a perceptual hash exists to
+    * shrug off. Base in 0..199, shift ≤ 9, noise ≤ 3 — never clamps. */
+  private[operators] def vidSampleVal(docId: Long, i: Int, bx: Int, by: Int): Int = {
+    val fam = vidFam(docId); val m = (docId % 4).toInt
+    // LARGE coprime-ish multipliers make adjacent blocks jump across
+    // the whole 0..199 range (a smooth block ramp concentrates energy
+    // in the lowest DCT bins and leaves the rest tied near zero at the
+    // median, where thresholding is unstable); fam and frame feed the
+    // multipliers so families AND frames differ structurally, not by a
+    // DC offset the hash ignores. Noise is SPARSE at block granularity
+    // (~3% of blocks, varying by frame): a block-constant perturbation
+    // feeds a whole 8×8 patch, so a dense plant would swamp the
+    // per-frame bit budget.
+    (((fam * 41 + bx * (89 + 2 * (fam % 7) + 4 * i) + by * (131 + 2 * (fam % 5) + 6 * i) +
+      bx * by * (53 + fam % 3)) % 200) + 3 * m +
+      (if ((bx * 5 + by * 11 + i) % 31 == 0) m else 0)).toInt
+  }
+
+  private[operators] def vidFrameBytes(docId: Long, i: Int): Array[Byte] = {
+    val (w, h) = vidDims(docId)
+    JpegCodecOps.encodeJpeg(w, h, (x, y) => vidSampleVal(docId, i, x / 8, y / 8))
+  }
+
+  /** The near-dup-family AVI fixture: four docs per family share dims,
+    * frame count and base texture; same corrupt twist. */
+  private[operators] def encodeVideoFixture(docId: Long): Array[Byte] = {
+    val (w, h) = vidDims(docId)
+    val whole = assembleAvi(w, h, 40000L,
+      (0 until vidFrames(docId)).map(i => vidFrameBytes(docId, i)), 0)
+    if (docId % 7 == 3) whole.take(whole.length - 9) else whole
+  }
+
+  // public for codegen: see WavCodecOps.WavPcmStats
+  case class VideoPhashRow(
+      doc_id: Long, frame_idx: Option[Long], status: String,
+      b0: Option[Long], b1: Option[Long], b2: Option[Long], b3: Option[Long])
+
+  /** Per SAMPLED frame: container walk → MJPEG decode → the 64-bit
+    * perceptual hash ([[PhashOps.phashBands]]) as four 16-bit bands —
+    * the video fingerprint is the frame-indexed hash sequence. */
+  def videoPhash(docs: DataFrame, stride: Int = FrameStride): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val bytes = encodeVideoFixture(id)
+        parseAvi(bytes) match {
+          case None =>
+            Iterator.single(VideoPhashRow(id, None, "corrupt", None, None, None, None))
+          case Some(p) =>
+            (0 until p.nFrames by stride).iterator.map { i =>
+              val (off, len) = p.frames(i)
+              JpegCodecOps.decodeJpeg(java.util.Arrays.copyOfRange(bytes, off, off + len)) match {
+                case Some(d) if d.channels == 1 =>
+                  val b = PhashOps.phashBands(d.samples, d.width, d.height)
+                  VideoPhashRow(id, Some(i.toLong), "jpeg", Some(b(0).toLong),
+                    Some(b(1).toLong), Some(b(2).toLong), Some(b(3).toLong))
+                case _ => VideoPhashRow(id, Some(i.toLong), "bad_frame",
+                  None, None, None, None)
+              }
+            }
+        }
+      })
+      .toDF()
+  }
+
+  /** VIDEO near-dup pairs: candidates share ≥1 (frame_idx, band, bits)
+    * bucket. Every fixture doc samples frames 0 and 2 (nf ≥ 3), so any
+    * pair shares ≥ 2 frames = 8 bands, and by pigeonhole banding is
+    * EXACT-recall at TOTAL hamming ≤ 7 over the common sampled frames
+    * (the oracle is the plain quadratic join). The default radius 6 is
+    * ~2 bits per aligned frame — the per-video analogue of the
+    * single-image radius 3. Survivors verify by the exact hamming sum
+    * over frame-aligned hashes. Scale shape: per-doc decode + DCT
+    * (scan-local), one narrow (frame, band, bits) shuffle, then the
+    * bounded candidate join — the minhash-LSH class with a frame
+    * dimension. */
+  def videoNearDups(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 8,
+      s"8-band (two-common-frame) LSH is exact-recall only for hamming < 8, got $maxHamming")
+    val h = graft.Caching.maybeCache(
+      videoPhash(docs).filter(col("status") === "jpeg")
+        .select(col("doc_id"), col("frame_idx"),
+          col("b0"), col("b1"), col("b2"), col("b3")))
+    val banded = h
+      .select(col("doc_id"), col("frame_idx"), col("b0"), col("b1"), col("b2"), col("b3"),
+        explode(lit((0 until 4).toArray)).as("band"))
+      .withColumn("bits",
+        expr("CASE band WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END"))
+    val capped = DedupOps.capBuckets(banded, Seq("frame_idx", "band", "bits"))
+    val cand = capped.as("a").join(capped.as("b"),
+        col("a.frame_idx") === col("b.frame_idx") && col("a.band") === col("b.band") &&
+          col("a.bits") === col("b.bits") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val ha = h.select(col("doc_id").as("doc_a"), col("frame_idx"),
+      col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val hb = h.select(col("doc_id").as("doc_b"), col("frame_idx"),
+      col("b0").as("c0"), col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    cand.join(ha, Seq("doc_a")).join(hb, Seq("doc_b", "frame_idx"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(expr(
+        "CAST(bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3) AS BIGINT)")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }
 
 object AviPack extends QueryPack {
@@ -295,4 +430,98 @@ object AviPack extends QueryPack {
         |SELECT doc_id, CAST(NULL AS BIGINT), 'corrupt',
         |       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
         |FROM p WHERE trunc""".stripMargin)
+}
+
+object VideoDupPack extends QueryPack {
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "video_phash" -> ((s, dir) => AviCodecOps.videoPhash(Tables.documents(s, dir))),
+    "video_near_dups" -> ((s, dir) => AviCodecOps.videoNearDups(Tables.documents(s, dir))))
+
+  /** The frame-indexed pHash pipeline mirrored in SQL from the
+    * closed-form block rasters (codec-free — the engine must agree
+    * through a real AVI walk + MJPEG entropy decode): nearest 32×32
+    * sample of each sampled frame, the embedded fixed-point kernel,
+    * lower-median threshold, four 16-bit bands per frame. */
+  private def hashCte: String =
+    s"""cosq(x, u, c) AS (VALUES ${cosSql}),
+       |p AS (
+       |  SELECT doc_id, (doc_id // 4) AS fam, doc_id % 4 AS m,
+       |         8 * ((doc_id // 4) % 4 + 4) AS w, 8 * ((doc_id // 4) % 3 + 4) AS h,
+       |         (doc_id // 4) % 4 + 3 AS nf,
+       |         doc_id % 7 = 3 AS trunc
+       |  FROM documents
+       |),
+       |fr AS (
+       |  SELECT doc_id, fam, m, w, h, i
+       |  FROM p, LATERAL unnest(range(0, nf, 2)) AS t(i)
+       |  WHERE NOT trunc
+       |),
+       |px AS (
+       |  SELECT doc_id, i, j % 32 AS cx, j // 32 AS cy,
+       |         ((fam * 41
+       |           + (((j % 32) * w // 32) // 8) * (89 + 2 * (fam % 7) + 4 * i)
+       |           + (((j // 32) * h // 32) // 8) * (131 + 2 * (fam % 5) + 6 * i)
+       |           + (((j % 32) * w // 32) // 8) * (((j // 32) * h // 32) // 8) * (53 + fam % 3)) % 200)
+       |           + 3 * m
+       |           + CASE WHEN ((((j % 32) * w // 32) // 8) * 5 + (((j // 32) * h // 32) // 8) * 11 + i) % 31 = 0
+       |                  THEN m ELSE 0 END AS v
+       |  FROM fr, LATERAL unnest(range(0, 1024)) AS tj(j)
+       |),
+       |tmp AS (
+       |  SELECT doc_id, i, cq.u AS u, px.cy AS y, SUM(px.v * cq.c) AS t
+       |  FROM px JOIN cosq cq ON cq.x = px.cx
+       |  GROUP BY doc_id, i, cq.u, px.cy
+       |),
+       |coef AS (
+       |  SELECT doc_id, i, tmp.u AS u, cq.u AS v, SUM(tmp.t * cq.c) AS cf
+       |  FROM tmp JOIN cosq cq ON cq.x = tmp.y
+       |  GROUP BY doc_id, i, tmp.u, cq.u
+       |),
+       |med AS (
+       |  SELECT doc_id, i, cf AS medv FROM (
+       |    SELECT doc_id, i, cf, row_number() OVER (PARTITION BY doc_id, i ORDER BY cf) AS rn
+       |    FROM coef
+       |  ) WHERE rn = 32
+       |),
+       |hash AS (
+       |  SELECT coef.doc_id AS doc_id, coef.i AS i,
+       |         SUM(CASE WHEN (u * 8 + v) // 16 = 0 AND cf > medv THEN 1 << ((u * 8 + v) % 16) ELSE 0 END) AS b0,
+       |         SUM(CASE WHEN (u * 8 + v) // 16 = 1 AND cf > medv THEN 1 << ((u * 8 + v) % 16) ELSE 0 END) AS b1,
+       |         SUM(CASE WHEN (u * 8 + v) // 16 = 2 AND cf > medv THEN 1 << ((u * 8 + v) % 16) ELSE 0 END) AS b2,
+       |         SUM(CASE WHEN (u * 8 + v) // 16 = 3 AND cf > medv THEN 1 << ((u * 8 + v) % 16) ELSE 0 END) AS b3
+       |  FROM coef JOIN med ON med.doc_id = coef.doc_id AND med.i = coef.i
+       |  GROUP BY coef.doc_id, coef.i
+       |)""".stripMargin
+
+  // the SAME literal table the engine's pHash uses (PhashOps.CosQ)
+  private def cosSql: String =
+    (for (x <- 0 until PhashOps.Size; u <- 0 until PhashOps.Freq)
+      yield s"($x, $u, ${PhashOps.CosQ(x)(u)})").mkString(", ")
+
+  override def oracles: Map[String, String] = Map(
+    "video_phash" ->
+      s"""WITH $hashCte
+         |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, 'jpeg' AS status,
+         |       CAST(b0 AS BIGINT) AS b0, CAST(b1 AS BIGINT) AS b1,
+         |       CAST(b2 AS BIGINT) AS b2, CAST(b3 AS BIGINT) AS b3
+         |FROM hash
+         |UNION ALL
+         |SELECT doc_id, CAST(NULL AS BIGINT), 'corrupt',
+         |       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         |       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+         |FROM p WHERE trunc""".stripMargin,
+    // near-dups: the plain quadratic join over frame-ALIGNED hashes —
+    // the banded plan must reproduce it exactly (pigeonhole over the
+    // >= 8 common-frame bands at total hamming <= 6)
+    "video_near_dups" ->
+      s"""WITH $hashCte,
+         |pair AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         SUM(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+         |           + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))) AS hamming
+         |  FROM hash a JOIN hash b ON a.doc_id < b.doc_id AND a.i = b.i
+         |  GROUP BY a.doc_id, b.doc_id
+         |)
+         |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+         |FROM pair WHERE hamming <= 6""".stripMargin)
 }

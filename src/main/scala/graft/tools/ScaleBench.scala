@@ -141,7 +141,10 @@ object ScaleBench {
     // video: AVI container walk + every-2nd-frame MJPEG decode — the
     // frame-sample pipeline, scan-local per doc (the codec floor class
     // times the sampled-frame count)
-    "avi_frames")
+    "avi_frames",
+    // video near-dup: per-sampled-frame pHash + the frame-aligned
+    // banded pair join — the minhash-LSH class with a frame dimension
+    "video_near_dups")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -190,6 +190,10 @@ class EmptyInputSpec extends SparkSpec {
     assert(AudioFpOps.audioNearDups(emptyDocs).count() == 0)
     assert(WavCodecOps.wavPcm(emptyDocs).count() == 0)
     assert(WavCodecOps.wavFeatures(emptyDocs).count() == 0)
+    assert(AviCodecOps.aviMeta(emptyDocs).count() == 0)
+    assert(AviCodecOps.aviFrameSample(emptyDocs).count() == 0)
+    assert(AviCodecOps.videoPhash(emptyDocs).count() == 0)
+    assert(AviCodecOps.videoNearDups(emptyDocs).count() == 0)
   }
 
   test("as-of join with an empty right side left-joins nulls, empty left is empty") {
