@@ -316,6 +316,36 @@ object AviCodecOps {
       doc_id: Long, frame_idx: Option[Long], status: String,
       b0: Option[Long], b1: Option[Long], b2: Option[Long], b3: Option[Long])
 
+  private def videoRowsOf(id: Long, stride: Int): Iterator[VideoPhashRow] = {
+    val bytes = encodeVideoFixture(id)
+    parseAvi(bytes) match {
+      case None =>
+        Iterator.single(VideoPhashRow(id, None, "corrupt", None, None, None, None))
+      case Some(p) =>
+        (0 until p.nFrames by stride).iterator.map { i =>
+          val (off, len) = p.frames(i)
+          JpegCodecOps.decodeJpeg(java.util.Arrays.copyOfRange(bytes, off, off + len)) match {
+            case Some(d) if d.channels == 1 =>
+              val b = PhashOps.phashBands(d.samples, d.width, d.height)
+              VideoPhashRow(id, Some(i.toLong), "jpeg", Some(b(0).toLong),
+                Some(b(1).toLong), Some(b(2).toLong), Some(b(3).toLong))
+            case _ => VideoPhashRow(id, Some(i.toLong), "bad_frame",
+              None, None, None, None)
+          }
+        }
+    }
+  }
+
+  /** A module-level STABLE function for the default stride: a
+    * mapPartitions lambda that captures a parameter is a fresh object
+    * per call, so every invocation builds a plan the CacheManager
+    * treats as distinct — [[videoNearDups]]' cached hash frame would
+    * never be reused across sibling invocations. A stable `val`
+    * makes re-invocations plan-equal (the non-capturing-lambda
+    * property the other codec operators get for free). */
+  private val defaultVideoRows: Iterator[Long] => Iterator[VideoPhashRow] =
+    _.flatMap(videoRowsOf(_, FrameStride))
+
   /** Per SAMPLED frame: container walk → MJPEG decode → the 64-bit
     * perceptual hash ([[PhashOps.phashBands]]) as four 16-bit bands —
     * the video fingerprint is the frame-indexed hash sequence. */
@@ -323,27 +353,10 @@ object AviCodecOps {
     require(stride >= 1, s"stride must be >= 1, got $stride")
     val s = docs.sparkSession
     import s.implicits._
-    docs.select(col("doc_id")).as[Long]
-      .mapPartitions(_.flatMap { id =>
-        val bytes = encodeVideoFixture(id)
-        parseAvi(bytes) match {
-          case None =>
-            Iterator.single(VideoPhashRow(id, None, "corrupt", None, None, None, None))
-          case Some(p) =>
-            (0 until p.nFrames by stride).iterator.map { i =>
-              val (off, len) = p.frames(i)
-              JpegCodecOps.decodeJpeg(java.util.Arrays.copyOfRange(bytes, off, off + len)) match {
-                case Some(d) if d.channels == 1 =>
-                  val b = PhashOps.phashBands(d.samples, d.width, d.height)
-                  VideoPhashRow(id, Some(i.toLong), "jpeg", Some(b(0).toLong),
-                    Some(b(1).toLong), Some(b(2).toLong), Some(b(3).toLong))
-                case _ => VideoPhashRow(id, Some(i.toLong), "bad_frame",
-                  None, None, None, None)
-              }
-            }
-        }
-      })
-      .toDF()
+    val fn =
+      if (stride == FrameStride) defaultVideoRows
+      else (it: Iterator[Long]) => it.flatMap(videoRowsOf(_, stride))
+    docs.select(col("doc_id")).as[Long].mapPartitions(fn).toDF()
   }
 
   /** VIDEO near-dup pairs: candidates share ≥1 (frame_idx, band, bits)
