@@ -155,7 +155,7 @@ object AudioFpOps {
   def audioHashes(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.select(col("doc_id")).as[Long]
+    Par.spread(docs.select(col("doc_id"))).as[Long]
       .mapPartitions(_.map { id =>
         WavCodecOps.decodeWav(encodeAudioFixture(id)) match {
           case Some(d) if d.frames >= FpSamples =>

@@ -208,7 +208,7 @@ object AviCodecOps {
   def aviMeta(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.select(col("doc_id")).as[Long]
+    Par.spread(docs.select(col("doc_id"))).as[Long]
       .mapPartitions(_.map { id =>
         parseAvi(encodeAviFixture(id)) match {
           case Some(p) => AviMetaRow(id, "avi", Some(p.width.toLong),
@@ -234,7 +234,7 @@ object AviCodecOps {
     require(stride >= 1, s"stride must be >= 1, got $stride")
     val s = docs.sparkSession
     import s.implicits._
-    docs.select(col("doc_id")).as[Long]
+    Par.spread(docs.select(col("doc_id"))).as[Long]
       .mapPartitions(_.flatMap { id =>
         val bytes = encodeAviFixture(id)
         parseAvi(bytes) match {
@@ -356,7 +356,7 @@ object AviCodecOps {
     val fn =
       if (stride == FrameStride) defaultVideoRows
       else (it: Iterator[Long]) => it.flatMap(videoRowsOf(_, stride))
-    docs.select(col("doc_id")).as[Long].mapPartitions(fn).toDF()
+    Par.spread(docs.select(col("doc_id"))).as[Long].mapPartitions(fn).toDF()
   }
 
   /** VIDEO near-dup pairs: candidates share ≥1 (frame_idx, band, bits)

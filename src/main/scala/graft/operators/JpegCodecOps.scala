@@ -1427,7 +1427,7 @@ object JpegCodecOps {
   def jpegMediaTable(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.select(col("doc_id")).as[Long]
+    Par.spread(docs.select(col("doc_id"))).as[Long]
       .mapPartitions(_.map(id => (id, encodeFixture(id))))
       .toDF("doc_id", "media")
   }
@@ -1482,7 +1482,7 @@ object JpegCodecOps {
     val s = docs.sparkSession
     import s.implicits._
     jpegDecodeStats(
-      docs.select(col("doc_id")).as[Long]
+      Par.spread(docs.select(col("doc_id"))).as[Long]
         .mapPartitions(_.map(id => (id, encodeProgressiveFixture(id))))
         .toDF("doc_id", "media"))
   }
@@ -1496,7 +1496,7 @@ object JpegCodecOps {
     val s = docs.sparkSession
     import s.implicits._
     jpegDecodeStats(
-      docs.select(col("doc_id")).as[Long]
+      Par.spread(docs.select(col("doc_id"))).as[Long]
         .mapPartitions(_.map(id => (id, encodeProgressiveSAFixture(id))))
         .toDF("doc_id", "media"))
   }
@@ -1505,7 +1505,7 @@ object JpegCodecOps {
   def jpegRgbMediaTable(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.select(col("doc_id")).as[Long]
+    Par.spread(docs.select(col("doc_id"))).as[Long]
       .mapPartitions(_.map(id => (id, encodeColorFixture(id))))
       .toDF("doc_id", "media")
   }
@@ -1563,7 +1563,7 @@ object JpegCodecOps {
     val s = docs.sparkSession
     import s.implicits._
     jpegRgbDecodeStats(
-      docs.select(col("doc_id")).as[Long]
+      Par.spread(docs.select(col("doc_id"))).as[Long]
         .mapPartitions(_.map(id => (id, encode420Fixture(id))))
         .toDF("doc_id", "media"))
   }
@@ -1577,7 +1577,7 @@ object JpegCodecOps {
     val s = docs.sparkSession
     import s.implicits._
     jpegRgbDecodeStats(
-      docs.select(col("doc_id")).as[Long]
+      Par.spread(docs.select(col("doc_id"))).as[Long]
         .mapPartitions(_.map(id => (id, encodeProg420Fixture(id))))
         .toDF("doc_id", "media"))
   }

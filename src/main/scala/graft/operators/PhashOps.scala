@@ -139,7 +139,7 @@ object PhashOps {
   def phashHashes(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.select(col("doc_id")).as[Long]
+    Par.spread(docs.select(col("doc_id"))).as[Long]
       .mapPartitions(_.map { id =>
         PngCodecOps.decodePng(encodePhashFixture(id)) match {
           case Some(d) if d.channels == 1 =>

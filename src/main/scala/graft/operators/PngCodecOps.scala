@@ -486,7 +486,7 @@ object PngCodecOps {
   def pngMediaTable(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.select(col("doc_id")).as[Long]
+    Par.spread(docs.select(col("doc_id"))).as[Long]
       .mapPartitions(_.map(id => (id, encodePng(id))))
       .toDF("doc_id", "media")
   }
@@ -545,7 +545,7 @@ object PngCodecOps {
   private def fixtureChain(docs: DataFrame, enc: Long => Array[Byte]): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.select(col("doc_id")).as[Long]
+    Par.spread(docs.select(col("doc_id"))).as[Long]
       .mapPartitions(_.map(id => (id, enc(id))))
       .toDF("doc_id", "media")
   }

@@ -223,7 +223,7 @@ object WavCodecOps {
     val s = docs.sparkSession
     import s.implicits._
     wavPcmStats(
-      docs.select(col("doc_id")).as[Long]
+      Par.spread(docs.select(col("doc_id"))).as[Long]
         .mapPartitions(_.map(id => (id, encodeWav(id))))
         .toDF("doc_id", "media"))
   }
@@ -253,7 +253,7 @@ object WavCodecOps {
   def wavFeatures(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.select(col("doc_id")).as[Long]
+    Par.spread(docs.select(col("doc_id"))).as[Long]
       .mapPartitions(_.map { id =>
         decodeWav(encodeWav(id)) match {
           case None => WavFeatures(id, "corrupt", None, None, None, None)
