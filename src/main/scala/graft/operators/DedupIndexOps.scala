@@ -198,6 +198,16 @@ object DedupIndexOps {
     // to the protocol's fresh-id frame)
     val wide = graft.Caching.maybeCache(
       DedupOps.minhashWide(DedupOps.shinglePostings(newDocs), meta.numPerms))
+    appendWide(spark, dir, newDocs.select("doc_id"), wide, meta)
+  }
+
+  /** The table-write half of [[appendToIndex]]: `wide` must be the
+    * batch's signature frame at `meta`'s dials and may cover a SUPERSET
+    * of `batchIds` — [[gateAndIngest]] passes its full-batch frame
+    * (already materialized for the serve), so the survivor append reads
+    * the shared cache instead of re-shingling the survivors. */
+  private def appendWide(spark: SparkSession, dir: String, batchIds: DataFrame,
+      wide: DataFrame, meta: IndexMeta): Unit = {
     // appends land as DELTA SEGMENTS (one small file set per batch into
     // `<table>_delta`), NOT as a per-batch fan-out into the partitioned
     // tree: writing one tiny file per touched mb/pb directory measured
@@ -205,7 +215,7 @@ object DedupIndexOps {
     // index) and is the small-files explosion at a 100-TB ingest
     // cadence. mb/pb ride along as data columns so serves prune the
     // delta with the same predicates; compaction folds segments in.
-    IndexLifecycle.appendGuarded(spark, dir, "doc_id", newDocs.select("doc_id"), Seq(
+    IndexLifecycle.appendGuarded(spark, dir, "doc_id", batchIds, Seq(
       IndexLifecycle.GuardedTable("mins", col("k") === 0, fresh =>
         BulkOps.writePath(
             slimWithMb(wide, meta)
@@ -389,9 +399,15 @@ object DedupIndexOps {
     val meta = readMeta(spark, dir)
     // cacheBatch: the fixture reuses one batch plan per call (entries
     // converge); streaming passes false — per-trigger plans are distinct
-    // and a cache entry per trigger would accumulate forever
+    // and a cache entry per trigger would accumulate forever, so the
+    // bounded batch frame is EAGERLY localCheckpointed instead: its
+    // three-plus consumers (intra-batch dupes, the signable mask, the
+    // survivor append's two table writes) read one materialization and
+    // the blocks GC-release with the frame — no recompute per consumer,
+    // no CacheManager entry per trigger
     val wide0 = DedupOps.minhashWide(DedupOps.shinglePostings(batch), meta.numPerms)
-    val wide = if (cacheBatch) graft.Caching.maybeCache(wide0) else wide0
+    val wide = if (cacheBatch) graft.Caching.maybeCache(wide0)
+      else wide0.localCheckpoint(true)
     def best(pairs: DataFrame): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy(col("est_e4").desc, col("dup_of"))
@@ -420,9 +436,14 @@ object DedupIndexOps {
         coalesce(col("i_dup"), col("b_dup")).as("dup_of"),
         coalesce(col("i_est"), col("b_est")).as("est_e4"))
     val report = graft.tools.Prof("gate:report-materialize")(report0.localCheckpoint(true))
-    appendToIndex(spark, dir,
-      batch.join(report.filter(col("verdict") === "ingested").select("doc_id"),
-        Seq("doc_id"), "left_semi"))
+    // survivor append from the gate's OWN signature frame: `wide` is
+    // already materialized for the serve and covers the whole batch —
+    // appendWide's per-table writes filter it to the protocol's fresh
+    // ids, so the append re-reads the shared cache instead of
+    // re-shingling the survivors (which cost a second corpus-free
+    // signature pass per gate call)
+    appendWide(spark, dir,
+      report.filter(col("verdict") === "ingested").select("doc_id"), wide, meta)
     report
   }
 

@@ -159,7 +159,9 @@ object DedupOps {
     * exchange survives at scale. */
   private def postingsPlan(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    docs
+    // Par.spread: the tokenize+explode otherwise runs at the scan's
+    // parallelism (ONE task on the single-row-group fixtures)
+    Par.spread(docs)
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
       .withColumn("t1", lead("tok", 1).over(w))
       .withColumn("t2", lead("tok", 2).over(w))

@@ -141,7 +141,7 @@ object RetrievalOps {
     * from it (Σ tf per doc), so the index alone is sufficient for
     * scoring. */
   def bm25Index(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    Par.spread(docs).select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
 
   /** Incremental BM25 — the index-MAINTENANCE shape: the corpus is split

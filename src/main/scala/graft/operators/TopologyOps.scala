@@ -65,7 +65,11 @@ object TopologyOps {
     * O(#regions) comparisons PER KEY — at billions of keys × 10^5+
     * regions use [[keyRangeLookupBinned]] instead. */
   def keyRangeLookup(keys: DataFrame, regionInfo: DataFrame): DataFrame =
-    keys.join(
+    // the broadcast nested loop streams the PROBE side, so its
+    // parallelism is the probe scan's — a single-row-group fixture scan
+    // plans one task and serializes the O(keys × regions) comparisons;
+    // spreading the narrow key projection first uses the whole machine
+    Par.spread(keys).join(
       broadcast(regionInfo.select(col("region_id"), col("start_key"), col("end_key"))),
       col("probe_key") >= col("start_key") && col("probe_key") < col("end_key"),
       "left")

@@ -95,13 +95,40 @@ object IndexScratch {
     val dstFs = to.getFileSystem(conf)
     if (dstFs.exists(to)) dstFs.delete(to, true)
     dstFs.mkdirs(to.getParent)
-    require(
+    if (isLocal(srcFs) && isLocal(dstFs))
+      // local fast path: HARDLINK the parquet data files instead of
+      // copying their bytes (a sized index tree is hundreds of files —
+      // the byte copy was ~1 s of every dedup_gate call). Safe because
+      // parquet files are immutable everywhere in this lifecycle
+      // (appends create new segment files, compaction/rebuild write
+      // aside and RENAME, deletes unlink — none touches an inode's
+      // bytes); the one in-place-rewritten file (`lease`, renewed via
+      // truncating create) and any other non-parquet file is byte-copied
+      linkTree(java.nio.file.Paths.get(from.toUri.getPath),
+        java.nio.file.Paths.get(to.toUri.getPath))
+    else require(
       org.apache.hadoop.fs.FileUtil.copy(srcFs, from, dstFs, to,
         /* deleteSource = */ false, /* overwrite = */ true, conf),
       s"resetFromPristine: copy $src -> $dst failed")
     // the copy replaced dst's files out-of-band of the lifecycle — any
     // open serving handle on dst is now stale
     graft.operators.IndexLifecycle.invalidateHandles(dst)
+  }
+
+  private def isLocal(fs: org.apache.hadoop.fs.FileSystem): Boolean = {
+    val s = fs.getUri.getScheme
+    s == null || s == "file"
+  }
+
+  private def linkTree(src: Path, dst: Path): Unit = {
+    Files.createDirectories(dst)
+    val children = Files.list(src)
+    try children.forEach { c =>
+      val t = dst.resolve(c.getFileName)
+      if (Files.isDirectory(c)) linkTree(c, t)
+      else if (c.getFileName.toString.endsWith(".parquet")) Files.createLink(t, c)
+      else Files.copy(c, t)
+    } finally children.close()
   }
 
   private lazy val hookInstalled: Boolean = {

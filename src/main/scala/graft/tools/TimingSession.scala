@@ -21,6 +21,30 @@ object TimingSession {
     // depend on the shared materializations, only their cost does)
     sys.env.get("SPARK_GRAFT_CACHE")
       .foreach(v => spark.conf.set(graft.Caching.EnabledKey, v))
+    // SPARK_GRAFT_AQE=false → measure without adaptive execution (dev
+    // A/B knob: sizes the per-query AQE re-planning overhead on the
+    // bounded serve/report queries vs its shuffle wins on the heavies)
+    sys.env.get("SPARK_GRAFT_AQE")
+      .foreach(v => spark.conf.set("spark.sql.adaptive.enabled", v))
+    // GRAFT_PROF=1: per-job wall times to stderr (the UI is disabled in
+    // these harnesses, so this is the job-level attribution channel —
+    // which of a query's many small jobs the seconds actually go to)
+    if (Prof.enabled) {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+      spark.sparkContext.addSparkListener(new SparkListener {
+        private val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+        override def onJobStart(js: SparkListenerJobStart): Unit = {
+          val d = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+          starts.put(js.jobId, (System.nanoTime(), d))
+        }
+        override def onJobEnd(je: SparkListenerJobEnd): Unit =
+          Option(starts.remove(je.jobId)).foreach { case (t0, d) =>
+            System.err.println(
+              f"[prof-job] job=${je.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%7.2fs  $d")
+          }
+      })
+    }
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
