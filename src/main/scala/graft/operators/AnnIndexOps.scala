@@ -180,12 +180,13 @@ object AnnIndexOps {
     * projection on every append. After a crash, the suspect ids — and
     * only those — check the sub=0 slice. A tombstoned vec_id stays
     * skipped (and masked) until [[compactIndex]] drops it physically. */
-  def appendToIndex(spark: SparkSession, dir: String, newVectors: DataFrame): Unit = {
+  def appendToIndex(spark: SparkSession, dir: String, newVectors: DataFrame,
+      knownIds: Option[Seq[Long]] = None): Unit = {
     // the quantizer tables are immutable between builds/rebuilds (both
     // of which invalidate), so the append can read them via the handles
     val cents = IndexLifecycle.servingHandle(spark, dir, "centroids")
     val cb = IndexLifecycle.servingHandle(spark, dir, "codebook")
-    IndexLifecycle.appendGuarded(spark, dir, "vec_id", newVectors.select("vec_id"), Seq(
+    val tables = Seq(
       IndexLifecycle.GuardedTable("postings", col("sub") === 0, fresh =>
         BulkOps.writePath(
             appendBatch(
@@ -196,7 +197,12 @@ object AnnIndexOps {
           // per-directory write fan-out is bounded and small (measured
           // flat at 100×) — a delta would buy nothing here
           .partitionBy("center").save(s"$dir/postings"),
-        mutates = Seq("postings"))))
+        mutates = Seq("postings")))
+    knownIds match {
+      case Some(ids) => IndexLifecycle.appendGuardedSeq(spark, dir, "vec_id", ids, tables)
+      case None =>
+        IndexLifecycle.appendGuarded(spark, dir, "vec_id", newVectors.select("vec_id"), tables)
+    }
   }
 
   /** The drift REMEDY — retrain-and-swap, closing the maintenance loop
@@ -456,7 +462,7 @@ object AnnIndexOps {
     import spark.implicits._
     val batch = rows.map { case (id, v) => (id + base * pass, v) }
       .toDF("vec_id", "embedding")
-    appendToIndex(spark, dir, batch)
+    appendToIndex(spark, dir, batch, knownIds = Some(rows.map(_._1 + base * pass)))
     IndexLifecycle.committedProbe(spark, dir, "vec_id", batch.select("vec_id"))
       .select((col("vec_id") % base).as("vec_id"))
   }

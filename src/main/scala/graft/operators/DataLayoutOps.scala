@@ -383,8 +383,11 @@ object DataLayoutOps {
     * `ORDER BY` whose final merge serializes. */
   def exactQuantiles(df: DataFrame, valueCol: String,
       qsE2: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
-    val t = df.select(col(valueCol).cast("long").as("v"))
-      .filter(col("v").isNotNull)
+    // Par.spread: `t` is read twice (bounds + banding) and its upstream
+    // value computation (e.g. a tokenize) otherwise runs at the 1-task
+    // fixture-scan parallelism on each read
+    val t = Par.spread(df.select(col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull))
     val bounds = t.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
     // both band levels are computed in the one narrow projection: bkt is
     // the ≤1001-way range band, subb the ≤1001-way re-census WITHIN bkt
@@ -476,8 +479,9 @@ object DataLayoutOps {
     // the one dial between the bounded-group and high-cardinality-group
     // variants: how a small per-group frame meets the rows again
     val side = (d: DataFrame) => if (bcast) broadcast(d) else d.hint("shuffle_hash")
-    val t = df.select(col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
-      .filter(col("grp").isNotNull && col("v").isNotNull)
+    val t = Par.spread(
+      df.select(col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
+        .filter(col("grp").isNotNull && col("v").isNotNull))
     val bounds = t.groupBy("grp").agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
     val bucketed = t.join(side(bounds), Seq("grp"))
       .withColumn("w", expr("(hi - lo) DIV 1000L + 1L"))

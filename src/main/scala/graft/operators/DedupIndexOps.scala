@@ -192,13 +192,14 @@ object DedupIndexOps {
     * text is still skipped, and a tombstoned id stays skipped until
     * [[compactIndex]] physically drops it — re-ingesting a deleted doc
     * requires compacting first. */
-  def appendToIndex(spark: SparkSession, dir: String, newDocs: DataFrame): Unit = {
+  def appendToIndex(spark: SparkSession, dir: String, newDocs: DataFrame,
+      knownIds: Option[Seq[Long]] = None): Unit = {
     val meta = graft.tools.Prof("dedup-append:meta")(readMetaFresh(spark, dir))
     // one batch signature pass feeds both table writes (each filtered
     // to the protocol's fresh-id frame)
     val wide = graft.Caching.maybeCache(
       DedupOps.minhashWide(DedupOps.shinglePostings(newDocs), meta.numPerms))
-    appendWide(spark, dir, newDocs.select("doc_id"), wide, meta)
+    appendWide(spark, dir, knownIds.toLeft(newDocs.select("doc_id")), wide, meta)
   }
 
   /** The table-write half of [[appendToIndex]]: `wide` must be the
@@ -206,7 +207,8 @@ object DedupIndexOps {
     * of `batchIds` — [[gateAndIngest]] passes its full-batch frame
     * (already materialized for the serve), so the survivor append reads
     * the shared cache instead of re-shingling the survivors. */
-  private def appendWide(spark: SparkSession, dir: String, batchIds: DataFrame,
+  private def appendWide(spark: SparkSession, dir: String,
+      batchIds: Either[Seq[Long], DataFrame],
       wide: DataFrame, meta: IndexMeta): Unit = {
     // appends land as DELTA SEGMENTS (one small file set per batch into
     // `<table>_delta`), NOT as a per-batch fan-out into the partitioned
@@ -215,7 +217,7 @@ object DedupIndexOps {
     // index) and is the small-files explosion at a 100-TB ingest
     // cadence. mb/pb ride along as data columns so serves prune the
     // delta with the same predicates; compaction folds segments in.
-    IndexLifecycle.appendGuarded(spark, dir, "doc_id", batchIds, Seq(
+    val tables = Seq(
       IndexLifecycle.GuardedTable("mins", col("k") === 0, fresh =>
         BulkOps.writePath(
             slimWithMb(wide, meta)
@@ -233,7 +235,11 @@ object DedupIndexOps {
               .repartition(1),
             SaveMode.Append)
           .save(s"$dir/sigs_delta"),
-        mutates = Seq("sigs_delta"))))
+        mutates = Seq("sigs_delta")))
+    batchIds match {
+      case Left(ids) => IndexLifecycle.appendGuardedSeq(spark, dir, "doc_id", ids, tables)
+      case Right(df) => IndexLifecycle.appendGuarded(spark, dir, "doc_id", df, tables)
+    }
   }
 
   /** Dedup an arriving batch against the STORED index: returns
@@ -443,7 +449,7 @@ object DedupIndexOps {
     // re-shingling the survivors (which cost a second corpus-free
     // signature pass per gate call)
     appendWide(spark, dir,
-      report.filter(col("verdict") === "ingested").select("doc_id"), wide, meta)
+      Right(report.filter(col("verdict") === "ingested").select("doc_id")), wide, meta)
     report
   }
 
@@ -617,7 +623,8 @@ object DedupIndexOps {
     import spark.implicits._
     val batch = rows.map { case (id, text) => (id + base * pass, text) }
       .toDF("doc_id", "text")
-    graft.tools.Prof("dedup_ao:append")(appendToIndex(spark, dir, batch))
+    graft.tools.Prof("dedup_ao:append")(appendToIndex(spark, dir, batch,
+      knownIds = Some(rows.map(_._1 + base * pass))))
     graft.tools.Prof("dedup_ao:probe-plan")(
       IndexLifecycle.committedProbe(spark, dir, "doc_id", batch.select("doc_id"))
         .select((col("doc_id") % base).as("doc_id")))

@@ -473,7 +473,25 @@ object IndexLifecycle {
     * live writer refuses loudly instead of corrupting counts;
     * concurrent SERVES are safe throughout. */
   def appendGuarded(spark: SparkSession, dir: String, idCol: String,
-      batchIds0: DataFrame, tables: Seq[GuardedTable]): Unit = {
+      batchIds0: DataFrame, tables: Seq[GuardedTable]): Unit =
+    // the batch id set is BOUNDED app input (an ingest batch), so the
+    // protocol state lives DRIVER-RESIDENT: collect once, and every
+    // downstream use (classification, marker, sidecar segment, the
+    // per-table broadcast semi-joins) works from the same local set —
+    // deterministic across its many reads with no checkpoint, and each
+    // protocol step costs exactly one Spark job
+    appendGuardedSeq(spark, dir, idCol,
+      graft.tools.Prof("append:batch-collect")(
+        batchIds0.select(col(idCol).cast("long").as(idCol))
+          .distinct().collect().map(_.getLong(0)).toIndexedSeq),
+      tables)
+
+  /** [[appendGuarded]] for callers whose batch ids are ALREADY
+    * driver-resident (the fixture/streaming chains assemble their
+    * batches from local rows): same protocol, minus the one Spark job
+    * that collected an id set the caller was holding all along. */
+  private[graft] def appendGuardedSeq(spark: SparkSession, dir: String, idCol: String,
+      batchIds1: Seq[Long], tables: Seq[GuardedTable]): Unit = {
     require(BulkOps.fileExists(spark, s"$dir/ids"),
       s"no ids sidecar under $dir — appends require an index written by this lifecycle")
     // a crashed fold/rebuild left its roll-forward journal: recovery
@@ -494,15 +512,7 @@ object IndexLifecycle {
     // legally change it mid-append).
     val parts = readIdParts(spark, dir)
     import spark.implicits._
-    // the batch id set is BOUNDED app input (an ingest batch), so the
-    // protocol state lives DRIVER-RESIDENT: collect once, and every
-    // downstream use (classification, marker, sidecar segment, the
-    // per-table broadcast semi-joins) works from the same local set —
-    // deterministic across its many reads with no checkpoint, and each
-    // protocol step costs exactly one Spark job
-    val batchSeq = graft.tools.Prof("append:batch-collect")(
-      batchIds0.select(col(idCol).cast("long").as(idCol))
-        .distinct().collect().map(_.getLong(0)).toIndexedSeq)
+    val batchSeq = batchIds1.distinct.toIndexedSeq
     if (batchSeq.isEmpty) return
 
     // step 1: resolve old markers; leftovers are the suspect pool
@@ -526,9 +536,13 @@ object IndexLifecycle {
     val suspects: Option[Set[Long]] =
       Some(suspectPool.intersect(toCommitSeq.toSet)).filter(_.nonEmpty)
 
-    // step 3: pending marker (the ids this append intends to commit)
+    // step 3: pending marker (the ids this append intends to commit).
+    // The id set is driver-resident and bounded, so the write is a
+    // DIRECT single-file put when the seam allows (no Spark job for a
+    // one-file write of data the driver already holds)
     val marker = s"$dir/pending/p_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    BulkOps.writePath(toCommit.repartition(1), SaveMode.Overwrite).save(marker)
+    if (!BulkOps.writeIdsDirect(spark, marker, idCol, toCommitSeq))
+      BulkOps.writePath(toCommit.repartition(1), SaveMode.Overwrite).save(marker)
     // the post-append sidecar inventory: set only when step 5 completed
     // AND its incremental re-list ran — any crash leaves it None, so the
     // finally below drops the memo and the next append re-walks the tree
@@ -568,8 +582,9 @@ object IndexLifecycle {
       // directory at local[32], and the small-files explosion at 100 TB;
       // compaction folds segments into the ib-partitioned base)
       graft.tools.Prof("append:write-ids")(
-        BulkOps.writePath(toCommit.repartition(1), SaveMode.Append)
-          .save(s"$dir/ids_delta"))
+        if (!BulkOps.writeIdsDirect(spark, s"$dir/ids_delta", idCol, toCommitSeq))
+          BulkOps.writePath(toCommit.repartition(1), SaveMode.Append)
+            .save(s"$dir/ids_delta"))
       maybeCrash("ids")
       // refresh the file inventory IN PLACE: only the one-directory
       // delta gained a segment — the steady-state append cadence never

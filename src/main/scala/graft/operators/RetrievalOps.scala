@@ -246,7 +246,8 @@ object RetrievalOps {
     * which perturbs only the corpus scalars it honestly belongs to —
     * the reverse order would inflate a term's df with a doc the length
     * join cannot score. */
-  def bm25AppendDocs(spark: SparkSession, dir: String, newDocs: DataFrame): Unit = {
+  def bm25AppendDocs(spark: SparkSession, dir: String, newDocs: DataFrame,
+      knownIds: Option[Seq[Long]] = None): Unit = {
     import graft.sources.BulkOps
     // one delta index feeds both appends (cached; each write filters to
     // the protocol's fresh-id frame)
@@ -254,7 +255,7 @@ object RetrievalOps {
     // direct single-directory appends, NOT delta segments: both tables
     // are unpartitioned, so there is no per-directory write fan-out for
     // a delta to avoid
-    IndexLifecycle.appendGuarded(spark, dir, "doc_id", newDocs.select("doc_id"), Seq(
+    val tables = Seq(
       IndexLifecycle.GuardedTable("lens", lit(true), fresh =>
         BulkOps.writePath(
             idx.join(broadcast(fresh), Seq("doc_id"), "left_semi")
@@ -267,7 +268,12 @@ object RetrievalOps {
             idx.join(broadcast(fresh), Seq("doc_id"), "left_semi"),
             org.apache.spark.sql.SaveMode.Append)
           .save(s"$dir/postings"),
-        mutates = Seq("postings"))))
+        mutates = Seq("postings")))
+    knownIds match {
+      case Some(ids) => IndexLifecycle.appendGuardedSeq(spark, dir, "doc_id", ids, tables)
+      case None =>
+        IndexLifecycle.appendGuarded(spark, dir, "doc_id", newDocs.select("doc_id"), tables)
+    }
   }
 
   /** The `bm25_ing_served` fixture chain — the stored-index APPEND path
@@ -358,7 +364,7 @@ object RetrievalOps {
     import spark.implicits._
     val batch = rows.map { case (id, text) => (id + base * pass, text) }
       .toDF("doc_id", "text")
-    bm25AppendDocs(spark, dir, batch)
+    bm25AppendDocs(spark, dir, batch, knownIds = Some(rows.map(_._1 + base * pass)))
     IndexLifecycle.committedProbe(spark, dir, "doc_id", batch.select("doc_id"))
       .select((col("doc_id") % base).as("doc_id"))
   }

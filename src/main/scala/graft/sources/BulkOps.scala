@@ -170,6 +170,41 @@ object BulkOps {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** DRIVER-side single-file write of a bounded id set into `dir` — the
+    * index-protocol fast path for pending markers and sidecar delta
+    * segments, whose data (an ingest batch's ids) is driver-resident by
+    * construction. A Spark write of the same rows costs a full job
+    * (repartition(1), one task, the commit protocol) to produce one tiny
+    * file; this writes the file through parquet-hadoop directly and
+    * costs no job at all. Eligible only under the DEFAULT seam
+    * configuration (`parquet`, no reader/writer options) — any custom
+    * format or option set falls back to the seam write, so the
+    * `graft.source.*` contract is preserved; returns whether it wrote.
+    * The file lands under a unique part name beside any existing
+    * segments, i.e. exactly `SaveMode.Append` directory semantics. */
+  private[graft] def writeIdsDirect(spark: SparkSession, dir: String,
+      idCol: String, ids: Seq[Long]): Boolean = {
+    if (Tables.sourceFormat(spark) != "parquet" || Tables.sourceOptions(spark).nonEmpty)
+      return false
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    val schema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      s"message spark_schema { required int64 $idCol; }")
+    val file = new org.apache.hadoop.fs.Path(
+      s"$dir/part-00000-${java.util.UUID.randomUUID()}.snappy.parquet")
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, conf))
+      .withConf(conf)
+      .withType(schema)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    val groups = new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)
+    try ids.foreach { id => writer.write(groups.newGroup().append(idCol, id)) }
+    finally writer.close()
+    true
+  }
+
   private[graft] def deletePath(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
