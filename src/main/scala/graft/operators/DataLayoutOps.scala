@@ -308,7 +308,12 @@ object DataLayoutOps {
       // nulls, consistent with n_rows/n_distinct = 0
       coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"${c}__nulls"),
       countDistinct(col(c)).as(s"${c}__distinct")))
-    val wide = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    // Par.spread on the profiled projection: the multi-distinct plans an
+    // Expand (|cols|+1 rows per input row) whose partial aggregation
+    // runs BEFORE the first shuffle — at the fixture tables' 1-3 scan
+    // tasks that row multiplication serialized on a few cores
+    val wide = Par.spread(df.select(cols.map(col): _*))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
     val stackArgs = cols.map(c => s"'$c', ${c}__nulls, ${c}__distinct").mkString(", ")
     wide.select(col("n_rows"),
       expr(s"stack(${cols.size}, $stackArgs) AS (column_name, n_nulls, n_distinct)"))
