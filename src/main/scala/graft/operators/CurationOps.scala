@@ -350,7 +350,7 @@ object CurationOps {
     // cached: the unigram and bigram branches both read the token
     // explode; uncached, the corpus parse runs once per branch
     val toks = graft.Caching.maybeCache(
-      Par.spread(docs).select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok"))))
+      docs.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok"))))
     val uni = toks.select(lit(1).as("n"), col("tok").as("gram"))
     val bi = toks
       .withColumn("t1", lead("tok", 1).over(w))

@@ -308,12 +308,7 @@ object DataLayoutOps {
       // nulls, consistent with n_rows/n_distinct = 0
       coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"${c}__nulls"),
       countDistinct(col(c)).as(s"${c}__distinct")))
-    // Par.spread on the profiled projection: the multi-distinct plans an
-    // Expand (|cols|+1 rows per input row) whose partial aggregation
-    // runs BEFORE the first shuffle — at the fixture tables' 1-3 scan
-    // tasks that row multiplication serialized on a few cores
-    val wide = Par.spread(df.select(cols.map(col): _*))
-      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val wide = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
     val stackArgs = cols.map(c => s"'$c', ${c}__nulls, ${c}__distinct").mkString(", ")
     wide.select(col("n_rows"),
       expr(s"stack(${cols.size}, $stackArgs) AS (column_name, n_nulls, n_distinct)"))
@@ -388,11 +383,8 @@ object DataLayoutOps {
     * `ORDER BY` whose final merge serializes. */
   def exactQuantiles(df: DataFrame, valueCol: String,
       qsE2: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
-    // Par.spread: `t` is read twice (bounds + banding) and its upstream
-    // value computation (e.g. a tokenize) otherwise runs at the 1-task
-    // fixture-scan parallelism on each read
-    val t = Par.spread(df.select(col(valueCol).cast("long").as("v"))
-      .filter(col("v").isNotNull))
+    val t = df.select(col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
     val bounds = t.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
     // both band levels are computed in the one narrow projection: bkt is
     // the ≤1001-way range band, subb the ≤1001-way re-census WITHIN bkt
@@ -484,9 +476,8 @@ object DataLayoutOps {
     // the one dial between the bounded-group and high-cardinality-group
     // variants: how a small per-group frame meets the rows again
     val side = (d: DataFrame) => if (bcast) broadcast(d) else d.hint("shuffle_hash")
-    val t = Par.spread(
-      df.select(col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
-        .filter(col("grp").isNotNull && col("v").isNotNull))
+    val t = df.select(col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
+      .filter(col("grp").isNotNull && col("v").isNotNull)
     val bounds = t.groupBy("grp").agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
     val bucketed = t.join(side(bounds), Seq("grp"))
       .withColumn("w", expr("(hi - lo) DIV 1000L + 1L"))
