@@ -382,7 +382,10 @@ object AviCodecOps {
         explode(lit((0 until 4).toArray)).as("band"))
       .withColumn("bits",
         expr("CASE band WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END"))
-    val capped = DedupOps.capBuckets(banded, Seq("frame_idx", "band", "bits"))
+    // cached: the candidate self-join reads the capped banding twice,
+    // and each uncached read re-runs the bucket-count window
+    val capped = graft.Caching.maybeCache(
+      DedupOps.capBuckets(banded, Seq("frame_idx", "band", "bits")))
     val cand = capped.as("a").join(capped.as("b"),
         col("a.frame_idx") === col("b.frame_idx") && col("a.band") === col("b.band") &&
           col("a.bits") === col("b.bits") && col("a.doc_id") < col("b.doc_id"))

@@ -670,8 +670,10 @@ object MultimodalOps {
         col("ahash"), explode(lit((0 until bands).toArray)).as("band"))
       .withColumn("bits",
         expr(s"shiftright(ahash, band * $bw) & ${(1L << bw) - 1}L"))
-    val capped = DedupOps.capBuckets(banded,
-      Seq("width", "height", "channels", "band", "bits"))
+    // cached: the candidate self-join reads the capped banding twice,
+    // and each uncached read re-runs the bucket-count window
+    val capped = graft.Caching.maybeCache(DedupOps.capBuckets(banded,
+      Seq("width", "height", "channels", "band", "bits")))
     val cand = capped.as("a").join(capped.as("b"),
         col("a.width") === col("b.width") &&
           col("a.height") === col("b.height") &&
