@@ -183,7 +183,11 @@ object AudioFpOps {
         explode(lit((0 until 4).toArray)).as("band"))
       .withColumn("bits",
         expr("CASE band WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END"))
-    val capped = DedupOps.capBuckets(banded, Seq("band", "bits"))
+    // cached: the candidate self-join reads the capped banding twice,
+    // and each uncached read re-runs the bucket-count window (the
+    // minhashCandidates convention)
+    val capped = graft.Caching.maybeCache(
+      DedupOps.capBuckets(banded, Seq("band", "bits")))
     def ham(a: String, b: String): Column =
       expr(s"CAST(bit_count(a.$a ^ b.$b) AS BIGINT)")
     capped.as("a").join(capped.as("b"),
