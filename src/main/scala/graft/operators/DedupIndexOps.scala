@@ -196,9 +196,9 @@ object DedupIndexOps {
       knownIds: Option[Seq[Long]] = None): Unit = {
     val meta = graft.tools.Prof("dedup-append:meta")(readMetaFresh(spark, dir))
     // one batch signature pass feeds both table writes (each filtered
-    // to the protocol's fresh-id frame)
+    // to the protocol's fresh-id frame); spread=false — bounded batch
     val wide = graft.Caching.maybeCache(
-      DedupOps.minhashWide(DedupOps.shinglePostings(newDocs), meta.numPerms))
+      DedupOps.minhashWide(DedupOps.shinglePostings(newDocs, spread = false), meta.numPerms))
     appendWide(spark, dir, knownIds.toLeft(newDocs.select("doc_id")), wide, meta)
   }
 
@@ -275,7 +275,7 @@ object DedupIndexOps {
     // cached: the batch minima feed the banded probe AND the agreement
     // join (streaming callers pass cacheBatch=false — a per-micro-batch
     // cache entry would accumulate forever, the servedTopK convention)
-    val wideB0 = DedupOps.minhashWide(DedupOps.shinglePostings(batch), meta.numPerms)
+    val wideB0 = DedupOps.minhashWide(DedupOps.shinglePostings(batch, spread = false), meta.numPerms)
     val wideB = if (cacheBatch) graft.Caching.maybeCache(wideB0) else wideB0
     val bBanded = bandedWithPb(wideB, meta)
     val bSlim = slimFromWide(wideB, meta.numPerms)
@@ -411,7 +411,7 @@ object DedupIndexOps {
     // survivor append's two table writes) read one materialization and
     // the blocks GC-release with the frame — no recompute per consumer,
     // no CacheManager entry per trigger
-    val wide0 = DedupOps.minhashWide(DedupOps.shinglePostings(batch), meta.numPerms)
+    val wide0 = DedupOps.minhashWide(DedupOps.shinglePostings(batch, spread = false), meta.numPerms)
     val wide = if (cacheBatch) graft.Caching.maybeCache(wide0)
       else wide0.localCheckpoint(true)
     def best(pairs: DataFrame): DataFrame = {

@@ -149,7 +149,7 @@ object DedupOps {
 
   /** Dev-tool hook (TimeSeq cache probe): the postings plan WITHOUT the
     * .cache() registration, so a CacheManager lookup reflects reality. */
-  private[graft] def postingsPlanForProbe(docs: DataFrame): DataFrame = postingsPlan(docs)
+  private[graft] def postingsPlanForProbe(docs: DataFrame): DataFrame = postingsPlan(docs, spread = true)
 
   /** Distinct (doc_id, shingle-hash) postings — shared by minhash /
     * simhash / jaccard. Shingles come from posexplode + two window leads
@@ -157,11 +157,15 @@ object DedupOps {
     * fully codegen'd (3-5× faster locally), and its doc_id shuffle is
     * reused by the very next distinct/groupBy stages, so no extra
     * exchange survives at scale. */
-  private def postingsPlan(docs: DataFrame): DataFrame = {
+  private def postingsPlan(docs: DataFrame, spread: Boolean): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     // Par.spread: the tokenize+explode otherwise runs at the scan's
-    // parallelism (ONE task on the single-row-group fixtures)
-    Par.spread(docs)
+    // parallelism (ONE task on the single-row-group fixtures). Gated off
+    // on per-batch paths (`spread = false` from the stored-index
+    // serve/append/gate callers): a bounded ingest batch pays a
+    // round-robin exchange plus a planning probe per call that its
+    // few-hundred-doc tokenize never earns back.
+    (if (spread) Par.spread(docs) else docs)
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
       .withColumn("t1", lead("tok", 1).over(w))
       .withColumn("t2", lead("tok", 2).over(w))
@@ -171,7 +175,7 @@ object DedupOps {
       .distinct()
   }
 
-  private[operators] def shinglePostings(docs: DataFrame): DataFrame =
+  private[operators] def shinglePostings(docs: DataFrame, spread: Boolean = true): DataFrame =
     // Materialize once, share everywhere: the dedup/curation family
     // references the postings 5+ times per query (signatures, the df²
     // self-join, sizes, candidate restriction) and Spark re-derives the
@@ -181,7 +185,7 @@ object DedupOps {
     // shared entry; MEMORY_AND_DISK spills instead of OOMing at scale —
     // the classic "build the posting list once" pattern. Lifecycle and
     // staleness controls live in graft.Caching (opt-out conf + release).
-    graft.Caching.maybeCache(postingsPlan(docs))
+    graft.Caching.maybeCache(postingsPlan(docs, spread))
 
   private def shingleSizes(postings: DataFrame): DataFrame =
     postings.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
@@ -688,11 +692,16 @@ object DedupOps {
     }
     // ONE cached truth frame serves the plain and both multi-probe rows
     val embTruthShared = graft.Caching.maybeCache(embTruth)
-    row("minhash", truthJac, mhFound)
-      .unionByName(row("simhash", shTruth, shFound))
-      .unionByName(row("embedding", embTruthShared, embFound))
-      .unionByName(row("embedding_mp", embTruthShared, mpFound))
-      .unionByName(row("embedding_mp2", embTruthShared, mp2Found))
+    // five INDEPENDENT truth/found pipelines — materialize them on
+    // overlapping wall-clock (§2.6) instead of letting the union's
+    // single action walk them serially; the unioned rows are identical
+    Par.materializeConcurrently(Seq(
+      row("minhash", truthJac, mhFound),
+      row("simhash", shTruth, shFound),
+      row("embedding", embTruthShared, embFound),
+      row("embedding_mp", embTruthShared, mpFound),
+      row("embedding_mp2", embTruthShared, mp2Found)))
+      .reduce(_.unionByName(_))
   }
 
   /** Candidate-efficiency stats per blocker — the COST counterpart of
@@ -728,9 +737,12 @@ object DedupOps {
           when(col("n_candidates") === 0, lit(10000L))
             .otherwise(floor(col("n_verified") / col("n_candidates") * 10000 + 0.5).cast("long"))
             .as("precision_e4"))
-    row("minhash", mhCand, mhVer)
-      .unionByName(row("simhash", shCand, shVer))
-      .unionByName(row("embedding", embScored, embVer))
+    // three independent candidate/verified pipelines — overlapped (§2.6)
+    Par.materializeConcurrently(Seq(
+      row("minhash", mhCand, mhVer),
+      row("simhash", shCand, shVer),
+      row("embedding", embScored, embVer)))
+      .reduce(_.unionByName(_))
   }
 
   /** Cross-source overlap matrix: near-dup pairs ([[simhashDedup]])

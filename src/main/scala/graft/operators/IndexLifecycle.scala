@@ -84,6 +84,21 @@ import org.apache.spark.sql.functions._
   * Reference analogue: the write-then-verify-then-swap discipline of
   * api/common/HBaseStaticHelper.java:41-78 (replaceTable with backup),
   * applied per ingest batch.
+  *
+  * ## INVARIANT: parquet data files are immutable (inode-level)
+  *
+  * No lifecycle operation may rewrite a parquet data file IN PLACE:
+  * appends create NEW segment files, compaction and rebuild write aside
+  * and RENAME, deletes unlink. This is load-bearing beyond tidiness —
+  * [[graft.tools.IndexScratch.resetFromPristine]] HARDLINKS parquet
+  * files on local filesystems (a pristine fixture copy shares inodes
+  * with the working dir), so an in-place rewrite through one link would
+  * silently corrupt every other tree sharing the inode. The one
+  * in-place-rewritten file, `lease`, is not parquet and is explicitly
+  * byte-copied there. Guarded by a spec that asserts pristine-file
+  * immutability across a full gate cycle (IndexLifecycleSpec). A future
+  * writer that needs to replace a file must write beside and rename —
+  * never open an existing data file for write.
   */
 object IndexLifecycle {
 

@@ -23,8 +23,51 @@ import org.apache.spark.sql.DataFrame
   * local[32] constant.
   */
 object Par {
+  /** SCAN-ONLY CONTRACT: pass scans / narrow projections with no
+    * exchange below. The partition probe realizes the plan's RDD, which
+    * is one extra physical planning for a scan but would eagerly
+    * materialize query stages (run real jobs) under AQE if the plan
+    * contained an exchange.
+    *
+    * Driver-assembled bounded batches (LocalRelation leaves — the
+    * append/serve fixture inputs) are returned untouched without even
+    * the probe: `LocalTableScanExec` already plans
+    * min(rows, leafNodeDefaultParallelism) slices, so the repartition
+    * could never fire and the probe is pure planning overhead on paths
+    * called once per ingest batch. */
   def spread(df: DataFrame): DataFrame = {
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    val allLocal = leaves.nonEmpty && leaves.forall {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case _ => false
+    }
+    if (allLocal) return df
     val want = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
+  /** Materialize INDEPENDENT frames concurrently (guide §2.6 "overlap
+    * independent jobs"): actions are only sequential because driver code
+    * calls them sequentially — submitting the eval harness's five
+    * truth/found pipelines from a small thread pool lets the next
+    * pipeline's tasks back-fill executors idled by the current one's
+    * straggler tail. Each frame is EAGERLY `localCheckpoint`ed (blocks
+    * GC-release with the frame; no CacheManager entry), so the returned
+    * frames are materialized, order-stable, and cheap to union. FIFO
+    * scheduling (the default) gives exactly the back-fill behaviour.
+    * Results are unchanged — the same deterministic frames, computed on
+    * overlapping wall-clock. Shared cached subtrees are safe: block-level
+    * locking makes the second reader wait for the first writer. */
+  def materializeConcurrently(frames: Seq[DataFrame], maxInFlight: Int = 3): Seq[DataFrame] = {
+    if (frames.size <= 1) return frames.map(_.localCheckpoint(true))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(maxInFlight, frames.size))
+    try {
+      val futs = frames.map(f =>
+        pool.submit(new java.util.concurrent.Callable[DataFrame] {
+          override def call(): DataFrame = f.localCheckpoint(true)
+        }))
+      futs.map(_.get())
+    } finally pool.shutdown()
   }
 }

@@ -139,9 +139,17 @@ object RetrievalOps {
     * base corpus and persisted; each ingest batch appends its own
     * postings — base TEXT is never rescanned. Doc lengths are derivable
     * from it (Σ tf per doc), so the index alone is sufficient for
-    * scoring. */
-  def bm25Index(docs: DataFrame): DataFrame =
-    Par.spread(docs).select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    * scoring.
+    *
+    * `spread` gates the scan fan-out ([[Par.spread]]) and must be FALSE
+    * on per-batch / delta paths: an ingest batch (hundreds of rows) pays
+    * a round-robin exchange plus a planning probe that dwarf its
+    * tokenize — the r13 driver bench measured the whole bm25 family
+    * 20-65% slower with the spread unconditional. Only the full-corpus
+    * build ([[bm25WriteIndex]]) keeps it. */
+  def bm25Index(docs: DataFrame, spread: Boolean = false): DataFrame =
+    (if (spread) Par.spread(docs) else docs)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
 
   /** Incremental BM25 — the index-MAINTENANCE shape: the corpus is split
@@ -182,7 +190,7 @@ object RetrievalOps {
     // single-writer from the FIRST table write of the build (writeIds
     // renews the same lease)
     IndexLifecycle.acquireLease(docs.sparkSession, dir)
-    val idx = graft.Caching.maybeCache(bm25Index(docs))
+    val idx = graft.Caching.maybeCache(bm25Index(docs, spread = true))
     val lens = graft.Caching.maybeCache(
       idx.groupBy("doc_id").agg(sum(col("tf")).as("len")))
     graft.sources.BulkOps.writePath(lens, org.apache.spark.sql.SaveMode.Overwrite)

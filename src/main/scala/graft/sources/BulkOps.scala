@@ -188,12 +188,26 @@ object BulkOps {
       return false
     val conf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
+    // `optional`, matching Spark's own parquet writer exactly: seam
+    // writes into the same delta directories emit optional int64, and a
+    // mixed required/optional column across segments breaks mergeSchema
+    // and stricter readers (values are non-null either way)
     val schema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
-      s"message spark_schema { required int64 $idCol; }")
+      s"message spark_schema { optional int64 $idCol; }")
+    val uuid = java.util.UUID.randomUUID()
     val file = new org.apache.hadoop.fs.Path(
-      s"$dir/part-00000-${java.util.UUID.randomUUID()}.snappy.parquet")
+      s"$dir/part-00000-$uuid.snappy.parquet")
+    // write to a dot-prefixed temp name (invisible to parquet directory
+    // readers) and RENAME into place after close — atomic on local FS
+    // and HDFS. A crash mid-write then leaves only an ignored temp file,
+    // never a torn footer-less parquet visible in pending/ or ids_delta/
+    // that would make every later marker resolution or sidecar read
+    // throw — the same "commit by rename" guarantee the old Spark write
+    // had via FileOutputCommitter.
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$dir/.part-00000-$uuid.snappy.parquet.tmp")
     val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
-      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, conf))
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(tmp, conf))
       .withConf(conf)
       .withType(schema)
       .withCompressionCodec(
@@ -202,6 +216,11 @@ object BulkOps {
     val groups = new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)
     try ids.foreach { id => writer.write(groups.newGroup().append(idCol, id)) }
     finally writer.close()
+    val fs = tmp.getFileSystem(conf)
+    if (!fs.rename(tmp, file)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"writeIdsDirect: rename $tmp -> $file failed")
+    }
     true
   }
 

@@ -126,7 +126,15 @@ object IndexScratch {
     try children.forEach { c =>
       val t = dst.resolve(c.getFileName)
       if (Files.isDirectory(c)) linkTree(c, t)
-      else if (c.getFileName.toString.endsWith(".parquet")) Files.createLink(t, c)
+      else if (c.getFileName.toString.endsWith(".parquet"))
+        // per-file fallback to a byte copy: hardlinks fail across mounts
+        // (EXDEV — tmp dirs can span filesystems) and on filesystems
+        // without link support; a copy is always correct, just slower
+        try Files.createLink(t, c)
+        catch {
+          case _: UnsupportedOperationException | _: java.io.IOException =>
+            Files.copy(c, t)
+        }
       else Files.copy(c, t)
     } finally children.close()
   }
