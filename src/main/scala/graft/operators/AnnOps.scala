@@ -728,22 +728,28 @@ object PqOps {
       embeddings: DataFrame, cb: DataFrame, cbKeys: Seq[String],
       nQueries: Int, k: Int, nprobe: Int): DataFrame = {
     val corpus = AnnOps.ivfAssignmentsRanked(embeddings, 1).select("vec_id", "center")
-    val probes = AnnOps.ivfAssignmentsRanked(embeddings, nprobe)
-      .filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("center"))
+    // pinned bounded probe-side frames (the AnnIndexOps.servedTopK
+    // treatment): the probe set and the per-probed-center LUT are
+    // |q|-bounded, re-referenced under deep subplans, and the chain's
+    // cost at fixture scale is plan depth — pinning truncates every
+    // downstream plan at a materialized bounded frame
+    val probes = graft.Caching.pinForConsistency(
+      AnnOps.ivfAssignmentsRanked(embeddings, nprobe)
+        .filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("center")))
     val centers = EmbeddingStatsOps.centroids(embeddings)
       .select(col("label").cast("long").as("center"), col("dim"), col("centroid_q"))
     val qdims = EmbeddingStatsOps.quantized(embeddings)
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("dim"), col("xq"))
-    val lut = qdims
+    val lut = graft.Caching.pinForConsistency(qdims
       .join(broadcast(probes), Seq("qid"))
       .join(broadcast(centers), Seq("center", "dim"))
       .withColumn("sub", expr(s"(dim - 1) div $SubDims"))
       .join(broadcast(cb), cbKeys)
       .withColumn("d", col("xq") - col("centroid_q") - col("rc"))
       .groupBy("qid", "center", "sub", "code")
-      .agg(sum(col("d") * col("d")).as("lut_q"))
+      .agg(sum(col("d") * col("d")).as("lut_q")))
     val scored = codesFor(embeddings, cb, cbKeys)
       .join(corpus, Seq("vec_id"))
       .join(broadcast(probes), Seq("center"))

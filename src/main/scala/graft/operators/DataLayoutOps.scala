@@ -295,25 +295,41 @@ object DataLayoutOps {
       .select("key", "n_rows", "share_e4", "selfjoin_rows", "rnk")
   }
 
-  /** Single-pass column profiler: per-column null count and EXACT
-    * distinct count plus the row total — the schema-quality census run
-    * before a table joins a pipeline. One aggregation over one scan
-    * (Spark plans the multi-distinct via Expand — |cols| passes over
-    * each row in-memory, still one scan and one shuffle of partial
-    * states), then a `stack` unpivot to one row per column. */
+  /** Column profiler: per-column null count and EXACT distinct count
+    * plus the row total — the schema-quality census run before a table
+    * joins a pipeline. One COLUMN-PRUNED pass per column, materialized
+    * concurrently (guide §2.6): a single multi-distinct aggregation
+    * makes Spark plan an Expand that multiplies every row |cols|+1
+    * times inside the scan stage — on a single-row-group fixture scan
+    * that is (|cols|+1)·|rows| rows ground through ONE task (measured:
+    * the dominant 1.2 s of the 1.8 s profile query). Per-column
+    * aggregations plan the cheap two-level distinct with no Expand,
+    * each scan reads exactly its one column (at 100 TB the total bytes
+    * read match the fused scan's, column pruning — while the Expand
+    * variant writes |cols|× partial-state shuffle rows), and the
+    * independent pipelines overlap on the cluster. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty && cols.forall(df.columns.contains), s"unknown columns in $cols")
-    val aggs = cols.flatMap(c => Seq(
+    graft.operators.Par.materializeConcurrently(cols.map(c => profilePass(df, c)))
+      .reduce(_.unionByName(_))
+  }
+
+  /** One column's profiling pass — a column-pruned single-distinct
+    * aggregation (no Expand). */
+  private def profilePass(df: DataFrame, c: String): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_rows"),
       // coalesce: sum over zero rows is NULL, but an empty table has 0
       // nulls, consistent with n_rows/n_distinct = 0
-      coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"${c}__nulls"),
-      countDistinct(col(c)).as(s"${c}__distinct")))
-    val wide = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
-    val stackArgs = cols.map(c => s"'$c', ${c}__nulls, ${c}__distinct").mkString(", ")
-    wide.select(col("n_rows"),
-      expr(s"stack(${cols.size}, $stackArgs) AS (column_name, n_nulls, n_distinct)"))
-      .select("column_name", "n_rows", "n_nulls", "n_distinct")
-  }
+      coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as("n_nulls"),
+      countDistinct(col(c)).as("n_distinct"))
+      .select(lit(c).as("column_name"),
+        col("n_rows"), col("n_nulls"), col("n_distinct"))
+
+  /** Plan-check seam (PlanQualitySpec): the per-column pass BEFORE its
+    * checkpoint, so the spec can pin the pruned-scan/no-Expand shape. */
+  private[graft] def profilePassForPlanCheck(df: DataFrame, c: String): DataFrame =
+    profilePass(df, c)
 
   /** The 100-TB twin of [[profile]]: HyperLogLog++ distinct counts
     * (`approx_count_distinct`) — mergeable sketches, no Expand row

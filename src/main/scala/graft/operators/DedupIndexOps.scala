@@ -420,11 +420,18 @@ object DedupIndexOps {
       pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("doc_id"), col("dup_of"), col("est_e4"))
     }
-    val idx = graft.tools.Prof("gate:served-plan")(
+    val idx0 = graft.tools.Prof("gate:served-plan")(
       best(servedDupes(spark, dir, batch, thresholdE4, bucketCap, cacheBatch))
         .withColumnRenamed("dup_of", "i_dup").withColumnRenamed("est_e4", "i_est"))
-    val intra = best(batchDupes(wide, meta.numPerms, meta.bandSize, thresholdE4, bucketCap))
+    val intra0 = best(batchDupes(wide, meta.numPerms, meta.bandSize, thresholdE4, bucketCap))
       .withColumnRenamed("dup_of", "b_dup").withColumnRenamed("est_e4", "b_est")
+    // the index-dup and batch-dup pipelines are INDEPENDENT (both read
+    // the materialized `wide`; only the report joins them) — overlap
+    // their materializations (§2.6) instead of letting the report's one
+    // localCheckpoint walk both serially; the report then assembles from
+    // two bounded checkpointed frames, not a second deep plan
+    val Seq(idx, intra) = graft.tools.Prof("gate:dup-pipelines")(
+      Par.materializeConcurrently(Seq(idx0, intra0), maxInFlight = 2))
     // a doc below shingle width has NO signature: it cannot match, and
     // the append cannot index it — its verdict says so honestly instead
     // of claiming "ingested" for a doc the index will never hold

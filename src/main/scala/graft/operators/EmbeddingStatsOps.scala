@@ -105,7 +105,14 @@ object EmbeddingStatsOps {
         .select(col("center"), col("dim"), col("n"),
           floor(col("sum_q") / col("n") + 0.5).cast("long").as("centroid_q"))
 
-    val c1 = recompute(assign(c0)).select("center", "dim", "centroid_q")
+    // pin the iteration-1 centroids (k×dim rows, bounded): iteration 2's
+    // assign/recompute otherwise embed iteration 1's whole census DAG in
+    // their plans — the chain is stage-latency-bound at fixture scale and
+    // plan-depth-bound for AQE, so truncating at a bounded materialized
+    // frame halves the re-planned depth. Same rows either way (integer
+    // math; pinForConsistency caches or eagerly checkpoints by posture).
+    val c1 = graft.Caching.pinForConsistency(
+      recompute(assign(c0)).select("center", "dim", "centroid_q"))
     recompute(assign(c1))
   }
 

@@ -286,13 +286,22 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
-  test("profiler is one scan: Expand multi-distinct, no per-column re-reads") {
-    val plan = physical(SparkEntry.queries("profile")(spark, sf))
-    // the multi-countDistinct plans via Expand over ONE scan — 5 columns
-    // of exact distincts must not become 5 parquet reads
-    assert(plan.contains("Expand"), s"multi-distinct not via Expand:\n$plan")
-    assert("Scan parquet".r.findAllIn(plan).size == 1,
-      s"profiler re-scans the table:\n$plan")
+  test("profiler: per-column pruned passes, no Expand row multiplication") {
+    // the profiler materializes one COLUMN-PRUNED aggregation per column
+    // concurrently (§2.6) — the returned frame is a union of the
+    // checkpointed one-row results
+    val profiled = SparkEntry.queries("profile")(spark, sf)
+    val plan = physical(profiled)
+    assert(!plan.contains("Expand"),
+      s"per-column profiling must not plan the Expand multi-distinct:\n$plan")
+    // each column's own pass reads EXACTLY its one column (pruned scan)
+    // and plans the cheap two-level distinct, not an Expand
+    val onePass = graft.operators.DataLayoutOps
+      .profilePassForPlanCheck(graft.sources.Tables.lineitem(spark, sf), "l_partkey")
+    val passPlan = physical(onePass)
+    assert(!passPlan.contains("Expand"), s"single-column pass plans Expand:\n$passPlan")
+    assert(passPlan.contains("ReadSchema: struct<l_partkey"),
+      s"the per-column scan must be pruned to its one column:\n$passPlan")
   }
 
   test("co-activity overlap join meets through the bin equi-join, never a nested loop") {
@@ -404,15 +413,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in len_quantiles_user:\n$plan")
   }
 
-  test("tombstone-masked serves keep their scan shapes: DPP on postings, no corpus scan") {
+  test("tombstone-masked serves keep their scan shapes: probe-pruned postings, no corpus scan") {
     spark.catalog.clearCache()
     graft.operators.AnnIndexOps.clearIndexMemo()
     graft.operators.RetrievalOps.clearIndexMemo()
     val annDel = SparkEntry.queries("ann_deleted")(spark, sf)
     val annPlan = annDel.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    assert(annPlan.contains("dynamicpruning"),
-      s"the tombstone mask must not break probe-side partition pruning:\n$annPlan")
+    // the probed center set is a STATIC partition filter on the postings
+    // scan (pruning by construction — formerly the DPP heuristic); the
+    // tombstone mask must not break it
+    val annSimple = annDel.queryExecution.executedPlan.toString
+    val annScanLine = annSimple.linesIterator
+      .dropWhile(l => !(l.contains("FileScan") && l.contains("/postings")))
+      .take(1).mkString
+    val annPf = annScanLine.dropWhile(_ != 'P')
+      .replaceAll(".*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+    assert(annScanLine.contains("PartitionFilters") && annPf.contains("center#") &&
+      (annPf.contains(" IN ") || annPf.contains("INSET") || annPf.contains("= ")),
+      s"the tombstone mask must not break probe-side partition pruning:\n$annSimple")
     assert(!annPlan.contains("embeddings.parquet"),
       s"deleted serve must still never scan the corpus vectors:\n$annPlan")
     assert(annPlan.contains("LeftAnti"),

@@ -113,6 +113,19 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT COUNT(*) FROM (SELECT qid, COUNT(*) n, MAX(rnk) m FROM hard_negs " +
         "GROUP BY qid) WHERE n <> 5 OR m <> 5").collect()(0).getLong(0) == 0)
+    // media-decode audits run against a MATERIALIZED snapshot of each
+    // view: their predicates reference computed columns (ahash, width,
+    // byte_rate, ...), and predicate pushdown substitutes the full
+    // decode expression tree into the filter PER REFERENCE — the §4.4
+    // duplication in expression form. Measured: the ahash audit alone
+    // was 663 s of a 500-row fixture (1.17 MB physical plan, the
+    // channel decode inlined 1360×) vs 2.8 s to evaluate the whole view.
+    // The lazy-composition property is already exercised by the 40+
+    // non-media views above; what these audits pin is the CONTENT.
+    Seq("media_dims", "media_dims_mix", "wav_dims", "media_pixels",
+      "media_ahash", "png_pixels").foreach { v =>
+      spark.table(v).localCheckpoint(true).createOrReplaceTempView(v)
+    }
     // round-9 views: no packed slot escapes its bin's context budget;
     // the PNG parse yields dims exactly for the non-corrupt payloads
     assert(spark.sql(

@@ -373,13 +373,19 @@ class AnnIndexSpec extends SparkSpec {
       s"served search must not scan the corpus vectors:\n$plan")
     assert(plan.contains("postings") && plan.contains("centroids") &&
       plan.contains("codebook"), s"expected the three index scans:\n$plan")
-    // postings are partitioned by center: the probe join must reach the
-    // scan as DYNAMIC PARTITION PRUNING, so a probed search reads only
-    // the probed lists (the 100-TB read pattern), never the whole corpus
-    val formatted = served.queryExecution.explainString(
-      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    assert(formatted.contains("dynamicpruning"),
-      s"posting scan must be dynamically partition-pruned by the probes:\n$formatted")
+    // postings are partitioned by center: the probed center set arrives
+    // as a STATIC partition filter on the scan (pruning by construction,
+    // the servedDupes convention — formerly the optimizer's DPP
+    // heuristic), so a probed search reads only the probed lists (the
+    // 100-TB read pattern), never the whole corpus
+    val postingsScan = plan.linesIterator
+      .dropWhile(l => !(l.contains("FileScan") && l.contains("/postings")))
+      .take(1).mkString
+    val postingsPf = postingsScan.dropWhile(_ != 'P')
+      .replaceAll(".*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+    assert(postingsScan.contains("PartitionFilters") && postingsPf.contains("center#") &&
+      (postingsPf.contains(" IN ") || postingsPf.contains("INSET") || postingsPf.contains("= ")),
+      s"the postings scan must carry the probed-center partition filter:\n$plan")
     // and the answer from this handle matches the fresh chain too
     val fresh = PqOps.ivfPqResidualTrainedTopK(emb)
     assert(served.exceptAll(fresh).count() == 0 && fresh.exceptAll(served).count() == 0)

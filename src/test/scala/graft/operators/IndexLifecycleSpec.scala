@@ -252,6 +252,52 @@ class IndexLifecycleSpec extends SparkSpec {
       }
   }
 
+  test("pristine immutability: a full gate+delete+compact cycle on a " +
+      "hardlinked copy never rewrites a shared parquet inode") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 30L)
+      .map(i => (i, s"alpha beta gamma delta epsilon tok$i zeta eta theta"))
+      .toDF("doc_id", "text")
+    val pristine = Files.createTempDirectory("graft_pristine").toString
+    DedupIndexOps.writeIndex(docs, pristine)
+    val work = Files.createTempDirectory("graft_work").toString
+    graft.tools.IndexScratch.resetFromPristine(spark, pristine, work)
+    def parquetFiles(root: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val walk = Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+          .toIndexedSeq
+      } finally walk.close()
+    }
+    val snap = parquetFiles(java.nio.file.Paths.get(pristine))
+      .map(p => p -> Files.readAllBytes(p).toSeq).toMap
+    assert(snap.nonEmpty, "the pristine index must hold parquet files")
+    // the scenario under guard must actually exist: at least one pristine
+    // file shares its inode with the work copy (the hardlink path ran)
+    assert(snap.keys.exists(p =>
+      Files.getAttribute(p, "unix:nlink").asInstanceOf[Number].intValue > 1),
+      "resetFromPristine did not hardlink — the invariant scenario is absent")
+    // mutate the WORK copy through the full lifecycle: gate (serve +
+    // survivor append), tombstone delete, major compaction (fold + swap)
+    val batch = (100L until 110L)
+      .map(i => (i, s"alpha beta gamma delta epsilon tok${i % 3} zeta eta theta"))
+      .toDF("doc_id", "text")
+    DedupIndexOps.gateAndIngest(spark, work, batch)
+    DedupIndexOps.deleteFromIndex(spark, work, Seq(5L).toDF("doc_id"))
+    DedupIndexOps.compactIndex(spark, work)
+    // the invariant (IndexLifecycle scaladoc): no lifecycle op rewrites a
+    // parquet inode in place, so every pristine byte is untouched
+    snap.foreach { case (p, bytes) =>
+      assert(Files.exists(p), s"pristine file $p vanished")
+      assert(Files.readAllBytes(p).toSeq == bytes,
+        s"pristine file $p was rewritten in place — a lifecycle op broke " +
+          "the parquet-inode-immutability invariant the hardlink reset relies on")
+    }
+  }
+
   test("writeIds refuses an empty id set loudly") {
     val s = spark
     import s.implicits._
