@@ -265,7 +265,7 @@ object CurationOps {
     * aggregation; the window partitions by doc_id, so parallelism is
     * per-document, never global. */
   def repTopToken(docs: DataFrame): DataFrame = {
-    val counts = Par.spread(docs)
+    val counts = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("cnt"))
@@ -320,7 +320,7 @@ object CurationOps {
     // one corpus tokenize feeds both branches (cached; uncached the
     // parse would run once per branch)
     val base = graft.Caching.maybeCache(
-      Par.spread(docs).select(col("source"), tokens(col("text")).as("t")))
+      docs.select(col("source"), tokens(col("text")).as("t")))
     val toks = base.select(col("source"), explode(col("t")).as("tok"))
     // adjacent-pair bigrams via a shuffle-free array zip (no per-doc
     // window); the greatest() guard keeps slice lengths legal on 1-token
@@ -448,7 +448,7 @@ object CurationOps {
   def gopherRules(docs: DataFrame): DataFrame = {
     val isStop = Stopwords
       .foldRight(lit(false)) { case (s, acc) => (col("tok") === s) || acc }
-    Par.spread(docs)
+    docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy("doc_id")
       .agg(
@@ -1055,7 +1055,7 @@ object CurationOps {
     * the BPE family; cached, shared by training and encoding. */
   private def bpeWords(docs: DataFrame): DataFrame =
     graft.Caching.maybeCache(
-      Par.spread(docs).select(explode(tokens(col("text"))).as("w"))
+      docs.select(explode(tokens(col("text"))).as("w"))
         .filter(!col("w").contains("|") && length(col("w")) >= 2 &&
           length(col("w")) <= OracleLimits.MaxWordChars)
         .groupBy("w").agg(count(lit(1)).as("cnt")))
@@ -1238,7 +1238,7 @@ object CurationOps {
     * the shingle builder (fully codegen'd). */
   def repBigramFrac(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    Par.spread(docs)
+    docs
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
       .withColumn("t1", lead("tok", 1).over(w))
       .filter(col("t1").isNotNull)
@@ -1277,7 +1277,7 @@ object CurationOps {
   def bigramFluency(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val bgs = graft.Caching.maybeCache(
-      Par.spread(docs)
+      docs
         .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
         .withColumn("t1", lead("tok", 1).over(w))
         .filter(col("t1").isNotNull)
@@ -1315,7 +1315,7 @@ object CurationOps {
     * every stream-static join downstream. */
   def trainBigramLm(docs: DataFrame): BigramLm = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val bgs = Par.spread(docs)
+    val bgs = docs
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
       .withColumn("t1", lead("tok", 1).over(w))
       .filter(col("t1").isNotNull)

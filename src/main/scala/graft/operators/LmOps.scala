@@ -49,7 +49,7 @@ object LmOps {
     */
   def trigramBackoff(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val toks = Par.spread(docs).select(
+    val toks = docs.select(
       col("doc_id"),
       (stableHash60(col("doc_id").cast("string")) % 100L < TrainBuckets).as("in_train"),
       posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
@@ -200,7 +200,7 @@ object LmOps {
     * literal. */
   def trainTrigramLm(docs: DataFrame): TrigramLm = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val inst = Par.spread(docs)
+    val inst = docs
       .filter(stableHash60(col("doc_id").cast("string")) % 100L < TrainBuckets)
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
       .withColumn("t1", lead("tok", 1).over(w))
@@ -234,7 +234,7 @@ object LmOps {
     val target = CurationOps.gopherRules(docs)
       .filter(col("pass")).select(col("doc_id").as("t_id"))
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val inst = Par.spread(docs)
+    val inst = docs
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
       .withColumn("t1", lead("tok", 1).over(w))
       .filter(col("t1").isNotNull)
@@ -295,7 +295,7 @@ object LmOps {
       .filter(col("pass")).select(col("doc_id").as("t_id"))
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val inst = graft.Caching.maybeCache(
-      Par.spread(docs)
+      docs
         .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
         .withColumn("t1", lead("tok", 1).over(w))
         .filter(col("t1").isNotNull)
@@ -430,7 +430,7 @@ object LmOps {
   private def nbCounts(
       docs: DataFrame, trusted: Seq[String]): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val inst = graft.Caching.maybeCache(
-      Par.spread(docs).select(
+      docs.select(
         col("doc_id"),
         col("source").isInCollection(trusted).as("pos"),
         explode(tokens(col("text"))).as("tok")))

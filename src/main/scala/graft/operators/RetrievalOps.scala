@@ -444,7 +444,7 @@ object RetrievalOps {
     * the vocab ranking is a global sort of the vocab census; production
     * callers bring their own benchmark query table.) */
   def benchmarkQueries(docs: DataFrame, nQueries: Int = 50, termsPerQuery: Int = 2): DataFrame = {
-    val dfv = Par.spread(docs).select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val dfv = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
     dfv

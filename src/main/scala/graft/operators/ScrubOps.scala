@@ -86,7 +86,7 @@ object ScrubOps {
     * folded to the shared 31-bit universe. */
   private def positionalGrams(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    Par.spread(docs)
+    docs
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
       .withColumn("t1", lead("tok", 1).over(w))
       .withColumn("t2", lead("tok", 2).over(w))

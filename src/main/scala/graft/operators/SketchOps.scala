@@ -49,7 +49,7 @@ object SketchOps {
     * the sketch (k rows) and the exact-count audit column both read it. */
   private def tokenHashes(docs: DataFrame): DataFrame =
     graft.Caching.maybeCache(
-      Par.spread(docs).select(explode(tokens(col("text"))).as("tok"))
+      docs.select(explode(tokens(col("text"))).as("tok"))
         .distinct()
         .select(stableHash60(col("tok")).as("h"))
         .distinct())

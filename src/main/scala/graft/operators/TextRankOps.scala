@@ -19,7 +19,7 @@ object TextRankOps {
     * score = (tf / doc_len) * (N / df), computed in a fixed double
     * expression tree over exact integers, ranked on the scaled int. */
   def termRelevance(docs: DataFrame, k: Int = 3): DataFrame = {
-    val toks = Par.spread(docs).select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     // cached: df and the score join both read the term frequencies, and
     // doc length is a fold of tf (sum of per-token counts) — so the
     // corpus explode runs once, not three times

@@ -26,6 +26,15 @@ object TimingSession {
     // bounded serve/report queries vs its shuffle wins on the heavies)
     sys.env.get("SPARK_GRAFT_AQE")
       .foreach(v => spark.conf.set("spark.sql.adaptive.enabled", v))
+    // SPARK_GRAFT_COALESCE_PF=false → AQE coalesces small shuffle
+    // partitions by advisory SIZE instead of parallelism-first (dev A/B
+    // knob for the r13 scaling-block finding that 8 cores beat 32 on
+    // half the fixture surface: with parallelism-first, a 5000-row
+    // shuffle still fans to 32 tiny tasks). Default keeps Spark's
+    // parallelism-first behavior — the bench contract is unchanged.
+    sys.env.get("SPARK_GRAFT_COALESCE_PF")
+      .foreach(v => spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst", v))
     // GRAFT_PROF=1: per-job wall times to stderr (the UI is disabled in
     // these harnesses, so this is the job-level attribution channel —
     // which of a query's many small jobs the seconds actually go to)
